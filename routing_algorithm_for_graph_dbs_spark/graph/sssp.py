@@ -1,0 +1,121 @@
+"""Multi-source single-source-shortest-path as an iterative DataFrame program.
+
+Parity target: ``gds.shortestPath.dijkstra.stream(graph, {sourceNode,
+targetNode, relationshipWeightProperty})`` (reference ``main.py:95-101``,
+``main.py:143-148``) and ``apoc.algo.dijkstra`` over the footway graph
+(reference ``prova.py:209-220``).
+
+The reference calls Dijkstra once per candidate (source, target) pair — a
+driver-side loop. Here ALL sources run in one program: the state carries a
+``lane`` column (one lane per source), so k sources cost one traversal of
+the edge relation per superstep instead of k traversals. Semantics per lane
+are identical to per-pair Dijkstra (non-negative weights; Bellman-Ford-style
+relaxation converges to the same fixpoint, and ties resolve to the same
+cost — path choice among equal-cost ties is nondeterministic in GDS too).
+
+Scale notes (100 TB design):
+- the edge DataFrame is hash-partitioned on ``src`` once and cached; every
+  superstep's join then reuses that partitioning (no re-shuffle of edges).
+- the frontier shrinks to only *improved* nodes each superstep (delta
+  relaxation), so supersteps touch a fraction of the graph.
+- ``localCheckpoint`` every superstep cuts the lineage chain that would
+  otherwise grow linearly with iterations and blow up the planner.
+- paths accumulate as ``array<string>`` node ids; for huge graphs callers
+  can disable path tracking (``track_paths=False``) and keep only costs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def multi_source_dijkstra(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    max_iterations: int = 200,
+    track_paths: bool = True,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Shortest path costs (and paths) from every source to every reachable node.
+
+    Parameters
+    ----------
+    edges : DataFrame with columns (src, dst, <weight_col>) — directed.
+    sources : DataFrame with columns (lane, node). ``lane`` identifies the
+        source run (the reference's per-(source,target) Dijkstra call index);
+        one lane per source node, but several lanes may share a node.
+    Returns (lane, node, cost, path) — ``path`` is the array of node ids from
+    the source to ``node`` inclusive (omitted when track_paths=False).
+    """
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col(weight_col).cast("double").alias("w")
+    ).repartition("src")
+    e = e.persist()
+
+    if track_paths:
+        best = sources.select(
+            "lane",
+            F.col("node"),
+            F.lit(0.0).alias("cost"),
+            F.array(F.col("node")).alias("path"),
+        )
+    else:
+        best = sources.select("lane", F.col("node"), F.lit(0.0).alias("cost"))
+    best = best.localCheckpoint(eager=True)
+    frontier = best
+
+    for it in range(max_iterations):
+        # relax: candidate distances through the current frontier
+        cand = frontier.join(e, frontier["node"] == e["src"], "inner")
+        proj = [
+            F.col("lane"),
+            e["dst"].alias("node2"),
+            (F.col("cost") + F.col("w")).alias("cost2"),
+        ]
+        if track_paths:
+            proj.append(F.concat(F.col("path"), F.array(e["dst"])).alias("path2"))
+        cand = cand.select(*proj)
+
+        # keep the per-(lane,node) minimum among candidates (min_by keeps one
+        # arbitrary path among exact ties, matching GDS tie behavior)
+        aggs = [F.min("cost2").alias("cost2")]
+        if track_paths:
+            aggs.append(F.min_by("path2", "cost2").alias("path2"))
+        cand = cand.groupBy("lane", "node2").agg(*aggs)
+
+        # improved = strictly better than current best
+        improved = (
+            cand.alias("c")
+            .join(
+                best.select("lane", "node", "cost").alias("b"),
+                (F.col("c.lane") == F.col("b.lane")) & (F.col("c.node2") == F.col("b.node")),
+                "left",
+            )
+            .filter(F.col("b.cost").isNull() | (F.col("c.cost2") < F.col("b.cost")))
+        )
+        sel = [
+            F.col("c.lane").alias("lane"),
+            F.col("c.node2").alias("node"),
+            F.col("c.cost2").alias("cost"),
+        ]
+        if track_paths:
+            sel.append(F.col("c.path2").alias("path"))
+        frontier = improved.select(*sel)
+
+        if (it + 1) % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+
+        # merge improvements into best (improved rows replace old ones)
+        merged = best.alias("b").join(
+            frontier.select("lane", "node").alias("f"),
+            (F.col("b.lane") == F.col("f.lane")) & (F.col("b.node") == F.col("f.node")),
+            "left_anti",
+        )
+        best = merged.unionByName(frontier).localCheckpoint(eager=True)
+
+    e.unpersist()
+    return best

@@ -1,0 +1,240 @@
+"""Day-parameterized routing-graph projection (SURVEY.md §2.9 G1, §3 EP2).
+
+Parity target: ``App.routing_graph_creation(date, speed)`` (reference
+``main.py:13-22``) — a ``gds.graph.project.cypher`` call that materializes
+the in-memory graph ``graph_walk``:
+
+- **vertices** (``main.py:16``): Stoptimes valid on the day, with
+  ``(id, stop_sequence, lon, lat)``.
+- **edges** (``main.py:17``): ``UNION ALL`` of
+  (a) CHANGE edges — for each day-valid Stoptime ``source`` (arriving at stop
+      P on trip/line L): every Stoptime ``target`` of the SAME service id, on
+      a different trip AND different line, located at a stop Q with a WALK_TO
+      edge Q->P (WALK_TO includes the distance-0 self loop, so same-stop
+      transfers exist), such that
+      ``source.arrival + floor(dist(Q,P)/speed) < target.departure``;
+      among candidates, per (source, Q->P walk edge, other line) only the
+      earliest-departing target(s) survive (``apoc.agg.minItems`` keeps
+      ties). Weight ``waiting_time = (target.departure - source.arrival) +
+      floor(dist/speed)``; ``walking_time = floor(dist/speed)``.
+  (b) PRECEDES edges of day-valid trips with their stored ``waiting_time``
+      and ``walking_time = 0``.
+
+Spark shape: vertices/edges are DataFrames, cached and registered in a
+driver-side catalog keyed by (day, speed) — the analogue of the GDS graph
+catalog (``gds.graph.list``). The CHANGE derivation is a broadcast of the
+(small) WALK_TO relation against the day's Stoptimes, then a window rank —
+no cartesian products; at 100 TB the stoptimes relation shuffles once on
+``stop_id`` and once for the rank window.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from routing_algorithm_for_graph_dbs_spark.operators.calendar import service_day_stoptimes
+
+
+@dataclass
+class ProjectedGraph:
+    """The engine's analogue of a GDS named graph."""
+
+    name: str
+    day: str
+    speed: float
+    vertices: DataFrame  # (id, stop_sequence, lon, lat)
+    edges: DataFrame  # (src, dst, type, waiting_time, walking_time)
+    # enrichment relation for leg decomposition (J6): stoptime attributes
+    stoptimes: DataFrame = None
+
+    def unpersist(self) -> None:
+        for df in (self.vertices, self.edges, self.stoptimes):
+            if df is not None:
+                df.unpersist()
+
+
+# driver-side graph catalog, parity with the GDS catalog
+_CATALOG: dict[str, ProjectedGraph] = {}
+
+
+def build_change_edges(
+    day_stoptimes: DataFrame, walk_to: DataFrame, speed: float
+) -> DataFrame:
+    """CHANGE edges per reference ``main.py:17`` (see module docstring).
+
+    ``day_stoptimes``: output of service_day_stoptimes(with_route=True).
+    ``walk_to``: (src_stop_id, dst_stop_id, distance) incl. self loops.
+    """
+    walk_secs = F.floor(F.col("walk_distance") / F.lit(speed)).cast("long")
+
+    source = day_stoptimes.select(
+        F.col("stoptime_id").alias("src"),
+        F.col("trip_id").alias("src_trip"),
+        F.col("route_id").alias("src_line"),
+        F.col("service_id").alias("src_service"),
+        F.col("stop_id").alias("src_stop"),
+        F.col("arrival_s").alias("src_arrival"),
+    )
+    target = day_stoptimes.select(
+        F.col("stoptime_id").alias("dst"),
+        F.col("trip_id").alias("dst_trip"),
+        F.col("route_id").alias("dst_line"),
+        F.col("service_id").alias("dst_service"),
+        F.col("stop_id").alias("dst_stop"),
+        F.col("departure_s").alias("dst_departure"),
+    )
+    w = walk_to.select(
+        F.col("src_stop_id").alias("walk_src"),
+        F.col("dst_stop_id").alias("walk_dst"),
+        F.col("distance").alias("walk_distance"),
+    )
+
+    # target's stop Q -[WALK_TO]-> source's stop P  (reference match direction)
+    cand = (
+        source.join(F.broadcast(w), source["src_stop"] == w["walk_dst"])
+        .join(target, target["dst_stop"] == F.col("walk_src"))
+        .filter(
+            (F.col("dst_trip") != F.col("src_trip"))
+            & (F.col("dst_line") != F.col("src_line"))
+            & (F.col("dst_service") == F.col("src_service"))
+            & (F.col("src_arrival") + walk_secs < F.col("dst_departure"))
+        )
+    )
+
+    # apoc.agg.minItems over (source, walk edge, other line): rank keeps ties
+    sel_w = Window.partitionBy("src", "walk_src", "walk_dst", "dst_line").orderBy(
+        "dst_departure"
+    )
+    return (
+        cand.withColumn("rk", F.rank().over(sel_w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "src",
+            "dst",
+            F.lit(":CHANGE").alias("type"),
+            (
+                (F.col("dst_departure") - F.col("src_arrival")) + walk_secs
+            ).alias("waiting_time"),
+            walk_secs.alias("walking_time"),
+        )
+    )
+
+
+def project_graph(
+    tables: dict[str, DataFrame],
+    day: str | dt.date,
+    speed: float,
+    precedes: DataFrame | None = None,
+    walk_to: DataFrame | None = None,
+    name: str = "graph_walk",
+    cache: bool = True,
+) -> ProjectedGraph:
+    """Build and register the day's routing graph (parity ``main.py:13-22``).
+
+    ``precedes``/``walk_to`` default to building from tables via
+    operators.derived (at scale they are pre-built parquet, built once at ETL
+    like the reference's PRECEDES/WALK_TO relationships).
+    """
+    from routing_algorithm_for_graph_dbs_spark.operators.derived import (
+        build_precedes,
+        build_walk_to,
+    )
+
+    if precedes is None:
+        precedes = build_precedes(tables["stop_times"])
+    if walk_to is None:
+        walk_to = build_walk_to_with_self_loops(tables["stops"])
+
+    day_st = service_day_stoptimes(tables, day, with_route=True)
+
+    vertices = day_st.select(
+        F.col("stoptime_id").alias("id"),
+        "stop_sequence",
+        F.col("stop_lon").alias("lon"),
+        F.col("stop_lat").alias("lat"),
+    )
+
+    change = build_change_edges(day_st, walk_to, speed)
+
+    day_trips = day_st.select("trip_id").distinct()
+    prec = (
+        precedes.join(F.broadcast(day_trips), "trip_id")
+        .select(
+            F.col("src_stoptime_id").alias("src"),
+            F.col("dst_stoptime_id").alias("dst"),
+            F.lit("PRECEDES").alias("type"),
+            F.col("waiting_time").cast("long").alias("waiting_time"),
+            F.lit(0).cast("long").alias("walking_time"),
+        )
+    )
+    edges = change.unionByName(prec)
+
+    stoptimes = day_st
+    if cache:
+        vertices = vertices.persist()
+        edges = edges.persist()
+        stoptimes = stoptimes.persist()
+
+    g = ProjectedGraph(
+        name=name,
+        day=str(day),
+        speed=speed,
+        vertices=vertices,
+        edges=edges,
+        stoptimes=stoptimes,
+    )
+    _CATALOG[name] = g
+    return g
+
+
+def build_walk_to_with_self_loops(stops: DataFrame, radius_m: float = 300.0) -> DataFrame:
+    """WALK_TO incl. the distance-0 self loops the reference creates
+    (``new_dbSetup.py:94-100`` has no s1<>s2 filter)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.derived import build_walk_to
+
+    pairs = build_walk_to(stops, radius_m)
+    self_loops = stops.select(
+        F.col("stop_id").alias("src_stop_id"),
+        F.col("stop_id").alias("dst_stop_id"),
+        F.lit(0.0).alias("distance"),
+    )
+    return pairs.unionByName(self_loops)
+
+
+def get_graph(name: str = "graph_walk") -> ProjectedGraph:
+    return _CATALOG[name]
+
+
+def drop_graph(name: str = "graph_walk") -> None:
+    g = _CATALOG.pop(name, None)
+    if g is not None:
+        g.unpersist()
+
+
+def graph_metrics(g: ProjectedGraph) -> dict:
+    """Parity: ``gds.graph.list('graph_walk')`` metrics (reference
+    ``main.py:24-44``): nodeCount, relationshipCount, degreeDistribution
+    percentiles, density.
+    """
+    n = g.vertices.count()
+    m = g.edges.count()
+    deg = g.edges.groupBy("src").count()
+    pct = deg.select(
+        F.min("count").alias("min"),
+        F.expr("percentile_approx(count, 0.5)").alias("p50"),
+        F.expr("percentile_approx(count, 0.75)").alias("p75"),
+        F.expr("percentile_approx(count, 0.90)").alias("p90"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.max("count").alias("max"),
+        F.avg("count").alias("mean"),
+    ).collect()[0]
+    return {
+        "nodeCount": n,
+        "relationshipCount": m,
+        "degreeDistribution": pct.asDict(),
+        "density": (m / (n * (n - 1))) if n > 1 else 0.0,
+    }

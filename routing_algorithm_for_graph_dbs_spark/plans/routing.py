@@ -1,0 +1,265 @@
+"""Point-to-point routing pipelines (SURVEY.md §3 EP3).
+
+Parity targets:
+- ``App.routing(date, speed, time, source, target, max_duration)``
+  (reference ``main.py:73-117``) — stop-name to stop-name.
+- ``App.routing_between_two_points_in_space(...)`` (reference
+  ``main.py:119-176``) — coordinates to coordinates with walking
+  entry/exit legs and candidate stop lists.
+
+Pipeline stages (all DataFrame ops; the SSSP kernel is the only iteration):
+
+1. *Source candidates* — day-valid Stoptimes at the candidate stops
+   departing after the query time (point variant: after time + walk from the
+   start point, reference ``main.py:132``); per line, the earliest feasible
+   boarding (``apoc.agg.minItems`` then ``collect … unwind … s[0]`` takes
+   ONE item per line — reference ``main.py:85-87``; we take the
+   deterministic first by (departure, stoptime_id), documenting the
+   reference's nondeterminism among exact ties).
+2. *Target candidates* — day-valid Stoptimes at the destination stops
+   arriving inside the time window and departing after the source departs
+   (reference ``main.py:91-94``).
+3. *SSSP* — the reference loops ``gds.shortestPath.dijkstra`` per
+   (source, target) pair; here ONE multi-source run seeds every candidate
+   source in its own lane (identical per-lane semantics, k× less work).
+4. *Ranking* — stop variant: ``ORDER BY arrival_time, cost LIMIT 1``
+   (``main.py:102``); point variant: cost augmented with entry/exit walking
+   and ``ORDER BY final_time, cost LIMIT 1`` (``main.py:157-159``).
+5. *Leg decomposition* — the winning path array exploded to consecutive
+   pairs, re-joined to Stoptime/Trip/Route/Stop for both endpoints
+   (``main.py:103-114`` / ``main.py:160-171``), producing the reference's
+   12-column leg table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from routing_algorithm_for_graph_dbs_spark.functions.spatial import haversine_meters
+from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra
+from routing_algorithm_for_graph_dbs_spark.plans.projection import ProjectedGraph
+
+LEG_COLUMNS = [
+    "trip",
+    "departure",
+    "line",
+    "starting_stop_name",
+    "starting_stop_id",
+    "starting_stop_coordinates",
+    "next_trip",
+    "next_stop",
+    "next_stop_id",
+    "next_stop_coordinates",
+    "next_line",
+    "arrival",
+]
+
+
+def _pick_sources(day_st: DataFrame, feasible: DataFrame) -> DataFrame:
+    """minItems per line then one per line (reference ``main.py:85-87``)."""
+    w = Window.partitionBy("route_id").orderBy("departure_s", "stoptime_id")
+    return (
+        feasible.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _decompose_path(winner: DataFrame, stoptimes: DataFrame) -> DataFrame:
+    """Stage 5: path array -> reference leg table (J6, ``main.py:103-114``).
+
+    ``winner``: single row with column ``path`` (array of stoptime ids).
+    ``stoptimes``: the projection's enriched day-stoptimes relation.
+    """
+    pairs = winner.select(
+        F.posexplode(F.expr("arrays_zip(slice(path, 1, size(path)-1), slice(path, 2, size(path)-1))")).alias(
+            "pos", "pair"
+        )
+    ).select("pos", F.col("pair.0").alias("s1_id"), F.col("pair.1").alias("s2_id"))
+
+    s1 = stoptimes.select(
+        F.col("stoptime_id").alias("s1_id"),
+        F.col("trip_id").alias("trip"),
+        F.col("departure_s").alias("departure"),
+        F.col("route_id").alias("line"),
+        F.col("stop_name").alias("starting_stop_name"),
+        F.col("stop_id").alias("starting_stop_id"),
+        F.array("stop_lat", "stop_lon").alias("starting_stop_coordinates"),
+    )
+    s2 = stoptimes.select(
+        F.col("stoptime_id").alias("s2_id"),
+        F.col("trip_id").alias("next_trip"),
+        F.col("stop_name").alias("next_stop"),
+        F.col("stop_id").alias("next_stop_id"),
+        F.array("stop_lat", "stop_lon").alias("next_stop_coordinates"),
+        F.col("route_id").alias("next_line"),
+        F.col("arrival_s").alias("arrival"),
+    )
+    return (
+        pairs.join(F.broadcast(s1), "s1_id")
+        .join(F.broadcast(s2), "s2_id")
+        .orderBy("pos")
+        .select(*LEG_COLUMNS)
+    )
+
+
+def _run_pairs(
+    graph: ProjectedGraph,
+    sources: DataFrame,
+    targets: DataFrame,
+) -> DataFrame:
+    """Stage 3: lanes = source stoptimes; join lane results onto targets.
+
+    Returns per feasible (source, target): src, dst, cost, path,
+    src_departure_s, dst_arrival_s, dst_departure_s.
+    """
+    lanes = sources.select(
+        F.col("stoptime_id").alias("lane"), F.col("stoptime_id").alias("node")
+    ).distinct()
+    res = multi_source_dijkstra(graph.edges, lanes, weight_col="waiting_time")
+    t = targets.select(
+        F.col("stoptime_id").alias("t_id"),
+        F.col("arrival_s").alias("dst_arrival_s"),
+        F.col("departure_s").alias("dst_departure_s"),
+    ).distinct()
+    s = sources.select(
+        F.col("stoptime_id").alias("s_id"), F.col("departure_s").alias("src_departure_s")
+    ).distinct()
+    return (
+        res.join(t, res["node"] == t["t_id"])
+        .join(s, res["lane"] == s["s_id"])
+        # pair feasibility from stage 2: target departs after source
+        .filter(F.col("dst_departure_s") > F.col("src_departure_s"))
+        .select(
+            F.col("lane").alias("src"),
+            F.col("node").alias("dst"),
+            "cost",
+            "path",
+            "src_departure_s",
+            "dst_arrival_s",
+            "dst_departure_s",
+        )
+    )
+
+
+def routing(
+    graph: ProjectedGraph,
+    time_s: int,
+    source_stop_name: str,
+    target_stop_name: str,
+    max_duration_h: int = 4,
+) -> DataFrame:
+    """Stop-name to stop-name itinerary (parity ``App.routing``,
+    ``main.py:73-117``). Returns the reference's 12-column leg table."""
+    day_st = graph.stoptimes
+    end_s = time_s + max_duration_h * 3600
+
+    feasible_src = day_st.filter(
+        (F.col("stop_name") == source_stop_name) & (F.col("departure_s") > time_s)
+    )
+    sources = _pick_sources(day_st, feasible_src)
+
+    targets = day_st.filter(
+        (F.col("stop_name") == target_stop_name) & (F.col("departure_s") < end_s)
+    )
+
+    ranked = _run_pairs(graph, sources, targets)
+    # ORDER BY arrival_time, cost LIMIT 1 (main.py:102); deterministic tiebreak
+    winner = ranked.orderBy("dst_arrival_s", "cost", "src", "dst").limit(1)
+    return _decompose_path(winner, day_st)
+
+
+def routing_between_two_points_in_space(
+    graph: ProjectedGraph,
+    start_lat: float,
+    start_lon: float,
+    end_lat: float,
+    end_lon: float,
+    start_list: list[str],
+    end_list: list[str],
+    speed: float,
+    time_s: int,
+    max_duration_h: int = 4,
+) -> DataFrame:
+    """Coordinates-to-coordinates itinerary (parity
+    ``App.routing_between_two_points_in_space``, ``main.py:119-176``)."""
+    day_st = graph.stoptimes
+    end_s = time_s + max_duration_h * 3600
+
+    start_walk = (
+        haversine_meters(F.col("stop_lat"), F.col("stop_lon"), F.lit(start_lat), F.lit(start_lon))
+        / F.lit(speed)
+    )
+    end_walk = (
+        haversine_meters(F.col("stop_lat"), F.col("stop_lon"), F.lit(end_lat), F.lit(end_lon))
+        / F.lit(speed)
+    )
+
+    # stage 1: departure - walk_from_start > t   (main.py:132)
+    feasible_src = day_st.filter(
+        F.col("stop_name").isin(start_list)
+        & ((F.col("departure_s") - start_walk) > F.lit(time_s))
+    )
+    sources = _pick_sources(day_st, feasible_src)
+
+    # stage 2: departure + walk_to_end < endtime (main.py:140)
+    targets = day_st.filter(
+        F.col("stop_name").isin(end_list)
+        & ((F.col("departure_s") + end_walk) < F.lit(end_s))
+    )
+
+    pairs = _run_pairs(graph, sources, targets)
+
+    # stage 4: augment with entry/exit walking (main.py:157)
+    src_walk = day_st.select(
+        F.col("stoptime_id").alias("src"),
+        (
+            haversine_meters(F.col("stop_lat"), F.col("stop_lon"), F.lit(start_lat), F.lit(start_lon))
+            / F.lit(speed)
+        ).alias("entry_walk_s"),
+    ).distinct()
+    dst_walk = day_st.select(
+        F.col("stoptime_id").alias("dst"),
+        (
+            haversine_meters(F.col("stop_lat"), F.col("stop_lon"), F.lit(end_lat), F.lit(end_lon))
+            / F.lit(speed)
+        ).alias("exit_walk_s"),
+    ).distinct()
+
+    ranked = (
+        pairs.join(F.broadcast(src_walk), "src")
+        .join(F.broadcast(dst_walk), "dst")
+        .withColumn("cost_total", F.col("cost") + F.col("entry_walk_s") + F.col("exit_walk_s"))
+        .withColumn("final_time", F.col("dst_arrival_s") + F.col("exit_walk_s"))
+    )
+    winner = ranked.orderBy("final_time", "cost_total", "src", "dst").limit(1)
+    return _decompose_path(winner, day_st)
+
+
+def count_changes(legs: DataFrame) -> int:
+    """Number of line changes (parity: client lambda ``main.py:284-285``)."""
+    n_lines = legs.select("line").distinct().count()
+    return 0 if n_lines <= 1 else n_lines - 1
+
+
+def itinerary_totals(
+    legs: DataFrame,
+    start_walk_m: float,
+    end_walk_m: float,
+    speed: float,
+) -> dict:
+    """Total trip time incl. walking (parity: client ``main.py:288-303``)."""
+    first_last = legs.agg(
+        F.min("departure").alias("dep"), F.max("arrival").alias("arr")
+    ).collect()[0]
+    transit = (first_last["arr"] or 0) - (first_last["dep"] or 0)
+    total = start_walk_m / speed + end_walk_m / speed + transit
+    return {
+        "transit_seconds": transit,
+        "start_walk_seconds": start_walk_m / speed,
+        "end_walk_seconds": end_walk_m / speed,
+        "total_seconds": total,
+    }

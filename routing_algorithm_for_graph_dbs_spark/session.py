@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is a single JVM; the same settings (AQE, sensible shuffle
+partition counts, Arrow) are what we would ship to a 1000-executor cluster,
+where ``spark.sql.shuffle.partitions`` is instead sized to ~2-3x total cores
+and AQE coalesces from there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "routing_algorithm_for_graph_dbs_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    AQE is on: it coalesces post-shuffle partitions, re-plans skew joins at
+    runtime, and converts sort-merge to broadcast joins when a side turns out
+    small -- all of which matter far more at 100 TB than on the test boxes.
+    """
+    if cpus is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus_env}]"
+        n_threads = os.cpu_count() or 8 if cpus_env == "*" else int(cpus_env)
+    else:
+        master = f"local[{cpus}]"
+        n_threads = cpus
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n_threads, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
