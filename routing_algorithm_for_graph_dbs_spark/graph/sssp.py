@@ -109,13 +109,17 @@ def multi_source_dijkstra(
         if frontier.isEmpty():
             break
 
-        # merge improvements into best (improved rows replace old ones)
-        merged = best.alias("b").join(
-            frontier.select("lane", "node").alias("f"),
-            (F.col("b.lane") == F.col("f.lane")) & (F.col("b.node") == F.col("f.node")),
-            "left_anti",
+        # merge improvements into best: union + per-key min (frontier rows are
+        # strictly better for their keys, so min_by picks them)
+        aggs2 = [F.min("cost").alias("cost")]
+        if track_paths:
+            aggs2.append(F.min_by("path", "cost").alias("path"))
+        best = (
+            best.unionByName(frontier)
+            .groupBy("lane", "node")
+            .agg(*aggs2)
+            .localCheckpoint(eager=True)
         )
-        best = merged.unionByName(frontier).localCheckpoint(eager=True)
 
     e.unpersist()
     return best

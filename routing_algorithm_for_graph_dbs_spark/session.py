@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Catalyst's constraint propagation hits a rewrite bug
+        # (NoSuchElementException in Union.rewriteConstraints) when
+        # localCheckpoint()ing iterative plans whose Union branches share
+        # attribute ids — which our Pregel-style kernels do every superstep.
+        # Constraints only add inferred IsNotNull/filter pushups; disabling
+        # them is the standard workaround and costs nothing measurable here.
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,123 @@
+"""SSSP / components / betweenness kernels vs hand-computed + pure-Python
+oracles on tiny graphs (SURVEY.md §5: the graph ops get fixture oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _edges_df(spark, triples):
+    return spark.createDataFrame(triples, ["src", "dst", "weight"])
+
+
+def test_sssp_simple(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra
+
+    # diamond with a shortcut: a->b(1), b->c(1), a->c(3), c->d(1), a->d(10)
+    e = _edges_df(
+        spark,
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 3.0), ("c", "d", 1.0), ("a", "d", 10.0)],
+    )
+    src = spark.createDataFrame([("a", "a")], ["lane", "node"])
+    got = {
+        r["node"]: (r["cost"], r["path"])
+        for r in multi_source_dijkstra(e, src).collect()
+    }
+    assert got["a"][0] == 0.0
+    assert got["b"][0] == 1.0
+    assert got["c"][0] == 2.0 and got["c"][1] == ["a", "b", "c"]
+    assert got["d"][0] == 3.0 and got["d"][1] == ["a", "b", "c", "d"]
+
+
+def test_sssp_multi_lane_independent(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra
+
+    e = _edges_df(spark, [("a", "b", 2.0), ("b", "c", 2.0), ("c", "a", 2.0)])
+    src = spark.createDataFrame(
+        [("L1", "a"), ("L2", "b")], ["lane", "node"]
+    )
+    res = multi_source_dijkstra(e, src)
+    got = {(r["lane"], r["node"]): r["cost"] for r in res.collect()}
+    assert got[("L1", "c")] == 4.0
+    assert got[("L2", "c")] == 2.0
+    assert got[("L2", "a")] == 4.0
+
+
+def test_sssp_unreachable_absent(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra
+
+    e = _edges_df(spark, [("a", "b", 1.0), ("x", "y", 1.0)])
+    src = spark.createDataFrame([("a", "a")], ["lane", "node"])
+    nodes = {r["node"] for r in multi_source_dijkstra(e, src).collect()}
+    assert nodes == {"a", "b"}
+
+
+def test_connected_components(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.components import (
+        connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"]
+    assert got["a"] != got["x"]
+
+
+def _brandes_py(edges, nodes):
+    """Reference implementation (pure Python, Brandes 2001, unweighted,
+    directed) used only as a test oracle."""
+    from collections import deque
+
+    adj = {n: [] for n in nodes}
+    for s, d in edges:
+        adj[s].append(d)
+    bc = {n: 0.0 for n in nodes}
+    for s in nodes:
+        stack, preds = [], {n: [] for n in nodes}
+        sigma = {n: 0.0 for n in nodes}
+        dist = {n: -1 for n in nodes}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {n: 0.0 for n in nodes}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_vs_python_oracle(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.betweenness import (
+        betweenness_centrality,
+    )
+
+    edges = [
+        ("a", "b"),
+        ("b", "c"),
+        ("c", "d"),
+        ("a", "e"),
+        ("e", "d"),
+        ("b", "e"),
+        ("d", "a"),
+    ]
+    nodes = sorted({n for e in edges for n in e})
+    expect = _brandes_py(edges, nodes)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["score"] for r in betweenness_centrality(e).collect()}
+    for n in nodes:
+        assert abs(got[n] - expect[n]) < 1e-9, (n, got[n], expect[n])

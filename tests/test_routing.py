@@ -1,0 +1,138 @@
+"""End-to-end routing parity on the GTFS fixture (SURVEY.md §3 EP3) —
+the fixture's analogue of the notebook's Autostazione -> Tonini itinerary.
+
+Hand-derived expectation (day 2024-01-18, 14:00:00, speed 1 m/s):
+winner = board T1a at Autostazione 1 14:05, ride line 1 to Ospedale 1
+(arr 14:22), change to line 10 (T10a at Ospedale 2, dep 14:30), arrive
+Tonini 1 14:38. 5 legs, 1 change. The alternative seed (T7a@A2 then
+change to T1a@A) reaches the same target at the same final_time but with
+cost 1966+19 vs 1887 -> loses on the cost tiebreak, exactly like the
+reference's ORDER BY final_time, cost LIMIT 1 (main.py:157-159).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DAY = "2024-01-18"
+T0 = 14 * 3600
+
+
+@pytest.fixture(scope="module")
+def graph(gtfs):
+    from routing_algorithm_for_graph_dbs_spark.plans.projection import project_graph
+
+    g = project_graph(gtfs, DAY, speed=1.0, name="graph_routing_test")
+    yield g
+    g.unpersist()
+
+
+def test_point_to_point_routing(gtfs, graph):
+    from routing_algorithm_for_graph_dbs_spark.operators.queries import find_near_stops
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import (
+        count_changes,
+        routing_between_two_points_in_space,
+    )
+
+    start = (44.6500, 10.9180)
+    end = (44.6313, 10.8733)
+    start_list = [
+        r["stop_name"] for r in find_near_stops(gtfs, DAY, *start, 200).collect()
+    ]
+    end_list = [
+        r["stop_name"] for r in find_near_stops(gtfs, DAY, *end, 200).collect()
+    ]
+    assert sorted(start_list) == ["Autostazione 1", "Autostazione 2"]
+    assert end_list == ["Tonini 1"]
+
+    legs = routing_between_two_points_in_space(
+        graph,
+        start_lat=start[0],
+        start_lon=start[1],
+        end_lat=end[0],
+        end_lon=end[1],
+        start_list=start_list,
+        end_list=end_list,
+        speed=1.0,
+        time_s=T0,
+    )
+    rows = legs.collect()
+    assert [r["trip"] for r in rows] == ["T1a", "T1a", "T1a", "T1a", "T10a"]
+    assert [r["next_trip"] for r in rows] == ["T1a", "T1a", "T1a", "T10a", "T10a"]
+    assert rows[0]["starting_stop_name"] == "Autostazione 1"
+    assert rows[0]["departure"] == 14 * 3600 + 5 * 60
+    assert rows[-1]["next_stop"] == "Tonini 1"
+    assert rows[-1]["arrival"] == 14 * 3600 + 38 * 60
+    assert rows[3]["line"] == "1" and rows[3]["next_line"] == "10"
+    assert count_changes(legs) == 1
+
+
+def test_stop_to_stop_routing(graph):
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import routing
+
+    legs = routing(
+        graph,
+        time_s=T0,
+        source_stop_name="Autostazione 1",
+        target_stop_name="Tonini 1",
+    )
+    rows = legs.collect()
+    assert len(rows) == 5
+    assert rows[0]["trip"] == "T1a"
+    assert rows[-1]["next_trip"] == "T10a"
+    assert rows[-1]["arrival"] == 14 * 3600 + 38 * 60
+
+
+def test_routing_no_feasible_target(graph):
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import routing
+
+    # max_duration 0 hours -> target window empty -> no legs
+    legs = routing(
+        graph,
+        time_s=T0,
+        source_stop_name="Autostazione 1",
+        target_stop_name="Tonini 1",
+        max_duration_h=0,
+    )
+    assert legs.count() == 0
+
+
+def test_itinerary_totals(graph):
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import (
+        itinerary_totals,
+        routing,
+    )
+
+    legs = routing(
+        graph,
+        time_s=T0,
+        source_stop_name="Autostazione 1",
+        target_stop_name="Tonini 1",
+    )
+    tot = itinerary_totals(legs, start_walk_m=100.0, end_walk_m=50.0, speed=1.0)
+    # dep 14:05, arr 14:38 -> 1980 s transit + 150 s walking
+    assert tot["transit_seconds"] == 1980
+    assert tot["total_seconds"] == 2130.0
+
+
+def test_footway_walking_distance(gtfs):
+    from routing_algorithm_for_graph_dbs_spark.graph.footway import (
+        distance_from_a_stop,
+        nearest_footnode,
+        walking_distance,
+    )
+
+    nf = nearest_footnode(gtfs["foot_nodes"], 44.64990, 10.91780).collect()[0]
+    assert nf["footnode_id"] == "FN1"
+    assert nf["distance"] < 1.0
+
+    # FN1 -> FN4: 70 + 90 + 55 = 215 m (via the road crossing)
+    assert walking_distance(gtfs["foot_edges"], "FN1", "FN4") == 215.0
+    # symmetric traversal (APOC untyped direction = both ways)
+    assert walking_distance(gtfs["foot_edges"], "FN4", "FN1") == 215.0
+    # unreachable from an isolated id
+    assert walking_distance(gtfs["foot_edges"], "FN1", "NOPE") == float("inf")
+
+    km = distance_from_a_stop(gtfs, "S_D", 44.64990, 10.91780, stops=gtfs["stops"])
+    assert abs(km - 0.215) < 1e-3
