@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data pipelines (beyond-reference
+surface, BASELINE.json north star).
+
+Five families, each designed scale-first:
+
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle on the
+  16-byte digest, never on the document text.
+- **MinHash + LSH**: shingle -> per-seed min-hash signature -> band buckets
+  -> candidate pairs meet in an equi-join on (band, band_hash). Only
+  bucket-mates are compared; the cross product never materializes. Hashes
+  are md5 (stable across engines, so DuckDB can oracle the signatures).
+- **SimHash**: 64-bit rotation-invariant fingerprint; near-dups differ in
+  few bits. Pure column expressions (bit_count + xor compare).
+- **n-gram Jaccard**: exact verify step for LSH candidates.
+- **embedding cosine**: see operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "), r"\s+", " ")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min key) per distinct normalized text.
+
+    Scale shape: shuffle on md5 digest only; ``min_by`` keeps the smallest
+    key deterministically (batch MERGE semantics, SURVEY §2.1 S4).
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.min(key_col).alias(key_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("fp")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles of the normalized text (distinct)."""
+    toks = F.split(normalize_text(text), " ")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: for seed i, min(md5(i || shingle)).
+
+    md5-as-string min is engine-agnostic (same result in DuckDB), trading a
+    few cycles for a cross-engine-checkable signature. Returns (key, sig
+    array<string> of length num_hashes).
+    """
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
+    )
+    return df.select(F.col(key_col), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    key_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: documents sharing >=1 LSH band bucket.
+
+    Explode each signature into ``bands`` (band_id, md5(band slice)) rows;
+    pairs meet in the groupBy on the bucket — an equi-join shape that scales
+    (no cross product). Returns distinct (a, b) with a < b.
+    """
+    banded = signatures.select(
+        F.col(key_col).alias("k"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), ",")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select("band", "bucket", F.col("k").alias("a"))
+    right = banded.select("band", "bucket", F.col("k").alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps pairs >= threshold.
+
+    Returns (a, b, jaccard). The shingle arrays are joined in (small,
+    per-candidate) — the expensive set intersection only runs on LSH
+    survivors.
+    """
+    sh = df.select(
+        F.col(key_col).alias("k"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col("k").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("k").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.join(a, "a")
+        .join(b, "b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: signature -> LSH buckets -> Jaccard verify ->
+    keep the min key of each duplicate cluster (union-find-free greedy:
+    a row is dropped if it pairs with any smaller key — correct for
+    transitive clusters because every member pairs with the cluster min or
+    chains to it; for strict transitive closure run
+    graph.components.connected_components on the pair list)."""
+    sigs = minhash_signatures(df, text_col, key_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, key_col, bands, num_hashes // bands)
+    dups = jaccard_verify(cands, df, text_col, key_col, shingle_n, threshold)
+    losers = dups.select(F.col("b").alias(key_col)).distinct()
+    return df.join(losers, key_col, "left_anti")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over word tokens, pure column expressions.
+
+    For each bit position b: sum over tokens of (bit b of xxhash64(token)
+    ? +1 : -1); simhash bit b = sign. Implemented as one ``aggregate`` over
+    the token array per bit-group using bigint bit ops — JVM-side only.
+    """
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    h = lambda t: F.xxhash64(t)  # noqa: E731
+
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(F.shiftright(h(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(bit_vote(b) > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63))).otherwise(0)
+    return df.select(F.col(key_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, key_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming distance <= max_hamming, blocked by 16-bit chunks.
+
+    Pigeonhole: if two 64-bit hashes differ in <=3 bits, at least one of the
+    four 16-bit chunks is identical — candidates meet in an equi-join on
+    (chunk_id, chunk_value), never a cross product.
+    """
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sims.select(
+        F.col(key_col).alias("k"), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select("k", "simhash", F.col("c.chunk_id"), F.col("c.chunk"))
+    left = blocked.select("chunk_id", "chunk", F.col("k").alias("a"), F.col("simhash").alias("sim_a"))
+    right = blocked.select("chunk_id", "chunk", F.col("k").alias("b"), F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["chunk_id", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

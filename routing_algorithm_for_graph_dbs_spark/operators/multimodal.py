@@ -1,0 +1,156 @@
+"""Multimodal column plumbing (beyond-reference surface).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns with
+a typed metadata struct. The Spark-side machinery — schemas, Arrow-batched
+``mapInPandas`` pipelines, partition sizing — is real and tested; the
+actual codec calls are STUBBED (this container has no image/audio libs):
+``decode_image``/``extract_audio_features`` produce a deterministic fake
+derived from the bytes, clearly marked, and ``strict=True`` raises
+``NotImplementedError`` where a real deployment would call the codec.
+
+Scale notes: binary payloads dominate row size, so these pipelines must
+(a) never shuffle the binary column (all derivation is map-side),
+(b) bound Arrow batch memory via ``maxRecordsPerBatch``, and
+(c) project metadata-only when downstream doesn't need bytes — enforced
+here by splitting metadata derivation from payload transforms.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_channels", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("fake_width", T.IntegerType(), False),
+        T.StructField("fake_height", T.IntegerType(), False),
+        T.StructField("fake_mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """DETERMINISTIC FAKE decode — stands in for a real image codec.
+
+    Derives pseudo width/height/luma from the payload digest so tests are
+    reproducible. A real deployment replaces this body with PIL/libvips.
+    """
+    d = hashlib.sha256(payload or b"").digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    luma = round(d[2] / 255.0, 6)
+    return width, height, luma
+
+
+def image_features(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched feature extraction over image payloads.
+
+    ``mapInPandas`` so each Python batch sees a bounded number of binary
+    payloads (batch memory = batch_size x payload size, independent of
+    partition size). With ``strict=True`` raises NotImplementedError at the
+    decode step — the marked stub boundary.
+    """
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libvips — not in this container"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                w, h, luma = _fake_decode(b)
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        w,
+                        h,
+                        luma,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sha256",
+                    "n_bytes",
+                    "fake_width",
+                    "fake_height",
+                    "fake_mean_luma",
+                ],
+            )
+
+    # project ONLY the columns the extractor needs — the binary column stays
+    # out of any shuffle and un-needed metadata is pruned at the scan.
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per (media_id, frame_ts).
+
+    The timestamp grid is computed JVM-side from metadata only (no payload
+    touched); the actual frame extraction is the stubbed decode boundary.
+    """
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.coalesce(F.col("meta.duration_ms"), F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only rollup. Deliberately avoids the payload column so the
+    parquet scan prunes it (ReadSchema excludes ``payload``) — at 100 TB
+    this is the difference between scanning kilobytes and terabytes."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("meta.width").alias("avg_width"),
+        F.avg("meta.duration_ms").alias("avg_duration_ms"),
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (beyond-reference surface).
+
+Two tiers, per the 100 TB design brief:
+
+- **brute-force cosine top-k** — exact baseline; dot products via
+  ``zip_with``/``aggregate`` column expressions (JVM-side, no Python).
+  Linear scan, embarrassingly parallel, no shuffle until the final top-k.
+- **LSH-bucketed ANN** — random-hyperplane signatures; candidates meet in
+  an equi-join on the signature prefix, so the scan touches only
+  bucket-mates. Recall < 1 by construction; multi-probe via several
+  independent tables.
+
+Embeddings are ``array<float>``; all arithmetic casts to double first so
+results are bit-stable across engines (DuckDB oracle uses the same order
+of operations via list_* functions, with rounding applied on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Plan shape: map-side similarity + global TakeOrderedAndProject — the
+    scan parallelizes fully and only k rows per partition reach the driver
+    stage. Ties broken by key for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        embeddings.select(
+            F.col(key_col), F.round(sim, 6).alias("cosine_sim")
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(key_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, LSH-blocked.
+
+    Random-hyperplane LSH: sign pattern of ``n_planes`` fixed pseudo-random
+    hyperplanes forms the bucket key; high-cosine pairs agree on most signs,
+    so they collide with high probability. The verify step computes exact
+    cosine only within buckets. (Recall is probabilistic; raise n_planes /
+    add probes for tighter guarantees — standard ANN tradeoff.)
+    """
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+    sig = F.concat(
+        *[
+            F.when(dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])) >= 0, "1").otherwise("0")
+            for p in planes
+        ]
+    )
+    with_sig = embeddings.select(
+        F.col(key_col).alias("k"), F.col(vec_col).alias("v"), sig.alias("bucket")
+    )
+    left = with_sig.select("bucket", F.col("k").alias("a"), F.col("v").alias("va"))
+    right = with_sig.select("bucket", F.col("k").alias("b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("a", "b", "cosine_sim")
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """For every left vector, its k nearest right vectors by cosine.
+
+    Brute-force block-nested-loop via broadcast of the smaller side; the
+    per-left top-k is a window rank (no global sort). At scale, replace the
+    broadcast with IVF partitioning (cluster assignment then per-cluster
+    join) — same downstream shape.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(F.col(key_col).alias("l_id"), F.col(vec_col).alias("lv"))
+    r = right.select(F.col(key_col).alias("r_id"), F.col(vec_col).alias("rv"))
+    sim = cosine(F.col("lv"), F.col("rv"))
+    w = Window.partitionBy("l_id").orderBy(F.desc("cosine_sim"), F.col("r_id"))
+    return (
+        l.crossJoin(F.broadcast(r))
+        .filter(F.col("l_id") != F.col("r_id"))
+        .withColumn("cosine_sim", F.round(sim, 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("l_id", "r_id", "cosine_sim", "rn")
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting over the ``documents``
+table. All pure column expressions — JVM-side, whole-stage codegen, no
+Python on the hot path — so they stream through 100 TB of parquet at scan
+speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small high-frequency marker-word lists per language (public knowledge).
+# Deliberately tiny: the heuristic is count-of-marker-hits, the classic
+# cheap language-ID baseline for corpus triage.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "it": ["il", "la", "di", "che", "e", "un", "per", "non"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "que", "dans"],
+    "es": ["el", "la", "los", "que", "y", "de", "es", "por"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, single digits, or single punctuation
+# (the GPT-2-style pre-split shape, simplified to ASCII classes).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _word_count(text: Column) -> Column:
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish sub-token count per document."""
+    t = F.col(text_col)
+    return df.withColumn("ws_tokens", _word_count(t)).withColumn(
+        "bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    Features: length, word count, mean word length, punctuation ratio,
+    uppercase ratio, digit ratio, english-stopword ratio. Composite score is
+    a fixed linear blend in [0, ~1]; deterministic, rounded for stable
+    cross-engine comparison.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = _word_count(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    stop_re = "(?i)\\b(" + "|".join(LANG_MARKERS["en"]) + ")\\b"
+    n_stop = F.size(F.regexp_extract_all(t, F.lit(stop_re), F.lit(0)))
+
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_words = F.greatest(words, F.lit(1))
+    punct_ratio = n_punct / safe_chars
+    upper_ratio = n_upper / safe_chars
+    digit_ratio = n_digit / safe_chars
+    stop_ratio = n_stop / safe_words
+    mean_word_len = (n_chars - (words - 1)) / safe_words
+
+    score = (
+        F.least(words / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.least(stop_ratio * 2, F.lit(1.0)) * 0.3
+        + (1 - F.least(punct_ratio * 4, F.lit(1.0))) * 0.2
+        + (1 - F.least(digit_ratio * 4, F.lit(1.0))) * 0.1
+        + (1 - F.least(upper_ratio * 4, F.lit(1.0))) * 0.1
+    )
+    return (
+        df.withColumn("n_words", words)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("upper_ratio", F.round(upper_ratio, 6))
+        .withColumn("digit_ratio", F.round(digit_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word-count language ID: per language, count marker hits;
+    predict the argmax (ties -> lexicographically first language code;
+    no hits at all -> 'und')."""
+    cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        pat = "(?i)\\b(" + "|".join(markers) + ")\\b"
+        cols.append(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).alias(f"hits_{lang}")
+        )
+    out = df.select("*", *cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # build reverse so earlier languages win ties via last-wins chaining
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints:
+
+    - ``fp_md5``: md5 of the normalized text (lowercase, collapsed
+      whitespace) — exact-dup key, identical in any engine with md5.
+    - ``fp_head``: md5 of the first 256 normalized chars — cheap
+      prefix-duplicate probe.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn(
+        "fp_head", F.md5(F.substring(norm, 1, 256))
+    )

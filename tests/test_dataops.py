@@ -1,0 +1,284 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity, text,
+multimodal) on the driver's documents/embeddings tables + synthetic rows."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, testdata_dir):
+    return spark.read.parquet(f"{testdata_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, testdata_dir):
+    return spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+
+
+# ---------- text ----------
+
+
+def test_token_counts(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import token_counts
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42 times"), (2, ""), (3, "  a  b  ")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in token_counts(df).collect()}
+    assert got[1] == (4, 7)  # Hello , world ! 4 2 times -> 7 bpe-ish
+    assert got[2] == (0, 0)
+    assert got[3] == (2, 2)
+
+
+def test_language_id(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house"),
+            (2, "il gatto e la volpe che non dorme"),
+            (3, "der Hund ist nicht mit der Katze"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "it"
+    assert got[3] == "de"
+    assert got[4] == "und"
+
+
+def test_quality_scores(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog and runs away."), (2, "!!! ### $$$ %%%")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert got[1]["quality_score"] > got[2]["quality_score"]
+    assert got[2]["punct_ratio"] > 0.5
+
+
+def test_fingerprint_normalization(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["fp_md5"] for r in fingerprint(df).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+# ---------- dedup ----------
+
+
+def test_exact_dedup(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Same Text!"), (2, "same text"), (3, "other")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+        "behind the green hills and the river flows quietly through the valley"
+    )
+    near = base.replace("quietly", "loudly")
+    far = "completely different content about spark dataframes and shuffles at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sigs = minhash_signatures(df)
+    assert sigs.select(F.size("sig")).first()[0] == 32
+    cands = lsh_candidate_pairs(sigs)
+    pairs = {(r["a"], r["b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    verified = jaccard_verify(cands, df, threshold=0.5)
+    vp = {(r["a"], r["b"]): r["jaccard"] for r in verified.collect()}
+    assert (1, 2) in vp and vp[(1, 2)] > 0.7
+    assert all(p == (1, 2) for p in vp)
+
+
+def test_minhash_dedup_pipeline(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import minhash_dedup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+        "xi omicron pi rho sigma tau upsilon phi chi psi omega end of greek"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("end", "fin")),
+            (3, "unrelated text entirely about something else with many words"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in minhash_dedup(df, threshold=0.5).collect())
+    assert kept == [1, 3]
+
+
+def test_simhash_near_pairs(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    words = [f"word{i}" for i in range(60)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["changed"])  # 1 word differs -> small hamming
+    c = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    sims = simhash(df)
+    vals = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert vals[1] != vals[3]
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(sims, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+# ---------- similarity ----------
+
+
+def test_cosine_topk_matches_python(emb):
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import cosine_topk
+
+    rows = emb.limit(50).collect()
+    q = list(rows[0]["embedding"])
+    got = cosine_topk(emb, q, k=5).collect()
+
+    # python oracle over the full table
+    allrows = emb.collect()
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return d / (na * nb)
+
+    expect = sorted(
+        ((round(cos(r["embedding"], q), 6), r["vec_id"]) for r in allrows),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [(r["cosine_sim"], r["vec_id"]) for r in got] == [
+        (pytest.approx(c, abs=2e-6), v) for c, v in expect
+    ]
+    assert got[0]["vec_id"] == rows[0]["vec_id"]  # self is most similar
+
+
+def test_knn_join(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import knn_join
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = knn_join(df, df, k=1).collect()
+    nn = {r["l_id"]: r["r_id"] for r in got}
+    assert nn[1] == 2 and nn[2] == 1
+
+
+def test_embedding_near_dup_pairs(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+# ---------- multimodal ----------
+
+
+def _media_df(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = [
+        (1, "image", b"\x89PNGfakebytes1", "image/png", (640, 480, 3, None, None)),
+        (2, "image", b"\x89PNGfakebytes2", "image/png", (800, 600, 3, None, None)),
+        (3, "video", b"\x00\x00fakevid", "video/mp4", (1920, 1080, 3, 3500, None)),
+        (4, "audio", b"RIFFfake", "audio/wav", (None, None, 1, 2000, 44100)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import image_features
+
+    media = _media_df(spark)
+    a = {r["media_id"]: r.asDict() for r in image_features(media).collect()}
+    b = {r["media_id"]: r.asDict() for r in image_features(media).collect()}
+    assert a == b
+    assert a[1]["n_bytes"] == 14
+    assert 64 <= a[1]["fake_width"] < 256
+
+
+def test_image_features_strict_raises(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import image_features
+
+    media = _media_df(spark)
+    with pytest.raises(Exception) as ei:
+        image_features(media, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+
+
+def test_frame_sample_plan(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    media = _media_df(spark)
+    got = frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in got] == [
+        (3, 0),
+        (3, 1000),
+        (3, 2000),
+        (3, 3000),
+    ]
+
+
+def test_media_stats_prunes_payload(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import media_stats
+
+    media = _media_df(spark)
+    stats = media_stats(media)
+    assert "payload" not in str(stats.schema)
+    got = {r["kind"]: r["n"] for r in stats.collect()}
+    assert got == {"image": 2, "video": 1, "audio": 1}
