@@ -1,0 +1,1194 @@
+"""Driver-facing query surface: SURVEY.md §2 operator inventory mapped onto
+the synthetic tables (TESTDATA.md), each with a DuckDB oracle twin.
+
+Organization: ``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame``
+exercising one operator (or tight operator cluster) from the inventory;
+``ORACLES[name]`` is the ANSI-SQL equivalent DuckDB runs on the same parquet.
+Real GTFS parity (projection, routing, footway) is covered by the pytest
+fixture suite (tests/) — here the same operator *shapes* run on the TPC-H-ish
+tables so the driver's hash-compare gate can check them.
+
+Cross-engine determinism rules used throughout:
+- every computed column is aliased identically on both sides;
+- integers -> BIGINT/long, floats rounded (same op order both sides),
+  dates/timestamps stringified;
+- LIMIT queries carry total deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long via nanosAsLong: truncate to micros
+        # (exactly what DuckDB's ns->us read does) and restore TimestampType.
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+# =====================================================================
+# §2.1/§2.2 scans, projections, filters
+# =====================================================================
+
+
+@_register(
+    "p1_project_rename",
+    """
+    SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+           ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    """,
+)
+def p1_project_rename(spark, sf_dir):
+    """P1: projection with renaming (reference RETURN ... AS, main.py:16)."""
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@_register(
+    "p3_p4_filters",
+    """
+    SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+           l_quantity AS qty, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_quantity > 25
+    """,
+)
+def p3_p4_filters(spark, sf_dir):
+    """P3 equality + P4 range/theta filters (main.py:82-93)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 25)
+    ).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.col("l_quantity").alias("qty"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+@_register(
+    "p6_radius_filter",
+    """
+    SELECT s_suppkey AS skey, ROUND(ABS(s_acctbal - 5000.0), 2) AS dist
+    FROM supplier WHERE ABS(s_acctbal - 5000.0) < 2500.0
+    """,
+)
+def p6_radius_filter(spark, sf_dir):
+    """P6: radius predicate (spatial shape; real haversine in f4_haversine)."""
+    s = _t(spark, sf_dir, "supplier")
+    dist = F.abs(F.col("s_acctbal") - 5000.0)
+    return (
+        s.filter(dist < 2500.0)
+        .select(F.col("s_suppkey").alias("skey"), F.round(dist, 2).alias("dist"))
+    )
+
+
+@_register(
+    "f4_haversine",
+    """
+    SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+           ROUND(2 * 6371008.8 * ASIN(SQRT(
+             LEAST(POW(SIN(RADIANS(l_tax*10 - 0.4)/2), 2)
+             + COS(RADIANS(0.4)) * COS(RADIANS(l_tax*10))
+             * POW(SIN(RADIANS(l_discount*10 - 0.5)/2), 2), 1.0)
+           )), 1) AS dist_m
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def f4_haversine(spark, sf_dir):
+    """F4: the WGS-84 haversine used for point.distance parity
+    (new_dbSetup.py:94-100), cross-checked against DuckDB's trig."""
+    from routing_algorithm_for_graph_dbs_spark.functions.spatial import haversine_meters
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    d = haversine_meters(
+        F.col("l_tax") * 10, F.col("l_discount") * 10, F.lit(0.4), F.lit(0.5)
+    )
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.round(d, 1).alias("dist_m"),
+    )
+
+
+@_register(
+    "p8_p9_p10_membership",
+    """
+    SELECT DISTINCT c_mktsegment AS segment,
+           CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS bal_sign
+    FROM customer WHERE c_nationkey IN (1, 3, 5, 7)
+    """,
+)
+def p8_p9_p10_membership(spark, sf_dir):
+    """P8 isin + P9 case/null guard + P10 distinct (main.py:132,64-67)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_nationkey").isin(1, 3, 5, 7))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("c_acctbal") > 0, "pos").otherwise("nonpos").alias("bal_sign"),
+        )
+        .distinct()
+    )
+
+
+# =====================================================================
+# §2.3 joins
+# =====================================================================
+
+
+@_register(
+    "j1_join_chain",
+    """
+    SELECT n_name AS nation, r_name AS region,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def j1_join_chain(spark, sf_dir):
+    """J1: the 5-hop calendar-join shape (main.py:16) — fact table joined
+    through a chain of broadcast dims, aggregated. The Spark plan must show
+    BroadcastHashJoins with the fact never shuffling before the agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "j2_fk_dims",
+    """
+    SELECT s_suppkey AS skey, s_name AS sname, n_name AS nation, r_name AS region
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def j2_fk_dims(spark, sf_dir):
+    """J2: FK equi-joins to dimensions (new_dbSetup.py:41-84)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("s_suppkey").alias("skey"),
+            F.col("s_name").alias("sname"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+@_register(
+    "w1_lead_consecutive",
+    """
+    SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+           l_partkey AS pkey,
+           LEAD(l_partkey) OVER w AS next_pkey,
+           ROUND(LEAD(l_quantity) OVER w - l_quantity, 2) AS qty_delta
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice)
+    """,
+)
+def w1_lead_consecutive(spark, sf_dir):
+    """J3/W1: consecutive-row pairing via lead() — the PRECEDES build
+    (new_dbSetup.py:66-70) re-expressed as a window, one shuffle not two."""
+    li = _t(spark, sf_dir, "lineitem")
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    # the window order carries a total tiebreak (mirrored in the oracle)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.col("l_partkey").alias("pkey"),
+        F.lead("l_partkey").over(w).alias("next_pkey"),
+        F.round(F.lead("l_quantity").over(w) - F.col("l_quantity"), 2).alias("qty_delta"),
+    )
+
+
+@_register(
+    "j4_band_selfjoin",
+    """
+    SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+           ROUND(ABS(a.s_acctbal - b.s_acctbal), 2) AS gap
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey < b.s_suppkey
+     AND ABS(a.s_acctbal - b.s_acctbal) < 150.0
+    """,
+)
+def j4_band_selfjoin(spark, sf_dir):
+    """J4: distance self-join via banding — the scale-safe WALK_TO shape
+    (new_dbSetup.py:94-100). Each row joins only its own and neighboring
+    bands, then the exact filter runs; equivalent to the O(n²) cross
+    product the oracle runs."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    width = 150.0
+    banded = s.select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_acctbal").alias("v"),
+        F.floor(F.col("s_acctbal") / width).cast("long").alias("band"),
+    )
+    left = banded.select(
+        F.col("k").alias("a"),
+        F.col("v").alias("va"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
+    right = banded.select(F.col("k").alias("b"), F.col("v").alias("vb"), "band")
+    return (
+        left.join(right, "band")
+        .filter((F.col("a") < F.col("b")) & (F.abs(F.col("va") - F.col("vb")) < width))
+        .select("a", "b", F.round(F.abs(F.col("va") - F.col("vb")), 2).alias("gap"))
+        .distinct()
+    )
+
+
+@_register(
+    "j5_earliest_transfer",
+    """
+    WITH cand AS (
+      SELECT o1.o_orderkey AS okey, o1.o_custkey AS cust,
+             o2.o_orderkey AS next_okey,
+             date_diff('day', o1.o_orderdate, o2.o_orderdate) AS gap_days,
+             RANK() OVER (PARTITION BY o1.o_orderkey
+                          ORDER BY o2.o_orderdate, o2.o_orderkey) AS rk
+      FROM orders o1 JOIN orders o2
+        ON o1.o_custkey = o2.o_custkey
+       AND o2.o_orderkey <> o1.o_orderkey
+       AND o2.o_orderdate > o1.o_orderdate
+       AND date_diff('day', o1.o_orderdate, o2.o_orderdate) <= 30
+    )
+    SELECT okey, cust, next_okey, CAST(gap_days AS BIGINT) AS gap_days
+    FROM cand WHERE rk = 1
+    """,
+)
+def j5_earliest_transfer(spark, sf_dir):
+    """J5: the CHANGE-edge derivation shape (main.py:17): per anchor row,
+    feasible later partners via theta-join, keep the earliest per group
+    (minItems -> rank keeps ties)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    o1 = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    o2 = o.select(
+        F.col("o_orderkey").alias("next_okey"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    gap = F.datediff(F.col("d2").cast("date"), F.col("d1").cast("date"))
+    cand = (
+        o1.join(o2, "cust")
+        .filter(
+            (F.col("next_okey") != F.col("okey"))
+            & (F.col("d2") > F.col("d1"))
+            & (gap <= 30)
+        )
+        .withColumn("gap_days", gap.cast("long"))
+    )
+    w = Window.partitionBy("okey").orderBy("d2", "next_okey")
+    return (
+        cand.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select("okey", "cust", "next_okey", "gap_days")
+    )
+
+
+@_register(
+    "j6_explode_rejoin",
+    """
+    WITH seq AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             LEAD(l_partkey) OVER w AS next_pk,
+             ROW_NUMBER() OVER w - 1 AS pos
+      FROM lineitem WHERE l_orderkey <= 500
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice)
+    )
+    SELECT s.l_orderkey AS okey, CAST(s.pos AS BIGINT) AS pos,
+           pa.p_name AS part_a, pb.p_name AS part_b
+    FROM seq s JOIN part pa ON s.l_partkey = pa.p_partkey
+    JOIN part pb ON s.next_pk = pb.p_partkey
+    WHERE s.next_pk IS NOT NULL
+    """,
+)
+def j6_explode_rejoin(spark, sf_dir):
+    """J6: path-pair enrichment (main.py:103-114): collect each order's parts
+    as an ordered array, explode consecutive pairs, re-join the part dim
+    twice. The oracle produces the identical rows via lead()."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    p = _t(spark, sf_dir, "part")
+    path = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+            )
+        ).alias("steps")
+    )
+    pairs = path.select(
+        F.col("l_orderkey").alias("okey"),
+        F.posexplode(
+            F.expr(
+                "arrays_zip(slice(steps, 1, size(steps)-1), slice(steps, 2, size(steps)-1))"
+            )
+        ).alias("pos", "pair"),
+    ).select(
+        "okey",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("pair.0.l_partkey").alias("pk_a"),
+        F.col("pair.1.l_partkey").alias("pk_b"),
+    )
+    pa = p.select(F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("part_a"))
+    pb = p.select(F.col("p_partkey").alias("pk_b"), F.col("p_name").alias("part_b"))
+    return (
+        pairs.join(F.broadcast(pa), "pk_a")
+        .join(F.broadcast(pb), "pk_b")
+        .select("okey", "pos", "part_a", "part_b")
+    )
+
+
+@_register(
+    "j7_nn_top1",
+    """
+    SELECT s_suppkey AS skey, ROUND(ABS(s_acctbal - 5000.0), 2) AS dist
+    FROM supplier ORDER BY ABS(s_acctbal - 5000.0), s_suppkey LIMIT 1
+    """,
+)
+def j7_nn_top1(spark, sf_dir):
+    """J7/T3: top-1 nearest neighbor (prova.py:184-198)."""
+    s = _t(spark, sf_dir, "supplier")
+    dist = F.abs(F.col("s_acctbal") - 5000.0)
+    return (
+        s.select(F.col("s_suppkey").alias("skey"), F.round(dist, 2).alias("dist"))
+        .orderBy(F.abs(F.col("dist")), "skey")
+        .limit(1)
+    )
+
+
+@_register(
+    "j8_semi_join",
+    """
+    SELECT c_custkey AS ckey, c_name AS cname FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j8_semi_join(spark, sf_dir):
+    """J8: left-semi join (reshape.py:9-36 service-id filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select(
+        F.col("c_custkey").alias("ckey"), F.col("c_name").alias("cname")
+    )
+
+
+@_register(
+    "j9_anti_join",
+    """
+    SELECT c_custkey AS ckey, c_name AS cname FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def j9_anti_join(spark, sf_dir):
+    """Anti join (complement of J8; the r.id <> line exclusion family):
+    customers with no finished order."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti").select(
+        F.col("c_custkey").alias("ckey"), F.col("c_name").alias("cname")
+    )
+
+
+@_register(
+    "jlo_left_outer",
+    """
+    SELECT c_custkey AS ckey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def jlo_left_outer(spark, sf_dir):
+    """Left outer join (the OPTIONAL MATCH at prova.py:211)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("ckey"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# =====================================================================
+# §2.4/§2.5 aggregations & windows
+# =====================================================================
+
+
+@_register(
+    "a1_a2_aggregates",
+    """
+    SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_a2_aggregates(spark, sf_dir):
+    """A1 count-distinct (main.py:186-191) + A2 avg (main.py:193-205)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("rflag"), F.col("l_linestatus").alias("lstatus")
+    ).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "a3_argmin_ties",
+    """
+    SELECT o_orderpriority AS priority, o_orderkey AS okey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate
+    FROM (SELECT *, RANK() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderdate) AS rk FROM orders)
+    WHERE rk = 1
+    """,
+)
+def a3_argmin_ties(spark, sf_dir):
+    """A3: apoc.agg.minItems — ALL rows attaining the group minimum
+    (main.py:85,133,196). rank() == 1, not row_number."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("okey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+    )
+
+
+@_register(
+    "a4_argmax_ties",
+    """
+    SELECT o_orderpriority AS priority, o_orderkey AS okey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate
+    FROM (SELECT *, RANK() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderdate DESC) AS rk FROM orders)
+    WHERE rk = 1
+    """,
+)
+def a4_argmax_ties(spark, sf_dir):
+    """A4: apoc.agg.maxItems (main.py:197)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_orderdate"))
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("okey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+    )
+
+
+@_register(
+    "a5_collect_sorted",
+    """
+    SELECT r_name AS region, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def a5_collect_sorted(spark, sf_dir):
+    """A5: collect() to list (main.py:86-89), stringified for stable
+    cross-engine comparison."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@_register(
+    "w3_running_sum",
+    """
+    SELECT o_custkey AS cust, o_orderkey AS okey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w3_running_sum(spark, sf_dir):
+    """W2/W3: ranking + running aggregate windows."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("okey"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+    )
+
+
+# =====================================================================
+# §2.6/§2.7 top-k, union
+# =====================================================================
+
+
+@_register(
+    "t1_t2_topk",
+    """
+    SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+           ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def t1_t2_topk(spark, sf_dir):
+    """T1/T2: multi-key sort + LIMIT (main.py:94,102,158-159). The plan
+    should be TakeOrderedAndProject, not a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("long").alias("line_no"),
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .limit(10)
+    )
+
+
+@_register(
+    "u1_union_all",
+    """
+    SELECT event_id AS eid, user_id AS uid, 'click' AS kind, ROUND(value, 3) AS val
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id AS eid, user_id AS uid, 'view' AS kind, ROUND(value, 3) AS val
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def u1_union_all(spark, sf_dir):
+    """U1: UNION ALL of two typed edge sets (the CHANGE ∪ PRECEDES shape,
+    main.py:17 tail)."""
+    ev = _t(spark, sf_dir, "events")
+    click = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        F.lit("click").alias("kind"),
+        F.round("value", 3).alias("val"),
+    )
+    view = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        F.lit("view").alias("kind"),
+        F.round("value", 3).alias("val"),
+    )
+    return click.unionByName(view)
+
+
+# =====================================================================
+# §2.8 scalar functions
+# =====================================================================
+
+
+@_register(
+    "f1_casts",
+    """
+    SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+           CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS price_h,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def f1_casts(spark, sf_dir):
+    """F1: toInteger/toFloat casts with truncation (new_dbSetup.py:42,55)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.floor(F.col("l_extendedprice") / 100.0).cast("long").alias("price_h"),
+        F.col("l_quantity").cast("long").alias("qty_int"),
+    )
+
+
+@_register(
+    "f2_temporal",
+    """
+    SELECT o_orderkey AS okey,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d') AS week_later
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def f2_temporal(spark, sf_dir):
+    """F2/F8: temporal constructors + date arithmetic + formatting
+    (main.py:16,83; reshape.py:33-35)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 7), "yyyy-MM-dd").alias(
+            "week_later"
+        ),
+    )
+
+
+@_register(
+    "f3_durations",
+    """
+    SELECT event_id AS eid,
+           CAST(FLOOR(EPOCH(ts)) - EPOCH(TIMESTAMP '2024-01-01') AS BIGINT) AS secs_since,
+           CAST(FLOOR((FLOOR(EPOCH(ts)) - EPOCH(TIMESTAMP '2024-01-01')) / 3600) AS BIGINT) AS hours_since
+    FROM events WHERE event_id <= 500
+    """,
+)
+def f3_durations(spark, sf_dir):
+    """F3: duration arithmetic in seconds/hours (main.py:17,101,157,201)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    secs = F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+    return ev.select(
+        F.col("event_id").alias("eid"),
+        secs.cast("long").alias("secs_since"),
+        F.floor(secs / 3600).cast("long").alias("hours_since"),
+    )
+
+
+@_register(
+    "f7_arrays",
+    """
+    SELECT p_partkey AS pkey,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           array_to_string(list_transform(string_split(p_name, ' '), x -> upper(x)), '_') AS words_upper
+    FROM part
+    """,
+)
+def f7_arrays(spark, sf_dir):
+    """F7: array literals/transform/size/join (main.py:87-112)."""
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        F.col("p_partkey").alias("pkey"),
+        F.size(words).cast("long").alias("n_words"),
+        words.getItem(0).alias("first_word"),
+        F.array_join(F.transform(words, lambda x: F.upper(x)), "_").alias("words_upper"),
+    )
+
+
+@_register(
+    "f8_strings",
+    """
+    SELECT c_custkey AS ckey,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           upper(substr(c_mktsegment, 1, 3)) AS seg3
+    FROM customer
+    """,
+)
+def f8_strings(spark, sf_dir):
+    """F8: string functions (reshape.py:33-35, main.py:218-236)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("ckey"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.upper(F.substring("c_mktsegment", 1, 3)).alias("seg3"),
+    )
+
+
+# =====================================================================
+# streaming-shaped analytics over events (batch-checked; the Structured
+# Streaming variants live in routing_algorithm_for_graph_dbs_spark.streaming)
+# =====================================================================
+
+
+@_register(
+    "st_tumbling_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type AS etype, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_val
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregation (streaming shape, batch
+    semantics identical)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type").alias("etype")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_val"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "etype",
+            "n",
+            "sum_val",
+        )
+    )
+
+
+@_register(
+    "st_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                       - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id AS uid, CAST(1 + SUM(new_sess) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def st_sessionization(spark, sf_dir):
+    """Session windows with a 30-min inactivity gap (lag + cumulative flag —
+    the batch formulation of stream sessionization)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts").cast("long")
+    new_sess = F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0)
+    return (
+        ev.select(F.col("user_id"), new_sess.alias("new_sess"))
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg((F.lit(1) + F.sum("new_sess")).cast("long").alias("n_sessions"))
+    )
+
+
+# =====================================================================
+# training-data pipeline surface (documents / embeddings)
+# =====================================================================
+
+
+@_register(
+    "dd_exact_dedup",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def dd_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-text digest."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dd_minhash_sig",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_filter(list_zip(t, t[2:], t[3:]), x -> x[3] IS NOT NULL),
+               x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingles
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5('0|' || s))) AS sig0,
+           list_min(list_transform(shingles, s -> md5('1|' || s))) AS sig1
+    FROM sh
+    """,
+)
+def dd_minhash_sig(spark, sf_dir):
+    """MinHash signatures are cross-engine checkable because the hash is
+    md5-of-shingle (operators.dedup.minhash_signatures): DuckDB reproduces
+    seeds 0 and 1 exactly."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        minhash_signatures,
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.filter(F.size(F.split(normalize_text(F.col("text")), " ")) >= 3)
+    sigs = minhash_signatures(docs, num_hashes=2)
+    return sigs.select(
+        "doc_id",
+        F.col("sig").getItem(0).alias("sig0"),
+        F.col("sig").getItem(1).alias("sig1"),
+    )
+
+
+@_register(
+    "txt_token_counts",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def txt_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish pre-tokenizer."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+@_register(
+    "txt_language_id",
+    """
+    WITH hits AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '(?i)\\b(der|die|und|das|ist|nicht|mit|ein)\\b', 0)) AS BIGINT) AS hits_de,
+        CAST(len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|with)\\b', 0)) AS BIGINT) AS hits_en,
+        CAST(len(regexp_extract_all(text, '(?i)\\b(el|la|los|que|y|de|es|por)\\b', 0)) AS BIGINT) AS hits_es,
+        CAST(len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|des|est|que|dans)\\b', 0)) AS BIGINT) AS hits_fr,
+        CAST(len(regexp_extract_all(text, '(?i)\\b(il|la|di|che|e|un|per|non)\\b', 0)) AS BIGINT) AS hits_it
+      FROM documents
+    )
+    SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_it,
+           CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_it) = 0 THEN 'und'
+                WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_it) THEN 'de'
+                WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_it) THEN 'en'
+                WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_it) THEN 'es'
+                WHEN hits_fr = GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_it) THEN 'fr'
+                ELSE 'it' END AS lang_pred
+    FROM hits
+    """,
+)
+def txt_language_id(spark, sf_dir):
+    """Marker-word language ID (argmax with lexicographic tie-break)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import language_id
+
+    out = language_id(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("hits_de").cast("long").alias("hits_de"),
+        F.col("hits_en").cast("long").alias("hits_en"),
+        F.col("hits_es").cast("long").alias("hits_es"),
+        F.col("hits_fr").cast("long").alias("hits_fr"),
+        F.col("hits_it").cast("long").alias("hits_it"),
+        "lang_pred",
+    )
+
+
+@_register(
+    "txt_quality",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words,
+           ROUND((length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]|[^[:alnum:][:space:]_]', '', 'g')))
+                 * 1.0 / GREATEST(length(text), 1), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def txt_quality(spark, sf_dir):
+    """Quality features. NOTE: regex character-class dialects differ between
+    Java and RE2 for \\w; this query keeps the oracle-checked columns to the
+    dialect-safe subset (n_words, punct_ratio via explicit classes); the full
+    feature set is tested in tests/test_dataops.py."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import quality_scores
+
+    out = quality_scores(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+    )
+
+
+@_register(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))), 4) AS cosine_sim
+    FROM embeddings, q
+    ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[])))) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 to the vec_id=0 embedding (exact ANN
+    baseline). Rounded to 4 dp on both engines."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = cosine_topk(emb, list(q), k=10)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+@_register(
+    "emb_norms",
+    """
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 4) AS l2
+    FROM embeddings
+    """,
+)
+def emb_norms(spark, sf_dir):
+    """Vector norms via aggregate expressions (F.aggregate/zip_with)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(norm(F.col("embedding")), 4).alias("l2"),
+    )
+
+
+# =====================================================================
+# graph kernels on a deterministic testdata-derived graph
+# =====================================================================
+
+# nation graph: intra-region cliques plus a deterministic ring of
+# cross-region edges i -> (i+7) mod 25, both directions.
+_NATION_EDGES_SQL = """
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+      UNION
+      SELECT n_nationkey, (n_nationkey + 7) % 25 FROM nation
+      UNION
+      SELECT (n_nationkey + 7) % 25, n_nationkey FROM nation
+"""
+
+
+def _nation_edges(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rg"))
+    b = n.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rg"))
+    clique = a.join(b, "rg").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    ring = n.select(
+        F.col("n_nationkey").alias("src"),
+        ((F.col("n_nationkey") + 7) % 25).alias("dst"),
+    )
+    ring_rev = ring.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        clique.unionByName(ring)
+        .unionByName(ring_rev)
+        .distinct()
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+
+
+@_register(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE e AS ({_NATION_EDGES_SQL}),
+    r(node, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT CAST(e.dst AS BIGINT), r.d + 1 FROM r JOIN e ON e.src = r.node
+      WHERE r.d < 10
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """G2-shape: hop-distance SSSP from nation 0 over the nation graph via
+    the engine's Pregel kernel; DuckDB oracles it with a recursive CTE."""
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra
+
+    e = _nation_edges(spark, sf_dir).withColumn("weight", F.lit(1.0))
+    src = spark.createDataFrame([(0, 0)], ["lane", "node"]).select(
+        F.col("lane").cast("long"), F.col("node").cast("long")
+    )
+    res = multi_source_dijkstra(e, src, track_paths=False, max_iterations=12)
+    return res.select(
+        F.col("node").cast("long").alias("node"), F.col("cost").cast("long").alias("dist")
+    )
+
+
+@_register(
+    "graph_components",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS node,
+           CAST(MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS component
+    FROM nation
+    """,
+)
+def graph_components(spark, sf_dir):
+    """G5-shape: connected components of the region-clique graph (no ring):
+    components are exactly the regions, labeled by min member — the oracle
+    states that closed form directly."""
+    from routing_algorithm_for_graph_dbs_spark.graph.components import (
+        connected_components,
+    )
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rg"))
+    b = n.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rg"))
+    clique = a.join(b, "rg").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    verts = n.select(F.col("n_nationkey").alias("node"))
+    res = connected_components(clique, vertices=verts)
+    return res.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@_register(
+    "graph_degree_metrics",
+    f"""
+    WITH e AS ({_NATION_EDGES_SQL}),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)
+    SELECT COUNT(*) AS n_nodes, CAST(SUM(d) AS BIGINT) AS n_edges,
+           CAST(MIN(d) AS BIGINT) AS min_deg, CAST(MAX(d) AS BIGINT) AS max_deg,
+           ROUND(AVG(d), 4) AS avg_deg
+    FROM deg
+    """,
+)
+def graph_degree_metrics(spark, sf_dir):
+    """A6/G7: gds.graph.list-style metrics (main.py:24-44) over the nation
+    graph: node count, edge count, degree min/max/mean."""
+    e = _nation_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").cast("long").alias("n_edges"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+        F.round(F.avg("d"), 4).alias("avg_deg"),
+    )
+
+
+# --- rows-only checks (not SQL-expressible / engine-specific hashing) ---
+
+
+@_register("dd_simhash")
+def dd_simhash(spark, sf_dir):
+    """SimHash fingerprints (xxhash64-based — Spark-specific hash, so no
+    DuckDB twin; validated structurally in tests/test_dataops.py)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@_register("ann_lsh_pairs")
+def ann_lsh_pairs(spark, sf_dir):
+    """Hyperplane-LSH near-dup candidate pairs over embeddings (probabilistic
+    recall by design — rows-only check; exact recall vs brute force is
+    asserted in tests/test_dataops.py)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51), so the demo threshold is low enough to surface candidates
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4
+    )
+
+
+@_register("graph_betweenness")
+def graph_betweenness(spark, sf_dir):
+    """G3: Brandes betweenness over the nation graph (iterative multi-lane
+    DataFrame program; validated against a pure-Python Brandes oracle in
+    tests/test_graph_kernels.py — no tractable SQL twin)."""
+    from routing_algorithm_for_graph_dbs_spark.graph.betweenness import (
+        betweenness_centrality,
+    )
+
+    e = _nation_edges(spark, sf_dir)
+    res = betweenness_centrality(e)
+    return res.select(
+        F.col("node").cast("long").alias("node"), F.round("score", 4).alias("score")
+    )

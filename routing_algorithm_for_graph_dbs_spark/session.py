@@ -55,6 +55,10 @@ def get_spark(
         # Constraints only add inferred IsNotNull/filter pushups; disabling
         # them is the standard workaround and costs nothing measurable here.
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # the driver's events table stores TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects by default; read as long (ns since epoch)
+        # and convert at the source boundary (sources.testdata).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
