@@ -893,7 +893,7 @@ def dd_minhash_sig(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     docs = docs.filter(F.size(F.split(normalize_text(F.col("text")), " ")) >= 3)
-    sigs = minhash_signatures(docs, num_hashes=2)
+    sigs = minhash_signatures(docs, num_hashes=2, hash_fn="md5")
     return sigs.select(
         "doc_id",
         F.col("sig").getItem(0).alias("sig0"),
