@@ -1150,6 +1150,380 @@ def graph_degree_metrics(spark, sf_dir):
     )
 
 
+# =====================================================================
+# near-dup pipeline stages (LSH candidates, Jaccard verify), fingerprints
+# =====================================================================
+
+# shared CTE prefix: normalized 3-token shingles per document (>=3 tokens),
+# identical to operators.dedup.word_shingles / dd_minhash_sig's oracle.
+_SHINGLES_CTE = r"""
+    toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_filter(list_zip(t, t[2:], t[3:]), x -> x[3] IS NOT NULL),
+               x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS shingles
+      FROM toks WHERE len(t) >= 3
+    )
+"""
+
+_SIG8_CTE = (
+    "sig AS (\n      SELECT doc_id,\n"
+    + ",\n".join(
+        f"        list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(8)
+    )
+    + "\n      FROM sh\n    )"
+)
+
+_BANDED_CTE = (
+    "banded AS (\n"
+    + "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2 * b} || ',' || h{2 * b + 1}) AS bucket FROM sig"
+        for b in range(4)
+    )
+    + "\n    )"
+)
+
+_CANDS_SQL = (
+    "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b\n"
+    "    FROM banded l JOIN banded r\n"
+    "      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id"
+)
+
+
+def _min3_docs(spark, sf_dir):
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.size(F.split(normalize_text(F.col("text")), " ")) >= 3)
+
+
+@_register(
+    "dd_lsh_candidates",
+    f"WITH {_SHINGLES_CTE}, {_SIG8_CTE}, {_BANDED_CTE}\n    {_CANDS_SQL}",
+)
+def dd_lsh_candidates(spark, sf_dir):
+    """MinHash-LSH candidate pairs (8 md5 min-hashes, 4 bands x 2 rows):
+    documents sharing any band bucket. Candidates meet in an equi-join on
+    (band, bucket) — the cross product never materializes (dedup.py
+    lsh_candidate_pairs)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_min3_docs(spark, sf_dir), num_hashes=8, hash_fn="md5")
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return pairs.select(F.col("a").cast("long"), F.col("b").cast("long"))
+
+
+@_register(
+    "dd_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE}, {_SIG8_CTE}, {_BANDED_CTE},
+    cands AS ({_CANDS_SQL})
+    SELECT c.a, c.b,
+           ROUND(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+    FROM cands c
+    JOIN sh sa ON sa.doc_id = c.a
+    JOIN sh sb ON sb.doc_id = c.b
+    WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.7
+    """,
+)
+def dd_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard verify over the LSH candidates (the second
+    stage of minhash_dedup): pairs with 3-gram Jaccard >= 0.7."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _min3_docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=8, hash_fn="md5")
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    out = jaccard_verify(cands, docs, threshold=0.7)
+    return out.select(
+        F.col("a").cast("long"), F.col("b").cast("long"), "jaccard"
+    )
+
+
+@_register(
+    "txt_fingerprint",
+    r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      FROM documents
+    )
+    SELECT doc_id, md5(nt) AS fp_md5, md5(substr(nt, 1, 256)) AS fp_head
+    FROM n
+    """,
+)
+def txt_fingerprint(spark, sf_dir):
+    """Whole-document + head fingerprints (text.fingerprint)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5", "fp_head"
+    )
+
+
+@_register(
+    "txt_winnow",
+    r"""
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), grams0 AS (
+      SELECT doc_id, nt,
+             unnest(generate_series(1, GREATEST(length(nt) - 7, 1))) AS pos
+      FROM n
+    ), grams AS (
+      SELECT doc_id, pos, md5(substr(nt, pos, 8)) AS h FROM grams0
+    ), mins AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= maxpos - 3
+    """,
+)
+def txt_winnow(spark, sf_dir):
+    """Winnowing fingerprints (k=8 char-grams, window w=4) — the MOSS
+    document-fingerprint scheme as a relational program (text.
+    winnow_fingerprints)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4).select(
+        "doc_id", "fp"
+    )
+
+
+# =====================================================================
+# ANN over embeddings: hyperplane LSH (oracle via literal planes) + IVF
+# =====================================================================
+
+
+def _plane_literals(n_planes: int) -> list[str]:
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    return [
+        "[" + ", ".join(repr(w) for w in p) + "]"
+        for p in hyperplanes(64, n_planes, seed=42)
+    ]
+
+
+_ANN_PLANES = _plane_literals(4)
+_ANN_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)"
+    for p in _ANN_PLANES
+)
+_COS_SQL = (
+    "ROUND(list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v))"
+    " * sqrt(list_dot_product(r.v, r.v))), 6)"
+)
+
+
+@_register(
+    "ann_lsh_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_ANN_BUCKET_SQL} AS bucket FROM e)
+    SELECT l.vec_id AS a, r.vec_id AS b, {_COS_SQL} AS cosine_sim
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE {_COS_SQL} >= 0.35
+    """,
+)
+def ann_lsh_pairs(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs over embeddings. Fully oracle-checked:
+    the planes are deterministic (similarity.hyperplanes seed 42), so DuckDB
+    reproduces bucketing and the in-bucket cosine verify bit-for-bit."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51), so the demo threshold is low enough to surface candidates
+    out = embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4
+    )
+    return out.select(
+        F.col("a").cast("long"), F.col("b").cast("long"), "cosine_sim"
+    )
+
+
+_IVF_COS = (
+    "ROUND(list_dot_product({x}, {y}) / (sqrt(list_dot_product({x}, {x}))"
+    " * sqrt(list_dot_product({y}, {y}))), 6)"
+)
+
+
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, cid, v,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_IVF_COS.format(x="v", y="cv")} DESC, cid
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    probe AS (
+      SELECT cid FROM c CROSS JOIN q
+      ORDER BY {_IVF_COS.format(x="cv", y="qv")} DESC, cid
+      LIMIT 2
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+           {_IVF_COS.format(x="a.v", y="qv")} AS cosine_sim
+    FROM assign a CROSS JOIN q
+    WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe)
+    ORDER BY cosine_sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k: deterministic seeded centroids
+    (vec_id < 8), nprobe=2 — the partition-pruning scale path next to the
+    exact sim_cosine_topk baseline (similarity.ivf_topk)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = ivf_topk(emb, list(q), k=10, n_centroids=8, nprobe=2)
+    return out.select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"), "cosine_sim"
+    )
+
+
+# =====================================================================
+# multimodal plumbing over a deterministic documents-derived media table
+# =====================================================================
+
+
+def _media(spark, sf_dir):
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        media_from_documents,
+    )
+
+    return media_from_documents(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "mm_media_stats",
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CASE WHEN doc_id % 3 = 0 THEN n_chars % 512 + 1 END), 4)
+             AS avg_width,
+           ROUND(AVG(CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 END), 4)
+             AS avg_duration_ms
+    FROM documents GROUP BY doc_id % 3
+    """,
+)
+def mm_media_stats(spark, sf_dir):
+    """Metadata-only media rollup — the payload column is pruned at the scan
+    (multimodal.media_stats)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import media_stats
+
+    out = media_stats(_media(spark, sf_dir))
+    return out.select(
+        "kind",
+        F.col("n").cast("long").alias("n"),
+        F.round("avg_width", 4).alias("avg_width"),
+        F.round("avg_duration_ms", 4).alias("avg_duration_ms"),
+    )
+
+
+_HEXBYTE = (
+    "(strpos('0123456789abcdef', substr(hx, {a}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, {b}, 1)) - 1"
+)
+
+
+@_register(
+    "mm_image_features",
+    f"""
+    WITH img AS (
+      SELECT doc_id AS media_id, sha256(text) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 0
+    ), b AS (
+      SELECT media_id, hx, n_bytes,
+             {_HEXBYTE.format(a=1, b=2)} AS b0,
+             {_HEXBYTE.format(a=3, b=4)} AS b1,
+             {_HEXBYTE.format(a=5, b=6)} AS b2
+      FROM img
+    )
+    SELECT media_id, hx AS sha256, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(64 + b0 % 192 AS BIGINT) AS fake_width,
+           CAST(64 + b1 % 192 AS BIGINT) AS fake_height,
+           ROUND(b2 / 255.0, 6) AS fake_mean_luma
+    FROM b
+    """,
+)
+def mm_image_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads,
+    value-checked cross-engine: the deterministic fake decode derives its
+    outputs from the sha256 digest, which DuckDB reproduces from the same
+    payload bytes (multimodal.image_features)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+    )
+
+    media = _media(spark, sf_dir).filter(F.col("kind") == "image")
+    out = image_features(media)
+    return out.select(
+        "media_id",
+        "sha256",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("fake_width").cast("long").alias("fake_width"),
+        F.col("fake_height").cast("long").alias("fake_height"),
+        "fake_mean_luma",
+    )
+
+
+@_register(
+    "mm_frame_plan",
+    """
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, n_chars * 10, 5000)) AS BIGINT)
+             AS frame_ts_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def mm_frame_plan(spark, sf_dir):
+    """Video frame-sampling grid from metadata only — one row per
+    (media_id, frame_ts); the payload is never touched
+    (multimodal.frame_sample_plan)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    out = frame_sample_plan(_media(spark, sf_dir), every_ms=5000)
+    return out.select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
 # --- rows-only checks (not SQL-expressible / engine-specific hashing) ---
 
 
@@ -1160,22 +1534,6 @@ def dd_simhash(spark, sf_dir):
     from routing_algorithm_for_graph_dbs_spark.operators.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
-
-
-@_register("ann_lsh_pairs")
-def ann_lsh_pairs(spark, sf_dir):
-    """Hyperplane-LSH near-dup candidate pairs over embeddings (probabilistic
-    recall by design — rows-only check; exact recall vs brute force is
-    asserted in tests/test_dataops.py)."""
-    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
-        embedding_near_dup_pairs,
-    )
-
-    # the synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.51), so the demo threshold is low enough to surface candidates
-    return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=4
-    )
 
 
 @_register("graph_betweenness")

@@ -72,6 +72,43 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, luma
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents table.
+
+    Stands in for a real binary ingest (no media fixtures ship with the
+    testdata): payload = UTF-8 bytes of the text, kind cycles
+    image/audio/video by key, typed metadata derived from n_chars. Pure
+    column expressions, so an external engine can construct the identical
+    table for oracle checks — which lets even the mapInPandas feature
+    extractor be value-checked cross-engine.
+    """
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    kind = F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int"))
+    is_image = F.col("doc_id") % 3 == 0
+    return docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(is_image, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("mime"),
+        F.struct(
+            F.when(is_image, (F.col("n_chars") % 512 + 1).cast("int")).alias("width"),
+            F.when(is_image, ((F.col("n_chars") * 7) % 512 + 1).cast("int")).alias(
+                "height"
+            ),
+            F.when(is_image, F.lit(3)).cast("int").alias("n_channels"),
+            F.when(~is_image, (F.col("n_chars") * 10).cast("long")).alias(
+                "duration_ms"
+            ),
+            F.when(F.col("doc_id") % 3 == 1, F.lit(16000)).cast("int").alias(
+                "sample_rate"
+            ),
+        ).alias("meta"),
+    )
+
+
 def image_features(
     media: DataFrame, strict: bool = False, batch_size: int = 256
 ) -> DataFrame:

@@ -67,6 +67,16 @@ def cosine_topk(
     )
 
 
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random Gaussian hyperplanes (shared between the
+    Spark LSH operator and the DuckDB oracle builder so both engines bucket
+    identically)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -85,10 +95,7 @@ def embedding_near_dup_pairs(
     """
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
-    import random
-
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+    planes = hyperplanes(dim, n_planes, seed)
 
     sig = F.concat(
         *[
@@ -107,6 +114,89 @@ def embedding_near_dup_pairs(
         .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("a", "b", "cosine_sim")
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid.
+
+    Centroids here are the ``n_centroids`` smallest-key vectors — a
+    deterministic seeding that makes the index reproducible across engines
+    (production would run a few k-means iterations over the same machinery;
+    the assignment/search shape below is identical either way).
+
+    Scale shape: centroids are collected once (tiny) and inlined as literal
+    arrays, so assignment is a map-side expression over the scan — no
+    shuffle, no UDF. Ties (equal rounded cosine) go to the lowest centroid
+    id.
+    """
+    cents = (
+        embeddings.filter(F.col(key_col) < n_centroids)
+        .select(F.col(key_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .collect()
+    )
+    sims = [
+        F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in r["cv"]])), 6)
+        for r in cents
+    ]
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    assign = F.lit(None).cast("long")
+    for r, s in zip(reversed(cents), reversed(sims)):
+        assign = F.when(s == best, F.lit(int(r["cid"]))).otherwise(assign)
+    return embeddings.withColumn("centroid_id", assign)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` centroid buckets nearest
+    the query, brute-force cosine within them.
+
+    At 100 TB the win is partition pruning: persist the corpus partitioned
+    by ``centroid_id`` and the probed buckets are the only files read
+    (1/n_centroids * nprobe of the data). Recall < 1 by construction —
+    the exact baseline is ``cosine_topk``.
+    """
+    assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col)
+    cents = (
+        embeddings.filter(F.col(key_col) < n_centroids)
+        .select(F.col(key_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+
+    def py_cos(a: list[float], b: list[float]) -> float:
+        import math
+
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return round(d / (na * nb), 6)
+
+    ranked = sorted(cents, key=lambda r: (-py_cos(query_vec, list(r["cv"])), r["cid"]))
+    probe = [int(r["cid"]) for r in ranked[:nprobe]]
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(
+            F.col(key_col),
+            F.col("centroid_id"),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(key_col))
+        .limit(k)
     )
 
 

@@ -9,7 +9,7 @@ speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small high-frequency marker-word lists per language (public knowledge).
@@ -121,4 +121,49 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fp_md5", F.md5(norm)).withColumn(
         "fp_head", F.md5(F.substring(norm, 1, 256))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): hash every character k-gram of the normalized text,
+    slide a window of ``w`` consecutive hashes, keep each window's minimum —
+    guarantees any shared substring of length >= k + w - 1 contributes a
+    shared fingerprint, at ~2/(w+1) selection density.
+
+    Long format on purpose: explode to (doc, pos, k-gram hash), rolling min
+    via a bounded-frame window — linear work, spillable, no per-row arrays
+    of the whole document. Hash is md5-as-string (min is lexicographic) so
+    any engine reproduces the selection bit-for-bit. Returns distinct
+    (key, fp) pairs.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "), r"\s+", " "
+        )
+    )
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = df.select(
+        F.col(key_col),
+        norm.alias("_norm"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+    ).select(
+        F.col(key_col),
+        "pos",
+        F.md5(F.substring(F.col("_norm"), F.col("pos"), k)).alias("h"),
+    )
+    win = Window.partitionBy(key_col).orderBy("pos").rowsBetween(0, w - 1)
+    n_win = Window.partitionBy(key_col)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .withColumn("_n", F.max("pos").over(n_win))
+        .filter(F.col("pos") <= F.col("_n") - (w - 1))
+        .select(key_col, "fp")
+        .distinct()
     )

@@ -282,3 +282,57 @@ def test_media_stats_prunes_payload(spark):
     assert "payload" not in str(stats.schema)
     got = {r["kind"]: r["n"] for r in stats.collect()}
     assert got == {"image": 2, "video": 1, "audio": 1}
+
+
+# ---------- winnowing / IVF / media builder (added with driver queries) ----------
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    (= 11 chars here) share at least one fingerprint; tiny docs yield none."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import winnow_fingerprints
+
+    shared = "identical middle segment here"
+    df = spark.createDataFrame(
+        [
+            (1, f"left prefix {shared} right suffix"),
+            (2, f"completely other opening {shared} and closing words"),
+            (3, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert 3 not in by_doc, "doc shorter than k+w-1 yields no fingerprints"
+
+
+def test_ivf_topk_contains_query_and_respects_probe(emb):
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    approx = ivf_topk(emb, list(q), k=10, n_centroids=8, nprobe=2).collect()
+    assert approx[0]["vec_id"] == 0 and approx[0]["cosine_sim"] == 1.0
+    probed = {r["centroid_id"] for r in approx}
+    assert len(probed) <= 2, "results must come from <= nprobe buckets"
+    # recall vs exact baseline is > 0 and every approx hit is a real vector
+    exact = {r["vec_id"] for r in cosine_topk(emb, list(q), k=10).collect()}
+    assert {r["vec_id"] for r in approx} & exact
+
+
+def test_media_from_documents_schema_and_kinds(docs):
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        media_from_documents,
+    )
+
+    media = media_from_documents(docs)
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+    row = media.filter(F.col("kind") == "image").first()
+    assert row["meta"]["width"] is not None and row["meta"]["duration_ms"] is None
+    assert isinstance(row["payload"], bytearray | bytes)
