@@ -1,0 +1,9 @@
+from routing_algorithm_for_graph_dbs_spark.streaming.pipelines import (  # noqa: F401
+    EVENTS_SCHEMA,
+    read_events_stream,
+    run_available_now,
+    session_aggregates,
+    streaming_dedup,
+    running_user_totals,
+    tumbling_counts,
+)

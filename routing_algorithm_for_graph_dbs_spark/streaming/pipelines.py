@@ -1,0 +1,167 @@
+"""Structured Streaming pipelines over the events stream.
+
+The reference is entirely batch (SURVEY.md §2.10 — no streaming constructs
+anywhere in main.py / new_dbSetup.py / prova.py / routing.ipynb), so none of
+this is parity-required; it is the natural streaming extension of the same
+query surface: every pipeline here has a batch twin in driver_surface
+(st_tumbling_window, st_sessionization) computing identical results, which is
+exactly how the tests check them (availableNow replay == batch answer).
+
+Scale/ops notes baked in:
+- **watermarks bound state.** Every stateful stage (windows, sessions,
+  dedup) declares an event-time watermark; without it state grows without
+  bound on a real stream. The watermark also defines late-data semantics:
+  events later than the delay are dropped deterministically.
+- **file-source streams replay.** ``maxFilesPerTrigger`` turns a parquet
+  directory into a rate-limited replay — the standard backfill trick: the
+  SAME code runs the historical backfill and the live tail.
+- **availableNow for bounded runs.** Tests and backfills use
+  ``Trigger.AvailableNow`` so the query drains what exists and stops,
+  checkpointing exactly like the continuous run would.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a parquet events directory.
+
+    An explicit schema is mandatory for streaming file sources (no inference
+    race at trigger time); ``maxFilesPerTrigger`` bounds per-microbatch input
+    for rate-limited replay/backfill.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per (window, type).
+
+    Streaming twin of driver_surface.st_tumbling_window — append-mode
+    emittable once the watermark passes window end.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type").alias("etype"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_val"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "etype",
+            "n",
+            "sum_val",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user with an inactivity gap (F.session_window —
+    the built-in stateful session operator; state is one open session per
+    user, closed and emitted when the watermark passes gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id").alias("uid"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "uid",
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps the dedup state bounded (keys
+    older than the watermark are evicted) — the streaming form of the
+    engine's exact-dedup operator."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_TOTALS_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+_TOTALS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum(value)) via
+    ``applyInPandasWithState`` — the arbitrary-state escape hatch for
+    operators the built-ins can't express (SURVEY-mandated custom-operator
+    tier (b)). Emits the updated running totals each microbatch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOTALS_OUT,
+            stateStructType=_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, name: str, checkpoint_dir: str, output_mode: str = "append"
+) -> None:
+    """Drain everything currently available into an in-memory table ``name``
+    and stop — bounded streaming execution with real checkpointing (tests,
+    backfills). Blocks until the drain completes."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,135 @@
+"""Structured Streaming pipelines: availableNow replay must equal the batch
+answer (the batch twins live in driver_surface and are DuckDB-oracled)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from routing_algorithm_for_graph_dbs_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    running_user_totals,
+    session_aggregates,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, testdata_dir, tmp_path_factory):
+    """Micro-precision copy of the events table split into several files —
+    a realistic multi-file stream source."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    df = spark.read.parquet(f"{testdata_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # range-partition by ts so part-00000..3 are ascending time ranges, then
+    # pin ascending mtimes: the file source replays in modification-time
+    # order, keeping the watermark monotone across microbatches (out-of-order
+    # replay would drop genuinely-late data — correct but untestable)
+    df.repartitionByRange(4, "ts").write.mode("overwrite").parquet(out)
+    import os
+    import time
+
+    t0 = time.time() - 3600
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out, f), times=(t0 + i * 60, t0 + i * 60))
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def _drain(spark, stream_df, name, tmp_path, mode="append"):
+    run_available_now(stream_df, name, str(tmp_path / f"ckpt_{name}"), mode)
+    return spark.table(name)
+
+
+def _watermark_cutoff(events_batch, delay_hours=2):
+    """Append mode only emits state the watermark has passed; with a finite
+    replay the final watermark is max(event time) - delay, so results whose
+    window/session END is after the cutoff are (correctly) withheld."""
+    mx = events_batch.agg(F.max("ts").alias("m")).first()["m"]
+    import datetime
+
+    return (mx - datetime.timedelta(hours=delay_hours)).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def test_tumbling_counts_stream_equals_batch(spark, events_dir, events_batch, tmp_path):
+    stream = tumbling_counts(read_events_stream(spark, events_dir))
+    got = _drain(spark, stream, "t_tumble", tmp_path)
+    cutoff = _watermark_cutoff(events_batch)
+    want = tumbling_counts(events_batch).filter(
+        F.date_format(
+            F.to_timestamp("win_start") + F.expr("INTERVAL 1 HOUR"),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+        <= cutoff
+    )
+    assert got.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_aggregates_stream_equals_batch(
+    spark, events_dir, events_batch, tmp_path
+):
+    stream = session_aggregates(read_events_stream(spark, events_dir))
+    got = _drain(spark, stream, "t_sess", tmp_path)
+    cutoff = _watermark_cutoff(events_batch)
+    want = session_aggregates(events_batch).filter(F.col("sess_end") <= cutoff)
+    assert got.count() > 0
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_dedup_drops_replayed_duplicates(spark, events_batch, tmp_path):
+    dup_dir = str(tmp_path / "dup_src")
+    events_batch.limit(200).write.mode("overwrite").parquet(dup_dir)
+    events_batch.limit(200).write.mode("append").parquet(dup_dir)  # replay
+    stream = streaming_dedup(read_events_stream(spark, dup_dir))
+    got = _drain(spark, stream, "t_dedup", tmp_path)
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+
+def test_running_user_totals_matches_batch_groupby(
+    spark, events_dir, events_batch, tmp_path
+):
+    stream = running_user_totals(read_events_stream(spark, events_dir))
+    got = _drain(spark, stream, "t_totals", tmp_path, mode="update")
+    # update-mode memory sink keeps every emission; the LAST per user is the
+    # final running total — compare against the batch groupBy.
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max_by("n", "n").alias("n"), F.max_by("total", "n").alias("total"))
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("total"),
+    )
+    g = {r["user_id"]: (r["n"], r["total"]) for r in final.collect()}
+    w = {r["user_id"]: (r["n"], r["total"]) for r in want.collect()}
+    assert g == w
+
+
+def test_multi_file_replay_is_incremental(spark, events_dir, tmp_path):
+    """maxFilesPerTrigger=1 forces multiple microbatches; the drained result
+    must still equal the all-at-once answer (checkpointed incremental
+    aggregation)."""
+    stream = tumbling_counts(read_events_stream(spark, events_dir, max_files_per_trigger=1))
+    got = _drain(spark, stream, "t_incr", tmp_path)
+    batch = spark.read.parquet(events_dir)
+    cutoff = _watermark_cutoff(batch)
+    want = tumbling_counts(batch).filter(
+        F.date_format(
+            F.to_timestamp("win_start") + F.expr("INTERVAL 1 HOUR"),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+        <= cutoff
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
