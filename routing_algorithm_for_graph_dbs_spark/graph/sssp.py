@@ -67,16 +67,24 @@ def multi_source_dijkstra(
     frontier = best
 
     for it in range(max_iterations):
-        # relax: candidate distances through the current frontier
-        cand = frontier.join(e, frontier["node"] == e["src"], "inner")
+        # relax: candidate distances through the current frontier. String
+        # aliases (not DataFrame column refs) keep the join unambiguous when
+        # a non-checkpointed frontier still carries e's attribute ids from
+        # the previous superstep.
         proj = [
-            F.col("lane"),
-            e["dst"].alias("node2"),
-            (F.col("cost") + F.col("w")).alias("cost2"),
+            F.col("f.lane").alias("lane"),
+            F.col("g.dst").alias("node2"),
+            (F.col("f.cost") + F.col("g.w")).alias("cost2"),
         ]
         if track_paths:
-            proj.append(F.concat(F.col("path"), F.array(e["dst"])).alias("path2"))
-        cand = cand.select(*proj)
+            proj.append(
+                F.concat(F.col("f.path"), F.array(F.col("g.dst"))).alias("path2")
+            )
+        cand = (
+            frontier.alias("f")
+            .join(e.alias("g"), F.col("f.node") == F.col("g.src"), "inner")
+            .select(*proj)
+        )
 
         # keep the per-(lane,node) minimum among candidates (min_by keeps one
         # arbitrary path among exact ties, matching GDS tie behavior)
@@ -104,22 +112,27 @@ def multi_source_dijkstra(
             sel.append(F.col("c.path2").alias("path"))
         frontier = improved.select(*sel)
 
-        if (it + 1) % checkpoint_every == 0:
-            frontier = frontier.localCheckpoint(eager=True)
-        if frontier.isEmpty():
-            break
-
-        # merge improvements into best: union + per-key min (frontier rows are
-        # strictly better for their keys, so min_by picks them)
+        # merge improvements into best: union + per-key min (frontier rows
+        # are strictly better for their keys, so min_by picks them). The
+        # frontier rides along with a marker column so ONE checkpoint
+        # materializes both states — halving the per-superstep job count,
+        # which dominates wall time when frontiers are small.
         aggs2 = [F.min("cost").alias("cost")]
         if track_paths:
             aggs2.append(F.min_by("path", "cost").alias("path"))
-        best = (
+        merged = (
             best.unionByName(frontier)
             .groupBy("lane", "node")
             .agg(*aggs2)
-            .localCheckpoint(eager=True)
+            .withColumn("is_frontier", F.lit(False))
+            .unionByName(frontier.withColumn("is_frontier", F.lit(True)))
         )
+        if (it + 1) % checkpoint_every == 0:
+            merged = merged.localCheckpoint(eager=True)
+        best = merged.filter(~F.col("is_frontier")).drop("is_frontier")
+        frontier = merged.filter("is_frontier").drop("is_frontier")
+        if frontier.isEmpty():
+            break
 
     e.unpersist()
     return best
