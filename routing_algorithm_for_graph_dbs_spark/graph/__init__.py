@@ -9,6 +9,9 @@ to cut lineage. Everything stays distributed — the driver only checks the
 convergence counter.
 """
 
-from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra  # noqa: F401
+from routing_algorithm_for_graph_dbs_spark.graph.sssp import (  # noqa: F401
+    multi_source_dijkstra,
+    sssp,
+)
 from routing_algorithm_for_graph_dbs_spark.graph.components import connected_components  # noqa: F401
 from routing_algorithm_for_graph_dbs_spark.graph.betweenness import betweenness_centrality  # noqa: F401

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.functions.spatial import haversine_meters
-from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra
+from routing_algorithm_for_graph_dbs_spark.graph.sssp import sssp
 
 FOOT_EDGE_TYPES = (
     "SHORTEST_ROUTE_TO",
@@ -71,7 +71,7 @@ def walking_distances(
         [(s, s) for s in start_ids], ["lane", "node"]
     )
     edges = foot_edge_union(foot_edges).withColumnRenamed("length", "weight")
-    return multi_source_dijkstra(edges, sources, weight_col="weight")
+    return sssp(edges, sources, weight_col="weight")
 
 
 def walking_distance(

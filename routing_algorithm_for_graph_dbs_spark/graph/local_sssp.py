@@ -1,0 +1,196 @@
+"""Broadcast-graph Dijkstra: the fast tier of the SSSP dispatcher.
+
+The reference answers each routing query with one GDS Dijkstra call per
+candidate (source, target) pair inside the Neo4j JVM (``main.py:143-148``) —
+the whole graph lives in one process. The Spark-first translation of that
+regime is NOT per-superstep shuffling (that tier — graph/sssp.py — exists
+for graphs too big for any one executor): when the edge relation fits in
+executor memory (a city-year GTFS graph is ~1-2M edges ≈ tens of MB), the
+right plan is **broadcast the graph once, parallelize across query lanes** —
+each lane's Dijkstra is an independent task, so k concurrent routing queries
+scale out linearly with executors instead of queueing per-pair like the
+reference.
+
+Engineering for interactive latency (reference median 2.87 s/query,
+BASELINE.md):
+
+- **CSR, not dicts.** The driver Arrow-collects (src, dst, w) once per
+  cached edge relation, factorizes node ids to ints, and broadcasts numpy
+  CSR arrays. Collection + build are memoized on the DataFrame identity, so
+  the 2nd..nth query on the same projected graph pays zero prep.
+- **Early termination.** Routing knows its target nodes; Dijkstra stops
+  when every target is settled instead of exhausting the day's graph.
+- **Paths only where needed.** Full per-node path arrays are O(V * depth);
+  with targets given, only target rows are emitted and only their paths are
+  reconstructed from the prev-pointer array.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
+from pyspark.sql import types as T
+
+# driver-side prep cache: (id(edges), weight_col) -> broadcast handle
+_PREP_CACHE: dict[tuple, object] = {}
+# executor-side decoded-graph cache keyed by id(broadcast.value)
+_GRAPH_CACHE: dict[int, dict] = {}
+
+
+def _prepare(edges: DataFrame, weight_col: str):
+    """Collect the edge relation once and broadcast CSR arrays."""
+    key = (id(edges), weight_col)
+    bc = _PREP_CACHE.get(key)
+    if bc is not None:
+        return bc
+    pdf = edges.select(
+        F.col("src").cast("string"),
+        F.col("dst").cast("string"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).toPandas()
+    all_ids, uniques = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    )
+    m = len(pdf)
+    src_i = all_ids[:m].astype(np.int64)
+    dst_i = all_ids[m:].astype(np.int64)
+    w = pdf["w"].to_numpy(dtype=np.float64)
+    n = len(uniques)
+    order = np.argsort(src_i, kind="stable")
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(src_i, minlength=n), out=indptr[1:])
+    payload = {
+        "indptr": indptr,
+        "nbr": dst_i[order],
+        "w": w[order],
+        "ids": uniques.to_numpy(dtype=object),
+    }
+    bc = edges.sparkSession.sparkContext.broadcast(payload)
+    _PREP_CACHE.clear()  # one live graph per session is the usage pattern
+    _PREP_CACHE[key] = bc
+    return bc
+
+
+def _decoded(payload: dict) -> dict:
+    """Per-worker-process memo: adds the id->index map to the CSR payload."""
+    key = id(payload)
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = dict(payload)
+        g["index"] = {s: i for i, s in enumerate(payload["ids"])}
+        _GRAPH_CACHE.clear()
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def _dijkstra_csr(g: dict, seeds: list[int], target_idx: set[int] | None):
+    indptr, nbr, w = g["indptr"], g["nbr"], g["w"]
+    n = len(indptr) - 1
+    dist = np.full(n, np.inf)
+    prev = np.full(n, -1, dtype=np.int64)
+    heap = [(0.0, s) for s in seeds]
+    heapq.heapify(heap)
+    for s in seeds:
+        dist[s] = 0.0
+    remaining = None if target_idx is None else set(target_idx)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist[u]:
+            continue
+        if remaining is not None:
+            remaining.discard(u)
+            if not remaining:
+                break
+        for j in range(indptr[u], indptr[u + 1]):
+            v = nbr[j]
+            nd = d + w[j]
+            if nd < dist[v]:
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(heap, (nd, v))
+    return dist, prev
+
+
+def _walk_path(prev: np.ndarray, ids: np.ndarray, node: int) -> list:
+    out = [ids[node]]
+    while prev[node] != -1:
+        node = prev[node]
+        out.append(ids[node])
+    out.reverse()
+    return out
+
+
+def broadcast_dijkstra(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    track_paths: bool = True,
+    targets: list | None = None,
+) -> DataFrame:
+    """Same contract as ``multi_source_dijkstra``: (lane, node, cost[, path]).
+
+    With ``targets`` given, only target-node rows are returned (what the
+    routing pipelines consume) and Dijkstra early-terminates once all
+    targets are settled. ``edges`` must fit in executor memory (the
+    dispatcher checks).
+    """
+    bc = _prepare(edges, weight_col)
+    node_t = edges.schema["src"].dataType
+    integral = isinstance(node_t, (T.LongType, T.IntegerType, T.ShortType))
+
+    fields = [
+        T.StructField("lane", sources.schema["lane"].dataType),
+        T.StructField("node", node_t),
+        T.StructField("cost", T.DoubleType()),
+    ]
+    if track_paths:
+        fields.append(T.StructField("path", T.ArrayType(node_t)))
+    out_schema = T.StructType(fields)
+    target_list = list(targets) if targets is not None else None
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = _decoded(bc.value)
+        index, ids = g["index"], g["ids"]
+        # the CSR is factorized over stringified ids; convert back on emit
+        conv = (lambda x: int(x)) if integral else (lambda x: x)
+        lane = pdf["lane"].iloc[0]
+        seeds = [
+            index[str(s)] for s in dict.fromkeys(pdf["node"]) if str(s) in index
+        ]
+        t_idx = (
+            {index[str(t)] for t in target_list if str(t) in index}
+            if target_list is not None
+            else None
+        )
+        if not seeds:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        dist, prev = _dijkstra_csr(g, seeds, t_idx)
+        emit = (
+            sorted(t_idx)
+            if t_idx is not None
+            else np.flatnonzero(np.isfinite(dist)).tolist()
+        )
+        recs = []
+        for u in emit:
+            if not np.isfinite(dist[u]):
+                continue
+            if track_paths:
+                recs.append(
+                    (
+                        lane,
+                        conv(ids[u]),
+                        float(dist[u]),
+                        [conv(x) for x in _walk_path(prev, ids, u)],
+                    )
+                )
+            else:
+                recs.append((lane, conv(ids[u]), float(dist[u])))
+        return pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
+
+    # one group per lane -> one (multi-seed) Dijkstra per task; concurrent
+    # lanes land on different cores/executors
+    return sources.groupBy("lane").applyInPandas(run, schema=out_schema)

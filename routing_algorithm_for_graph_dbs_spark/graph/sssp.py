@@ -136,3 +136,49 @@ def multi_source_dijkstra(
 
     e.unpersist()
     return best
+
+
+# edges below this count are broadcast and solved per-lane in memory;
+# a city-year GTFS graph (~738k edges, BASELINE.md) is ~30 MB — far under
+# any executor budget. Above it, the iterative shuffling kernel takes over.
+BROADCAST_EDGE_LIMIT = 5_000_000
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "weight",
+    track_paths: bool = True,
+    strategy: str = "auto",
+    max_iterations: int = 200,
+    targets: list | None = None,
+) -> DataFrame:
+    """Two-tier SSSP dispatcher (same (lane, node, cost[, path]) contract).
+
+    - ``broadcast``: graph fits in executor memory -> broadcast it once and
+      run one in-memory Dijkstra task per lane (graph/local_sssp.py). This is
+      the regime the reference operates in (one Neo4j server JVM) — but
+      lanes parallelize across the cluster instead of queueing per pair.
+    - ``iterative``: Pregel-style frontier relaxation for graphs no single
+      executor can hold (``multi_source_dijkstra`` above).
+    - ``auto``: pick by ``edges.count()`` vs ``BROADCAST_EDGE_LIMIT`` (the
+      count is free when the edge relation is already cached, which the
+      projection catalog guarantees).
+
+    ``targets``: optional node list; the broadcast tier then returns only
+    target rows and early-terminates once all are settled (the iterative
+    tier ignores it — callers filter, same results).
+    """
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if edges.count() <= BROADCAST_EDGE_LIMIT else "iterative"
+        )
+    if strategy == "broadcast":
+        from routing_algorithm_for_graph_dbs_spark.graph.local_sssp import (
+            broadcast_dijkstra,
+        )
+
+        return broadcast_dijkstra(edges, sources, weight_col, track_paths, targets)
+    return multi_source_dijkstra(
+        edges, sources, weight_col, max_iterations, track_paths
+    )

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.functions.spatial import haversine_meters
-from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra
+from routing_algorithm_for_graph_dbs_spark.graph.sssp import sssp
 from routing_algorithm_for_graph_dbs_spark.plans.projection import ProjectedGraph
 
 LEG_COLUMNS = [
@@ -119,7 +119,11 @@ def _run_pairs(
     lanes = sources.select(
         F.col("stoptime_id").alias("lane"), F.col("stoptime_id").alias("node")
     ).distinct()
-    res = multi_source_dijkstra(graph.edges, lanes, weight_col="waiting_time")
+    # target ids are known up front (a few hundred stoptimes at the
+    # destination stops): the broadcast SSSP tier early-terminates on them
+    # and skips path materialization for every other reached node
+    target_ids = [r["stoptime_id"] for r in targets.select("stoptime_id").distinct().collect()]
+    res = sssp(graph.edges, lanes, weight_col="waiting_time", targets=target_ids)
     t = targets.select(
         F.col("stoptime_id").alias("t_id"),
         F.col("arrival_s").alias("dst_arrival_s"),
