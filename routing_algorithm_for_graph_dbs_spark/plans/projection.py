@@ -61,16 +61,7 @@ class ProjectedGraph:
 _CATALOG: dict[str, ProjectedGraph] = {}
 
 
-def build_change_edges(
-    day_stoptimes: DataFrame, walk_to: DataFrame, speed: float
-) -> DataFrame:
-    """CHANGE edges per reference ``main.py:17`` (see module docstring).
-
-    ``day_stoptimes``: output of service_day_stoptimes(with_route=True).
-    ``walk_to``: (src_stop_id, dst_stop_id, distance) incl. self loops.
-    """
-    walk_secs = F.floor(F.col("walk_distance") / F.lit(speed)).cast("long")
-
+def _change_sources_targets(day_stoptimes, walk_to):
     source = day_stoptimes.select(
         F.col("stoptime_id").alias("src"),
         F.col("trip_id").alias("src_trip"),
@@ -92,19 +83,10 @@ def build_change_edges(
         F.col("dst_stop_id").alias("walk_dst"),
         F.col("distance").alias("walk_distance"),
     )
+    return source, target, w
 
-    # target's stop Q -[WALK_TO]-> source's stop P  (reference match direction)
-    cand = (
-        source.join(F.broadcast(w), source["src_stop"] == w["walk_dst"])
-        .join(target, target["dst_stop"] == F.col("walk_src"))
-        .filter(
-            (F.col("dst_trip") != F.col("src_trip"))
-            & (F.col("dst_line") != F.col("src_line"))
-            & (F.col("dst_service") == F.col("src_service"))
-            & (F.col("src_arrival") + walk_secs < F.col("dst_departure"))
-        )
-    )
 
+def _finish_change(cand, walk_secs):
     # apoc.agg.minItems over (source, walk edge, other line): rank keeps ties
     sel_w = Window.partitionBy("src", "walk_src", "walk_dst", "dst_line").orderBy(
         "dst_departure"
@@ -122,6 +104,146 @@ def build_change_edges(
             walk_secs.alias("walking_time"),
         )
     )
+
+
+def build_change_edges_naive(
+    day_stoptimes: DataFrame, walk_to: DataFrame, speed: float
+) -> DataFrame:
+    """CHANGE edges, literal formulation (the reference's own join shape):
+    every (source, walkable stop) pair against EVERY stoptime at that stop,
+    then rank. O(|stoptimes| x walk-degree x stoptimes-per-stop) candidate
+    rows — correct, and fine at fixture scale, but the candidate blow-up is
+    the projection bottleneck at city-year scale. Kept as the semantics
+    oracle for the bucketed formulation below."""
+    walk_secs = F.floor(F.col("walk_distance") / F.lit(speed)).cast("long")
+    source, target, w = _change_sources_targets(day_stoptimes, walk_to)
+    cand = (
+        source.join(F.broadcast(w), source["src_stop"] == w["walk_dst"])
+        .join(target, target["dst_stop"] == F.col("walk_src"))
+        .filter(
+            (F.col("dst_trip") != F.col("src_trip"))
+            & (F.col("dst_line") != F.col("src_line"))
+            & (F.col("dst_service") == F.col("src_service"))
+            & (F.col("src_arrival") + walk_secs < F.col("dst_departure"))
+        )
+    )
+    return _finish_change(cand, walk_secs)
+
+
+def build_change_edges(
+    day_stoptimes: DataFrame,
+    walk_to: DataFrame,
+    speed: float,
+    bucket_s: int = 900,
+) -> DataFrame:
+    """CHANGE edges per reference ``main.py:17`` — bucketed as-of-join
+    formulation.
+
+    The semantics are an as-of join: per (source stoptime, walk edge, other
+    line), the earliest target departing after ``source.arrival + walk``.
+    Joining every source to every stoptime at the stop (the naive shape, and
+    the reference's own) makes candidate volume O(sources x walk-degree x
+    stoptimes-per-stop) — at city-year scale that is 10^8 rows into a rank
+    window. Instead, targets are bucketed by departure time:
+
+    - raw targets join only within the THRESHOLD bucket (they may or may not
+      clear the threshold — filtered);
+    - a per-(stop, line, service, bucket) suffix-minimum row — the earliest
+      target in any LATER bucket, precomputed with one window — joins for
+      the threshold bucket and is by construction past the threshold.
+
+    The union's earliest per (source, walk edge, line) equals the naive
+    answer exactly (ties preserved by rank), with ~(bucket/headway + 1)
+    candidates per group instead of every stoptime at the stop. Equality is
+    asserted against the naive build in tests/test_projection.py.
+
+    ``day_stoptimes``: output of service_day_stoptimes(with_route=True).
+    ``walk_to``: (src_stop_id, dst_stop_id, distance) incl. self loops.
+    """
+    walk_secs = F.floor(F.col("walk_distance") / F.lit(speed)).cast("long")
+    source, target, w = _change_sources_targets(day_stoptimes, walk_to)
+
+    tgt_b = target.withColumn("tbucket", F.floor(F.col("dst_departure") / bucket_s))
+    b0 = tgt_b.agg(F.min("tbucket")).first()[0]
+    if b0 is None:  # no targets at all
+        return _finish_change(
+            tgt_b.join(
+                source.join(F.broadcast(w), F.lit(False)), F.lit(False)
+            ).withColumn("threshold", F.lit(0)),
+            walk_secs,
+        )
+    # earliest departure per (stop, line, service, bucket) ...
+    eb = tgt_b.groupBy("dst_stop", "dst_line", "dst_service", "tbucket").agg(
+        F.min("dst_departure").alias("eb_dep")
+    )
+    # ... densified over the full bucket range [global min, per-line max] so
+    # EVERY possible source bucket finds its "next departure" row ...
+    dense = (
+        eb.groupBy("dst_stop", "dst_line", "dst_service")
+        .agg(F.max("tbucket").alias("mx"))
+        .select(
+            "dst_stop",
+            "dst_line",
+            "dst_service",
+            F.explode(F.sequence(F.lit(b0), F.col("mx"))).alias("tbucket"),
+        )
+        .join(eb, ["dst_stop", "dst_line", "dst_service", "tbucket"], "left")
+    )
+    # ... next_dep(b) = earliest departure in any bucket >= b (reverse
+    # running min, includes the current bucket) ...
+    sfx_w = (
+        Window.partitionBy("dst_stop", "dst_line", "dst_service")
+        .orderBy(F.col("tbucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nxt = dense.withColumn("nxt_dep", F.min("eb_dep").over(sfx_w)).filter(
+        F.col("nxt_dep").isNotNull()
+    )
+    # ... recovering every target row at that departure (rank keeps ties,
+    # exactly like the naive build / the reference's minItems)
+    sfx = nxt.join(
+        tgt_b.select(
+            F.col("dst_stop").alias("s_stop"),
+            F.col("dst_line").alias("s_line"),
+            F.col("dst_service").alias("s_service"),
+            "dst",
+            "dst_trip",
+            F.col("dst_departure"),
+        ),
+        (F.col("s_stop") == F.col("dst_stop"))
+        & (F.col("s_line") == F.col("dst_line"))
+        & (F.col("s_service") == F.col("dst_service"))
+        & (F.col("dst_departure") == F.col("nxt_dep")),
+    ).select("dst_stop", "dst_line", "dst_service", "tbucket", "dst", "dst_trip", "dst_departure")
+
+    src_b = (
+        source.join(F.broadcast(w), source["src_stop"] == w["walk_dst"])
+        .withColumn("threshold", F.col("src_arrival") + walk_secs)
+        .withColumn("bucket", F.floor((F.col("src_arrival") + walk_secs) / bucket_s))
+    )
+
+    tgt_cols = ["dst_stop", "dst_line", "dst_service", "tbucket", "dst", "dst_trip", "dst_departure"]
+    raw_cand = src_b.join(
+        tgt_b.select(*tgt_cols),
+        (F.col("dst_stop") == F.col("walk_src")) & (F.col("tbucket") == F.col("bucket")),
+    )
+    # the suffix branch joins on bucket+1 (clamped up to the range start):
+    # its rows depart in buckets >= b+1, always past the threshold
+    sfx_cand = src_b.withColumn(
+        "jbucket", F.greatest(F.col("bucket") + 1, F.lit(b0))
+    ).join(
+        sfx,
+        (F.col("dst_stop") == F.col("walk_src")) & (F.col("tbucket") == F.col("jbucket")),
+    ).drop("jbucket")
+    # branches are disjoint by construction: raw rows depart in bucket b,
+    # suffix rows in buckets > b — no dedup needed
+    cand = raw_cand.unionByName(sfx_cand).filter(
+        (F.col("dst_trip") != F.col("src_trip"))
+        & (F.col("dst_line") != F.col("src_line"))
+        & (F.col("dst_service") == F.col("src_service"))
+        & (F.col("threshold") < F.col("dst_departure"))
+    )
+    return _finish_change(cand, walk_secs)
 
 
 def project_graph(
@@ -150,6 +272,12 @@ def project_graph(
         walk_to = build_walk_to_with_self_loops(tables["stops"])
 
     day_st = service_day_stoptimes(tables, day, with_route=True)
+    if cache:
+        # persist BEFORE the CHANGE build: the bucketed as-of derivation
+        # references the day's stoptimes several times (targets, bucket
+        # bounds, tie recovery) and would otherwise recompute the calendar
+        # join chain per reference
+        day_st = day_st.persist()
 
     vertices = day_st.select(
         F.col("stoptime_id").alias("id"),
@@ -177,7 +305,6 @@ def project_graph(
     if cache:
         vertices = vertices.persist()
         edges = edges.persist()
-        stoptimes = stoptimes.persist()
 
     g = ProjectedGraph(
         name=name,

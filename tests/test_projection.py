@@ -94,3 +94,62 @@ def test_sunday_projection_empty_changes(gtfs):
     assert g.vertices.count() == 2
     by_type = {r["type"]: r["count"] for r in g.edges.groupBy("type").count().collect()}
     assert by_type == {"PRECEDES": 1}
+
+
+def test_bucketed_change_edges_equal_naive(spark, gtfs):
+    """The bucketed as-of CHANGE build must equal the naive (reference-shape)
+    build row-for-row on the fixture, across bucket sizes that do and don't
+    align with the timetable."""
+    from routing_algorithm_for_graph_dbs_spark.operators.calendar import (
+        service_day_stoptimes,
+    )
+    from routing_algorithm_for_graph_dbs_spark.plans.projection import (
+        build_change_edges,
+        build_change_edges_naive,
+        build_walk_to_with_self_loops,
+    )
+
+    day_st = service_day_stoptimes(gtfs, "2024-01-18", with_route=True)
+    walk = build_walk_to_with_self_loops(gtfs["stops"])
+    want = sorted(map(tuple, build_change_edges_naive(day_st, walk, 1.0).collect()))
+    assert want, "fixture must produce CHANGE edges"
+    for bucket_s in (60, 900, 7200):
+        got = sorted(
+            map(tuple, build_change_edges(day_st, walk, 1.0, bucket_s=bucket_s).collect())
+        )
+        assert got == want, f"bucket_s={bucket_s} diverges from naive"
+
+
+def test_bucketed_change_preserves_departure_ties(spark, gtfs):
+    """Two same-line targets departing at the same second must BOTH survive
+    (minItems keeps ties) — including when they sit in a later bucket and
+    ride in via the suffix row."""
+    import pyspark.sql.functions as F
+
+    from routing_algorithm_for_graph_dbs_spark.plans.projection import (
+        build_change_edges,
+        build_change_edges_naive,
+    )
+
+    day_st = spark.createDataFrame(
+        [
+            # source arrives 10:00:00 at stop A on line L1
+            ("src#1", "t_src", "L1", "SV", "A", 36000, 36000, 0, "A", 0.0, 0.0, "1"),
+            # two tied targets on line L2 at stop A depart 12:00:00 (far
+            # bucket) + a later one that must lose
+            ("tgt#1", "t_a", "L2", "SV", "A", 43200, 43200, 0, "A", 0.0, 0.0, "2"),
+            ("tgt#2", "t_b", "L2", "SV", "A", 43200, 43200, 0, "A", 0.0, 0.0, "2"),
+            ("tgt#3", "t_c", "L2", "SV", "A", 50000, 50000, 0, "A", 0.0, 0.0, "2"),
+        ],
+        "stoptime_id string, trip_id string, route_id string, service_id string,"
+        "stop_id string, arrival_s long, departure_s long, stop_sequence int,"
+        "stop_name string, stop_lat double, stop_lon double, short_name string",
+    )
+    walk = spark.createDataFrame(
+        [("A", "A", 0.0)], "src_stop_id string, dst_stop_id string, distance double"
+    )
+    got = sorted(map(tuple, build_change_edges(day_st, walk, 1.0, bucket_s=900).collect()))
+    want = sorted(map(tuple, build_change_edges_naive(day_st, walk, 1.0).collect()))
+    assert got == want
+    tied = [r for r in got if r[0] == "src#1"]
+    assert {r[1] for r in tied} == {"tgt#1", "tgt#2"}, "both tied targets kept"
