@@ -1538,15 +1538,15 @@ def dd_simhash(spark, sf_dir):
 
 @_register("graph_betweenness")
 def graph_betweenness(spark, sf_dir):
-    """G3: Brandes betweenness over the nation graph (iterative multi-lane
-    DataFrame program; validated against a pure-Python Brandes oracle in
-    tests/test_graph_kernels.py — no tractable SQL twin)."""
-    from routing_algorithm_for_graph_dbs_spark.graph.betweenness import (
-        betweenness_centrality,
-    )
+    """G3: Brandes betweenness over the nation graph (two-tier dispatcher:
+    broadcast per-source Brandes here; the iterative lane-parallel DataFrame
+    program beyond executor memory. Validated against a pure-Python Brandes
+    oracle and cross-tier in tests/test_graph_kernels.py — no tractable SQL
+    twin)."""
+    from routing_algorithm_for_graph_dbs_spark.graph.betweenness import betweenness
 
     e = _nation_edges(spark, sf_dir)
-    res = betweenness_centrality(e)
+    res = betweenness(e)
     return res.select(
         F.col("node").cast("long").alias("node"), F.round("score", 4).alias("score")
     )

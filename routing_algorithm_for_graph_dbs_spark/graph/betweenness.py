@@ -124,3 +124,29 @@ def betweenness_centrality(
     )
     e.unpersist()
     return out
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Two-tier betweenness dispatcher, mirroring graph.sssp.sssp():
+    ``broadcast`` runs per-source Brandes tasks over a shared CSR (the
+    reference's single-JVM regime, parallelized across sources);
+    ``iterative`` is the lane-parallel DataFrame program above for graphs
+    beyond single-executor memory. ``sources`` switches both tiers to the
+    sampled approximation."""
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import BROADCAST_EDGE_LIMIT
+
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if edges.count() <= BROADCAST_EDGE_LIMIT else "iterative"
+        )
+    if strategy == "broadcast":
+        from routing_algorithm_for_graph_dbs_spark.graph.local_betweenness import (
+            broadcast_betweenness,
+        )
+
+        return broadcast_betweenness(edges, sources)
+    return betweenness_centrality(edges, sources)

@@ -70,7 +70,8 @@ def _prepare(edges: DataFrame, weight_col: str):
         "ids": uniques.to_numpy(dtype=object),
     }
     bc = edges.sparkSession.sparkContext.broadcast(payload)
-    _PREP_CACHE.clear()  # one live graph per session is the usage pattern
+    while len(_PREP_CACHE) >= 4:  # bound driver+executor memory, FIFO evict
+        _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
     _PREP_CACHE[key] = bc
     return bc
 
@@ -82,7 +83,8 @@ def _decoded(payload: dict) -> dict:
     if g is None:
         g = dict(payload)
         g["index"] = {s: i for i, s in enumerate(payload["ids"])}
-        _GRAPH_CACHE.clear()
+        while len(_GRAPH_CACHE) >= 4:
+            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
         _GRAPH_CACHE[key] = g
     return g
 

@@ -121,3 +121,36 @@ def test_betweenness_vs_python_oracle(spark):
     got = {r["node"]: r["score"] for r in betweenness_centrality(e).collect()}
     for n in nodes:
         assert abs(got[n] - expect[n]) < 1e-9, (n, got[n], expect[n])
+
+
+def test_betweenness_tiers_agree(spark):
+    """Broadcast per-source Brandes must equal the iterative lane-parallel
+    DataFrame Brandes exactly (both unweighted directed), exact and sampled."""
+    from routing_algorithm_for_graph_dbs_spark.graph.betweenness import (
+        betweenness,
+        betweenness_centrality,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 2), (3, 4), (1, 3), (4, 0), (2, 4)],
+        ["src", "dst"],
+    )
+    exact_fast = {
+        r["node"]: round(r["score"], 6)
+        for r in betweenness(edges, strategy="broadcast").collect()
+    }
+    exact_iter = {
+        r["node"]: round(r["score"], 6)
+        for r in betweenness_centrality(edges).collect()
+    }
+    assert exact_fast == exact_iter
+    sample = spark.createDataFrame([(0,), (2,)], ["node"])
+    s_fast = {
+        r["node"]: round(r["score"], 6)
+        for r in betweenness(edges, sources=sample, strategy="broadcast").collect()
+    }
+    s_iter = {
+        r["node"]: round(r["score"], 6)
+        for r in betweenness_centrality(edges, sources=sample).collect()
+    }
+    assert s_fast == s_iter
