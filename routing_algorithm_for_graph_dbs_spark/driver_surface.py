@@ -42,9 +42,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long via nanosAsLong: truncate to micros
         # (exactly what DuckDB's ns->us read does) and restore TimestampType.
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer division: ts/1000 through a double would be off by 1 us on
+        # ~a quarter of rows (double ulp at epoch-ns magnitude is ~0.25)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 
@@ -1521,6 +1521,92 @@ def mm_frame_plan(spark, sf_dir):
     out = frame_sample_plan(_media(spark, sf_dir), every_ms=5000)
     return out.select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+# =====================================================================
+# as-of / range joins over the events stream table
+# =====================================================================
+
+
+@_register(
+    "asof_last_view",
+    """
+    WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, t, MIN(event_id) AS event_id
+               FROM (SELECT event_id, user_id, epoch_us(ts) AS t
+                     FROM events WHERE event_type = 'view')
+               GROUP BY user_id, t)
+    SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+           CAST(c.t - v.t AS BIGINT) AS gap_us
+    FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.t >= v.t
+    """,
+)
+def asof_last_view(spark, sf_dir):
+    """Backward as-of join: every click paired with the same user's most
+    recent prior view (operators.asof.asof_join, bucketed next-event
+    formulation; DuckDB's native ASOF JOIN is the oracle)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("t", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t"
+    )
+    # same-microsecond views are deduped to the min event id on both
+    # engines: DuckDB's ASOF picks an arbitrary row among exact time ties
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "t")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        clicks, views, on="user_id", left_time="t", right_time="t",
+        direction="backward", bucket_s=3600 * 1_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("view_event_id"),
+        (F.col("t") - F.col("t_r")).cast("long").alias("gap_us"),
+    )
+
+
+@_register(
+    "rng_followup_events",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+         err AS (SELECT event_id, user_id, t FROM e
+                 WHERE event_id IN (SELECT event_id FROM events WHERE event_type = 'error'))
+    SELECT err.event_id, CAST(COUNT(f.event_id) AS BIGINT) AS n_follow
+    FROM err LEFT JOIN e f
+      ON f.user_id = err.user_id
+     AND f.t > err.t AND f.t <= err.t + 300000000
+    GROUP BY err.event_id
+    """,
+)
+def rng_followup_events(spark, sf_dir):
+    """Range (interval) join: for each error event, how many events the same
+    user produced in the following 5 minutes (operators.asof.range_join —
+    bucket-explode + equi-join, no inequality cross product)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import range_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("t", F.unix_micros("ts"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "t"
+    )
+    all_ev = ev.select("event_id", "user_id", "t")
+    joined = range_join(
+        errors, all_ev, on="user_id", left_time="t", right_time="t",
+        lo=1, hi=300_000_000, bucket_s=3600 * 1_000_000,
+    )
+    counts = joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_follow")
+    )
+    return (
+        errors.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n_follow", F.lit(0)).cast("long").alias("n_follow"))
     )
 
 

@@ -1,0 +1,169 @@
+"""Generic as-of and range (interval) joins — operators Spark lacks
+natively, built as compositions of existing DataFrame ops (SURVEY.md §2.3
+notes the reference exercises neither, but the engine's own CHANGE-edge
+derivation in plans/projection.py is an as-of join in disguise; this module
+is the reusable, schema-agnostic form).
+
+Both are bucketed equi-joins, never cross products:
+
+- **as-of**: for each left row, the single right row (per key) with the
+  greatest right-time <= left-time (backward; or the least >= for forward).
+  Implemented union-style: right rows bucketed by time join the matching
+  left bucket raw, plus a densified per-(key, bucket) boundary row covering
+  all earlier/later buckets — a handful of candidates per left row
+  regardless of right-side density, then one rank.
+- **range**: all (left, right) pairs with right-time in
+  [left-time + lo, left-time + hi]. Left rows explode to the covered
+  buckets (span/bucket_s + 1 of them), then a bucket equi-join + exact
+  filter.
+
+At 100 TB both shuffle once on (key, bucket) — AQE handles skew — and the
+bucket width trades candidate fan-in against explode width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    bucket_s: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the nearest right row per key:
+    ``backward`` = greatest right_time <= left_time; ``forward`` = least
+    right_time >= left_time. Left rows with no match are dropped (inner
+    as-of; left-outer = join this result back). Ties on right_time are
+    broken by the full right row for determinism via one rank + min struct.
+    """
+    back = direction == "backward"
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_rt"),
+        F.struct(*[F.col(c).alias(c + suffix) for c in right.columns]).alias("_row"),
+    ).withColumn("_rb", F.floor(F.col("_rt") / bucket_s))
+
+    # per-(key, bucket) boundary value: latest (backward) / earliest
+    # (forward) right time in the bucket ...
+    eb = r.groupBy("_k", "_rb").agg(
+        (F.max("_rt") if back else F.min("_rt")).alias("_eb")
+    )
+    # ... densified over the key's full bucket range so every left bucket
+    # finds its boundary row, then running-extreme toward the query side
+    rng = eb.groupBy("_k").agg(F.min("_rb").alias("_mn"), F.max("_rb").alias("_mx"))
+    dense = rng.select(
+        "_k", F.explode(F.sequence("_mn", "_mx")).alias("_rb")
+    ).join(eb, ["_k", "_rb"], "left")
+    if back:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_rb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bnd = dense.withColumn("_bt", F.max("_eb").over(w))
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_rb").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bnd = dense.withColumn("_bt", F.min("_eb").over(w))
+    bnd = bnd.filter(F.col("_bt").isNotNull()).select("_k", "_rb", "_bt")
+    # boundary rows join back to the actual right row at that time
+    bnd_rows = bnd.join(
+        r.select("_k", "_rt", "_row"),
+        ["_k"],
+    ).filter(F.col("_rt") == F.col("_bt")).select("_k", "_rb", "_rt", "_row")
+
+    # _lid keeps duplicate left rows distinct under the final rank (stable
+    # within one action, which is the only scope the rank needs)
+    l = (
+        left.withColumn("_lid", F.monotonically_increasing_id())
+        .withColumn("_lb", F.floor(F.col(left_time) / bucket_s))
+        .withColumn("_lt", F.col(left_time))
+    )
+    # raw branch: right rows in the left row's own bucket
+    raw = l.join(
+        r.withColumnRenamed("_rb", "_jb"),
+        (F.col(on) == F.col("_k")) & (F.col("_jb") == F.col("_lb")),
+    ).drop("_jb")
+    # boundary branch: the adjacent bucket's running extreme covers all
+    # earlier (backward) / later (forward) buckets. The probe bucket is
+    # clamped into the key's densified range: a left row far past the last
+    # right bucket (backward) must still see that key's final extreme.
+    clamp = rng.select(
+        F.col("_k").alias("_ck"), "_mn", "_mx"
+    )
+    if back:
+        probe = F.least(F.col("_lb") - 1, F.col("_mx"))
+    else:
+        probe = F.greatest(F.col("_lb") + 1, F.col("_mn"))
+    bb = (
+        l.join(F.broadcast(clamp), F.col(on) == F.col("_ck"))
+        .withColumn("_jb", probe)
+        .join(
+            bnd_rows.withColumnRenamed("_rb", "_bb"),
+            (F.col(on) == F.col("_k")) & (F.col("_bb") == F.col("_jb")),
+        )
+        .drop("_jb", "_bb", "_ck", "_mn", "_mx")
+    )
+    cand = raw.unionByName(bb, allowMissingColumns=True).filter(
+        F.col("_rt") <= F.col("_lt") if back else F.col("_rt") >= F.col("_lt")
+    )
+
+    w2 = Window.partitionBy("_lid").orderBy(
+        (F.col("_rt").desc() if back else F.col("_rt").asc()), F.col("_row")
+    )
+    out = (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select(*left.columns, F.col("_row.*"))
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lo: int,
+    hi: int,
+    bucket_s: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs per key with
+    ``left_time + lo <= right_time <= left_time + hi`` — the interval join,
+    as bucket-explode + equi-join + exact filter."""
+    if hi < lo:
+        raise ValueError("hi must be >= lo")
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_rt"),
+        F.struct(*[F.col(c).alias(c + suffix) for c in right.columns]).alias("_row"),
+    ).withColumn("_rb", F.floor(F.col("_rt") / bucket_s))
+    l = left.withColumn(
+        "_b0", F.floor((F.col(left_time) + lo) / bucket_s)
+    ).withColumn("_b1", F.floor((F.col(left_time) + hi) / bucket_s))
+    exploded = l.withColumn("_jb", F.explode(F.sequence("_b0", "_b1"))).drop(
+        "_b0", "_b1"
+    )
+    out = (
+        exploded.join(
+            r, (F.col(on) == F.col("_k")) & (F.col("_rb") == F.col("_jb"))
+        )
+        .filter(
+            (F.col("_rt") >= F.col(left_time) + lo)
+            & (F.col("_rt") <= F.col(left_time) + hi)
+        )
+        .select(*left.columns, F.col("_row.*"))
+    )
+    return out

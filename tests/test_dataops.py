@@ -336,3 +336,55 @@ def test_media_from_documents_schema_and_kinds(docs):
     row = media.filter(F.col("kind") == "image").first()
     assert row["meta"]["width"] is not None and row["meta"]["duration_ms"] is None
     assert isinstance(row["payload"], bytearray | bytes)
+
+
+# ---------- as-of / range joins ----------
+
+
+def test_asof_join_backward_and_forward(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 5), (4, "v", 100)],
+        ["lid", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 50), (11, "u", 100), (12, "u", 240), (13, "w", 1)],
+        ["rid", "k", "t"],
+    )
+    back = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(left, right, "k", "t", "t", "backward", bucket_s=60).collect()
+    }
+    # lid1 t=100 -> rid11 (exact tie <=); lid2 t=250 -> rid12; lid3 t=5 -> none; lid4 other key -> none
+    assert back == {1: 11, 2: 12}
+    fwd = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(left, right, "k", "t", "t", "forward", bucket_s=60).collect()
+    }
+    # lid1 t=100 -> rid11 (>=); lid2 t=250 -> none; lid3 t=5 -> rid10
+    assert fwd == {1: 11, 3: 10}
+
+
+def test_asof_join_duplicate_left_rows_both_match(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 100), ("u", 100)], ["k", "t"])
+    right = spark.createDataFrame([(7, "u", 90)], ["rid", "k", "t"])
+    got = asof_join(left, right, "k", "t", "t", "backward", bucket_s=50).collect()
+    assert len(got) == 2 and all(r["rid_r"] == 7 for r in got)
+
+
+def test_range_join_bounds_inclusive(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import range_join
+
+    left = spark.createDataFrame([(1, "u", 100)], ["lid", "k", "t"])
+    right = spark.createDataFrame(
+        [(10, "u", 100), (11, "u", 110), (12, "u", 150), (13, "u", 151), (14, "v", 120)],
+        ["rid", "k", "t"],
+    )
+    got = sorted(
+        r["rid_r"]
+        for r in range_join(left, right, "k", "t", "t", lo=1, hi=50, bucket_s=30).collect()
+    )
+    assert got == [11, 12]  # 100 excluded (lo=1), 151 excluded (hi=50), other key excluded
