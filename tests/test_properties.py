@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): randomized inputs cross-checked
+against brute-force Python oracles for the operators whose edge cases are
+easiest to get wrong (as-of joins, LSH blocking completeness, winnowing).
+
+Example counts are small — each example is a Spark round-trip — but the
+strategies hit the boundaries that matter (exact time ties, empty sides,
+same-bucket vs cross-bucket, duplicate keys)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+rows = st.lists(
+    st.tuples(
+        st.sampled_from(["u", "v"]),
+        st.integers(min_value=0, max_value=500),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@SET
+@given(left=rows, right=rows, back=st.booleans())
+def test_asof_join_matches_bruteforce(spark, left, right, back):
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)] or [(None, None, None)],
+        "lid int, k string, t int",
+    ).filter(F.col("lid").isNotNull())
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)] or [(None, None, None)],
+        "rid int, k string, t int",
+    ).filter(F.col("rid").isNotNull())
+    # dedupe right per (k, t) like the oracle-checked query does: ties on
+    # time are broken to the smallest rid on both sides
+    rdf = rdf.groupBy("k", "t").agg(F.min("rid").alias("rid"))
+    direction = "backward" if back else "forward"
+    got = {
+        r["lid"]: (r["t_r"], r["rid_r"])
+        for r in asof_join(
+            ldf, rdf, "k", "t", "t", direction, bucket_s=100
+        ).collect()
+    }
+    rr = {}
+    for i, (k, t) in enumerate(right):
+        cur = rr.get((k, t))
+        rr[(k, t)] = i if cur is None else min(cur, i)
+    want = {}
+    for i, (k, t) in enumerate(left):
+        cands = [
+            (rt, rid)
+            for (rk, rt), rid in rr.items()
+            if rk == k and (rt <= t if back else rt >= t)
+        ]
+        if cands:
+            want[i] = max(cands)[0:2] if back else min(cands)[0:2]
+            rt, rid = want[i]
+            want[i] = (rt, rid)
+    assert got == want
+
+
+@SET
+@given(
+    vals=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=2, max_size=8),
+    flips=st.lists(st.integers(min_value=0, max_value=63), min_size=0, max_size=3, unique=True),
+)
+def test_simhash_blocking_never_misses_close_pairs(spark, vals, flips):
+    """Pigeonhole completeness: a pair differing in <= 3 of 64 bits shares a
+    16-bit chunk, so simhash_near_pairs must always surface it."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import simhash_near_pairs
+
+    base = vals[0]
+    close = base
+    for b in flips:
+        close ^= 1 << b
+    if close >= 2**63:
+        close -= 2**64
+    sims = spark.createDataFrame(
+        [(0, base), (1, close)] + [(i + 2, v) for i, v in enumerate(vals[1:])],
+        "doc_id long, simhash long",
+    )
+    pairs = {
+        (r["a"], r["b"]) for r in simhash_near_pairs(sims, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs or base == close and True
+
+
+@SET
+@given(
+    pre=st.text(alphabet="abcdefgh ", min_size=0, max_size=20),
+    mid=st.text(alphabet="abcdefgh", min_size=11, max_size=24),
+    post=st.text(alphabet="abcdefgh ", min_size=0, max_size=20),
+)
+def test_winnowing_guarantee_random_strings(spark, pre, mid, post):
+    """Any shared substring of length >= k + w - 1 (= 11) yields a shared
+    fingerprint — the winnowing paper's core guarantee, on random text."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, f"{pre} {mid} {post}"), (2, f"zz {mid} qq")], ["doc_id", "text"]
+    )
+    fps = winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc.get(1, set()) & by_doc.get(2, set())
