@@ -1502,6 +1502,78 @@ def mm_image_features(spark, sf_dir):
 
 
 @_register(
+    "mm_audio_features",
+    f"""
+    WITH aud AS (
+      SELECT doc_id AS media_id, sha256(text) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 1
+    ), b AS (
+      SELECT media_id, hx, n_bytes,
+             {_HEXBYTE.format(a=7, b=8)} AS b3,
+             {_HEXBYTE.format(a=9, b=10)} AS b4,
+             {_HEXBYTE.format(a=11, b=12)} AS b5
+      FROM aud
+    )
+    SELECT media_id, hx AS sha256, CAST(n_bytes AS BIGINT) AS n_bytes,
+           ROUND(b3 / 255.0, 6) AS fake_rms,
+           CAST(b4 * 256 + b5 AS BIGINT) AS fake_zero_crossings
+    FROM b
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """Arrow-batched audio feature extraction over binary payloads —
+    value-checked like mm_image_features via the sha256-derived fake decode
+    (multimodal.audio_features)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    media = _media(spark, sf_dir).filter(F.col("kind") == "audio")
+    out = audio_features(media)
+    return out.select(
+        "media_id",
+        "sha256",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "fake_rms",
+        F.col("fake_zero_crossings").cast("long").alias("fake_zero_crossings"),
+    )
+
+
+@_register(
+    "mm_resize_plan",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             n_chars % 512 + 1 AS w, (n_chars * 7) % 512 + 1 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), s AS (
+      SELECT media_id, w, h,
+             CASE WHEN GREATEST(w, h) > 256
+                  THEN 256.0 / GREATEST(w, h) ELSE 1.0 END AS scale
+      FROM img
+    )
+    SELECT media_id, ROUND(scale, 6) AS scale,
+           CAST(GREATEST(FLOOR(w * scale), 1) AS BIGINT) AS target_w,
+           CAST(GREATEST(FLOOR(h * scale), 1) AS BIGINT) AS target_h
+    FROM s
+    """,
+)
+def mm_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize plan from metadata only — the payload stays
+    out of the plan entirely (multimodal.resize_plan)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import resize_plan
+
+    out = resize_plan(_media(spark, sf_dir), max_dim=256)
+    return out.select(
+        "media_id",
+        "scale",
+        F.col("target_w").cast("long").alias("target_w"),
+        F.col("target_h").cast("long").alias("target_h"),
+    )
+
+
+@_register(
     "mm_frame_plan",
     """
     SELECT doc_id AS media_id,

@@ -161,6 +161,75 @@ def image_features(
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("fake_rms", T.DoubleType(), False),
+        T.StructField("fake_zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched audio feature extraction (same plumbing contract as
+    ``image_features``; the decode is the marked stub boundary — a real
+    deployment calls librosa/ffmpeg here)."""
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real audio decode requires librosa/ffmpeg — not in this container"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                d = hashlib.sha256(b).digest()
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        round(d[3] / 255.0, 6),
+                        int.from_bytes(d[4:6], "big"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sha256", "n_bytes", "fake_rms", "fake_zero_crossings"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def resize_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Image resize *plan*: target dimensions from metadata only, preserving
+    aspect ratio — pure column math, payload untouched (the actual pixel
+    resample is the stubbed codec boundary). Emits (media_id, target_w,
+    target_h, scale)."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when(
+        F.greatest(w, h) > max_dim, F.lit(max_dim) / F.greatest(w, h)
+    ).otherwise(F.lit(1.0))
+    return (
+        media.filter(F.col("kind") == "image")
+        .select(
+            "media_id",
+            F.round(scale, 6).alias("scale"),
+            F.greatest((w * scale).cast("int"), F.lit(1)).alias("target_w"),
+            F.greatest((h * scale).cast("int"), F.lit(1)).alias("target_h"),
+        )
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (media_id, frame_ts).
 

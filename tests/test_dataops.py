@@ -388,3 +388,38 @@ def test_range_join_bounds_inclusive(spark):
         for r in range_join(left, right, "k", "t", "t", lo=1, hi=50, bucket_s=30).collect()
     )
     assert got == [11, 12]  # 100 excluded (lo=1), 151 excluded (hi=50), other key excluded
+
+
+def test_audio_features_strict_raises(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+        media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "x", 1)], ["doc_id", "text", "n_chars"])
+    media = media_from_documents(docs)
+    with pytest.raises(Exception, match="NotImplementedError|librosa"):
+        audio_features(media, strict=True).collect()
+
+
+def test_resize_plan_aspect_and_clamp(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import resize_plan
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", {"width": 512, "height": 256}),
+            (2, "image", {"width": 100, "height": 50}),
+            (3, "video", {"width": 999, "height": 999}),
+        ],
+        "media_id long, kind string, meta map<string,int>",
+    ).select(
+        "media_id",
+        "kind",
+        F.struct(
+            F.col("meta")["width"].alias("width"), F.col("meta")["height"].alias("height")
+        ).alias("meta"),
+    )
+    got = {r["media_id"]: (r["target_w"], r["target_h"]) for r in resize_plan(media).collect()}
+    assert got[1] == (256, 128)      # downscaled, aspect preserved
+    assert got[2] == (100, 50)       # under max_dim: untouched
+    assert 3 not in got              # non-image filtered out
