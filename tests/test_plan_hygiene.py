@@ -1,0 +1,53 @@
+"""Physical-plan hygiene across the whole driver query surface.
+
+At 100 TB the difference between a right plan and a wrong one is a
+cartesian product, a lost filter pushdown, or a fact-table broadcast.
+These checks run `.explain` over every registered query at sf0.001 and
+assert the properties that must survive refactors."""
+
+from __future__ import annotations
+
+import pytest
+
+from routing_algorithm_for_graph_dbs_spark.driver_surface import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# queries where per-iteration/collect-driven execution makes a static plan
+# check meaningless (iterative kernels, applyInPandas over collected seeds)
+DYNAMIC = {"graph_bfs_hops", "graph_components", "graph_betweenness"}
+
+
+def _plan(spark, name):
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - DYNAMIC))
+def test_no_cartesian_product(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "p3_p4_filters")
+    assert "PushedFilters: [" in plan
+    # at least one non-empty pushed filter on the lineitem scan
+    assert any(
+        "PushedFilters: [" in line and "[]" not in line
+        for line in plan.splitlines()
+    ), "expected pushed filters on the parquet scan"
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "p1_project_rename")
+    read = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read and "l_comment" not in read[0], "projection should prune unused columns"
+
+
+def test_join_chain_broadcasts_dimensions(spark):
+    plan = _plan(spark, "j1_join_chain")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dims must broadcast, not sort-merge"
