@@ -243,6 +243,136 @@ def routing_between_two_points_in_space(
     return _decompose_path(winner, day_st)
 
 
+def _fmt_hms(s: int | float) -> str:
+    s = int(s)
+    return f"{s // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}"
+
+
+def plan_trip(
+    tables: dict[str, DataFrame],
+    graph: ProjectedGraph,
+    start_lat: float,
+    start_lon: float,
+    end_lat: float,
+    end_lon: float,
+    time_s: int,
+    speed: float = 1.0,
+    radius_m: float = 300.0,
+    max_duration_h: int = 4,
+    foot_tables: dict[str, DataFrame] | None = None,
+) -> dict:
+    """The reference's full interactive flow in one call (driver
+    ``main.py:259-303`` + notebook cells 6-18): candidate stop discovery,
+    point-to-point routing, change count, walking legs (footway-graph
+    distances when foot tables are present, straight-line otherwise), totals
+    and the ``show_more_details`` narrative (``main.py:216-237``).
+
+    Returns {legs: DataFrame, rows, changes, start_walk_m, end_walk_m,
+    totals, narrative}.
+    """
+    from routing_algorithm_for_graph_dbs_spark.operators.queries import (
+        find_near_stops,
+    )
+
+    start_list = [
+        r["stop_name"]
+        for r in find_near_stops(tables, graph.day, start_lat, start_lon, radius_m).collect()
+    ]
+    end_list = [
+        r["stop_name"]
+        for r in find_near_stops(tables, graph.day, end_lat, end_lon, radius_m).collect()
+    ]
+    legs = routing_between_two_points_in_space(
+        graph,
+        start_lat,
+        start_lon,
+        end_lat,
+        end_lon,
+        start_list,
+        end_list,
+        speed,
+        time_s,
+        max_duration_h,
+    )
+    rows = legs.collect()
+    if not rows:
+        return {
+            "legs": legs,
+            "rows": [],
+            "changes": 0,
+            "start_walk_m": float("inf"),
+            "end_walk_m": float("inf"),
+            "totals": None,
+            "narrative": "No feasible itinerary in the time window.",
+        }
+    changes = count_changes(legs)
+
+    def _walk_m(stop_id: str, lat: float, lon: float, slat, slon) -> float:
+        if foot_tables is not None and "foot_nodes" in foot_tables:
+            from routing_algorithm_for_graph_dbs_spark.graph.footway import (
+                distance_from_a_stop,
+            )
+
+            km = distance_from_a_stop(
+                foot_tables, stop_id, lat, lon, stops=tables["stops"]
+            )
+            if km != float("inf"):
+                return km * 1000.0
+        # fall back to straight-line (the reference's geopy geodesic client
+        # helper, main.py:320-323)
+        import math
+
+        r = 6371000.0
+        p1, p2 = math.radians(lat), math.radians(slat)
+        dp, dl = math.radians(slat - lat), math.radians(slon - lon)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * r * math.asin(math.sqrt(a))
+
+    first, last = rows[0], rows[-1]
+    start_walk_m = _walk_m(
+        first["starting_stop_id"],
+        start_lat,
+        start_lon,
+        first["starting_stop_coordinates"][0],
+        first["starting_stop_coordinates"][1],
+    )
+    end_walk_m = _walk_m(
+        last["next_stop_id"],
+        end_lat,
+        end_lon,
+        last["next_stop_coordinates"][0],
+        last["next_stop_coordinates"][1],
+    )
+    totals = itinerary_totals(legs, start_walk_m, end_walk_m, speed)
+
+    # show_more_details narrative (main.py:216-237): per-line boarding
+    # instructions with times and stop names
+    lines = [
+        f"Walk {start_walk_m:.0f} m to {first['starting_stop_name']} and board "
+        f"line {first['line']} (trip {first['trip']}) at {_fmt_hms(first['departure'])}."
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["line"] != prev["line"]:
+            lines.append(
+                f"At {_fmt_hms(prev['arrival'])} change at {prev['next_stop']} to "
+                f"line {cur['line']} (trip {cur['trip']}), departing {_fmt_hms(cur['departure'])}."
+            )
+    lines.append(
+        f"Alight at {last['next_stop']} at {_fmt_hms(last['arrival'])} and walk "
+        f"{end_walk_m:.0f} m to the destination. Total {_fmt_hms(totals['total_seconds'])}"
+        f" ({changes} change{'s' if changes != 1 else ''})."
+    )
+    return {
+        "legs": legs,
+        "rows": rows,
+        "changes": changes,
+        "start_walk_m": start_walk_m,
+        "end_walk_m": end_walk_m,
+        "totals": totals,
+        "narrative": " ".join(lines),
+    }
+
+
 def count_changes(legs: DataFrame) -> int:
     """Number of line changes (parity: client lambda ``main.py:284-285``)."""
     n_lines = legs.select("line").distinct().count()

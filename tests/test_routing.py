@@ -136,3 +136,44 @@ def test_footway_walking_distance(gtfs):
 
     km = distance_from_a_stop(gtfs, "S_D", 44.64990, 10.91780, stops=gtfs["stops"])
     assert abs(km - 0.215) < 1e-3
+
+
+def test_plan_trip_end_to_end(gtfs, graph):
+    """The notebook's full cells 6-18 flow: the Autostazione -> Tonini
+    anchor itinerary with footway walking legs and narrative."""
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import plan_trip
+
+    out = plan_trip(
+        gtfs,
+        graph,
+        start_lat=44.6500,
+        start_lon=10.9180,
+        end_lat=44.6313,
+        end_lon=10.8733,
+        time_s=T0,
+        speed=1.0,
+        radius_m=200.0,
+        foot_tables=gtfs,
+    )
+    assert out["changes"] == 1
+    assert [r["trip"] for r in out["rows"]] == ["T1a", "T1a", "T1a", "T1a", "T10a"]
+    # footway-graph start walk: nearest footnode + walk to S_A's footnode
+    assert out["start_walk_m"] != float("inf")
+    assert out["totals"]["total_seconds"] > out["totals"]["transit_seconds"]
+    assert "board line 1" in out["narrative"]
+    assert "change at" in out["narrative"]
+    assert "1 change" in out["narrative"]
+
+
+def test_plan_trip_no_itinerary(gtfs, graph):
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import plan_trip
+
+    out = plan_trip(
+        gtfs, graph,
+        start_lat=44.6500, start_lon=10.9180,
+        end_lat=44.6313, end_lon=10.8733,
+        time_s=23 * 3600,  # after the last service of the fixture day
+        max_duration_h=1,
+    )
+    assert out["rows"] == [] and out["totals"] is None
+    assert "No feasible itinerary" in out["narrative"]
