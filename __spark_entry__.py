@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins; keys absent here (dd_simhash, ann_lsh_pairs,
-    graph_betweenness) are rows-only by design — engine-specific hashing or
-    no tractable SQL formulation (see docstrings in driver_surface)."""
+    """DuckDB twins; keys absent here (dd_simhash, graph_betweenness) are
+    rows-only by design — engine-specific hashing or no tractable SQL
+    formulation (see docstrings in driver_surface)."""
     return dict(ORACLES)

@@ -1596,6 +1596,32 @@ def mm_frame_plan(spark, sf_dir):
     )
 
 
+@_register(
+    "p5_computed_theta",
+    """
+    SELECT event_id,
+           CAST(epoch_us(ts) - CAST(FLOOR(value * 1000000) AS BIGINT)
+                - 1705276800000000 AS BIGINT) AS slack_us
+    FROM events
+    WHERE epoch_us(ts) - CAST(FLOOR(value * 1000000) AS BIGINT)
+          > 1705276800000000
+    """,
+)
+def p5_computed_theta(spark, sf_dir):
+    """P5: computed theta filter — a predicate over an expression mixing two
+    columns and a literal (the reference's ``departure_time - walk_duration
+    > time(t)``, main.py:132,140), here over the events table: event time
+    minus a value-derived penalty past a cutoff."""
+    ev = _t(spark, sf_dir, "events")
+    adj = F.unix_micros("ts") - F.floor(F.col("value") * 1_000_000).cast("long")
+    cutoff = 1705276800000000
+    return (
+        ev.withColumn("slack_us", (adj - F.lit(cutoff)).cast("long"))
+        .filter(adj > F.lit(cutoff))
+        .select("event_id", "slack_us")
+    )
+
+
 # =====================================================================
 # as-of / range joins over the events stream table
 # =====================================================================
