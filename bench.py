@@ -63,11 +63,48 @@ def routing_9od(spark, sf_dir):
         tables = synth_gtfs(spark)
         g = project_graph(tables, "2024-01-18", speed=1.0, name="bench_9od")
         _GRAPH_MEMO["g"] = g
+        _GRAPH_MEMO["tables"] = tables
     rows = []
     for s, t in od_pairs_9():
         legs = routing(g, time_s=14 * 3600, source_stop_name=s, target_stop_name=t)
         rows.append((s, t, len(legs.collect())))
     return spark.createDataFrame(rows, "src string, dst string, n_legs int")
+
+
+def find_near_stops_9(spark, sf_dir):
+    """BASELINE.md's other per-query metric: find_near_stops latency
+    (reference: 0.087-0.215 s per lookup). Nine radius lookups at the 9-OD
+    harness's start points, on the same memoized reference-scale feed."""
+    from routing_algorithm_for_graph_dbs_spark.operators.queries import (
+        find_near_stops,
+    )
+    from routing_algorithm_for_graph_dbs_spark.sources.synth_gtfs import (
+        _GRID,
+        _LAT0,
+        _LON0,
+        _STEP,
+        synth_gtfs,
+    )
+
+    from routing_algorithm_for_graph_dbs_spark.plans.projection import project_graph
+
+    g = _GRAPH_MEMO.get("g")
+    if g is None:
+        tables = synth_gtfs(spark)
+        g = project_graph(tables, "2024-01-18", speed=1.0, name="bench_9od")
+        _GRAPH_MEMO["g"] = g
+        _GRAPH_MEMO["tables"] = tables
+    rows = []
+    for i in range(9):
+        lat = _LAT0 + (i * 3 % _GRID) * _STEP
+        lon = _LON0 + (i * 5 % _GRID) * _STEP
+        # the cached day relation is the interactive path (reference: an
+        # indexed DB lookup)
+        n = find_near_stops(
+            _GRAPH_MEMO["tables"], "2024-01-18", lat, lon, 300.0, day_st=g.stoptimes
+        ).count()
+        rows.append((i, n))
+    return spark.createDataFrame(rows, "probe int, n_stops long")
 
 
 def _materialize(df) -> None:
@@ -95,6 +132,11 @@ def main() -> None:
     t0 = time.perf_counter()
     _materialize(routing_9od(spark, sf_dir))
     timings["routing_9od"] = round(time.perf_counter() - t0, 3)
+
+    _materialize(find_near_stops_9(spark, sf_dir))
+    t0 = time.perf_counter()
+    _materialize(find_near_stops_9(spark, sf_dir))
+    timings["find_near_stops_9"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -21,14 +21,23 @@ def find_near_stops(
     lat: float,
     lon: float,
     radius_m: float,
+    day_st: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct names of active stops within ``radius_m`` of a point.
 
     Parity: reference ``App.find_near_stops`` (``main.py:62-71``) — calendar
     join J1 + ``point.distance(coord, startPoint) < radius`` (P6) +
     ``RETURN distinct s.name`` (P10).
+
+    ``day_st``: pass a cached day relation (e.g. a ProjectedGraph's
+    ``stoptimes``) to skip recomputing the calendar join per lookup — the
+    interactive-latency path, like the reference querying its indexed DB.
     """
-    active = service_day_stoptimes(tables, day, with_route=False)
+    active = (
+        day_st
+        if day_st is not None
+        else service_day_stoptimes(tables, day, with_route=False)
+    )
     dist = haversine_meters(
         F.col("stop_lat"), F.col("stop_lon"), F.lit(lat), F.lit(lon)
     )
