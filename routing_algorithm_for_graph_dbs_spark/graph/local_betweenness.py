@@ -66,12 +66,13 @@ def broadcast_betweenness(
     — exact Brandes). One task per source batch; tasks share the broadcast
     CSR; one shuffle to sum partials."""
     spark = edges.sparkSession
-    e1 = edges.select("src", "dst").distinct().withColumn("_w", F.lit(1.0))
-    bc = _prepare(e1, "_w")
+    # weight_col=None = unweighted+deduped inside _prepare, cached against
+    # the ORIGINAL edges DataFrame so the 2nd..nth call pays zero prep
+    bc = _prepare(edges, None)
 
     verts = (
-        e1.select(F.col("src").alias("node"))
-        .unionByName(e1.select(F.col("dst").alias("node")))
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     src_nodes = (

@@ -35,23 +35,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
 from pyspark.sql import types as T
 
-# driver-side prep cache: (id(edges), weight_col) -> broadcast handle
-_PREP_CACHE: dict[tuple, object] = {}
-# executor-side decoded-graph cache keyed by id(broadcast.value)
+# driver-side prep cache: (id(edges), weight_col) -> (edges_ref, broadcast).
+# The DataFrame reference is held ON PURPOSE: the key uses id(), and CPython
+# recycles ids after GC — without the ref, a new DataFrame landing at a
+# recycled address would silently reuse the CSR of a different graph.
+_PREP_CACHE: dict[tuple, tuple] = {}
+# executor-side decoded-graph cache keyed by id(broadcast.value); each value
+# holds the payload ref for the same id-stability reason
 _GRAPH_CACHE: dict[int, dict] = {}
 
 
-def _prepare(edges: DataFrame, weight_col: str):
-    """Collect the edge relation once and broadcast CSR arrays."""
+def _prepare(edges: DataFrame, weight_col: str | None):
+    """Collect the edge relation once and broadcast CSR arrays.
+
+    ``weight_col=None`` = unweighted: (src, dst) deduped, weight 1.0 — the
+    betweenness configuration, cached under the SAME original DataFrame so
+    repeated calls hit.
+    """
     key = (id(edges), weight_col)
-    bc = _PREP_CACHE.get(key)
-    if bc is not None:
-        return bc
-    pdf = edges.select(
-        F.col("src").cast("string"),
-        F.col("dst").cast("string"),
-        F.col(weight_col).cast("double").alias("w"),
-    ).toPandas()
+    hit = _PREP_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    if weight_col is None:
+        sel = edges.select(
+            F.col("src").cast("string"), F.col("dst").cast("string")
+        ).distinct().withColumn("w", F.lit(1.0))
+    else:
+        sel = edges.select(
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+    pdf = sel.toPandas()
     all_ids, uniques = pd.factorize(
         pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
     )
@@ -71,8 +86,9 @@ def _prepare(edges: DataFrame, weight_col: str):
     }
     bc = edges.sparkSession.sparkContext.broadcast(payload)
     while len(_PREP_CACHE) >= 4:  # bound driver+executor memory, FIFO evict
-        _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
-    _PREP_CACHE[key] = bc
+        _, old_bc = _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
+        old_bc.unpersist()  # actually free the executor-side blocks
+    _PREP_CACHE[key] = (edges, bc)
     return bc
 
 
@@ -83,6 +99,7 @@ def _decoded(payload: dict) -> dict:
     if g is None:
         g = dict(payload)
         g["index"] = {s: i for i, s in enumerate(payload["ids"])}
+        g["_payload"] = payload  # keep alive: the cache key is id(payload)
         while len(_GRAPH_CACHE) >= 4:
             _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
         _GRAPH_CACHE[key] = g

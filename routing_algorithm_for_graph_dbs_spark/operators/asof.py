@@ -82,10 +82,16 @@ def asof_join(
         ["_k"],
     ).filter(F.col("_rt") == F.col("_bt")).select("_k", "_rb", "_rt", "_row")
 
-    # _lid keeps duplicate left rows distinct under the final rank (stable
-    # within one action, which is the only scope the rank needs)
+    # Duplicate left rows are collapsed to one representative with a count
+    # and re-expanded after the rank. This keeps the final rank partition key
+    # fully DETERMINISTIC (the left columns themselves) — a
+    # monotonically_increasing_id would be recomputed independently by the
+    # raw and boundary branches below and can disagree between them,
+    # duplicating matches.
+    lcols = list(left.columns)
     l = (
-        left.withColumn("_lid", F.monotonically_increasing_id())
+        left.groupBy(*lcols)
+        .agg(F.count(F.lit(1)).alias("_n"))
         .withColumn("_lb", F.floor(F.col(left_time) / bucket_s))
         .withColumn("_lt", F.col(left_time))
     )
@@ -118,13 +124,15 @@ def asof_join(
         F.col("_rt") <= F.col("_lt") if back else F.col("_rt") >= F.col("_lt")
     )
 
-    w2 = Window.partitionBy("_lid").orderBy(
+    w2 = Window.partitionBy(*lcols).orderBy(
         (F.col("_rt").desc() if back else F.col("_rt").asc()), F.col("_row")
     )
     out = (
         cand.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") == 1)
-        .select(*left.columns, F.col("_row.*"))
+        # restore the multiplicity of duplicate left rows
+        .withColumn("_dup", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .select(*lcols, F.col("_row.*"))
     )
     return out
 

@@ -164,14 +164,9 @@ def build_change_edges(
     source, target, w = _change_sources_targets(day_stoptimes, walk_to)
 
     tgt_b = target.withColumn("tbucket", F.floor(F.col("dst_departure") / bucket_s))
-    b0 = tgt_b.agg(F.min("tbucket")).first()[0]
-    if b0 is None:  # no targets at all
-        return _finish_change(
-            tgt_b.join(
-                source.join(F.broadcast(w), F.lit(False)), F.lit(False)
-            ).withColumn("threshold", F.lit(0)),
-            walk_secs,
-        )
+    # no targets at all -> b0=0 flows through the normal plan and every
+    # branch is empty, yielding the correct empty result
+    b0 = tgt_b.agg(F.min("tbucket")).first()[0] or 0
     # earliest departure per (stop, line, service, bucket) ...
     eb = tgt_b.groupBy("dst_stop", "dst_line", "dst_service", "tbucket").agg(
         F.min("dst_departure").alias("eb_dep")
@@ -314,6 +309,11 @@ def project_graph(
         edges=edges,
         stoptimes=stoptimes,
     )
+    # re-projection under the same name must release the old graph's cached
+    # DataFrames, or repeated day/speed changes pin orphaned storage
+    old = _CATALOG.pop(name, None)
+    if old is not None:
+        old.unpersist()
     _CATALOG[name] = g
     return g
 
@@ -349,7 +349,14 @@ def graph_metrics(g: ProjectedGraph) -> dict:
     """
     n = g.vertices.count()
     m = g.edges.count()
-    deg = g.edges.groupBy("src").count()
+    # degrees over ALL vertices: sinks (e.g. a trip's final stoptime with no
+    # feasible transfer) count as degree 0, matching gds.graph.list's
+    # degreeDistribution over nodeCount nodes
+    deg = (
+        g.vertices.select(F.col("id").alias("src"))
+        .join(g.edges.groupBy("src").count(), "src", "left")
+        .select(F.coalesce("count", F.lit(0)).alias("count"))
+    )
     pct = deg.select(
         F.min("count").alias("min"),
         F.expr("percentile_approx(count, 0.5)").alias("p50"),
