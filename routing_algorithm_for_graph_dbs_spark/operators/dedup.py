@@ -189,6 +189,11 @@ def minhash_dedup(
     transitive clusters because every member pairs with the cluster min or
     chains to it; for strict transitive closure run
     graph.components.connected_components on the pair list)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands});"
+            " trailing hashes would be computed but never bucketed"
+        )
     sigs = minhash_signatures(df, text_col, key_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, key_col, bands, num_hashes // bands)
     dups = jaccard_verify(cands, df, text_col, key_col, shingle_n, threshold)
@@ -202,24 +207,26 @@ def simhash(
     """64-bit SimHash over word tokens, pure column expressions.
 
     For each bit position b: sum over tokens of (bit b of xxhash64(token)
-    ? +1 : -1); simhash bit b = sign. Implemented as one ``aggregate`` over
-    the token array per bit-group using bigint bit ops — JVM-side only.
+    ? +1 : -1); simhash bit b = sign. Tokens are hashed ONCE into a bigint
+    array; the 64 bit votes aggregate over the precomputed hashes (hashing
+    inside each vote lambda would recompute every hash 64x).
     """
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    h = lambda t: F.xxhash64(t)  # noqa: E731
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hdf = df.select(F.col(key_col), hashes.alias("_h"))
 
     def bit_vote(b: int) -> Column:
         return F.aggregate(
-            toks,
+            F.col("_h"),
             F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.when(F.shiftright(h(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
 
     sim = F.lit(0).cast("long")
     for b in range(64):
         sim = sim + F.when(bit_vote(b) > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63))).otherwise(0)
-    return df.select(F.col(key_col), sim.alias("simhash"))
+    return hdf.select(F.col(key_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -94,6 +94,12 @@ def embedding_near_dup_pairs(
     add probes for tighter guarantees — standard ANN tradeoff.)
     """
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty input -> empty pair set, not a crash
+        return embeddings.sparkSession.createDataFrame(
+            [], f"a {embeddings.schema[key_col].dataType.simpleString()}, "
+                f"b {embeddings.schema[key_col].dataType.simpleString()}, "
+                "cosine_sim double",
+        )
     dim = dim_row["d"]
     planes = hyperplanes(dim, n_planes, seed)
 
@@ -117,11 +123,28 @@ def embedding_near_dup_pairs(
     )
 
 
+def _collect_centroids(
+    embeddings: DataFrame, n_centroids: int, vec_col: str, key_col: str
+) -> list:
+    """The ``n_centroids`` smallest-key vectors, collected once (works for
+    any key space — sparse, offset, or string-ordered)."""
+    cents = (
+        embeddings.select(F.col(key_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    if not cents:
+        raise ValueError("ivf: embeddings input is empty, no centroids to seed")
+    return cents
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 8,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    cents: list | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid.
 
@@ -135,12 +158,8 @@ def ivf_assign(
     shuffle, no UDF. Ties (equal rounded cosine) go to the lowest centroid
     id.
     """
-    cents = (
-        embeddings.filter(F.col(key_col) < n_centroids)
-        .select(F.col(key_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .collect()
-    )
+    if cents is None:
+        cents = _collect_centroids(embeddings, n_centroids, vec_col, key_col)
     sims = [
         F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in r["cv"]])), 6)
         for r in cents
@@ -169,12 +188,8 @@ def ivf_topk(
     (1/n_centroids * nprobe of the data). Recall < 1 by construction —
     the exact baseline is ``cosine_topk``.
     """
-    assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col)
-    cents = (
-        embeddings.filter(F.col(key_col) < n_centroids)
-        .select(F.col(key_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .collect()
-    )
+    cents = _collect_centroids(embeddings, n_centroids, vec_col, key_col)
+    assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col, cents=cents)
 
     def py_cos(a: list[float], b: list[float]) -> float:
         import math
@@ -206,6 +221,7 @@ def knn_join(
     k: int = 5,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    exclude_same_key: bool = True,
 ) -> DataFrame:
     """For every left vector, its k nearest right vectors by cosine.
 
@@ -213,6 +229,11 @@ def knn_join(
     per-left top-k is a window rank (no global sort). At scale, replace the
     broadcast with IVF partitioning (cluster assignment then per-cluster
     join) — same downstream shape.
+
+    ``exclude_same_key`` (default True) drops pairs whose keys coincide —
+    correct for the self-join use (a vector is trivially its own nearest
+    neighbor). Pass False when left and right are DIFFERENT tables whose key
+    spaces merely overlap, or coinciding keys silently lose candidates.
     """
     from pyspark.sql import Window
 
@@ -220,10 +241,11 @@ def knn_join(
     r = right.select(F.col(key_col).alias("r_id"), F.col(vec_col).alias("rv"))
     sim = cosine(F.col("lv"), F.col("rv"))
     w = Window.partitionBy("l_id").orderBy(F.desc("cosine_sim"), F.col("r_id"))
+    joined = l.crossJoin(F.broadcast(r))
+    if exclude_same_key:
+        joined = joined.filter(F.col("l_id") != F.col("r_id"))
     return (
-        l.crossJoin(F.broadcast(r))
-        .filter(F.col("l_id") != F.col("r_id"))
-        .withColumn("cosine_sim", F.round(sim, 6))
+        joined.withColumn("cosine_sim", F.round(sim, 6))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("l_id", "r_id", "cosine_sim", "rn")

@@ -58,7 +58,7 @@ LEG_COLUMNS = [
 ]
 
 
-def _pick_sources(day_st: DataFrame, feasible: DataFrame) -> DataFrame:
+def _pick_sources(feasible: DataFrame) -> DataFrame:
     """minItems per line then one per line (reference ``main.py:85-87``)."""
     w = Window.partitionBy("route_id").orderBy("departure_s", "stoptime_id")
     return (
@@ -164,7 +164,7 @@ def routing(
     feasible_src = day_st.filter(
         (F.col("stop_name") == source_stop_name) & (F.col("departure_s") > time_s)
     )
-    sources = _pick_sources(day_st, feasible_src)
+    sources = _pick_sources(feasible_src)
 
     targets = day_st.filter(
         (F.col("stop_name") == target_stop_name) & (F.col("departure_s") < end_s)
@@ -207,7 +207,7 @@ def routing_between_two_points_in_space(
         F.col("stop_name").isin(start_list)
         & ((F.col("departure_s") - start_walk) > F.lit(time_s))
     )
-    sources = _pick_sources(day_st, feasible_src)
+    sources = _pick_sources(feasible_src)
 
     # stage 2: departure + walk_to_end < endtime (main.py:140)
     targets = day_st.filter(

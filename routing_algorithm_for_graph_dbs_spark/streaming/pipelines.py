@@ -8,10 +8,13 @@ query surface: every pipeline here has a batch twin in driver_surface
 exactly how the tests check them (availableNow replay == batch answer).
 
 Scale/ops notes baked in:
-- **watermarks bound state.** Every stateful stage (windows, sessions,
-  dedup) declares an event-time watermark; without it state grows without
-  bound on a real stream. The watermark also defines late-data semantics:
-  events later than the delay are dropped deterministically.
+- **watermarks bound state.** Every built-in stateful stage (windows,
+  sessions, dedup) declares an event-time watermark; without it state grows
+  without bound on a real stream. The watermark also defines late-data
+  semantics: events later than the delay are dropped deterministically.
+  For ARBITRARY state (``applyInPandasWithState``) the watermark alone does
+  not evict — ``running_user_totals`` exposes an explicit event-time TTL
+  for that (see its docstring for the tradeoff).
 - **file-source streams replay.** ``maxFilesPerTrigger`` turns a parquet
   directory into a rate-limited replay — the standard backfill trick: the
   SAME code runs the historical backfill and the live tail.
@@ -118,25 +121,53 @@ _TOTALS_OUT = T.StructType(
 )
 
 
-def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def running_user_totals(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    state_ttl_s: int | None = None,
+) -> DataFrame:
     """Custom stateful operator: per-user running (count, sum(value)) via
     ``applyInPandasWithState`` — the arbitrary-state escape hatch for
     operators the built-ins can't express (SURVEY-mandated custom-operator
-    tier (b)). Emits the updated running totals each microbatch."""
+    tier (b)). Emits the updated running totals each microbatch.
+
+    Unlike the built-in stateful stages, ``withWatermark`` alone does NOT
+    bound arbitrary state. ``state_ttl_s`` opts into eviction: a user whose
+    last event is older than watermark + ttl has its state removed (an
+    event-time timeout), so the state store is bounded by the active-user
+    set. The tradeoff is explicit: an evicted user who reappears restarts
+    from zero. ``None`` keeps lifetime totals (unbounded user spaces will
+    grow state without bound — fine for bounded key domains, wrong for
+    e.g. per-session keys)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
+        mx_ts = None
         for pdf in pdfs:
             n += int(len(pdf))
             total += float(pdf["value"].fillna(0.0).sum())
+            m = pdf["ts"].max()
+            mx_ts = m if mx_ts is None else max(mx_ts, m)
         state.update((n, total))
+        if state_ttl_s is not None and mx_ts is not None:
+            state.setTimeoutTimestamp(
+                int(mx_ts.timestamp() * 1000) + state_ttl_s * 1000
+            )
         yield pd.DataFrame(
             {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
         )
 
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if state_ttl_s is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -145,7 +176,7 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             outputStructType=_TOTALS_OUT,
             stateStructType=_TOTALS_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

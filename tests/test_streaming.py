@@ -133,3 +133,56 @@ def test_multi_file_replay_is_incremental(spark, events_dir, tmp_path):
         <= cutoff
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_running_totals_state_ttl_evicts(spark, tmp_path):
+    """With state_ttl_s set, a user idle past watermark+ttl is evicted and
+    restarts from zero on reappearance — bounded arbitrary state."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    base = dt.datetime(2024, 1, 1)
+
+    def write(name, rows, mtime):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+        p = str(tmp_path / name)
+        df.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), times=(mtime, mtime))
+        return p
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = _time.time() - 3600
+
+    def add(name, rows, i):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+        tmp = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{name}.parquet")
+                os.rename(os.path.join(tmp, f), dst)
+                os.utime(dst, times=(t0 + i * 60, t0 + i * 60))
+
+    # batch 1: user 1 has 3 events at hour 0
+    add("b1", [(i, base, 1, "click", 1.0, "{}") for i in range(3)], 0)
+    # batch 2: user 2 far in the future -> watermark jumps past u1's ttl
+    add("b2", [(10, base + dt.timedelta(hours=50), 2, "click", 1.0, "{}")], 1)
+    # batch 3: u1 idle while the advanced watermark is current -> the
+    # event-time timeout fires for u1 in THIS batch (timeouts only fire for
+    # groups with no new data) and its state is removed
+    add("b3", [(12, base + dt.timedelta(hours=50, minutes=30), 2, "click", 1.0, "{}")], 2)
+    # batch 4: user 1 reappears -> restarts at 1
+    add("b4", [(11, base + dt.timedelta(hours=51), 1, "click", 1.0, "{}")], 3)
+
+    stream = running_user_totals(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        watermark="1 hour",
+        state_ttl_s=3600,
+    )
+    run_available_now(stream, "t_ttl", str(tmp_path / "ck_ttl"), "update")
+    got = spark.table("t_ttl").collect()
+    u1_counts = sorted(r["n"] for r in got if r["user_id"] == 1)
+    assert u1_counts == [1, 3], f"expected reset after eviction, got {u1_counts}"
