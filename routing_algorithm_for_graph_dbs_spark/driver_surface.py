@@ -966,7 +966,7 @@ def txt_language_id(spark, sf_dir):
     SELECT doc_id,
            CAST(CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words,
-           ROUND((length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]|[^[:alnum:][:space:]_]', '', 'g')))
+           ROUND((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')))
                  * 1.0 / GREATEST(length(text), 1), 6) AS punct_ratio
     FROM documents
     """,
@@ -1295,7 +1295,7 @@ def txt_fingerprint(spark, sf_dir):
              MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
       FROM grams
     )
-    SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= maxpos - 3
+    SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= GREATEST(maxpos - 3, 1)
     """,
 )
 def txt_winnow(spark, sf_dir):

@@ -18,17 +18,20 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
-    directed: bool = False,
     max_iterations: int = 100,
 ) -> DataFrame:
-    """Return (node, component) where component = min node id reachable.
+    """Return (node, component) where component = the minimum node id in the
+    node's WEAKLY-connected component.
 
-    ``edges``: (src, dst). Undirected by default (edges symmetrized), which
-    gives weakly-connected components for directed graphs.
+    ``edges``: (src, dst); always symmetrized internally — min-label
+    propagation along one direction only would compute min-ancestor labels,
+    which are neither weak nor strong components. (Strongly-connected
+    components need a different algorithm entirely; the engine's parity
+    target — the reference's reachability guard over symmetrized footways —
+    is the weak form.)
     """
     e = edges.select("src", "dst")
-    if not directed:
-        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().repartition("src").persist()
 
     if vertices is None:

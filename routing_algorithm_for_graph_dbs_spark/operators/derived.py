@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.functions.spatial import (
+    grid_cell,
     haversine_meters,
     meters_to_deg_lat,
     meters_to_deg_lon,
@@ -63,7 +64,7 @@ def spatial_self_join(
     lat_col: str,
     lon_col: str,
     radius_m: float,
-    ref_lat: float = 44.65,
+    ref_lat: float | None = None,
 ) -> DataFrame:
     """All ordered pairs of points within ``radius_m`` meters (grid-bucketed).
 
@@ -73,16 +74,28 @@ def spatial_self_join(
     one equi-join bucket. Returns (src_<id>, dst_<id>, distance) with
     src != dst, both directions present (the reference MERGEs an undirected
     WALK_TO but traverses it both ways).
+
+    ``ref_lat`` sizes the longitude cell width; it defaults to the DATA's
+    maximum |latitude| (one tiny agg at build time) so cells are never
+    narrower than the radius anywhere in the dataset — a fixed mid-latitude
+    constant would silently drop in-radius pairs for data closer to the
+    poles (cells shrink with cos(lat)).
     """
+    if ref_lat is None:
+        row = points.agg(F.max(F.abs(F.col(lat_col))).alias("m")).first()
+        ref_lat = float(row["m"]) if row and row["m"] is not None else 0.0
     dlat = meters_to_deg_lat(radius_m)
     dlon = meters_to_deg_lon(radius_m, ref_lat)
 
+    cell = grid_cell(
+        F.col(lat_col).cast("double"), F.col(lon_col).cast("double"), dlat, dlon
+    )
     pts = points.select(
         F.col(id_col).alias("_pid"),
         F.col(lat_col).cast("double").alias("_lat"),
         F.col(lon_col).cast("double").alias("_lon"),
-        F.floor(F.col(lat_col) / F.lit(dlat)).cast("long").alias("_cy"),
-        F.floor(F.col(lon_col) / F.lit(dlon)).cast("long").alias("_cx"),
+        cell.getField("cy").alias("_cy"),
+        cell.getField("cx").alias("_cx"),
     )
 
     # replicate left to the 3x3 neighborhood: 9 rows per point, constant factor

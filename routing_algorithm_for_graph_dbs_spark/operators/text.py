@@ -54,7 +54,10 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_chars = F.length(t)
     words = _word_count(t)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    # \p{L}\p{N}, not \w: Java's \w is ASCII-only, which would count every
+    # accented letter as punctuation — systematically deflating the quality
+    # score for exactly the non-English corpora LANG_MARKERS targets
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\p{L}\p{N}_\s]", ""))
     n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     stop_re = "(?i)\\b(" + "|".join(LANG_MARKERS["en"]) + ")\\b"
@@ -163,7 +166,11 @@ def winnow_fingerprints(
     return (
         grams.withColumn("fp", F.min("h").over(win))
         .withColumn("_n", F.max("pos").over(n_win))
-        .filter(F.col("pos") <= F.col("_n") - (w - 1))
+        # documents with fewer than w windows still emit their single
+        # min-hash (standard winnowing guarantees >= 1 fingerprint per doc;
+        # dropping short docs entirely would make short exact duplicates
+        # invisible to fingerprint-based dedup)
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - (w - 1), F.lit(1)))
         .select(key_col, "fp")
         .distinct()
     )

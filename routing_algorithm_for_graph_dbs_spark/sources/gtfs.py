@@ -160,6 +160,13 @@ def read_gtfs(spark: SparkSession, gtfs_dir: str) -> dict[str, DataFrame]:
         if os.path.exists(p):
             raw[name] = _read_csv(spark, p, name)
 
+    required = ("agency", "routes", "trips", "stops", "stop_times")
+    missing = [_FILE_NAMES[n] for n in required if n not in raw]
+    if missing:
+        raise FileNotFoundError(
+            f"GTFS feed at {gtfs_dir} is missing required files: {missing}"
+        )
+
     tables: dict[str, DataFrame] = {}
     tables["agency"] = raw["agency"].dropDuplicates(["agency_name"])
     tables["routes"] = (

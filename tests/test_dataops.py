@@ -306,7 +306,9 @@ def test_winnow_shared_substring_guarantee(spark):
     for r in fps:
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
-    assert 3 not in by_doc, "doc shorter than k+w-1 yields no fingerprints"
+    # short docs still emit >= 1 fingerprint (winnowing's per-doc guarantee),
+    # so short exact duplicates remain detectable
+    assert len(by_doc[3]) == 1
 
 
 def test_ivf_topk_contains_query_and_respects_probe(emb):
