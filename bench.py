@@ -43,6 +43,21 @@ HEADLINE = [
 _GRAPH_MEMO: dict[str, object] = {}
 
 
+def _reference_scale_graph(spark):
+    """Memoized reference-scale feed + projection shared by the routing and
+    near-stops benchmarks (one source of truth for day/speed/scale)."""
+    from routing_algorithm_for_graph_dbs_spark.plans.projection import project_graph
+    from routing_algorithm_for_graph_dbs_spark.sources.synth_gtfs import synth_gtfs
+
+    if "g" not in _GRAPH_MEMO:
+        tables = synth_gtfs(spark)
+        _GRAPH_MEMO["tables"] = tables
+        _GRAPH_MEMO["g"] = project_graph(
+            tables, "2024-01-18", speed=1.0, name="bench_9od"
+        )
+    return _GRAPH_MEMO["tables"], _GRAPH_MEMO["g"]
+
+
 def routing_9od(spark, sf_dir):
     """The reference's 9-OD-pair routing harness (main.py:326-369) at the
     reference's own scale: synthetic GTFS with 252k stoptimes / ~1.9M
@@ -51,19 +66,10 @@ def routing_9od(spark, sf_dir):
     the reference's routing_graph_creation; the timed work is the 9
     sequential routing queries. ``sf_dir`` is unused — the scale anchor is
     the reference's own feed size, not the TPC-ish tables."""
-    from routing_algorithm_for_graph_dbs_spark.plans.projection import project_graph
     from routing_algorithm_for_graph_dbs_spark.plans.routing import routing
-    from routing_algorithm_for_graph_dbs_spark.sources.synth_gtfs import (
-        od_pairs_9,
-        synth_gtfs,
-    )
+    from routing_algorithm_for_graph_dbs_spark.sources.synth_gtfs import od_pairs_9
 
-    g = _GRAPH_MEMO.get("g")
-    if g is None:
-        tables = synth_gtfs(spark)
-        g = project_graph(tables, "2024-01-18", speed=1.0, name="bench_9od")
-        _GRAPH_MEMO["g"] = g
-        _GRAPH_MEMO["tables"] = tables
+    _, g = _reference_scale_graph(spark)
     rows = []
     for s, t in od_pairs_9():
         legs = routing(g, time_s=14 * 3600, source_stop_name=s, target_stop_name=t)
@@ -83,17 +89,9 @@ def find_near_stops_9(spark, sf_dir):
         _LAT0,
         _LON0,
         _STEP,
-        synth_gtfs,
     )
 
-    from routing_algorithm_for_graph_dbs_spark.plans.projection import project_graph
-
-    g = _GRAPH_MEMO.get("g")
-    if g is None:
-        tables = synth_gtfs(spark)
-        g = project_graph(tables, "2024-01-18", speed=1.0, name="bench_9od")
-        _GRAPH_MEMO["g"] = g
-        _GRAPH_MEMO["tables"] = tables
+    tables, g = _reference_scale_graph(spark)
     rows = []
     for i in range(9):
         lat = _LAT0 + (i * 3 % _GRID) * _STEP
@@ -101,7 +99,7 @@ def find_near_stops_9(spark, sf_dir):
         # the cached day relation is the interactive path (reference: an
         # indexed DB lookup)
         n = find_near_stops(
-            _GRAPH_MEMO["tables"], "2024-01-18", lat, lon, 300.0, day_st=g.stoptimes
+            tables, "2024-01-18", lat, lon, 300.0, day_st=g.stoptimes
         ).count()
         rows.append((i, n))
     return spark.createDataFrame(rows, "probe int, n_stops long")

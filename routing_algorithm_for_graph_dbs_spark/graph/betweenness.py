@@ -10,8 +10,9 @@ All source BFS trees run simultaneously in one state DataFrame keyed by
 ``lane`` (= source node): each superstep is one join against the cached edge
 relation regardless of how many sources are in flight. At 100 TB scale the
 exact algorithm is quadratic; pass ``sources`` to run the standard sampled
-approximation (scores scale by n/|sample| — flagged in the column name, as
-SURVEY.md §2.9 G3 allows).
+approximation. Both tiers return RAW dependency sums over the given source
+set; the ``betweenness`` dispatcher's ``scaled=True`` multiplies sampled
+scores by n/|sample| (the Brandes/Pich unbiased estimate).
 """
 
 from __future__ import annotations
@@ -130,13 +131,16 @@ def betweenness(
     edges: DataFrame,
     sources: DataFrame | None = None,
     strategy: str = "auto",
+    scaled: bool = False,
 ) -> DataFrame:
     """Two-tier betweenness dispatcher, mirroring graph.sssp.sssp():
     ``broadcast`` runs per-source Brandes tasks over a shared CSR (the
     reference's single-JVM regime, parallelized across sources);
     ``iterative`` is the lane-parallel DataFrame program above for graphs
     beyond single-executor memory. ``sources`` switches both tiers to the
-    sampled approximation."""
+    sampled approximation, which returns RAW per-sample sums;
+    ``scaled=True`` multiplies them by n/|sample| for the unbiased estimate
+    of the exact score."""
     from routing_algorithm_for_graph_dbs_spark.graph.sssp import BROADCAST_EDGE_LIMIT
 
     if strategy == "auto":
@@ -148,5 +152,17 @@ def betweenness(
             broadcast_betweenness,
         )
 
-        return broadcast_betweenness(edges, sources)
-    return betweenness_centrality(edges, sources)
+        out = broadcast_betweenness(edges, sources)
+    else:
+        out = betweenness_centrality(edges, sources)
+    if scaled and sources is not None:
+        n = (
+            edges.select(F.col("src").alias("n"))
+            .unionByName(edges.select(F.col("dst").alias("n")))
+            .distinct()
+            .count()
+        )
+        k = sources.distinct().count()
+        if k:
+            out = out.withColumn("score", F.col("score") * (n / k))
+    return out

@@ -106,7 +106,14 @@ def distance_from_a_stop(
     near = foot_tables.get("foot_near_stop")
     end_id = None
     if near is not None:
-        rows = near.filter(F.col("stop_id") == stop_id).limit(1).collect()
+        # deterministic pick among multiple NEAR links (bare limit(1) varies
+        # with scan order)
+        rows = (
+            near.filter(F.col("stop_id") == stop_id)
+            .orderBy("footnode_id")
+            .limit(1)
+            .collect()
+        )
         if rows:
             end_id = rows[0]["footnode_id"]
     if end_id is None and stops is not None:

@@ -73,8 +73,9 @@ def hours_of_service(tables: dict[str, DataFrame], day: str | dt.date) -> DataFr
         F.min("departure_s").alias("first_dep"),
         F.max("arrival_s").alias("last_arr"),
     )
-    # .hours truncates toward zero, like Cypher duration.inSeconds().hours
-    span_h = F.floor((F.col("last_arr") - F.col("first_dep")) / 3600)
+    # cast truncates toward ZERO like Cypher duration.inSeconds().hours
+    # (F.floor would round a negative span toward -infinity instead)
+    span_h = ((F.col("last_arr") - F.col("first_dep")) / 3600).cast("long")
     return per_route.select(span_h.alias("span_h")).agg(
         F.avg("span_h").alias("avg_hours_of_service")
     )
