@@ -888,12 +888,9 @@ def dd_minhash_sig(spark, sf_dir):
     seeds 0 and 1 exactly."""
     from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
         minhash_signatures,
-        normalize_text,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    docs = docs.filter(F.size(F.split(normalize_text(F.col("text")), " ")) >= 3)
-    sigs = minhash_signatures(docs, num_hashes=2, hash_fn="md5")
+    sigs = minhash_signatures(_min3_docs(spark, sf_dir), num_hashes=2, hash_fn="md5")
     return sigs.select(
         "doc_id",
         F.col("sig").getItem(0).alias("sig0"),
@@ -1674,8 +1671,8 @@ def asof_last_view(spark, sf_dir):
     "rng_followup_events",
     """
     WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
-         err AS (SELECT event_id, user_id, t FROM e
-                 WHERE event_id IN (SELECT event_id FROM events WHERE event_type = 'error'))
+         err AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+                 WHERE event_type = 'error')
     SELECT err.event_id, CAST(COUNT(f.event_id) AS BIGINT) AS n_follow
     FROM err LEFT JOIN e f
       ON f.user_id = err.user_id

@@ -29,6 +29,10 @@ def canon(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):  # int(nan/inf) raises, outside the
+            return repr(v)  # per-query try blocks -> would kill the run
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
@@ -43,6 +47,10 @@ def row_multiset(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(QUERIES)
+    if unknown:  # a typo'd filter must not produce a false-green run
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark(app_name="check_oracles")
     con = duckdb.connect()
     for t in TABLES:
