@@ -332,6 +332,54 @@ def build_walk_to_with_self_loops(stops: DataFrame, radius_m: float = 300.0) -> 
     return pairs.unionByName(self_loops)
 
 
+def save_graph(g: ProjectedGraph, out_dir: str) -> None:
+    """Persist a projected graph as parquet (vertices/edges/stoptimes) plus
+    a metadata file — the operational path at scale: project a day ONCE at
+    ETL time, then any number of routing sessions load the artifact instead
+    of re-deriving CHANGE edges."""
+    import json
+    import os
+
+    g.vertices.write.mode("overwrite").parquet(os.path.join(out_dir, "vertices"))
+    g.edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+    if g.stoptimes is not None:
+        g.stoptimes.write.mode("overwrite").parquet(os.path.join(out_dir, "stoptimes"))
+    with open(os.path.join(out_dir, "graph.json"), "w") as f:
+        json.dump({"name": g.name, "day": g.day, "speed": g.speed}, f)
+
+
+def load_graph(spark, in_dir: str, cache: bool = True) -> ProjectedGraph:
+    """Load a graph saved by :func:`save_graph`, register it in the catalog
+    under its saved name, and (by default) cache its relations."""
+    import json
+    import os
+
+    with open(os.path.join(in_dir, "graph.json")) as f:
+        meta = json.load(f)
+    vertices = spark.read.parquet(os.path.join(in_dir, "vertices"))
+    edges = spark.read.parquet(os.path.join(in_dir, "edges"))
+    st_path = os.path.join(in_dir, "stoptimes")
+    stoptimes = spark.read.parquet(st_path) if os.path.exists(st_path) else None
+    if cache:
+        vertices = vertices.persist()
+        edges = edges.persist()
+        if stoptimes is not None:
+            stoptimes = stoptimes.persist()
+    g = ProjectedGraph(
+        name=meta["name"],
+        day=meta["day"],
+        speed=meta["speed"],
+        vertices=vertices,
+        edges=edges,
+        stoptimes=stoptimes,
+    )
+    old = _CATALOG.pop(g.name, None)
+    if old is not None:
+        old.unpersist()
+    _CATALOG[g.name] = g
+    return g
+
+
 def get_graph(name: str = "graph_walk") -> ProjectedGraph:
     return _CATALOG[name]
 

@@ -153,3 +153,27 @@ def test_bucketed_change_preserves_departure_ties(spark, gtfs):
     assert got == want
     tied = [r for r in got if r[0] == "src#1"]
     assert {r[1] for r in tied} == {"tgt#1", "tgt#2"}, "both tied targets kept"
+
+
+def test_graph_save_load_roundtrip(spark, gtfs, tmp_path):
+    """A saved projection reloads with identical relations and answers the
+    anchor routing query identically — the project-once/load-many path."""
+    from routing_algorithm_for_graph_dbs_spark.plans.projection import (
+        load_graph,
+        project_graph,
+        save_graph,
+    )
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import routing
+
+    g = project_graph(gtfs, "2024-01-18", speed=1.0, name="rt_save")
+    want_edges = sorted(map(tuple, g.edges.collect()))
+    want_legs = [tuple(r) for r in routing(g, 14 * 3600, "Autostazione 1", "Tonini 1").collect()]
+    save_graph(g, str(tmp_path / "gdir"))
+    g.unpersist()
+
+    g2 = load_graph(spark, str(tmp_path / "gdir"))
+    assert g2.name == "rt_save" and g2.day == "2024-01-18" and g2.speed == 1.0
+    assert sorted(map(tuple, g2.edges.collect())) == want_edges
+    got_legs = [tuple(r) for r in routing(g2, 14 * 3600, "Autostazione 1", "Tonini 1").collect()]
+    assert got_legs == want_legs
+    g2.unpersist()
