@@ -171,6 +171,54 @@ def ivf_assign(
     return embeddings.withColumn("centroid_id", assign)
 
 
+def kmeans_refine_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> list:
+    """Lloyd iterations over the seeded centroids, as DataFrame programs.
+
+    Each iteration: map-side nearest-centroid assignment (literal-array
+    cosine, no shuffle) then one explode/groupBy to average member vectors
+    per (cluster, dimension) — the standard distributed k-means step. The
+    refined centroids are returned as plain rows for ``ivf_assign``/
+    ``ivf_topk`` (pass via ``cents=``); refinement trades determinism-
+    across-engines (the oracle-checked queries keep seeded centroids) for
+    recall. Empty clusters keep their previous centroid.
+    """
+    cents = _collect_centroids(embeddings, n_centroids, vec_col, key_col)
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col, cents=cents)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda x: x.getField("m")).alias("cv"),
+            )
+            .collect()
+        )
+        from pyspark.sql import Row
+
+        new = {int(r["centroid_id"]): list(r["cv"]) for r in means}
+        cents = [
+            Row(cid=int(c["cid"]), cv=new.get(int(c["cid"]), list(c["cv"])))
+            for c in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -179,6 +227,7 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    cents: list | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` centroid buckets nearest
     the query, brute-force cosine within them.
@@ -186,9 +235,11 @@ def ivf_topk(
     At 100 TB the win is partition pruning: persist the corpus partitioned
     by ``centroid_id`` and the probed buckets are the only files read
     (1/n_centroids * nprobe of the data). Recall < 1 by construction —
-    the exact baseline is ``cosine_topk``.
+    the exact baseline is ``cosine_topk``; ``cents`` accepts refined
+    centroids from :func:`kmeans_refine_centroids` for better recall.
     """
-    cents = _collect_centroids(embeddings, n_centroids, vec_col, key_col)
+    if cents is None:
+        cents = _collect_centroids(embeddings, n_centroids, vec_col, key_col)
     assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col, cents=cents)
 
     def py_cos(a: list[float], b: list[float]) -> float:

@@ -425,3 +425,32 @@ def test_resize_plan_aspect_and_clamp(spark):
     assert got[1] == (256, 128)      # downscaled, aspect preserved
     assert got[2] == (100, 50)       # under max_dim: untouched
     assert 3 not in got              # non-image filtered out
+
+
+def test_kmeans_refined_ivf_recall_not_worse(emb):
+    """Two Lloyd iterations must not hurt (and typically improve) IVF recall
+    vs the seeded centroids, measured against the exact top-k baseline over
+    several query vectors."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_refine_centroids,
+    )
+
+    refined = kmeans_refine_centroids(emb, n_centroids=8, iterations=2)
+    assert len(refined) == 8 and len(refined[0]["cv"]) == 64
+
+    def recall(cents):
+        hits = total = 0
+        for qid in (0, 17, 101):
+            q = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+            exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+            approx = {
+                r["vec_id"]
+                for r in ivf_topk(emb, q, k=10, n_centroids=8, nprobe=2, cents=cents).collect()
+            }
+            hits += len(exact & approx)
+            total += len(exact)
+        return hits / total
+
+    assert recall(refined) >= recall(None) - 1e-9
