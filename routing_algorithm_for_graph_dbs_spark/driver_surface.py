@@ -38,6 +38,13 @@ def _register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects unless this legacy conf is on. Our own get_spark
+        # sets it at build time, but the DRIVER hands us ITS session — set
+        # it defensively here (runtime-settable) or every events query dies
+        # with PARQUET_TYPE_ILLEGAL at the correctness gate.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long via nanosAsLong: truncate to micros
