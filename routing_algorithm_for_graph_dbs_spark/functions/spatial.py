@@ -36,6 +36,25 @@ def haversine_meters(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> 
     return 2 * F.lit(EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
+def haversine_meters_scalar(
+    lat1: float, lon1: float, lat2: float, lon2: float
+) -> float:
+    """Driver-side scalar twin of :func:`haversine_meters` — same formula,
+    same EARTH_RADIUS_M, same antipode clamp, so client-loop fallbacks
+    (plans.routing.plan_trip) agree bit-for-bit with the column version."""
+    import math
+
+    phi1 = math.radians(lat1)
+    phi2 = math.radians(lat2)
+    dphi = math.radians(lat2 - lat1)
+    dlmb = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dphi / 2) ** 2
+        + math.cos(phi1) * math.cos(phi2) * math.sin(dlmb / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(min(a, 1.0)))
+
+
 def grid_cell(lat: Column, lon: Column, cell_deg_lat: float, cell_deg_lon: float) -> Column:
     """Integer grid-cell id pair for bucketed spatial joins.
 

@@ -62,16 +62,21 @@ def nearest_footnode(foot_nodes: DataFrame, lat: float, lon: float) -> DataFrame
 
 
 def walking_distances(
-    foot_edges: DataFrame, start_ids: list[str]
+    foot_edges: DataFrame, start_ids: list[str], targets: list | None = None
 ) -> DataFrame:
     """Shortest walking distance from each start FootNode to every reachable
-    FootNode: (lane=start_id, node, cost, path)."""
+    FootNode: (lane=start_id, node, cost, path).
+
+    ``targets``: optional node list threaded to the SSSP kernel — the
+    broadcast tier then stops expanding once every target is settled and
+    emits only target rows (same early-termination routing uses,
+    plans/routing.py)."""
     spark = foot_edges.sparkSession
     sources = spark.createDataFrame(
         [(s, s) for s in start_ids], ["lane", "node"]
     )
     edges = foot_edge_union(foot_edges).withColumnRenamed("length", "weight")
-    return sssp(edges, sources, weight_col="weight")
+    return sssp(edges, sources, weight_col="weight", targets=targets)
 
 
 def walking_distance(
@@ -79,7 +84,7 @@ def walking_distance(
 ) -> float:
     """Parity ``get_walking_distance`` — meters, inf if unreachable."""
     res = (
-        walking_distances(foot_edges, [start_id])
+        walking_distances(foot_edges, [start_id], targets=[end_id])
         .filter(F.col("node") == end_id)
         .select("cost")
         .collect()

@@ -165,9 +165,11 @@ def ivf_assign(
         for r in cents
     ]
     best = F.greatest(*sims) if len(sims) > 1 else sims[0]
-    assign = F.lit(None).cast("long")
+    # centroid_id keeps the key column's native type (int or string key
+    # spaces both work; _collect_centroids orders either)
+    assign = F.lit(None).cast(embeddings.schema[key_col].dataType)
     for r, s in zip(reversed(cents), reversed(sims)):
-        assign = F.when(s == best, F.lit(int(r["cid"]))).otherwise(assign)
+        assign = F.when(s == best, F.lit(r["cid"])).otherwise(assign)
     return embeddings.withColumn("centroid_id", assign)
 
 
@@ -211,9 +213,9 @@ def kmeans_refine_centroids(
         )
         from pyspark.sql import Row
 
-        new = {int(r["centroid_id"]): list(r["cv"]) for r in means}
+        new = {r["centroid_id"]: list(r["cv"]) for r in means}
         cents = [
-            Row(cid=int(c["cid"]), cv=new.get(int(c["cid"]), list(c["cv"])))
+            Row(cid=c["cid"], cv=new.get(c["cid"], list(c["cv"])))
             for c in cents
         ]
     return cents
@@ -251,7 +253,7 @@ def ivf_topk(
         return round(d / (na * nb), 6)
 
     ranked = sorted(cents, key=lambda r: (-py_cos(query_vec, list(r["cv"])), r["cid"]))
-    probe = [int(r["cid"]) for r in ranked[:nprobe]]
+    probe = [r["cid"] for r in ranked[:nprobe]]
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

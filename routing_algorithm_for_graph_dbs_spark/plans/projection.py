@@ -87,8 +87,13 @@ def _change_sources_targets(day_stoptimes, walk_to):
 
 
 def _finish_change(cand, walk_secs):
-    # apoc.agg.minItems over (source, walk edge, other line): rank keeps ties
-    sel_w = Window.partitionBy("src", "walk_src", "walk_dst", "dst_line").orderBy(
+    # apoc.agg.minItems groups by (source, other_line, walking_distance) in
+    # the reference (main.py:17) — NOT by walk edge. The distinction only
+    # matters when two walk edges out of the same stop have exactly equal
+    # distance (e.g. two co-located stops): the reference keeps one earliest
+    # target per DISTANCE, so we partition the rank window the same way.
+    # rank (not row_number) keeps departure-time ties, as minItems does.
+    sel_w = Window.partitionBy("src", "dst_line", "walk_distance").orderBy(
         "dst_departure"
     )
     return (

@@ -319,14 +319,13 @@ def plan_trip(
             if km != float("inf"):
                 return km * 1000.0
         # fall back to straight-line (the reference's geopy geodesic client
-        # helper, main.py:320-323)
-        import math
+        # helper, main.py:320-323) — shared scalar haversine so the fallback
+        # agrees with every other distance in the engine
+        from routing_algorithm_for_graph_dbs_spark.functions.spatial import (
+            haversine_meters_scalar,
+        )
 
-        r = 6371000.0
-        p1, p2 = math.radians(lat), math.radians(slat)
-        dp, dl = math.radians(slat - lat), math.radians(slon - lon)
-        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
-        return 2 * r * math.asin(math.sqrt(a))
+        return haversine_meters_scalar(lat, lon, slat, slon)
 
     first, last = rows[0], rows[-1]
     start_walk_m = _walk_m(
