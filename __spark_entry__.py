@@ -34,7 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins; keys absent here (dd_simhash, graph_betweenness) are
-    rows-only by design — engine-specific hashing or no tractable SQL
-    formulation (see docstrings in driver_surface)."""
+    """DuckDB twins — every ``queries()`` key has one (dd_simhash via the
+    md5-based engine-agnostic hash; betweenness via literal expected tables
+    derived from two independent oracles, see driver_surface)."""
     return dict(ORACLES)

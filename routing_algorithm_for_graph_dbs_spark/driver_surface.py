@@ -1712,28 +1712,127 @@ def rng_followup_events(spark, sf_dir):
     )
 
 
-# --- rows-only checks (not SQL-expressible / engine-specific hashing) ---
+# SimHash oracle: DuckDB reproduces the md5-based 64-bit token hash
+# (first 16 hex chars, big-endian) nibble-by-nibble, votes per bit, and
+# reassembles the signed 64-bit fingerprint. Bit b of the hash lives in hex
+# char j = 16 - b//4 at nibble bit k = b%4 (char 1 is the most significant).
+_SIMHASH_V_COLS = ",\n".join(
+    f"        SUM(CASE WHEN ((strpos('0123456789abcdef',"
+    f" substr(hx, {16 - b // 4}, 1)) - 1) >> {b % 4}) & 1 = 1"
+    f" THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+_SIMHASH_REASSEMBLE = "\n          + ".join(
+    f"CASE WHEN v{b} > 0 THEN {(1 << b) if b < 63 else '(-9223372036854775807 - 1)'}"
+    f" ELSE 0 END"
+    for b in range(64)
+)
+_SIMHASH_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks
+    ), h AS (
+      SELECT doc_id, md5(tok) AS hx FROM tok
+    ), v AS (
+      SELECT doc_id,
+{_SIMHASH_V_COLS}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({_SIMHASH_REASSEMBLE} AS BIGINT) AS simhash
+    FROM v
+"""
 
 
-@_register("dd_simhash")
+@_register("dd_simhash", _SIMHASH_SQL)
 def dd_simhash(spark, sf_dir):
-    """SimHash fingerprints (xxhash64-based — Spark-specific hash, so no
-    DuckDB twin; validated structurally in tests/test_dataops.py)."""
+    """SimHash fingerprints. hash_fn='md5' makes the 64-bit token hash
+    engine-agnostic so DuckDB reproduces the fingerprint bit-for-bit
+    (xxhash64 remains the production fast path; both paths share the
+    explode + 64-bit-vote aggregation shape and are cross-checked in
+    tests/test_dataops.py)."""
     from routing_algorithm_for_graph_dbs_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_t(spark, sf_dir, "documents"), hash_fn="md5")
 
 
-@_register("graph_betweenness")
+# Betweenness oracles: the nation graph is SF-independent (25 fixed rows),
+# so the expected scores are inlined as literal tables. Values are computed
+# by TWO independent implementations — the pure-Python BFS Brandes oracle
+# (tests/test_graph_kernels.py) and a matrix path-counting method — and the
+# engine's broadcast/iterative tiers are additionally cross-checked against
+# the same oracle in pytest. The symmetric graph (clique + two-way ring) is
+# vertex-transitive enough that every score is exactly 26.0; the directed
+# variant below has 12 distinct score values, making the hash check
+# discriminating.
+_BETWEENNESS_SQL = (
+    "SELECT CAST(node AS BIGINT) AS node, CAST(score AS DOUBLE) AS score"
+    " FROM (VALUES "
+    + ", ".join(f"({n}, 26.0)" for n in range(25))
+    + ") t(node, score)"
+)
+
+_BETWEENNESS_DIRECTED_SCORES = [
+    (0, 63.075), (1, 64.225), (2, 80.4667), (3, 73.4667), (4, 80.4667),
+    (5, 70.2583), (6, 69.1083), (7, 37.7833), (8, 34.925), (9, 38.3667),
+    (10, 35.5917), (11, 48.45), (12, 52.6333), (13, 48.45), (14, 35.5917),
+    (15, 38.3667), (16, 34.925), (17, 37.7833), (18, 69.1083), (19, 70.2583),
+    (20, 80.4667), (21, 73.4667), (22, 80.4667), (23, 64.225), (24, 63.075),
+]
+_BETWEENNESS_DIRECTED_SQL = (
+    "SELECT CAST(node AS BIGINT) AS node, CAST(score AS DOUBLE) AS score"
+    " FROM (VALUES "
+    + ", ".join(f"({n}, {s})" for n, s in _BETWEENNESS_DIRECTED_SCORES)
+    + ") t(node, score)"
+)
+
+
+@_register("graph_betweenness", _BETWEENNESS_SQL)
 def graph_betweenness(spark, sf_dir):
     """G3: Brandes betweenness over the nation graph (two-tier dispatcher:
     broadcast per-source Brandes here; the iterative lane-parallel DataFrame
-    program beyond executor memory. Validated against a pure-Python Brandes
-    oracle and cross-tier in tests/test_graph_kernels.py — no tractable SQL
-    twin)."""
+    program beyond executor memory). Oracle: literal expected table — see
+    _BETWEENNESS_SQL's derivation note."""
     from routing_algorithm_for_graph_dbs_spark.graph.betweenness import betweenness
 
     e = _nation_edges(spark, sf_dir)
+    res = betweenness(e)
+    return res.select(
+        F.col("node").cast("long").alias("node"), F.round("score", 4).alias("score")
+    )
+
+
+def _nation_edges_directed(spark, sf_dir):
+    """Asymmetric nation graph: within-region clique directed low->high key
+    only, plus the one-way +7 ring — deliberately NOT vertex-transitive so
+    betweenness scores differ across nodes."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    a = n.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rg"))
+    b = n.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rg"))
+    clique = a.join(b, "rg").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    ring = n.select(
+        F.col("n_nationkey").alias("src"),
+        ((F.col("n_nationkey") + 7) % 25).alias("dst"),
+    )
+    return (
+        clique.unionByName(ring)
+        .distinct()
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+
+
+@_register("graph_betweenness_directed", _BETWEENNESS_DIRECTED_SQL)
+def graph_betweenness_directed(spark, sf_dir):
+    """G3 on a non-symmetric digraph: 12 distinct betweenness values, so the
+    value-hash check discriminates (the symmetric nation graph's scores are
+    all equal — a constant-valued oracle would pass trivially)."""
+    from routing_algorithm_for_graph_dbs_spark.graph.betweenness import betweenness
+
+    e = _nation_edges_directed(spark, sf_dir)
     res = betweenness(e)
     return res.select(
         F.col("node").cast("long").alias("node"), F.round("score", 4).alias("score")

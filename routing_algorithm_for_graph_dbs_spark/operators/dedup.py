@@ -202,31 +202,52 @@ def minhash_dedup(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over word tokens, pure column expressions.
+    """64-bit SimHash over distinct word tokens: for each bit position b,
+    vote = sum over tokens of (bit b of hash(token) ? +1 : -1); simhash
+    bit b = sign(vote).
 
-    For each bit position b: sum over tokens of (bit b of xxhash64(token)
-    ? +1 : -1); simhash bit b = sign. Tokens are hashed ONCE into a bigint
-    array; the 64 bit votes aggregate over the precomputed hashes (hashing
-    inside each vote lambda would recompute every hash 64x).
+    Shape chosen for scale: explode tokens to long format, hash each token
+    ONCE to a 64-bit value, then one groupBy with 64 conditional-sum bit
+    votes — the same single-shuffle, whole-stage-codegen shape as
+    :func:`minhash_signatures`. (An earlier formulation nested 64
+    ``aggregate`` higher-order calls in one projection; correct, but the
+    generated code grew ~64x and risked codegen fallback on wide plans.)
+
+    ``hash_fn='xxhash64'`` (default) is the fast path. ``'md5'`` derives the
+    64-bit token hash from the first 16 hex chars of md5 (big-endian), which
+    DuckDB reproduces bit-for-bit — used by the oracle-checked driver query.
+    Output: (key, simhash bigint), identical semantics either way.
     """
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    hdf = df.select(F.col(key_col), hashes.alias("_h"))
-
-    def bit_vote(b: int) -> Column:
-        return F.aggregate(
-            F.col("_h"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
+    tok_df = df.select(F.col(key_col), F.explode(toks).alias("tok"))
+    if hash_fn == "md5":
+        hx = F.md5(F.col("tok"))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        h64 = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        h64 = F.xxhash64(F.col("tok"))
+    hdf = tok_df.select(F.col(key_col), h64.alias("h"))
+    votes = hdf.groupBy(key_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
     sim = F.lit(0).cast("long")
     for b in range(64):
-        sim = sim + F.when(bit_vote(b) > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63))).otherwise(0)
-    return hdf.select(F.col(key_col), sim.alias("simhash"))
+        c = (1 << b) if b < 63 else -(1 << 63)
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(c)).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(key_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -159,6 +159,63 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) not in pairs
 
 
+def test_simhash_md5_matches_python_oracle(spark):
+    """The md5 hash path (DuckDB-reproducible) must equal a from-scratch
+    Python simhash: same tokenization, first-16-hex big-endian token hash,
+    per-bit votes, signed 64-bit reassembly."""
+    import hashlib
+    import re
+
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import simhash
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "Pack my box, with FIVE dozen liquor jugs!"),
+        (3, "a b a b c"),
+        (4, "repeated repeated repeated words words"),
+    ]
+
+    def py_simhash(text: str) -> int:
+        norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", text.lower())).strip()
+        toks = set(norm.split(" "))
+        votes = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        out = sum(1 << b for b in range(64) if votes[b] > 0)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df, hash_fn="md5").collect()}
+    assert got == {k: py_simhash(t) for k, t in docs}
+
+
+def test_simhash_hash_paths_same_structure(spark):
+    """xxhash64 and md5 paths produce different fingerprints but the same
+    near-duplicate structure (hamming ordering) on a near-dup corpus."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    words = [f"word{i}" for i in range(60)]
+    docs = [
+        (1, " ".join(words)),
+        (2, " ".join(words[:-1] + ["changed"])),
+        (3, " ".join(f"other{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for fn in ("xxhash64", "md5"):
+        pairs = {
+            (r["a"], r["b"])
+            for r in simhash_near_pairs(
+                simhash(df, hash_fn=fn), max_hamming=8
+            ).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) not in pairs, fn
+
+
 # ---------- similarity ----------
 
 

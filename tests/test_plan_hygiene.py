@@ -15,7 +15,12 @@ SF = "/root/testdata/sf0.001"
 
 # queries where per-iteration/collect-driven execution makes a static plan
 # check meaningless (iterative kernels, applyInPandas over collected seeds)
-DYNAMIC = {"graph_bfs_hops", "graph_components", "graph_betweenness"}
+DYNAMIC = {
+    "graph_bfs_hops",
+    "graph_components",
+    "graph_betweenness",
+    "graph_betweenness_directed",
+}
 
 
 def _plan(spark, name):
@@ -51,3 +56,36 @@ def test_join_chain_broadcasts_dimensions(spark):
     plan = _plan(spark, "j1_join_chain")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "dims must broadcast, not sort-merge"
+
+
+def test_simhash_stays_whole_stage_codegen(spark):
+    """The 64-bit-vote aggregate must compile under whole-stage codegen:
+    with fallback disabled, a Janino failure (e.g. the 64KB method limit,
+    the risk of the old 64x-nested-aggregate formulation) throws here, and
+    the executed plan must show the HashAggregates inside a codegen stage."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import simhash
+
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        df = spark.createDataFrame(
+            [(i, f"tok{i} tok{i + 1} shared words here") for i in range(30)],
+            ["doc_id", "text"],
+        )
+        for fn in ("xxhash64", "md5"):
+            out = simhash(df, hash_fn=fn)
+            assert len(out.collect()) == 30, fn
+            # final AQE plan only (toString appends the un-annotated
+            # "Initial Plan" section after it)
+            plan = (
+                out._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .split("== Initial Plan ==")[0]
+            )
+            agg_lines = [l for l in plan.splitlines() if "HashAggregate" in l]
+            assert agg_lines, fn
+            # '*(n)' prefix marks operators fused into a codegen stage
+            assert all("*(" in l for l in agg_lines), f"{fn}: aggregate fell out of codegen:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
