@@ -1417,6 +1417,54 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@_register(
+    "knn_ivf_join",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cid, v,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_IVF_COS.format(x="v", y="cv")} DESC, cid
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    rcell AS (SELECT vec_id AS r_id, cid AS cell, v AS rv FROM assign WHERE rn = 1),
+    lcell AS (SELECT vec_id AS l_id, cid AS cell, v AS lv FROM assign WHERE rn <= 2),
+    cand AS (
+      SELECT l.l_id, r.r_id, {_IVF_COS.format(x="l.lv", y="r.rv")} AS cosine_sim
+      FROM lcell l JOIN rcell r ON l.cell = r.cell AND l.l_id <> r.r_id
+    )
+    SELECT l_id, r_id, cosine_sim, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT l_id, r_id, cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_id ORDER BY cosine_sim DESC, r_id
+             ) AS rn
+      FROM cand
+    ) WHERE rn <= 3
+    """,
+)
+def knn_ivf_join(spark, sf_dir):
+    """IVF-partitioned kNN self-join (the 100 TB tier of similarity.knn_join,
+    forced here so the cell equi-join path is what the oracle checks):
+    deterministic seeded centroids, nprobe=2, top-3 per vector. The oracle
+    mirrors cell assignment, probe sets, and the per-left rank in SQL."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_join(
+        emb, emb, k=3, strategy="ivf", n_centroids=8, nprobe=2,
+        exclude_same_key=True,
+    )
+    return out.select(
+        F.col("l_id").cast("long").alias("l_id"),
+        F.col("r_id").cast("long").alias("r_id"),
+        "cosine_sim",
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
 # =====================================================================
 # multimodal plumbing over a deterministic documents-derived media table
 # =====================================================================

@@ -268,26 +268,20 @@ def ivf_topk(
     )
 
 
-def knn_join(
+# right sides up to this many rows broadcast (exact tier); larger go IVF
+KNN_BROADCAST_ROW_LIMIT = 100_000
+
+
+def _knn_join_broadcast(
     left: DataFrame,
     right: DataFrame,
-    k: int = 5,
-    vec_col: str = "embedding",
-    key_col: str = "vec_id",
-    exclude_same_key: bool = True,
+    k: int,
+    vec_col: str,
+    key_col: str,
+    exclude_same_key: bool,
 ) -> DataFrame:
-    """For every left vector, its k nearest right vectors by cosine.
-
-    Brute-force block-nested-loop via broadcast of the smaller side; the
-    per-left top-k is a window rank (no global sort). At scale, replace the
-    broadcast with IVF partitioning (cluster assignment then per-cluster
-    join) — same downstream shape.
-
-    ``exclude_same_key`` (default True) drops pairs whose keys coincide —
-    correct for the self-join use (a vector is trivially its own nearest
-    neighbor). Pass False when left and right are DIFFERENT tables whose key
-    spaces merely overlap, or coinciding keys silently lose candidates.
-    """
+    """Exact kNN join: block-nested-loop via broadcast of the right side;
+    the per-left top-k is a window rank (no global sort)."""
     from pyspark.sql import Window
 
     l = left.select(F.col(key_col).alias("l_id"), F.col(vec_col).alias("lv"))
@@ -302,4 +296,123 @@ def knn_join(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("l_id", "r_id", "cosine_sim", "rn")
+    )
+
+
+def knn_join_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    exclude_same_key: bool = True,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    cents: list | None = None,
+) -> DataFrame:
+    """IVF-partitioned kNN join — the tier that survives a large right side.
+
+    Both sides are assigned to IVF cells: every right vector to its nearest
+    centroid, every left vector to its ``nprobe`` nearest cells (one
+    exploded row per probe). Candidates meet in an equi-join on the cell id
+    and a per-left window keeps the top-k. Nothing broadcasts except the
+    literal centroid arrays; the only shuffles hash-partition each side on
+    the cell id (cells are ~|right|/n_centroids rows; AQE skew-split covers
+    hot cells). Approximate by construction: a true neighbor assigned to an
+    unprobed cell is missed. Recall rises with ``nprobe``, and
+    ``nprobe == n_centroids`` degenerates to the exact join (asserted in
+    tests/test_dataops.py).
+
+    Probe order ties break to the lowest centroid id — the same rule as
+    ``ivf_assign``/``ivf_topk``, so the DuckDB oracle reproduces cell
+    membership exactly.
+    """
+    from pyspark.sql import Window
+
+    if cents is None:
+        cents = _collect_centroids(right, n_centroids, vec_col, key_col)
+    r_cells = ivf_assign(right, n_centroids, vec_col, key_col, cents=cents).select(
+        F.col("centroid_id").alias("cell"),
+        F.col(key_col).alias("r_id"),
+        F.col(vec_col).alias("rv"),
+    )
+    # struct(-sim, cid) sorted ascending == similarity desc, ties to low cid
+    probes = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(
+                        cosine(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in r["cv"]]),
+                        ),
+                        6,
+                    )
+                ).alias("ns"),
+                F.lit(r["cid"]).alias("cid"),
+            )
+            for r in cents
+        ]
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(probes), 1, nprobe), lambda x: x.getField("cid")
+    )
+    l_cells = left.select(
+        F.col(key_col).alias("l_id"),
+        F.col(vec_col).alias("lv"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    joined = l_cells.join(r_cells, "cell")
+    if exclude_same_key:
+        joined = joined.filter(F.col("l_id") != F.col("r_id"))
+    w = Window.partitionBy("l_id").orderBy(F.desc("cosine_sim"), F.col("r_id"))
+    return (
+        joined.withColumn("cosine_sim", F.round(cosine(F.col("lv"), F.col("rv")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("l_id", "r_id", "cosine_sim", "rn")
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    exclude_same_key: bool = True,
+    strategy: str = "auto",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    cents: list | None = None,
+) -> DataFrame:
+    """For every left vector, its k nearest right vectors by cosine.
+
+    Two-tier dispatcher (same pattern as graph.sssp.sssp): right sides up
+    to KNN_BROADCAST_ROW_LIMIT rows broadcast and get the exact
+    block-nested-loop join; larger right sides switch to the
+    IVF-partitioned tier (:func:`knn_join_ivf` — cell equi-join, no
+    broadcast, approximate with recall controlled by ``nprobe``).
+
+    ``exclude_same_key`` (default True) drops pairs whose keys coincide —
+    correct for the self-join use (a vector is trivially its own nearest
+    neighbor). Pass False when left and right are DIFFERENT tables whose key
+    spaces merely overlap, or coinciding keys silently lose candidates.
+    """
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if right.count() <= KNN_BROADCAST_ROW_LIMIT else "ivf"
+        )
+    if strategy == "broadcast":
+        return _knn_join_broadcast(left, right, k, vec_col, key_col, exclude_same_key)
+    return knn_join_ivf(
+        left,
+        right,
+        k=k,
+        vec_col=vec_col,
+        key_col=key_col,
+        exclude_same_key=exclude_same_key,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        cents=cents,
     )

@@ -261,6 +261,69 @@ def test_knn_join(spark):
     assert nn[1] == 2 and nn[2] == 1
 
 
+def _clustered_vecs(n_clusters=4, per_cluster=25, dim=8):
+    """Deterministic clustered corpus; key % n_clusters = cluster, so the
+    seeded centroids (smallest keys) cover every cluster."""
+    import random
+
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for i in range(n_clusters * per_cluster):
+        c = centers[i % n_clusters]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    return rows
+
+
+def test_knn_join_ivf_full_probe_is_exact(spark):
+    """nprobe == n_centroids must reproduce the exact broadcast join
+    row-for-row (every cell probed -> every pair considered)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        _knn_join_broadcast,
+        knn_join_ivf,
+    )
+
+    df = spark.createDataFrame(_clustered_vecs(), ["vec_id", "embedding"])
+    want = sorted(
+        map(tuple, _knn_join_broadcast(df, df, 3, "embedding", "vec_id", True).collect())
+    )
+    got = sorted(
+        map(tuple, knn_join_ivf(df, df, k=3, n_centroids=8, nprobe=8).collect())
+    )
+    assert got == want
+
+
+def test_knn_join_ivf_recall_on_clustered_data(spark):
+    """With clustered vectors and nprobe=2, the IVF tier recovers nearly all
+    true neighbors (neighbors live in the probed home cell)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        _knn_join_broadcast,
+        knn_join_ivf,
+    )
+
+    df = spark.createDataFrame(_clustered_vecs(), ["vec_id", "embedding"])
+    truth = {
+        (r["l_id"], r["r_id"])
+        for r in _knn_join_broadcast(df, df, 3, "embedding", "vec_id", True).collect()
+    }
+    approx = {
+        (r["l_id"], r["r_id"])
+        for r in knn_join_ivf(df, df, k=3, n_centroids=8, nprobe=2).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_knn_join_auto_dispatch(spark):
+    """auto strategy: small right side -> exact broadcast result."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import knn_join
+
+    df = spark.createDataFrame(_clustered_vecs(per_cluster=5), ["vec_id", "embedding"])
+    auto = sorted(map(tuple, knn_join(df, df, k=2).collect()))
+    forced = sorted(map(tuple, knn_join(df, df, k=2, strategy="broadcast").collect()))
+    assert auto == forced
+
+
 def test_embedding_near_dup_pairs(spark):
     from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
         embedding_near_dup_pairs,
