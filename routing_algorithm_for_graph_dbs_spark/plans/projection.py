@@ -395,10 +395,20 @@ def drop_graph(name: str = "graph_walk") -> None:
         g.unpersist()
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a DataFrame's optimized plan. For a
+    persisted (materialized) relation this reflects the actual cached bytes
+    — the closest Spark analogue of GDS's in-memory graph size."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def graph_metrics(g: ProjectedGraph) -> dict:
     """Parity: ``gds.graph.list('graph_walk')`` metrics (reference
     ``main.py:24-44``): nodeCount, relationshipCount, degreeDistribution
-    percentiles, density.
+    percentiles, density, and ``sizeInBytes`` (GDS reports the in-memory
+    graph's memory usage; here it is the Catalyst stats estimate of the
+    vertex + edge relations, which for cached graphs is the materialized
+    cache size).
     """
     n = g.vertices.count()
     m = g.edges.count()
@@ -424,4 +434,5 @@ def graph_metrics(g: ProjectedGraph) -> dict:
         "relationshipCount": m,
         "degreeDistribution": pct.asDict(),
         "density": (m / (n * (n - 1))) if n > 1 else 0.0,
+        "sizeInBytes": _plan_size_bytes(g.vertices) + _plan_size_bytes(g.edges),
     }

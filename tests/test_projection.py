@@ -84,6 +84,8 @@ def test_graph_metrics(graph):
     assert m["nodeCount"] == 17
     assert m["relationshipCount"] == 16
     assert abs(m["density"] - 16 / (17 * 16)) < 1e-12
+    # gds.graph.list parity: a positive in-memory size estimate
+    assert isinstance(m["sizeInBytes"], int) and m["sizeInBytes"] > 0
 
 
 def test_sunday_projection_empty_changes(gtfs):
