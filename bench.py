@@ -118,6 +118,24 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _load_floor(sf: float) -> tuple[dict, str]:
+    """Per-query timings from the newest BENCH_r*.json at the same sf — the
+    regression floor. Returns ({} if none applies, source filename)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or rec
+            if parsed.get("sf") == sf and parsed.get("queries"):
+                return parsed["queries"], os.path.basename(path)
+        except (OSError, ValueError):
+            continue
+    return {}, ""
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -146,17 +164,36 @@ def main() -> None:
     timings["find_near_stops_9"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # regression floor: the previous round's per-query timings at this sf.
+    # >20% AND >0.5s slower on any headline query fails loudly (stderr +
+    # JSON field) so a perf regression can't slip through a green
+    # correctness gate. The absolute slack keeps sub-second queries from
+    # tripping on timer noise (box-load variance is ±100ms).
+    floor, floor_src = _load_floor(sf)
+    if floor:
+        regressions = {
+            name: {"now": t, "floor": floor[name]}
+            for name, t in timings.items()
+            if name in floor and t > floor[name] * 1.2 and t - floor[name] > 0.5
+        }
+        out["floor_source"] = floor_src
+        if regressions:
+            out["regressions"] = regressions
+            for name, r in regressions.items():
+                print(
+                    f"REGRESSION {name}: {r['now']:.3f}s vs floor "
+                    f"{r['floor']:.3f}s (+{(r['now'] / r['floor'] - 1) * 100:.0f}%)",
+                    file=sys.stderr,
+                )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
