@@ -85,6 +85,18 @@ def routing_9od(spark, sf_dir):
     return spark.createDataFrame(rows, "src string, dst string, n_legs int")
 
 
+def routing_9od_batch(spark, sf_dir):
+    """The same 9 OD pairs as routing_9od, answered by ONE multi-lane SSSP
+    run (plans.routing.routing_batch) — the batch/cluster execution shape.
+    Per-pair results are identical to the sequential harness (asserted in
+    tests/test_routing.py); the timing difference is the engine win."""
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import routing_batch
+    from routing_algorithm_for_graph_dbs_spark.sources.synth_gtfs import od_pairs_9
+
+    _, g = _reference_scale_graph(spark)
+    return routing_batch(g, od_pairs_9(), time_s=14 * 3600)
+
+
 def find_near_stops_9(spark, sf_dir):
     """BASELINE.md's other per-query metric: find_near_stops latency
     (reference: 0.087-0.215 s per lookup). Nine radius lookups at the 9-OD
@@ -157,6 +169,11 @@ def main() -> None:
     t0 = time.perf_counter()
     _materialize(routing_9od(spark, sf_dir))
     timings["routing_9od"] = round(time.perf_counter() - t0, 3)
+
+    _materialize(routing_9od_batch(spark, sf_dir))
+    t0 = time.perf_counter()
+    _materialize(routing_9od_batch(spark, sf_dir))
+    timings["routing_9od_batch"] = round(time.perf_counter() - t0, 3)
 
     _materialize(find_near_stops_9(spark, sf_dir))
     t0 = time.perf_counter()

@@ -148,14 +148,18 @@ def broadcast_dijkstra(
     sources: DataFrame,
     weight_col: str = "weight",
     track_paths: bool = True,
-    targets: list | None = None,
+    targets: list | dict | None = None,
 ) -> DataFrame:
     """Same contract as ``multi_source_dijkstra``: (lane, node, cost[, path]).
 
     With ``targets`` given, only target-node rows are returned (what the
     routing pipelines consume) and Dijkstra early-terminates once all
-    targets are settled. ``edges`` must fit in executor memory (the
-    dispatcher checks).
+    targets are settled. A ``dict`` maps each lane to ITS OWN target list
+    (keys stringified) — batch routing uses this so a lane only expands
+    until its pair's targets settle, not the union of every pair's (lanes
+    absent from the dict fall back to full expansion, the ``None``
+    behavior). ``edges`` must fit in executor memory (the dispatcher
+    checks).
     """
     bc = _prepare(edges, weight_col)
     node_t = edges.schema["src"].dataType
@@ -169,7 +173,12 @@ def broadcast_dijkstra(
     if track_paths:
         fields.append(T.StructField("path", T.ArrayType(node_t)))
     out_schema = T.StructType(fields)
-    target_list = list(targets) if targets is not None else None
+    if isinstance(targets, dict):
+        target_list = None
+        target_map = {str(k): list(v) for k, v in targets.items()}
+    else:
+        target_list = list(targets) if targets is not None else None
+        target_map = None
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         g = _decoded(bc.value)
@@ -180,9 +189,10 @@ def broadcast_dijkstra(
         seeds = [
             index[str(s)] for s in dict.fromkeys(pdf["node"]) if str(s) in index
         ]
+        tl = target_map.get(str(lane)) if target_map is not None else target_list
         t_idx = (
-            {index[str(t)] for t in target_list if str(t) in index}
-            if target_list is not None
+            {index[str(t)] for t in tl if str(t) in index}
+            if tl is not None
             else None
         )
         if not seeds:

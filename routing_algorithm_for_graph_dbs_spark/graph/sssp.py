@@ -151,7 +151,7 @@ def sssp(
     track_paths: bool = True,
     strategy: str = "auto",
     max_iterations: int = 200,
-    targets: list | None = None,
+    targets: list | dict | None = None,
 ) -> DataFrame:
     """Two-tier SSSP dispatcher (same (lane, node, cost[, path]) contract).
 
@@ -165,9 +165,10 @@ def sssp(
       count is free when the edge relation is already cached, which the
       projection catalog guarantees).
 
-    ``targets``: optional node list; the broadcast tier then returns only
-    target rows and early-terminates once all are settled (the iterative
-    tier ignores it — callers filter, same results).
+    ``targets``: optional node list — or dict of lane -> node list for
+    per-lane target sets (batch routing) — the broadcast tier then returns
+    only target rows and early-terminates once all are settled (the
+    iterative tier ignores it — callers filter, same results).
     """
     if strategy == "auto":
         strategy = (

@@ -68,17 +68,22 @@ def _pick_sources(feasible: DataFrame) -> DataFrame:
     )
 
 
-def _decompose_path(winner: DataFrame, stoptimes: DataFrame) -> DataFrame:
+def _decompose_path(
+    winner: DataFrame, stoptimes: DataFrame, keys: tuple[str, ...] = ()
+) -> DataFrame:
     """Stage 5: path array -> reference leg table (J6, ``main.py:103-114``).
 
-    ``winner``: single row with column ``path`` (array of stoptime ids).
+    ``winner``: row(s) with column ``path`` (array of stoptime ids).
     ``stoptimes``: the projection's enriched day-stoptimes relation.
+    ``keys``: pass-through grouping columns (``routing_batch`` sends
+    ``pair_id`` so each OD pair's legs stay attributable).
     """
     pairs = winner.select(
+        *keys,
         F.posexplode(F.expr("arrays_zip(slice(path, 1, size(path)-1), slice(path, 2, size(path)-1))")).alias(
             "pos", "pair"
-        )
-    ).select("pos", F.col("pair.0").alias("s1_id"), F.col("pair.1").alias("s2_id"))
+        ),
+    ).select(*keys, "pos", F.col("pair.0").alias("s1_id"), F.col("pair.1").alias("s2_id"))
 
     s1 = stoptimes.select(
         F.col("stoptime_id").alias("s1_id"),
@@ -101,8 +106,8 @@ def _decompose_path(winner: DataFrame, stoptimes: DataFrame) -> DataFrame:
     return (
         pairs.join(F.broadcast(s1), "s1_id")
         .join(F.broadcast(s2), "s2_id")
-        .orderBy("pos")
-        .select(*LEG_COLUMNS)
+        .orderBy(*keys, "pos")
+        .select(*keys, *LEG_COLUMNS)
     )
 
 
@@ -110,6 +115,7 @@ def _run_pairs(
     graph: ProjectedGraph,
     sources: DataFrame,
     targets: DataFrame,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Stage 3: lanes = source stoptimes; join lane results onto targets.
 
@@ -123,7 +129,10 @@ def _run_pairs(
     # destination stops): the broadcast SSSP tier early-terminates on them
     # and skips path materialization for every other reached node
     target_ids = [r["stoptime_id"] for r in targets.select("stoptime_id").distinct().collect()]
-    res = sssp(graph.edges, lanes, weight_col="waiting_time", targets=target_ids)
+    res = sssp(
+        graph.edges, lanes, weight_col="waiting_time", targets=target_ids,
+        strategy=strategy,
+    )
     t = targets.select(
         F.col("stoptime_id").alias("t_id"),
         F.col("arrival_s").alias("dst_arrival_s"),
@@ -155,9 +164,12 @@ def routing(
     source_stop_name: str,
     target_stop_name: str,
     max_duration_h: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Stop-name to stop-name itinerary (parity ``App.routing``,
-    ``main.py:73-117``). Returns the reference's 12-column leg table."""
+    ``main.py:73-117``). Returns the reference's 12-column leg table.
+    ``strategy`` pins the SSSP tier (``auto``/``broadcast``/``iterative``)
+    — used by tools/scale_validation.py for cross-tier agreement checks."""
     day_st = graph.stoptimes
     end_s = time_s + max_duration_h * 3600
 
@@ -170,10 +182,123 @@ def routing(
         (F.col("stop_name") == target_stop_name) & (F.col("departure_s") < end_s)
     )
 
-    ranked = _run_pairs(graph, sources, targets)
+    ranked = _run_pairs(graph, sources, targets, strategy=strategy)
     # ORDER BY arrival_time, cost LIMIT 1 (main.py:102); deterministic tiebreak
     winner = ranked.orderBy("dst_arrival_s", "cost", "src", "dst").limit(1)
     return _decompose_path(winner, day_st)
+
+
+def routing_batch(
+    graph: ProjectedGraph,
+    od_pairs: list[tuple[str, str]],
+    time_s: int,
+    max_duration_h: int = 4,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Every OD pair's itinerary in ONE multi-lane SSSP run.
+
+    The reference client loops ``gds.shortestPath.dijkstra`` per pair
+    (``main.py:326-369`` runs its 9-pair harness sequentially); the batch
+    pipeline instead seeds all pairs' candidate sources as lanes of a single
+    kernel invocation, so a cluster executes every pair's search
+    simultaneously and the projected-edge relation is scanned once, not
+    |pairs| times. Per-pair semantics are IDENTICAL to :func:`routing` —
+    same source/target candidate rules, same winner rank, same leg
+    decomposition (asserted in tests/test_routing.py) — because each lane is
+    an independent Dijkstra; only the scheduling is shared.
+
+    Returns the reference leg table with a leading ``pair_id`` column
+    (index into ``od_pairs``); pairs with no feasible itinerary yield no
+    rows, matching ``routing``'s empty result.
+    """
+    spark = graph.stoptimes.sparkSession
+    day_st = graph.stoptimes
+    end_s = time_s + max_duration_h * 3600
+    pairs_df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(od_pairs)],
+        "pair_id int, src_name string, dst_name string",
+    )
+
+    feasible_src = day_st.filter(F.col("departure_s") > time_s).join(
+        F.broadcast(
+            pairs_df.select("pair_id", F.col("src_name").alias("stop_name"))
+        ),
+        "stop_name",
+    )
+    # minItems per (pair, line) — the per-pair twin of _pick_sources
+    w = Window.partitionBy("pair_id", "route_id").orderBy(
+        "departure_s", "stoptime_id"
+    )
+    sources = (
+        feasible_src.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    targets = day_st.filter(F.col("departure_s") < end_s).join(
+        F.broadcast(
+            pairs_df.select("pair_id", F.col("dst_name").alias("stop_name"))
+        ),
+        "stop_name",
+    )
+
+    lanes = sources.select(
+        F.col("stoptime_id").alias("lane"), F.col("stoptime_id").alias("node")
+    ).distinct()
+    # per-lane target sets: a lane only expands until ITS pair's targets
+    # settle (a lane shared by several pairs gets the union of their
+    # targets). A single global list would make every lane settle every
+    # pair's targets — correct but up to |pairs|x the search work.
+    src_rows = sources.select("pair_id", "stoptime_id").distinct().collect()
+    tgt_rows = targets.select("pair_id", "stoptime_id").distinct().collect()
+    tgt_by_pair: dict[int, list] = {}
+    for r in tgt_rows:
+        tgt_by_pair.setdefault(r["pair_id"], []).append(r["stoptime_id"])
+    lane_targets: dict[str, set] = {}
+    for r in src_rows:
+        lane_targets.setdefault(r["stoptime_id"], set()).update(
+            tgt_by_pair.get(r["pair_id"], ())
+        )
+    res = sssp(
+        graph.edges, lanes, weight_col="waiting_time",
+        targets={k: sorted(v) for k, v in lane_targets.items()},
+        strategy=strategy,
+    )
+
+    t = targets.select(
+        F.col("pair_id").alias("t_pair"),
+        F.col("stoptime_id").alias("t_id"),
+        F.col("arrival_s").alias("dst_arrival_s"),
+        F.col("departure_s").alias("dst_departure_s"),
+    ).distinct()
+    s = sources.select(
+        F.col("pair_id").alias("s_pair"),
+        F.col("stoptime_id").alias("s_id"),
+        F.col("departure_s").alias("src_departure_s"),
+    ).distinct()
+    ranked = (
+        res.join(F.broadcast(t), res["node"] == t["t_id"])
+        .join(
+            F.broadcast(s),
+            (res["lane"] == s["s_id"]) & (s["s_pair"] == t["t_pair"]),
+        )
+        .filter(F.col("dst_departure_s") > F.col("src_departure_s"))
+        .select(
+            F.col("s_pair").alias("pair_id"),
+            F.col("lane").alias("src"),
+            F.col("node").alias("dst"),
+            "cost",
+            "path",
+            "dst_arrival_s",
+        )
+    )
+    # per-pair ORDER BY arrival_time, cost LIMIT 1 with deterministic ties
+    ww = Window.partitionBy("pair_id").orderBy("dst_arrival_s", "cost", "src", "dst")
+    winners = (
+        ranked.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") == 1)
+        .select("pair_id", "path")
+    )
+    return _decompose_path(winners, day_st, keys=("pair_id",))
 
 
 def routing_between_two_points_in_space(

@@ -84,6 +84,32 @@ def test_stop_to_stop_routing(graph):
     assert rows[-1]["arrival"] == 14 * 3600 + 38 * 60
 
 
+def test_routing_batch_equals_sequential(graph):
+    """One multi-lane kernel run must reproduce each pair's sequential
+    routing() legs exactly — including pairs with no feasible itinerary."""
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import (
+        routing,
+        routing_batch,
+    )
+
+    pairs = [
+        ("Autostazione 1", "Tonini 1"),
+        ("Autostazione 2", "Tonini 1"),
+        ("Tonini 1", "Autostazione 1"),
+    ]
+    by_pair: dict[int, list] = {}
+    for r in routing_batch(graph, pairs, time_s=T0).collect():
+        by_pair.setdefault(r["pair_id"], []).append(tuple(r)[1:])
+    for i, (s, t) in enumerate(pairs):
+        seq = [
+            tuple(r)
+            for r in routing(
+                graph, time_s=T0, source_stop_name=s, target_stop_name=t
+            ).collect()
+        ]
+        assert by_pair.get(i, []) == seq, (s, t)
+
+
 def test_routing_no_feasible_target(graph):
     from routing_algorithm_for_graph_dbs_spark.plans.routing import routing
 
