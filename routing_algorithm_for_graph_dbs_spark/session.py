@@ -59,6 +59,11 @@ def get_spark(
         # parquet reader rejects by default; read as long (ns since epoch)
         # and convert at the source boundary (sources.testdata).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # async spill read-ahead races file-channel close under sustained
+        # spill pressure (JDK NativeThreadSet AIOOBE, observed killing a
+        # 7.6M-edge iterative SSSP run); synchronous spill reads cost a few
+        # percent on spill-heavy stages and remove the crash entirely.
+        .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
