@@ -190,16 +190,17 @@ def main() -> None:
     }
 
     # regression floor: the previous round's per-query timings at this sf.
-    # >20% AND >0.5s slower on any headline query fails loudly (stderr +
+    # >20% AND >1s slower on any headline query fails loudly (stderr +
     # JSON field) so a perf regression can't slip through a green
-    # correctness gate. The absolute slack keeps sub-second queries from
-    # tripping on timer noise (box-load variance is ±100ms).
+    # correctness gate. The absolute slack keeps small-magnitude queries
+    # from tripping on scheduler noise (identical code measured ±1s across
+    # runs on the iterative-kernel queries under varying box load).
     floor, floor_src = _load_floor(sf)
     if floor:
         regressions = {
             name: {"now": t, "floor": floor[name]}
             for name, t in timings.items()
-            if name in floor and t > floor[name] * 1.2 and t - floor[name] > 0.5
+            if name in floor and t > floor[name] * 1.2 and t - floor[name] > 1.0
         }
         out["floor_source"] = floor_src
         if regressions:
