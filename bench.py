@@ -126,6 +126,31 @@ def find_near_stops_9(spark, sf_dir):
     return spark.createDataFrame(rows, "probe int, n_stops long")
 
 
+def find_near_stops_batch_9(spark, sf_dir):
+    """The same 9 radius probes as find_near_stops_9, answered in ONE job
+    (operators.queries.find_near_stops_batch) — per-lookup results equal
+    the sequential path (tested); the timing difference is 8 saved jobs'
+    fixed overhead."""
+    from routing_algorithm_for_graph_dbs_spark.operators.queries import (
+        find_near_stops_batch,
+    )
+    from routing_algorithm_for_graph_dbs_spark.sources.synth_gtfs import (
+        _GRID,
+        _LAT0,
+        _LON0,
+        _STEP,
+    )
+
+    tables, _ = _reference_scale_graph(spark)
+    points = [
+        (_LAT0 + (i * 3 % _GRID) * _STEP, _LON0 + (i * 5 % _GRID) * _STEP)
+        for i in range(9)
+    ]
+    return find_near_stops_batch(
+        tables, "2024-01-18", points, 300.0, day_st=_GRAPH_MEMO["active_stops"]
+    )
+
+
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -179,6 +204,11 @@ def main() -> None:
     t0 = time.perf_counter()
     _materialize(find_near_stops_9(spark, sf_dir))
     timings["find_near_stops_9"] = round(time.perf_counter() - t0, 3)
+
+    _materialize(find_near_stops_batch_9(spark, sf_dir))
+    t0 = time.perf_counter()
+    _materialize(find_near_stops_batch_9(spark, sf_dir))
+    timings["find_near_stops_batch_9"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

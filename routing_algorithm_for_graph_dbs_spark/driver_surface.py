@@ -120,6 +120,59 @@ def p6_radius_filter(spark, sf_dir):
 
 
 @_register(
+    "p6_radius_batch",
+    """
+    WITH probes(probe_id, p_lat, p_lon) AS (
+      VALUES (0, 0.1, 0.1), (1, 0.4, 0.5), (2, 0.7, 0.9)
+    ),
+    pts AS (
+      SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+             l_tax * 10 AS lat, l_discount * 10 AS lon
+      FROM lineitem WHERE l_orderkey <= 1000
+    )
+    SELECT CAST(probe_id AS BIGINT) AS probe_id, okey, line_no,
+           ROUND(2 * 6371008.8 * ASIN(SQRT(LEAST(
+             POW(SIN(RADIANS(lat - p_lat)/2), 2)
+             + COS(RADIANS(p_lat)) * COS(RADIANS(lat))
+             * POW(SIN(RADIANS(lon - p_lon)/2), 2), 1.0))), 1) AS dist_m
+    FROM pts CROSS JOIN probes
+    WHERE 2 * 6371008.8 * ASIN(SQRT(LEAST(
+             POW(SIN(RADIANS(lat - p_lat)/2), 2)
+             + COS(RADIANS(p_lat)) * COS(RADIANS(lat))
+             * POW(SIN(RADIANS(lon - p_lon)/2), 2), 1.0))) < 30000
+    """,
+)
+def p6_radius_batch(spark, sf_dir):
+    """P6 batched: N radius probes answered by ONE scan — the
+    find_near_stops_batch shape (broadcast probe list x point set,
+    BroadcastNestedLoopJoin, no per-probe jobs)."""
+    from routing_algorithm_for_graph_dbs_spark.functions.spatial import (
+        haversine_meters,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").cast("long").alias("line_no"),
+            (F.col("l_tax") * 10).alias("lat"),
+            (F.col("l_discount") * 10).alias("lon"),
+        )
+    )
+    probes = spark.createDataFrame(
+        [(0, 0.1, 0.1), (1, 0.4, 0.5), (2, 0.7, 0.9)],
+        "probe_id long, p_lat double, p_lon double",
+    )
+    d = haversine_meters(F.col("lat"), F.col("lon"), F.col("p_lat"), F.col("p_lon"))
+    return (
+        li.crossJoin(F.broadcast(probes))
+        .filter(d < 30000)
+        .select("probe_id", "okey", "line_no", F.round(d, 1).alias("dist_m"))
+    )
+
+
+@_register(
     "f4_haversine",
     """
     SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,

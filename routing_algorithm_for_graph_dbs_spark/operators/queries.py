@@ -50,6 +50,46 @@ def find_near_stops(
     )
 
 
+def find_near_stops_batch(
+    tables: dict[str, DataFrame],
+    day: str | dt.date,
+    points: list[tuple[float, float]],
+    radius_m: float,
+    day_st: DataFrame | None = None,
+) -> DataFrame:
+    """Every probe point's radius lookup in ONE job.
+
+    The reference answers each lookup with a separate indexed query
+    (``main.py:62-71``), so N lookups pay N times the fixed query
+    overhead. Batching broadcasts the (tiny) probe list against the cached
+    day relation — one scan answers every probe, and the
+    BroadcastNestedLoopJoin stays linear in the stop count. Per-probe
+    results equal sequential :func:`find_near_stops` exactly (tested).
+
+    Returns (probe_id, stop_name) distinct; probe_id indexes ``points``.
+    """
+    active = (
+        day_st
+        if day_st is not None
+        else service_day_stoptimes(tables, day, with_route=False)
+    )
+    spark = active.sparkSession
+    probes = spark.createDataFrame(
+        [(i, float(la), float(lo)) for i, (la, lo) in enumerate(points)],
+        "probe_id int, p_lat double, p_lon double",
+    )
+    dist = haversine_meters(
+        F.col("stop_lat"), F.col("stop_lon"), F.col("p_lat"), F.col("p_lon")
+    )
+    return (
+        active.select("stop_name", "stop_lat", "stop_lon")
+        .crossJoin(F.broadcast(probes))
+        .filter(dist < radius_m)
+        .select("probe_id", "stop_name")
+        .distinct()
+    )
+
+
 def number_of_stops(tables: dict[str, DataFrame], day: str | dt.date) -> DataFrame:
     """Count of distinct stops with service on ``day``.
 

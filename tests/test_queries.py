@@ -37,6 +37,25 @@ def test_find_near_stops_respects_day(gtfs):
     assert names.count() == 0
 
 
+def test_find_near_stops_batch_equals_sequential(gtfs):
+    """One-job batched lookups must equal per-point find_near_stops —
+    including a probe with no stops in range."""
+    from routing_algorithm_for_graph_dbs_spark.operators.queries import (
+        find_near_stops,
+        find_near_stops_batch,
+    )
+
+    points = [(44.6500, 10.9180), (44.6313, 10.8733), (0.0, 0.0)]
+    got: dict[int, set] = {}
+    for r in find_near_stops_batch(gtfs, DAY, points, 200).collect():
+        got.setdefault(r["probe_id"], set()).add(r["stop_name"])
+    for i, (la, lo) in enumerate(points):
+        seq = {
+            r["stop_name"] for r in find_near_stops(gtfs, DAY, la, lo, 200).collect()
+        }
+        assert got.get(i, set()) == seq, (la, lo)
+
+
 def test_number_of_stops(gtfs):
     from routing_algorithm_for_graph_dbs_spark.operators.queries import number_of_stops
 
