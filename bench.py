@@ -157,11 +157,20 @@ def _materialize(df) -> None:
 
 def _load_floor(sf: float) -> tuple[dict, str]:
     """Per-query timings from the newest BENCH_r*.json at the same sf — the
-    regression floor. Returns ({} if none applies, source filename)."""
+    regression floor. Returns ({} if none applies, source filename).
+    Rounds sort NUMERICALLY (lexicographic sort would rank r99 above r100)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    candidates = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no, reverse=True
+    )
+    for path in candidates:
         try:
             with open(path) as f:
                 rec = json.load(f)

@@ -1843,9 +1843,9 @@ _SIMHASH_SQL = rf"""
 {_SIMHASH_V_COLS}
       FROM h GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT d.doc_id,
            CAST({_SIMHASH_REASSEMBLE} AS BIGINT) AS simhash
-    FROM v
+    FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
 """
 
 

@@ -221,7 +221,12 @@ def simhash(
     ``hash_fn='xxhash64'`` (default) is the fast path. ``'md5'`` derives the
     64-bit token hash from the first 16 hex chars of md5 (big-endian), which
     DuckDB reproduces bit-for-bit — used by the oracle-checked driver query.
-    Output: (key, simhash bigint), identical semantics either way.
+    Output: one (key, simhash bigint) row per input row, identical
+    semantics either way. NULL text yields fingerprint 0 (no tokens, no
+    votes), not a dropped row — dedup pipelines must still see the doc.
+    Rows sharing a key get their votes merged (the fingerprint of the
+    concatenated token multiset), so keep keys unique for per-row
+    fingerprints.
     """
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     tok_df = df.select(F.col(key_col), F.explode(toks).alias("tok"))
@@ -247,7 +252,12 @@ def simhash(
     for b in range(64):
         c = (1 << b) if b < 63 else -(1 << 63)
         sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(c)).otherwise(F.lit(0).cast("long"))
-    return votes.select(F.col(key_col), sim.alias("simhash"))
+    fps = votes.select(F.col(key_col), sim.alias("simhash"))
+    # join back onto the input keys: NULL-text rows explode to zero token
+    # rows and would otherwise vanish from the grouped result
+    return df.select(key_col).join(fps, key_col, "left").select(
+        F.col(key_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 def simhash_near_pairs(

@@ -398,11 +398,28 @@ def knn_join(
     correct for the self-join use (a vector is trivially its own nearest
     neighbor). Pass False when left and right are DIFFERENT tables whose key
     spaces merely overlap, or coinciding keys silently lose candidates.
+
+    ``auto`` counts the right side (one job; cheap when it is cached) and
+    WARNS when it flips to the approximate tier — exactness loss should
+    never be silent. Pass ``strategy='ivf'`` (tuning n_centroids/nprobe to
+    the corpus) or ``'broadcast'`` explicitly to skip both the count and
+    the warning.
     """
     if strategy == "auto":
-        strategy = (
-            "broadcast" if right.count() <= KNN_BROADCAST_ROW_LIMIT else "ivf"
-        )
+        if right.count() <= KNN_BROADCAST_ROW_LIMIT:
+            strategy = "broadcast"
+        else:
+            import warnings
+
+            warnings.warn(
+                f"knn_join: right side exceeds {KNN_BROADCAST_ROW_LIMIT} rows;"
+                " switching to the approximate IVF tier"
+                f" (n_centroids={n_centroids}, nprobe={nprobe})."
+                " Recall < 1 — pass strategy='ivf' with tuned parameters,"
+                " or strategy='broadcast' to force the exact join.",
+                stacklevel=2,
+            )
+            strategy = "ivf"
     if strategy == "broadcast":
         return _knn_join_broadcast(left, right, k, vec_col, key_col, exclude_same_key)
     return knn_join_ivf(

@@ -191,6 +191,21 @@ def test_simhash_md5_matches_python_oracle(spark):
     assert got == {k: py_simhash(t) for k, t in docs}
 
 
+def test_simhash_null_text_keeps_row(spark):
+    """NULL text must yield fingerprint 0, not a silently dropped row —
+    downstream dedup joins have to see every document."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    for fn in ("xxhash64", "md5"):
+        rows = {r["doc_id"]: r["simhash"] for r in simhash(df, hash_fn=fn).collect()}
+        assert set(rows) == {1, 2, 3}, fn
+        assert rows[2] == 0, fn
+
+
 def test_simhash_hash_paths_same_structure(spark):
     """xxhash64 and md5 paths produce different fingerprints but the same
     near-duplicate structure (hamming ordering) on a near-dup corpus."""
