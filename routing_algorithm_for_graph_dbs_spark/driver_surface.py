@@ -1776,6 +1776,47 @@ def asof_last_view(spark, sf_dir):
 
 
 @_register(
+    "asof_next_view",
+    """
+    WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, t, MIN(event_id) AS event_id
+               FROM (SELECT event_id, user_id, epoch_us(ts) AS t
+                     FROM events WHERE event_type = 'view')
+               GROUP BY user_id, t)
+    SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+           CAST(v.t - c.t AS BIGINT) AS gap_us
+    FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.t <= v.t
+    """,
+)
+def asof_next_view(spark, sf_dir):
+    """FORWARD as-of join: every click paired with the same user's next
+    view at-or-after it (operators.asof.asof_join direction='forward' —
+    the reverse running-extreme branch; backward is asof_last_view)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("t", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "t")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        clicks, views, on="user_id", left_time="t", right_time="t",
+        direction="forward", bucket_s=3600 * 1_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("view_event_id"),
+        (F.col("t_r") - F.col("t")).cast("long").alias("gap_us"),
+    )
+
+
+@_register(
     "rng_followup_events",
     """
     WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
