@@ -221,5 +221,13 @@ def broadcast_dijkstra(
         return pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
 
     # one group per lane -> one (multi-seed) Dijkstra per task; concurrent
-    # lanes land on different cores/executors
-    return sources.groupBy("lane").applyInPandas(run, schema=out_schema)
+    # lanes land on different cores/executors. The repartition MUST carry an
+    # explicit partition count: the lane rows are a few KB, so AQE's
+    # post-shuffle coalescing would otherwise merge them into ONE partition
+    # and serialize every lane's Dijkstra into a single task (measured 5.8x
+    # slower on the 9-OD batch) — explicit counts are exempt from coalescing,
+    # and a lane-partitioned input satisfies the groupBy's distribution so
+    # no second exchange is planned.
+    n_part = max(sources.sparkSession.sparkContext.defaultParallelism, 8)
+    srcs = sources.repartition(n_part, "lane")
+    return srcs.groupBy("lane").applyInPandas(run, schema=out_schema)
