@@ -43,6 +43,27 @@ def test_sssp_multi_lane_independent(spark):
     assert got[("L2", "a")] == 4.0
 
 
+def test_broadcast_kernel_lanes_fan_out(spark):
+    """Lanes must spread across partitions: AQE's post-shuffle coalescing
+    once merged the few-KB lane rows into ONE partition and serialized
+    every lane's Dijkstra into a single task (measured 5.8x slower on the
+    9-OD batch). The explicit-count repartition keeps it exempt."""
+    from routing_algorithm_for_graph_dbs_spark.graph.local_sssp import (
+        broadcast_dijkstra,
+    )
+
+    e = _edges_df(spark, [(f"n{i}", f"n{i + 1}", 1.0) for i in range(40)])
+    lanes = spark.createDataFrame(
+        [(f"n{i}", f"n{i}") for i in range(0, 20)], ["lane", "node"]
+    )
+    res = broadcast_dijkstra(e, lanes)
+    assert res.rdd.getNumPartitions() > 1
+    # and the fan-out changes nothing semantically
+    got = {(r["lane"], r["node"]): r["cost"] for r in res.collect()}
+    assert got[("n0", "n40")] == 40.0
+    assert got[("n19", "n40")] == 21.0
+
+
 def test_sssp_unreachable_absent(spark):
     from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra
 
