@@ -870,6 +870,26 @@ def st_tumbling_window(spark, sf_dir):
 
 
 @_register(
+    "st_watermark_dedup",
+    """
+    SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS t_us
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    """,
+)
+def st_watermark_dedup(spark, sf_dir):
+    """Batch twin of streaming.pipelines.streaming_dedup
+    (dropDuplicatesWithinWatermark on event_id): at-least-once redelivery
+    simulated by doubling the input; exactly one row per event survives.
+    The real streaming execution (bounded state, replayed-batch dedup) is
+    exercised in tests/test_streaming.py."""
+    ev = _t(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    return doubled.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+
+
+@_register(
     "st_sessionization",
     """
     WITH g AS (
