@@ -221,29 +221,33 @@ def simhash(
     ``hash_fn='xxhash64'`` (default) is the fast path. ``'md5'`` derives the
     64-bit token hash from the first 16 hex chars of md5 (big-endian), which
     DuckDB reproduces bit-for-bit — used by the oracle-checked driver query.
-    Output: one (key, simhash bigint) row per input row, identical
-    semantics either way. NULL text yields fingerprint 0 (no tokens, no
-    votes), not a dropped row — dedup pipelines must still see the doc.
-    Rows sharing a key get their votes merged (the fingerprint of the
-    concatenated token multiset), so keep keys unique for per-row
-    fingerprints.
+
+    Output: one (key, simhash bigint) row per DISTINCT key — the same
+    grouped contract as :func:`minhash_signatures`; rows sharing a key get
+    their token votes merged. NULL text contributes no votes and yields
+    fingerprint 0, not a dropped row — dedup pipelines must still see the
+    doc. ``explode_outer`` keeps those rows in the single pass (a plain
+    explode drops them, and a repair join-back would both double-scan the
+    input and zero out NULL-KEY groups the equi-join can't match).
     """
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    tok_df = df.select(F.col(key_col), F.explode(toks).alias("tok"))
+    tok_df = df.select(F.col(key_col), F.explode_outer(toks).alias("tok"))
     if hash_fn == "md5":
         hx = F.md5(F.col("tok"))
         hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
         lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
         h64 = F.shiftleft(hi, 32).bitwiseOR(lo)
     else:
-        h64 = F.xxhash64(F.col("tok"))
+        h64 = F.when(F.col("tok").isNotNull(), F.xxhash64(F.col("tok")))
     hdf = tok_df.select(F.col(key_col), h64.alias("h"))
+    # three-way vote: +1 / -1 per real token bit, 0 for the NULL-token row
+    # (a NULL hash must not push every bit toward -1)
     votes = hdf.groupBy(key_col).agg(
         *[
             F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
+                F.when(F.col("h").isNull(), 0)
+                .when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
             ).alias(f"v{b}")
             for b in range(64)
         ]
@@ -252,12 +256,7 @@ def simhash(
     for b in range(64):
         c = (1 << b) if b < 63 else -(1 << 63)
         sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(c)).otherwise(F.lit(0).cast("long"))
-    fps = votes.select(F.col(key_col), sim.alias("simhash"))
-    # join back onto the input keys: NULL-text rows explode to zero token
-    # rows and would otherwise vanish from the grouped result
-    return df.select(key_col).join(fps, key_col, "left").select(
-        F.col(key_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
-    )
+    return votes.select(F.col(key_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(
