@@ -1999,3 +1999,247 @@ def graph_betweenness_directed(spark, sf_dir):
     return res.select(
         F.col("node").cast("long").alias("node"), F.round("score", 4).alias("score")
     )
+
+
+# =====================================================================
+# deterministic sampling + sequence packing (operators/sampling.py)
+# =====================================================================
+
+_MIX_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.2}
+
+
+@_register(
+    "smp_mixture",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS uu
+      FROM documents
+    )
+    SELECT doc_id, lang, ROUND(uu, 6) AS u
+    FROM u
+    WHERE uu < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+                         WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.5
+                         WHEN 'zh' THEN 0.2 ELSE 0.0 END
+    """,
+)
+def smp_mixture(spark, sf_dir):
+    """Deterministic mixture sampling: per-language keep rates, decision a
+    pure function of doc_id (sampling.mixture_sample) — rerun-stable and
+    engine-exact, unlike rand()."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        hash_uniform,
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, _MIX_RATES, group_col="lang")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "lang",
+        F.round(hash_uniform(F.col("doc_id"), "mix"), 6).alias("u"),
+    )
+
+
+@_register(
+    "smp_stratified",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= 10
+    """,
+)
+def smp_stratified(spark, sf_dir):
+    """Exact-count stratified sampling: 10 docs per language by
+    deterministic hash order (sampling.stratified_sample)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "lang", 10)
+    return out.select(F.col("doc_id").cast("long"), "lang")
+
+
+@_register(
+    "pack_shards",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT doc_id, toks,
+           CAST(FLOOR(COALESCE(SUM(toks) OVER (
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def pack_shards(spark, sf_dir):
+    """Sequence packing: documents in doc_id order fill fixed 512-token
+    shards (sampling.pack_sequences — distributed two-pass prefix sum; the
+    oracle is the single-window formulation, equality tested in pytest)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.text import token_counts
+
+    docs = token_counts(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long"), F.col("ws_tokens").cast("long").alias("toks")
+    )
+    return pack_sequences(docs, "toks", budget=512)
+
+
+@_register(
+    "txt_top_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_filter(list_zip(t, t[2:]), x -> x[2] IS NOT NULL),
+               x -> x[1] || ' ' || x[2])) AS gs
+      FROM toks WHERE len(t) >= 2
+    ), g AS (
+      SELECT doc_id, unnest(gs) AS gram FROM sh
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM g GROUP BY gram
+    ORDER BY doc_freq DESC, gram
+    LIMIT 20
+    """,
+)
+def txt_top_ngrams(spark, sf_dir):
+    """Heavy hitters: top-20 word bigrams by document frequency (distinct
+    per doc via word_shingles, so a gram repeated inside one document counts
+    once). Map-side partial agg + TakeOrdered — no global sort materializes."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        normalize_text,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.filter(F.size(F.split(normalize_text(F.col("text")), " ")) >= 2)
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n=2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(20)
+    )
+
+
+@_register(
+    "txt_corpus_stats",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_toks,
+           ROUND(AVG(toks), 4) AS avg_toks,
+           ROUND(quantile_cont(toks, 0.25), 4) AS p25,
+           ROUND(quantile_cont(toks, 0.50), 4) AS p50,
+           ROUND(quantile_cont(toks, 0.90), 4) AS p90
+    FROM t GROUP BY lang
+    """,
+)
+def txt_corpus_stats(spark, sf_dir):
+    """Per-language corpus statistics with EXACT interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`, both type-7) — the
+    shard-size / length-filter calibration step of a data pipeline."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import token_counts
+
+    t = token_counts(_t(spark, sf_dir, "documents")).select(
+        "lang", F.col("ws_tokens").alias("toks")
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_toks"),
+        F.round(F.avg("toks"), 4).alias("avg_toks"),
+        F.round(F.percentile("toks", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("toks", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("toks", F.lit(0.90)), 4).alias("p90"),
+    )
+
+
+@_register(
+    "dd_canonical",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SIG8_CTE}, {_BANDED_CTE},
+    cands AS ({_CANDS_SQL}),
+    pairs AS (
+      SELECT c.a, c.b
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / len(list_distinct(sa.shingles || sb.shingles)) >= 0.7
+    ),
+    edges AS (
+      SELECT a AS s, b AS d FROM pairs UNION SELECT b AS s, a AS d FROM pairs
+    ),
+    reach AS (
+      SELECT s AS node, d AS r FROM edges
+      UNION
+      SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+    ),
+    rep AS (
+      SELECT node, LEAST(node, MIN(r)) AS canon FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, COALESCE(rep.canon, d.doc_id) AS canon_id
+    FROM (SELECT doc_id FROM sh) d
+    LEFT JOIN rep ON rep.node = d.doc_id
+    """,
+)
+def dd_canonical(spark, sf_dir):
+    """Duplicate-cluster canonicalization: transitive closure of the
+    verified near-dup pairs via connected components (min-label
+    propagation), every document mapped to its cluster representative (the
+    minimum doc_id; singletons map to themselves). The strict-transitive
+    complement to minhash_dedup's greedy drop — the oracle closes the pair
+    graph with a recursive CTE."""
+    from routing_algorithm_for_graph_dbs_spark.graph.components import (
+        connected_components,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _min3_docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=8, hash_fn="md5")
+    cands = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    pairs = jaccard_verify(cands, docs, threshold=0.7)
+    comp = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return (
+        docs.select(F.col("doc_id").cast("long"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("canon_id"),
+        )
+    )

@@ -1,0 +1,176 @@
+"""Deterministic sampling and sequence-packing operators for training-data
+pipelines.
+
+Beyond-reference surface (BASELINE.json north star): a 100 TB corpus is
+never trained on verbatim — it is reweighted (mixture sampling), balanced
+(stratified sampling), and packed into fixed-token-budget shards. All three
+operators here are *deterministic*: the sampling decision for a row is a
+pure function of its key, so a re-run over re-partitioned data (or another
+engine entirely — the DuckDB oracles reproduce every decision bit-for-bit)
+selects the same rows. ``rand()`` would make every retry of a failed 100 TB
+stage sample a different subset.
+
+Scale notes:
+- ``hash_uniform`` / ``mixture_sample`` are pure column expressions — no
+  shuffle, whole-stage codegen, stream through a parquet scan.
+- ``stratified_sample`` shuffles once on the stratum key (the rank window);
+  skew lives in the stratum with the most rows.
+- ``pack_sequences`` is the classic two-pass distributed prefix sum: range
+  partition, per-partition cumulative sums in parallel, one tiny
+  per-partition-totals collect (#partitions rows) to the driver, then a
+  broadcast offset map. The single-ordering global window alternative
+  (``pack_sequences_naive``) funnels the corpus through ONE task; the
+  two-pass shape keeps every pass parallel and is equality-tested against
+  the naive one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^32 as a float: the first 8 md5 hex chars are a uniform uint32
+_U32 = 4294967296.0
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform draw in [0, 1) from a row key.
+
+    First 8 hex chars of ``md5(salt || key)`` read as a big-endian uint32,
+    divided by 2^32. A uint32 is exact in a double, so any engine with md5
+    reproduces the value bit-for-bit (DuckDB:
+    ``('0x' || substr(md5(..), 1, 8))::BIGINT / 4294967296.0``).
+    """
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_U32)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group downsampling: keep a row iff its uniform
+    draw is below its group's rate (groups absent from ``rates`` are
+    dropped). The standard mixture-reweighting step of a training-data
+    pipeline ("90% of English, 20% of each low-resource language, ...").
+
+    Pure column expression — no shuffle; the filter is pushed into the scan.
+    Rates must be in [0, 1]; upsampling (rate > 1) needs row replication,
+    which is a different operator.
+    """
+    for g, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
+    mapping = F.create_map(
+        *[x for g in sorted(rates) for x in (F.lit(g), F.lit(float(rates[g])))]
+    )
+    rate = F.coalesce(mapping[F.col(group_col)], F.lit(0.0))
+    return df.filter(hash_uniform(F.col(key_col), salt) < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen by deterministic hash order — a reproducible balanced
+    subsample (eval-set carving, per-language caps).
+
+    One shuffle (rank window on the stratum key). ``key_col`` breaks
+    hash-collision ties so the selection is total-ordered and engine-exact.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), key_col
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def pack_sequences_naive(
+    df: DataFrame,
+    token_col: str,
+    key_col: str = "doc_id",
+    budget: int = 2048,
+) -> DataFrame:
+    """Reference implementation of sequence packing: one global window.
+
+    Funnels everything through a single task — correct, and the shape the
+    SQL oracle uses, but not the scale path. Use ``pack_sequences``.
+    """
+    w = (
+        Window.orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w), F.lit(0))
+    return df.withColumn(
+        "shard_id", F.floor(before / F.lit(float(budget))).cast("long")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    key_col: str = "doc_id",
+    budget: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document a ``shard_id`` so that consecutive documents
+    (in ``key_col`` order) fill ~``budget`` tokens per shard — the sequence
+    -packing step that turns a filtered corpus into fixed-size training
+    shards. A document whose prefix sum crosses the boundary starts in the
+    shard its *preceding* total falls in (greedy fill, doc granularity).
+
+    Distributed prefix sum, two passes, every pass parallel:
+
+    1. range-partition by ``key_col`` (partition order == key order; which
+       boundaries the range sampler picks is irrelevant — the global prefix
+       sum is invariant to the split points);
+    2. per-partition cumulative sums via a window keyed on the partition id;
+    3. collect one total per partition (a #partitions-row driver collect,
+       same tiny-side pattern as IVF centroids), prefix-sum those on the
+       driver, broadcast back as a literal map.
+
+    Equality with the single-window formulation is tested
+    (tests/test_sampling.py).
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    toks = F.coalesce(F.col(token_col), F.lit(0))
+    ranged = (
+        df.repartitionByRange(n_part, F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    local = ranged.withColumn("_cum_in", F.sum(toks).over(w))
+    totals = sorted(
+        (r["_pid"], r["_tot"])
+        for r in local.groupBy("_pid").agg(F.max("_cum_in").alias("_tot")).collect()
+    )
+    if not totals:
+        # empty input: typed empty result (an empty create_map can't be
+        # indexed by an int column)
+        return df.withColumn("shard_id", F.lit(0).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, tot in totals:
+        offsets[pid] = acc
+        acc += tot
+    off_map = F.create_map(
+        *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
+    )
+    before = off_map[F.col("_pid")] + F.col("_cum_in") - toks
+    return (
+        local.withColumn(
+            "shard_id", F.floor(before / F.lit(float(budget))).cast("long")
+        )
+        .drop("_pid", "_cum_in")
+    )

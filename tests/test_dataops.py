@@ -589,3 +589,50 @@ def test_kmeans_refined_ivf_recall_not_worse(emb):
         return hits / total
 
     assert recall(refined) >= recall(None) - 1e-9
+
+
+def test_dedup_canonical_transitive_clusters(spark):
+    """dd_canonical semantics: chained near-dups A~B, B~C land in ONE
+    cluster under the min doc_id even when A~C itself never passes the
+    Jaccard threshold (the greedy minhash_dedup drop can't see that)."""
+    from routing_algorithm_for_graph_dbs_spark.graph.components import (
+        connected_components,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+        "xi omicron pi rho sigma tau upsilon phi chi psi omega one two three"
+    )
+    # chain: each step rewrites 3 more words, so ends are farther apart
+    mid = base.replace("one two three", "uno dos tres")
+    far = mid.replace("alpha beta gamma", "aleph bet gimel")
+    df = spark.createDataFrame(
+        [(1, base), (2, mid), (3, far), (9, "totally unrelated words here "
+                                            "about completely other topics")],
+        ["doc_id", "text"],
+    )
+    # explicit candidates (not LSH) so the test pins verification +
+    # closure semantics, not banding recall
+    cands = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["a", "b"])
+    pairs = jaccard_verify(cands, df, threshold=0.7)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (2, 3) in got and (1, 3) not in got
+
+    comp = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    canon = (
+        df.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canon_id"),
+        )
+    )
+    out = {r["doc_id"]: r["canon_id"] for r in canon.collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 9}
