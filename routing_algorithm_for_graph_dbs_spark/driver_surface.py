@@ -2243,3 +2243,143 @@ def dd_canonical(spark, sf_dir):
             F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("canon_id"),
         )
     )
+
+
+# =====================================================================
+# embedding compression + corpus scrubbing
+# =====================================================================
+
+
+@_register(
+    "emb_quantize",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+      FROM e
+    )
+    SELECT vec_id,
+           CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+                ELSE list_transform(v, x ->
+                  CAST(GREATEST(-127, LEAST(127, FLOOR(x / sc + 0.5))) AS INT))
+           END AS q8,
+           ROUND(sc, 9) AS q_scale
+    FROM s
+    """,
+)
+def emb_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (similarity.quantize_int8):
+    floor(x/scale + 0.5) is engine-exact where round() is not (negative-half
+    disagreement)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(emb).select(
+        F.col("vec_id").cast("long"),
+        "q8",
+        F.round("q_scale", 9).alias("q_scale"),
+    )
+
+
+def _proj_sql(out_dim: int, dim: int = 64) -> str:
+    import math
+
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    inv = repr(1.0 / math.sqrt(out_dim))
+    comps = ",\n           ".join(
+        f"ROUND(list_dot_product(v, ["
+        + ", ".join(repr(w) for w in p)
+        + f"]) * {inv}, 6) AS c{i}"
+        for i, p in enumerate(hyperplanes(dim, out_dim, seed=42))
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)\n"
+        f"    SELECT vec_id,\n           {comps}\n    FROM e"
+    )
+
+
+@_register("emb_random_proj", _proj_sql(8))
+def emb_random_proj(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims
+    (similarity.random_projection); the deterministic plane matrix is inlined
+    into the oracle as literals, like ann_lsh_pairs does."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, out_dim=8)
+    return out.select(
+        F.col("vec_id").cast("long"),
+        *[
+            F.round(F.element_at("proj", i + 1), 6).alias(f"c{i}")
+            for i in range(8)
+        ],
+    )
+
+
+_SCRUB_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SCRUB_URL = r"https?://[^\s]+"
+
+
+@_register(
+    "txt_scrub",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com via https://ex.org/d/'
+                       || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS t
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_SCRUB_URL}', 0)) AS BIGINT)
+               AS n_urls,
+             regexp_replace(t, '{_SCRUB_URL}', '<URL>', 'g') AS no_urls
+      FROM aug
+    )
+    SELECT doc_id, n_urls,
+           CAST(len(regexp_extract_all(no_urls, '{_SCRUB_EMAIL}', 0)) AS BIGINT)
+             AS n_emails,
+           md5(regexp_replace(no_urls, '{_SCRUB_EMAIL}', '<EMAIL>', 'g'))
+             AS scrub_md5
+    FROM s
+    """,
+)
+def txt_scrub(spark, sf_dir):
+    """URL + email scrubbing (text.scrub_text). The synthetic corpus carries
+    no addresses, so the query plants deterministic ones on every 5th doc —
+    the oracle must then agree on extraction counts AND the masked text's
+    md5."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import scrub_text
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://ex.org/d/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = scrub_text(aug, text_col="t")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_urls").cast("long"),
+        F.col("n_emails").cast("long"),
+        F.md5("scrubbed").alias("scrub_md5"),
+    )

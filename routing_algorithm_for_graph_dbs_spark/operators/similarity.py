@@ -433,3 +433,77 @@ def knn_join(
         nprobe=nprobe,
         cents=cents,
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q8",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max(|x|)/127,
+    q_i = floor(x_i/scale + 0.5) clamped to [-127, 127] — the standard
+    storage/bandwidth reduction before ANN serving (4x smaller than
+    float32). Adds ``q8`` (array<int>) and ``q_scale`` (double).
+
+    floor(x + 0.5) instead of round(): Spark and DuckDB disagree on
+    negative-half rounding, floor is identical everywhere. Zero vectors get
+    scale 0 and all-zero codes (guarded division). Pure column expressions —
+    no shuffle, codegen-friendly.
+    """
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = absmax / F.lit(127.0)
+    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+                ),
+            ),
+        )
+    )
+    return embeddings.withColumn(out_col, q).withColumn("q_scale", scale)
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each vector
+    onto ``out_dim`` deterministic Gaussian directions (the same
+    ``hyperplanes`` generator the LSH operator and its oracle share), scaled
+    by 1/sqrt(out_dim) so expected pairwise distances are preserved.
+
+    The projection matrix rides into the plan as literals (a few KB) — no
+    join, no shuffle, whole-stage codegen over the scan.
+    """
+    import math
+
+    planes = hyperplanes(dim_of(embeddings, vec_col), out_dim, seed)
+    inv = 1.0 / math.sqrt(out_dim)
+    v = F.col(vec_col)
+    comps = [
+        (dot(v, F.array(*[F.lit(float(x)) for x in p])) * F.lit(inv))
+        for p in planes
+    ]
+    return embeddings.withColumn(out_col, F.array(*comps))
+
+
+def dim_of(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector width from the first row (embeddings are fixed-width by
+    contract; a driver-side one-row peek, same tiny-action pattern as
+    _collect_centroids)."""
+    row = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError("cannot infer vector dim from an empty DataFrame")
+    return int(row["d"])

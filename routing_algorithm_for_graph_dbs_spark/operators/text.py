@@ -174,3 +174,29 @@ def winnow_fingerprints(
         .select(key_col, "fp")
         .distinct()
     )
+
+
+# RE2-compatible (and Java-regex-compatible) patterns so the DuckDB oracle
+# scrubs identically: no backrefs, no lookaround.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def scrub_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus scrubbing: mask URLs then emails with placeholder tokens and
+    count what was masked — the standard PII/noise-reduction pass before
+    training. Adds ``n_urls``, ``n_emails``, ``scrubbed`` (URLs first:
+    an address inside a query string must count as part of its URL, not as
+    a bare email). Pure column regexes — scan-speed, no shuffle."""
+    t = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0)))
+    no_urls = F.regexp_replace(t, URL_PATTERN, "<URL>")
+    n_emails = F.size(
+        F.regexp_extract_all(no_urls, F.lit(EMAIL_PATTERN), F.lit(0))
+    )
+    scrubbed = F.regexp_replace(no_urls, EMAIL_PATTERN, "<EMAIL>")
+    return (
+        df.withColumn("n_urls", n_urls)
+        .withColumn("n_emails", n_emails)
+        .withColumn("scrubbed", scrubbed)
+    )

@@ -636,3 +636,90 @@ def test_dedup_canonical_transitive_clusters(spark):
     )
     out = {r["doc_id"]: r["canon_id"] for r in canon.collect()}
     assert out == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_quantize_int8_roundtrip_error_and_range(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = quantize_int8(emb).select("vec_id", "embedding", "q8", "q_scale")
+    rows = out.collect()
+    assert rows
+    for r in rows[:50]:
+        assert all(-127 <= q <= 127 for q in r["q8"])
+        # dequantized values stay within half-a-step of the original
+        step = r["q_scale"]
+        for x, q in zip(r["embedding"], r["q8"]):
+            assert abs(q * step - x) <= step / 2 + 1e-12
+
+
+def test_quantize_int8_zero_vector(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (r["q8"], r["q_scale"]) for r in quantize_int8(
+        df).collect()}
+    assert got[1] == ([0, 0, 0], 0.0)
+    assert got[2][0] == [64, -127, 32]  # scale 2/127; 1.0 -> 63.5 -> floor(64)
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    """JL sanity: on a clustered dataset, projected within-cluster distances
+    stay below projected cross-cluster distances (not a tight bound — a
+    smoke check that the projection is a linear map, not noise)."""
+    import random
+
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        random_projection,
+    )
+
+    rng = random.Random(7)
+    centers = [[10.0 * (1 if i == j else 0) for j in range(16)] for i in range(3)]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(5):
+            rows.append((vid, ci, [x + rng.gauss(0, 0.5) for x in c]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, cl int, embedding array<float>")
+    proj = {r["vec_id"]: (r["cl"], r["proj"]) for r in random_projection(
+        df, out_dim=6).collect()}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    within, across = [], []
+    ids = sorted(proj)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                (ca, pa), (cb, pb) = proj[i], proj[j]
+                (within if ca == cb else across).append(d2(pa, pb))
+    assert max(within) < min(across)
+
+
+def test_scrub_text_masks_and_counts(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io or visit https://x.io/p?u=q@r.st ok"),
+            (2, "no contacts here"),
+            (3, "http://plain.example/path and bob@site.org"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in scrub_text(df).collect()}
+    # URL swallows the query-string address; only the bare email is masked
+    assert (got[1]["n_urls"], got[1]["n_emails"]) == (1, 1)
+    assert got[1]["scrubbed"] == "mail <EMAIL> or visit <URL> ok"
+    assert (got[2]["n_urls"], got[2]["n_emails"]) == (0, 0)
+    assert got[2]["scrubbed"] == "no contacts here"
+    assert got[3]["scrubbed"] == "<URL> and <EMAIL>"
