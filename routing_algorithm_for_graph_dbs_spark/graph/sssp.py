@@ -37,6 +37,7 @@ def multi_source_dijkstra(
     max_iterations: int = 200,
     track_paths: bool = True,
     checkpoint_every: int = 1,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Shortest path costs (and paths) from every source to every reachable node.
 
@@ -51,7 +52,20 @@ def multi_source_dijkstra(
     """
     e = edges.select(
         F.col("src"), F.col("dst"), F.col(weight_col).cast("double").alias("w")
-    ).repartition("src")
+    )
+    # Size the edge relation's partitioning to the graph, not the session
+    # default: every superstep's relax join scans e, and a 90-edge graph
+    # spread over 32 partitions pays 32 task launches per superstep for
+    # nothing (measured ~1.2 s of a 3.4 s BFS on the nation graph). One
+    # partition per ~500k edges keeps big graphs parallel — a 100M-edge
+    # graph still saturates the cluster — while a toy graph becomes one task.
+    default_par = e.sparkSession.sparkContext.defaultParallelism
+    if n_edges is None:
+        # one cheap job on the pruned projection; pass n_edges from the
+        # dispatcher (which already counted) to skip it
+        n_edges = e.count()
+    n_parts = max(1, min(default_par, (n_edges + 499_999) // 500_000))
+    e = e.repartition(n_parts, "src")
     e = e.persist()
 
     if track_paths:
@@ -170,10 +184,11 @@ def sssp(
     only target rows and early-terminates once all are settled (the
     iterative tier ignores it — callers filter, same results).
     """
+    n_edges = None
     if strategy == "auto":
-        strategy = (
-            "broadcast" if edges.count() <= BROADCAST_EDGE_LIMIT else "iterative"
-        )
+        n_edges = edges.count()
+        strategy = "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
+
     if strategy == "broadcast":
         from routing_algorithm_for_graph_dbs_spark.graph.local_sssp import (
             broadcast_dijkstra,
@@ -181,5 +196,5 @@ def sssp(
 
         return broadcast_dijkstra(edges, sources, weight_col, track_paths, targets)
     return multi_source_dijkstra(
-        edges, sources, weight_col, max_iterations, track_paths
+        edges, sources, weight_col, max_iterations, track_paths, n_edges=n_edges
     )
