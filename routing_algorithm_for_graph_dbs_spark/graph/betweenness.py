@@ -20,6 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+    edge_partition_count,
+)
+
 
 def betweenness_centrality(
     edges: DataFrame,
@@ -32,7 +36,8 @@ def betweenness_centrality(
     single-column DataFrame of source node ids (default: every vertex —
     exact Brandes).
     """
-    e = edges.select("src", "dst").distinct().repartition("src").persist()
+    n_parts = edge_partition_count(edges, edges.count())
+    e = edges.select("src", "dst").distinct().repartition(n_parts, "src").persist()
     verts = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+    edge_partition_count,
+)
+
 
 def connected_components(
     edges: DataFrame,
@@ -32,7 +36,11 @@ def connected_components(
     """
     e = edges.select("src", "dst")
     e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().repartition("src").persist()
+    # partition estimate from the raw input count (x2 for symmetrization) —
+    # cheaper than counting the distinct relation twice, and partition
+    # sizing only needs the order of magnitude
+    n_parts = edge_partition_count(edges, 2 * edges.count())
+    e = e.distinct().repartition(n_parts, "src").persist()
 
     if vertices is None:
         verts = (

@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+    edge_partition_count,
+)
+
 
 def multi_source_dijkstra(
     edges: DataFrame,
@@ -53,19 +57,13 @@ def multi_source_dijkstra(
     e = edges.select(
         F.col("src"), F.col("dst"), F.col(weight_col).cast("double").alias("w")
     )
-    # Size the edge relation's partitioning to the graph, not the session
-    # default: every superstep's relax join scans e, and a 90-edge graph
-    # spread over 32 partitions pays 32 task launches per superstep for
-    # nothing (measured ~1.2 s of a 3.4 s BFS on the nation graph). One
-    # partition per ~500k edges keeps big graphs parallel — a 100M-edge
-    # graph still saturates the cluster — while a toy graph becomes one task.
-    default_par = e.sparkSession.sparkContext.defaultParallelism
     if n_edges is None:
         # one cheap job on the pruned projection; pass n_edges from the
         # dispatcher (which already counted) to skip it
         n_edges = e.count()
-    n_parts = max(1, min(default_par, (n_edges + 499_999) // 500_000))
-    e = e.repartition(n_parts, "src")
+    # see graph/partitioning.py: edge partition count is a per-superstep
+    # task-launch multiplier — size it to the graph, not the session default
+    e = e.repartition(edge_partition_count(e, n_edges), "src")
     e = e.persist()
 
     if track_paths:
