@@ -2383,3 +2383,70 @@ def txt_scrub(spark, sf_dir):
         F.col("n_emails").cast("long"),
         F.md5("scrubbed").alias("scrub_md5"),
     )
+
+
+@_register(
+    "smp_replicate",
+    """
+    WITH rt AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'zh' THEN 2.5 WHEN 'es' THEN 1.25
+                       WHEN 'en' THEN 0.5 ELSE 0.0 END AS rate,
+             ('0x' || substr(md5('rep' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    ), n AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR(rate) AS INT)
+               + CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END AS nc
+      FROM rt
+    )
+    SELECT doc_id, lang, CAST(unnest(generate_series(1, nc)) AS BIGINT) AS copy_id
+    FROM n WHERE nc > 0
+    """,
+)
+def smp_replicate(spark, sf_dir):
+    """Deterministic weighted replication (upsampling low-resource
+    languages): floor(rate) copies + one hash-decided extra, expected
+    copies == rate with zero rerun variance (sampling.weighted_replicate)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        weighted_replicate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_replicate(
+        docs, {"zh": 2.5, "es": 1.25, "en": 0.5}, group_col="lang"
+    )
+    return out.select(
+        F.col("doc_id").cast("long"), "lang", F.col("copy_id").cast("long")
+    )
+
+
+@_register(
+    "smp_ntile",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT doc_id, toks,
+           CAST(NTILE(10) OVER (ORDER BY toks, doc_id) AS BIGINT) AS bin
+    FROM t
+    """,
+)
+def smp_ntile(spark, sf_dir):
+    """Length-decile curriculum binning via the distributed exact NTILE
+    (sampling.ntile_by) — no single-partition global window; bit-identical
+    to SQL NTILE including remainder buckets."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import ntile_by
+    from routing_algorithm_for_graph_dbs_spark.operators.text import token_counts
+
+    docs = token_counts(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long"), F.col("ws_tokens").cast("long").alias("toks")
+    )
+    return ntile_by(docs, 10, ["toks", "doc_id"]).withColumn(
+        "bin", F.col("bin").cast("long")
+    )

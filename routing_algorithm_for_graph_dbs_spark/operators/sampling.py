@@ -142,23 +142,51 @@ def pack_sequences(
     Equality with the single-window formulation is tested
     (tests/test_sampling.py).
     """
+    toks = F.coalesce(F.col(token_col), F.lit(0))
+    local, off_map, _total = _global_cumsum(df, [key_col], toks, num_partitions)
+    if off_map is None:
+        # empty input: typed empty result (an empty create_map can't be
+        # indexed by an int column)
+        return df.withColumn("shard_id", F.lit(0).cast("long"))
+    before = off_map[F.col("_pid")] + F.col("_cum_in") - toks
+    return (
+        local.withColumn(
+            "shard_id", F.floor(before / F.lit(float(budget))).cast("long")
+        )
+        .drop("_pid", "_cum_in")
+    )
+
+
+def _global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    val: Column,
+    num_partitions: int | None = None,
+):
+    """Distributed global cumulative sum of ``val`` in ``order_cols`` order.
+
+    Returns ``(local, off_map, total)`` where ``local`` carries ``_pid``
+    (range-partition id) and ``_cum_in`` (cumulative sum WITHIN the
+    partition, inclusive); the caller reconstructs the global inclusive
+    cumsum as ``off_map[_pid] + _cum_in``. ``off_map`` is None on empty
+    input. Which split points the range sampler picks is irrelevant — the
+    reconstructed prefix sum is invariant to them. One tiny driver collect
+    (#partitions rows), same pattern as IVF centroid collection.
+    """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    toks = F.coalesce(F.col(token_col), F.lit(0))
     ranged = (
-        df.repartitionByRange(n_part, F.col(key_col))
+        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
     )
-    w = Window.partitionBy("_pid").orderBy(key_col)
-    local = ranged.withColumn("_cum_in", F.sum(toks).over(w))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_cum_in", F.sum(val).over(w))
     totals = sorted(
         (r["_pid"], r["_tot"])
         for r in local.groupBy("_pid").agg(F.max("_cum_in").alias("_tot")).collect()
     )
     if not totals:
-        # empty input: typed empty result (an empty create_map can't be
-        # indexed by an int column)
-        return df.withColumn("shard_id", F.lit(0).cast("long"))
+        return local, None, 0
     offsets: dict[int, int] = {}
     acc = 0
     for pid, tot in totals:
@@ -167,10 +195,77 @@ def pack_sequences(
     off_map = F.create_map(
         *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
     )
-    before = off_map[F.col("_pid")] + F.col("_cum_in") - toks
-    return (
-        local.withColumn(
-            "shard_id", F.floor(before / F.lit(float(budget))).cast("long")
-        )
-        .drop("_pid", "_cum_in")
+    return local, off_map, acc
+
+
+def weighted_replicate(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "rep",
+) -> DataFrame:
+    """Deterministic weighted replication — the upsampling counterpart to
+    ``mixture_sample``: a row with group rate r emits floor(r) copies plus
+    one more iff its uniform draw < frac(r), so expected copies == r with
+    zero variance across reruns. Adds ``copy_id`` (1..n). Groups absent
+    from ``rates`` emit nothing; rates may exceed 1 (that is the point) but
+    must be >= 0.
+
+    Row explosion happens via ``explode(sequence(...))`` — JVM-side, no
+    shuffle; output size is rate-bounded, never quadratic.
+    """
+    for g, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for group {g!r} must be >= 0, got {r}")
+    mapping = F.create_map(
+        *[x for g in sorted(rates) for x in (F.lit(g), F.lit(float(rates[g])))]
     )
+    rate = F.coalesce(mapping[F.col(group_col)], F.lit(0.0))
+    base = F.floor(rate).cast("int")
+    frac = rate - base
+    n = base + (hash_uniform(F.col(key_col), salt) < frac).cast("int")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )
+
+
+def ntile_by(
+    df: DataFrame,
+    n_bins: int,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE(n) without a single-partition global window: curriculum /
+    difficulty binning over a corpus-wide ordering (e.g. token length).
+
+    Global row numbers come from the same two-pass distributed prefix sum
+    as ``pack_sequences`` (val = 1); the bucket is then SQL NTILE's exact
+    rule — total % n leading buckets get one extra row — evaluated from
+    literals, so results are bit-identical to ``NTILE(n) OVER (ORDER BY
+    ...)`` (equality tested, including remainder cases where the naive
+    ``floor((rn-1)*n/total)`` shortcut disagrees).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    local, off_map, total = _global_cumsum(
+        df, order_cols, F.lit(1), num_partitions
+    )
+    if off_map is None:
+        return df.withColumn("bin", F.lit(0).cast("long"))
+    rn = off_map[F.col("_pid")] + F.col("_cum_in")
+    small = total // n_bins
+    r = total % n_bins
+    big = small + 1
+    head = r * big  # rows living in the r oversized leading buckets
+    bucket = F.when(
+        rn <= F.lit(head), ((rn - 1) / F.lit(big)).cast("long") + 1
+    )
+    if small > 0:
+        bucket = bucket.otherwise(
+            F.lit(r) + ((rn - F.lit(head) - 1) / F.lit(small)).cast("long") + 1
+        )
+    return local.withColumn("bin", bucket).drop("_pid", "_cum_in")

@@ -11,6 +11,7 @@ from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
     pack_sequences,
     pack_sequences_naive,
     stratified_sample,
+    weighted_replicate,
 )
 
 
@@ -131,3 +132,55 @@ def test_pack_null_tokens_treated_as_zero(spark):
 def test_pack_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, toks long")
     assert pack_sequences(df, "toks", budget=10).count() == 0
+
+
+def test_weighted_replicate_semantics(docs):
+    rates = {"g0": 2.0, "g1": 1.5, "g2": 0.0}
+    out = weighted_replicate(docs, rates, group_col="grp", key_col="doc_id")
+    counts = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert counts["g0"] == 200                  # exactly 2 copies each
+    assert 120 <= counts["g1"] <= 180           # 100 + ~50 hash-extras
+    assert "g2" not in counts and "g3" not in counts
+    # copy ids enumerate 1..n
+    ids = out.filter(F.col("grp") == "g0").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy_id")).alias("c")).collect()
+    assert all(r["c"] == [1, 2] for r in ids)
+    # deterministic under repartitioning
+    a = sorted((r["doc_id"], r["copy_id"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["copy_id"])
+        for r in weighted_replicate(
+            docs.repartition(9), rates, group_col="grp"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_weighted_replicate_rejects_negative(docs):
+    with pytest.raises(ValueError, match=">= 0"):
+        weighted_replicate(docs, {"g0": -0.1}, group_col="grp")
+
+
+@pytest.mark.parametrize("n,bins", [(6, 4), (103, 10), (10, 3), (3, 7)])
+def test_ntile_by_matches_window_ntile(spark, n, bins):
+    from pyspark.sql import Window
+
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import ntile_by
+
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 37 % 91).alias("v")
+    )
+    mine = {r["doc_id"]: r["bin"] for r in ntile_by(
+        df, bins, ["v", "doc_id"]).collect()}
+    ref = {r["doc_id"]: r["nt"] for r in df.withColumn(
+        "nt", F.ntile(bins).over(Window.orderBy("v", "doc_id"))).collect()}
+    assert mine == ref
+
+
+def test_ntile_by_empty_and_validation(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import ntile_by
+
+    empty = spark.createDataFrame([], "doc_id long, v long")
+    assert ntile_by(empty, 5, ["v", "doc_id"]).count() == 0
+    with pytest.raises(ValueError, match="n_bins"):
+        ntile_by(empty, 0, ["v"])
