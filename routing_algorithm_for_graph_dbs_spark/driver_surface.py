@@ -2450,3 +2450,26 @@ def smp_ntile(spark, sf_dir):
     return ntile_by(docs, 10, ["toks", "doc_id"]).withColumn(
         "bin", F.col("bin").cast("long")
     )
+
+
+@_register(
+    "skw_count_distinct",
+    """
+    SELECT l_partkey AS pkey,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def skw_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) via the two-stage skew-resistant shape
+    (operators/skew.py skew_count_distinct): the first shuffle partitions on
+    (key, value) so a hot key spreads across the cluster; equality to the
+    naive plan is also pytest-asserted."""
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        skew_count_distinct,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pkey"), "l_suppkey"
+    )
+    return skew_count_distinct(li, ["pkey"], "l_suppkey")
