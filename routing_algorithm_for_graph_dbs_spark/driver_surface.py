@@ -2473,3 +2473,32 @@ def skw_count_distinct(spark, sf_dir):
         F.col("l_partkey").alias("pkey"), "l_suppkey"
     )
     return skew_count_distinct(li, ["pkey"], "l_suppkey")
+
+
+@_register(
+    "st_enriched_counts",
+    """
+    WITH dim AS (
+      SELECT i AS user_id, 'seg' || CAST(i % 4 AS VARCHAR) AS segment
+      FROM generate_series(0, 9999) t(i) WHERE i % 4 <> 3
+    )
+    SELECT strftime(time_bucket(INTERVAL '1 hour', e.ts), '%Y-%m-%d %H:%M:%S')
+             AS win_start,
+           COALESCE(d.segment, 'unknown') AS segment,
+           COUNT(*) AS n, ROUND(SUM(e.value), 2) AS sum_val
+    FROM events e LEFT JOIN dim d ON d.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def st_enriched_counts(spark, sf_dir):
+    """Batch twin of streaming.pipelines.enriched_segment_counts: the
+    stream-static enrichment join + windowed per-segment rollup, on the
+    same deterministic user->segment dim (ids % 4 == 3 absent ->
+    'unknown'). Stream == batch is asserted in tests/test_streaming.py."""
+    from routing_algorithm_for_graph_dbs_spark.streaming.pipelines import (
+        enriched_segment_counts,
+        user_segments,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return enriched_segment_counts(ev, user_segments(spark))

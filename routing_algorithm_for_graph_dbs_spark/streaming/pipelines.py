@@ -196,3 +196,51 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def user_segments(spark: SparkSession, n_users: int = 10_000) -> DataFrame:
+    """Deterministic user->segment dimension for enrichment joins. Users
+    with ``user_id % 4 == 3`` are deliberately absent so the left join has
+    genuine misses (-> 'unknown' downstream)."""
+    return (
+        spark.range(n_users)
+        .select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("seg"), (F.col("id") % 4).cast("string")).alias(
+                "segment"
+            ),
+        )
+        .filter(F.col("id") % 4 != 3)
+    )
+
+
+def enriched_segment_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed per-segment rollup.
+
+    The stream-static join is STATELESS on the stream side — each
+    microbatch probes the (broadcast) static dimension, no join state
+    accumulates, and the dim is re-resolvable per batch (slowly-changing
+    dims pick up updates on file sources). Only the downstream windowed
+    aggregation keeps state, bounded by the watermark. This is the standard
+    "enrich the firehose, roll up by attribute" topology.
+    """
+    e = events.withWatermark("ts", watermark)
+    j = e.join(F.broadcast(dim), "user_id", "left")
+    return (
+        j.groupBy(
+            F.window("ts", window).alias("w"),
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_val"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "segment",
+            "n",
+            "sum_val",
+        )
+    )

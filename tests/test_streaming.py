@@ -186,3 +186,34 @@ def test_running_totals_state_ttl_evicts(spark, tmp_path):
     got = spark.table("t_ttl").collect()
     u1_counts = sorted(r["n"] for r in got if r["user_id"] == 1)
     assert u1_counts == [1, 3], f"expected reset after eviction, got {u1_counts}"
+
+
+def test_enriched_segment_counts_stream_equals_batch(
+    spark, events_dir, events_batch, tmp_path
+):
+    """Stream-static enrichment join: availableNow replay == batch answer
+    for every window the watermark has emitted, including 'unknown' rows
+    from dim misses (user_id % 4 == 3 is absent from the dim)."""
+    from routing_algorithm_for_graph_dbs_spark.streaming import (
+        enriched_segment_counts,
+        user_segments,
+    )
+
+    dim = user_segments(spark)
+    stream = enriched_segment_counts(
+        read_events_stream(spark, events_dir, max_files_per_trigger=1), dim
+    )
+    got = _drain(spark, stream, "enriched_counts", tmp_path)
+    cutoff = _watermark_cutoff(events_batch)
+    # append mode emits exactly the windows whose END the watermark passed
+    batch = enriched_segment_counts(events_batch, dim).filter(
+        F.date_format(
+            F.to_timestamp("win_start") + F.expr("INTERVAL 1 HOUR"),
+            "yyyy-MM-dd HH:mm:ss",
+        )
+        <= cutoff
+    )
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert g == b and len(b) > 0
+    assert any(r[1] == "unknown" for r in b)
