@@ -38,6 +38,10 @@ HEADLINE = [
     "txt_language_id",      # regex-heavy text scan
     "sim_cosine_topk",      # embedding similarity scan
     "graph_bfs_hops",       # iterative SSSP kernel
+    "pack_shards",          # two-pass distributed prefix sum
+    "skw_count_distinct",   # skew-resistant two-stage distinct
+    "dd_canonical",         # LSH -> verify -> connected-components closure
+    "smp_mixture",          # scan-speed deterministic sampling
 ]
 
 _GRAPH_MEMO: dict[str, object] = {}
