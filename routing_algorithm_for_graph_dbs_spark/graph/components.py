@@ -19,10 +19,17 @@ from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
 )
 
 
+# edge relations at or below this fit comfortably on the driver (~40 MB of
+# pairs); union-find there beats O(diameter) distributed supersteps. The
+# iterative tier takes over beyond it — same two-tier pattern as sssp().
+LOCAL_EDGE_LIMIT = 5_000_000
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iterations: int = 100,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Return (node, component) where component = the minimum node id in the
     node's WEAKLY-connected component.
@@ -33,7 +40,21 @@ def connected_components(
     components need a different algorithm entirely; the engine's parity
     target — the reference's reachability guard over symmetrized footways —
     is the weak form.)
+
+    Two tiers (``strategy``: auto | local | iterative): a near-dup pair
+    graph or a city footway graph is a few thousand to a few million edges
+    — collected once and solved with union-find on the driver in one job,
+    instead of O(diameter) supersteps each costing a join + checkpoint.
+    ``auto`` picks by edge count; the iterative min-label tier serves
+    graphs beyond driver memory. Cross-tier equality is pytest-asserted.
     """
+    if strategy == "auto":
+        strategy = (
+            "local" if edges.count() <= LOCAL_EDGE_LIMIT else "iterative"
+        )
+    if strategy == "local":
+        return _local_components(edges, vertices)
+
     e = edges.select("src", "dst")
     e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # partition estimate from the raw input count (x2 for symmetrization) —
@@ -42,14 +63,21 @@ def connected_components(
     n_parts = edge_partition_count(edges, 2 * edges.count())
     e = e.distinct().repartition(n_parts, "src").persist()
 
-    if vertices is None:
+    # vertex set = edge endpoints UNION the caller's vertices (isolated
+    # nodes become their own components). Endpoints are always included:
+    # treating a partial ``vertices`` as the complete set would silently
+    # drop labels for unlisted endpoints — and diverge from the local tier.
+    verts = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if vertices is not None:
         verts = (
-            e.select(F.col("src").alias("node"))
-            .unionByName(e.select(F.col("dst").alias("node")))
-            .distinct()
+            verts.unionByName(
+                vertices.select(F.col(vertices.columns[0]).alias("node"))
+            ).distinct()
         )
-    else:
-        verts = vertices.select(F.col(vertices.columns[0]).alias("node")).distinct()
 
     labels = verts.select("node", F.col("node").alias("component")).localCheckpoint(
         eager=True
@@ -81,3 +109,55 @@ def connected_components(
 
     e.unpersist()
     return labels
+
+
+def _local_components(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """Driver-side union-find (path compression + union by min label).
+
+    One collect of the 2-column edge list, one parallelize back out —
+    the same tiny-side pattern as IVF centroid collection. Labels are the
+    component minimum, matching the iterative tier exactly.
+    """
+    spark = edges.sparkSession
+    node_type = edges.schema["src"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:  # path compression
+            nxt = parent[x]
+            parent[x] = root
+            x = nxt
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        parent[hi] = lo
+
+    nodes = set()
+    for r in edges.select("src", "dst").collect():
+        a, b = r["src"], r["dst"]
+        nodes.add(a)
+        nodes.add(b)
+        union(a, b)
+    if vertices is not None:
+        for r in vertices.select(
+            F.col(vertices.columns[0]).alias("node")
+        ).distinct().collect():
+            nodes.add(r["node"])
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("component", node_type, False),
+        ]
+    )
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(rows, schema)

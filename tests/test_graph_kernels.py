@@ -175,3 +175,31 @@ def test_betweenness_tiers_agree(spark):
         for r in betweenness_centrality(edges, sources=sample).collect()
     }
     assert s_fast == s_iter
+
+
+def test_components_tiers_agree(spark):
+    """local union-find tier == iterative min-label tier on a random graph
+    with several components, including isolated vertices."""
+    import random
+
+    from routing_algorithm_for_graph_dbs_spark.graph.components import (
+        connected_components,
+    )
+
+    rng = random.Random(11)
+    edges = []
+    # three chains + random intra-chain extras (chains force propagation depth)
+    for base in (0, 100, 200):
+        for i in range(30):
+            edges.append((base + i, base + i + 1))
+        for _ in range(10):
+            edges.append((base + rng.randrange(30), base + rng.randrange(30)))
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    vdf = spark.createDataFrame([(999,), (0,), (100,)], "node long")
+    local = connected_components(edf, vdf, strategy="local")
+    iterative = connected_components(edf, vdf, strategy="iterative")
+    lm = {r["node"]: r["component"] for r in local.collect()}
+    im = {r["node"]: r["component"] for r in iterative.collect()}
+    assert lm == im
+    assert lm[999] == 999                    # isolated vertex is its own comp
+    assert lm[30] == 0 and lm[130] == 100 and lm[230] == 200
