@@ -2325,8 +2325,10 @@ def emb_random_proj(spark, sf_dir):
     )
 
 
-_SCRUB_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_SCRUB_URL = r"https?://[^\s]+"
+from routing_algorithm_for_graph_dbs_spark.operators.text import (  # noqa: E402
+    EMAIL_PATTERN as _SCRUB_EMAIL,
+    URL_PATTERN as _SCRUB_URL,
+)
 
 
 @_register(

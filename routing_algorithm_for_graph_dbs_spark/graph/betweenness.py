@@ -29,6 +29,7 @@ def betweenness_centrality(
     edges: DataFrame,
     sources: DataFrame | None = None,
     max_depth: int = 100,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Return (node, score): sum of pair-dependencies over sampled sources.
 
@@ -36,7 +37,11 @@ def betweenness_centrality(
     single-column DataFrame of source node ids (default: every vertex —
     exact Brandes).
     """
-    n_parts = edge_partition_count(edges, edges.count())
+    if n_edges is None:
+        # pass n_edges from the dispatcher (which already counted) to avoid
+        # re-executing an unpersisted upstream pipeline
+        n_edges = edges.count()
+    n_parts = edge_partition_count(edges, n_edges)
     e = edges.select("src", "dst").distinct().repartition(n_parts, "src").persist()
     verts = (
         e.select(F.col("src").alias("node"))
@@ -148,9 +153,11 @@ def betweenness(
     of the exact score."""
     from routing_algorithm_for_graph_dbs_spark.graph.sssp import BROADCAST_EDGE_LIMIT
 
+    n_edges = None
     if strategy == "auto":
+        n_edges = edges.count()
         strategy = (
-            "broadcast" if edges.count() <= BROADCAST_EDGE_LIMIT else "iterative"
+            "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
         )
     if strategy == "broadcast":
         from routing_algorithm_for_graph_dbs_spark.graph.local_betweenness import (
@@ -159,7 +166,7 @@ def betweenness(
 
         out = broadcast_betweenness(edges, sources)
     else:
-        out = betweenness_centrality(edges, sources)
+        out = betweenness_centrality(edges, sources, n_edges=n_edges)
     if scaled and sources is not None:
         n = (
             edges.select(F.col("src").alias("n"))

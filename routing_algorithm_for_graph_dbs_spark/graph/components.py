@@ -48,19 +48,21 @@ def connected_components(
     ``auto`` picks by edge count; the iterative min-label tier serves
     graphs beyond driver memory. Cross-tier equality is pytest-asserted.
     """
+    n_in = None
     if strategy == "auto":
-        strategy = (
-            "local" if edges.count() <= LOCAL_EDGE_LIMIT else "iterative"
-        )
+        n_in = edges.count()
+        strategy = "local" if n_in <= LOCAL_EDGE_LIMIT else "iterative"
     if strategy == "local":
         return _local_components(edges, vertices)
 
     e = edges.select("src", "dst")
     e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # partition estimate from the raw input count (x2 for symmetrization) —
-    # cheaper than counting the distinct relation twice, and partition
-    # sizing only needs the order of magnitude
-    n_parts = edge_partition_count(edges, 2 * edges.count())
+    # partition estimate from the raw input count (x2 for symmetrization),
+    # reusing the dispatch count — an unpersisted upstream pipeline must
+    # not execute twice just for partition sizing
+    if n_in is None:
+        n_in = edges.count()
+    n_parts = edge_partition_count(edges, 2 * n_in)
     e = e.distinct().repartition(n_parts, "src").persist()
 
     # vertex set = edge endpoints UNION the caller's vertices (isolated

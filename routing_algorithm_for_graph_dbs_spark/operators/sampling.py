@@ -179,8 +179,22 @@ def _global_cumsum(
         df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    local = ranged.withColumn("_cum_in", F.sum(val).over(w))
+    # ROWS frame, not the default RANGE frame: with ties in order_cols a
+    # RANGE frame gives every peer the peer-inclusive sum (all tied rows
+    # would share one cumsum — ntile_by would dump them into one bucket)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # materialize ONCE before the two consuming jobs: the totals collect
+    # and the caller's final action must see the SAME range split points —
+    # re-running the range sampler over nondeterministically-ordered
+    # shuffle output could shift a boundary row's _pid between jobs,
+    # misaligning the offset map
+    local = ranged.withColumn("_cum_in", F.sum(val).over(w)).localCheckpoint(
+        eager=True
+    )
     totals = sorted(
         (r["_pid"], r["_tot"])
         for r in local.groupBy("_pid").agg(F.max("_cum_in").alias("_tot")).collect()
@@ -248,6 +262,10 @@ def ntile_by(
     literals, so results are bit-identical to ``NTILE(n) OVER (ORDER BY
     ...)`` (equality tested, including remainder cases where the naive
     ``floor((rn-1)*n/total)`` shortcut disagrees).
+
+    ``order_cols`` should end in a unique tiebreaker (a key column): with
+    ties, bucket ASSIGNMENT among the tied rows is arbitrary — exactly as
+    in SQL NTILE — and not stable across engines.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")

@@ -93,14 +93,14 @@ def embedding_near_dup_pairs(
     cosine only within buckets. (Recall is probabilistic; raise n_planes /
     add probes for tighter guarantees — standard ANN tradeoff.)
     """
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:  # empty input -> empty pair set, not a crash
+    try:
+        dim = dim_of(embeddings, vec_col)
+    except ValueError:  # empty input -> empty pair set, not a crash
         return embeddings.sparkSession.createDataFrame(
             [], f"a {embeddings.schema[key_col].dataType.simpleString()}, "
                 f"b {embeddings.schema[key_col].dataType.simpleString()}, "
                 "cosine_sim double",
         )
-    dim = dim_row["d"]
     planes = hyperplanes(dim, n_planes, seed)
 
     sig = F.concat(

@@ -37,7 +37,9 @@ def skew_count_distinct(
         df.select(*key_cols, value_col)
         .distinct()
         .groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).cast("long").alias(out_col))
+        # count(col), not count(*): SQL COUNT(DISTINCT v) skips NULLs, so a
+        # key with values {1, 2, NULL} must report 2 (and all-NULL keys 0)
+        .agg(F.count(F.col(value_col)).cast("long").alias(out_col))
     )
 
 
@@ -51,11 +53,16 @@ def salted_join(
     """Hot-key-tolerant equi-join: replicate ``right`` ``salt_n`` times and
     spread each left key's rows uniformly over the replicas.
 
-    The salt is derived from the row's position (partition id + offset) —
-    it only steers physical placement, never the join result, so its
-    nondeterminism across retries is harmless. Supported ``how``: inner /
-    left joins (semantics preserved by replication + salt match); right and
-    full-outer would double-count unmatched right replicas — rejected.
+    The salt is a deterministic hash of the full left row: a
+    position-derived salt (partition id / monotonic id) would be recomputed
+    differently on task retry AFTER reducers already fetched some shuffle
+    blocks, silently dropping or duplicating rows (the classic
+    nondeterministic-shuffle-key hazard; see operators/asof.py for the same
+    rule). Fully-identical duplicate left rows share a salt — replicate-
+    with-distinct-keys upstream if such rows are themselves the hot spot.
+    Supported ``how``: inner / left joins (semantics preserved by
+    replication + salt match); right and full-outer would double-count
+    unmatched right replicas — rejected.
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
@@ -67,10 +74,8 @@ def salted_join(
         raise ValueError(f"salt_n must be >= 1, got {salt_n}")
     lt = left.withColumn(
         "_salt",
-        F.pmod(
-            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-            F.lit(salt_n),
-        ).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_n))
+        .cast("int"),
     )
     rt = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))

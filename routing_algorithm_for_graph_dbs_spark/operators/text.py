@@ -177,9 +177,11 @@ def winnow_fingerprints(
 
 
 # RE2-compatible (and Java-regex-compatible) patterns so the DuckDB oracle
-# scrubs identically: no backrefs, no lookaround.
+# scrubs identically: no backrefs, no lookaround, and no \s inside a
+# negated class (Java's \s includes \x0B, RE2's does not — the explicit
+# class below means both engines stop a URL at exactly the same chars).
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_PATTERN = r"https?://[^\s]+"
+URL_PATTERN = "https?://[^ \\t\\n\\x0B\\f\\r]+"
 
 
 def scrub_text(df: DataFrame, text_col: str = "text") -> DataFrame:

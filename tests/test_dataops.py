@@ -723,3 +723,17 @@ def test_scrub_text_masks_and_counts(spark):
     assert (got[2]["n_urls"], got[2]["n_emails"]) == (0, 0)
     assert got[2]["scrubbed"] == "no contacts here"
     assert got[3]["scrubbed"] == "<URL> and <EMAIL>"
+
+
+def test_scrub_text_vertical_tab_parity_chars(spark):
+    """The URL pattern must use an explicit whitespace class: Java's \\s
+    includes \\x0B, RE2's does not — with [^\\s] the two engines would stop
+    a URL at different characters. Both must stop at \\x0B."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import scrub_text
+
+    df = spark.createDataFrame(
+        [(1, "go https://x.io/a\x0bmore end")], ["doc_id", "text"]
+    )
+    got = scrub_text(df).first()
+    assert got["scrubbed"] == "go <URL>\x0bmore end"
+    assert got["n_urls"] == 1

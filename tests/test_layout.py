@@ -120,3 +120,17 @@ def test_salted_join_rejects_right_outer(spark, skewed):
     dim = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(skewed, dim, ["k"], how="right")
+
+
+def test_skew_count_distinct_null_values_skipped(spark):
+    """SQL COUNT(DISTINCT v) skips NULLs: {1, 2, NULL} counts 2, an
+    all-NULL key counts 0 (the naive plan agrees)."""
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, None), (2, None), (2, None)],
+        "k int, v int",
+    )
+    mine = {r["k"]: r["n_distinct"] for r in skew_count_distinct(
+        df, ["k"], "v").collect()}
+    naive = {r["k"]: r["n"] for r in df.groupBy("k").agg(
+        F.countDistinct("v").alias("n")).collect()}
+    assert mine == naive == {1: 2, 2: 0}
