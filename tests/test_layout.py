@@ -134,3 +134,28 @@ def test_skew_count_distinct_null_values_skipped(spark):
     naive = {r["k"]: r["n"] for r in df.groupBy("k").agg(
         F.countDistinct("v").alias("n")).collect()}
     assert mine == naive == {1: 2, 2: 0}
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path, testdata_dir):
+    """Hive-style partitionBy(day) layout: a day-filtered read must show
+    non-empty PartitionFilters at the scan (directories skipped outright),
+    with the filter absent from the post-scan data filters."""
+    ev = spark.read.parquet(f"{testdata_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    out = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).mode("overwrite").parquet(out)
+
+    days = [r["day"] for r in spark.read.parquet(out).select("day").distinct()
+            .orderBy("day").limit(2).collect()]
+    q = spark.read.parquet(out).filter(F.col("day") == days[0])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and not any("PartitionFilters: []" in ln for ln in pf), plan
+    # and the pruned read returns exactly that day's rows
+    batch = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    assert q.count() == batch.filter(F.col("day") == days[0]).count()
