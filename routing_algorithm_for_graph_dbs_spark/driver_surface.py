@@ -2504,3 +2504,25 @@ def st_enriched_counts(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return enriched_segment_counts(ev, user_segments(spark))
+
+
+@_register(
+    "f10_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent
+    FROM events
+    """,
+)
+def f10_json_extract(spark, sf_dir):
+    """F8-family JSON accessors over the events.props payload column:
+    path extraction with typed cast, absent paths -> NULL (identical
+    semantics in Spark's get_json_object and DuckDB's
+    json_extract_string)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("long"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").cast("long").alias("absent"),
+    )

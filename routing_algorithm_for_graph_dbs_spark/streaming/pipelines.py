@@ -244,3 +244,59 @@ def enriched_segment_counts(
             "sum_val",
         )
     )
+
+
+def incremental_dedup_sink(
+    stream: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_id",
+):
+    """foreachBatch dedup against an UNBOUNDED persistent history.
+
+    ``dropDuplicatesWithinWatermark`` (streaming_dedup) bounds its state by
+    the watermark — a replay older than the delay is readmitted. Corpus
+    ingestion needs the opposite: never admit a key twice, ever. The
+    standard answer is a foreachBatch sink that (1) dedups the microbatch
+    internally, (2) left-anti joins the persistent key store, (3) appends
+    survivors to both the output and the store. State lives in parquet, so
+    it survives restarts with the checkpoint and is shared by any number
+    of downstream readers.
+
+    foreachBatch gives exactly-once APPENDS only together with the
+    checkpoint: a retried batch re-runs step (2) against a store that may
+    already contain its keys, so retried rows anti-join away — idempotent.
+
+    Scale: the anti-join shuffles on the key; the store is append-only
+    parquet (compact it offline when file counts grow). Returns the
+    StreamingQuery.
+    """
+    spark = stream.sparkSession
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        fresh = batch.dropDuplicates([key_col])
+        try:
+            seen = spark.read.parquet(store_dir).select(key_col)
+        except Exception:  # first batch: no store yet
+            seen = None
+        if seen is not None:
+            fresh = fresh.join(seen, key_col, "left_anti")
+        # persist: `fresh` drives two writes; recomputing it after the
+        # store append would anti-join the batch against its own keys
+        # and write an empty output
+        fresh = fresh.persist()
+        try:
+            n = fresh.count()
+            if n:
+                fresh.write.mode("append").parquet(out_dir)
+                fresh.select(key_col).write.mode("append").parquet(store_dir)
+        finally:
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

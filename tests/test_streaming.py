@@ -217,3 +217,51 @@ def test_enriched_segment_counts_stream_equals_batch(
     b = sorted(map(tuple, batch.collect()))
     assert g == b and len(b) > 0
     assert any(r[1] == "unknown" for r in b)
+
+
+def test_incremental_dedup_sink_never_readmits(spark, events_batch, tmp_path):
+    """Unbounded-history dedup: replaying the SAME rows in a later batch
+    (beyond any watermark horizon) must not re-admit them, and a second
+    run over already-seen input appends nothing."""
+    import os
+
+    from routing_algorithm_for_graph_dbs_spark.streaming import (
+        EVENTS_SCHEMA,
+        incremental_dedup_sink,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    ck1 = str(tmp_path / "ck1")
+
+    first = events_batch.limit(200).persist()
+    first.write.mode("overwrite").parquet(src)
+    q = incremental_dedup_sink(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(src), out, store, ck1
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 200
+
+    # second source dir: 100 replayed rows + 50 genuinely new ones
+    src2 = str(tmp_path / "src2")
+    replay = first.limit(100)
+    new = events_batch.orderBy("event_id").limit(500).subtract(first).limit(50)
+    replay.unionByName(new).write.mode("overwrite").parquet(src2)
+    q2 = incremental_dedup_sink(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(src2), out, store,
+        str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 250
+    assert got.select("event_id").distinct().count() == 250
+
+    # idempotence: draining the same source again appends nothing
+    q3 = incremental_dedup_sink(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(src2), out, store,
+        str(tmp_path / "ck3"),
+    )
+    q3.awaitTermination()
+    assert spark.read.parquet(out).count() == 250
+    assert os.path.isdir(store)
