@@ -2526,3 +2526,51 @@ def f10_json_extract(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.get_json_object("props", "$.missing").cast("long").alias("absent"),
     )
+
+
+@_register(
+    "pipe_corpus_prep",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS toks
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, lang, toks FROM t
+      WHERE toks >= 20
+        AND ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0
+            < CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5
+                        WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.5
+                        WHEN 'zh' THEN 0.2 ELSE 0.0 END
+    )
+    SELECT doc_id, lang, toks,
+           CAST(FLOOR(COALESCE(SUM(toks) OVER (
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) / 1024.0) AS BIGINT) AS shard_id
+    FROM kept
+    """,
+)
+def pipe_corpus_prep(spark, sf_dir):
+    """End-to-end corpus preparation, the operators composed as a user
+    would: token-length floor -> deterministic per-language mixture
+    sampling -> sequence packing into 1024-token shards. Every stage is a
+    pure function of the data, so the whole pipeline is rerun-stable and
+    the oracle reproduces it exactly."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        mixture_sample,
+        pack_sequences,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.text import token_counts
+
+    docs = token_counts(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long"),
+        "lang",
+        F.col("ws_tokens").cast("long").alias("toks"),
+    )
+    kept = mixture_sample(
+        docs.filter(F.col("toks") >= 20), _MIX_RATES, group_col="lang"
+    )
+    return pack_sequences(kept, "toks", budget=1024)
