@@ -116,3 +116,66 @@ def test_winnowing_guarantee_random_strings(spark, pre, mid, post):
     for r in fps:
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc.get(1, set()) & by_doc.get(2, set())
+
+
+pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # doc key (may collide)
+        st.integers(min_value=0, max_value=300),  # token count (0 allowed)
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@SET
+@given(data=pack_rows, budget=st.sampled_from([1, 7, 100]))
+def test_pack_two_pass_matches_python_oracle(spark, data, budget):
+    """Distributed two-pass packing == a sequential Python prefix sum.
+    Keys are deduped first (pack_sequences orders by key; duplicate keys
+    would make the order — and any engine's answer — ill-defined)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    dd = {}
+    for k, t in data:
+        dd.setdefault(k, t)
+    df = spark.createDataFrame(
+        list(dd.items()) or [(None, None)], "doc_id int, toks int"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {r["doc_id"]: r["shard_id"] for r in pack_sequences(
+        df, "toks", budget=budget, num_partitions=3).collect()}
+    want, acc = {}, 0
+    for k in sorted(dd):
+        want[k] = acc // budget
+        acc += dd[k]
+    assert got == want
+
+
+@SET
+@given(
+    n=st.integers(min_value=0, max_value=25),
+    bins=st.integers(min_value=1, max_value=9),
+    dup_every=st.sampled_from([1, 2, 3]),
+)
+def test_ntile_matches_python_oracle(spark, n, bins, dup_every):
+    """Distributed NTILE == the SQL NTILE rule computed in Python, with
+    deliberate ties in the first order column (broken by the key)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import ntile_by
+
+    rows = [(i, i // dup_every) for i in range(n)]
+    df = spark.createDataFrame(
+        rows or [(None, None)], "doc_id int, v int"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {r["doc_id"]: r["bin"] for r in ntile_by(
+        df, bins, ["v", "doc_id"], num_partitions=3).collect()}
+    small, r = n // bins, n % bins
+    big = small + 1
+    want = {}
+    for rn, (k, _) in enumerate(sorted(rows, key=lambda x: (x[1], x[0])), 1):
+        if rn <= r * big:
+            want[k] = (rn - 1) // big + 1
+        else:
+            want[k] = r + (rn - r * big - 1) // small + 1
+    assert got == want
