@@ -2574,3 +2574,38 @@ def pipe_corpus_prep(spark, sf_dir):
         docs.filter(F.col("toks") >= 20), _MIX_RATES, group_col="lang"
     )
     return pack_sequences(kept, "toks", budget=1024)
+
+
+@_register(
+    "pack_shards_grouped",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang, toks,
+           CAST(FLOOR(COALESCE(SUM(toks) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 512.0) AS BIGINT) AS shard_id
+    FROM t
+    """,
+)
+def pack_shards_grouped(spark, sf_dir):
+    """Per-language sequence packing (sampling.pack_sequences_grouped):
+    each language numbers its 512-token shards independently; offsets
+    never touch the driver (broadcast-joined totals cumsum)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        pack_sequences_grouped,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.text import token_counts
+
+    docs = token_counts(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long"),
+        "lang",
+        F.col("ws_tokens").cast("long").alias("toks"),
+    )
+    return pack_sequences_grouped(docs, "toks", ["lang"], budget=512)

@@ -287,3 +287,62 @@ def ntile_by(
             F.lit(r) + ((rn - F.lit(head) - 1) / F.lit(small)).cast("long") + 1
         )
     return local.withColumn("bin", bucket).drop("_pid", "_cum_in")
+
+
+def pack_sequences_grouped(
+    df: DataFrame,
+    token_col: str,
+    group_cols: list[str],
+    key_col: str = "doc_id",
+    budget: int = 2048,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group sequence packing: independent ``shard_id`` numbering
+    inside each group (per-language shards, per-source shards).
+
+    Same two-pass prefix sum as ``pack_sequences``, but the offsets never
+    touch the driver: per-(group, partition) totals stay a DataFrame, get
+    their within-group exclusive cumsum from a window over the tiny totals
+    relation, and broadcast-join back onto the data. A group's rows may
+    span many range partitions (a 100 TB English split still packs in
+    parallel); the broadcast is ~(groups + partitions) rows — for
+    millions of tiny groups prefer a plain per-group window, which is the
+    same shuffle without the two-pass overhead.
+    """
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    toks = F.coalesce(F.col(token_col), F.lit(0))
+    gcols = [F.col(c) for c in group_cols]
+    ranged = (
+        df.repartitionByRange(n_part, *gcols, F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # one materialization feeds both the totals aggregation and the final
+    # join — the two consumers must agree on range split points
+    local = ranged.withColumn("_cum_in", F.sum(toks).over(w)).localCheckpoint(
+        eager=True
+    )
+    totals = local.groupBy(*group_cols, "_pid").agg(
+        F.max("_cum_in").alias("_tot")
+    )
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols,
+        "_pid",
+        F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off"),
+    )
+    before = F.col("_off") + F.col("_cum_in") - toks
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "_pid"])
+        .withColumn("shard_id", F.floor(before / F.lit(float(budget))).cast("long"))
+        .drop("_pid", "_cum_in", "_off")
+    )

@@ -184,3 +184,34 @@ def test_ntile_by_empty_and_validation(spark):
     assert ntile_by(empty, 5, ["v", "doc_id"]).count() == 0
     with pytest.raises(ValueError, match="n_bins"):
         ntile_by(empty, 0, ["v"])
+
+
+def test_pack_grouped_matches_per_group_window(docs):
+    from pyspark.sql import Window
+
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        pack_sequences_grouped,
+    )
+
+    got = {
+        r["doc_id"]: (r["grp"], r["shard_id"])
+        for r in pack_sequences_grouped(
+            docs, "toks", ["grp"], budget=300, num_partitions=5
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = docs.withColumn(
+        "shard_id",
+        F.floor(
+            F.coalesce(F.sum("toks").over(w), F.lit(0)) / F.lit(300.0)
+        ).cast("long"),
+    )
+    want = {r["doc_id"]: (r["grp"], r["shard_id"]) for r in naive.collect()}
+    assert got == want
+    # each group numbers its shards from 0 independently
+    assert sorted({v[1] for k, v in got.items() if v[0] == "g0"})[0] == 0
+    assert sorted({v[1] for k, v in got.items() if v[0] == "g3"})[0] == 0
