@@ -135,25 +135,22 @@ def pack_sequences(
        boundaries the range sampler picks is irrelevant — the global prefix
        sum is invariant to the split points);
     2. per-partition cumulative sums via a window keyed on the partition id;
-    3. collect one total per partition (a #partitions-row driver collect,
-       same tiny-side pattern as IVF centroids), prefix-sum those on the
-       driver, broadcast back as a literal map.
+    3. exclusive-prefix the per-partition totals (a #partitions-row
+       relation, windowed in one trivial task) and broadcast-join the
+       offsets back — no driver collect anywhere.
 
     Equality with the single-window formulation is tested
     (tests/test_sampling.py).
     """
     toks = F.coalesce(F.col(token_col), F.lit(0))
-    local, off_map, _total = _global_cumsum(df, [key_col], toks, num_partitions)
-    if off_map is None:
-        # empty input: typed empty result (an empty create_map can't be
-        # indexed by an int column)
-        return df.withColumn("shard_id", F.lit(0).cast("long"))
-    before = off_map[F.col("_pid")] + F.col("_cum_in") - toks
+    local, offsets = _global_cumsum(df, [key_col], toks, num_partitions)
+    before = F.col("_off") + F.col("_cum_in") - toks
     return (
-        local.withColumn(
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
             "shard_id", F.floor(before / F.lit(float(budget))).cast("long")
         )
-        .drop("_pid", "_cum_in")
+        .drop("_pid", "_cum_in", "_off")
     )
 
 
@@ -165,13 +162,14 @@ def _global_cumsum(
 ):
     """Distributed global cumulative sum of ``val`` in ``order_cols`` order.
 
-    Returns ``(local, off_map, total)`` where ``local`` carries ``_pid``
-    (range-partition id) and ``_cum_in`` (cumulative sum WITHIN the
-    partition, inclusive); the caller reconstructs the global inclusive
-    cumsum as ``off_map[_pid] + _cum_in``. ``off_map`` is None on empty
-    input. Which split points the range sampler picks is irrelevant — the
-    reconstructed prefix sum is invariant to them. One tiny driver collect
-    (#partitions rows), same pattern as IVF centroid collection.
+    Returns ``(local, offsets)``: ``local`` carries ``_pid`` (range
+    -partition id) and ``_cum_in`` (cumulative sum WITHIN the partition,
+    inclusive); ``offsets`` is a #partitions-row DataFrame (_pid, _off)
+    holding each partition's exclusive prefix over the totals — broadcast
+    -join it and reconstruct the global inclusive cumsum as
+    ``_off + _cum_in``. Nothing touches the driver. Which split points the
+    range sampler picks is irrelevant — the reconstructed prefix sum is
+    invariant to them.
     """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
@@ -195,21 +193,14 @@ def _global_cumsum(
     local = ranged.withColumn("_cum_in", F.sum(val).over(w)).localCheckpoint(
         eager=True
     )
-    totals = sorted(
-        (r["_pid"], r["_tot"])
-        for r in local.groupBy("_pid").agg(F.max("_cum_in").alias("_tot")).collect()
+    totals = local.groupBy("_pid").agg(F.max("_cum_in").alias("_tot"))
+    # the totals relation is #partitions rows — the single-task global
+    # window over it is trivial by construction
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off")
     )
-    if not totals:
-        return local, None, 0
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, tot in totals:
-        offsets[pid] = acc
-        acc += tot
-    off_map = F.create_map(
-        *[x for pid in sorted(offsets) for x in (F.lit(pid), F.lit(offsets[pid]))]
-    )
-    return local, off_map, acc
+    return local, offsets
 
 
 def weighted_replicate(
@@ -269,12 +260,12 @@ def ntile_by(
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    local, off_map, total = _global_cumsum(
-        df, order_cols, F.lit(1), num_partitions
-    )
-    if off_map is None:
+    local, offsets = _global_cumsum(df, order_cols, F.lit(1), num_partitions)
+    total = local.count()  # the checkpointed relation: a cheap exact count
+    if total == 0:
         return df.withColumn("bin", F.lit(0).cast("long"))
-    rn = off_map[F.col("_pid")] + F.col("_cum_in")
+    local = local.join(F.broadcast(offsets), "_pid")
+    rn = F.col("_off") + F.col("_cum_in")
     small = total // n_bins
     r = total % n_bins
     big = small + 1
@@ -286,7 +277,7 @@ def ntile_by(
         bucket = bucket.otherwise(
             F.lit(r) + ((rn - F.lit(head) - 1) / F.lit(small)).cast("long") + 1
         )
-    return local.withColumn("bin", bucket).drop("_pid", "_cum_in")
+    return local.withColumn("bin", bucket).drop("_pid", "_cum_in", "_off")
 
 
 def pack_sequences_grouped(
