@@ -2609,3 +2609,40 @@ def pack_shards_grouped(spark, sf_dir):
         F.col("ws_tokens").cast("long").alias("toks"),
     )
     return pack_sequences_grouped(docs, "toks", ["lang"], budget=512)
+
+
+@_register(
+    "apx_sketches",
+    """
+    SELECT l_returnflag AS rf,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+           TRUE AS hll_ok, TRUE AS p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def apx_sketches(spark, sf_dir):
+    """Approximate analytics with a hash-checkable accuracy contract:
+    sketch values differ across engines by construction, so the oracle
+    pins (a) the exact companion aggregates and (b) booleans asserting the
+    approximations land within their documented error (HLL++ rsd=0.05,
+    approx percentile accuracy 10000 -> well under 2% here). A sketch
+    drifting out of tolerance flips a flag and fails the value-hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("n_apx"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_apx"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50_exact"),
+    )
+    return g.select(
+        "rf",
+        "n_exact",
+        (
+            F.abs(F.col("n_apx") - F.col("n_exact"))
+            <= 0.05 * 3 * F.col("n_exact")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("p50_apx") - F.col("p50_exact"))
+            <= 0.02 * F.greatest(F.col("p50_exact"), F.lit(1.0))
+        ).alias("p50_ok"),
+    )
