@@ -2646,3 +2646,67 @@ def apx_sketches(spark, sf_dir):
             <= 0.02 * F.greatest(F.col("p50_exact"), F.lit(1.0))
         ).alias("p50_ok"),
     )
+
+
+@_register(
+    "a8_rollup",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS rf,
+           COALESCE(l_linestatus, '<all>') AS ls,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark, sf_dir):
+    """OLAP subtotals: ROLLUP over (returnflag, linestatus) with GROUPING
+    markers distinguishing real NULL groups from subtotal rows — the
+    classic report shape Spark plans as a single expand + aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rf"),
+            F.grouping("l_linestatus").cast("long").alias("g_ls"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "n",
+            "revenue",
+        )
+    )
+
+
+@_register(
+    "a9_pivot",
+    """
+    SELECT l_returnflag AS rf,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                 THEN l_quantity END), 0), 2) AS qty_F,
+           ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                 THEN l_quantity END), 0), 2) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_pivot(spark, sf_dir):
+    """Pivot with an explicit value list (Spark plans it as conditional
+    aggregates — exactly the CASE formulation the oracle states)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy(F.col("l_returnflag").alias("rf"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "rf",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+    )
