@@ -2710,3 +2710,49 @@ def a9_pivot(spark, sf_dir):
         F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
         F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
     )
+
+
+@_register(
+    "u2_intersect_except",
+    """
+    WITH a AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+         b AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+    SELECT k, 'both' AS src FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT k, 'cust_only' AS src FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    """,
+)
+def u2_intersect_except(spark, sf_dir):
+    """U-family set operations beyond UNION ALL: INTERSECT and EXCEPT
+    (distinct semantics on both engines), tagged and unioned into one
+    checkable relation."""
+    a = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    b = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    return (
+        a.intersect(b).withColumn("src", F.lit("both"))
+        .unionByName(a.exceptAll(b).withColumn("src", F.lit("cust_only")))
+        .select(F.col("k").cast("long"), "src")
+    )
+
+
+@_register(
+    "w4_rank_distributions",
+    """
+    SELECT s_suppkey AS skey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal, s_suppkey), 6) AS prank,
+           ROUND(CUME_DIST() OVER (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal, s_suppkey), 6) AS cdist
+    FROM supplier
+    """,
+)
+def w4_rank_distributions(spark, sf_dir):
+    """W-family distribution functions: percent_rank and cume_dist per
+    nation over account balance (total order via the key tiebreak)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        F.col("s_suppkey").cast("long").alias("skey"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
