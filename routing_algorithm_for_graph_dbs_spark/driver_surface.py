@@ -2756,3 +2756,33 @@ def w4_rank_distributions(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@_register(
+    "f11_maps",
+    """
+    SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS line_no,
+           ROUND(map(['q', 'p'], [l_quantity, l_extendedprice])['q'][1], 2)
+             AS m_qty,
+           ROUND(map(['q', 'p'], [l_quantity, l_extendedprice])['p'][1], 2)
+             AS m_price,
+           CAST(cardinality(map(['q', 'p'],
+                [l_quantity, l_extendedprice])) AS BIGINT) AS m_size
+    FROM lineitem
+    """,
+)
+def f11_maps(spark, sf_dir):
+    """F-family map functions: construct a map column, extract by key,
+    take its cardinality (DuckDB's map[key] yields a one-element list —
+    the [1] unwraps it to Spark's element_at scalar)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("q"), F.col("l_quantity"), F.lit("p"), F.col("l_extendedprice")
+    )
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("line_no"),
+        F.round(F.element_at(m, "q"), 2).alias("m_qty"),
+        F.round(F.element_at(m, "p"), 2).alias("m_price"),
+        F.size(m).cast("long").alias("m_size"),
+    )
