@@ -16,12 +16,12 @@ Scale notes:
 - ``stratified_sample`` shuffles once on the stratum key (the rank window);
   skew lives in the stratum with the most rows.
 - ``pack_sequences`` is the classic two-pass distributed prefix sum: range
-  partition, per-partition cumulative sums in parallel, one tiny
-  per-partition-totals collect (#partitions rows) to the driver, then a
-  broadcast offset map. The single-ordering global window alternative
-  (``pack_sequences_naive``) funnels the corpus through ONE task; the
-  two-pass shape keeps every pass parallel and is equality-tested against
-  the naive one.
+  partition, per-partition cumulative sums in parallel, an exclusive
+  prefix over the #partitions-row totals relation, offsets broadcast
+  -joined back — nothing routes through the driver. The single-ordering
+  global window alternative (``pack_sequences_naive``) funnels the corpus
+  through ONE task; the two-pass shape keeps every pass parallel and is
+  equality-tested against the naive one.
 """
 
 from __future__ import annotations
@@ -143,10 +143,10 @@ def pack_sequences(
     (tests/test_sampling.py).
     """
     toks = F.coalesce(F.col(token_col), F.lit(0))
-    local, offsets = _global_cumsum(df, [key_col], toks, num_partitions)
+    local, _offsets, join_back = _global_cumsum(df, [key_col], toks, num_partitions)
     before = F.col("_off") + F.col("_cum_in") - toks
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        join_back(local)
         .withColumn(
             "shard_id", F.floor(before / F.lit(float(budget))).cast("long")
         )
@@ -159,48 +159,77 @@ def _global_cumsum(
     order_cols: list[str],
     val: Column,
     num_partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ):
-    """Distributed global cumulative sum of ``val`` in ``order_cols`` order.
+    """Distributed cumulative sum of ``val`` in ``order_cols`` order —
+    global, or independently per group when ``group_cols`` is given.
 
-    Returns ``(local, offsets)``: ``local`` carries ``_pid`` (range
-    -partition id) and ``_cum_in`` (cumulative sum WITHIN the partition,
-    inclusive); ``offsets`` is a #partitions-row DataFrame (_pid, _off)
-    holding each partition's exclusive prefix over the totals — broadcast
-    -join it and reconstruct the global inclusive cumsum as
-    ``_off + _cum_in``. Nothing touches the driver. Which split points the
-    range sampler picks is irrelevant — the reconstructed prefix sum is
-    invariant to them.
+    Returns ``(local, offsets, join_back)``: ``local`` carries ``_pid``
+    (range-partition id) and ``_cum_in`` (cumulative sum WITHIN the
+    partition[, group], inclusive); ``offsets`` holds each (group,)
+    partition's exclusive prefix over the totals; ``join_back(local)``
+    broadcast-joins the offsets on (NULL-safely) the group columns and
+    ``_pid``, adding ``_off`` — reconstruct the inclusive cumsum as
+    ``_off + _cum_in``. Nothing routes through the driver. Which split
+    points the range sampler picks is irrelevant — the reconstructed
+    prefix sum is invariant to them.
     """
     spark = df.sparkSession
+    gcols = list(group_cols or [])
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
-        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        df.repartitionByRange(
+            n_part, *[F.col(c) for c in (*gcols, *order_cols)]
+        )
         .withColumn("_pid", F.spark_partition_id())
     )
     # ROWS frame, not the default RANGE frame: with ties in order_cols a
     # RANGE frame gives every peer the peer-inclusive sum (all tied rows
     # would share one cumsum — ntile_by would dump them into one bucket)
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *gcols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # materialize ONCE before the two consuming jobs: the totals collect
-    # and the caller's final action must see the SAME range split points —
+    # materialize ONCE before the two consuming jobs: the totals pass and
+    # the caller's final action must see the SAME range split points —
     # re-running the range sampler over nondeterministically-ordered
     # shuffle output could shift a boundary row's _pid between jobs,
     # misaligning the offset map
     local = ranged.withColumn("_cum_in", F.sum(val).over(w)).localCheckpoint(
         eager=True
     )
-    totals = local.groupBy("_pid").agg(F.max("_cum_in").alias("_tot"))
-    # the totals relation is #partitions rows — the single-task global
-    # window over it is trivial by construction
-    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off")
+    totals = local.groupBy(*gcols, "_pid").agg(F.max("_cum_in").alias("_tot"))
+    # the totals relation is ~(#groups + #partitions) rows — the window
+    # over it is trivial by construction
+    wo = (
+        Window.partitionBy(*gcols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return local, offsets
+    offsets = totals.select(
+        *gcols,
+        "_pid",
+        F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off"),
+    )
+    # NULL-safe equality on the group columns: a NULL group is a real
+    # group (matching SQL PARTITION BY), and a null-unsafe join would
+    # silently drop its rows
+    renamed = offsets.select(
+        *[F.col(c).alias(f"_g{i}") for i, c in enumerate(gcols)],
+        F.col("_pid").alias("_opid"),
+        "_off",
+    )
+
+    def join_back(left: DataFrame) -> DataFrame:
+        cond = left["_pid"] == renamed["_opid"]
+        for i, c in enumerate(gcols):
+            cond = cond & left[c].eqNullSafe(renamed[f"_g{i}"])
+        return left.join(F.broadcast(renamed), cond).drop(
+            "_opid", *[f"_g{i}" for i in range(len(gcols))]
+        )
+
+    return local, offsets, join_back
 
 
 def weighted_replicate(
@@ -260,11 +289,13 @@ def ntile_by(
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    local, offsets = _global_cumsum(df, order_cols, F.lit(1), num_partitions)
+    local, _offsets, join_back = _global_cumsum(
+        df, order_cols, F.lit(1), num_partitions
+    )
     total = local.count()  # the checkpointed relation: a cheap exact count
     if total == 0:
         return df.withColumn("bin", F.lit(0).cast("long"))
-    local = local.join(F.broadcast(offsets), "_pid")
+    local = join_back(local)
     rn = F.col("_off") + F.col("_cum_in")
     small = total // n_bins
     r = total % n_bins
@@ -300,40 +331,13 @@ def pack_sequences_grouped(
     millions of tiny groups prefer a plain per-group window, which is the
     same shuffle without the two-pass overhead.
     """
-    spark = df.sparkSession
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
     toks = F.coalesce(F.col(token_col), F.lit(0))
-    gcols = [F.col(c) for c in group_cols]
-    ranged = (
-        df.repartitionByRange(n_part, *gcols, F.col(key_col))
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w = (
-        Window.partitionBy("_pid", *group_cols)
-        .orderBy(key_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # one materialization feeds both the totals aggregation and the final
-    # join — the two consumers must agree on range split points
-    local = ranged.withColumn("_cum_in", F.sum(toks).over(w)).localCheckpoint(
-        eager=True
-    )
-    totals = local.groupBy(*group_cols, "_pid").agg(
-        F.max("_cum_in").alias("_tot")
-    )
-    wo = (
-        Window.partitionBy(*group_cols)
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        *group_cols,
-        "_pid",
-        F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off"),
+    local, _offsets, join_back = _global_cumsum(
+        df, [key_col], toks, num_partitions, group_cols=group_cols
     )
     before = F.col("_off") + F.col("_cum_in") - toks
     return (
-        local.join(F.broadcast(offsets), [*group_cols, "_pid"])
+        join_back(local)
         .withColumn("shard_id", F.floor(before / F.lit(float(budget))).cast("long"))
         .drop("_pid", "_cum_in", "_off")
     )
