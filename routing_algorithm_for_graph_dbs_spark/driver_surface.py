@@ -2786,3 +2786,175 @@ def f11_maps(spark, sf_dir):
         F.round(F.element_at(m, "p"), 2).alias("m_price"),
         F.size(m).cast("long").alias("m_size"),
     )
+
+
+# =====================================================================
+# round 3: within-doc repetition, benchmark decontamination, SemDeDup
+# =====================================================================
+
+
+@_register(
+    "txt_repetition",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                 x -> trim(x)), x -> len(x) > 0) AS lines,
+             list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+                 x -> trim(x)), x -> len(x) > 0) AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lines, words,
+             COALESCE(list_aggregate(list_transform(lines, x -> len(x)),
+                 'sum'), 0) AS lc,
+             COALESCE(list_aggregate(list_transform(list_distinct(lines),
+                 x -> len(x)), 'sum'), 0) AS lcd,
+             COALESCE(list_aggregate(list_transform(words, x -> len(x)),
+                 'sum'), 0) AS wc,
+             COALESCE(list_aggregate(list_transform(list_distinct(words),
+                 x -> len(x)), 'sum'), 0) AS wcd
+      FROM p
+    ), fracs AS (
+      SELECT doc_id,
+        CASE WHEN len(lines) > 0 THEN ROUND((len(lines) -
+             len(list_distinct(lines))) * 1.0 / len(lines), 6)
+             ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN lc > 0 THEN ROUND((lc - lcd) * 1.0 / lc, 6)
+             ELSE 0.0 END AS dup_line_char_frac,
+        CASE WHEN len(words) > 0 THEN ROUND((len(words) -
+             len(list_distinct(words))) * 1.0 / len(words), 6)
+             ELSE 0.0 END AS dup_word_frac,
+        CASE WHEN wc > 0 THEN ROUND((wc - wcd) * 1.0 / wc, 6)
+             ELSE 0.0 END AS dup_word_char_frac
+      FROM s
+    ), toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_grams
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.dup_line_frac, f.dup_line_char_frac,
+           f.dup_word_frac, f.dup_word_char_frac,
+           CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+           COALESCE(ROUND(t.top_cnt * 1.0 / t.n_grams, 6), 0.0)
+             AS top_ngram_frac
+    FROM fracs f LEFT JOIN top t USING (doc_id)
+    """,
+)
+def txt_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition filters
+    (text.repetition_scores + text.top_ngram_fraction): duplicate-part
+    fractions at line and word granularity (count- and char-weighted) plus
+    the most-frequent-bigram occupancy. The part fractions are pure array
+    expressions (no shuffle); the bigram mode is one combiner-friendly
+    shuffle on (doc, gram). Line-level columns exercise the canonical
+    Gopher unit (the synthetic corpus is single-line, so they are
+    structurally 0 here — the crafted-fixture pytest proves the line/
+    paragraph semantics); word-level columns carry the real signal."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        repetition_scores,
+        top_ngram_fraction,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_scores(
+        docs, parts={"line": r"\n", "word": r"\s+"}
+    )
+    top = top_ngram_fraction(docs, n=2)
+    return rep.join(top, "doc_id").select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_word_frac",
+        "dup_word_char_frac",
+        "n_grams",
+        "top_ngram_frac",
+    )
+
+
+@_register(
+    "dd_decontaminate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+    b AS (SELECT DISTINCT gram, doc_id AS bench_id FROM g
+          WHERE doc_id % 41 = 0),
+    hits AS (
+      SELECT g.doc_id, g.gram, b.bench_id
+      FROM g JOIN b USING (gram) WHERE g.doc_id <> b.bench_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+    FROM hits GROUP BY doc_id
+    """,
+)
+def dd_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (decontam.decontaminate): training
+    documents sharing any word 3-gram with the 'benchmark' slice
+    (doc_id % 41 = 0, standing in for an eval set), with shared-shingle
+    and benchmark-doc counts. The corpus side reduces to distinct hashed
+    shingles and probes a BROADCAST benchmark digest set — the 100 TB
+    corpus never shuffles. Self-matches are excluded."""
+    from routing_algorithm_for_graph_dbs_spark.operators.decontam import (
+        decontaminate,
+    )
+
+    docs = _min3_docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    out = decontaminate(docs, bench, n=3)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_shared_grams").cast("long"),
+        F.col("n_bench_docs").cast("long"),
+    )
+
+
+@_register(
+    "sem_dedup",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cid, v,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_IVF_COS.format(x="v", y="cv")} DESC, cid
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    a AS (SELECT vec_id, cid, v FROM assign WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT l.vec_id
+      FROM a l JOIN a r ON l.cid = r.cid AND r.vec_id < l.vec_id
+      WHERE {_IVF_COS.format(x="l.v", y="r.v")} >= 0.35
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+           (d.vec_id IS NULL) AS kept
+    FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def sem_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semdedup): embedding-cosine near-dup pruning
+    inside IVF clusters — drop every vector with a lower-keyed same-cluster
+    neighbor at cosine >= threshold. Deterministic keep rule, one
+    cluster-key equi-join; the demo threshold 0.35 fits the near-orthogonal
+    synthetic embeddings (same rationale as ann_lsh_pairs)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import semdedup
+
+    out = semdedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
+    )
+    return out.select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"), "kept"
+    )

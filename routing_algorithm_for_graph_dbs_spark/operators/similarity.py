@@ -435,6 +435,56 @@ def knn_join(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    cents: list | None = None,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then within each cluster drop
+    every vector that has a lower-keyed near-duplicate (cosine >=
+    ``threshold``). One representative (the cluster-wise minimal key of
+    each near-dup neighborhood) survives.
+
+    Keep rule, precisely: a vector is DROPPED iff some same-cluster vector
+    with a smaller key is within ``threshold`` cosine. This is the greedy
+    keep-first sweep of SemDeDup made order-deterministic by keying on
+    ``key_col`` — no iteration, no transitive closure, and expressible as
+    one self-join, so an independent engine reproduces the exact kept set.
+
+    Scale shape: the all-pairs comparison never happens — candidates meet
+    in an equi-join on ``centroid_id`` (the clusters bound the quadratic
+    term; n_centroids grows with corpus size), and the join shuffles each
+    side once on a small int key. Returns ``(key, centroid_id, kept)`` for
+    every input vector; filter ``kept`` to materialize the deduped corpus.
+    """
+    assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col, cents=cents)
+    slim = assigned.select(
+        F.col(key_col).alias("k"), F.col("centroid_id").alias("c"), F.col(vec_col).alias("v")
+    )
+    right = slim.select(
+        F.col("k").alias("k2"), F.col("c").alias("c2"), F.col("v").alias("v2")
+    )
+    dropped = (
+        slim.join(right, (F.col("c") == F.col("c2")) & (F.col("k2") < F.col("k")))
+        .filter(F.round(cosine(F.col("v"), F.col("v2")), 6) >= threshold)
+        .select(F.col("k").alias(key_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, key_col, "left")
+        .select(
+            key_col,
+            "centroid_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def quantize_int8(
     embeddings: DataFrame,
     vec_col: str = "embedding",

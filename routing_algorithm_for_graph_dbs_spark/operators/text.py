@@ -176,6 +176,115 @@ def winnow_fingerprints(
     )
 
 
+#: Gopher's two structural units: lines, and paragraphs on blank lines.
+REPETITION_PARTS: dict[str, str] = {"line": r"\n", "para": r"\n{2,}"}
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    parts: dict[str, str] | None = None,
+) -> DataFrame:
+    """Within-document repetition features (the Gopher/MassiveText-style
+    quality filters: Rae et al. 2021 §A1.1, public report).
+
+    For each named splitter in ``parts`` (default: ``line`` on newlines and
+    ``para`` on blank lines, the Gopher units — pass e.g. ``{"word":
+    r"\\s+"}`` for token-level repetition on unstructured corpora):
+
+    - ``dup_<name>_frac``: fraction of non-empty parts that are repeated
+      occurrences (second and later copies of an already-seen part).
+    - ``dup_<name>_char_frac``: same, weighted by part characters.
+
+    All pure array expressions over one scan — ``split`` +
+    ``array_distinct`` + higher-order ``aggregate`` — so the filter runs at
+    parquet scan speed with NO shuffle and no Python. Parts are trimmed;
+    empties dropped; fractions are 0.0 for documents with no parts.
+    Rounded to 6 for stable cross-engine comparison.
+    """
+
+    def _dup_fracs(sep: str) -> tuple[Column, Column]:
+        cleaned = F.filter(
+            F.transform(F.split(F.col(text_col), sep), F.trim),
+            lambda x: F.length(x) > 0,
+        )
+        n = F.size(cleaned)
+        n_dist = F.size(F.array_distinct(cleaned))
+        chars = F.aggregate(
+            cleaned, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        chars_dist = F.aggregate(
+            F.array_distinct(cleaned),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        )
+        frac = F.when(n > 0, (n - n_dist) / n).otherwise(F.lit(0.0))
+        char_frac = F.when(chars > 0, (chars - chars_dist) / chars).otherwise(
+            F.lit(0.0)
+        )
+        return F.round(frac, 6), F.round(char_frac, 6)
+
+    cols = []
+    for name, sep in (parts or REPETITION_PARTS).items():
+        frac, char_frac = _dup_fracs(sep)
+        cols.append(frac.alias(f"dup_{name}_frac"))
+        cols.append(char_frac.alias(f"dup_{name}_char_frac"))
+    return df.select(key_col, *cols)
+
+
+def top_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Fraction of a document's word n-grams taken by its single most
+    frequent n-gram (the other half of the Gopher repetition filters —
+    boilerplate/spam pages repeat one phrase over and over).
+
+    Long format deliberately: explode to (doc, gram) and count — a single
+    shuffle on (doc, gram) with map-side partial aggregation, linear in
+    corpus size and spillable. The all-array alternative (count each gram
+    by filtering the array) is O(tokens²) per document and dies on long
+    documents. Ties on count don't matter (only the max count is used).
+    Documents with no n-grams (shorter than ``n`` words) get 0.0.
+    """
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, i + 1, k) for i in range(n)]
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.arrays_zip(*shifted),
+            lambda x: F.concat_ws(" ", *[x.getField(str(i)) for i in range(n)]),
+        )
+    )
+    exploded = df.select(F.col(key_col), F.explode_outer(grams).alias("gram"))
+    counts = (
+        exploded.groupBy(key_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(key_col)
+        .agg(
+            F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias("top_cnt"),
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)).alias(
+                "n_grams"
+            ),
+        )
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("top_cnt") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return counts.select(
+        key_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round(frac, 6).alias("top_ngram_frac"),
+    )
+
+
 # RE2-compatible (and Java-regex-compatible) patterns so the DuckDB oracle
 # scrubs identically: no backrefs, no lookaround, and no \s inside a
 # negated class (Java's \s includes \x0B, RE2's does not — the explicit

@@ -737,3 +737,178 @@ def test_scrub_text_vertical_tab_parity_chars(spark):
     got = scrub_text(df).first()
     assert got["scrubbed"] == "go <URL>\x0bmore end"
     assert got["n_urls"] == 1
+
+
+# ---------- round 3: repetition, decontamination, semdedup ----------
+
+
+def test_repetition_scores_lines_and_paragraphs(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        repetition_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # 4 non-empty lines, "dup" twice (4 chars each, 14 total chars):
+            # dup_line_frac = 1/4, dup_line_char_frac = 3/14
+            # wait: lines are "dup" (3), "dup" (3), "abcd" (4), "ef" (2)
+            (1, "dup\ndup\nabcd\n\nef"),
+            (2, "a\nb\nc"),          # no repetition
+            (3, ""),                  # no parts at all -> 0.0 everywhere
+            (4, "para\n\npara\n\nx"),  # paragraphs: para, para, x
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()
+    }
+    assert got[1]["dup_line_frac"] == round(1 / 4, 6)
+    assert got[1]["dup_line_char_frac"] == round(3 / 12, 6)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_para_frac"] == 0.0
+    # doc 4 paragraphs: "para", "para", "x" -> 1/3 dup, 4/9 chars
+    assert got[4]["dup_para_frac"] == round(1 / 3, 6)
+    assert got[4]["dup_para_char_frac"] == round(4 / 9, 6)
+    # doc 4 lines (\n splits single newlines too): para, para, x
+    assert got[4]["dup_line_frac"] == round(1 / 3, 6)
+
+
+def test_repetition_scores_word_parts(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        repetition_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark spark flink beam"), (2, "one two three")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_scores(df, parts={"word": r"\s+"}).collect()
+    }
+    # 4 words, 1 repeated occurrence; chars 5+5+5+4=19, dup chars 5
+    assert got[1]["dup_word_frac"] == 0.25
+    assert got[1]["dup_word_char_frac"] == round(5 / 19, 6)
+    assert got[2]["dup_word_frac"] == 0.0
+
+
+def test_repetition_scores_no_shuffle_plan(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        repetition_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a\nb")], ["doc_id", "text"])
+    plan = repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scan-speed: pure array expressions
+
+
+def test_top_ngram_fraction(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        top_ngram_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # bigrams: "ab cd","cd ab","ab cd" -> top "ab cd" 2/3
+            (1, "ab cd ab cd"),
+            (2, "one"),      # no bigrams
+            (3, ""),          # empty
+            (4, "x y"),       # single bigram -> 1.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in top_ngram_fraction(df).collect()}
+    assert got[1]["n_grams"] == 3
+    assert got[1]["top_ngram_frac"] == round(2 / 3, 6)
+    assert got[2] == {"doc_id": 2, "n_grams": 0, "top_ngram_frac": 0.0}
+    assert got[3]["n_grams"] == 0
+    assert got[4]["top_ngram_frac"] == 1.0
+
+
+def test_decontaminate_flags_and_self_exclusion(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.decontam import (
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated text about spark pipelines here"),
+            (3, "quick brown fox appears in this training document"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox story"), (1, "the quick brown fox jumps")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in decontaminate(docs, bench, n=3).collect()}
+    # doc 1 shares 3-grams with bench 100 ("quick brown fox") and with
+    # bench 1 — but bench 1 IS doc 1, so only bench 100 counts
+    assert 1 in got and got[1]["n_bench_docs"] == 1
+    assert got[1]["n_shared_grams"] == 1  # "quick brown fox"
+    # doc 3 contains "quick brown fox" -> contaminated via both bench docs
+    assert got[3]["n_bench_docs"] == 2
+    # doc 2 shares nothing -> absent (clean)
+    assert 2 not in got
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.decontam import (
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w5 w6 w7")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "w1 w2 w3")], ["doc_id", "text"])
+    plan = (
+        decontaminate(docs, bench, n=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles to join
+
+
+def test_semdedup_drops_higher_key_near_dups(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid/cluster A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid/cluster B
+        (10, [0.99, 0.1, 0.0, 0.0]),  # near 0 -> cluster A, near-dup of 0
+        (11, [0.98, 0.12, 0.0, 0.0]), # near-dup of 0 and 10 -> dropped
+        (20, [0.1, 0.99, 0.0, 0.0]),  # cluster B, near-dup of 1
+        (30, [0.0, 0.0, 1.0, 0.0]),   # orthogonal: same cluster as its
+                                      # best centroid but below threshold
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in semdedup(emb, threshold=0.9, n_centroids=2).collect()
+    }
+    assert len(got) == len(rows)  # every input vector gets a verdict
+    assert got[0]["kept"] and got[1]["kept"]  # lowest keys survive
+    assert not got[10]["kept"]  # cos(0,10) > 0.9
+    assert not got[11]["kept"]
+    assert not got[20]["kept"]
+    assert got[30]["kept"]  # no near-dup above threshold
+
+
+def test_semdedup_keeps_one_representative_per_neighborhood(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        cosine,
+        semdedup,
+    )
+
+    # three copies of the same direction: only the min key survives
+    emb = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (7, [1.0, 0.001]), (9, [0.999, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    got = semdedup(emb, threshold=0.99, n_centroids=1).collect()
+    kept = sorted(r["vec_id"] for r in got if r["kept"])
+    assert kept == [5]
