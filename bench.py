@@ -42,6 +42,9 @@ HEADLINE = [
     "skw_count_distinct",   # skew-resistant two-stage distinct
     "dd_canonical",         # LSH -> verify -> connected-components closure
     "smp_mixture",          # scan-speed deterministic sampling
+    "txt_repetition",       # array-only dup fractions + bigram mode
+    "dd_decontaminate",     # broadcast benchmark n-gram probe
+    "sem_dedup",            # IVF-clustered embedding near-dup prune
 ]
 
 _GRAPH_MEMO: dict[str, object] = {}
