@@ -450,15 +450,24 @@ def semdedup(
     each near-dup neighborhood) survives.
 
     Keep rule, precisely: a vector is DROPPED iff some same-cluster vector
-    with a smaller key is within ``threshold`` cosine. This is the greedy
+    with a smaller key is within ``threshold`` cosine, where the cosine is
+    **rounded to 6 decimals before the comparison** (so 0.9499996 rounds to
+    0.95 and is dropped at threshold 0.95) — deliberate, so an independent
+    engine rounding identically reproduces the exact kept set at the float
+    boundary. This is the greedy
     keep-first sweep of SemDeDup made order-deterministic by keying on
     ``key_col`` — no iteration, no transitive closure, and expressible as
     one self-join, so an independent engine reproduces the exact kept set.
 
     Scale shape: the all-pairs comparison never happens — candidates meet
     in an equi-join on ``centroid_id`` (the clusters bound the quadratic
-    term; n_centroids grows with corpus size), and the join shuffles each
-    side once on a small int key. Returns ``(key, centroid_id, kept)`` for
+    term), and the join shuffles each side once on a small int key. The
+    within-cluster self-join is quadratic in cluster size and every pair of
+    a cluster lands on the reducer owning that ``centroid_id``, so the
+    default ``n_centroids=8`` is a small-corpus setting only: size
+    ``n_centroids ~ sqrt(N)`` (e.g. ~30k centroids for 1B vectors, ~30k
+    vectors/cluster) so per-reducer work stays ~N and no single cluster
+    key hot-spots. Returns ``(key, centroid_id, kept)`` for
     every input vector; filter ``kept`` to materialize the deduped corpus.
     """
     assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col, cents=cents)

@@ -749,9 +749,8 @@ def test_repetition_scores_lines_and_paragraphs(spark):
 
     df = spark.createDataFrame(
         [
-            # 4 non-empty lines, "dup" twice (4 chars each, 14 total chars):
-            # dup_line_frac = 1/4, dup_line_char_frac = 3/14
-            # wait: lines are "dup" (3), "dup" (3), "abcd" (4), "ef" (2)
+            # lines "dup" (3), "dup" (3), "abcd" (4), "ef" (2) = 12 chars:
+            # dup_line_frac = 1/4, dup_line_char_frac = 3/12
             (1, "dup\ndup\nabcd\n\nef"),
             (2, "a\nb\nc"),          # no repetition
             (3, ""),                  # no parts at all -> 0.0 everywhere
