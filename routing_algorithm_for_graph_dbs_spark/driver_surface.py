@@ -46,12 +46,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # with PARQUET_TYPE_ILLEGAL at the correctness gate.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long via nanosAsLong: truncate to micros
-        # (exactly what DuckDB's ns->us read does) and restore TimestampType.
-        # integer division: ts/1000 through a double would be off by 1 us on
-        # ~a quarter of rows (double ulp at epoch-ns magnitude is ~0.25)
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        # fold TIMESTAMP(NANOS)-as-bigint and Spark-4.x TIMESTAMP_NTZ to
+        # plain TimestampType once, at the source boundary (UTC session tz
+        # makes both micro-exact vs DuckDB's epoch_us).
+        from routing_algorithm_for_graph_dbs_spark.sources.testdata import normalize_event_ts
+
+        df = normalize_event_ts(df)
     return df
 
 
@@ -2800,7 +2801,8 @@ def f11_maps(spark, sf_dir):
       SELECT doc_id,
              list_filter(list_transform(string_split(text, chr(10)),
                  x -> trim(x)), x -> len(x) > 0) AS lines,
-             list_filter(list_transform(regexp_split_to_array(text, '\s+'),
+             list_filter(list_transform(regexp_split_to_array(text,
+                 '[ \t\n\x0B\f\r]+'),
                  x -> trim(x)), x -> len(x) > 0) AS words
       FROM documents
     ), s AS (
@@ -2866,8 +2868,10 @@ def txt_repetition(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # explicit whitespace class: Java's \s and RE2's \s disagree on \x0B
+    # (vertical tab), so both engines get the same literal class.
     rep = repetition_scores(
-        docs, parts={"line": r"\n", "word": r"\s+"}
+        docs, parts={"line": r"\n", "word": r"[ \t\n\x0B\f\r]+"}
     )
     top = top_ngram_fraction(docs, n=2)
     return rep.join(top, "doc_id").select(

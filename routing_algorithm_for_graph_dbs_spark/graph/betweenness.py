@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
     edge_partition_count,
+    superstep_confs,
 )
 
 
@@ -62,66 +63,75 @@ def betweenness_centrality(
     ).localCheckpoint(eager=True)
     frontier = visited
     depth = 0
-    while depth < max_depth:
-        nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
-            .select("lane", e["dst"].alias("node"), "sigma")
-            .join(visited.select("lane", "node"), ["lane", "node"], "left_anti")
-            .groupBy("lane", "node")
-            .agg(F.sum("sigma").alias("sigma"))
-            .withColumn("dist", F.lit(depth + 1))
-            .select("lane", "node", "dist", "sigma")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-        depth += 1
+    with superstep_confs(edges.sparkSession, n_parts):
+        while depth < max_depth:
+            nxt = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .select("lane", e["dst"].alias("node"), "sigma")
+                .join(visited.select("lane", "node"), ["lane", "node"], "left_anti")
+                .groupBy("lane", "node")
+                .agg(F.sum("sigma").alias("sigma"))
+                .withColumn("dist", F.lit(depth + 1))
+                .select("lane", "node", "dist", "sigma")
+                # lazy checkpoint: the count below materializes it in the same
+                # job it uses for the termination check (one job, not two)
+                .localCheckpoint(eager=False)
+            )
+            if nxt.count() == 0:
+                break
+            # visited stays a union of already-checkpointed level RDDs instead
+            # of being re-checkpointed wholesale each level: rewriting the whole
+            # visited set every superstep is O(V) writes per level, O(V*depth)
+            # total — the union of materialized leaves costs only planner time,
+            # bounded by max_depth.
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+            depth += 1
 
     # ---- backward: dependency accumulation per level, deepest first ----
     # delta rows exist only once a node gets a value; start empty via join.
     deltas = visited.select("lane", "node", F.lit(0.0).alias("delta")).localCheckpoint(
         eager=True
     )
-    for d in range(depth, 0, -1):
-        w_nodes = (
-            visited.filter(F.col("dist") == d)
-            .alias("w")
-            .join(deltas.alias("dw"), ["lane", "node"])
-            .select("lane", F.col("node"), F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"))
-        )
-        u_nodes = visited.filter(F.col("dist") == d - 1).select(
-            "lane", F.col("node").alias("u"), F.col("sigma").alias("sigma_u")
-        )
-        contrib = (
-            u_nodes.join(e, u_nodes["u"] == e["src"])
-            .join(
-                w_nodes,
-                (u_nodes["lane"] == w_nodes["lane"]) & (e["dst"] == w_nodes["node"]),
+    with superstep_confs(edges.sparkSession, n_parts):
+        for d in range(depth, 0, -1):
+            w_nodes = (
+                visited.filter(F.col("dist") == d)
+                .alias("w")
+                .join(deltas.alias("dw"), ["lane", "node"])
+                .select("lane", F.col("node"), F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"))
             )
-            .select(
-                u_nodes["lane"].alias("lane"),
-                F.col("u").alias("node"),
-                ((F.col("sigma_u") / F.col("sigma_w")) * (1.0 + F.col("delta_w"))).alias(
-                    "c"
-                ),
+            u_nodes = visited.filter(F.col("dist") == d - 1).select(
+                "lane", F.col("node").alias("u"), F.col("sigma").alias("sigma_u")
             )
-            .groupBy("lane", "node")
-            .agg(F.sum("c").alias("add_delta"))
-        )
-        deltas = (
-            deltas.alias("d")
-            .join(contrib.alias("c"), ["lane", "node"], "left")
-            .select(
-                "lane",
-                "node",
-                (F.col("delta") + F.coalesce(F.col("add_delta"), F.lit(0.0))).alias(
-                    "delta"
-                ),
+            contrib = (
+                u_nodes.join(e, u_nodes["u"] == e["src"])
+                .join(
+                    w_nodes,
+                    (u_nodes["lane"] == w_nodes["lane"]) & (e["dst"] == w_nodes["node"]),
+                )
+                .select(
+                    u_nodes["lane"].alias("lane"),
+                    F.col("u").alias("node"),
+                    ((F.col("sigma_u") / F.col("sigma_w")) * (1.0 + F.col("delta_w"))).alias(
+                        "c"
+                    ),
+                )
+                .groupBy("lane", "node")
+                .agg(F.sum("c").alias("add_delta"))
             )
-            .localCheckpoint(eager=True)
-        )
+            deltas = (
+                deltas.alias("d")
+                .join(contrib.alias("c"), ["lane", "node"], "left")
+                .select(
+                    "lane",
+                    "node",
+                    (F.col("delta") + F.coalesce(F.col("add_delta"), F.lit(0.0))).alias(
+                        "delta"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
 
     score = (
         deltas.filter(F.col("lane") != F.col("node"))

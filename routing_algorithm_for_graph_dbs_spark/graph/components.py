@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
     edge_partition_count,
+    superstep_confs,
 )
 
 
@@ -85,29 +86,33 @@ def connected_components(
         eager=True
     )
 
-    for _ in range(max_iterations):
-        neighbor_min = (
-            labels.join(e, labels["node"] == e["src"])
-            .select(e["dst"].alias("node"), "component")
-            .groupBy("node")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.alias("l")
-            .join(neighbor_min.alias("n"), "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("l.component"),
-                    F.coalesce(F.col("n.nbr_component"), F.col("l.component")),
-                ).alias("component"),
-                (F.col("n.nbr_component") < F.col("l.component")).alias("_changed"),
+    with superstep_confs(edges.sparkSession, n_parts):
+        for _ in range(max_iterations):
+            neighbor_min = (
+                labels.join(e, labels["node"] == e["src"])
+                .select(e["dst"].alias("node"), "component")
+                .groupBy("node")
+                .agg(F.min("component").alias("nbr_component"))
             )
-        ).localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
-            break
+            updated = (
+                labels.alias("l")
+                .join(neighbor_min.alias("n"), "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("l.component"),
+                        F.coalesce(F.col("n.nbr_component"), F.col("l.component")),
+                    ).alias("component"),
+                    (F.col("n.nbr_component") < F.col("l.component")).alias("_changed"),
+                )
+            ).localCheckpoint(eager=False)
+            # lazy checkpoint + count = one job: the count's full scan
+            # materializes the checkpoint as a side effect (an eager checkpoint
+            # would spend a second job doing the same scan).
+            n_changed = updated.filter(F.col("_changed")).count()
+            labels = updated.drop("_changed")
+            if n_changed == 0:
+                break
 
     e.unpersist()
     return labels

@@ -12,7 +12,9 @@ collapses to one task.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 
 EDGES_PER_PARTITION = 500_000
 
@@ -25,3 +27,33 @@ def edge_partition_count(df: DataFrame, n_edges: int) -> int:
         1,
         min(default_par, (n_edges + EDGES_PER_PARTITION - 1) // EDGES_PER_PARTITION),
     )
+
+
+@contextmanager
+def superstep_confs(spark: SparkSession, n_parts: int):
+    """Pin AQE off + ``shuffle.partitions = n_parts`` for an iterative kernel.
+
+    AQE materializes every query stage as its own job, so a k-superstep
+    Pregel loop pays ~4k job launches of fixed scheduler overhead (measured:
+    49 jobs for a 12-superstep BFS on the nation graph; per-superstep
+    overhead is the dominant wall-time term once frontiers shrink). The
+    kernels already size their partitioning to the edge relation
+    (``edge_partition_count``), so AQE's runtime re-plan buys nothing here:
+    with it off and shuffle partitions pre-pinned to the cached edge
+    relation's count, each superstep collapses to ONE job whose shuffles
+    align with the edge partitioning (no extra Exchange on the join side).
+
+    Session confs are process-global: the guard assumes the kernel runs
+    queries sequentially from the driver (true for every caller here) and
+    restores both confs on exit, so surrounding relational queries keep AQE.
+    """
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
     edge_partition_count,
+    superstep_confs,
 )
 
 
@@ -63,7 +64,8 @@ def multi_source_dijkstra(
         n_edges = e.count()
     # see graph/partitioning.py: edge partition count is a per-superstep
     # task-launch multiplier — size it to the graph, not the session default
-    e = e.repartition(edge_partition_count(e, n_edges), "src")
+    n_parts = edge_partition_count(e, n_edges)
+    e = e.repartition(n_parts, "src")
     e = e.persist()
 
     if track_paths:
@@ -78,73 +80,84 @@ def multi_source_dijkstra(
     best = best.localCheckpoint(eager=True)
     frontier = best
 
-    for it in range(max_iterations):
-        # relax: candidate distances through the current frontier. String
-        # aliases (not DataFrame column refs) keep the join unambiguous when
-        # a non-checkpointed frontier still carries e's attribute ids from
-        # the previous superstep.
-        proj = [
-            F.col("f.lane").alias("lane"),
-            F.col("g.dst").alias("node2"),
-            (F.col("f.cost") + F.col("g.w")).alias("cost2"),
-        ]
-        if track_paths:
-            proj.append(
-                F.concat(F.col("f.path"), F.array(F.col("g.dst"))).alias("path2")
+    with superstep_confs(edges.sparkSession, n_parts):
+        for it in range(max_iterations):
+            # relax: candidate distances through the current frontier. String
+            # aliases (not DataFrame column refs) keep the join unambiguous when
+            # a non-checkpointed frontier still carries e's attribute ids from
+            # the previous superstep.
+            proj = [
+                F.col("f.lane").alias("lane"),
+                F.col("g.dst").alias("node2"),
+                (F.col("f.cost") + F.col("g.w")).alias("cost2"),
+            ]
+            if track_paths:
+                proj.append(
+                    F.concat(F.col("f.path"), F.array(F.col("g.dst"))).alias("path2")
+                )
+            cand = (
+                frontier.alias("f")
+                .join(e.alias("g"), F.col("f.node") == F.col("g.src"), "inner")
+                .select(*proj)
             )
-        cand = (
-            frontier.alias("f")
-            .join(e.alias("g"), F.col("f.node") == F.col("g.src"), "inner")
-            .select(*proj)
-        )
 
-        # keep the per-(lane,node) minimum among candidates (min_by keeps one
-        # arbitrary path among exact ties, matching GDS tie behavior)
-        aggs = [F.min("cost2").alias("cost2")]
-        if track_paths:
-            aggs.append(F.min_by("path2", "cost2").alias("path2"))
-        cand = cand.groupBy("lane", "node2").agg(*aggs)
+            # keep the per-(lane,node) minimum among candidates (min_by keeps one
+            # arbitrary path among exact ties, matching GDS tie behavior)
+            aggs = [F.min("cost2").alias("cost2")]
+            if track_paths:
+                aggs.append(F.min_by("path2", "cost2").alias("path2"))
+            cand = cand.groupBy("lane", "node2").agg(*aggs)
 
-        # improved = strictly better than current best
-        improved = (
-            cand.alias("c")
-            .join(
-                best.select("lane", "node", "cost").alias("b"),
-                (F.col("c.lane") == F.col("b.lane")) & (F.col("c.node2") == F.col("b.node")),
-                "left",
+            # improved = strictly better than current best
+            improved = (
+                cand.alias("c")
+                .join(
+                    best.select("lane", "node", "cost").alias("b"),
+                    (F.col("c.lane") == F.col("b.lane")) & (F.col("c.node2") == F.col("b.node")),
+                    "left",
+                )
+                .filter(F.col("b.cost").isNull() | (F.col("c.cost2") < F.col("b.cost")))
             )
-            .filter(F.col("b.cost").isNull() | (F.col("c.cost2") < F.col("b.cost")))
-        )
-        sel = [
-            F.col("c.lane").alias("lane"),
-            F.col("c.node2").alias("node"),
-            F.col("c.cost2").alias("cost"),
-        ]
-        if track_paths:
-            sel.append(F.col("c.path2").alias("path"))
-        frontier = improved.select(*sel)
+            sel = [
+                F.col("c.lane").alias("lane"),
+                F.col("c.node2").alias("node"),
+                F.col("c.cost2").alias("cost"),
+            ]
+            if track_paths:
+                sel.append(F.col("c.path2").alias("path"))
+            frontier = improved.select(*sel)
 
-        # merge improvements into best: union + per-key min (frontier rows
-        # are strictly better for their keys, so min_by picks them). The
-        # frontier rides along with a marker column so ONE checkpoint
-        # materializes both states — halving the per-superstep job count,
-        # which dominates wall time when frontiers are small.
-        aggs2 = [F.min("cost").alias("cost")]
-        if track_paths:
-            aggs2.append(F.min_by("path", "cost").alias("path"))
-        merged = (
-            best.unionByName(frontier)
-            .groupBy("lane", "node")
-            .agg(*aggs2)
-            .withColumn("is_frontier", F.lit(False))
-            .unionByName(frontier.withColumn("is_frontier", F.lit(True)))
-        )
-        if (it + 1) % checkpoint_every == 0:
-            merged = merged.localCheckpoint(eager=True)
-        best = merged.filter(~F.col("is_frontier")).drop("is_frontier")
-        frontier = merged.filter("is_frontier").drop("is_frontier")
-        if frontier.isEmpty():
-            break
+            # merge improvements into best: union + per-key min (frontier rows
+            # are strictly better for their keys, so min_by picks them). The
+            # frontier rides along with a marker column so ONE checkpoint
+            # materializes both states — halving the per-superstep job count,
+            # which dominates wall time when frontiers are small.
+            aggs2 = [F.min("cost").alias("cost")]
+            if track_paths:
+                aggs2.append(F.min_by("path", "cost").alias("path"))
+            merged = (
+                best.unionByName(frontier)
+                .groupBy("lane", "node")
+                .agg(*aggs2)
+                .withColumn("is_frontier", F.lit(False))
+                .unionByName(frontier.withColumn("is_frontier", F.lit(True)))
+            )
+            n_frontier = None
+            if (it + 1) % checkpoint_every == 0:
+                # LAZY checkpoint + count = ONE job per superstep: the count
+                # scans every partition of merged, which materializes the local
+                # checkpoint as a side effect. An eager checkpoint followed by
+                # isEmpty() was TWO jobs, and per-superstep job launch overhead
+                # dominates wall time once frontiers are small (hundreds of
+                # supersteps in the 100x-scale batch routing regime).
+                merged = merged.localCheckpoint(eager=False)
+                n_frontier = merged.filter(F.col("is_frontier")).count()
+            best = merged.filter(~F.col("is_frontier")).drop("is_frontier")
+            frontier = merged.filter("is_frontier").drop("is_frontier")
+            # between checkpoints (checkpoint_every>1) convergence goes
+            # unchecked; the extra relaxation on an empty frontier is a no-op.
+            if n_frontier == 0:
+                break
 
     e.unpersist()
     return best

@@ -461,13 +461,16 @@ def semdedup(
 
     Scale shape: the all-pairs comparison never happens — candidates meet
     in an equi-join on ``centroid_id`` (the clusters bound the quadratic
-    term), and the join shuffles each side once on a small int key. The
-    within-cluster self-join is quadratic in cluster size and every pair of
-    a cluster lands on the reducer owning that ``centroid_id``, so the
-    default ``n_centroids=8`` is a small-corpus setting only: size
-    ``n_centroids ~ sqrt(N)`` (e.g. ~30k centroids for 1B vectors, ~30k
-    vectors/cluster) so per-reducer work stays ~N and no single cluster
-    key hot-spots. Returns ``(key, centroid_id, kept)`` for
+    term), and the join shuffles each side once on a small int key. Every
+    pair of a cluster lands on the single reducer owning that
+    ``centroid_id``, so the per-reducer cost is ``cluster_size**2`` cosine
+    evaluations — bound THAT explicitly. Size by target cluster size, not
+    by centroid count: ``n_centroids ~ N / C`` with C in the low thousands
+    (SemDeDup practice; e.g. C=5k over 1B vectors -> 200k centroids,
+    ~2.5e7 pairs per reducer). A ``sqrt(N)``-centroid setting looks
+    balanced but concentrates ~N pair evaluations (~1e9 for 1B vectors) on
+    each reducer — a severe hotspot. The default ``n_centroids=8`` is a
+    small-corpus setting only. Returns ``(key, centroid_id, kept)`` for
     every input vector; filter ``kept`` to materialize the deduped corpus.
     """
     assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col, cents=cents)
