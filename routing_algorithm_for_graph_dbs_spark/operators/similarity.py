@@ -43,6 +43,19 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def py_norm(vec) -> float:
+    """Driver-side L2 norm with the SAME left-to-right accumulation order as
+    the ``norm`` column expression's fold — bit-identical IEEE doubles, so a
+    literal centroid norm can substitute for the JVM-computed one without
+    perturbing rounded cosines."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -110,14 +123,26 @@ def embedding_near_dup_pairs(
         ]
     )
     with_sig = embeddings.select(
-        F.col(key_col).alias("k"), F.col(vec_col).alias("v"), sig.alias("bucket")
+        F.col(key_col).alias("k"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),  # once per vector, not per pair
+        sig.alias("bucket"),
     )
-    left = with_sig.select("bucket", F.col("k").alias("a"), F.col("v").alias("va"))
-    right = with_sig.select("bucket", F.col("k").alias("b"), F.col("v").alias("vb"))
+    left = with_sig.select(
+        "bucket", F.col("k").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    right = with_sig.select(
+        "bucket", F.col("k").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("a", "b", "cosine_sim")
     )
@@ -156,21 +181,35 @@ def ivf_assign(
     Scale shape: centroids are collected once (tiny) and inlined as literal
     arrays, so assignment is a map-side expression over the scan — no
     shuffle, no UDF. Ties (equal rounded cosine) go to the lowest centroid
-    id.
+    id (= first in ``cents`` order, via array_position's first-match).
+
+    Cost shape: the vector's own norm is computed ONCE per row (staged
+    column) and each centroid's norm is a driver-side literal, so per-row
+    work is n_centroids dot products — not n_centroids full cosines. The
+    sims land in ONE staged array column; higher-order-function exprs are
+    interpreted (outside codegen), and Catalyst's CollapseProject keeps
+    non-cheap staged exprs from being re-expanded into every consumer.
     """
     if cents is None:
         cents = _collect_centroids(embeddings, n_centroids, vec_col, key_col)
+    staged = embeddings.withColumn("_nv", norm(F.col(vec_col)))
     sims = [
-        F.round(cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in r["cv"]])), 6)
+        F.round(
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in r["cv"]]))
+            / (F.col("_nv") * F.lit(py_norm(r["cv"]))),
+            6,
+        )
         for r in cents
     ]
-    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    staged = staged.withColumn("_sims", F.array(*sims))
+    # first index of the max rounded cosine -> that index's centroid id.
     # centroid_id keeps the key column's native type (int or string key
     # spaces both work; _collect_centroids orders either)
-    assign = F.lit(None).cast(embeddings.schema[key_col].dataType)
-    for r, s in zip(reversed(cents), reversed(sims)):
-        assign = F.when(s == best, F.lit(r["cid"])).otherwise(assign)
-    return embeddings.withColumn("centroid_id", assign)
+    idx = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
+    cid_arr = F.array(*[F.lit(r["cid"]) for r in cents])
+    return staged.withColumn(
+        "centroid_id", F.element_at(cid_arr, idx.cast("int"))
+    ).drop("_nv", "_sims")
 
 
 def kmeans_refine_centroids(
@@ -256,12 +295,17 @@ def ivf_topk(
     probe = [r["cid"] for r in ranked[:nprobe]]
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # query norm is a literal; row norm computed once inside the select
     return (
         assigned.filter(F.col("centroid_id").isin(probe))
         .select(
             F.col(key_col),
             F.col("centroid_id"),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col(vec_col), q)
+                / (norm(F.col(vec_col)) * F.lit(py_norm(query_vec))),
+                6,
+            ).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.col(key_col))
         .limit(k)
@@ -284,9 +328,18 @@ def _knn_join_broadcast(
     the per-left top-k is a window rank (no global sort)."""
     from pyspark.sql import Window
 
-    l = left.select(F.col(key_col).alias("l_id"), F.col(vec_col).alias("lv"))
-    r = right.select(F.col(key_col).alias("r_id"), F.col(vec_col).alias("rv"))
-    sim = cosine(F.col("lv"), F.col("rv"))
+    l = left.select(
+        F.col(key_col).alias("l_id"),
+        F.col(vec_col).alias("lv"),
+        norm(F.col(vec_col)).alias("ln"),
+    )
+    r = right.select(
+        F.col(key_col).alias("r_id"),
+        F.col(vec_col).alias("rv"),
+        norm(F.col(vec_col)).alias("rn_"),
+    )
+    # norms ride the join sides (once per vector); per-pair work is the dot
+    sim = dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn_"))
     w = Window.partitionBy("l_id").orderBy(F.desc("cosine_sim"), F.col("r_id"))
     joined = l.crossJoin(F.broadcast(r))
     if exclude_same_key:
@@ -335,17 +388,21 @@ def knn_join_ivf(
         F.col("centroid_id").alias("cell"),
         F.col(key_col).alias("r_id"),
         F.col(vec_col).alias("rv"),
+        norm(F.col(vec_col)).alias("rn_"),
     )
-    # struct(-sim, cid) sorted ascending == similarity desc, ties to low cid
+    # struct(-sim, cid) sorted ascending == similarity desc, ties to low cid;
+    # the left vector's norm is staged once and each centroid norm is a
+    # driver-side literal (same cost shape as ivf_assign)
     probes = F.array(
         *[
             F.struct(
                 (
                     -F.round(
-                        cosine(
+                        dot(
                             F.col(vec_col),
                             F.array(*[F.lit(float(x)) for x in r["cv"]]),
-                        ),
+                        )
+                        / (F.col("_ln") * F.lit(py_norm(r["cv"]))),
                         6,
                     )
                 ).alias("ns"),
@@ -357,17 +414,26 @@ def knn_join_ivf(
     probe_cells = F.transform(
         F.slice(F.array_sort(probes), 1, nprobe), lambda x: x.getField("cid")
     )
-    l_cells = left.select(
-        F.col(key_col).alias("l_id"),
-        F.col(vec_col).alias("lv"),
-        F.explode(probe_cells).alias("cell"),
+    l_cells = (
+        left.withColumn("_ln", norm(F.col(vec_col)))
+        .select(
+            F.col(key_col).alias("l_id"),
+            F.col(vec_col).alias("lv"),
+            F.col("_ln").alias("ln"),
+            F.explode(probe_cells).alias("cell"),
+        )
     )
     joined = l_cells.join(r_cells, "cell")
     if exclude_same_key:
         joined = joined.filter(F.col("l_id") != F.col("r_id"))
     w = Window.partitionBy("l_id").orderBy(F.desc("cosine_sim"), F.col("r_id"))
     return (
-        joined.withColumn("cosine_sim", F.round(cosine(F.col("lv"), F.col("rv")), 6))
+        joined.withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn_")), 6
+            ),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("l_id", "r_id", "cosine_sim", "rn")
@@ -474,15 +540,31 @@ def semdedup(
     every input vector; filter ``kept`` to materialize the deduped corpus.
     """
     assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col, cents=cents)
+    # each side carries its norm INTO the join (computed once per vector),
+    # so the quadratic within-cluster stage pays one dot product per pair
+    # instead of a dot plus two norm recomputations — the higher-order-fn
+    # arithmetic is interpreted, so tripling per-pair array work is ~3x wall
+    # time on the hot stage.
     slim = assigned.select(
-        F.col(key_col).alias("k"), F.col("centroid_id").alias("c"), F.col(vec_col).alias("v")
+        F.col(key_col).alias("k"),
+        F.col("centroid_id").alias("c"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
     )
     right = slim.select(
-        F.col("k").alias("k2"), F.col("c").alias("c2"), F.col("v").alias("v2")
+        F.col("k").alias("k2"),
+        F.col("c").alias("c2"),
+        F.col("v").alias("v2"),
+        F.col("nv").alias("nv2"),
     )
     dropped = (
         slim.join(right, (F.col("c") == F.col("c2")) & (F.col("k2") < F.col("k")))
-        .filter(F.round(cosine(F.col("v"), F.col("v2")), 6) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("v"), F.col("v2")) / (F.col("nv") * F.col("nv2")), 6
+            )
+            >= threshold
+        )
         .select(F.col("k").alias(key_col))
         .distinct()
         .withColumn("_dropped", F.lit(True))
