@@ -2962,3 +2962,51 @@ def sem_dedup(spark, sf_dir):
     return out.select(
         "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"), "kept"
     )
+
+
+@_register(
+    "txt_sentence_dedup",
+    """
+    WITH s0 AS (
+      SELECT doc_id, trim(x) AS s
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS x
+            FROM documents)
+    ), s AS (
+      SELECT doc_id, md5(lower(s)) AS h, len(s) AS slen
+      FROM s0 WHERE len(s) >= 20
+    ), c AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd
+                     FROM s GROUP BY h) WHERE nd >= 2
+    ), j AS (
+      SELECT s.doc_id, s.slen, (c.h IS NOT NULL) AS dup
+      FROM s LEFT JOIN c ON s.h = c.h
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_sentences,
+      CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sentences,
+      ROUND(SUM(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+        AS dup_sentence_frac,
+      ROUND(CASE WHEN SUM(slen) > 0
+            THEN SUM(CASE WHEN dup THEN slen ELSE 0 END) * 1.0 / SUM(slen)
+            ELSE 0.0 END, 6) AS dup_char_frac
+    FROM j GROUP BY doc_id
+    """,
+)
+def txt_sentence_dedup(spark, sf_dir):
+    """Cross-corpus duplicate-sentence filter stats
+    (text.sentence_dedup_stats): the RefinedWeb/C4 'drop repeated lines'
+    pass at sentence granularity — per-doc counts and char fractions of
+    sentences whose lowercase md5 appears in >= 2 distinct documents.
+    Sentences shuffle as 16-byte digests, never text; count-distinct
+    collapses to a (hash, doc) distinct before the per-hash count."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        sentence_dedup_stats,
+    )
+
+    return sentence_dedup_stats(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_sentences",
+        "n_dup_sentences",
+        "dup_sentence_frac",
+        "dup_char_frac",
+    )

@@ -311,3 +311,74 @@ def scrub_text(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_emails", n_emails)
         .withColumn("scrubbed", scrubbed)
     )
+
+
+def sentence_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_len: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicate-sentence statistics (the RefinedWeb/C4 "drop
+    lines repeated across the corpus" filter, at sentence granularity —
+    the canonical unit when documents are single-line).
+
+    Splits each document on sentence terminators (``[.!?]+`` — identical
+    Java-regex/RE2 semantics), keeps trimmed sentences of at least
+    ``min_len`` chars, and marks a sentence duplicated when its lowercase
+    md5 appears in >= ``min_docs`` DISTINCT documents. Returns per-doc
+    ``(n_sentences, n_dup_sentences, dup_sentence_frac, dup_char_frac)`` —
+    the columns a pipeline thresholds on to drop boilerplate-heavy pages.
+
+    Scale shape: explode -> hash -> groupBy(hash) with map-side partial
+    counts (the count-distinct collapses to (hash, doc) distinct first), a
+    self-equi-join on the 16-byte digest, and one groupBy(doc). Sentences
+    shuffle by digest, never by text; the 100 TB corpus moves md5s plus
+    lengths. No Python, no UDFs, codegen throughout.
+    """
+    sents = (
+        df.select(
+            F.col(key_col),
+            F.explode(F.split(F.col(text_col), r"[.!?]+")).alias("s"),
+        )
+        .withColumn("s", F.trim(F.col("s")))
+        .filter(F.length("s") >= min_len)
+        .select(
+            key_col,
+            F.md5(F.lower(F.col("s"))).alias("h"),
+            F.length("s").alias("slen"),
+        )
+    )
+    counts = (
+        sents.select("h", key_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+        .withColumn("_dup", F.lit(True))
+    )
+    per_doc = (
+        sents.join(counts, "h", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_sentences"),
+            F.sum("slen").alias("n_chars_total"),
+            F.sum(F.when(F.col("_dup"), F.col("slen")).otherwise(0)).alias("n_chars_dup"),
+        )
+    )
+    return per_doc.select(
+        key_col,
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_dup_sentences").cast("long").alias("n_dup_sentences"),
+        F.round(F.col("n_dup_sentences") / F.col("n_sentences"), 6).alias(
+            "dup_sentence_frac"
+        ),
+        F.round(
+            F.when(F.col("n_chars_total") > 0, F.col("n_chars_dup") / F.col("n_chars_total"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_char_frac"),
+    )

@@ -911,3 +911,43 @@ def test_semdedup_keeps_one_representative_per_neighborhood(spark):
     got = semdedup(emb, threshold=0.99, n_centroids=1).collect()
     kept = sorted(r["vec_id"] for r in got if r["kept"])
     assert kept == [5]
+
+
+def test_sentence_dedup_stats(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        sentence_dedup_stats,
+    )
+
+    boiler = "All rights reserved by the publisher"  # 36 chars, shared
+    rows = [
+        (1, f"Unique opening sentence number one here. {boiler}."),
+        (2, f"A different unique second sentence text. {boiler}."),
+        (3, "Totally unrelated third document sentence."),
+        (4, "short. tiny."),  # every sentence under min_len -> no output row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in sentence_dedup_stats(df).collect()}
+
+    assert set(got) == {1, 2, 3}  # doc 4 has no qualifying sentences
+    for d in (1, 2):
+        assert got[d]["n_sentences"] == 2
+        assert got[d]["n_dup_sentences"] == 1
+        assert got[d]["dup_sentence_frac"] == 0.5
+        # char fraction weighs the boilerplate's length, not just its count
+        assert 0 < got[d]["dup_char_frac"] < 1
+    assert got[3]["n_dup_sentences"] == 0
+    assert got[3]["dup_sentence_frac"] == 0.0
+
+
+def test_sentence_dedup_case_insensitive(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        sentence_dedup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The Same Boilerplate Sentence Here."),
+         (2, "the same boilerplate sentence here.")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in sentence_dedup_stats(df).collect()}
+    assert got[1]["n_dup_sentences"] == 1 and got[2]["n_dup_sentences"] == 1

@@ -1,0 +1,73 @@
+"""Regression guard on per-superstep scheduler-job count.
+
+The iterative kernels' wall time at scale is dominated by fixed
+per-superstep scheduling overhead (hundreds of supersteps in the
+100x-scale batch routing regime). With AQE pinned off inside the loop and
+the lazy-checkpoint + termination-count pattern, a 12-superstep BFS costs
+~18 jobs; before (eager checkpoint + isEmpty under AQE) it was 49. This
+test fails if a change quietly reintroduces per-superstep job
+multiplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _jobs(spark):
+    return set(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+
+
+def test_bfs_superstep_job_budget(spark, testdata_dir):
+    from routing_algorithm_for_graph_dbs_spark.driver_surface import QUERIES
+
+    # warm: catalog + codegen caches out of the measurement
+    QUERIES["graph_bfs_hops"](spark, testdata_dir).count()
+
+    before = _jobs(spark)
+    QUERIES["graph_bfs_hops"](spark, testdata_dir).count()
+    n_jobs = len(_jobs(spark) - before)
+    # 12 supersteps x 1 job + edge count + seed checkpoint + final count
+    # + small slack; the pre-fix shape measured 49.
+    assert n_jobs <= 24, f"BFS launched {n_jobs} jobs (superstep overhead regressed)"
+
+
+def test_superstep_confs_restores_session(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+        superstep_confs,
+    )
+
+    conf = spark.conf
+    aqe0 = conf.get("spark.sql.adaptive.enabled")
+    sp0 = conf.get("spark.sql.shuffle.partitions")
+    with superstep_confs(spark, 3):
+        assert conf.get("spark.sql.adaptive.enabled") == "false"
+        assert conf.get("spark.sql.shuffle.partitions") == "3"
+    assert conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert conf.get("spark.sql.shuffle.partitions") == sp0
+
+    # restored even when the kernel body raises
+    try:
+        with superstep_confs(spark, 5):
+            raise RuntimeError("kernel blew up")
+    except RuntimeError:
+        pass
+    assert conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert conf.get("spark.sql.shuffle.partitions") == sp0
+
+
+def test_components_converges_with_lazy_checkpoint(spark):
+    """Min-label propagation still terminates and labels correctly with the
+    one-job superstep (count-materialized lazy checkpoint)."""
+    from routing_algorithm_for_graph_dbs_spark.graph.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, strategy="iterative").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
