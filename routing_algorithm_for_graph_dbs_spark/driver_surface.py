@@ -3010,3 +3010,43 @@ def txt_sentence_dedup(spark, sf_dir):
         "dup_sentence_frac",
         "dup_char_frac",
     )
+
+
+@_register(
+    "txt_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS L FROM documents WHERE text IS NOT NULL
+    ), n AS (
+      SELECT doc_id, text,
+             CASE WHEN L <= 512 THEN 1
+                  ELSE CAST(ceil((L - 512) * 1.0 / 448) AS BIGINT) + 1 END AS nc
+      FROM d
+    ), c AS (
+      SELECT doc_id, unnest(range(nc)) AS chunk_id, text FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 448 AS BIGINT) AS chunk_start,
+           substr(text, CAST(chunk_id * 448 + 1 AS INT), 512) AS chunk_text,
+           CAST(len(substr(text, CAST(chunk_id * 448 + 1 AS INT), 512))
+                AS BIGINT) AS chunk_len
+    FROM c
+    """,
+)
+def txt_chunks(spark, sf_dir):
+    """Fixed-size overlapping chunking (text.chunk_documents, 512 chars /
+    64 overlap): the pre-embedding / context-window packing step. Map-side
+    sequence+explode, no shuffle — a corpus chunks at scan speed."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return chunk_documents(docs, chunk_size=512, overlap=64).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_id",
+        "chunk_start",
+        "chunk_text",
+        "chunk_len",
+    )

@@ -382,3 +382,49 @@ def sentence_dedup_stats(
             6,
         ).alias("dup_char_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks — the
+    standard pre-embedding / context-window packing step. Chunk i starts at
+    ``i * (chunk_size - overlap)``; a document emits chunks until one
+    reaches its end (a doc at most ``chunk_size`` long emits exactly one).
+
+    Returns ``(key, chunk_id, chunk_start, chunk_text, chunk_len)``.
+
+    Scale shape: the chunk index materializes as ``sequence`` + ``explode``
+    over a computed count — a map-side expansion with no shuffle and no
+    Python; a 100 TB corpus chunks at scan speed and the output partitions
+    inherit the input's. Char-based (tokenizer-agnostic) so two engines
+    slice identically; token-aware pipelines run token_counts on the chunks.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    t = F.col(text_col)
+    n = F.when(
+        F.length(t) <= chunk_size, F.lit(1)
+    ).otherwise(F.ceil((F.length(t) - F.lit(chunk_size)) / F.lit(stride)) + 1)
+    out = (
+        df.select(
+            F.col(key_col),
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(0), (n - 1).cast("int"))).alias("chunk_id"),
+        )
+        .select(
+            key_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("chunk_start"),
+            F.substring(
+                F.col("_t"), F.col("chunk_id").cast("int") * stride + 1, chunk_size
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+    return out

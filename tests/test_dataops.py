@@ -951,3 +951,41 @@ def test_sentence_dedup_case_insensitive(spark):
     )
     got = {r["doc_id"]: r for r in sentence_dedup_stats(df).collect()}
     assert got[1]["n_dup_sentences"] == 1 and got[2]["n_dup_sentences"] == 1
+
+
+def test_chunk_documents_boundaries(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, "a" * 10),        # <= chunk_size -> exactly one chunk
+        (2, "b" * 100),       # exact multiple coverage
+        (3, ""),              # empty text -> one empty chunk
+        (4, "c" * 101),       # one char past a boundary -> extra chunk
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_size=100, overlap=20)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for d in got:
+        got[d].sort(key=lambda r: r["chunk_id"])
+
+    assert [r["chunk_len"] for r in got[1]] == [10]
+    assert [r["chunk_len"] for r in got[2]] == [100]
+    assert [r["chunk_len"] for r in got[3]] == [0]
+    # stride 80: chunk 0 covers [0,100), chunk 1 covers [80,101) -> len 21
+    assert [(r["chunk_start"], r["chunk_len"]) for r in got[4]] == [(0, 100), (80, 21)]
+    # overlap reconstruction: dropping the first `overlap` chars of every
+    # non-first chunk and concatenating yields the original text
+    full = got[4][0]["chunk_text"] + "".join(r["chunk_text"][20:] for r in got[4][1:])
+    assert full == "c" * 101
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=64, overlap=64)
