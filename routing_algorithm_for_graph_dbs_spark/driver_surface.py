@@ -3050,3 +3050,43 @@ def txt_chunks(spark, sf_dir):
         "chunk_text",
         "chunk_len",
     )
+
+
+@_register(
+    "smp_negatives",
+    """
+    WITH ids AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS idx
+      FROM embeddings
+    ), n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+    cand AS (
+      SELECT e.vec_id AS anchor, r.neg_rank,
+             CAST(floor(
+               (CAST(('0x' || substr(md5('neg' || CAST(e.vec_id AS VARCHAR)
+                      || '|' || CAST(r.neg_rank AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0) * n.cnt) AS BIGINT) AS idx
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range(4)) AS neg_rank) r, n
+    )
+    SELECT c.anchor, CAST(c.neg_rank AS BIGINT) AS neg_rank,
+           i.vec_id AS negative
+    FROM cand c JOIN ids i USING (idx)
+    WHERE i.vec_id <> c.anchor
+    """,
+)
+def smp_negatives(spark, sf_dir):
+    """Deterministic negative sampling (sampling.sample_negatives, k=4):
+    per anchor, 4 pseudo-random other keys by md5-uniform draw over the
+    dense key index — contrastive-training prep. Index via the two-pass
+    prefix sum (no single-partition window); draws reproduce exactly in
+    any md5-capable engine."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        sample_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sample_negatives(emb, k=4).select(
+        F.col("anchor").cast("long").alias("anchor"),
+        "neg_rank",
+        F.col("negative").cast("long").alias("negative"),
+    )

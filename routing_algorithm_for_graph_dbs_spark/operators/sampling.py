@@ -341,3 +341,54 @@ def pack_sequences_grouped(
         .withColumn("shard_id", F.floor(before / F.lit(float(budget))).cast("long"))
         .drop("_pid", "_cum_in", "_off")
     )
+
+
+def sample_negatives(
+    df: DataFrame,
+    k: int = 4,
+    key_col: str = "vec_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """``k`` deterministic pseudo-random negative keys per anchor — the
+    contrastive-training sampling step (in-batch negatives' offline twin).
+
+    Negative ``i`` for an anchor is the row at dense index
+    ``floor(hash_uniform(anchor|i) * N)`` in ``key_col`` order; accidental
+    self-matches are filtered (an anchor then yields ``k-1`` rows for that
+    rank — deterministic, and any engine with md5 reproduces the exact
+    draw). Returns ``(anchor, neg_rank, negative)``; callers join payloads.
+
+    Scale shape: the dense index comes from the two-pass distributed
+    prefix sum (``_global_cumsum`` — no single-partition window, nothing
+    through the driver); candidates are a map-side sequence+explode; the
+    only shuffles are the index build and the equi-join on ``_idx``.
+    ``N = df.count()`` is one cheap scalar job, as in the IVF centroid
+    collect.
+    """
+    n = df.count()
+    keys = df.select(key_col)
+    local, _, join_back = _global_cumsum(keys, [key_col], F.lit(1))
+    idx = join_back(local).select(
+        F.col(key_col).alias("_neg_key"),
+        (F.col("_off") + F.col("_cum_in") - 1).cast("long").alias("_idx"),
+    )
+    cand = keys.select(
+        F.col(key_col).alias("anchor"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),
+    )
+    u = hash_uniform(
+        F.concat_ws(
+            "|", F.col("anchor").cast("string"), F.col("neg_rank").cast("string")
+        ),
+        salt,
+    )
+    cand = cand.withColumn("_idx", F.floor(u * F.lit(float(n))).cast("long"))
+    return (
+        cand.join(idx, "_idx")
+        .filter(F.col("_neg_key") != F.col("anchor"))
+        .select(
+            "anchor",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("_neg_key").alias("negative"),
+        )
+    )

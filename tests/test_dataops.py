@@ -989,3 +989,26 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=64, overlap=64)
+
+
+def test_sample_negatives_deterministic_and_valid(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        sample_negatives,
+    )
+
+    df = spark.createDataFrame([(i * 7,) for i in range(50)], ["vec_id"])
+    a = sorted(map(tuple, sample_negatives(df, k=3).collect()))
+    b = sorted(map(tuple, sample_negatives(df, k=3).collect()))
+    assert a == b  # same draw every run
+    keys = {i * 7 for i in range(50)}
+    for anchor, rank, neg in a:
+        assert neg in keys and neg != anchor and 0 <= rank < 3
+    # every anchor yields k or k-1 rows (k-1 only on a self-collision)
+    from collections import Counter
+
+    per_anchor = Counter(r[0] for r in a)
+    assert set(per_anchor) == keys
+    assert all(c in (2, 3) for c in per_anchor.values())
+    # different salt -> different draw
+    c = sorted(map(tuple, sample_negatives(df, k=3, salt="other").collect()))
+    assert c != a
