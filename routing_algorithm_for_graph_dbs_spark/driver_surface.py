@@ -3090,3 +3090,33 @@ def smp_negatives(spark, sf_dir):
         "neg_rank",
         F.col("negative").cast("long").alias("negative"),
     )
+
+
+@_register(
+    "st_interval_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+    """,
+)
+def st_interval_join(spark, sf_dir):
+    """Stream-stream interval join, batch twin
+    (streaming.pipelines.view_click_interval_join — withWatermark is a
+    documented no-op in batch): views matched to same-user clicks within
+    12 hours after (sized to the synthetic feed's event density). State in the streaming form is bounded by horizon +
+    watermark, not history; tests replay it with availableNow and compare
+    to this exact batch answer."""
+    from routing_algorithm_for_graph_dbs_spark.streaming.pipelines import (
+        view_click_interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return view_click_interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        horizon="12 hours",
+    )

@@ -300,3 +300,53 @@ def incremental_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def view_click_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each view matched to the same user's
+    clicks within ``horizon`` AFTER the view — the canonical funnel /
+    attribution join, and the one streaming operator whose state is
+    bounded ONLY by the join's time-range condition plus both watermarks
+    (Spark buffers each side until the other side's watermark passes the
+    interval, then evicts).
+
+    Both inputs must carry (user_id, ts); pass two filtered readers over
+    the same source or two independent sources. Returns one row per
+    matching (view, click) pair with the click lag in seconds.
+
+    Scale shape: state is per-user rows inside a sliding ~horizon+delay
+    band — independent of total history; the join shuffles both sides on
+    user_id once. The batch twin (driver_surface.st_interval_join) is the
+    same expression without watermarks.
+    """
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        (v["user_id"] == c["user_id"])
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        v["user_id"].alias("user_id"),
+        "view_id",
+        "click_id",
+        (
+            F.unix_micros(F.col("click_ts")) - F.unix_micros(F.col("view_ts"))
+        ).alias("lag_us"),
+    )

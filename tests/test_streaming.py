@@ -21,9 +21,11 @@ def events_dir(spark, testdata_dir, tmp_path_factory):
     """Micro-precision copy of the events table split into several files —
     a realistic multi-file stream source."""
     out = str(tmp_path_factory.mktemp("events_stream"))
-    df = spark.read.parquet(f"{testdata_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    from routing_algorithm_for_graph_dbs_spark.sources.testdata import (
+        normalize_event_ts,
+    )
+
+    df = normalize_event_ts(spark.read.parquet(f"{testdata_dir}/events.parquet"))
     # range-partition by ts so part-00000..3 are ascending time ranges, then
     # pin ascending mtimes: the file source replays in modification-time
     # order, keeping the watermark monotone across microbatches (out-of-order
@@ -265,3 +267,30 @@ def test_incremental_dedup_sink_never_readmits(spark, events_batch, tmp_path):
     q3.awaitTermination()
     assert spark.read.parquet(out).count() == 250
     assert os.path.isdir(store)
+
+
+def test_interval_join_stream_equals_batch(spark, events_dir, events_batch, tmp_path):
+    """Stream-stream interval join (inner): every matched pair emits as
+    produced (the watermark only bounds state), so an availableNow replay
+    must equal the batch twin exactly."""
+    from routing_algorithm_for_graph_dbs_spark.streaming.pipelines import (
+        view_click_interval_join,
+    )
+
+    v = read_events_stream(spark, events_dir).filter(F.col("event_type") == "view")
+    c = read_events_stream(spark, events_dir).filter(F.col("event_type") == "click")
+    got = _drain(
+        spark,
+        view_click_interval_join(v, c, horizon="12 hours"),
+        "ssjoin",
+        tmp_path,
+    )
+    want = view_click_interval_join(
+        events_batch.filter(F.col("event_type") == "view"),
+        events_batch.filter(F.col("event_type") == "click"),
+        horizon="12 hours",
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    assert len(got_rows) > 0  # the fixture feed must actually exercise it
