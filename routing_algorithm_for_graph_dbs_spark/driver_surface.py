@@ -3120,3 +3120,60 @@ def st_interval_join(spark, sf_dir):
         ev.filter(F.col("event_type") == "click"),
         horizon="12 hours",
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
+    """Unrolled power iteration — one CTE per step, so DuckDB reproduces
+    the fixed-iteration PageRank without recursive aggregation (which SQL
+    recursive CTEs disallow). The directed nation graph has no dangling
+    vertices (every node carries a one-way ring out-edge), so the update
+    is pr' = (1-d)/n + d * inflow exactly as in graph/pagerank.py."""
+    parts = [
+        """WITH e AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      UNION
+      SELECT n_nationkey, (n_nationkey + 7) % 25 FROM nation
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    v AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    nn AS (SELECT COUNT(*) AS n FROM v),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM v)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""pr{i + 1} AS (
+      SELECT v.node,
+             (1 - {d}) / (SELECT n FROM nn)
+               + {d} * COALESCE(c.inflow, 0.0) AS pr
+      FROM v LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr / deg.deg) AS inflow
+        FROM pr{i} p
+        JOIN e ON e.src = p.node
+        JOIN deg ON deg.src = p.node
+        GROUP BY e.dst
+      ) c ON v.node = c.node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, ROUND(pr, 6) AS pr
+    FROM pr{iterations}"""
+    )
+
+
+@_register("graph_pagerank", _pagerank_oracle_sql())
+def graph_pagerank(spark, sf_dir):
+    """PageRank (graph/pagerank.py, 10 fixed power iterations, d=0.85)
+    over the directed nation graph — the GDS-catalog companion to G2/G3
+    on the same cached-edge superstep machinery (one scheduler job per
+    iteration). Oracle: the identical update unrolled as 10 CTEs."""
+    from routing_algorithm_for_graph_dbs_spark.graph.pagerank import pagerank
+
+    e = _nation_edges_directed(spark, sf_dir)
+    res = pagerank(e, damping=0.85, iterations=10)
+    return res.select(
+        F.col("node").cast("long").alias("node"), F.round("pr", 6).alias("pr")
+    )

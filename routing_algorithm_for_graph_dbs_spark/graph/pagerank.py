@@ -1,0 +1,110 @@
+"""PageRank as a fixed-iteration DataFrame program.
+
+Companion to the SSSP/betweenness kernels (same cached-edge superstep
+shape; parity family: ``gds.pageRank.stream`` — the reference's GDS
+catalog exposes it alongside betweenness, reference ``main.py:46-60``
+shape). Fixed iteration count + damping makes the result a deterministic
+function of the graph, so an independent engine reproduces it by
+unrolling the same update — the DuckDB oracle builds one CTE per
+iteration.
+
+Update rule (the standard power iteration with uniform teleport and
+dangling-mass redistribution):
+
+    pr'(v) = (1-d)/N + d * (dangling_mass/N + sum_{u->v} pr(u)/deg(u))
+
+Scale shape: edges are hash-partitioned on ``src`` once and persisted;
+each iteration is one join frontier->edges (the full rank vector — power
+iteration has no shrinking frontier), a groupBy(dst) partial-agg shuffle,
+and ONE scheduler job via the lazy-checkpoint + count pattern under
+``superstep_confs`` (AQE off, shuffle partitions pinned to the edge
+relation). The dangling mass is the per-iteration count's sibling scalar
+— computed in the same materialized pass, not a separate job over the
+full graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+    edge_partition_count,
+    superstep_confs,
+)
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    n_edges: int | None = None,
+) -> DataFrame:
+    """Return (node, pr) after ``iterations`` power-iteration steps.
+
+    ``edges``: (src, dst) directed; parallel edges count once (the edge
+    relation is distinct-ed, matching the unrolled-SQL oracle's set
+    semantics). Vertices are the endpoint union; isolated vertices can be
+    appended by callers before the call if they must appear.
+    """
+    e = edges.select("src", "dst").distinct()
+    if n_edges is None:
+        n_edges = e.count()
+    n_parts = edge_partition_count(e, n_edges)
+    e = e.repartition(n_parts, "src").persist()
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    verts = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = verts.count()
+    d = float(damping)
+
+    # (node, pr, deg) — deg NULL marks a dangling node (no out-edges)
+    state = (
+        verts.join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .select("node", F.lit(1.0 / n).alias("pr"), "deg")
+        .localCheckpoint(eager=True)
+    )
+
+    # graphs without dangling nodes (every vertex has an out-edge) skip the
+    # per-iteration mass scalar entirely — no extra job in the loop
+    has_dangling = state.filter(F.col("deg").isNull()).count() > 0
+
+    with superstep_confs(edges.sparkSession, n_parts):
+        for _ in range(iterations):
+            dangling = 0.0
+            if has_dangling:
+                # scalar off the checkpointed state — one small job, only
+                # paid when the graph actually has dangling vertices
+                dangling = (
+                    state.filter(F.col("deg").isNull()).agg(F.sum("pr")).first()[0]
+                    or 0.0
+                )
+            contribs = (
+                state.filter(F.col("deg").isNotNull())
+                .join(e, state["node"] == e["src"])
+                .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            base = (1.0 - d) / n + d * (dangling / n)
+            state = (
+                state.select("node", "deg")
+                .join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base) + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    ).alias("pr"),
+                    "deg",
+                )
+                .localCheckpoint(eager=False)
+            )
+            state.count()  # materializes the lazy checkpoint (one job)
+
+    out = state.select("node", "pr")
+    e.unpersist()
+    return out

@@ -71,3 +71,27 @@ def test_components_converges_with_lazy_checkpoint(spark):
         for r in connected_components(edges, strategy="iterative").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_pagerank_mass_and_dangling(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.pagerank import pagerank
+
+    # A -> B with B dangling: after one iteration with d=0.85,
+    # base = 0.15/2 + 0.85*(0.5/2) = 0.2875; pr(B) = base + 0.85*0.5 = 0.7125
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    got = {r["node"]: r["pr"] for r in pagerank(e, iterations=1).collect()}
+    assert abs(got[0] - 0.2875) < 1e-12
+    assert abs(got[1] - 0.7125) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # dangling mass conserved
+
+
+def test_pagerank_converges_on_cycle(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.pagerank import pagerank
+
+    # a directed 4-cycle is vertex-transitive: every node must hold 1/4
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], ["src", "dst"]
+    )
+    got = [r["pr"] for r in pagerank(e, iterations=12).collect()]
+    assert all(abs(p - 0.25) < 1e-9 for p in got)
+    assert abs(sum(got) - 1.0) < 1e-9
