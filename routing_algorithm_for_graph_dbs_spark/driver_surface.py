@@ -3177,3 +3177,42 @@ def graph_pagerank(spark, sf_dir):
     return res.select(
         F.col("node").cast("long").alias("node"), F.round("pr", 6).alias("pr")
     )
+
+
+@_register(
+    "ts_resample_ffill",
+    """
+    WITH b AS (
+      SELECT user_id AS k, date_trunc('day', ts) AS day,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_val
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT k, MIN(day) AS d0, MAX(day) AS d1 FROM b GROUP BY k
+    ), grid AS (
+      SELECT k, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    )
+    SELECT g.k AS user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n,
+           LAST_VALUE(b.sum_val IGNORE NULLS) OVER (
+             PARTITION BY g.k ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_sum
+    FROM grid g LEFT JOIN b ON g.k = b.k AND g.day = b.day
+    """,
+)
+def ts_resample_ffill(spark, sf_dir):
+    """Daily resample + gap-fill + forward fill (asof.resample_daily):
+    dense per-user day grid over each user's span, zero-count gap days,
+    last non-empty sum carried forward — the timeseries densification
+    operator (rollups / feature grids)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import (
+        resample_daily,
+    )
+
+    return resample_daily(_t(spark, sf_dir, "events")).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "day",
+        "n",
+        "ffill_sum",
+    )

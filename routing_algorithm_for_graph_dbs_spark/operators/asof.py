@@ -175,3 +175,53 @@ def range_join(
         .select(*left.columns, F.col("_row.*"))
     )
     return out
+
+def resample_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Daily resample with gap-fill and forward fill — the timeseries
+    densification step (metrics rollups, feature grids): bucket events to
+    days, generate EVERY day in each key's [min, max] span, left-join the
+    aggregates onto the dense grid, and forward-fill the last seen sum
+    across empty days. Returns
+    ``(key, day, n, ffill_sum)`` — ``n`` is 0 on gap days and ``ffill_sum``
+    carries the last non-empty day's (rounded) sum.
+
+    Scale shape: the aggregate is one combiner-friendly shuffle on
+    (key, day); the grid is a map-side ``sequence`` + ``explode`` over the
+    per-key span (no shuffle beyond the span agg); the forward fill is a
+    per-key ordered window — partitioned by key, never global. Day spans
+    are bounded (years, not billions), so explode width is safe.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    b = (
+        events.groupBy(F.col(key_col).alias("k"), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(val_col), 2).alias("sum_val"),
+        )
+    )
+    span = b.groupBy("k").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["k", "day"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.last("sum_val", ignorenulls=True).over(w).alias("ffill_sum"),
+        )
+    )

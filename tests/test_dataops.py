@@ -1012,3 +1012,27 @@ def test_sample_negatives_deterministic_and_valid(spark):
     # different salt -> different draw
     c = sorted(map(tuple, sample_negatives(df, k=3, salt="other").collect()))
     assert c != a
+
+
+def test_resample_daily_gapfill_and_ffill(spark):
+    from datetime import datetime
+
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import resample_daily
+
+    rows = [
+        (1, datetime(2024, 1, 1, 10), 5.0),
+        (1, datetime(2024, 1, 1, 11), 2.5),
+        (1, datetime(2024, 1, 4, 9), 1.0),   # 2-day gap before this
+        (2, datetime(2024, 3, 7, 0), 4.0),   # single-day user: 1-row grid
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = {
+        (r["user_id"], r["day"]): (r["n"], r["ffill_sum"])
+        for r in resample_daily(df).collect()
+    }
+    assert got[(1, "2024-01-01")] == (2, 7.5)
+    assert got[(1, "2024-01-02")] == (0, 7.5)  # gap day: count 0, sum carried
+    assert got[(1, "2024-01-03")] == (0, 7.5)
+    assert got[(1, "2024-01-04")] == (1, 1.0)
+    assert got[(2, "2024-03-07")] == (1, 4.0)
+    assert len(got) == 5  # dense grid: 4 days for user 1, 1 for user 2
