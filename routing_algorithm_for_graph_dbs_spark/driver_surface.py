@@ -3216,3 +3216,43 @@ def ts_resample_ffill(spark, sf_dir):
         "n",
         "ffill_sum",
     )
+
+
+@_register(
+    "graph_triangles",
+    f"""
+    WITH e0 AS ({_NATION_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ),
+    o AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    verts AS (SELECT DISTINCT a AS node FROM o UNION SELECT b FROM o)
+    SELECT CAST(v.node AS BIGINT) AS node,
+           CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles
+    FROM verts v LEFT JOIN per_node p ON v.node = p.node
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-node undirected triangle counts (graph/triangles.py) over the
+    nation graph — wedge join + closing-edge probe, two hash equi-joins,
+    each triangle once via low->high orientation. Oracle: the identical
+    three-way join stated in SQL."""
+    from routing_algorithm_for_graph_dbs_spark.graph.triangles import (
+        triangle_counts,
+    )
+
+    return triangle_counts(_nation_edges(spark, sf_dir)).select(
+        F.col("node").cast("long").alias("node"), "triangles"
+    )

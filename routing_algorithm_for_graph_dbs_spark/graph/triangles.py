@@ -1,0 +1,69 @@
+"""Triangle counting as a two-join DataFrame program.
+
+GDS-catalog companion (``gds.triangleCount.stream`` family — same catalog
+the reference drives for betweenness, reference ``main.py:46-60`` shape).
+Undirected semantics: edge direction is erased, each triangle {x, y, z}
+counts once via the low->high orientation (x < y < z), and a node's count
+is the number of triangles it participates in.
+
+Scale shape: the standard distributed formulation — symmetrize + orient
+(each undirected edge kept once as src < dst), then two hash equi-joins:
+wedges (a->b joined a->c on the shared low node) closed by probing the
+edge set for (b, c). Everything shuffles on node keys; no cross product.
+High-degree nodes fan wedges quadratically — the known skew point; AQE
+skew-split (or degree-ordered orientation, the classic refinement) covers
+it. The oracle states the identical three-way join in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Return (node, triangles): per-node triangle participation counts.
+
+    ``edges``: (src, dst) in any orientation/multiplicity; direction and
+    duplicates are erased. Nodes in no triangle report 0.
+    """
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    o = (
+        und.filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .persist()
+    )
+    # wedges a<b, a<c with b<c; close with edge (b, c)
+    tri = (
+        o.alias("e1")
+        .join(
+            o.select(F.col("a").alias("a2"), F.col("b").alias("c")).alias("e2"),
+            F.col("e1.a") == F.col("a2"),
+        )
+        .filter(F.col("b") < F.col("c"))
+        .join(
+            o.select(F.col("a").alias("b2"), F.col("b").alias("c2")).alias("e3"),
+            (F.col("b") == F.col("b2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    verts = (
+        o.select(F.col("a").alias("node"))
+        .unionByName(o.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    out = verts.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )
+    o.unpersist()
+    return out

@@ -95,3 +95,17 @@ def test_pagerank_converges_on_cycle(spark):
     got = [r["pr"] for r in pagerank(e, iterations=12).collect()]
     assert all(abs(p - 0.25) < 1e-9 for p in got)
     assert abs(sum(got) - 1.0) < 1e-9
+
+
+def test_triangle_counts_hand_graph(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.triangles import (
+        triangle_counts,
+    )
+
+    # K4 on {0,1,2,3} has 4 triangles, each node in exactly 3 of them;
+    # node 9 hangs off node 0 and is in none. Direction/dupes must not
+    # matter: feed some edges reversed and one duplicated.
+    edges = [(0, 1), (0, 2), (0, 3), (2, 1), (1, 3), (3, 2), (2, 3), (9, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
