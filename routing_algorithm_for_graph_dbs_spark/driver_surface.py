@@ -3256,3 +3256,38 @@ def graph_triangles(spark, sf_dir):
     return triangle_counts(_nation_edges(spark, sf_dir)).select(
         F.col("node").cast("long").alias("node"), "triangles"
     )
+
+
+@_register(
+    "graph_node_similarity",
+    f"""
+    WITH e0 AS ({_NATION_EDGES_SQL}),
+    e AS (SELECT DISTINCT src, dst FROM e0),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    inter AS (
+      SELECT l.src AS a, r.src AS b, COUNT(*) AS inter
+      FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src
+      GROUP BY l.src, r.src
+    )
+    SELECT CAST(i.a AS BIGINT) AS a, CAST(i.b AS BIGINT) AS b,
+           CAST(i.inter AS BIGINT) AS inter,
+           ROUND(i.inter * 1.0 / (da.deg + db.deg - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN deg da ON da.src = i.a
+    JOIN deg db ON db.src = i.b
+    """,
+)
+def graph_node_similarity(spark, sf_dir):
+    """Neighbor-set Jaccard node similarity (graph/triangles.py
+    node_similarity — gds.nodeSimilarity.stream shape) over the nation
+    graph: pairs meet through the shared neighbor, never all-pairs."""
+    from routing_algorithm_for_graph_dbs_spark.graph.triangles import (
+        node_similarity,
+    )
+
+    return node_similarity(_nation_edges(spark, sf_dir)).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "inter",
+        "jaccard",
+    )

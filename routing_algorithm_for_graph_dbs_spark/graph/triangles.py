@@ -67,3 +67,43 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     o.unpersist()
     return out
+
+
+def node_similarity(edges: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """Neighbor-set Jaccard similarity for node pairs sharing at least one
+    out-neighbor (the ``gds.nodeSimilarity.stream`` shape). Returns
+    ``(a, b, inter, jaccard)`` with ``a < b``, jaccard rounded to 6.
+
+    Scale shape: candidate pairs meet through an equi-join on the SHARED
+    neighbor (never all-pairs); intersection sizes come from one
+    combiner-friendly groupBy and degrees join back broadcast-ably. A
+    high-in-degree neighbor fans pairs quadratically — the known hot spot;
+    AQE skew-split covers it (same caveat as triangle wedges).
+    """
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    l = e.select(F.col("src").alias("a"), F.col("dst").alias("n"))
+    r = e.select(F.col("src").alias("b"), F.col("dst").alias("n"))
+    inter = (
+        l.join(r, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("db"))
+    out = (
+        inter.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            F.round(
+                F.col("inter") / (F.col("da") + F.col("db") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

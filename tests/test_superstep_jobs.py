@@ -109,3 +109,22 @@ def test_triangle_counts_hand_graph(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_node_similarity_hand_graph(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.triangles import (
+        node_similarity,
+    )
+
+    # N(0)={1,2}, N(3)={1,2}, N(4)={2,5}: (0,3) identical sets -> 1.0;
+    # (0,4) and (3,4) share only node 2 -> 1/3. Sinks never appear as pairs.
+    edges = [(0, 1), (0, 2), (3, 1), (3, 2), (4, 2), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r["a"], r["b"]): (r["inter"], r["jaccard"]) for r in node_similarity(df).collect()}
+    assert got == {
+        (0, 3): (2, 1.0),
+        (0, 4): (1, 0.333333),
+        (3, 4): (1, 0.333333),
+    }
+    filtered = node_similarity(df, min_jaccard=0.5).collect()
+    assert {(r["a"], r["b"]) for r in filtered} == {(0, 3)}
