@@ -3291,3 +3291,41 @@ def graph_node_similarity(spark, sf_dir):
         "inter",
         "jaccard",
     )
+
+
+@_register(
+    "ev_zscore_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT e.event_id, e.event_type AS etype,
+             ROUND((e.value - s.m) / s.sd, 4) AS z
+      FROM events e JOIN s ON e.event_type = s.event_type
+    )
+    SELECT event_id, etype, z, (abs(z) > 2.5) AS is_outlier
+    FROM z
+    """,
+)
+def ev_zscore_outliers(spark, sf_dir):
+    """Per-group z-score outlier flagging over the event stream — the
+    standard monitoring / data-cleaning pass. One combiner aggregation for
+    per-type (mean, stddev) and a BROADCAST join back onto the fact scan:
+    the 100 TB fact table never shuffles. The flag derives from the
+    ROUNDED z on both engines, so the comparison boundary is identical
+    cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.round((F.col("value") - F.col("m")) / F.col("sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            F.col("event_type").alias("etype"),
+            z.alias("z"),
+        )
+        .withColumn("is_outlier", F.abs(F.col("z")) > 2.5)
+    )
