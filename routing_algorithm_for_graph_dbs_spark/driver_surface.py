@@ -3329,3 +3329,31 @@ def ev_zscore_outliers(spark, sf_dir):
         )
         .withColumn("is_outlier", F.abs(F.col("z")) > 2.5)
     )
+
+
+@_register(
+    "smp_cap_per_source",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0 ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def smp_cap_per_source(spark, sf_dir):
+    """Per-source document cap (sampling.cap_per_group, n=10): keep at
+    most 10 docs per source by the deterministic md5-uniform order — the
+    anti-spam domain-capping pass. Window per group, never global."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", 10).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )

@@ -392,3 +392,31 @@ def sample_negatives(
             F.col("_neg_key").alias("negative"),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen by the deterministic
+    md5-uniform order — the anti-spam "cap each domain/source" pass in
+    corpus building. Which rows survive is a pure function of
+    (group, key, salt): rerun-stable, engine-reproducible, no ``rand()``.
+
+    Scale shape: one window per group ordered by the hash (ties broken by
+    key) — partitioned by the group column, never global; skewed giant
+    groups are exactly the rows being discarded, and AQE skew handling
+    covers the shuffle.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(key_col).cast("string"), salt).asc(),
+        F.col(key_col).asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

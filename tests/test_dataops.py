@@ -1036,3 +1036,25 @@ def test_resample_daily_gapfill_and_ffill(spark):
     assert got[(1, "2024-01-04")] == (1, 1.0)
     assert got[(2, "2024-03-07")] == (1, 4.0)
     assert len(got) == 5  # dense grid: 4 days for user 1, 1 for user 2
+
+
+def test_cap_per_group_deterministic(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    rows = [(i, f"g{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted(map(tuple, cap_per_group(df, "source", 4).collect()))
+    b = sorted(map(tuple, cap_per_group(df, "source", 4).collect()))
+    assert a == b  # same survivors every run
+    from collections import Counter
+
+    per = Counter(g for _, g in a)
+    assert per == {"g0": 4, "g1": 4, "g2": 4}
+    # a group under the cap keeps everything
+    small = cap_per_group(df.filter(F.col("doc_id") < 3), "source", 4).count()
+    assert small == 3
+    # different salt -> different survivors
+    c = sorted(map(tuple, cap_per_group(df, "source", 4, salt="x").collect()))
+    assert c != a
