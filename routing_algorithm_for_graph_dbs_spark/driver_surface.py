@@ -3357,3 +3357,55 @@ def smp_cap_per_source(spark, sf_dir):
     return cap_per_group(docs, "source", 10).select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
+
+
+def _kcore_oracle_sql(k: int = 6, iterations: int = 10) -> str:
+    """Unrolled parallel peeling — one (degree filter, edge restriction)
+    CTE pair per round; idempotent once converged, so a fixed unroll depth
+    reproduces the Spark kernel's fixed iteration budget exactly."""
+    # MATERIALIZED: each e{i} is referenced twice (its degree filter and
+    # the next restriction); inlined CTEs would expand the scan tree
+    # exponentially in the unroll depth (DuckDB hits the fd limit).
+    parts = [
+        """WITH raw AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, 1000000 + o_orderkey % 2000 AS dst
+      FROM orders
+    ),
+    e0 AS MATERIALIZED (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+      SELECT src FROM e{i} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i} e
+      JOIN k{i} a ON e.src = a.src
+      JOIN k{i} b ON e.dst = b.src
+    )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT CAST(src AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{iterations} GROUP BY src"""
+    )
+
+
+@_register("graph_kcore", _kcore_oracle_sql())
+def graph_kcore(spark, sf_dir):
+    """6-core of the bipartite customer/order-bucket graph
+    (graph/kcore.py — parallel peeling, one termination-checked job per
+    round; 6 peel rounds cascade at sf0.01). Oracle: the identical
+    peeling unrolled as CTE pairs."""
+    from routing_algorithm_for_graph_dbs_spark.graph.kcore import k_core
+
+    o = _t(spark, sf_dir, "orders")
+    e = o.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.lit(1000000) + F.col("o_orderkey") % 2000).cast("long").alias("dst"),
+    ).distinct()
+    return k_core(e, k=6, iterations=10).select(
+        F.col("node").cast("long").alias("node"), "core_degree"
+    )

@@ -128,3 +128,16 @@ def test_node_similarity_hand_graph(spark):
     }
     filtered = node_similarity(df, min_jaccard=0.5).collect()
     assert {(r["a"], r["b"]) for r in filtered} == {(0, 3)}
+
+
+def test_kcore_hand_graph(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.kcore import k_core
+
+    # K4 {0,1,2,3} with a pendant path 3-9-8: the 3-core is exactly K4
+    # (peeling 8 first drops 9's degree below 3 — the cascade matters).
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9), (9, 8)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k above the max degree empties the graph
+    assert k_core(df, k=5).count() == 0
