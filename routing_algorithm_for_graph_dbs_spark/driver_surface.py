@@ -3409,3 +3409,74 @@ def graph_kcore(spark, sf_dir):
     return k_core(e, k=6, iterations=10).select(
         F.col("node").cast("long").alias("node"), "core_degree"
     )
+
+
+@_register(
+    "ev_conversion_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.view_ts, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+      GROUP BY e.user_id, v.view_ts
+    ), p AS (
+      SELECT e.user_id, c.click_ts, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+      GROUP BY e.user_id, c.click_ts
+    )
+    SELECT v.user_id,
+           epoch_us(v.view_ts) AS view_us,
+           epoch_us(c.click_ts) AS click_us,
+           epoch_us(p.purchase_ts) AS purchase_us,
+           CASE WHEN p.purchase_ts IS NOT NULL THEN 'purchase'
+                WHEN c.click_ts IS NOT NULL THEN 'click'
+                ELSE 'view' END AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def ev_conversion_funnel(spark, sf_dir):
+    """Per-user conversion funnel: first view, first click at-or-after it,
+    first purchase at-or-after that — the chained-as-of analytic every
+    event pipeline ships. Three combiner-friendly min-aggregations, each
+    joined on user_id (the fact table shuffles on the user key once per
+    stage; no windows over full history)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "click_ts"), "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c.select("user_id", "click_ts"), "user_id", "left")
+        .join(p.select("user_id", "purchase_ts"), "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("view_ts").alias("view_us"),
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.when(F.col("purchase_ts").isNotNull(), "purchase")
+            .when(F.col("click_ts").isNotNull(), "click")
+            .otherwise("view")
+            .alias("stage"),
+        )
+    )
