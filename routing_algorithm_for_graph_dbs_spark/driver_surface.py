@@ -3480,3 +3480,35 @@ def ev_conversion_funnel(spark, sf_dir):
             .alias("stage"),
         )
     )
+
+
+@_register(
+    "smp_budget_mixture",
+    """
+    WITH t AS (
+      SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source
+    ), g AS (SELECT COUNT(*) AS ng FROM t),
+    r AS (
+      SELECT t.source,
+             LEAST(1.0, (60000.0 / g.ng) / t.tot) AS rate
+      FROM t, g
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5('budget' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+          AS BIGINT) / 4294967296.0 < r.rate
+    """,
+)
+def smp_budget_mixture(spark, sf_dir):
+    """Equal-share budget mixture (sampling.budget_mixture_sample,
+    60k-char budget): every source thins deterministically toward
+    budget/G chars; rates derive from exact integer aggregates, so the
+    kept set reproduces bit-identically cross-engine."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        budget_mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return budget_mixture_sample(docs, budget=60_000.0).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )

@@ -420,3 +420,39 @@ def cap_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def budget_mixture_sample(
+    df: DataFrame,
+    budget: float,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Downsample each group to an equal share of a global size budget —
+    the training-mix construction step ("give every source budget/G
+    tokens"). A group's keep rate is ``min(1, (budget/G) / group_total)``
+    where G is the number of groups; rows keep deterministically when
+    ``hash_uniform(key) < rate``. Oversubscribed groups thin toward their
+    share, undersubscribed groups pass through whole.
+
+    Every quantity is an exact aggregate (integer sums / counts), so both
+    engines derive bit-identical rates and the kept SET reproduces exactly
+    — no expected-value fuzz. Scale shape: one combiner aggregation for
+    totals, one row broadcast for the group count, and a broadcast join of
+    per-group rates back onto the scan; the corpus never shuffles.
+    """
+    totals = df.groupBy(group_col).agg(F.sum(size_col).alias("_tot"))
+    ngroups = totals.agg(F.count(F.lit(1)).alias("_g"))
+    rates = totals.crossJoin(F.broadcast(ngroups)).select(
+        group_col,
+        F.least(
+            F.lit(1.0), (F.lit(float(budget)) / F.col("_g")) / F.col("_tot")
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_uniform(F.col(key_col).cast("string"), salt) < F.col("_rate"))
+        .drop("_rate")
+    )

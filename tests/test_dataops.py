@@ -1058,3 +1058,25 @@ def test_cap_per_group_deterministic(spark):
     # different salt -> different survivors
     c = sorted(map(tuple, cap_per_group(df, "source", 4, salt="x").collect()))
     assert c != a
+
+
+def test_budget_mixture_sample(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        budget_mixture_sample,
+    )
+
+    # two groups: "big" (10k chars) must thin toward 1k; "small" (500)
+    # is under its share and passes through whole
+    rows = [(i, "big", 100) for i in range(100)] + [
+        (1000 + i, "small", 100) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = budget_mixture_sample(df, budget=2000.0)  # 1000 per group
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in budget_mixture_sample(df, budget=2000.0).collect())
+    assert a == b  # deterministic
+    kept_small = [d for d in a if d >= 1000]
+    assert len(kept_small) == 5  # under-budget group keeps everything
+    kept_big = [d for d in a if d < 1000]
+    # rate 0.1 over 100 uniform hash draws: loose but safe bounds
+    assert 2 <= len(kept_big) <= 25
