@@ -3512,3 +3512,45 @@ def smp_budget_mixture(spark, sf_dir):
     return budget_mixture_sample(docs, budget=60_000.0).select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
+
+
+@_register(
+    "a10_histogram",
+    """
+    WITH s AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    ), b AS (
+      SELECT CAST(LEAST(9, CAST(floor((l_extendedprice - s.lo)
+                   / ((s.hi - s.lo) / 10)) AS BIGINT)) AS BIGINT) AS bucket
+      FROM lineitem, s
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def a10_histogram(spark, sf_dir):
+    """Equi-width 10-bucket histogram of l_extendedprice — the profiling
+    aggregate. Bounds come from one min/max pass broadcast back onto the
+    scan (identical doubles both engines, so bucket edges agree exactly);
+    the histogram itself is one combiner-friendly groupBy."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    s = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    return (
+        li.crossJoin(F.broadcast(s))
+        .select(
+            F.least(
+                F.lit(9),
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10)
+                ),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
