@@ -3554,3 +3554,69 @@ def a10_histogram(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@_register(
+    "txt_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+      WHERE len(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g'))) > 0
+    ), cnt AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), n AS (SELECT SUM(c) AS n FROM cnt),
+    vocab AS (
+      SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT 500
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           ROUND(AVG(CASE WHEN v.tok IS NOT NULL
+                          THEN ln(v.c / n.n)
+                          ELSE ln(0.5 / n.n) END), 6) AS avg_logprob
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok, n
+    GROUP BY t.doc_id
+    """,
+)
+def txt_unigram_logprob(spark, sf_dir):
+    """Unigram log-probability fluency score — the model-free stand-in for
+    a perplexity quality filter: corpus-derived top-500 vocabulary with
+    exact counts (ties broken by token, so the vocab is deterministic),
+    OOV tokens at half-count floor, per-doc mean log-prob. Scale shape:
+    one combiner count aggregation, a tiny BROADCAST vocab join onto the
+    token stream, one per-doc aggregation — the corpus shuffles once on
+    (doc) for the final mean."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "),
+            r"[ ]+",
+            " ",
+        )
+    )
+    toks = (
+        docs.select("doc_id", norm.alias("nt"))
+        .filter(F.length("nt") > 0)
+        .select("doc_id", F.explode(F.split(F.col("nt"), " ")).alias("tok"))
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    vocab = cnt.orderBy(F.desc("c"), F.asc("tok")).limit(500)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("c").isNotNull(), F.log(F.col("c") / F.col("n"))
+                    ).otherwise(F.log(F.lit(0.5) / F.col("n")))
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
