@@ -3620,3 +3620,46 @@ def txt_unigram_logprob(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+@_register(
+    "graph_closeness",
+    f"""
+    WITH RECURSIVE e AS ({_NATION_EDGES_SQL}),
+    v AS (SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e),
+    r(lane, node, d) AS (
+      SELECT node, node, 0 FROM v
+      UNION
+      SELECT r.lane, CAST(e.dst AS BIGINT), r.d + 1
+      FROM r JOIN e ON e.src = r.node WHERE r.d < 12
+    ),
+    m AS (SELECT lane, node, MIN(d) AS d FROM r GROUP BY lane, node)
+    SELECT CAST(lane AS BIGINT) AS node,
+           ROUND((COUNT(*) - 1) * 1.0 / SUM(d), 6) AS closeness
+    FROM m GROUP BY lane
+    """,
+)
+def graph_closeness(spark, sf_dir):
+    """Closeness centrality (gds.closeness shape): every vertex runs as a
+    lane of ONE multi-source BFS kernel pass — the same machinery as G2,
+    25 lanes for the price of one edge traversal per superstep — then
+    closeness = (reached - 1) / sum(hop distances). Oracle: all-lanes
+    recursive-CTE BFS."""
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import sssp
+
+    e = _nation_edges(spark, sf_dir).withColumn("weight", F.lit(1.0))
+    verts = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    src = verts.select(F.col("node").alias("lane"), "node")
+    res = sssp(e, src, track_paths=False)
+    return (
+        res.groupBy(F.col("lane").cast("long").alias("node"))
+        .agg(
+            F.round(
+                (F.count(F.lit(1)) - 1) / F.sum("cost"), 6
+            ).alias("closeness")
+        )
+    )
