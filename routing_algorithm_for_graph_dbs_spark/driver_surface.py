@@ -3663,3 +3663,73 @@ def graph_closeness(spark, sf_dir):
             ).alias("closeness")
         )
     )
+
+
+@_register(
+    "txt_tfidf_top3",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+      WHERE len(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g'))) > 0
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln(nd.n * 1.0 / df.df), 6) AS score
+      FROM tf JOIN df ON tf.tok = df.tok, nd
+    ), ranked AS (
+      SELECT doc_id, tok, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, tok ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, score
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def txt_tfidf_top3(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the keyword-extraction pass.
+    Scores round to 6 BEFORE ranking on both engines (with term-asc ties),
+    so a sub-rounding libm ulp cannot swap ranks cross-engine. Shape: two
+    combiner aggregations (tf, df), a broadcast idf join onto tf, one
+    per-doc window."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "),
+            r"[ ]+",
+            " ",
+        )
+    )
+    toks = (
+        docs.select("doc_id", norm.alias("nt"))
+        .filter(F.length("nt") > 0)
+        .select("doc_id", F.explode(F.split(F.col("nt"), " ")).alias("tok"))
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = tf.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", F.col("rn").cast("long").alias("rn"), "tok", "score")
+    )
