@@ -34,11 +34,18 @@ from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
 )
 
 
+# same dispatch limit as graph/sssp.py: below it, collect the edge list
+# once and run the dense power iteration driver-side (the single-JVM
+# regime); above it, the distributed superstep kernel takes over.
+BROADCAST_EDGE_LIMIT = 5_000_000
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iterations: int = 10,
     n_edges: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Return (node, pr) after ``iterations`` power-iteration steps.
 
@@ -46,7 +53,18 @@ def pagerank(
     relation is distinct-ed, matching the unrolled-SQL oracle's set
     semantics). Vertices are the endpoint union; isolated vertices can be
     appended by callers before the call if they must appear.
+
+    Two-tier like ``sssp``: ``local`` collects the (deduped) edge list and
+    runs the identical update as numpy vector ops — tiny/medium graphs pay
+    one collect instead of ``iterations`` scheduler rounds; ``iterative``
+    is the superstep kernel below; ``auto`` picks by edge count.
     """
+    if strategy == "auto":
+        strategy = "local" if (
+            n_edges if n_edges is not None else edges.count()
+        ) <= BROADCAST_EDGE_LIMIT else "iterative"
+    if strategy == "local":
+        return _local_pagerank(edges, damping, iterations)
     e = edges.select("src", "dst").distinct()
     if n_edges is None:
         n_edges = e.count()
@@ -108,3 +126,37 @@ def pagerank(
     out = state.select("node", "pr")
     e.unpersist()
     return out
+
+
+def _local_pagerank(
+    edges: DataFrame, d: float, iterations: int
+) -> DataFrame:
+    """Driver-side dense power iteration — the broadcast-regime tier.
+
+    One Arrow collect of the deduped 2-column edge list, then the IDENTICAL
+    update as numpy vector ops (sum order differs from the shuffle
+    aggregation only below the 6-decimal rounding the callers apply — the
+    same tolerance the DuckDB oracle already relies on). One collect
+    replaces ``iterations`` scheduler rounds; the same tiny-side pattern as
+    components' union-find and the SSSP CSR tier.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    pdf = edges.select("src", "dst").distinct().toPandas()
+    nodes = pd.unique(pd.concat([pdf["src"], pdf["dst"]], ignore_index=True))
+    idx = {v: i for i, v in enumerate(nodes)}
+    src = pdf["src"].map(idx).to_numpy(np.int64)
+    dst = pdf["dst"].map(idx).to_numpy(np.int64)
+    n = len(nodes)
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    dangling = deg == 0.0
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        mass = float(pr[dangling].sum()) if dangling.any() else 0.0
+        inflow = np.zeros(n)
+        np.add.at(inflow, dst, pr[src] / deg[src])
+        pr = (1.0 - d) / n + d * (mass / n) + d * inflow
+    out = pd.DataFrame({"node": nodes, "pr": pr})
+    return spark.createDataFrame(out)

@@ -141,3 +141,25 @@ def test_kcore_hand_graph(spark):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
     # k above the max degree empties the graph
     assert k_core(df, k=5).count() == 0
+
+
+def test_pagerank_tiers_agree(spark):
+    from pyspark.sql import functions as F2
+
+    from routing_algorithm_for_graph_dbs_spark.graph.pagerank import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 9), (9, 2), (5, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=8, strategy="local")
+        .select("node", F2.round("pr", 6).alias("pr"))
+        .collect()
+    }
+    b = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=8, strategy="iterative")
+        .select("node", F2.round("pr", 6).alias("pr"))
+        .collect()
+    }
+    assert a == b  # both tiers produce the same 6-decimal ranks
