@@ -27,18 +27,33 @@ from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
 )
 
 
+# same dispatch limit as graph/sssp.py and graph/pagerank.py
+BROADCAST_EDGE_LIMIT = 5_000_000
+
+
 def k_core(
     edges: DataFrame,
     k: int,
     iterations: int = 10,
     n_edges: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Return (node, core_degree): vertices of the k-core after
     ``iterations`` parallel-peel rounds, with their degree inside it.
 
     ``edges``: (src, dst) any orientation; direction and duplicates are
     erased (undirected simple-graph semantics, like the oracle's UNION).
+
+    Two-tier: ``local`` collects the edge list and peels driver-side
+    (identical rounds, integer arithmetic — bit-exact across tiers);
+    ``iterative`` is the superstep loop below; ``auto`` picks by count.
     """
+    if strategy == "auto":
+        strategy = "local" if (
+            n_edges if n_edges is not None else edges.count()
+        ) <= BROADCAST_EDGE_LIMIT else "iterative"
+    if strategy == "local":
+        return _local_k_core(edges, k, iterations)
     und = (
         edges.select("src", "dst")
         .unionByName(
@@ -70,4 +85,35 @@ def k_core(
 
     return active.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+
+
+def _local_k_core(edges: DataFrame, k: int, iterations: int) -> DataFrame:
+    """Driver-side parallel peeling — the broadcast-regime tier. One
+    collect of the 2-column edge list; the SAME fixed-round parallel peel
+    (all under-k vertices drop together each round), all integer
+    arithmetic, so the surviving set is bit-exact against the superstep
+    tier and the unrolled-CTE oracle."""
+    from collections import defaultdict
+
+    spark = edges.sparkSession
+    adj: dict = defaultdict(set)
+    for s, d in edges.select("src", "dst").distinct().collect():
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+        else:  # keep self-loop semantics identical to the symmetrized set
+            adj[s].add(d)
+    for _ in range(iterations):
+        drop = [n for n, nbrs in adj.items() if len(nbrs) < k]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    node_type = edges.schema["src"].dataType.simpleString()
+    rows = [(n, len(nbrs)) for n, nbrs in adj.items()]
+    return spark.createDataFrame(
+        rows, f"node {node_type}, core_degree long"
     )

@@ -163,3 +163,15 @@ def test_pagerank_tiers_agree(spark):
         .collect()
     }
     assert a == b  # both tiers produce the same 6-decimal ranks
+
+
+def test_kcore_tiers_agree(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.kcore import k_core
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9), (9, 8),
+             (8, 7), (7, 9)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (2, 3):
+        a = sorted(map(tuple, k_core(df, k=k, strategy="local").collect()))
+        b = sorted(map(tuple, k_core(df, k=k, strategy="iterative").collect()))
+        assert a == b, f"tiers diverge at k={k}"
