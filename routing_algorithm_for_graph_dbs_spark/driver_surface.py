@@ -3733,3 +3733,60 @@ def txt_tfidf_top3(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", F.col("rn").cast("long").alias("rn"), "tok", "score")
     )
+
+
+@_register(
+    "w5_moving_avg",
+    """
+    WITH d AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             ROUND(SUM(value), 2) AS day_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(AVG(day_sum) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 4) AS avg7
+    FROM d
+    """,
+)
+def w5_moving_avg(spark, sf_dir):
+    """7-row trailing moving average of per-user daily sums — the
+    smoothing window every metrics pipeline ships. Day sums round before
+    the window so both engines average identical inputs; per-user
+    partitioned frame, never global."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_sum"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.avg("day_sum").over(w), 4).alias("avg7"),
+    )
+
+
+@_register(
+    "a11_corr_cov",
+    """
+    SELECT l_returnflag AS rflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_corr_cov(spark, sf_dir):
+    """Correlation + sample covariance per group — the co-moment
+    aggregates (feature screening / drift checks). One combiner-friendly
+    aggregation; rounding absorbs sub-1e-10 accumulation-order noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("rflag")).agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+    )
