@@ -102,6 +102,30 @@ def main() -> None:
         f"symmetric diff {len(it_set ^ bc_set)}"
     )
 
+    # --- new iterative kernels on the >5M-edge graph -------------------
+    # pagerank: 3 power iterations, distributed tier forced (auto would
+    # pick local under 5M but this graph is above it anyway); the point is
+    # per-iteration wall time of the one-job superstep at 7M edges.
+    from routing_algorithm_for_graph_dbs_spark.graph.kcore import k_core
+    from routing_algorithm_for_graph_dbs_spark.graph.pagerank import pagerank
+
+    t0 = time.perf_counter()
+    pr = pagerank(
+        g.edges.select("src", "dst"), iterations=3, strategy="iterative",
+        n_edges=n_edges,
+    )
+    pr_mass = pr.agg(F.sum("pr")).first()[0]
+    t_pagerank3 = round(time.perf_counter() - t0, 1)
+    assert abs(pr_mass - 1.0) < 1e-6, f"pagerank mass {pr_mass} != 1"
+
+    t0 = time.perf_counter()
+    core = k_core(
+        g.edges.select("src", "dst"), k=4, iterations=3, strategy="iterative",
+        n_edges=n_edges,
+    )
+    n_core = core.count()
+    t_kcore3 = round(time.perf_counter() - t0, 1)
+
     # --- broadcast-tier routing latency at 4x scale --------------------
     src, dst = od_pairs_9()[0]
     t0 = time.perf_counter()
@@ -129,6 +153,10 @@ def main() -> None:
                 "tiers_agree": True,
                 "t_routing_broadcast_s": t_routing_broadcast,
                 "routing_legs": n_legs,
+                "t_pagerank_3iter_s": t_pagerank3,
+                "pagerank_mass_ok": True,
+                "t_kcore_3round_s": t_kcore3,
+                "kcore_nodes": n_core,
             }
         )
     )
