@@ -3790,3 +3790,42 @@ def a11_corr_cov(spark, sf_dir):
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
     )
+
+
+def _zorder_sql_expr(cols: list[str], bits: int = 16) -> str:
+    """Unrolled Morton-interleave as SQL bit ops (mirror of
+    sources.zorder.zorder_key — same bit positions, any engine)."""
+    n = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+@_register(
+    "lay_zorder_key",
+    f"""
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(p_size AS BIGINT) AS p_size,
+           CAST({_zorder_sql_expr(['p_partkey', 'p_size'])} AS BIGINT) AS zkey
+    FROM part
+    """,
+)
+def lay_zorder_key(spark, sf_dir):
+    """Morton/Z-order key (sources.zorder.zorder_key) over (p_partkey,
+    p_size) — the multi-column data-skipping layout device
+    (OPTIMIZE ZORDER BY built from plain bit ops + repartitionByRange).
+    The key is a pure deterministic bit interleave, hash-checked here;
+    the locality payoff (per-file min/max footprints shrink on BOTH
+    columns) is measured from parquet row-group stats in
+    tests/test_layout.py."""
+    from routing_algorithm_for_graph_dbs_spark.sources.zorder import zorder_key
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_size").cast("long").alias("p_size"),
+        zorder_key([F.col("p_partkey"), F.col("p_size")]).alias("zkey"),
+    )

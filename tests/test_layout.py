@@ -159,3 +159,51 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path, testdata_dir):
     # and the pruned read returns exactly that day's rows
     batch = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     assert q.count() == batch.filter(F.col("day") == days[0]).count()
+
+
+def test_zorder_layout_shrinks_file_footprints(spark, tmp_path):
+    """Z-ordered files must carry tight min/max stats on BOTH interleaved
+    columns (the data-skipping payoff), unlike a single-column sort which
+    leaves the secondary column at full range in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from routing_algorithm_for_graph_dbs_spark.sources.zorder import write_zordered
+
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    zdir = str(tmp_path / "zpart")
+    kdir = str(tmp_path / "kpart")
+    write_zordered(part, zdir, ["p_partkey", "p_size"], n_files=8)
+    (
+        part.repartitionByRange(8, "p_partkey")
+        .sortWithinPartitions("p_partkey")
+        .write.mode("overwrite")
+        .parquet(kdir)
+    )
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    lo, hi = part.agg(F.min("p_size"), F.max("p_size")).first()
+    size_range = hi - lo
+    # single-column sort: p_size spans ~the full range in every file
+    assert mean_span(kdir, "p_size") > 0.8 * size_range
+    # z-order: the secondary column's footprint shrinks decisively
+    assert mean_span(zdir, "p_size") < 0.6 * size_range
+    # and the primary column still has sub-global locality
+    klo, khi = part.agg(F.min("p_partkey"), F.max("p_partkey")).first()
+    assert mean_span(zdir, "p_partkey") < 0.8 * (khi - klo)
