@@ -87,3 +87,54 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Compact a parquet directory's small files toward ``target_mb``
+    outputs — the maintenance pass every long-lived ingest needs (each
+    streaming microbatch / incremental append leaves files far below the
+    scan-efficient size; thousands of tiny files turn planning and
+    readahead into the bottleneck).
+
+    Rewrites into ``ceil(total_bytes / target)`` files via coalesce (no
+    shuffle) — or, when ``sort_cols`` is given, via a range repartition +
+    sort so compaction ALSO restores clustering (combine with
+    ``write_zordered`` semantics by passing the layout columns). Writes to
+    a sibling temp dir then swaps, so a crash mid-compact never leaves the
+    table truncated. Returns {files_before, files_after, bytes}.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if sort_cols:
+        (
+            df.repartitionByRange(n_out, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + "._compact_old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    n_after = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return {"files_before": len(files), "files_after": n_after, "bytes": total}

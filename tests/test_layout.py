@@ -207,3 +207,23 @@ def test_zorder_layout_shrinks_file_footprints(spark, tmp_path):
     # and the primary column still has sub-global locality
     klo, khi = part.agg(F.min("p_partkey"), F.max("p_partkey")).first()
     assert mean_span(zdir, "p_partkey") < 0.8 * (khi - klo)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from routing_algorithm_for_graph_dbs_spark.sources.zorder import compact_parquet
+
+    src = str(tmp_path / "frag")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    before = sorted(map(tuple, spark.read.parquet(src).collect()))
+
+    stats = compact_parquet(spark, src, target_mb=128)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 8  # tiny data -> one-ish file
+    after = sorted(map(tuple, spark.read.parquet(src).collect()))
+    assert after == before  # content identical
+
+    # sorted compaction restores clustering
+    stats2 = compact_parquet(spark, src, target_mb=128, sort_cols=["id"])
+    assert sorted(map(tuple, spark.read.parquet(src).collect())) == before
+    assert stats2["files_after"] >= 1
