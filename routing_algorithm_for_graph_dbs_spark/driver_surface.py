@@ -3829,3 +3829,53 @@ def lay_zorder_key(spark, sf_dir):
         F.col("p_size").cast("long").alias("p_size"),
         zorder_key([F.col("p_partkey"), F.col("p_size")]).alias("zkey"),
     )
+
+
+@_register(
+    "dq_constraint_checks",
+    """
+    SELECT 'qty_positive' AS rule,
+           CAST(SUM(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations, CAST(COUNT(*) AS BIGINT) AS rows_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_nonneg',
+           CAST(SUM(CASE WHEN NOT (l_extendedprice >= 0) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_not_null',
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_range',
+           CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT) FROM lineitem
+    """,
+)
+def dq_constraint_checks(spark, sf_dir):
+    """Data-quality constraint gate: violation counts for a rule set in
+    ONE scan (conditional aggregation — not one job per rule), the
+    expectation-checking pass a pipeline runs before promoting a batch.
+    At 100 TB the single-pass shape is the whole point."""
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_positive": F.col("l_quantity") > 0,
+        "price_nonneg": F.col("l_extendedprice") >= 0,
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        "discount_in_range": F.col("l_discount").between(0, 1),
+    }
+    agg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(~cond, 1).otherwise(0)).alias(f"_v_{name}")
+            for name, cond in rules.items()
+        ],
+    )
+    stack = ", ".join(f"'{n}', _v_{n}" for n in rules)
+    return agg.selectExpr(
+        f"stack({len(rules)}, {stack}) as (rule, violations)", "_n as rows_checked"
+    ).select(
+        "rule",
+        F.col("violations").cast("long"),
+        F.col("rows_checked").cast("long"),
+    )
