@@ -3879,3 +3879,34 @@ def dq_constraint_checks(spark, sf_dir):
         F.col("violations").cast("long"),
         F.col("rows_checked").cast("long"),
     )
+
+
+@_register(
+    "er_fuzzy_name_pairs",
+    """
+    WITH n AS (SELECT DISTINCT lower(p_name) AS n FROM part),
+    b AS (SELECT n, substr(n, 1, 3) AS blk FROM n)
+    SELECT a.n AS name_a, c.n AS name_b,
+           CAST(levenshtein(a.n, c.n) AS BIGINT) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.n < c.n
+    WHERE levenshtein(a.n, c.n) <= 3
+    """,
+)
+def er_fuzzy_name_pairs(spark, sf_dir):
+    """Entity-resolution candidate pairs: distinct normalized names meet
+    in a BLOCKED equi-join (3-char prefix block — never all-pairs) and
+    survive on edit distance <= 3. The classic blocking+verify ER shape;
+    at 100 TB the block key bounds the quadratic term exactly like LSH
+    bands bound MinHash."""
+    p = _t(spark, sf_dir, "part")
+    n = p.select(F.lower("p_name").alias("n")).distinct()
+    b = n.withColumn("blk", F.substring("n", 1, 3))
+    a = b.select(F.col("n").alias("name_a"), "blk")
+    c = b.select(F.col("n").alias("name_b"), "blk")
+    return (
+        a.join(c, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    )
