@@ -3910,3 +3910,40 @@ def er_fuzzy_name_pairs(spark, sf_dir):
         .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
     )
+
+
+@_register(
+    "w6_inactivity_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))) / 3600000000.0
+               AS gap_h
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_h) AS BIGINT) AS n_gaps,
+           ROUND(MAX(gap_h), 4) AS max_gap_h,
+           ROUND(AVG(gap_h), 4) AS avg_gap_h
+    FROM g GROUP BY user_id
+    """,
+)
+def w6_inactivity_gaps(spark, sf_dir):
+    """Per-user inactivity gaps (churn signal): lag over the user's event
+    stream (event_id tiebreak for determinism), gaps in hours, max/avg per
+    user. Per-user partitioned window — never global."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            / 3600000000.0
+        ).alias("gap_h"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("gap_h").alias("n_gaps"),
+        F.round(F.max("gap_h"), 4).alias("max_gap_h"),
+        F.round(F.avg("gap_h"), 4).alias("avg_gap_h"),
+    )
