@@ -89,3 +89,22 @@ def test_simhash_stays_whole_stage_codegen(spark):
             assert all("*(" in l for l in agg_lines), f"{fn}: aggregate fell out of codegen:\n{plan}"
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ev_zscore_outliers", "txt_unigram_logprob", "txt_tfidf_top3",
+     "smp_budget_mixture", "a10_histogram"],
+)
+def test_stats_join_back_broadcasts(spark, name):
+    """Queries that aggregate small stats and join them back onto the fact
+    scan must broadcast the stats side — a sort-merge there would shuffle
+    the 100 TB fact table for a handful of rows."""
+    plan = (
+        QUERIES[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+    assert "SortMergeJoin" not in plan, f"{name} sort-merges its stats join"
