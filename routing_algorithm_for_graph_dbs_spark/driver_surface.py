@@ -3947,3 +3947,41 @@ def w6_inactivity_gaps(spark, sf_dir):
         F.round(F.max("gap_h"), 4).alias("max_gap_h"),
         F.round(F.avg("gap_h"), 4).alias("avg_gap_h"),
     )
+
+
+@_register(
+    "a12_cube",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS rflag,
+           COALESCE(l_linestatus, '<all>') AS lstatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rflag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_lstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a12_cube(spark, sf_dir):
+    """CUBE: all 2^k grouping-set subtotals in one pass (the ROLLUP
+    sibling, a8_rollup) with GROUPING markers disambiguating real NULLs
+    from subtotal rows. Catalyst expands to grouping sets with one
+    shuffle — not 2^k scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_rflag"),
+            F.grouping("l_linestatus").cast("long").alias("g_lstatus"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("lstatus"),
+            "g_rflag",
+            "g_lstatus",
+            "n",
+            "sum_qty",
+        )
+    )
