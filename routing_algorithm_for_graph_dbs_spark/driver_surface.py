@@ -3985,3 +3985,32 @@ def a12_cube(spark, sf_dir):
             "sum_qty",
         )
     )
+
+
+@_register(
+    "smp_weighted_k",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROUND(POWER(
+               CAST(('0x' || substr(md5('wsk' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0,
+               1.0 / CAST(n_chars AS DOUBLE)), 9) AS s
+      FROM documents
+    ) ORDER BY s DESC, doc_id ASC LIMIT 100
+    """,
+)
+def smp_weighted_k(spark, sf_dir):
+    """Weighted sampling without replacement (sampling.weighted_sample_k,
+    Efraimidis-Spirakis, k=100, weight = n_chars): longer documents are
+    proportionally likelier, the drawn SET is deterministic and
+    reproduced exactly by the oracle (scores round to 9 before ranking).
+    Scan-expression score + TakeOrderedAndProject top-k."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_k(docs, k=100, weight_col="n_chars").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )

@@ -456,3 +456,33 @@ def budget_mixture_sample(
         .filter(hash_uniform(F.col(key_col).cast("string"), salt) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsk",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row draws ``u = hash_uniform(key)`` and scores ``u^(1/w)``; the
+    top-``k`` scores are a weighted sample without replacement — higher
+    weight, stochastically higher score. Deterministic in (key, salt), so
+    reruns and independent engines select the identical set.
+
+    Scores round to 9 decimals before ranking (key-asc ties) so a libm
+    ``pow`` ulp cannot flip the selection boundary cross-engine. Scale
+    shape: score is a scan expression; top-k is TakeOrderedAndProject —
+    only k rows per partition reach the driver stage, no global sort.
+    """
+    u = hash_uniform(F.col(key_col).cast("string"), salt)
+    score = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    return (
+        df.withColumn("_es_score", score)
+        .orderBy(F.desc("_es_score"), F.col(key_col).asc())
+        .limit(k)
+        .drop("_es_score")
+    )

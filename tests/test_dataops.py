@@ -1080,3 +1080,20 @@ def test_budget_mixture_sample(spark):
     kept_big = [d for d in a if d < 1000]
     # rate 0.1 over 100 uniform hash draws: loose but safe bounds
     assert 2 <= len(kept_big) <= 25
+
+
+def test_weighted_sample_k_bias_and_determinism(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+
+    # ids 0..199: first 100 weight 1, last 100 weight 50 — heavy rows must
+    # dominate the drawn set
+    rows = [(i, 1.0 if i < 100 else 50.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(r["doc_id"] for r in weighted_sample_k(df, 50, "w").collect())
+    again = sorted(r["doc_id"] for r in weighted_sample_k(df, 50, "w").collect())
+    assert got == again  # deterministic
+    heavy = sum(1 for d in got if d >= 100)
+    assert heavy >= 40  # 50x weight should dominate the sample
+    assert len(got) == 50
