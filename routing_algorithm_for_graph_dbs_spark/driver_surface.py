@@ -4014,3 +4014,55 @@ def smp_weighted_k(spark, sf_dir):
     return weighted_sample_k(docs, k=100, weight_col="n_chars").select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
     )
+
+
+@_register(
+    "dq_column_profile",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+             COUNT(DISTINCT l_quantity) AS nd_qty,
+             SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_rflag,
+             COUNT(DISTINCT l_returnflag) AS nd_rflag,
+             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_ship,
+             COUNT(DISTINCT l_shipdate) AS nd_ship
+      FROM lineitem
+    )
+    SELECT col, CAST(nulls AS BIGINT) AS nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n AS BIGINT) AS rows_profiled
+    FROM s, (VALUES ('l_quantity'), ('l_returnflag'), ('l_shipdate')) v(col),
+    LATERAL (SELECT CASE col WHEN 'l_quantity' THEN null_qty
+                             WHEN 'l_returnflag' THEN null_rflag
+                             ELSE null_ship END AS nulls,
+                    CASE col WHEN 'l_quantity' THEN nd_qty
+                             WHEN 'l_returnflag' THEN nd_rflag
+                             ELSE nd_ship END AS n_distinct) x
+    """,
+)
+def dq_column_profile(spark, sf_dir):
+    """Column profiling in ONE scan: null and exact distinct counts per
+    profiled column via a single multi-aggregate pass, unpivoted to one
+    row per column — the schema-drift / ingest-health summary. At 100 TB
+    the single-pass shape (not one job per column) is the point."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_returnflag", "l_shipdate"]
+    agg = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_null_{c}")
+            for c in cols
+        ],
+        *[F.count_distinct(F.col(c)).alias(f"_nd_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', _null_{c}, _nd_{c}" for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack}) as (col, nulls, n_distinct)",
+        "_n as rows_profiled",
+    ).select(
+        "col",
+        F.col("nulls").cast("long"),
+        F.col("n_distinct").cast("long"),
+        F.col("rows_profiled").cast("long"),
+    )
