@@ -4066,3 +4066,34 @@ def dq_column_profile(spark, sf_dir):
         F.col("n_distinct").cast("long"),
         F.col("rows_profiled").cast("long"),
     )
+
+
+@_register(
+    "smp_train_val_test",
+    """
+    SELECT doc_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 AS u
+      FROM documents
+    )
+    """,
+)
+def smp_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split
+    (sampling.train_val_test_split): assignment is a pure function of the
+    key, so regenerating the corpus never leaks a document across the
+    boundary — the property rand() splits lack. Scan expression, no
+    shuffle."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return train_val_test_split(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split"
+    )

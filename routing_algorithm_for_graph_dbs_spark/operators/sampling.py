@@ -486,3 +486,26 @@ def weighted_sample_k(
         .limit(k)
         .drop("_es_score")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's md5-uniform
+    draw lands it in train (< f_train), val (< f_train + f_val), or test
+    — a pure function of (key, salt), so the split survives reruns,
+    repartitioning, and engine changes (the leakage-safety property that
+    rand()-based splits lack: a regenerated corpus keeps every doc on its
+    original side). Adds a ``split`` column; no shuffle.
+    """
+    f_train, f_val = fractions
+    u = hash_uniform(F.col(key_col).cast("string"), salt)
+    return df.withColumn(
+        "split",
+        F.when(u < f_train, "train")
+        .when(u < f_train + f_val, "val")
+        .otherwise("test"),
+    )

@@ -1097,3 +1097,22 @@ def test_weighted_sample_k_bias_and_determinism(spark):
     heavy = sum(1 for d in got if d >= 100)
     assert heavy >= 40  # 50x weight should dominate the sample
     assert len(got) == 50
+
+
+def test_train_val_test_split_stable_and_partitioned(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    a = {r["doc_id"]: r["split"] for r in train_val_test_split(df).collect()}
+    # subset invariance: a doc keeps its side even when the corpus changes
+    sub = df.filter(F.col("doc_id") % 3 == 0)
+    b = {r["doc_id"]: r["split"] for r in train_val_test_split(sub).collect()}
+    assert all(a[k] == v for k, v in b.items())
+    from collections import Counter
+
+    frac = Counter(a.values())
+    assert 0.74 <= frac["train"] / 1000 <= 0.86
+    assert 0.05 <= frac["val"] / 1000 <= 0.15
+    assert 0.05 <= frac["test"] / 1000 <= 0.15
