@@ -4097,3 +4097,45 @@ def smp_train_val_test(spark, sf_dir):
     return train_val_test_split(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), "split"
     )
+
+
+@_register(
+    "ft_minmax_norm",
+    """
+    WITH s AS (
+      SELECT source, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           ROUND(CASE WHEN s.hi > s.lo
+                 THEN (d.n_chars - s.lo) * 1.0 / (s.hi - s.lo)
+                 ELSE 0.5 END, 6) AS n_chars_norm
+    FROM documents d JOIN s ON d.source = s.source
+    """,
+)
+def ft_minmax_norm(spark, sf_dir):
+    """Per-group min-max feature scaling — normalize a numeric feature to
+    [0,1] within its group (constant groups pin to 0.5). One combiner
+    aggregation for the bounds, broadcast back onto the scan; the fact
+    table never shuffles. The feature-engineering sibling of
+    ev_zscore_outliers' standardization."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    s = docs.groupBy("source").agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    return (
+        docs.join(F.broadcast(s), "source")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.round(
+                F.when(
+                    F.col("hi") > F.col("lo"),
+                    (F.col("n_chars") - F.col("lo"))
+                    * 1.0
+                    / (F.col("hi") - F.col("lo")),
+                ).otherwise(F.lit(0.5)),
+                6,
+            ).alias("n_chars_norm"),
+        )
+    )
