@@ -4139,3 +4139,54 @@ def ft_minmax_norm(spark, sf_dir):
             ).alias("n_chars_norm"),
         )
     )
+
+
+@_register(
+    "apx_mergeable_sketches",
+    """
+    SELECT event_type AS etype,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_exact,
+           TRUE AS kll_ok, TRUE AS theta_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def apx_mergeable_sketches(spark, sf_dir):
+    """Mergeable DataSketches aggregates (Spark 4.x built-ins): per group,
+    a KLL quantile sketch over `value` and a theta sketch over distinct
+    users — the structures a 100 TB rollup keeps instead of raw keys
+    (partition sketches merge associatively; no shuffle of raw values).
+    Sketch internals differ across engines, so the oracle pins the exact
+    companions plus booleans asserting each estimate honors its
+    documented error (KLL k=200 rank error ~1.65%; theta ~2% at this
+    cardinality) — same contract pattern as apx_sketches."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(F.col("event_type").alias("etype")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count_distinct("user_id").alias("nd_exact"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value"), F.lit(0.5)
+        ).alias("p50_kll"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias("nd_theta"),
+    )
+    # KLL rank error eps=~1.65% at k=200: the value at estimated rank 0.5
+    # is the exact quantile of some rank in [0.5-eps, 0.5+eps]
+    lo = F.percentile("value", F.lit(0.40))
+    hi = F.percentile("value", F.lit(0.60))
+    bounds = ev.groupBy(F.col("event_type").alias("etype")).agg(
+        lo.alias("p40"), hi.alias("p60")
+    )
+    return (
+        g.join(F.broadcast(bounds), "etype")
+        .select(
+            "etype",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("nd_exact").cast("long").alias("nd_exact"),
+            ((F.col("p50_kll") >= F.col("p40")) & (F.col("p50_kll") <= F.col("p60"))).alias("kll_ok"),
+            (
+                F.abs(F.col("nd_theta") - F.col("nd_exact"))
+                <= 0.02 * 3 * F.col("nd_exact") + F.lit(1.0)
+            ).alias("theta_ok"),
+        )
+    )
