@@ -4190,3 +4190,44 @@ def apx_mergeable_sketches(spark, sf_dir):
             ).alias("theta_ok"),
         )
     )
+
+
+@_register(
+    "graph_harmonic",
+    f"""
+    WITH RECURSIVE e AS ({_NATION_EDGES_SQL}),
+    v AS (SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e),
+    r(lane, node, d) AS (
+      SELECT node, node, 0 FROM v
+      UNION
+      SELECT r.lane, CAST(e.dst AS BIGINT), r.d + 1
+      FROM r JOIN e ON e.src = r.node WHERE r.d < 12
+    ),
+    m AS (SELECT lane, node, MIN(d) AS d FROM r GROUP BY lane, node)
+    SELECT CAST(lane AS BIGINT) AS node,
+           ROUND(SUM(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END), 6) AS harmonic
+    FROM m GROUP BY lane
+    """,
+)
+def graph_harmonic(spark, sf_dir):
+    """Harmonic centrality (gds.closeness.harmonic shape): sum of inverse
+    hop distances over reachable vertices — the disconnection-robust
+    sibling of graph_closeness, from the same single multi-source BFS
+    kernel pass (every vertex a lane). Oracle: the all-lanes recursive
+    CTE with the inverse-distance sum."""
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import sssp
+
+    e = _nation_edges(spark, sf_dir).withColumn("weight", F.lit(1.0))
+    verts = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    src = verts.select(F.col("node").alias("lane"), "node")
+    res = sssp(e, src, track_paths=False)
+    return res.groupBy(F.col("lane").cast("long").alias("node")).agg(
+        F.round(
+            F.sum(F.when(F.col("cost") > 0, 1.0 / F.col("cost")).otherwise(0.0)),
+            6,
+        ).alias("harmonic")
+    )
