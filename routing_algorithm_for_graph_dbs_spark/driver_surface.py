@@ -4231,3 +4231,54 @@ def graph_harmonic(spark, sf_dir):
             6,
         ).alias("harmonic")
     )
+
+
+@_register(
+    "pipe_training_mix",
+    """
+    WITH split AS (
+      SELECT doc_id, source, n_chars
+      FROM documents
+      WHERE CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) / 4294967296.0 < 0.8
+    ), capped AS (
+      SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY CAST(('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) / 4294967296.0 ASC, doc_id ASC
+               ) AS rn
+        FROM split
+      ) WHERE rn <= 15
+    ), t AS (
+      SELECT source, SUM(n_chars) AS tot FROM capped GROUP BY source
+    ), g AS (SELECT COUNT(*) AS ng FROM t),
+    r AS (
+      SELECT t.source, LEAST(1.0, (30000.0 / g.ng) / t.tot) AS rate
+      FROM t, g
+    )
+    SELECT c.doc_id, c.source
+    FROM capped c JOIN r ON c.source = r.source
+    WHERE CAST(('0x' || substr(md5('budget' || CAST(c.doc_id AS VARCHAR)), 1, 8))
+          AS BIGINT) / 4294967296.0 < r.rate
+    """,
+)
+def pipe_training_mix(spark, sf_dir):
+    """Composed training-mix pipeline: train-side split (leakage-safe) ->
+    per-source cap (anti-spam) -> equal-share char budget — three
+    deterministic sampling stages chained exactly as a corpus build runs
+    them, the whole chain hash-checked end to end. Every stage is a scan
+    expression or a per-group window; the corpus shuffles once (the cap
+    window)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        budget_mixture_sample,
+        cap_per_group,
+        train_val_test_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    train = train_val_test_split(docs).filter(F.col("split") == "train").drop("split")
+    capped = cap_per_group(train, "source", 15)
+    mixed = budget_mixture_sample(capped, budget=30_000.0)
+    return mixed.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
