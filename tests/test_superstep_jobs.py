@@ -175,3 +175,42 @@ def test_kcore_tiers_agree(spark):
         a = sorted(map(tuple, k_core(df, k=k, strategy="local").collect()))
         b = sorted(map(tuple, k_core(df, k=k, strategy="iterative").collect()))
         assert a == b, f"tiers diverge at k={k}"
+
+
+def test_centrality_bfs_tiers_agree(spark):
+    """graph_closeness/graph_harmonic derive from one multi-source BFS —
+    both SSSP tiers must produce identical centrality values (locks the
+    all-lanes kernel path the centrality queries depend on)."""
+    from pyspark.sql import functions as F2
+
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import sssp
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (4, 0)]],
+        ["src", "dst"],
+    ).withColumn("weight", F2.lit(1.0))
+    verts = (
+        edges.select(F2.col("src").alias("node"))
+        .unionByName(edges.select(F2.col("dst").alias("node")))
+        .distinct()
+    )
+    lanes = verts.select(F2.col("node").alias("lane"), "node")
+
+    def centralities(strategy):
+        res = sssp(edges, lanes, track_paths=False, strategy=strategy)
+        rows = (
+            res.groupBy("lane")
+            .agg(
+                F2.round(
+                    F2.sum(
+                        F2.when(F2.col("cost") > 0, 1.0 / F2.col("cost")).otherwise(0.0)
+                    ),
+                    6,
+                ).alias("harmonic"),
+                F2.count(F2.lit(1)).alias("n_reached"),
+            )
+            .collect()
+        )
+        return {r["lane"]: (r["harmonic"], r["n_reached"]) for r in rows}
+
+    assert centralities("broadcast") == centralities("iterative")
