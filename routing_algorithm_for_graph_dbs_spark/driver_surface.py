@@ -4282,3 +4282,95 @@ def pipe_training_mix(spark, sf_dir):
     capped = cap_per_group(train, "source", 15)
     mixed = budget_mixture_sample(capped, budget=30_000.0)
     return mixed.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+# =====================================================================
+# strongly connected components (directed; beyond-reference graph surface)
+# =====================================================================
+
+_NATION_SCC_EDGES_SQL = """
+    SELECT src, dst FROM (
+      SELECT k AS src, LEAD(k) OVER (PARTITION BY rg ORDER BY k) AS dst
+      FROM (SELECT n_nationkey AS k, n_regionkey AS rg FROM nation)
+    ) WHERE dst IS NOT NULL
+    UNION ALL
+    SELECT mx AS src, mn AS dst FROM (
+      SELECT rg, MAX(k) AS mx, MIN(k) AS mn
+      FROM (SELECT n_nationkey AS k, n_regionkey AS rg FROM nation)
+      GROUP BY rg
+    ) WHERE rg > 0
+    UNION ALL
+    SELECT a.mx AS src, b.mn AS dst
+    FROM (SELECT rg, MAX(k) AS mx FROM
+          (SELECT n_nationkey AS k, n_regionkey AS rg FROM nation) GROUP BY rg) a
+    JOIN (SELECT rg, MIN(k) AS mn FROM
+          (SELECT n_nationkey AS k, n_regionkey AS rg FROM nation) GROUP BY rg) b
+      ON b.rg = a.rg + 1
+"""
+
+
+def _nation_scc_edges(spark, sf_dir):
+    """Directed nation graph with a nontrivial condensation: within each
+    region, nations form a key-ordered chain; regions 1-4 close the chain
+    into a cycle (one 5-node SCC each) while region 0 stays open (five
+    singleton SCCs); one-way bridges max(r) -> min(r+1) link the regions
+    acyclically. 9 SCCs total — exercises both cycle detection and the
+    DAG between components."""
+    nk = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("rg")
+    )
+    w = Window.partitionBy("rg").orderBy("k")
+    chain = (
+        nk.withColumn("dst", F.lead("k").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("k").alias("src"), "dst")
+    )
+    agg = nk.groupBy("rg").agg(F.max("k").alias("mx"), F.min("k").alias("mn"))
+    closing = agg.filter(F.col("rg") > 0).select(
+        F.col("mx").alias("src"), F.col("mn").alias("dst")
+    )
+    nxt = agg.select((F.col("rg") - 1).alias("rg"), F.col("mn"))
+    cross = (
+        agg.select("rg", "mx")
+        .join(nxt, "rg")
+        .select(F.col("mx").alias("src"), F.col("mn").alias("dst"))
+    )
+    return (
+        chain.unionByName(closing)
+        .unionByName(cross)
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+
+
+@_register(
+    "graph_scc",
+    f"""
+    WITH RECURSIVE e AS ({_NATION_SCC_EDGES_SQL}),
+    v AS (SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e),
+    r(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+    ),
+    mutual AS (
+      SELECT r1.a AS node, r1.b AS other
+      FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+    )
+    SELECT CAST(v.node AS BIGINT) AS node,
+           CAST(LEAST(v.node, COALESCE(MIN(m.other), v.node)) AS BIGINT) AS scc
+    FROM v LEFT JOIN mutual m ON m.node = v.node
+    GROUP BY v.node
+    """,
+)
+def graph_scc(spark, sf_dir):
+    """Strongly connected components (directed — gds.scc shape): label =
+    min vertex id under MUTUAL reachability. Two-tier (driver Tarjan /
+    distributed forward-backward coloring, ``graph/scc.py``); the oracle
+    is the transitive closure joined against its own transpose."""
+    from routing_algorithm_for_graph_dbs_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    e = _nation_scc_edges(spark, sf_dir)
+    res = strongly_connected_components(e)
+    return res.select(F.col("node").cast("long"), F.col("scc").cast("long"))

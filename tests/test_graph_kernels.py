@@ -203,3 +203,65 @@ def test_components_tiers_agree(spark):
     assert lm == im
     assert lm[999] == 999                    # isolated vertex is its own comp
     assert lm[30] == 0 and lm[130] == 100 and lm[230] == 200
+
+
+def test_scc_hand_graph(spark):
+    """Cycle {1,2,3}, 2-cycle {4,5}, self-loop 6, bridges between them,
+    isolated vertex 7 via the vertices param."""
+    from routing_algorithm_for_graph_dbs_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    edf = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (5, 6), (6, 6)],
+        "src long, dst long",
+    )
+    vdf = spark.createDataFrame([(7,)], "node long")
+    got = {
+        r["node"]: r["scc"]
+        for r in strongly_connected_components(edf, vdf, strategy="local").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_scc_direction_matters(spark):
+    """a->b->c chain (no back edges): every node its own SCC — the weak
+    tier would merge them. Locks the directed semantics."""
+    from routing_algorithm_for_graph_dbs_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    edf = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["node"]: r["scc"]
+        for r in strongly_connected_components(edf, strategy="local").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_scc_tiers_agree(spark):
+    """Driver Tarjan == distributed forward-backward coloring on a graph
+    whose condensation is a chain of cycles (forces multiple peel rounds:
+    the min-id root sits at the END of the reachability order)."""
+    from routing_algorithm_for_graph_dbs_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    edges = []
+    # four 6-cycles: [0..5], [10..15], [20..25], [30..35]
+    for base in (0, 10, 20, 30):
+        for i in range(6):
+            edges.append((base + i, base + (i + 1) % 6))
+    # one-way bridges HIGH base -> LOW base (30->20->10->0), so the
+    # smallest ids are the deepest targets
+    for hi, lo in ((30, 20), (20, 10), (10, 0)):
+        edges.append((hi, lo))
+    # plus an acyclic tail off the bottom cycle
+    edges += [(3, 40), (40, 41)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    local = strongly_connected_components(edf, strategy="local")
+    iterative = strongly_connected_components(edf, strategy="iterative")
+    lm = {r["node"]: r["scc"] for r in local.collect()}
+    im = {r["node"]: r["scc"] for r in iterative.collect()}
+    assert lm == im
+    assert lm[35] == 30 and lm[5] == 0 and lm[40] == 40 and lm[41] == 41
