@@ -4374,3 +4374,44 @@ def graph_scc(spark, sf_dir):
     e = _nation_scc_edges(spark, sf_dir)
     res = strongly_connected_components(e)
     return res.select(F.col("node").cast("long"), F.col("scc").cast("long"))
+
+
+_LPA_STEP_SQL = """
+    c{i} AS (
+      SELECT e.src AS node, l.lab AS lab, COUNT(*) AS c
+      FROM e JOIN l{p} l ON l.node = e.dst GROUP BY e.src, l.lab
+    ),
+    l{i} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+
+
+@_register(
+    "graph_labelprop",
+    f"""
+    WITH e AS ({_NATION_EDGES_SQL}),
+    v AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS lab FROM v),
+    {_LPA_STEP_SQL.format(i=1, p=0)},
+    {_LPA_STEP_SQL.format(i=2, p=1)},
+    {_LPA_STEP_SQL.format(i=3, p=2)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS community
+    FROM l3
+    """,
+)
+def graph_labelprop(spark, sf_dir):
+    """Synchronous label-propagation communities, 3 deterministic rounds
+    (gds.labelPropagation shape; ``graph/labelprop.py``). The oracle
+    unrolls the identical rounds — most-frequent-neighbor-label with
+    min-label tie-break — as chained CTEs."""
+    from routing_algorithm_for_graph_dbs_spark.graph.labelprop import (
+        label_propagation,
+    )
+
+    e = _nation_edges(spark, sf_dir)
+    res = label_propagation(e, iterations=3)
+    return res.select(F.col("node").cast("long"), F.col("community").cast("long"))

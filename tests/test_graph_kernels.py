@@ -265,3 +265,43 @@ def test_scc_tiers_agree(spark):
     im = {r["node"]: r["scc"] for r in iterative.collect()}
     assert lm == im
     assert lm[35] == 30 and lm[5] == 0 and lm[40] == 40 and lm[41] == 41
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA converges to one
+    community per clique (labeled by its min id); the bridge endpoints
+    stay with their cliques because 3 internal neighbors outvote 1."""
+    from routing_algorithm_for_graph_dbs_spark.graph.labelprop import (
+        label_propagation,
+    )
+
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((3, 10))  # bridge
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edf, iterations=4).collect()
+    }
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[10 + i] for i in range(4)} == {10}
+
+
+def test_label_propagation_isolated_keeps_own(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.labelprop import (
+        label_propagation,
+    )
+
+    edf = spark.createDataFrame([(1, 2)], "src long, dst long")
+    vdf = spark.createDataFrame([(9,)], "node long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edf, vdf, iterations=3).collect()
+    }
+    # the 2-cycle is bipartite: sync LPA swaps labels every round (the
+    # documented oscillation caveat) — after 3 (odd) rounds each node
+    # holds the other's id; the isolated node keeps its own
+    assert got[9] == 9 and got[1] == 2 and got[2] == 1
