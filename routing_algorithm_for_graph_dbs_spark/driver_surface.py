@@ -4415,3 +4415,54 @@ def graph_labelprop(spark, sf_dir):
     e = _nation_edges(spark, sf_dir)
     res = label_propagation(e, iterations=3)
     return res.select(F.col("node").cast("long"), F.col("community").cast("long"))
+
+
+@_register(
+    "upd_merge_upsert",
+    """
+    WITH tgt AS (
+      SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal, c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    src AS (
+      SELECT o_custkey AS k,
+             (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) % 1000000) / 100.0 AS bal,
+             'UPDATED' AS seg
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(s.k, t.k) AS k,
+           CASE WHEN s.k IS NOT NULL THEN s.bal ELSE t.bal END AS bal,
+           CASE WHEN s.k IS NOT NULL THEN s.seg ELSE t.seg END AS seg
+    FROM tgt t FULL OUTER JOIN src s ON s.k = t.k
+    """,
+)
+def upd_merge_upsert(spark, sf_dir):
+    """MERGE INTO / upsert sink (reference S4 ``ON MATCH SET`` shape,
+    SURVEY.md §2.1) as one full-outer join (``operators/merge.py``):
+    customers with orders get balance+segment overwritten, order keys
+    outside the target insert, customers without orders pass through.
+    Cent-exact integer arithmetic keeps both engines bit-identical."""
+    from routing_algorithm_for_graph_dbs_spark.operators.merge import merge_into
+
+    target = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round("c_acctbal", 2).alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    source = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_cents")
+        )
+        .select(
+            "k",
+            ((F.col("_cents") % 1000000) / 100.0).alias("bal"),
+            F.lit("UPDATED").alias("seg"),
+        )
+    )
+    return merge_into(target, source, keys=["k"])

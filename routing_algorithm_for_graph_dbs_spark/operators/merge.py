@@ -1,0 +1,81 @@
+"""MERGE INTO (upsert) as one full-outer join — the batch sink pattern
+for incremental corpus/table maintenance.
+
+The reference's load path upserts node batches by key (SURVEY.md S4 —
+``CREATE ... ON MATCH SET`` shape); open-source Spark has no MERGE
+statement without a table format (Delta/Iceberg), but the semantics are
+exactly one full-outer join on the key:
+
+    matched            -> target row with the update columns overwritten
+    source-only        -> inserted (target-only columns NULL)
+    target-only        -> unchanged
+    matched + delete   -> dropped
+
+Scale shape: ONE shuffle of each side on the merge key — no collect, no
+per-row lookups, large-large safe. With both sides bucketed on the key
+(``sources/bucketing.py``) even that shuffle disappears. AQE handles a
+skewed key distribution on the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+    insert_unmatched: bool = True,
+    delete_matched: bool | Column = False,
+) -> DataFrame:
+    """Merge ``source`` into ``target`` on ``keys``; returns the merged
+    relation with target's schema.
+
+    ``update_cols`` — matched rows take these columns from source
+    (default: every non-key column present in BOTH schemas). Target-only
+    columns always keep the target value (NULL on inserts).
+    ``insert_unmatched=False`` drops source-only rows (update-only merge).
+    ``delete_matched`` — True deletes every matched row; a Column
+    predicate (evaluated on the joined row) deletes selectively, e.g.
+    ``F.col("s.op") == "D"`` for changelog application.
+
+    Source must be unique per key (one update per key — enforce upstream
+    with dropDuplicates/dedup; a duplicate source key would fan out the
+    matched target row, which is MERGE's standard cardinality violation).
+    """
+    src_cols = set(source.columns)
+    if update_cols is None:
+        update_cols = [
+            c for c in target.columns if c not in keys and c in src_cols
+        ]
+    missing = [c for c in update_cols if c not in src_cols]
+    if missing:
+        raise ValueError(f"update_cols absent from source: {missing}")
+
+    t = target.withColumn("_t", F.lit(True)).alias("t")
+    s = source.withColumn("_s", F.lit(True)).alias("s")
+    joined = t.join(s, on=keys, how="full_outer")
+
+    matched = F.col("_t").isNotNull() & F.col("_s").isNotNull()
+    if delete_matched is not False:
+        cond = matched if delete_matched is True else (matched & delete_matched)
+        joined = joined.filter(~F.coalesce(cond, F.lit(False)))
+    if not insert_unmatched:
+        joined = joined.filter(F.col("_t").isNotNull())
+
+    out = []
+    for c in target.columns:
+        if c in keys:
+            out.append(F.col(c))  # join on=list merges key columns
+        elif c in update_cols:
+            out.append(
+                F.when(F.col("_s").isNotNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        else:
+            out.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*out)

@@ -1116,3 +1116,67 @@ def test_train_val_test_split_stable_and_partitioned(spark):
     assert 0.74 <= frac["train"] / 1000 <= 0.86
     assert 0.05 <= frac["val"] / 1000 <= 0.15
     assert 0.05 <= frac["test"] / 1000 <= 0.15
+
+
+class TestMergeInto:
+    def _frames(self, spark):
+        target = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+            "k long, v double, extra string",
+        )
+        # k=2,3 matched; k=9 insert; no 'extra' column in source
+        source = spark.createDataFrame(
+            [(2, 99.0), (3, 88.0), (9, 77.0)], "k long, v double"
+        )
+        return target, source
+
+    def test_upsert(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.merge import merge_into
+
+        target, source = self._frames(spark)
+        got = {
+            r["k"]: (r["v"], r["extra"])
+            for r in merge_into(target, source, ["k"]).collect()
+        }
+        assert got == {
+            1: (10.0, "a"),      # untouched
+            2: (99.0, "b"),      # updated v, kept target-only col
+            3: (88.0, "c"),
+            9: (77.0, None),     # inserted; target-only col NULL
+        }
+
+    def test_update_only(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.merge import merge_into
+
+        target, source = self._frames(spark)
+        got = merge_into(target, source, ["k"], insert_unmatched=False)
+        assert {r["k"] for r in got.collect()} == {1, 2, 3}
+
+    def test_delete_matched_predicate(self, spark):
+        from pyspark.sql import functions as F
+
+        from routing_algorithm_for_graph_dbs_spark.operators.merge import merge_into
+
+        target, source = self._frames(spark)
+        got = merge_into(
+            target, source, ["k"], delete_matched=F.col("s.v") > 90.0
+        )
+        keys = {r["k"]: r["v"] for r in got.collect()}
+        # k=2 (source v=99) deleted; k=3 still updated; insert still lands
+        assert 2 not in keys and keys[3] == 88.0 and keys[9] == 77.0
+
+    def test_delete_all_matched(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.merge import merge_into
+
+        target, source = self._frames(spark)
+        got = merge_into(target, source, ["k"], delete_matched=True)
+        assert {r["k"] for r in got.collect()} == {1, 9}
+
+    def test_bad_update_cols_raise(self, spark):
+        import pytest
+
+        from routing_algorithm_for_graph_dbs_spark.operators.merge import merge_into
+
+        target, source = self._frames(spark)
+        with pytest.raises(ValueError, match="absent from source"):
+            merge_into(target, source, ["k"], update_cols=["extra"])
