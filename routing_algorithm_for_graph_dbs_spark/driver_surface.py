@@ -4466,3 +4466,41 @@ def upd_merge_upsert(spark, sf_dir):
         )
     )
     return merge_into(target, source, keys=["k"])
+
+
+@_register(
+    "hist_scd2",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, t_us, rn FROM o
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           t_us AS valid_from,
+           LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, rn) AS valid_to,
+           LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, rn) IS NULL
+             AS is_current
+    FROM runs
+    """,
+)
+def hist_scd2(spark, sf_dir):
+    """SCD2 history build (``operators/history.py``): collapse each
+    user's event-type change stream into validity intervals — two window
+    passes over one key-partitioning, no self-join. Timestamps compare as
+    epoch micros (exact on both engines)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.history import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us"), "event_id"
+    )
+    return scd2_history(
+        ev, key="user_id", attr="event_type", ts="t_us", order_cols=["event_id"]
+    )

@@ -1180,3 +1180,47 @@ class TestMergeInto:
         target, source = self._frames(spark)
         with pytest.raises(ValueError, match="absent from source"):
             merge_into(target, source, ["k"], update_cols=["extra"])
+
+
+class TestScd2History:
+    def test_runs_collapse_and_intervals_chain(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.history import (
+            scd2_history,
+        )
+
+        rows = [
+            # user 1: a,a -> b -> a  (dup collapses; value may recur)
+            (1, "a", 10, 1), (1, "a", 20, 2), (1, "b", 30, 3), (1, "a", 40, 4),
+            # user 2: single value stays current
+            (2, "x", 15, 5),
+        ]
+        df = spark.createDataFrame(rows, "k long, v string, t long, id long")
+        got = sorted(
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_history(df, "k", "v", "t", ["id"]).collect()
+        )
+        assert got == [
+            (1, "a", 10, 30, False),
+            (1, "a", 40, None, True),
+            (1, "b", 30, 40, False),
+            (2, "x", 15, None, True),
+        ]
+
+    def test_null_runs_and_tiebreak(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.history import (
+            scd2_history,
+        )
+
+        rows = [
+            # NULL,NULL collapse into one run; NULL -> a is a change;
+            # equal ts 30 ordered by the id tie-break (id=3 before id=4)
+            (1, None, 10, 1), (1, None, 20, 2), (1, "a", 30, 3), (1, "b", 30, 4),
+        ]
+        df = spark.createDataFrame(rows, "k long, v string, t long, id long")
+        got = [
+            (r["v"], r["valid_from"], r["is_current"])
+            for r in scd2_history(df, "k", "v", "t", ["id"]).collect()
+        ]
+        assert (None, 10, False) in got
+        vals = {r[0] for r in got}
+        assert vals == {None, "a", "b"} and len(got) == 3
