@@ -4504,3 +4504,157 @@ def hist_scd2(spark, sf_dir):
     return scd2_history(
         ev, key="user_id", attr="event_type", ts="t_us", order_cols=["event_id"]
     )
+
+
+@_register(
+    "apx_hll_rollup",
+    """
+    SELECT event_type AS etype,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_exact,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS etype,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_exact,
+           TRUE AS hll_ok
+    FROM events
+    """,
+)
+def apx_hll_rollup(spark, sf_dir):
+    """Re-aggregatable HLL rollup (Spark 4 DataSketches built-ins): the
+    100 TB pattern where per-partition/per-group sketches are stored and
+    MERGED upward instead of re-scanning raw keys — per-type
+    hll_sketch_agg, then hll_union_agg for the grand total (never a
+    second pass over user_id). Sketch bytes differ across engines, so
+    the oracle pins exact companions + booleans asserting the estimates
+    honor the documented error (lgConfigK=12 -> ~1.6% rel. std error;
+    flag allows 3 sigma + 1)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(F.col("event_type").alias("etype")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("nd_exact"),
+    )
+    per.persist()
+    per_rows = per.select(
+        "etype",
+        F.col("nd_exact").cast("long").alias("nd_exact"),
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("nd_exact"))
+            <= 0.048 * F.col("nd_exact") + F.lit(1.0)
+        ).alias("hll_ok"),
+    )
+    total_exact = ev.agg(F.count_distinct("user_id").alias("nd")).select("nd")
+    tot_rows = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("nd_hll"))
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            F.lit("ALL").alias("etype"),
+            F.col("nd").cast("long").alias("nd_exact"),
+            (
+                F.abs(F.col("nd_hll") - F.col("nd"))
+                <= 0.048 * F.col("nd") + F.lit(1.0)
+            ).alias("hll_ok"),
+        )
+    )
+    return per_rows.unionByName(tot_rows)
+
+
+@_register(
+    "apx_top_k_types",
+    """
+    SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def apx_top_k_types(spark, sf_dir):
+    """approx_top_k heavy hitters (Spark 4 built-in frequent-items
+    sketch) — ONE pass, mergeable, no shuffle of raw values. With k far
+    above the true cardinality the sketch admits no error, so the rows
+    are hash-comparable against the exact GROUP BY; at real 100 TB
+    cardinalities the same call returns the guaranteed-superset top-k."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.expr("approx_top_k(event_type, 100)").alias("tk"))
+        .select(F.explode("tk").alias("t"))
+        .select(
+            F.col("t.item").alias("etype"), F.col("t.count").cast("long").alias("cnt")
+        )
+    )
+
+
+@_register(
+    "w7_rolling_distinct",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users
+    FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d
+    """,
+)
+def w7_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users per day — the sliding-window
+    COUNT(DISTINCT) no window function computes. Scale shape: each
+    (day, user) pair EXPLODES into the <=7 window-ends it feeds (bounded
+    fan-out, map-side) and a single count_distinct aggregation shuffles
+    once on the day key — instead of the oracle's range join, which is
+    quadratic in days per user. Window ends are semi-joined back to
+    observed days so both engines emit the same day set."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    du.persist()
+    days = du.select("d").distinct().withColumnRenamed("d", "e")
+    contrib = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("e"),
+        "user_id",
+    )
+    return (
+        contrib.join(days, "e", "left_semi")
+        .groupBy("e")
+        .agg(F.count_distinct("user_id").alias("users"))
+        .select(
+            F.date_format("e", "yyyy-MM-dd").alias("day"),
+            F.col("users").cast("long").alias("users"),
+        )
+    )
+
+
+@_register(
+    "idx_postings",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.term AS term
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+      WHERE t.term <> '' AND LENGTH(t.term) >= 3
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           (list_sort(list(doc_id)))[1:20] AS postings
+    FROM tok GROUP BY term HAVING COUNT(*) >= 5
+    """,
+)
+def idx_postings(spark, sf_dir):
+    """Inverted-index build (IR primitive for corpus search/dedup
+    tooling): tokenize -> distinct (term, doc) -> posting lists. All
+    map-side explode + one aggregation shuffle on the term key; postings
+    capped at 20 sorted ids so hot terms (stopwords) bound both memory
+    and the comparison payload — df keeps the true frequency."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter((F.col("term") != "") & (F.length("term") >= 3))
+        .select("term", "doc_id")
+        .distinct()
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+        .select("term", F.col("df").cast("long").alias("df"), "postings")
+    )
