@@ -4658,3 +4658,28 @@ def idx_postings(spark, sf_dir):
         .filter(F.col("df") >= 5)
         .select("term", F.col("df").cast("long").alias("df"), "postings")
     )
+
+
+@_register(
+    "ts_ewma",
+    """
+    SELECT user_id,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (a, b) -> 0.7 * a + 0.3 * b), 6) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Grouped EWMA (alpha=0.3) — a per-key linear recurrence folded in
+    an Arrow-batched applyInPandas (``operators/timeseries.py``; the one
+    deliberate Python kernel class, like local_sssp). Both engines fold
+    the identically-ordered series left to right, so doubles agree
+    bitwise; the oracle is DuckDB's list_reduce over the same order."""
+    from routing_algorithm_for_graph_dbs_spark.operators.timeseries import ewma_last
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    res = ewma_last(
+        ev, key="user_id", ts="ts", value_col="value", alpha=0.3,
+        order_cols=["event_id"],
+    )
+    return res.select("user_id", F.round("ewma", 6).alias("ewma"))

@@ -1224,3 +1224,55 @@ class TestScd2History:
         assert (None, 10, False) in got
         vals = {r[0] for r in got}
         assert vals == {None, "a", "b"} and len(got) == 3
+
+
+class TestEwma:
+    def test_last_matches_hand_fold(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.timeseries import (
+            ewma_last,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10, 1.0, 1), (1, 20, 2.0, 2), (1, 30, 4.0, 3), (2, 5, 7.0, 4)],
+            "k long, t long, v double, id long",
+        )
+        got = {
+            r["k"]: r["ewma"]
+            for r in ewma_last(df, "k", "t", "v", alpha=0.3, order_cols=["id"]).collect()
+        }
+        # k=1: e=1.0 -> .7*1+.3*2=1.3 -> .7*1.3+.3*4=2.11
+        assert abs(got[1] - 2.11) < 1e-12
+        assert got[2] == 7.0  # single point: seed value
+
+    def test_series_prefix_of_last(self, spark):
+        from pyspark.sql import functions as F
+
+        from routing_algorithm_for_graph_dbs_spark.operators.timeseries import (
+            ewma_last,
+            ewma_series,
+        )
+
+        rows = [(1, t, float((t * 7) % 5 + 1), t) for t in range(1, 30)]
+        df = spark.createDataFrame(rows, "k long, t long, v double, id long")
+        series = ewma_series(df, "k", "t", "v", alpha=0.25, order_cols=["id"])
+        last_from_series = (
+            series.orderBy(F.col("t").desc()).limit(1).collect()[0]["ewma"]
+        )
+        last = ewma_last(df, "k", "t", "v", alpha=0.25, order_cols=["id"]).collect()[
+            0
+        ]["ewma"]
+        assert last_from_series == last
+        assert series.count() == len(rows)
+
+    def test_tie_break_order_matters(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.timeseries import (
+            ewma_last,
+        )
+
+        # two rows share t=10; the id tie-break fixes which folds first
+        df = spark.createDataFrame(
+            [(1, 10, 0.0, 2), (1, 10, 8.0, 1)], "k long, t long, v double, id long"
+        )
+        got = ewma_last(df, "k", "t", "v", alpha=0.5, order_cols=["id"]).collect()
+        # order: v=8 (id=1) seeds, then v=0 -> 0.5*8 + 0.5*0 = 4
+        assert got[0]["ewma"] == 4.0
