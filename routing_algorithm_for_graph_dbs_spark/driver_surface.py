@@ -4683,3 +4683,47 @@ def ts_ewma(spark, sf_dir):
         order_cols=["event_id"],
     )
     return res.select("user_id", F.round("ewma", 6).alias("ewma"))
+
+
+@_register(
+    "dq_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal
+      FROM customer WHERE c_custkey % 10 <> 0
+    ),
+    n AS (
+      SELECT c_custkey AS k,
+             ROUND(ROUND(c_acctbal, 2)
+                   + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END, 2) AS bal
+      FROM customer WHERE c_custkey % 9 <> 0
+    )
+    SELECT COALESCE(n.k, o.k) AS k,
+           CASE WHEN n.k IS NULL THEN o.bal ELSE n.bal END AS bal,
+           CASE WHEN o.k IS NULL THEN 'I'
+                WHEN n.k IS NULL THEN 'D' ELSE 'U' END AS op
+    FROM o FULL OUTER JOIN n ON n.k = o.k
+    WHERE o.k IS NULL OR n.k IS NULL OR o.bal IS DISTINCT FROM n.bal
+    """,
+)
+def dq_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / changelog generation (``operators/merge.py
+    snapshot_diff``): two table versions -> I/U/D rows in one full-outer
+    join — the audit half of incremental maintenance (merge_into is the
+    apply half). Simulated v2: drop key%9==0, bump balance on key%7==0;
+    v1 drops key%10==0 — exercising every op branch."""
+    from routing_algorithm_for_graph_dbs_spark.operators.merge import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("k"), F.round("c_acctbal", 2).alias("bal")
+    )
+    new = cust.filter(F.col("c_custkey") % 9 != 0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(
+            F.round("c_acctbal", 2)
+            + F.when(F.col("c_custkey") % 7 == 0, 100.0).otherwise(0.0),
+            2,
+        ).alias("bal"),
+    )
+    return snapshot_diff(old, new, keys=["k"])

@@ -79,3 +79,49 @@ def merge_into(
         else:
             out.append(F.col(f"t.{c}").alias(c))
     return joined.select(*out)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """The inverse of :func:`merge_into`: diff two keyed snapshots into a
+    changelog — (keys..., compare_cols..., op) with op I (key only in
+    new), D (only in old), U (present in both, any compare column
+    differing null-safely). Unchanged rows drop out. I/U rows carry the
+    NEW values, D rows the OLD values, so applying the changelog to
+    ``old`` with :func:`merge_into` (delete on op='D') reproduces ``new``.
+
+    Same scale shape as merge_into: one full-outer join on the key, no
+    collect. ``compare_cols`` defaults to every non-key column present in
+    both schemas.
+    """
+    shared = set(old.columns) & set(new.columns)
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in keys and c in shared]
+    missing = [c for c in compare_cols if c not in shared]
+    if missing:
+        raise ValueError(f"compare_cols absent from a side: {missing}")
+
+    o = old.withColumn("_o", F.lit(True)).alias("o")
+    n = new.withColumn("_n", F.lit(True)).alias("n")
+    joined = o.join(n, on=keys, how="full_outer")
+    in_old = F.col("_o").isNotNull()
+    in_new = F.col("_n").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    op = (
+        F.when(~in_old, F.lit("I"))
+        .when(~in_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out = [F.col(k) for k in keys]
+    out += [
+        F.when(in_new, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+        for c in compare_cols
+    ]
+    out.append(op.alias("op"))
+    return joined.select(*out).filter(F.col("op").isNotNull())

@@ -1276,3 +1276,42 @@ class TestEwma:
         got = ewma_last(df, "k", "t", "v", alpha=0.5, order_cols=["id"]).collect()
         # order: v=8 (id=1) seeds, then v=0 -> 0.5*8 + 0.5*0 = 4
         assert got[0]["ewma"] == 4.0
+
+
+class TestSnapshotDiff:
+    def test_ops_and_roundtrip(self, spark):
+        """diff(old, new) applied back onto old via merge_into (delete on
+        op='D') must reproduce new exactly — the changelog contract."""
+        from pyspark.sql import functions as F
+
+        from routing_algorithm_for_graph_dbs_spark.operators.merge import (
+            merge_into,
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)], "k long, v double"
+        )
+        new = spark.createDataFrame(
+            [(1, 10.0), (2, 99.0), (4, 40.0), (5, 50.0)], "k long, v double"
+        )
+        log = snapshot_diff(old, new, ["k"])
+        got = {r["k"]: (r["op"], r["v"]) for r in log.collect()}
+        # 1 unchanged -> absent; 2 updated; 3 deleted (old value); 4 NULL->40
+        # updated null-safely; 5 inserted
+        assert got == {
+            2: ("U", 99.0),
+            3: ("D", 30.0),
+            4: ("U", 40.0),
+            5: ("I", 50.0),
+        }
+        applied = merge_into(
+            old,
+            log,
+            ["k"],
+            update_cols=["v"],
+            delete_matched=F.col("s.op") == "D",
+        ).select("k", "v")
+        assert sorted(map(tuple, applied.collect())) == sorted(
+            map(tuple, new.collect())
+        )
