@@ -4727,3 +4727,51 @@ def dq_snapshot_diff(spark, sf_dir):
         ).alias("bal"),
     )
     return snapshot_diff(old, new, keys=["k"])
+
+
+_WALK_STEP_SQL = """
+    w{i} AS (
+      SELECT w.walk_id, n.dst AS cur,
+             CASE WHEN n.dst IS NULL THEN w.walk
+                  ELSE list_append(w.walk, CAST(n.dst AS BIGINT)) END AS walk
+      FROM w{p} w LEFT JOIN nbr n
+        ON n.src = w.cur
+       AND n.rn = 1 + CAST(('0x' || substr(
+             md5('walk' || CAST(w.walk_id AS VARCHAR) || '|{p}'), 1, 8))
+             AS BIGINT) % n.deg
+    )"""
+
+
+@_register(
+    "graph_random_walks",
+    f"""
+    WITH e AS ({_NATION_EDGES_SQL}),
+    nbr AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM e
+    ),
+    w0 AS (SELECT DISTINCT src AS walk_id, src AS cur,
+                  [CAST(src AS BIGINT)] AS walk FROM e),
+    {_WALK_STEP_SQL.format(i=1, p=0)},
+    {_WALK_STEP_SQL.format(i=2, p=1)},
+    {_WALK_STEP_SQL.format(i=3, p=2)},
+    {_WALK_STEP_SQL.format(i=4, p=3)}
+    SELECT CAST(walk_id AS BIGINT) AS walk_id, walk FROM w4
+    """,
+)
+def graph_random_walks(spark, sf_dir):
+    """Hash-deterministic random-walk corpus (DeepWalk input;
+    ``graph/walks.py``): one 4-step walk per vertex, neighbor choice =
+    md5(walk_id|step) mod out-degree over rank-ordered neighbors — the
+    reproducible-sampling discipline of operators/sampling.py applied to
+    graph traversal. The oracle unrolls the identical steps."""
+    from routing_algorithm_for_graph_dbs_spark.graph.walks import random_walks
+
+    e = _nation_edges(spark, sf_dir)
+    res = random_walks(e, length=4)
+    return res.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("walk").cast("array<long>").alias("walk"),
+    )

@@ -305,3 +305,41 @@ def test_label_propagation_isolated_keeps_own(spark):
     # documented oscillation caveat) — after 3 (odd) rounds each node
     # holds the other's id; the isolated node keeps its own
     assert got[9] == 9 and got[1] == 2 and got[2] == 1
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.walks import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4)]  # 4 is a dead end
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    eset = set(edges)
+    a = {r["walk_id"]: r["walk"] for r in random_walks(edf, length=5).collect()}
+    b = {r["walk_id"]: r["walk"] for r in random_walks(edf, length=5).collect()}
+    assert a == b  # pure function of the graph
+    for wid, walk in a.items():
+        assert walk[0] == wid
+        for u, v in zip(walk, walk[1:]):
+            assert (u, v) in eset  # every hop is a real edge
+    # a walk reaching 4 must stop there (dead end truncates)
+    for walk in a.values():
+        if 4 in walk:
+            assert walk[-1] == 4
+
+
+def test_random_walks_salt_changes_corpus(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.walks import random_walks
+
+    edges = [(i, j) for i in range(8) for j in range(8) if i != j]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["walk_id"]: r["walk"] for r in random_walks(edf, 6, salt="s1").collect()}
+    b = {r["walk_id"]: r["walk"] for r in random_walks(edf, 6, salt="s2").collect()}
+    assert a != b
+
+
+def test_random_walks_starts_subset(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.walks import random_walks
+
+    edf = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    starts = spark.createDataFrame([(1,)], "node long")
+    got = random_walks(edf, 3, starts=starts).collect()
+    assert len(got) == 1 and got[0]["walk_id"] == 1 and len(got[0]["walk"]) == 4
