@@ -4775,3 +4775,75 @@ def graph_random_walks(spark, sf_dir):
         F.col("walk_id").cast("long").alias("walk_id"),
         F.col("walk").cast("array<long>").alias("walk"),
     )
+
+
+@_register(
+    "a13_unpivot",
+    """
+    SELECT p_partkey AS pkey, 'retailprice' AS metric,
+           ROUND(p_retailprice, 2) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey AS pkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    """,
+)
+def a13_unpivot(spark, sf_dir):
+    """UNPIVOT / melt (wide -> long reshape; Spark's native ``unpivot``
+    plan node — one Expand, no join, no shuffle). The oracle is the
+    UNION ALL the operator is sugar for."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pkey"),
+        F.round("p_retailprice", 2).alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return part.unpivot(["pkey"], ["retailprice", "size"], "metric", "val")
+
+
+@_register(
+    "txt_url_domains",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' via https://d' || CAST(doc_id % 17 AS VARCHAR)
+                       || '.example.org/p and http://cdn.example.net/x'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lower(dom) AS domain
+      FROM aug, UNNEST(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1))
+           AS u(dom)
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS mentions,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+    FROM d GROUP BY domain
+    """,
+)
+def txt_url_domains(spark, sf_dir):
+    """URL-domain frequency mining (``operators/text.py url_domains``) —
+    the signal behind domain-blocklist corpus filtering. The synthetic
+    corpus has no URLs, so every 3rd doc gets two deterministic ones
+    (one unique-ish host, one shared CDN host) — same injection
+    discipline as txt_scrub."""
+    from routing_algorithm_for_graph_dbs_spark.operators.text import url_domains
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" via https://d"),
+                (F.col("doc_id") % 17).cast("string"),
+                F.lit(".example.org/p and http://cdn.example.net/x"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    doms = url_domains(aug, text_col="t")
+    return doms.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("mentions"),
+        F.count_distinct("doc_id").cast("long").alias("docs"),
+    )

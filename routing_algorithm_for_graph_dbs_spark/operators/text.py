@@ -428,3 +428,21 @@ def chunk_documents(
         .withColumn("chunk_len", F.length("chunk_text").cast("long"))
     )
     return out
+
+
+# domain = host part of a URL; same RE2/Java-compatible discipline as
+# URL_PATTERN (character classes only, no lookaround)
+DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domains(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Explode every URL host mentioned in each document: (key, domain),
+    lowercased, one row per OCCURRENCE (duplicates preserved — domain
+    frequency is the signal for URL-based corpus filtering/blocklists).
+    Map-side regex + explode; aggregate downstream on the domain key."""
+    return df.select(
+        key_col,
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(DOMAIN_PATTERN), F.lit(1))
+        ).alias("domain"),
+    ).withColumn("domain", F.lower(F.col("domain")))

@@ -1315,3 +1315,18 @@ class TestSnapshotDiff:
         assert sorted(map(tuple, applied.collect())) == sorted(
             map(tuple, new.collect())
         )
+
+
+def test_url_domains_occurrences(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.text import url_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "go to https://A.com/x then http://b.org/y and https://a.com/z"),
+            (2, "no urls here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted((r["doc_id"], r["domain"]) for r in url_domains(df).collect())
+    # lowercased; duplicates preserved (occurrence grain); url-less doc absent
+    assert got == [(1, "a.com"), (1, "a.com"), (1, "b.org")]

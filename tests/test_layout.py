@@ -227,3 +227,92 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     stats2 = compact_parquet(spark, src, target_mb=128, sort_cols=["id"])
     assert sorted(map(tuple, spark.read.parquet(src).collect())) == before
     assert stats2["files_after"] >= 1
+
+
+# ---------- JSONL interchange ----------
+
+
+def test_jsonl_roundtrip_schema_and_content(spark, tmp_path, testdata_dir):
+    from routing_algorithm_for_graph_dbs_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(
+        spark,
+        out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    assert back.schema == docs.select(*back.columns).schema
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
+
+
+def test_jsonl_partitioned_write_prunes(spark, tmp_path, testdata_dir):
+    """An equality filter on the partition column must read only that
+    partition's files — pruning happens at planning time, same contract
+    as the parquet layout."""
+    from routing_algorithm_for_graph_dbs_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    out = str(tmp_path / "docs_by_source")
+    write_jsonl(docs, out, partition_by=["source"])
+    schema = "doc_id bigint, text string, lang string, n_chars bigint, source string"
+    back = read_jsonl(spark, out, schema)
+    src = docs.select("source").orderBy("source").first()["source"]
+    one = back.filter(F.col("source") == src)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and not any("PartitionFilters: []" in ln for ln in pf), plan
+    assert one.count() == docs.filter(F.col("source") == src).count()
+
+
+def test_jsonl_corrupt_lines_quarantine(spark, tmp_path):
+    from routing_algorithm_for_graph_dbs_spark.sources.jsonl import (
+        corrupt_line_stats,
+        read_jsonl,
+    )
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id bigint, text string", keep_corrupt=True)
+    clean, bad = corrupt_line_stats(df)
+    assert (clean, bad) == (2, 1)
+    kept = {r["doc_id"] for r in df.filter(F.col("_corrupt_record").isNull()).collect()}
+    assert kept == {1, 2}
+
+
+def test_jsonl_to_parquet_ingestion(spark, tmp_path, testdata_dir):
+    from routing_algorithm_for_graph_dbs_spark.sources.jsonl import (
+        jsonl_to_parquet,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    j = str(tmp_path / "ingest_jsonl")
+    pq = str(tmp_path / "ingest_parquet")
+    write_jsonl(docs, j)
+    jsonl_to_parquet(
+        spark, j, pq, "doc_id bigint, text string, source string",
+        partition_by=["source"],
+    )
+    back = spark.read.parquet(pq)
+    assert back.count() == docs.count()
+    src = docs.select("source").orderBy("source").first()["source"]
+    one = back.filter(F.col("source") == src)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and not any("PartitionFilters: []" in ln for ln in pf), plan
