@@ -4847,3 +4847,138 @@ def txt_url_domains(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("mentions"),
         F.count_distinct("doc_id").cast("long").alias("docs"),
     )
+
+
+@_register(
+    "dq_dataset_fingerprint",
+    """
+    SELECT l_returnflag AS rflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || chr(31) ||
+             CAST(l_linenumber AS VARCHAR) || chr(31) ||
+             l_linestatus), 1, 15)) AS BIGINT)) AS xor_fp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def dq_dataset_fingerprint(spark, sf_dir):
+    """Order-insensitive dataset fingerprint (``operators/audit.py``):
+    per-group XOR-fold of 60-bit row hashes + row count — content
+    identity for snapshot audit at any scale (one scan, map-side
+    combinable, partition-order invariant). The oracle recomputes the
+    identical fold in DuckDB."""
+    from routing_algorithm_for_graph_dbs_spark.operators.audit import (
+        dataset_fingerprint,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_linestatus",
+    )
+    return dataset_fingerprint(
+        li, cols=["l_orderkey", "l_linenumber", "l_linestatus"], group_by=["rflag"]
+    )
+
+
+@_register(
+    "ft_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           ROUND(LEAST(GREATEST(e.value, b.p05), b.p95), 6) AS v_w
+    FROM events e JOIN b ON b.event_type = e.event_type
+    """,
+)
+def ft_winsorize(spark, sf_dir):
+    """Winsorization (robust-stats feature clipping): per-group exact
+    p05/p95 bounds broadcast back onto the scan, values clipped into
+    [p05, p95] — tames heavy tails before normalization, the robust
+    sibling of ft_minmax_norm. Spark's exact interpolated percentile ==
+    DuckDB quantile_cont (same convention as txt_corpus_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            F.round(
+                F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")), 6
+            ).alias("v_w"),
+        )
+    )
+
+
+@_register(
+    "txt_source_kl",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+      WHERE len(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g'))) > 0
+    ),
+    cg AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok, c FROM cg ORDER BY c DESC, tok ASC LIMIT 200),
+    vq AS (SELECT tok, c / (SELECT SUM(c) FROM vocab) AS q FROM vocab),
+    cs AS (
+      SELECT t.source, t.tok, COUNT(*) AS c
+      FROM toks t JOIN vocab v ON v.tok = t.tok
+      GROUP BY t.source, t.tok
+    ),
+    ts AS (SELECT source, SUM(c) AS t FROM cs GROUP BY source)
+    SELECT cs.source,
+           ROUND(SUM((cs.c / ts.t) * LN((cs.c / ts.t) / vq.q)), 6) AS kl
+    FROM cs JOIN ts ON ts.source = cs.source JOIN vq ON vq.tok = cs.tok
+    GROUP BY cs.source
+    """,
+)
+def txt_source_kl(spark, sf_dir):
+    """Per-source KL divergence vs the corpus unigram distribution —
+    drift/contamination detection for mixture monitoring. Deterministic
+    top-200 vocabulary (count desc, token asc); distributions restricted
+    to the vocab and renormalized, so KL needs no smoothing (q > 0
+    everywhere, p = 0 terms vanish). Scale shape: one token count, a
+    broadcast vocab join, one (source, tok) aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "),
+            r"[ ]+",
+            " ",
+        )
+    )
+    toks = (
+        docs.select("source", norm.alias("nt"))
+        .filter(F.length("nt") > 0)
+        .select("source", F.explode(F.split(F.col("nt"), " ")).alias("tok"))
+    )
+    cg = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cg.orderBy(F.desc("c"), F.asc("tok")).limit(200)
+    vtot = vocab.agg(F.sum("c").alias("vt"))
+    vq = vocab.crossJoin(F.broadcast(vtot)).select(
+        "tok", (F.col("c") / F.col("vt")).alias("q")
+    )
+    cs = (
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ts = cs.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (
+        cs.join(ts, "source")
+        .join(F.broadcast(vq), "tok")
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / F.col("q"))), 6).alias("kl"))
+    )

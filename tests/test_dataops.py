@@ -1330,3 +1330,55 @@ def test_url_domains_occurrences(spark):
     got = sorted((r["doc_id"], r["domain"]) for r in url_domains(df).collect())
     # lowercased; duplicates preserved (occurrence grain); url-less doc absent
     assert got == [(1, "a.com"), (1, "a.com"), (1, "b.org")]
+
+
+class TestDatasetFingerprint:
+    def test_order_and_partition_invariant(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.audit import (
+            dataset_fingerprint,
+        )
+
+        rows = [(i, f"v{i % 7}") for i in range(100)]
+        a = spark.createDataFrame(rows, "k long, v string")
+        b = spark.createDataFrame(list(reversed(rows)), "k long, v string").repartition(7)
+        fa = dataset_fingerprint(a).collect()[0]
+        fb = dataset_fingerprint(b).collect()[0]
+        assert (fa["n_rows"], fa["xor_fp"]) == (fb["n_rows"], fb["xor_fp"])
+
+    def test_detects_single_row_change(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.audit import (
+            dataset_fingerprint,
+        )
+
+        rows = [(i, "x") for i in range(50)]
+        a = spark.createDataFrame(rows, "k long, v string")
+        b = spark.createDataFrame(rows[:-1] + [(49, "y")], "k long, v string")
+        fa = dataset_fingerprint(a).collect()[0]
+        fb = dataset_fingerprint(b).collect()[0]
+        assert fa["n_rows"] == fb["n_rows"] and fa["xor_fp"] != fb["xor_fp"]
+
+    def test_count_catches_even_duplication(self, spark):
+        """xor alone cancels duplicated pairs — the row count must catch
+        a corpus accidentally unioned with itself."""
+        from routing_algorithm_for_graph_dbs_spark.operators.audit import (
+            dataset_fingerprint,
+        )
+
+        a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+        doubled = a.unionAll(a)
+        fa = dataset_fingerprint(a).collect()[0]
+        fd = dataset_fingerprint(doubled).collect()[0]
+        assert fd["xor_fp"] == 0  # every row hash appears twice -> cancels
+        assert fd["n_rows"] == 2 * fa["n_rows"]  # ...but the count catches it
+
+    def test_null_vs_empty_string_differ(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.audit import (
+            dataset_fingerprint,
+        )
+
+        a = spark.createDataFrame([(1, None)], "k long, v string")
+        b = spark.createDataFrame([(1, "")], "k long, v string")
+        assert (
+            dataset_fingerprint(a).collect()[0]["xor_fp"]
+            != dataset_fingerprint(b).collect()[0]["xor_fp"]
+        )
