@@ -4982,3 +4982,211 @@ def txt_source_kl(spark, sf_dir):
         .groupBy("source")
         .agg(F.round(F.sum(p * F.log(p / F.col("q"))), 6).alias("kl"))
     )
+
+
+@_register(
+    "skw_bloom_join",
+    """
+    SELECT c.c_nationkey, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_val
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_nationkey
+    """,
+)
+def skw_bloom_join(spark, sf_dir):
+    """Selective fact-dim join with the fact side Bloom-prefiltered
+    before its shuffle (operators/skew.py bloom_prefilter_join). The
+    BUILDING-segment customers are the key set; most event rows can never
+    match and are dropped at the scan instead of riding the Exchange.
+    False positives are removed by the trailing exact join, so the result
+    is identical to the plain join the oracle runs. At 100 TB this is the
+    explicit form of the runtime bloom AQE may inject: build 32 KiB of
+    bitset once, cut the fact shuffle by the join's selectivity."""
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        bloom_prefilter_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), "value"
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("long").alias("user_id"), "c_nationkey")
+    )
+    return (
+        bloom_prefilter_join(ev, dim, ["user_id"])
+        .groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_val"),
+        )
+    )
+
+
+@_register(
+    "ev_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, next_type, COUNT(*) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, SUM(n_transitions) AS tot FROM p GROUP BY 1)
+    SELECT p.event_type, p.next_type, p.n_transitions,
+           ROUND(p.n_transitions / t.tot, 6) AS p_next
+    FROM p JOIN t ON t.event_type = p.event_type
+    """,
+)
+def ev_markov_transitions(spark, sf_dir):
+    """Click-path mining: the first-order Markov transition matrix over
+    each user's event stream (LEAD per user ordered by (ts, event_id) —
+    the id tiebreak makes same-microsecond sessions deterministic), with
+    per-source-state transition probabilities. One window partitioned by
+    user, one (type, next) aggregation, totals joined back via broadcast
+    — the matrix is |event_type|^2 rows regardless of input size."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = pairs.groupBy("event_type").agg(F.sum("n_transitions").alias("tot"))
+    return pairs.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("tot"), 6).alias("p_next"),
+    )
+
+
+@_register(
+    "ev_cohort_retention",
+    """
+    WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    f AS (SELECT user_id, MIN(d) AS d0 FROM act GROUP BY 1)
+    SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+           CAST(a.d - f.d0 AS INT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ev_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active day, then
+    distinct-user counts at each day offset — the standard engagement
+    matrix for corpus/user drift monitoring. Scale shape: activity is
+    deduped to (user, day) FIRST (the shuffle carries user-days, not raw
+    events), the per-user first-day aggregate rides the same user-keyed
+    partitioning, and the output is |days|^2/2 rows."""
+    act = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("d0").cast("string").alias("cohort_day"),
+            F.datediff("d", "d0").cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@_register(
+    "txt_pmi_pairs",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+      WHERE len(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g'))) > 0
+    ),
+    df AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok, c FROM df ORDER BY c DESC, tok ASC LIMIT 100),
+    vt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v ON v.tok = t.tok),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    )
+    SELECT p.tok_a, p.tok_b, p.c_ab,
+           ROUND(LN((CAST(p.c_ab AS DOUBLE) * n.n_docs) / (va.c * vb.c)), 6)
+             AS pmi
+    FROM pairs p
+    JOIN vocab va ON va.tok = p.tok_a
+    JOIN vocab vb ON vb.tok = p.tok_b
+    CROSS JOIN n
+    """,
+)
+def txt_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information of top-vocabulary token pairs
+    co-occurring in a document — collocation mining for corpus analysis.
+    Scale shape: tokens dedup to (doc, tok) and are SEMI-JOINED against a
+    broadcast top-100 doc-frequency vocabulary BEFORE the self-join, so
+    the per-doc pair blowup is bounded by 100 choose 2 regardless of
+    document length, and the output aggregation has at most 4,950 keys.
+    Doc frequencies and the doc count join back as broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "),
+            r"[ ]+",
+            " ",
+        )
+    )
+    toks = (
+        docs.select("doc_id", norm.alias("nt"))
+        .filter(F.length("nt") > 0)
+        .select("doc_id", F.explode(F.split(F.col("nt"), " ")).alias("tok"))
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dfreq.orderBy(F.desc("c"), F.asc("tok")).limit(100)
+    vt = toks.join(F.broadcast(vocab.select("tok")), "tok").select("doc_id", "tok")
+    n = toks.select(F.count_distinct("doc_id").alias("n_docs"))
+    a = vt.alias("a")
+    b = vt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_docs"))
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -14,6 +14,15 @@ case at runtime; these operators cover the shapes AQE doesn't rewrite:
   ``salt_n`` times; each left row picks one replica via a uniform salt.
   The hot key's rows land on ``salt_n`` reducers instead of one, at the
   cost of a bounded ``salt_n``x blowup of the right side.
+- ``bloom_prefilter_join``: selective equi-join where the key side is too
+  large to broadcast AS ROWS but its Bloom bitset is tiny. A fact row
+  whose key cannot match still pays the full shuffle in a plain
+  sort-merge join; filtering the fact side against the key set's Bloom
+  filter BEFORE the Exchange drops those rows at the scan, shrinking the
+  shuffle by the join's selectivity. False positives only cost wasted
+  shuffle rows — the exact join that follows removes them, so the result
+  is identical to the plain join (equality-tested, including a
+  deliberately undersized-filter case).
 
 Results are identical to the naive shapes (equality-tested); only the
 physical distribution changes.
@@ -81,3 +90,106 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
     )
     return lt.join(rt, on + ["_salt"], how).drop("_salt")
+
+
+def _bloom_positions(on: list[str], i: int, m_bits: int):
+    """Bit position of hash ``i`` for the key tuple — shared verbatim by
+    build and probe so membership is exact for every inserted key."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in on], F.lit(i)),
+        F.lit(m_bits).cast("bigint"),
+    )
+
+
+def build_key_bloom(
+    keys: DataFrame, on: list[str], m_bits: int = 1 << 18, k: int = 5
+) -> list[int]:
+    """Distributed Bloom-filter build over ``keys``' join-key tuples.
+
+    Each key sets ``k`` bits (``xxhash64(key..., i) mod m_bits``); the
+    bitset is aggregated as 64-bit blocks (explode k positions ->
+    ``bit_or`` per block — map-side partial agg, one tiny shuffle of at
+    most ``m_bits/64`` rows) and collected dense. Driver/executor cost is
+    ``m_bits/8`` bytes (2^18 bits = 32 KiB); even a 2^24-bit filter for a
+    ~1.7M-key dim at 1% FP is 2 MiB — broadcastable where the dim's ROWS
+    are not. For a key side so large that even its bitset won't fit,
+    fall back to AQE's runtime bloom
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) or a plain
+    sort-merge join.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = F.explode(
+        F.array(*[_bloom_positions(on, i, m_bits) for i in range(k)])
+    ).alias("p")
+    blocks = (
+        keys.select(pos)
+        .select(
+            F.shiftright(F.col("p"), 6).cast("int").alias("b"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.pmod(F.col("p"), F.lit(64)).cast("int"),
+            ).alias("mask"),
+        )
+        .groupBy("b")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in blocks:
+        dense[r["b"]] = r["bits"]
+    return dense
+
+
+def bloom_filter_keys(
+    df: DataFrame, on: list[str], bloom: list[int], k: int = 5
+) -> DataFrame:
+    """Keep only rows whose key tuple MAY be in the set ``bloom`` was
+    built from (no false negatives; false-positive rows pass through).
+    The predicate is pure column arithmetic over an array *literal*, so it
+    runs inside the scan's WholeStageCodegen — before any Exchange."""
+    m_bits = 64 * len(bloom)
+    arr = F.lit(bloom)
+    cond = F.lit(True)
+    for i in range(k):
+        p = _bloom_positions(on, i, m_bits)
+        block = F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1))
+        mask = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("bigint"),
+            F.pmod(p, F.lit(64)).cast("int"),
+        )
+        cond = cond & (block.bitwiseAND(mask) != F.lit(0))
+    return df.filter(cond)
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    keys: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    m_bits: int = 1 << 18,
+    k: int = 5,
+) -> DataFrame:
+    """Equi-join with the big side Bloom-filtered before its shuffle.
+
+    Build the key side's bitset (one small job), filter ``big`` at the
+    scan, then run the exact join — semantically identical to
+    ``big.join(keys, on, how)`` for the supported join types. Supported
+    ``how``: ``inner`` and ``left_semi`` — under outer semantics the
+    filter would silently drop unmatched preserved rows, so anything else
+    is rejected.
+
+    Build once, filter many: for a dim reused across queries, call
+    :func:`build_key_bloom` once and :func:`bloom_filter_keys` per scan.
+    """
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/left_semi joins, got"
+            f" {how!r}: the prefilter drops rows outer semantics must keep"
+        )
+    bloom = build_key_bloom(keys, on, m_bits=m_bits, k=k)
+    return bloom_filter_keys(big, on, bloom, k=k).join(keys, on, how)

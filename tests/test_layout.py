@@ -316,3 +316,92 @@ def test_jsonl_to_parquet_ingestion(spark, tmp_path, testdata_dir):
     plan = one._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and not any("PartitionFilters: []" in ln for ln in pf), plan
+
+
+# ---------------------------------------------------------------- bloom join
+
+
+@pytest.fixture(scope="module")
+def bloom_sides(spark):
+    # fact with 10k rows over 1000 keys; dim keeps 30 of them -> a
+    # selective join where most fact rows can never match
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 1000).alias("fk"), (F.col("id") % 7).alias("val")
+    )
+    dim = spark.range(0, 30).select(
+        (F.col("id") * 33).alias("fk"), F.lit("d").alias("tag")
+    )
+    return fact.persist(), dim.persist()
+
+
+def test_bloom_prefilter_join_matches_plain_join(spark, bloom_sides):
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        bloom_prefilter_join,
+    )
+
+    fact, dim = bloom_sides
+    for how in ("inner", "left_semi"):
+        mine = sorted(
+            map(tuple, bloom_prefilter_join(fact, dim, ["fk"], how=how).collect())
+        )
+        plain = sorted(map(tuple, fact.join(dim, "fk", how).collect()))
+        assert mine == plain, how
+
+
+def test_bloom_prefilter_join_exact_under_heavy_false_positives(spark, bloom_sides):
+    # an undersized filter (64 bits for 30 keys) false-positives wildly;
+    # the trailing exact join must still produce the plain-join result
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        bloom_prefilter_join,
+    )
+
+    fact, dim = bloom_sides
+    mine = sorted(
+        map(tuple, bloom_prefilter_join(fact, dim, ["fk"], m_bits=64, k=2).collect())
+    )
+    plain = sorted(map(tuple, fact.join(dim, "fk").collect()))
+    assert mine == plain
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark, bloom_sides):
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        bloom_filter_keys,
+        build_key_bloom,
+    )
+
+    fact, dim = bloom_sides
+    bloom = build_key_bloom(dim, ["fk"])
+    kept = bloom_filter_keys(fact, ["fk"], bloom)
+    kept_keys = {r["fk"] for r in kept.select("fk").distinct().collect()}
+    dim_keys = {r["fk"] for r in dim.collect()}
+    fact_keys = {r["fk"] for r in fact.select("fk").distinct().collect()}
+    # recall 1.0: every key actually in the dim survives the filter
+    assert dim_keys & fact_keys <= kept_keys
+    # and the filter genuinely prunes (2^18 bits / 30 keys -> FP ~ 0)
+    assert kept.count() < fact.count() / 10
+
+
+def test_bloom_filter_runs_before_join_exchange(spark, bloom_sides):
+    # the membership predicate must sit in the fact scan's stage, below
+    # the join's shuffle — that placement IS the operator's value at scale
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        bloom_prefilter_join,
+    )
+
+    fact, dim = bloom_sides
+    joined = bloom_prefilter_join(fact.hint("merge"), dim, ["fk"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    ex = plan.find("Exchange")
+    flt = plan.find("xxhash64")
+    assert ex != -1 and flt != -1
+    assert flt > ex or "Exchange" not in plan[:flt], plan
+
+
+def test_bloom_prefilter_join_rejects_outer(spark, bloom_sides):
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        bloom_prefilter_join,
+    )
+
+    fact, dim = bloom_sides
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_prefilter_join(fact, dim, ["fk"], how="left")
