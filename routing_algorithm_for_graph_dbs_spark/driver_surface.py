@@ -5190,3 +5190,201 @@ def txt_pmi_pairs(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+@_register(
+    "upd_apply_cdc",
+    """
+    WITH tgt AS (
+      SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal, c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    log AS (
+      SELECT o_custkey AS k, o_orderkey AS seq,
+             CASE WHEN ('0x' || substr(md5('cdc' || CAST(o_orderkey AS VARCHAR)),
+                        1, 8))::BIGINT % 5 = 0
+                  THEN 'D' ELSE 'U' END AS op,
+             (CAST(ROUND(o_totalprice * 100) AS BIGINT) % 1000000) / 100.0 AS bal,
+             'CDC' AS seg
+      FROM orders
+    ),
+    latest AS (
+      SELECT k, op, bal, seg FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY k ORDER BY seq DESC,
+          CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    ),
+    ups AS (SELECT k, bal, seg FROM latest WHERE op <> 'D'),
+    merged AS (
+      SELECT COALESCE(s.k, t.k) AS k,
+             CASE WHEN s.k IS NOT NULL THEN s.bal ELSE t.bal END AS bal,
+             CASE WHEN s.k IS NOT NULL THEN s.seg ELSE t.seg END AS seg
+      FROM tgt t FULL OUTER JOIN ups s ON s.k = t.k
+    )
+    SELECT m.k, m.bal, m.seg FROM merged m
+    WHERE NOT EXISTS (SELECT 1 FROM latest d WHERE d.op = 'D' AND d.k = m.k)
+    """,
+)
+def upd_apply_cdc(spark, sf_dir):
+    """CDC stream application (``operators/merge.py apply_cdc``): orders
+    replayed as a per-customer change log (order key = sequence number,
+    ~20% hash-chosen deletes), latest op per key wins — upsert or delete
+    against the customer snapshot. Cent-exact balances keep both engines
+    bit-identical; the md5-derived op flag is reproducible everywhere."""
+    from routing_algorithm_for_graph_dbs_spark.operators.merge import apply_cdc
+
+    target = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round("c_acctbal", 2).alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    op = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cdc"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0,
+        F.lit("D"),
+    ).otherwise(F.lit("U"))
+    changes = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        op.alias("op"),
+        (
+            (F.round(F.col("o_totalprice") * 100).cast("long") % 1000000) / 100.0
+        ).alias("bal"),
+        F.lit("CDC").alias("seg"),
+    )
+    return apply_cdc(target, changes, keys=["k"], seq_col="seq")
+
+
+@_register(
+    "hist_snapshot_asof",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             ROW_NUMBER() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, t_us, rn FROM o
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    ),
+    hist AS (
+      SELECT user_id, event_type,
+             t_us AS valid_from,
+             LEAD(t_us) OVER (PARTITION BY user_id ORDER BY t_us, rn) AS valid_to
+      FROM runs
+    ),
+    mid AS (
+      SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2 AS BIGINT) AS at_us
+      FROM events
+    )
+    SELECT h.user_id, h.event_type, h.valid_from
+    FROM hist h CROSS JOIN mid
+    WHERE h.valid_from <= mid.at_us
+      AND (h.valid_to IS NULL OR mid.at_us < h.valid_to)
+    """,
+)
+def hist_snapshot_asof(spark, sf_dir):
+    """Time travel over the SCD2 history (``operators/history.py
+    snapshot_asof``): reconstruct every user's state at the corpus
+    midpoint instant — one row per user active by then. The as-of filter
+    is shuffle-free; the instant is computed once (min/max scalar) and
+    broadcast. Intervals compare as epoch micros, exact on both
+    engines."""
+    from routing_algorithm_for_graph_dbs_spark.operators.history import (
+        scd2_history,
+        snapshot_asof,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    )
+    hist = scd2_history(ev, "user_id", "event_type", "t_us", order_cols=["event_id"])
+    mid = ev.agg(
+        ((F.min("t_us") + F.max("t_us")) / 2).cast("long").alias("at_us")
+    )
+    snap = snapshot_asof(
+        hist.crossJoin(F.broadcast(mid)), F.col("at_us")
+    )
+    return snap.select("user_id", "event_type", "valid_from")
+
+
+@_register(
+    "st_hopping_window",
+    """
+    WITH x AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - (s.i * INTERVAL '30 minutes') AS w,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) s
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type AS etype, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_val
+    FROM x GROUP BY 1, 2
+    """,
+)
+def st_hopping_window(spark, sf_dir):
+    """Hopping (sliding) event-time windows — 1 h length, 30 min slide:
+    each event lands in exactly length/slide = 2 windows. Spark's
+    ``window()`` emits the per-event window rows natively (streaming
+    shape; batch semantics identical); the oracle reproduces the
+    epoch-aligned window starts with two offset time_buckets."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type").alias("etype"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_val"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "etype",
+            "n",
+            "sum_val",
+        )
+    )
+
+
+@_register(
+    "ft_percent_rank",
+    """
+    SELECT doc_id, n_chars,
+           ROUND(PERCENT_RANK() OVER (ORDER BY n_chars), 6) AS pr
+    FROM documents
+    """,
+)
+def ft_percent_rank(spark, sf_dir):
+    """Percentile-rank feature transform (``operators/sampling.py
+    percent_rank_scaled``): the oracle's PERCENT_RANK window funnels the
+    corpus through ONE task; the engine compresses to distinct lengths +
+    counts, windows over that bounded relation, and broadcasts the
+    value->rank map back onto the scan — bit-identical results, no
+    single-partition pass over raw rows."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        percent_rank_scaled,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return percent_rank_scaled(docs, "n_chars", out_col="pr", round_to=6).select(
+        "doc_id", "n_chars", "pr"
+    )

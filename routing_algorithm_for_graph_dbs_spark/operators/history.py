@@ -56,3 +56,19 @@ def scd2_history(
         F.col(ts).alias("valid_from"),
         F.lead(ts).over(w_runs).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def snapshot_asof(history: DataFrame, at: Column) -> DataFrame:
+    """Time-travel over an SCD2 relation: the rows valid at instant
+    ``at`` — ``valid_from <= at < valid_to`` with an open (NULL)
+    ``valid_to`` meaning "still current". The inverse of
+    :func:`scd2_history`: one row per key that existed at ``at``.
+
+    Pure filter — no shuffle, no window; pushes down to the scan when the
+    history is stored partitioned/sorted on ``valid_from``. ``at`` is a
+    Column so callers can pass a literal instant or a per-row expression
+    (e.g. an event's own timestamp for an as-of enrichment)."""
+    return history.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (at < F.col("valid_to")))
+    ).drop("is_current")

@@ -19,7 +19,7 @@ skewed key distribution on the join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,3 +125,44 @@ def snapshot_diff(
     ]
     out.append(op.alias("op"))
     return joined.select(*out).filter(F.col("op").isNotNull())
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC change stream (multiple ops per key, ordered by
+    ``seq_col``) to a keyed snapshot: the LATEST op per key wins —
+    I/U upserts the row, D deletes it.
+
+    This is the replay half of the merge/diff pair: ``merge_into`` takes
+    one already-deduped update set, ``apply_cdc`` takes the raw stream a
+    log-based source emits (Debezium/binlog shape) and collapses it
+    first. A key whose latest op is D but which never existed in the
+    target is a no-op (the anti-join can't remove what isn't there).
+
+    Scale shape: every stage shuffles on the SAME key set — the
+    latest-per-key window, merge_into's full-outer join, and the delete
+    anti-join — so AQE/Catalyst plan one key-partitioning reused three
+    times; per-key cost is bounded by that key's change count, no
+    collect anywhere. Ties on ``seq_col`` are broken by preferring
+    deletes (op desc: 'U'/'I' < 'D' lexically is NOT relied on — an
+    explicit is-delete flag sorts last-wins deterministic).
+    """
+    is_del = (F.col(op_col) == F.lit("D")).cast("int")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(), is_del.desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    deletes = latest.filter(F.col(op_col) == "D").select(*keys)
+    merged = merge_into(target, upserts, keys, update_cols=update_cols)
+    return merged.join(deletes, keys, "left_anti")

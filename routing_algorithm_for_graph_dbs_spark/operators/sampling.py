@@ -311,6 +311,51 @@ def ntile_by(
     return local.withColumn("bin", bucket).drop("_pid", "_cum_in", "_off")
 
 
+def percent_rank_scaled(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "pr",
+    round_to: int | None = None,
+) -> DataFrame:
+    """``PERCENT_RANK() OVER (ORDER BY value)`` without the
+    single-partition global window over raw rows.
+
+    The naive window funnels the whole corpus through one task. This
+    shape compresses to (distinct value, count) first — one ordinary
+    aggregation — runs the cumulative window over THAT relation (bounded
+    by the feature's cardinality, not the corpus: a quality score or a
+    length has thousands of distinct values at any corpus size), and
+    broadcast-joins the value->rank map back onto the scan. Bit-identical
+    to SQL PERCENT_RANK (rank(v) = 1 + #rows strictly below;
+    pr = (rank-1)/(N-1); single-row input -> 0) — equality is tested
+    against the window form.
+
+    For a genuinely continuous column, pre-round/bucket it (the map must
+    broadcast); rows with NULL value get NULL ``out_col`` and are
+    excluded from the ranking population entirely (SQL instead sorts
+    NULLs first, silently shifting every real value's rank — rarely the
+    intended feature semantics; impute upstream if they should rank).
+    """
+    vals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "_below", F.coalesce(F.sum("_c").over(w), F.lit(0))
+    )
+    tot = vals.agg(F.sum("_c").alias("_n"))
+    ranked = ranked.crossJoin(F.broadcast(tot))
+    pr = F.when(
+        F.col("_n") > 1, F.col("_below") / (F.col("_n") - F.lit(1))
+    ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        pr = F.round(pr, round_to)
+    mapping = ranked.select(value_col, pr.alias(out_col))
+    return df.join(F.broadcast(mapping), value_col, "left")
+
+
 def pack_sequences_grouped(
     df: DataFrame,
     token_col: str,

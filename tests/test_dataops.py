@@ -1382,3 +1382,163 @@ class TestDatasetFingerprint:
             dataset_fingerprint(a).collect()[0]["xor_fp"]
             != dataset_fingerprint(b).collect()[0]["xor_fp"]
         )
+
+
+class TestApplyCdc:
+    def _frames(self, spark):
+        target = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        # k=1: updated then deleted; k=2: deleted then re-upserted;
+        # k=4: fresh insert; k=5: delete of a key the target never had
+        changes = spark.createDataFrame(
+            [
+                (1, 1, "U", "x"),
+                (1, 2, "D", None),
+                (2, 1, "D", None),
+                (2, 2, "U", "y"),
+                (4, 1, "I", "z"),
+                (5, 1, "D", None),
+            ],
+            "k long, seq long, op string, v string",
+        )
+        return target, changes
+
+    def test_latest_op_wins(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.merge import apply_cdc
+
+        target, changes = self._frames(spark)
+        got = {
+            r["k"]: r["v"]
+            for r in apply_cdc(target, changes, ["k"], "seq").collect()
+        }
+        assert got == {2: "y", 3: "c", 4: "z"}
+
+    def test_seq_tie_prefers_delete(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.merge import apply_cdc
+
+        target = spark.createDataFrame([(1, "a")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(1, 7, "U", "x"), (1, 7, "D", None)],
+            "k long, seq long, op string, v string",
+        )
+        assert apply_cdc(target, changes, ["k"], "seq").count() == 0
+
+    def test_equals_sequential_merge_replay(self, spark):
+        # folding the stream op-by-op through merge_into must agree with
+        # the one-shot latest-op application
+        from routing_algorithm_for_graph_dbs_spark.operators.merge import (
+            apply_cdc,
+            merge_into,
+        )
+
+        target, changes = self._frames(spark)
+        state = target
+        for r in sorted(changes.collect(), key=lambda r: (r["seq"], r["k"])):
+            one = spark.createDataFrame([(r["k"], r["v"])], "k long, v string")
+            if r["op"] == "D":
+                state = state.join(one.select("k"), "k", "left_anti")
+            else:
+                state = merge_into(state, one, ["k"])
+        got = sorted(map(tuple, apply_cdc(target, changes, ["k"], "seq").collect()))
+        ref = sorted(map(tuple, state.collect()))
+        assert got == ref
+
+
+class TestSnapshotAsof:
+    def test_reconstructs_state_at_instant(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.history import (
+            scd2_history,
+            snapshot_asof,
+        )
+        from pyspark.sql import functions as F
+
+        stream = spark.createDataFrame(
+            [
+                (1, "a", 10), (1, "b", 20), (1, "c", 30),
+                (2, "x", 15),
+                (3, "q", 40),  # not yet born at t=25
+            ],
+            "k long, attr string, t long",
+        )
+        hist = scd2_history(stream, "k", "attr", "t")
+        snap = snapshot_asof(hist, F.lit(25))
+        got = {r["k"]: r["attr"] for r in snap.collect()}
+        assert got == {1: "b", 2: "x"}
+        # boundary semantics: inclusive start, exclusive end
+        at_20 = {r["k"]: r["attr"] for r in snapshot_asof(hist, F.lit(20)).collect()}
+        assert at_20[1] == "b"
+
+    def test_current_rows_stay_visible_forever(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.history import (
+            scd2_history,
+            snapshot_asof,
+        )
+        from pyspark.sql import functions as F
+
+        stream = spark.createDataFrame([(1, "a", 10)], "k long, attr string, t long")
+        hist = scd2_history(stream, "k", "attr", "t")
+        assert snapshot_asof(hist, F.lit(10**9)).count() == 1
+        assert snapshot_asof(hist, F.lit(9)).count() == 0
+
+
+class TestPercentRankScaled:
+    def test_matches_window_percent_rank(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+            percent_rank_scaled,
+        )
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate([5, 3, 3, 8, 1, 8, 8, 2])],
+            "id long, v long",
+        )
+        mine = {
+            r["id"]: r["pr"]
+            for r in percent_rank_scaled(df, "v").collect()
+        }
+        ref = {
+            r["id"]: r["pr"]
+            for r in df.withColumn(
+                "pr", F.percent_rank().over(Window.orderBy("v"))
+            ).collect()
+        }
+        assert mine == pytest.approx(ref)
+
+    def test_single_row_and_nulls(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+            percent_rank_scaled,
+        )
+
+        one = spark.createDataFrame([(1, 42)], "id long, v long")
+        assert percent_rank_scaled(one, "v").collect()[0]["pr"] == 0.0
+        withnull = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 20)], "id long, v long"
+        )
+        got = {r["id"]: r["pr"] for r in percent_rank_scaled(withnull, "v").collect()}
+        # NULL rows neither rank nor shift others' ranks
+        assert got[2] is None and got[1] == 0.0 and got[3] == 1.0
+
+    def test_no_global_window_over_raw_rows(self, spark):
+        # the single-partition Window must only ever see the distinct-value
+        # relation: the plan's window operator sits above an Aggregate,
+        # and the raw scan side joins via broadcast
+        from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+            percent_rank_scaled,
+        )
+
+        df = spark.range(0, 1000).selectExpr("id", "id % 7 AS v")
+        plan = (
+            percent_rank_scaled(df, "v")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        wpos = plan.find("Window")
+        apos = plan.find("HashAggregate")
+        assert wpos != -1 and apos != -1 and wpos < apos

@@ -405,3 +405,31 @@ def test_bloom_prefilter_join_rejects_outer(spark, bloom_sides):
     fact, dim = bloom_sides
     with pytest.raises(ValueError, match="inner/left_semi"):
         bloom_prefilter_join(fact, dim, ["fk"], how="left")
+
+
+# ------------------------------------------------------------------- ORC
+
+
+def test_orc_roundtrip_schema_and_content(spark, tmp_path, testdata_dir):
+    # format coverage: the engine's relations round-trip through ORC
+    # (Spark-native columnar alternative to parquet) with schema intact
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet").limit(200)
+    out = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_orc_predicate_pushdown(spark, tmp_path, testdata_dir):
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet").limit(200)
+    out = str(tmp_path / "docs_orc_pd")
+    docs.write.mode("overwrite").orc(out)
+    plan = (
+        spark.read.orc(out)
+        .filter("n_chars > 100")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_chars" in plan.split("PushedFilters")[1][:200]
