@@ -5388,3 +5388,196 @@ def ft_percent_rank(spark, sf_dir):
     return percent_rank_scaled(docs, "n_chars", out_col="pr", round_to=6).select(
         "doc_id", "n_chars", "pr"
     )
+
+
+@_register(
+    "graph_lcc",
+    f"""
+    WITH e0 AS ({_NATION_EDGES_SQL}),
+    und AS (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ),
+    und2 AS (SELECT src, dst FROM und WHERE src <> dst),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM und2 GROUP BY 1),
+    o AS (SELECT src AS a, dst AS b FROM und2 WHERE src < dst),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    verts AS (SELECT DISTINCT a AS node FROM o UNION SELECT b FROM o)
+    SELECT CAST(v.node AS BIGINT) AS node,
+           CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN d.deg >= 2
+                THEN ROUND(2.0 * COALESCE(p.triangles, 0)
+                           / (d.deg * (d.deg - 1)), 6)
+                ELSE 0.0 END AS lcc
+    FROM verts v
+    LEFT JOIN per_node p ON p.node = v.node
+    JOIN deg d ON d.node = v.node
+    """,
+)
+def graph_lcc(spark, sf_dir):
+    """Local clustering coefficient (graph/triangles.py
+    clustering_coefficient): triangle participation normalized by the
+    undirected degree pair count — 2T/(d(d-1)), degree<2 -> 0. Same
+    two-equi-join triangle kernel plus one degree aggregation, all
+    node-keyed."""
+    from routing_algorithm_for_graph_dbs_spark.graph.triangles import (
+        clustering_coefficient,
+    )
+
+    return clustering_coefficient(_nation_edges(spark, sf_dir)).select(
+        F.col("node").cast("long"), "triangles", "lcc"
+    )
+
+
+@_register(
+    "dd_keep_best",
+    """
+    WITH n AS (
+      SELECT doc_id, source, n_chars,
+             md5(substr(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g')),
+               1, 64)) AS grp
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY grp ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS dup_count
+      FROM n
+    )
+    SELECT grp, doc_id, source, n_chars, CAST(dup_count AS BIGINT) AS dup_count
+    FROM r WHERE rn = 1
+    """,
+)
+def dd_keep_best(spark, sf_dir):
+    """Keep-best dedup (operators/dedup.py keep_best_dedup): duplicate
+    groups keyed by the first 64 normalized chars, the LONGEST copy
+    (doc_id-asc tie-break) survives — the keep-highest-quality policy,
+    vs exact_dedup's keep-min-key. One max_by aggregation; the oracle
+    states the same choice as a window rank."""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        keep_best_dedup,
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.substring(normalize_text(F.col("text")), 1, 64)).alias("grp"),
+    )
+    best = keep_best_dedup(
+        docs,
+        ["grp"],
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("tb")),
+    )
+    return best.select("grp", "doc_id", "source", "n_chars", "dup_count")
+
+
+@_register(
+    "idx_conjunctive_search",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.term AS term
+      FROM documents,
+           UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    hits AS (
+      SELECT doc_id FROM tok
+      WHERE term IN ('data', 'merge', 'window')
+      GROUP BY doc_id HAVING COUNT(*) = 3
+    )
+    SELECT h.doc_id, d.source, d.n_chars
+    FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+    """,
+)
+def idx_conjunctive_search(spark, sf_dir):
+    """Conjunctive (AND) term search through the inverted-index shape:
+    tokenize -> distinct (doc, term) -> IN-filter to the 3 query terms ->
+    per-doc term count == 3 -> join back for display columns. The term
+    filter lands BEFORE the shuffle (only query-term postings move), the
+    final join is doc-keyed — the scan-free search pattern idx_postings
+    feeds at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["data", "merge", "window"]
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .distinct()
+    )
+    hits = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == len(terms))
+        .select("doc_id")
+    )
+    return hits.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+
+
+@_register(
+    "ev_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS ad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+    SELECT d.event_id,
+           CASE WHEN x.mad = 0 THEN 0.0
+                ELSE ROUND(0.6745 * (d.value - d.med) / x.mad, 4) END AS rz,
+           CASE WHEN x.mad = 0 THEN FALSE
+                ELSE ABS(0.6745 * (d.value - d.med) / x.mad) > 3.5 END
+             AS is_outlier
+    FROM d JOIN mad x ON x.event_type = d.event_type
+    """,
+)
+def ev_mad_outliers(spark, sf_dir):
+    """Robust (median/MAD) outlier flagging — the median-based twin of
+    ev_zscore_outliers that a heavy-tailed corpus needs (means and stds
+    are themselves dragged by the outliers). Two exact-percentile
+    aggregations on the type key (Spark `percentile` == DuckDB
+    `quantile_cont`), each joined back broadcast; flag at |robust z| >
+    3.5 (Iglewicz-Hoaglin)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    rz = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            F.when(F.col("mad") == 0, F.lit(0.0))
+            .otherwise(F.round(rz, 4))
+            .alias("rz"),
+            F.when(F.col("mad") == 0, F.lit(False))
+            .otherwise(F.abs(rz) > 3.5)
+            .alias("is_outlier"),
+        )
+    )

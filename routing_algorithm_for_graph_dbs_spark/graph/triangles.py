@@ -69,6 +69,42 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return out
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node:
+    ``lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1))`` with the
+    undirected distinct-neighbor degree; nodes of degree < 2 report 0.
+
+    Composes :func:`triangle_counts` (two hash equi-joins) with one
+    degree aggregation over the same symmetrized edge set — the degree
+    join adds no new shuffle key (node-keyed like everything else).
+    Rounded to 6 so results hash-match across engines.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tri = triangle_counts(edges)
+    return tri.join(deg, "node", "left").select(
+        "node",
+        "triangles",
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
 def node_similarity(edges: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
     """Neighbor-set Jaccard similarity for node pairs sharing at least one
     out-neighbor (the ``gds.nodeSimilarity.stream`` shape). Returns

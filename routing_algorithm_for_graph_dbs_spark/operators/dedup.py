@@ -46,6 +46,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
+def keep_best_dedup(
+    df: DataFrame,
+    group_cols: list[str],
+    score: Column,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep the max-``score`` row per duplicate group — the "keep best
+    duplicate" policy real pipelines use instead of keep-min-id (retain
+    the longest / highest-quality copy, drop the rest).
+
+    Scale shape: ONE combiner-friendly aggregation (``max_by`` of the
+    kept-column struct) — the shuffle carries one candidate row per
+    (partition, group), not the group's rows, so a million-way duplicate
+    cluster costs what a 2-way one does. No window, no second pass.
+
+    ``score`` must induce a TOTAL order within each group or the kept row
+    is nondeterministic — compose a struct ending in a unique key
+    (negate it for ascending tie-break under max), e.g.
+    ``F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("tb"))``.
+    ``keep_cols`` default: every non-group column. Output adds
+    ``dup_count`` (group size).
+    """
+    keep_cols = keep_cols or [c for c in df.columns if c not in group_cols]
+    payload = F.struct(*[F.col(c) for c in keep_cols])
+    agg = df.groupBy(*group_cols).agg(
+        F.max_by(payload, score).alias("_best"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return agg.select(
+        *group_cols,
+        *[F.col(f"_best.{c}").alias(c) for c in keep_cols],
+        "dup_count",
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram shingles of the normalized text (distinct).
 

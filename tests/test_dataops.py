@@ -1542,3 +1542,66 @@ class TestPercentRankScaled:
         wpos = plan.find("Window")
         apos = plan.find("HashAggregate")
         assert wpos != -1 and apos != -1 and wpos < apos
+
+
+class TestKeepBestDedup:
+    def test_keeps_max_score_row(self, spark):
+        from pyspark.sql import functions as F
+
+        from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+            keep_best_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("g1", 1, 100), ("g1", 2, 300), ("g1", 3, 200),
+                ("g2", 4, 50),
+            ],
+            "grp string, id long, quality long",
+        )
+        got = {
+            r["grp"]: (r["id"], r["dup_count"])
+            for r in keep_best_dedup(
+                df, ["grp"], F.struct(F.col("quality"), (-F.col("id")).alias("tb"))
+            ).collect()
+        }
+        assert got == {"g1": (2, 3), "g2": (4, 1)}
+
+    def test_tie_breaks_to_lowest_key(self, spark):
+        from pyspark.sql import functions as F
+
+        from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+            keep_best_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 7, 10), ("g", 3, 10), ("g", 5, 10)],
+            "grp string, id long, quality long",
+        )
+        row = keep_best_dedup(
+            df, ["grp"], F.struct(F.col("quality"), (-F.col("id")).alias("tb"))
+        ).collect()[0]
+        assert row["id"] == 3 and row["dup_count"] == 3
+
+    def test_single_aggregation_no_window(self, spark):
+        from pyspark.sql import functions as F
+
+        from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+            keep_best_dedup,
+        )
+
+        df = spark.range(0, 100).selectExpr(
+            "CAST(id % 10 AS STRING) AS grp", "id", "id % 7 AS quality"
+        )
+        plan = (
+            keep_best_dedup(
+                df, ["grp"], F.struct(F.col("quality"), (-F.col("id")).alias("tb"))
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        # partial (combiner) aggregation present before the shuffle
+        assert "partial_max_by" in plan
+        assert plan.find("partial_max_by") > plan.find("Exchange")

@@ -214,3 +214,23 @@ def test_centrality_bfs_tiers_agree(spark):
         return {r["lane"]: (r["harmonic"], r["n_reached"]) for r in rows}
 
     assert centralities("broadcast") == centralities("iterative")
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    from routing_algorithm_for_graph_dbs_spark.graph.triangles import (
+        clustering_coefficient,
+    )
+
+    # K4 plus pendant 9-0: K4 nodes have deg 3 (within K4) except node 0
+    # whose pendant raises deg to 4. lcc = 2*3/(3*2) = 1.0 for 1,2,3;
+    # node 0: 2*3/(4*3) = 0.5; pendant 9: deg 1 -> 0.0.
+    edges = [(0, 1), (0, 2), (0, 3), (2, 1), (1, 3), (3, 2), (2, 3), (9, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: (r["triangles"], r["lcc"]) for r in clustering_coefficient(df).collect()}
+    assert got == {
+        0: (3, 0.5),
+        1: (3, 1.0),
+        2: (3, 1.0),
+        3: (3, 1.0),
+        9: (0, 0.0),
+    }
