@@ -5581,3 +5581,105 @@ def ev_mad_outliers(spark, sf_dir):
             .alias("is_outlier"),
         )
     )
+
+
+@_register(
+    "ts_interpolate",
+    """
+    WITH b AS (
+      SELECT user_id AS k, time_bucket(INTERVAL '1 day', ts) AS day,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT k, MIN(day) AS d0, MAX(day) AS d1 FROM b GROUP BY k),
+    grid AS (
+      SELECT s.k, g.day
+      FROM span s, UNNEST(generate_series(s.d0, s.d1, INTERVAL '1 day'))
+        AS g(day)
+    ),
+    j AS (
+      SELECT g.k, g.day, b.v,
+             LAST_VALUE(b.v IGNORE NULLS) OVER
+               (PARTITION BY g.k ORDER BY g.day
+                ROWS UNBOUNDED PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN b.v IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER (PARTITION BY g.k ORDER BY g.day
+                     ROWS UNBOUNDED PRECEDING) AS pd,
+             FIRST_VALUE(b.v IGNORE NULLS) OVER
+               (PARTITION BY g.k ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN b.v IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER (PARTITION BY g.k ORDER BY g.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM grid g LEFT JOIN b ON b.k = g.k AND b.day = g.day
+    )
+    SELECT k AS user_id, strftime(day, '%Y-%m-%d') AS day,
+           v IS NOT NULL AS observed,
+           ROUND(COALESCE(v, pv + (nv - pv) *
+             (date_diff('day', pd, day) * 1.0 / date_diff('day', pd, nd))), 6)
+             AS v_interp
+    FROM j
+    """,
+)
+def ts_interpolate(spark, sf_dir):
+    """Daily resample with LINEAR gap interpolation
+    (``operators/asof.py interpolate_daily``) — the numeric sibling of
+    ts_resample_ffill. Same dense-grid shape; the backward/forward
+    neighbor scans are two window passes over ONE per-key sort. Daily
+    means are rounded to 6 BEFORE interpolating so both engines feed the
+    interpolation identical doubles."""
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import (
+        interpolate_daily,
+    )
+
+    return interpolate_daily(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "mm_phash_neardup",
+    rf"""
+    WITH media_text AS (
+      SELECT doc_id AS media_id, text FROM documents
+    ),
+    toks AS (
+      SELECT media_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+      FROM media_text
+    ), tok AS (
+      SELECT DISTINCT media_id, unnest(t) AS tok FROM toks
+    ), h AS (
+      SELECT media_id, md5(tok) AS hx FROM tok
+    ), v AS (
+      SELECT media_id,
+{_SIMHASH_V_COLS.replace("doc_id", "media_id")}
+      FROM h GROUP BY media_id
+    ),
+    sims AS (
+      SELECT d.media_id,
+             CAST({_SIMHASH_REASSEMBLE} AS BIGINT) AS simhash
+      FROM media_text d LEFT JOIN v ON d.media_id = v.media_id
+    )
+    SELECT a.media_id AS a, b.media_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def mm_phash_neardup(spark, sf_dir):
+    """Multimodal near-dup via perceptual hash (``operators/multimodal.py
+    phash_near_dup_pairs``): 64-bit pHash per payload (text-derived
+    deterministic stand-in at the documented codec boundary), then
+    16-bit-chunk pigeonhole blocking — candidates meet in an equi-join,
+    never all-pairs. The oracle recomputes the hashes bit-for-bit and
+    takes the tiny all-pairs route (correctness only; scale lives in the
+    engine's blocked join)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        media_from_documents,
+        phash_near_dup_pairs,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return phash_near_dup_pairs(media, max_hamming=3).select(
+        "a", "b", F.col("hamming").cast("long")
+    )

@@ -225,3 +225,64 @@ def resample_daily(
             F.last("sum_val", ignorenulls=True).over(w).alias("ffill_sum"),
         )
     )
+
+
+def interpolate_daily(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Daily resample with LINEAR interpolation across gap days — the
+    numeric sibling of :func:`resample_daily`'s forward fill (sensor /
+    metric series where a step function misstates the gap).
+
+    Observed days carry their (rounded) daily mean; a gap day between
+    observations at (d_prev, v_prev) and (d_next, v_next) gets
+    ``v_prev + (v_next - v_prev) * (day - d_prev) / (d_next - d_prev)``.
+    The grid spans each key's [min, max] observed day, so every gap has
+    both neighbors — no extrapolation case exists.
+
+    Scale shape: identical to resample_daily — one (key, day) combiner
+    aggregation, a map-side sequence/explode grid, then TWO per-key
+    ordered window passes over the SAME partitioning (backward
+    last-non-null, forward first-non-null); Catalyst plans one sort, no
+    self-join, no global window.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    b = events.groupBy(F.col(key_col).alias("k"), day.alias("day")).agg(
+        F.round(F.avg(val_col), 6).alias("v")
+    )
+    span = b.groupBy("k").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    wb = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    g = (
+        grid.join(b, ["k", "day"], "left")
+        .withColumn("pv", F.last("v", ignorenulls=True).over(wb))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wf))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wf))
+    )
+    frac = F.datediff("day", "pd") / F.datediff("nd", "pd")
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    return g.select(
+        F.col("k").alias(key_col),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNotNull().alias("observed"),
+        F.round(F.coalesce(F.col("v"), interp), 6).alias("v_interp"),
+    )

@@ -260,3 +260,38 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.avg("meta.width").alias("avg_width"),
         F.avg("meta.duration_ms").alias("avg_duration_ms"),
     )
+
+
+def phash_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, strict: bool = False
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over media payloads —
+    multimodal dedup's analogue of text SimHash.
+
+    A production pHash is a DCT over decoded pixels; decoding is this
+    module's documented codec boundary (``strict=True`` raises there,
+    same contract as image_features). The deterministic stand-in derives
+    the 64-bit hash from the payload's UTF-8 text via the md5 SimHash —
+    bit-reproducible by the DuckDB oracle, so the WHOLE pipeline stays
+    value-checked. The pairing is the real scale component and is
+    hash-source-agnostic: 16-bit-chunk pigeonhole blocking
+    (operators.dedup.simhash_near_pairs) — candidates meet in an
+    equi-join on (chunk_id, chunk), never all-pairs. Swap in real
+    pHashes and nothing downstream changes.
+    """
+    if strict:
+        raise NotImplementedError(
+            "real perceptual hashing requires an image decoder (PIL/libvips)"
+            " — not in this container; the text-derived stand-in is the"
+            " non-strict path"
+        )
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    decoded = media.select(
+        "media_id", F.decode(F.col("payload"), "UTF-8").alias("text")
+    )
+    sims = simhash(decoded, text_col="text", key_col="media_id", hash_fn="md5")
+    return simhash_near_pairs(sims, key_col="media_id", max_hamming=max_hamming)

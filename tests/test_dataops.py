@@ -1605,3 +1605,81 @@ class TestKeepBestDedup:
         # partial (combiner) aggregation present before the shuffle
         assert "partial_max_by" in plan
         assert plan.find("partial_max_by") > plan.find("Exchange")
+
+
+class TestInterpolateDaily:
+    def test_linear_gap_fill(self, spark):
+        from datetime import datetime
+
+        from routing_algorithm_for_graph_dbs_spark.operators.asof import (
+            interpolate_daily,
+        )
+
+        ev = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 5), 10.0),
+                (1, datetime(2024, 1, 1, 7), 30.0),  # day mean 20
+                (1, datetime(2024, 1, 4, 0), 50.0),
+                (2, datetime(2024, 3, 1, 0), 7.0),
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        got = {
+            (r["user_id"], r["day"]): (r["observed"], r["v_interp"])
+            for r in interpolate_daily(ev).collect()
+        }
+        assert got[(1, "2024-01-01")] == (True, 20.0)
+        assert got[(1, "2024-01-02")] == (False, 30.0)
+        assert got[(1, "2024-01-03")] == (False, 40.0)
+        assert got[(1, "2024-01-04")] == (True, 50.0)
+        assert got[(2, "2024-03-01")] == (True, 7.0)
+        assert len(got) == 5  # no extrapolation rows outside each span
+
+    def test_one_sort_two_windows(self, spark):
+        from datetime import datetime
+
+        from routing_algorithm_for_graph_dbs_spark.operators.asof import (
+            interpolate_daily,
+        )
+
+        ev = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 1.0), (1, datetime(2024, 1, 9), 2.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        plan = (
+            interpolate_daily(ev)._jdf.queryExecution().executedPlan().toString()
+        )
+        # the window passes stack over ONE shared (k, day) sort: no Sort
+        # operator may appear between the Window operators
+        lines = plan.splitlines()
+        widx = [i for i, ln in enumerate(lines) if "- Window [" in ln]
+        assert len(widx) >= 2
+        between = lines[widx[0] : widx[-1]]
+        assert not any("- Sort [" in ln for ln in between), plan
+        assert "CartesianProduct" not in plan
+
+
+class TestPhashNearDup:
+    def test_identical_payloads_pair_at_zero(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            phash_near_dup_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        media = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"),
+             (3, "completely different payload words entirely")],
+            "media_id long, text string",
+        ).select("media_id", F.encode("text", "UTF-8").alias("payload"))
+        pairs = {(r["a"], r["b"]): r["hamming"]
+                 for r in phash_near_dup_pairs(media).collect()}
+        assert pairs.get((1, 2)) == 0
+        assert not any(3 in p for p in pairs)
+
+    def test_strict_raises_at_codec_boundary(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        with pytest.raises(NotImplementedError, match="image decoder"):
+            phash_near_dup_pairs(spark.range(1), strict=True)
