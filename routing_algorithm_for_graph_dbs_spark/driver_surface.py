@@ -5683,3 +5683,77 @@ def mm_phash_neardup(spark, sf_dir):
     return phash_near_dup_pairs(media, max_hamming=3).select(
         "a", "b", F.col("hamming").cast("long")
     )
+
+
+@_register(
+    "apx_theta_setops",
+    """
+    WITH f AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ha,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hb
+      FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id
+    )
+    SELECT CAST(SUM(CASE WHEN ha = 1 AND hb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS inter_exact,
+           CAST(COUNT(*) AS BIGINT) AS union_exact,
+           CAST(SUM(CASE WHEN ha = 1 AND hb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS diff_exact,
+           TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+    FROM f
+    """,
+)
+def apx_theta_setops(spark, sf_dir):
+    """Theta-sketch SET ALGEBRA (Spark 4.x DataSketches built-ins):
+    estimate |view ∩ click|, |view ∪ click|, |view \\ click| audiences
+    from two mergeable sketches — the segment-overlap question a 100 TB
+    rollup answers WITHOUT re-scanning raw ids (sketches persist per
+    segment/day and intersect in microseconds; exact answers would
+    re-shuffle every id per question). Sketch internals are not
+    cross-engine, so the oracle pins the exact companions plus tolerance
+    booleans (intersection error scales with the UNION cardinality —
+    bounds are stated against it), same contract as apx_sketches."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    two = sk.agg(
+        F.first(
+            F.when(F.col("event_type") == "view", F.col("sk")), ignorenulls=True
+        ).alias("ska"),
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("sk")), ignorenulls=True
+        ).alias("skb"),
+    )
+    est = two.select(
+        F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias("ie"),
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("ue"),
+        F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias("de"),
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("ha"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("hb"),
+    )
+    ex = flags.agg(
+        F.sum(((F.col("ha") == 1) & (F.col("hb") == 1)).cast("int"))
+        .cast("long")
+        .alias("inter_exact"),
+        F.count(F.lit(1)).cast("long").alias("union_exact"),
+        F.sum(((F.col("ha") == 1) & (F.col("hb") == 0)).cast("int"))
+        .cast("long")
+        .alias("diff_exact"),
+    )
+    tol = lambda e, x: F.abs(e - x) <= 0.05 * F.col("union_exact") + F.lit(2.0)
+    return (
+        ex.crossJoin(F.broadcast(est))
+        .select(
+            "inter_exact",
+            "union_exact",
+            "diff_exact",
+            tol(F.col("ie"), F.col("inter_exact")).alias("inter_ok"),
+            tol(F.col("ue"), F.col("union_exact")).alias("union_ok"),
+            tol(F.col("de"), F.col("diff_exact")).alias("diff_ok"),
+        )
+    )

@@ -1683,3 +1683,27 @@ class TestPhashNearDup:
 
         with pytest.raises(NotImplementedError, match="image decoder"):
             phash_near_dup_pairs(spark.range(1), strict=True)
+
+
+def test_snapshot_diff_applies_via_cdc(spark):
+    # contract linking the diff and CDC halves: applying snapshot_diff's
+    # changelog to the old snapshot through apply_cdc reproduces the new
+    # snapshot exactly (diff emits one op per key, so any constant seq works)
+    from pyspark.sql import functions as F
+
+    from routing_algorithm_for_graph_dbs_spark.operators.merge import (
+        apply_cdc,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (4, "d", 40.0)],
+        "k long, v string, x double",
+    )
+    log = snapshot_diff(old, new, ["k"]).withColumn("seq", F.lit(1))
+    got = sorted(map(tuple, apply_cdc(old, log, ["k"], "seq").collect()))
+    assert got == sorted(map(tuple, new.collect()))
