@@ -5757,3 +5757,60 @@ def apx_theta_setops(spark, sf_dir):
             tol(F.col("de"), F.col("diff_exact")).alias("diff_ok"),
         )
     )
+
+
+@_register(
+    "apx_join_overlap",
+    """
+    WITH l AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+         o AS (SELECT DISTINCT o_orderkey AS k FROM orders
+               WHERE o_orderstatus = 'F')
+    SELECT CAST((SELECT COUNT(*) FROM l WHERE k IN (SELECT k FROM o))
+             AS BIGINT) AS inter_exact,
+           CAST((SELECT COUNT(*) FROM (SELECT k FROM l UNION SELECT k FROM o))
+             AS BIGINT) AS union_exact,
+           TRUE AS inter_ok, TRUE AS union_ok
+    """,
+)
+def apx_join_overlap(spark, sf_dir):
+    """Pre-flight join sizing (operators/skew.py estimate_key_overlap):
+    estimate how many distinct order keys the lineitem⋈orders('F') join
+    would match WITHOUT shuffling either fact — two theta sketches, one
+    scan each, intersect in constant time. Above the sketch's 4096
+    nominal entries this is estimate mode (~2.6% at 2σ), so the oracle
+    pins exact companions + tolerance booleans, the apx-family
+    contract."""
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        estimate_key_overlap,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    od = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    est = estimate_key_overlap(li, od, ["k"])
+    lk = li.distinct()
+    ok = od.distinct()
+    ex = (
+        lk.join(ok, "k", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+        .crossJoin(
+            lk.unionByName(ok)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("union_exact"))
+        )
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        "inter_exact",
+        "union_exact",
+        (
+            F.abs(F.col("inter_est") - F.col("inter_exact"))
+            <= 0.05 * F.col("inter_exact") + F.lit(2.0)
+        ).alias("inter_ok"),
+        (
+            F.abs(F.col("union_est") - F.col("union_exact"))
+            <= 0.05 * F.col("union_exact") + F.lit(2.0)
+        ).alias("union_ok"),
+    )

@@ -193,3 +193,41 @@ def bloom_prefilter_join(
         )
     bloom = build_key_bloom(keys, on, m_bits=m_bits, k=k)
     return bloom_filter_keys(big, on, bloom, k=k).join(keys, on, how)
+
+
+def estimate_key_overlap(
+    left: DataFrame, right: DataFrame, on: list[str]
+) -> DataFrame:
+    """Pre-flight DISTINCT-KEY overlap of an equi-join from theta
+    sketches — decide a join strategy (broadcast? bloom-prefilter? skip
+    entirely?) without shuffling either side.
+
+    Returns one row: ``(inter_est, union_est, left_only_est,
+    right_only_est)`` — estimated counts of distinct key tuples on both
+    sides / either side / exactly one side. Each side is one scan + one
+    mergeable sketch aggregate (sketches persist and re-answer later
+    questions for free). Multi-column keys hash to one 64-bit lane first,
+    so the estimate inherits xxhash64's collision odds (negligible at
+    sketchable cardinalities).
+
+    This estimates KEY overlap, not join OUTPUT size — output size needs
+    per-key multiplicities (sum of cA(k)*cB(k)), which sketches of
+    distinct values cannot carry. Below the sketch's nominal-entries
+    threshold (lgK=12 -> 4096) the sketch is in exact mode and the
+    numbers are exact, a property the tests pin.
+    """
+    h = F.xxhash64(*[F.col(c) for c in on])
+    ls = left.select(h.alias("h")).agg(F.theta_sketch_agg("h").alias("ska"))
+    rs = right.select(h.alias("h")).agg(F.theta_sketch_agg("h").alias("skb"))
+    return ls.crossJoin(rs).select(
+        F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias(
+            "inter_est"
+        ),
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("union_est"),
+        F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias(
+            "left_only_est"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("skb", "ska")).alias(
+            "right_only_est"
+        ),
+    )

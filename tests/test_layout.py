@@ -433,3 +433,56 @@ def test_orc_predicate_pushdown(spark, tmp_path, testdata_dir):
         .toString()
     )
     assert "PushedFilters: [" in plan and "n_chars" in plan.split("PushedFilters")[1][:200]
+
+
+# -------------------------------------------------------- key overlap
+
+
+def test_estimate_key_overlap_exact_below_sketch_threshold(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        estimate_key_overlap,
+    )
+
+    # 300 left keys (0..299), 200 right keys (200..399): inter=100,
+    # union=400 — all below theta's 4096 nominal entries, so EXACT
+    left = spark.range(0, 300).select(F.col("id").alias("k"))
+    right = spark.range(200, 400).select(F.col("id").alias("k"))
+    row = estimate_key_overlap(left, right, ["k"]).collect()[0]
+    assert round(row["inter_est"]) == 100
+    assert round(row["union_est"]) == 400
+    assert round(row["left_only_est"]) == 200
+    assert round(row["right_only_est"]) == 100
+
+
+def test_estimate_key_overlap_multicolumn_and_duplicates(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        estimate_key_overlap,
+    )
+
+    # duplicates must not inflate the DISTINCT estimates; composite keys
+    # hash to one lane
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    right = spark.createDataFrame(
+        [(2, "b"), (2, "b"), (9, "z")], "k long, s string"
+    )
+    row = estimate_key_overlap(left, right, ["k", "s"]).collect()[0]
+    assert round(row["inter_est"]) == 1
+    assert round(row["union_est"]) == 4
+    assert round(row["left_only_est"]) == 2
+    assert round(row["right_only_est"]) == 1
+
+
+def test_estimate_key_overlap_tolerance_above_threshold(spark):
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        estimate_key_overlap,
+    )
+
+    # 40k vs 30k overlapping ranges: estimate mode; ~2.6% 2σ error at
+    # lgK=12 — assert within 5% of truth
+    left = spark.range(0, 40_000).select(F.col("id").alias("k"))
+    right = spark.range(20_000, 50_000).select(F.col("id").alias("k"))
+    row = estimate_key_overlap(left, right, ["k"]).collect()[0]
+    assert abs(row["inter_est"] - 20_000) < 1_000
+    assert abs(row["union_est"] - 50_000) < 2_500
