@@ -103,8 +103,12 @@ def _bloom_positions(on: list[str], i: int, m_bits: int):
 
 def build_key_bloom(
     keys: DataFrame, on: list[str], m_bits: int = 1 << 18, k: int = 5
-) -> list[int]:
+) -> dict:
     """Distributed Bloom-filter build over ``keys``' join-key tuples.
+    Returns ``{"bits": [m_bits/64 longs], "k": k}`` — the hash count
+    travels WITH the bitset, because a probe run with a different ``k``
+    than the build silently produces false negatives (a hypothesis test
+    caught exactly that footgun in an earlier draft of this API).
 
     Each key sets ``k`` bits (``xxhash64(key..., i) mod m_bits``); the
     bitset is aggregated as 64-bit blocks (explode k positions ->
@@ -141,20 +145,23 @@ def build_key_bloom(
     dense = [0] * (m_bits // 64)
     for r in blocks:
         dense[r["b"]] = r["bits"]
-    return dense
+    return {"bits": dense, "k": k}
 
 
 def bloom_filter_keys(
-    df: DataFrame, on: list[str], bloom: list[int], k: int = 5
+    df: DataFrame, on: list[str], bloom: dict
 ) -> DataFrame:
     """Keep only rows whose key tuple MAY be in the set ``bloom`` was
     built from (no false negatives; false-positive rows pass through).
+    ``bloom`` is :func:`build_key_bloom`'s return value — bitset and hash
+    count together, so build and probe can never disagree on ``k``.
     The predicate is pure column arithmetic over an array *literal*, so it
     runs inside the scan's WholeStageCodegen — before any Exchange."""
-    m_bits = 64 * len(bloom)
-    arr = F.lit(bloom)
+    bits = bloom["bits"]
+    m_bits = 64 * len(bits)
+    arr = F.lit(bits)
     cond = F.lit(True)
-    for i in range(k):
+    for i in range(bloom["k"]):
         p = _bloom_positions(on, i, m_bits)
         block = F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1))
         mask = F.call_function(
@@ -192,7 +199,7 @@ def bloom_prefilter_join(
             f" {how!r}: the prefilter drops rows outer semantics must keep"
         )
     bloom = build_key_bloom(keys, on, m_bits=m_bits, k=k)
-    return bloom_filter_keys(big, on, bloom, k=k).join(keys, on, how)
+    return bloom_filter_keys(big, on, bloom).join(keys, on, how)
 
 
 def estimate_key_overlap(

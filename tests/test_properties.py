@@ -179,3 +179,103 @@ def test_ntile_matches_python_oracle(spark, n, bins, dup_every):
         else:
             want[k] = r + (rn - r * big - 1) // small + 1
     assert got == want
+
+
+cdc_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=20),  # seq
+        st.sampled_from(["U", "D", "I"]),        # op
+        st.integers(min_value=0, max_value=99),  # value
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@SET
+@given(changes=cdc_stream)
+def test_apply_cdc_matches_python_oracle(spark, changes):
+    from routing_algorithm_for_graph_dbs_spark.operators.merge import apply_cdc
+
+    target_rows = [(0, -1), (1, -1), (2, -1)]
+    # python oracle: latest (seq, is_delete-last tie-break) op per key wins
+    final = {}
+    for k, seq, op, v in changes:
+        prev = final.get(k)
+        rank = (seq, 1 if op == "D" else 0)
+        if prev is None or rank >= prev[0]:
+            final[k] = (rank, op, v)
+    state = dict(target_rows)
+    for k, (_, op, v) in final.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    target = spark.createDataFrame(target_rows, "k long, v long")
+    log = spark.createDataFrame(
+        changes or [(None, None, None, None)],
+        "k long, seq long, op string, v long",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r["k"]: r["v"] for r in apply_cdc(target, log, ["k"], "seq").collect()
+    }
+    assert got == state
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(min_value=-50, max_value=50), st.none()),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_percent_rank_scaled_matches_python_oracle(spark, vals):
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        percent_rank_scaled,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    nn = sorted(v for v in vals if v is not None)
+    n = len(nn)
+
+    def expect(v):
+        if v is None:
+            return None
+        if n <= 1:
+            return 0.0
+        return sum(1 for x in nn if x < v) / (n - 1)
+
+    got = {r["id"]: r["pr"] for r in percent_rank_scaled(df, "v").collect()}
+    for i, v in enumerate(vals):
+        e = expect(v)
+        if e is None:
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(e)
+
+
+@SET
+@given(
+    keys=st.sets(st.integers(min_value=0, max_value=10_000), max_size=40),
+    probes=st.sets(st.integers(min_value=0, max_value=10_000), max_size=40),
+)
+def test_bloom_never_false_negative(spark, keys, probes):
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        bloom_filter_keys,
+        build_key_bloom,
+    )
+
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys] or [(None,)], "k long"
+    ).filter(F.col("k").isNotNull())
+    pdf = spark.createDataFrame(
+        [(p,) for p in probes] or [(None,)], "k long"
+    ).filter(F.col("k").isNotNull())
+    bloom = build_key_bloom(kdf, ["k"], m_bits=4096, k=3)
+    kept = {r["k"] for r in bloom_filter_keys(pdf, ["k"], bloom).collect()}
+    # every probe that IS a key must survive — bloom has no false negatives
+    assert keys & probes <= kept
