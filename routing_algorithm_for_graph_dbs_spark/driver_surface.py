@@ -5814,3 +5814,71 @@ def apx_join_overlap(spark, sf_dir):
             <= 0.05 * F.col("union_exact") + F.lit(2.0)
         ).alias("union_ok"),
     )
+
+
+@_register(
+    "txt_bpe_learn2",
+    """
+    WITH wc AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+          lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g')), ' ')) AS w
+        FROM documents
+      ) t WHERE w <> '' GROUP BY w
+    ),
+    e0 AS (
+      SELECT '|' || array_to_string(string_split(word, ''), '|') AS enc, cnt
+      FROM wc
+    ),
+    p1 AS (
+      SELECT unnest([s[i] || chr(31) || s[i+1]
+                     for i in generate_series(1, len(s) - 1)]) AS pr, cnt
+      FROM (SELECT string_split(substr(enc, 2), '|') AS s, cnt FROM e0)
+    ),
+    m1 AS (
+      SELECT string_split(pr, chr(31))[1] AS a,
+             string_split(pr, chr(31))[2] AS b,
+             SUM(cnt) AS n
+      FROM p1 GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ),
+    e1 AS (
+      SELECT replace(enc, '|' || m1.a || '|' || m1.b, '|' || m1.a || m1.b)
+               AS enc, cnt
+      FROM e0 CROSS JOIN m1
+    ),
+    p2 AS (
+      SELECT unnest([s[i] || chr(31) || s[i+1]
+                     for i in generate_series(1, len(s) - 1)]) AS pr, cnt
+      FROM (SELECT string_split(substr(enc, 2), '|') AS s, cnt FROM e1)
+    ),
+    m2 AS (
+      SELECT string_split(pr, chr(31))[1] AS a,
+             string_split(pr, chr(31))[2] AS b,
+             SUM(cnt) AS n
+      FROM p2 GROUP BY 1, 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    )
+    SELECT 1 AS round, a AS left_sym, b AS right_sym, CAST(n AS BIGINT) AS n
+    FROM m1
+    UNION ALL
+    SELECT 2, a, b, CAST(n AS BIGINT) FROM m2
+    """,
+)
+def txt_bpe_learn2(spark, sf_dir):
+    """Distributed BPE merge learning (operators/bpe.py learn_bpe), first
+    two greedy rounds: the tokenizer-training step of an LLM pipeline.
+    Statistics live on the DISTINCT-WORD table (bounded by vocabulary,
+    not corpus — the one corpus-sized pass is the word count), each round
+    is one argmax job, ties break (count desc, pair asc). The oracle
+    unrolls both rounds in SQL, applying round 1's merge with the
+    delimiter-encoded string-replace trick (left-to-right non-overlapping
+    on both engines). The learned list itself is driver-side — two tuples
+    — mirroring how a tokenizer trainer returns its merges."""
+    from routing_algorithm_for_graph_dbs_spark.operators.bpe import learn_bpe
+
+    merges = learn_bpe(_t(spark, sf_dir, "documents"), n_merges=2)
+    rows = [
+        (i + 1, a, b, int(n)) for i, (a, b, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "round int, left_sym string, right_sym string, n long"
+    )

@@ -1707,3 +1707,93 @@ def test_snapshot_diff_applies_via_cdc(spark):
     log = snapshot_diff(old, new, ["k"]).withColumn("seq", F.lit(1))
     got = sorted(map(tuple, apply_cdc(old, log, ["k"], "seq").collect()))
     assert got == sorted(map(tuple, new.collect()))
+
+
+def _py_bpe(texts, n_merges, min_pair_count=2):
+    # reference word-level BPE: distinct words weighted by count, greedy
+    # argmax (count desc, pair asc), left-to-right non-overlapping merge
+    import re
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip().split(" "):
+            if w:
+                wc[w] += 1
+    words = {w: list(w) for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_pair_count:
+            break
+        merges.append((a, b, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+class TestBpe:
+    TEXTS = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "the lowest newest low",
+    ]
+
+    def test_learn_matches_python_reference(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.bpe import learn_bpe
+
+        df = spark.createDataFrame([(t,) for t in self.TEXTS], "text string")
+        got = learn_bpe(df, n_merges=6)
+        want, _ = _py_bpe(self.TEXTS, 6)
+        assert got == want
+
+    def test_apply_matches_python_reference(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.bpe import (
+            apply_bpe,
+            learn_bpe,
+        )
+
+        df = spark.createDataFrame([(t,) for t in self.TEXTS], "text string")
+        merges = learn_bpe(df, n_merges=6)
+        _, words = _py_bpe(self.TEXTS, 6)
+        toks = {
+            r["text"]: r["bpe_tokens"]
+            for r in apply_bpe(df, merges).collect()
+        }
+        import re
+
+        for t in self.TEXTS:
+            expect = []
+            for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split():
+                expect.extend(words[w])
+            assert toks[t] == expect, t
+
+    def test_early_stop_when_below_min_count(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.bpe import learn_bpe
+
+        df = spark.createDataFrame([("ab cd ef",)], "text string")
+        # every pair occurs once -> below min_pair_count=2 -> no merges
+        assert learn_bpe(df, n_merges=5) == []
+
+    def test_merge_is_left_to_right_nonoverlapping(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.bpe import apply_bpe
+
+        df = spark.createDataFrame([("aaa aaaa",)], "text string")
+        out = apply_bpe(df, [("a", "a", 0)]).collect()[0]["bpe_tokens"]
+        # 'aaa' -> [aa, a]; 'aaaa' -> [aa, aa]
+        assert out == ["aa", "a", "aa", "aa"]
