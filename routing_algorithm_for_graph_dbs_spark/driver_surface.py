@@ -5882,3 +5882,64 @@ def txt_bpe_learn2(spark, sf_dir):
     return spark.createDataFrame(
         rows, "round int, left_sym string, right_sym string, n long"
     )
+
+
+def _ppr_oracle_sql(iterations: int = 10, d: float = 0.85) -> str:
+    """Personalized-PageRank twin of _pagerank_oracle_sql: the teleport
+    distribution concentrates on seeds {0, 5, 10} (p = 1/3 each, 0
+    elsewhere) and the rank vector initializes to p. The directed nation
+    graph has no dangling vertices, so the update is
+    pr' = (1-d) p + d inflow, unrolled one CTE per step."""
+    seeds = "(0, 5, 10)"
+    parts = [
+        f"""WITH e AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      UNION
+      SELECT n_nationkey, (n_nationkey + 7) % 25 FROM nation
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    v AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    tp AS (SELECT node,
+                  CASE WHEN node IN {seeds} THEN 1.0 / 3 ELSE 0.0 END AS p
+           FROM v),
+    pr0 AS (SELECT node, p AS pr FROM tp)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""pr{i + 1} AS (
+      SELECT tp.node,
+             (1 - {d}) * tp.p + {d} * COALESCE(c.inflow, 0.0) AS pr
+      FROM tp LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr / deg.deg) AS inflow
+        FROM pr{i} p
+        JOIN e ON e.src = p.node
+        JOIN deg ON deg.src = p.node
+        GROUP BY e.dst
+      ) c ON tp.node = c.node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, ROUND(pr, 6) AS pr
+    FROM pr{iterations}"""
+    )
+
+
+@_register("graph_ppr", _ppr_oracle_sql())
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (graph/pagerank.py, seeds={0,5,10}, 10
+    iterations, d=0.85) over the directed nation graph — proximity
+    scoring relative to a seed set, the graph-retrieval primitive
+    (recommend-from-these, related-entities). Same two-tier power
+    kernel as graph_pagerank; only the teleport distribution changes.
+    Oracle: the seeded update unrolled as 10 CTEs."""
+    from routing_algorithm_for_graph_dbs_spark.graph.pagerank import pagerank
+
+    e = _nation_edges_directed(spark, sf_dir)
+    res = pagerank(e, damping=0.85, iterations=10, seeds=[0, 5, 10])
+    return res.select(
+        F.col("node").cast("long").alias("node"), F.round("pr", 6).alias("pr")
+    )

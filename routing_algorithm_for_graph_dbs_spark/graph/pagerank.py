@@ -46,6 +46,7 @@ def pagerank(
     iterations: int = 10,
     n_edges: int | None = None,
     strategy: str = "auto",
+    seeds: list | None = None,
 ) -> DataFrame:
     """Return (node, pr) after ``iterations`` power-iteration steps.
 
@@ -53,6 +54,16 @@ def pagerank(
     relation is distinct-ed, matching the unrolled-SQL oracle's set
     semantics). Vertices are the endpoint union; isolated vertices can be
     appended by callers before the call if they must appear.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport
+    distribution concentrates on the seed set (p(v) = 1/|seeds| for
+    seeds, 0 elsewhere; the rank vector initializes to p) —
+
+        pr'(v) = (1-d) p(v) + d (dangling_mass * p(v) + inflow(v))
+
+    the graph-proximity scorer retrieval pipelines use ("rank relative
+    to THESE nodes"). ``seeds=None`` is classic uniform PageRank; the
+    uniform case is literally p(v) = 1/N through the same code path.
 
     Two-tier like ``sssp``: ``local`` collects the (deduped) edge list and
     runs the identical update as numpy vector ops — tiny/medium graphs pay
@@ -63,8 +74,10 @@ def pagerank(
         strategy = "local" if (
             n_edges if n_edges is not None else edges.count()
         ) <= BROADCAST_EDGE_LIMIT else "iterative"
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be None (uniform) or a non-empty list")
     if strategy == "local":
-        return _local_pagerank(edges, damping, iterations)
+        return _local_pagerank(edges, damping, iterations, seeds)
     e = edges.select("src", "dst").distinct()
     if n_edges is None:
         n_edges = e.count()
@@ -80,10 +93,18 @@ def pagerank(
     n = verts.count()
     d = float(damping)
 
-    # (node, pr, deg) — deg NULL marks a dangling node (no out-edges)
+    if seeds is None:
+        p_col = F.lit(1.0 / n)
+    else:
+        p_col = F.when(
+            F.col("node").isin(list(seeds)), F.lit(1.0 / len(seeds))
+        ).otherwise(F.lit(0.0))
+
+    # (node, pr, p, deg) — deg NULL marks a dangling node (no out-edges);
+    # p is the teleport distribution (uniform or seed-concentrated)
     state = (
         verts.join(deg.withColumnRenamed("src", "node"), "node", "left")
-        .select("node", F.lit(1.0 / n).alias("pr"), "deg")
+        .select("node", p_col.alias("pr"), p_col.alias("p"), "deg")
         .localCheckpoint(eager=True)
     )
 
@@ -108,15 +129,16 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.sum("c").alias("inflow"))
             )
-            base = (1.0 - d) / n + d * (dangling / n)
+            base = (F.lit(1.0 - d) + F.lit(d * dangling)) * F.col("p")
             state = (
-                state.select("node", "deg")
+                state.select("node", "p", "deg")
                 .join(contribs, "node", "left")
                 .select(
                     "node",
                     (
-                        F.lit(base) + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                        base + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0))
                     ).alias("pr"),
+                    "p",
                     "deg",
                 )
                 .localCheckpoint(eager=False)
@@ -129,7 +151,7 @@ def pagerank(
 
 
 def _local_pagerank(
-    edges: DataFrame, d: float, iterations: int
+    edges: DataFrame, d: float, iterations: int, seeds: list | None = None
 ) -> DataFrame:
     """Driver-side dense power iteration — the broadcast-regime tier.
 
@@ -152,11 +174,17 @@ def _local_pagerank(
     n = len(nodes)
     deg = np.bincount(src, minlength=n).astype(np.float64)
     dangling = deg == 0.0
-    pr = np.full(n, 1.0 / n)
+    if seeds is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        p = np.zeros(n)
+        hit = [idx[v] for v in seeds if v in idx]
+        p[hit] = 1.0 / len(seeds)
+    pr = p.copy()
     for _ in range(iterations):
         mass = float(pr[dangling].sum()) if dangling.any() else 0.0
         inflow = np.zeros(n)
         np.add.at(inflow, dst, pr[src] / deg[src])
-        pr = (1.0 - d) / n + d * (mass / n) + d * inflow
+        pr = (1.0 - d) * p + d * mass * p + d * inflow
     out = pd.DataFrame({"node": nodes, "pr": pr})
     return spark.createDataFrame(out)

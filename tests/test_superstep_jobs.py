@@ -234,3 +234,42 @@ def test_clustering_coefficient_hand_graph(spark):
         3: (3, 1.0),
         9: (0, 0.0),
     }
+
+
+def test_personalized_pagerank_tiers_agree_and_concentrate(spark):
+    from pyspark.sql import functions as F2
+
+    from routing_algorithm_for_graph_dbs_spark.graph.pagerank import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 9), (9, 2), (5, 0)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = [0]
+    a = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=8, strategy="local", seeds=seeds)
+        .select("node", F2.round("pr", 6).alias("pr"))
+        .collect()
+    }
+    b = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iterations=8, strategy="iterative", seeds=seeds)
+        .select("node", F2.round("pr", 6).alias("pr"))
+        .collect()
+    }
+    assert a == b
+    # teleportation concentrates rank near the seed: the seed outranks a
+    # node with no path from it (5 only ever teleports)
+    assert a[0] > a[5]
+    # node 5 has no in-edges and is not a seed: its only rank is teleport
+    # mass, which PPR gives exclusively to seeds -> exactly 0
+    assert a[5] == 0.0
+
+
+def test_personalized_pagerank_rejects_empty_seed_list(spark):
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.graph.pagerank import pagerank
+
+    df = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank(df, seeds=[])
