@@ -5943,3 +5943,57 @@ def graph_ppr(spark, sf_dir):
     return res.select(
         F.col("node").cast("long").alias("node"), F.round("pr", 6).alias("pr")
     )
+
+
+@_register(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+             AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'events.user_id -> customer',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id))
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit — orphan-FK counts for three
+    relationships, the dq-family companion to dq_constraint_checks. Each
+    check is one left-anti join against the (broadcastable) parent key
+    set; orphan counts instead of orphan rows, so the output is three
+    rows regardless of corpus size. The events->customer check is
+    EXPECTED to report orphans on this synthetic data (user ids outrun
+    the customer table) — an integrity REPORT, not an assertion."""
+    def _check(child, key_col, parent_keys, name):
+        n = child.count()
+        orphans = child.join(parent_keys, key_col, "left_anti").count()
+        return (name, n, orphans)
+
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("k")
+    )
+    rows = [
+        _check(li, "k", od.select(F.col("o_orderkey").alias("k")).distinct(),
+               "lineitem.l_orderkey -> orders"),
+        _check(od.select(F.col("o_custkey").alias("k")), "k", cust,
+               "orders.o_custkey -> customer"),
+        _check(ev, "k", cust, "events.user_id -> customer"),
+    ]
+    return spark.createDataFrame(rows, "fk string, n_rows long, n_orphans long")
