@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+    pin_if_uncached,
     edge_partition_count,
     superstep_confs,
 )
@@ -164,7 +165,12 @@ def betweenness(
     from routing_algorithm_for_graph_dbs_spark.graph.sssp import BROADCAST_EDGE_LIMIT
 
     n_edges = None
+    release = lambda: None
     if strategy == "auto":
+        # pin across the dispatch count, the tier's materialization, and
+        # the scaled-mode vertex count; never evict a caller-persisted
+        # cache (graph/partitioning.py pin_if_uncached)
+        edges, release = pin_if_uncached(edges)
         n_edges = edges.count()
         strategy = (
             "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
@@ -187,4 +193,5 @@ def betweenness(
         k = sources.distinct().count()
         if k:
             out = out.withColumn("score", F.col("score") * (n / k))
+    release()
     return out

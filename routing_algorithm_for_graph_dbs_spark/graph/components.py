@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
     edge_partition_count,
+    pin_if_uncached,
     superstep_confs,
 )
 
@@ -50,11 +51,19 @@ def connected_components(
     graphs beyond driver memory. Cross-tier equality is pytest-asserted.
     """
     n_in = None
+    release = lambda: None
     if strategy == "auto":
+        # the dispatch count and the chosen tier's first materialization
+        # would otherwise EACH execute the caller's upstream pipeline —
+        # for dd_canonical that is the whole minhash->LSH->verify chain,
+        # roughly doubling its cost. Pin across both; release below.
+        edges, release = pin_if_uncached(edges)
         n_in = edges.count()
         strategy = "local" if n_in <= LOCAL_EDGE_LIMIT else "iterative"
     if strategy == "local":
-        return _local_components(edges, vertices)
+        out = _local_components(edges, vertices)
+        release()
+        return out
 
     e = edges.select("src", "dst")
     e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -115,6 +124,7 @@ def connected_components(
                 break
 
     e.unpersist()
+    release()
     return labels
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+    pin_if_uncached,
     edge_partition_count,
     superstep_confs,
 )
@@ -48,12 +49,19 @@ def k_core(
     (identical rounds, integer arithmetic — bit-exact across tiers);
     ``iterative`` is the superstep loop below; ``auto`` picks by count.
     """
+    release = lambda: None
     if strategy == "auto":
-        strategy = "local" if (
-            n_edges if n_edges is not None else edges.count()
-        ) <= BROADCAST_EDGE_LIMIT else "iterative"
+        if n_edges is None:
+            # pin across the dispatch count + the tier's first
+            # materialization; never evict a caller-persisted cache
+            # (graph/partitioning.py pin_if_uncached)
+            edges, release = pin_if_uncached(edges)
+            n_edges = edges.count()
+        strategy = "local" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
     if strategy == "local":
-        return _local_k_core(edges, k, iterations)
+        out = _local_k_core(edges, k, iterations)
+        release()
+        return out
     und = (
         edges.select("src", "dst")
         .unionByName(
@@ -65,6 +73,7 @@ def k_core(
         n_edges = und.count()
     n_parts = edge_partition_count(und, max(n_edges, 1))
     active = und.repartition(n_parts, "src").localCheckpoint(eager=True)
+    release()  # checkpointed: the input is no longer read
     prev = n_edges
 
     with superstep_confs(edges.sparkSession, n_parts):

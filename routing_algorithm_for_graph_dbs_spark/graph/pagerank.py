@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+    pin_if_uncached,
     edge_partition_count,
     superstep_confs,
 )
@@ -70,14 +71,21 @@ def pagerank(
     one collect instead of ``iterations`` scheduler rounds; ``iterative``
     is the superstep kernel below; ``auto`` picks by edge count.
     """
-    if strategy == "auto":
-        strategy = "local" if (
-            n_edges if n_edges is not None else edges.count()
-        ) <= BROADCAST_EDGE_LIMIT else "iterative"
     if seeds is not None and not seeds:
         raise ValueError("seeds must be None (uniform) or a non-empty list")
+    release = lambda: None
+    if strategy == "auto":
+        if n_edges is None:
+            # pin across the dispatch count + the tier's first
+            # materialization; never evict a caller-persisted cache
+            # (graph/partitioning.py pin_if_uncached)
+            edges, release = pin_if_uncached(edges)
+            n_edges = edges.count()
+        strategy = "local" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
     if strategy == "local":
-        return _local_pagerank(edges, damping, iterations, seeds)
+        out = _local_pagerank(edges, damping, iterations, seeds)
+        release()
+        return out
     e = edges.select("src", "dst").distinct()
     if n_edges is None:
         n_edges = e.count()
@@ -147,6 +155,7 @@ def pagerank(
 
     out = state.select("node", "pr")
     e.unpersist()
+    release()
     return out
 
 

@@ -57,3 +57,23 @@ def superstep_confs(spark: SparkSession, n_parts: int):
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def pin_if_uncached(df):
+    """Persist ``df`` for the span of a dispatch-count + tier run — but
+    ONLY if the caller hasn't persisted it already.
+
+    Returns ``(df, release)`` where ``release()`` undoes exactly what
+    this call did. The already-cached check matters as much as the
+    persist: unconditionally unpersisting in the kernel would EVICT a
+    cache the caller still needs (the 9-OD routing harness shares one
+    persisted day-graph across nine kernel runs — evicting it after the
+    first forced eight full re-projections, a 3x bench regression before
+    this guard existed).
+    """
+    from pyspark import StorageLevel
+
+    if df.storageLevel != StorageLevel.NONE:
+        return df, (lambda: None)
+    out = df.persist()
+    return out, (lambda: out.unpersist())

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+    pin_if_uncached,
     edge_partition_count,
     superstep_confs,
 )
@@ -69,12 +70,21 @@ def strongly_connected_components(
     its own singleton SCC. ``strategy``: auto | local | iterative.
     """
     n_in = None
+    release = lambda: None
     if strategy == "auto":
+        # pin across the dispatch count + the tier's first materialization
+        # — an unpersisted upstream pipeline must not execute twice, and a
+        # caller-persisted input must NOT be evicted (graph/partitioning.py
+        # pin_if_uncached documents both failure modes)
+        edges, release = pin_if_uncached(edges)
         n_in = edges.count()
         strategy = "local" if n_in <= LOCAL_EDGE_LIMIT else "iterative"
-    if strategy == "local":
-        return _local_scc(edges, vertices)
-    return _iterative_scc(edges, vertices, max_iterations, n_in)
+    try:
+        if strategy == "local":
+            return _local_scc(edges, vertices)
+        return _iterative_scc(edges, vertices, max_iterations, n_in)
+    finally:
+        release()
 
 
 # ---------------------------------------------------------------------

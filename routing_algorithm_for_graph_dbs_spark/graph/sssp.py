@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+    pin_if_uncached,
     edge_partition_count,
     superstep_confs,
 )
@@ -196,16 +197,29 @@ def sssp(
     iterative tier ignores it — callers filter, same results).
     """
     n_edges = None
+    release = lambda: None
     if strategy == "auto":
+        # pin across the dispatch count + the tier's first materialization
+        # — an unpersisted upstream pipeline must not execute twice, and a
+        # caller-persisted input (the routing harness shares one persisted
+        # day-graph across nine kernel runs) must NOT be evicted
+        # (graph/partitioning.py pin_if_uncached documents both)
+        edges, release = pin_if_uncached(edges)
         n_edges = edges.count()
         strategy = "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
 
-    if strategy == "broadcast":
-        from routing_algorithm_for_graph_dbs_spark.graph.local_sssp import (
-            broadcast_dijkstra,
-        )
+    try:
+        if strategy == "broadcast":
+            from routing_algorithm_for_graph_dbs_spark.graph.local_sssp import (
+                broadcast_dijkstra,
+            )
 
-        return broadcast_dijkstra(edges, sources, weight_col, track_paths, targets)
-    return multi_source_dijkstra(
-        edges, sources, weight_col, max_iterations, track_paths, n_edges=n_edges
-    )
+            return broadcast_dijkstra(
+                edges, sources, weight_col, track_paths, targets
+            )
+        return multi_source_dijkstra(
+            edges, sources, weight_col, max_iterations, track_paths,
+            n_edges=n_edges,
+        )
+    finally:
+        release()
