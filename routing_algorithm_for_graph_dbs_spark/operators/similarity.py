@@ -539,7 +539,12 @@ def semdedup(
     small-corpus setting only. Returns ``(key, centroid_id, kept)`` for
     every input vector; filter ``kept`` to materialize the deduped corpus.
     """
-    assigned = ivf_assign(embeddings, n_centroids, vec_col, key_col, cents=cents)
+    # the assignment argmin (n_centroids interpreted dot products per
+    # vector) feeds BOTH self-join sides and the kept-flag join-back —
+    # checkpoint it so it computes once, not three times per action
+    assigned = ivf_assign(
+        embeddings, n_centroids, vec_col, key_col, cents=cents
+    ).localCheckpoint(eager=True)
     # each side carries its norm INTO the join (computed once per vector),
     # so the quadratic within-cluster stage pays one dot product per pair
     # instead of a dot plus two norm recomputations — the higher-order-fn
