@@ -5997,3 +5997,67 @@ def dq_referential_integrity(spark, sf_dir):
         _check(ev, "k", cust, "events.user_id -> customer"),
     ]
     return spark.createDataFrame(rows, "fk string, n_rows long, n_orphans long")
+
+
+@_register(
+    "pipe_entity_resolution",
+    """
+    WITH RECURSIVE n AS (SELECT DISTINCT lower(p_name) AS n FROM part),
+    b AS (SELECT n, substr(n, 1, 3) AS blk FROM n),
+    pairs AS (
+      SELECT a.n AS s, c.n AS d
+      FROM b a JOIN b c ON a.blk = c.blk AND a.n < c.n
+      WHERE levenshtein(a.n, c.n) <= 3
+    ),
+    edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    reach AS (
+      SELECT s AS node, d AS r FROM edges
+      UNION
+      SELECT reach.node, edges.d FROM reach JOIN edges ON reach.r = edges.s
+    ),
+    rep AS (SELECT node, LEAST(node, MIN(r)) AS canon FROM reach GROUP BY node),
+    canon AS (
+      SELECT nn.n AS name, COALESCE(rep.canon, nn.n) AS canon
+      FROM n nn LEFT JOIN rep ON rep.node = nn.n
+    ),
+    sz AS (SELECT canon AS c, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM canon GROUP BY canon)
+    SELECT canon.name, canon.canon, sz.n_members
+    FROM canon JOIN sz ON sz.c = canon.canon
+    """,
+)
+def pipe_entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution: blocked fuzzy candidate pairs
+    (er_fuzzy_name_pairs' 3-char-prefix block + edit-distance verify) ->
+    transitive closure via connected components -> every name mapped to
+    its canonical representative (cluster minimum) with cluster size.
+    The same compose-the-primitives shape as pipe_training_mix: blocking
+    bounds the quadratic term, closure runs on the (tiny) surviving pair
+    graph, singletons map to themselves with n_members = 1."""
+    from routing_algorithm_for_graph_dbs_spark.graph.components import (
+        connected_components,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    names = p.select(F.lower("p_name").alias("name")).distinct()
+    b = names.withColumn("blk", F.substring("name", 1, 3))
+    a = b.select(F.col("name").alias("na"), "blk")
+    c = b.select(F.col("name").alias("nb"), "blk")
+    pairs = (
+        a.join(c, "blk")
+        .filter(F.col("na") < F.col("nb"))
+        .filter(F.levenshtein("na", "nb") <= 3)
+        .select(F.col("na").alias("src"), F.col("nb").alias("dst"))
+    )
+    comp = connected_components(pairs)
+    canon = names.join(
+        comp.withColumnRenamed("node", "name"), "name", "left"
+    ).select(
+        "name", F.coalesce(F.col("component"), F.col("name")).alias("canon")
+    )
+    sizes = canon.groupBy(F.col("canon").alias("c")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return canon.join(sizes, canon["canon"] == sizes["c"]).select(
+        "name", "canon", "n_members"
+    )
