@@ -6061,3 +6061,34 @@ def pipe_entity_resolution(spark, sf_dir):
     return canon.join(sizes, canon["canon"] == sizes["c"]).select(
         "name", "canon", "n_members"
     )
+
+
+@_register(
+    "st_interval_join_left",
+    """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+    """,
+)
+def st_interval_join_left(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join, batch twin — views with no
+    same-user click inside the horizon survive with NULL click columns
+    (the attribution report wants the non-converting views too). In
+    streaming the unmatched rows emit at state-eviction time, once both
+    watermarks pass the view's interval (tests drive that with
+    multi-batch file replay); batch is the plain left join the oracle
+    states."""
+    from routing_algorithm_for_graph_dbs_spark.streaming.pipelines import (
+        view_click_interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return view_click_interval_join(
+        views, clicks, horizon="12 hours", how="left_outer"
+    )

@@ -307,6 +307,7 @@ def view_click_interval_join(
     clicks: DataFrame,
     horizon: str = "10 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each view matched to the same user's
     clicks within ``horizon`` AFTER the view — the canonical funnel /
@@ -323,7 +324,20 @@ def view_click_interval_join(
     band — independent of total history; the join shuffles both sides on
     user_id once. The batch twin (driver_surface.st_interval_join) is the
     same expression without watermarks.
+
+    ``how="left_outer"`` keeps unmatched views: in streaming they emit
+    with NULL click columns once BOTH watermarks pass the view's match
+    interval (eviction-time emission — Spark's documented outer-join
+    rule; a stream that simply ENDS never advances the watermark, so
+    tail views stay unemitted until later data arrives. The availableNow
+    test drives this with multi-batch file replay). In batch it is a
+    plain left join. Allowed: inner / left_outer — right/full outer
+    would need the mirrored state story; rejected.
     """
+    if how not in ("inner", "left_outer", "leftouter"):
+        raise ValueError(
+            f"view_click_interval_join supports inner/left_outer, got {how!r}"
+        )
     v = views.select(
         F.col("user_id"),
         F.col("event_id").alias("view_id"),
@@ -342,6 +356,7 @@ def view_click_interval_join(
             F.col("click_ts")
             <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
         ),
+        how,
     ).select(
         v["user_id"].alias("user_id"),
         "view_id",

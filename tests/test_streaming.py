@@ -294,3 +294,94 @@ def test_interval_join_stream_equals_batch(spark, events_dir, events_batch, tmp_
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
     assert len(got_rows) > 0  # the fixture feed must actually exercise it
+
+
+def test_interval_join_left_outer_emits_unmatched_on_eviction(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an unmatched view emits with NULL
+    click columns once both watermarks pass its match interval. Outer
+    emission happens in the batch AFTER the watermark advances (Spark
+    updates watermarks at batch end), so the replay needs a third file:
+    batch1 = data, batch2 = watermark pusher, batch3 = eviction+emit."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from routing_algorithm_for_graph_dbs_spark.streaming.pipelines import (
+        view_click_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src)
+    t0 = _time.time() - 3600
+
+    def write(name, rows, i):
+        # flat {name}.parquet files in mtime order — the layout the file
+        # source replays incrementally (a nested dir per batch is NOT
+        # discovered as new files)
+        df = spark.createDataFrame(rows, SCHEMA)
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{name}.parquet")
+                os.rename(os.path.join(stage, f), dst)
+                os.utime(dst, times=(t0 + i * 60, t0 + i * 60))
+
+    # batch 1: user 1's view never gets a click; user 2's view does (+5 min)
+    write("a", [
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base, 2, "view", 0.0, "{}"),
+        (3, base + dt.timedelta(minutes=5), 2, "click", 0.0, "{}"),
+    ], 0)
+    # batches 2+3: far-future events for an unrelated user push the
+    # watermark past view_ts + horizon + delay, then trigger eviction.
+    # BOTH event types are needed: the global watermark is the MIN over
+    # the two watermarked inputs (multipleWatermarkPolicy=min), and each
+    # side only observes its own post-filter rows — future clicks alone
+    # would leave the view-side watermark pinned at 00:00 forever.
+    # User 999's own views sit at the watermark frontier, so they stay
+    # unemitted in state — only user 1's view is evicted inside the run.
+    write("b", [
+        (90, base + dt.timedelta(hours=30), 999, "click", 0.0, "{}"),
+        (92, base + dt.timedelta(hours=30), 999, "view", 0.0, "{}"),
+    ], 1)
+    write("c", [
+        (91, base + dt.timedelta(hours=31), 999, "click", 0.0, "{}"),
+        (93, base + dt.timedelta(hours=31), 999, "view", 0.0, "{}"),
+    ], 2)
+
+    v = read_events_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    )
+    c = read_events_stream(spark, src, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    out = view_click_interval_join(
+        v, c, horizon="10 minutes", watermark="1 hour", how="left_outer"
+    )
+    run_available_now(out, "ss_left", str(tmp_path / "ck_left"), "append")
+    got = {
+        r["view_id"]: (r["click_id"], r["lag_us"])
+        for r in spark.table("ss_left").collect()
+    }
+    assert got[2] == (3, 300_000_000)  # matched pair, 5 min lag
+    assert got[1] == (None, None)      # unmatched view emitted as outer row
+    # the watermark-pusher views match their own-user clicks at lag 0 and
+    # emit eagerly; clicks never appear on the left side
+    assert got[92] == (90, 0) and got[93] == (91, 0)
+    assert set(got) == {1, 2, 92, 93}
+
+
+def test_interval_join_left_outer_rejects_bad_how(spark):
+    from routing_algorithm_for_graph_dbs_spark.streaming.pipelines import (
+        view_click_interval_join,
+    )
+
+    df = spark.range(1).selectExpr(
+        "id AS user_id", "id AS event_id", "current_timestamp() AS ts"
+    )
+    with pytest.raises(ValueError, match="inner/left_outer"):
+        view_click_interval_join(df, df, how="full_outer")
