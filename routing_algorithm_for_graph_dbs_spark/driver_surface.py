@@ -6092,3 +6092,100 @@ def st_interval_join_left(spark, sf_dir):
     return view_click_interval_join(
         views, clicks, horizon="12 hours", how="left_outer"
     )
+
+
+@_register(
+    "txt_bigram_logprob",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g')), ' ')
+               AS t
+      FROM documents
+      WHERE len(trim(regexp_replace(regexp_replace(
+               lower(text), '[^a-z0-9]+', ' ', 'g'), '[ ]+', ' ', 'g'))) > 0
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([t[i] || chr(31) || t[i+1]
+                     for i in generate_series(1, len(t) - 1)]) AS bg
+      FROM d
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS tok FROM d) GROUP BY tok
+    ),
+    n AS (SELECT SUM(c) AS n FROM uni),
+    bgc AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
+    SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN(0.7 * (CAST(bc.c AS DOUBLE) / u1.c)
+                        + 0.3 * (CAST(u2.c AS DOUBLE) / n.n))), 6)
+             AS avg_logprob
+    FROM bg x
+    JOIN bgc bc ON bc.bg = x.bg
+    JOIN uni u1 ON u1.tok = string_split(x.bg, chr(31))[1]
+    JOIN uni u2 ON u2.tok = string_split(x.bg, chr(31))[2]
+    CROSS JOIN n
+    GROUP BY x.doc_id
+    """,
+)
+def txt_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM fluency score — the CCNet-style perplexity
+    quality filter one rung above txt_unigram_logprob:
+    ``0.7 * P(w2|w1) + 0.3 * P(w2)``, both estimated from the corpus
+    itself (the corpus scores itself, so every scored bigram has a count
+    — no smoothing constant to keep cross-engine). Per-doc mean log-prob
+    + bigram count; docs with < 2 tokens have no bigrams and drop out.
+
+    Scale shape: bigrams are built AT THE ARRAY LEVEL (zip_with over two
+    shifted slices — map-side, no window, no per-token shuffle); the
+    count tables shuffle once each on their key, then join back onto the
+    bigram stream (Catalyst/AQE broadcasts them while the vocabulary is
+    bounded; at open-vocabulary scale the same plan degrades gracefully
+    to shuffle joins on the bigram key). One per-doc aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "),
+            r"[ ]+",
+            " ",
+        )
+    )
+    # filter on the NORMALIZED STRING, not the split array: an empty
+    # string splits to [""] (size 1), which would sneak an empty token
+    # into the unigram table on corpora with blank docs
+    d = docs.filter(F.length(norm) > 0).select(
+        "doc_id", F.split(norm, " ").alias("t")
+    )
+    sep = "\x1f"
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.concat(a, F.lit(sep), b),
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    uni = (
+        d.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("n"))
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bg.withColumn("w1", F.split(F.col("bg"), sep).getItem(0))
+        .withColumn("w2", F.split(F.col("bg"), sep).getItem(1))
+        .join(bgc, "bg")
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    mix = 0.7 * (F.col("cb").cast("double") / F.col("c1")) + 0.3 * (
+        F.col("c2").cast("double") / F.col("n")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(F.log(mix)), 6).alias("avg_logprob"),
+    )
