@@ -279,3 +279,88 @@ def test_bloom_never_false_negative(spark, keys, probes):
     kept = {r["k"] for r in bloom_filter_keys(pdf, ["k"], bloom).collect()}
     # every probe that IS a key must survive — bloom has no false negatives
     assert keys & probes <= kept
+
+
+@SET
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # day offset
+            st.integers(min_value=-20, max_value=20),  # value
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_interpolate_daily_matches_python_oracle(spark, obs):
+    import datetime as dt
+
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import (
+        interpolate_daily,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, base + dt.timedelta(days=d, hours=1), float(v)) for d, v in obs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r["day"]: (r["observed"], r["v_interp"])
+        for r in interpolate_daily(df).collect()
+    }
+    # python oracle: daily means, dense grid, linear interp between
+    # observed neighbors
+    by_day: dict = {}
+    for d, v in obs:
+        by_day.setdefault(d, []).append(v)
+    means = {d: round(sum(vs) / len(vs), 6) for d, vs in by_day.items()}
+    days = sorted(means)
+    lo, hi = days[0], days[-1]
+    assert len(got) == hi - lo + 1
+    for d in range(lo, hi + 1):
+        key = (base + dt.timedelta(days=d)).strftime("%Y-%m-%d")
+        if d in means:
+            assert got[key] == (True, means[d]), (d, got[key])
+        else:
+            p = max(x for x in days if x < d)
+            n = min(x for x in days if x > d)
+            want = means[p] + (means[n] - means[p]) * (d - p) / (n - p)
+            assert got[key][0] is False
+            assert got[key][1] == pytest.approx(round(want, 6), abs=1e-6)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # group
+            st.integers(min_value=0, max_value=50),   # id (may repeat)
+            st.integers(min_value=0, max_value=5),    # quality
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_keep_best_matches_python_oracle(spark, rows):
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        keep_best_dedup,
+    )
+
+    df = spark.createDataFrame(rows, "grp long, id long, quality long")
+    got = {
+        r["grp"]: (r["quality"], r["id"], r["dup_count"])
+        for r in keep_best_dedup(
+            df,
+            ["grp"],
+            F.struct(F.col("quality"), (-F.col("id")).alias("tb")),
+        ).collect()
+    }
+    want: dict = {}
+    counts: dict = {}
+    for g, i, q in rows:
+        counts[g] = counts.get(g, 0) + 1
+        # max by (quality, -id): highest quality, lowest id on ties
+        cur = want.get(g)
+        if cur is None or (q, -i) > (cur[0], -cur[1]):
+            want[g] = (q, i)
+    assert got == {g: (q, i, counts[g]) for g, (q, i) in want.items()}
