@@ -486,3 +486,50 @@ def test_estimate_key_overlap_tolerance_above_threshold(spark):
     row = estimate_key_overlap(left, right, ["k"]).collect()[0]
     assert abs(row["inter_est"] - 20_000) < 1_000
     assert abs(row["union_est"] - 50_000) < 2_500
+
+
+# ------------------------------------------------------------ AQE skew join
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The skew story this repo tells is two-part: salting/two-stage
+    shapes for aggregations AQE can't rewrite (operators/skew.py), and
+    AQE's runtime skew-join split for plain joins. This locks the second
+    claim with evidence: a 75%-hot-key sort-merge join re-plans with a
+    skew=true partition split in the FINAL adaptive plan. Thresholds are
+    lowered only to make a test-sized dataset look skewed; the session's
+    production confs keep the defaults."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 150_000, 0)
+            .otherwise(F.col("id") % 97 + 1)
+            .alias("k"),
+            F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(0, 98).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_000  # hot key matches dim key 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
