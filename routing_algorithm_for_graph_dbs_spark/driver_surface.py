@@ -6189,3 +6189,39 @@ def txt_bigram_logprob(spark, sf_dir):
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg(F.log(mix)), 6).alias("avg_logprob"),
     )
+
+
+@_register(
+    "smp_temperature_mixture",
+    """
+    WITH t AS (
+      SELECT source, SUM(n_chars) AS tot FROM documents GROUP BY source
+    ),
+    z AS (SELECT SUM(pow(CAST(tot AS DOUBLE), 0.3)) AS z FROM t),
+    r AS (
+      SELECT t.source,
+             ROUND(LEAST(1.0,
+               (pow(CAST(t.tot AS DOUBLE), 0.3) / z.z) * 60000.0 / t.tot), 9)
+               AS rate
+      FROM t, z
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+          AS BIGINT) / 4294967296.0 < r.rate
+    """,
+)
+def smp_temperature_mixture(spark, sf_dir):
+    """Temperature-smoothed mixture (sampling.temperature_mixture_sample,
+    alpha=0.3, 60k-char budget) — the multilingual rebalancing recipe:
+    shares follow size^alpha, lifting small sources toward uniform while
+    large ones shrink. Rates round to 9 decimals so a cross-engine pow
+    ulp can't flip a keep decision against the 2^-32-granular draw."""
+    from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return temperature_mixture_sample(docs, budget=60000.0, alpha=0.3).select(
+        "doc_id", "source"
+    )

@@ -503,6 +503,60 @@ def budget_mixture_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    budget: float,
+    alpha: float = 0.3,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-smoothed mixture sampling — the multilingual-corpus
+    rebalancing recipe (mT5/XLM-R style): group shares follow
+    ``p_i ∝ size_i**alpha`` instead of raw size, so ``alpha < 1`` lifts
+    small groups toward uniform while big groups shrink (alpha=1 is
+    proportional passthrough, alpha=0 is budget_mixture_sample's equal
+    split). Each group keeps rows at ``min(1, p_i * budget / size_i)``
+    via the deterministic ``hash_uniform`` draw.
+
+    Rates are ROUNDED to 9 decimals before the comparison: ``pow`` may
+    differ by an ulp across engines, and the round collapses that below
+    the draw's 2^-32 granularity so both engines keep the identical set.
+    Scale shape: identical to budget_mixture_sample — one combiner
+    aggregation, tiny broadcast of per-group rates, the corpus never
+    shuffles.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    totals = df.groupBy(group_col).agg(F.sum(size_col).alias("_tot"))
+    denom = totals.agg(
+        F.sum(F.pow(F.col("_tot").cast("double"), F.lit(float(alpha)))).alias(
+            "_z"
+        )
+    )
+    rates = totals.crossJoin(F.broadcast(denom)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.pow(F.col("_tot").cast("double"), F.lit(float(alpha)))
+                    / F.col("_z")
+                )
+                * F.lit(float(budget))
+                / F.col("_tot"),
+            ),
+            9,
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_uniform(F.col(key_col).cast("string"), salt) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def weighted_sample_k(
     df: DataFrame,
     k: int,

@@ -1797,3 +1797,54 @@ class TestBpe:
         out = apply_bpe(df, [("a", "a", 0)]).collect()[0]["bpe_tokens"]
         # 'aaa' -> [aa, a]; 'aaaa' -> [aa, aa]
         assert out == ["aa", "a", "aa", "aa"]
+
+
+class TestTemperatureMixture:
+    def _docs(self, spark):
+        # one huge source, one tiny
+        rows = [(i, "big", 100) for i in range(900)] + [
+            (1000 + i, "small", 100) for i in range(100)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    def test_alpha_lifts_small_sources(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        docs = self._docs(spark)
+        budget = 50_000.0  # half the 100k-char corpus
+
+        def share(alpha):
+            kept = temperature_mixture_sample(docs, budget, alpha=alpha)
+            per = {r["source"]: r["n"] for r in kept.groupBy("source")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+            return per.get("small", 0) / max(per.get("big", 1), 1)
+
+        # alpha=1 ~ proportional (small/big ~ 1/9); alpha->0 ~ equal
+        # budget halves -> small passes whole, big thins -> ratio rises
+        assert share(0.0) > share(1.0)
+
+    def test_alpha_one_is_proportional_passthrough(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        docs = self._docs(spark)
+        # budget == corpus size and alpha=1 -> every rate is 1, all rows kept
+        kept = temperature_mixture_sample(docs, 100_000.0, alpha=1.0)
+        assert kept.count() == docs.count()
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        docs = self._docs(spark)
+        a = {r["doc_id"] for r in temperature_mixture_sample(docs, 30_000.0).collect()}
+        b = {r["doc_id"] for r in temperature_mixture_sample(docs, 30_000.0).collect()}
+        c = {r["doc_id"] for r in temperature_mixture_sample(docs, 30_000.0, salt="other").collect()}
+        assert a == b
+        assert a != c
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_mixture_sample(docs, 1.0, alpha=-0.1)
