@@ -22,73 +22,70 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
-# order. This window lists one query per distinct SURVEY.md §2 operator plus
-# the head of each LLM-pipeline family, so every claimed component gets a
-# driver-visible hash-checked row. Near-duplicate variants (batched/directed/
-# alternate-accessor forms) fall outside the window and stay covered by
-# tools/check_oracles.py (committed as CORRECTNESS_local_r{N}.json).
+# order. The window ROTATES each round (round-5 verdict demand): round 5's
+# 50 §2-operator heads are all driver-green in CORRECTNESS_r05.json, so this
+# round promotes a DISJOINT set of 50 previously-local-only queries — the
+# graph-analytics, sampling, time-series/event, ops/layout/sketch, and
+# pipeline families — so they too earn an adversarial driver-run row. The
+# remaining 105 stay covered by tools/check_oracles.py (committed as
+# CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # §2.1-2.2 scans / projections / filters
-    "p1_project_rename",
-    "p3_p4_filters",
-    "p5_computed_theta",
-    "p6_radius_filter",
-    "p8_p9_p10_membership",
-    # §2.3 joins
-    "j1_join_chain",
-    "j2_fk_dims",
-    "w1_lead_consecutive",  # J3 via lead window
-    "j4_band_selfjoin",
-    "j5_earliest_transfer",
-    "j6_explode_rejoin",
-    "j7_nn_top1",
-    "j8_semi_join",
-    "j9_anti_join",
-    # §2.4 aggregates / windows / sorts / set ops
-    "a1_a2_aggregates",
-    "a3_argmin_ties",
-    "a5_collect_sorted",
-    "w3_running_sum",
-    "t1_t2_topk",
-    "u1_union_all",
-    # §2.5 functions
-    "f1_casts",
-    "f2_temporal",
-    "f3_durations",
-    "f7_arrays",
-    "f8_strings",
-    # §2.6 graph
-    "graph_bfs_hops",
-    "graph_components",
-    "graph_degree_metrics",
-    "graph_betweenness",
-    # §2.10 streaming
-    "st_tumbling_window",
-    "st_watermark_dedup",
-    "st_sessionization",
-    # as-of / range join
-    "asof_last_view",
-    "rng_followup_events",
-    # dedup family heads
-    "dd_exact_dedup",
-    "dd_lsh_candidates",
-    "dd_simhash",
-    "dd_decontaminate",
-    "sem_dedup",
-    # similarity family heads
-    "sim_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_pairs",
-    # text family heads
-    "txt_token_counts",
-    "txt_language_id",
-    "txt_quality",
-    "txt_fingerprint",
-    "txt_repetition",
-    # multimodal / sampling / packing heads
-    "mm_image_features",
-    "smp_mixture",
-    "pack_shards",
+    # graph analytics (beyond round-5's bfs/components/betweenness/degree)
+    "graph_pagerank",
+    "graph_ppr",
+    "graph_triangles",
+    "graph_kcore",
+    "graph_scc",
+    "graph_labelprop",
+    "graph_closeness",
+    "graph_harmonic",
+    "graph_random_walks",
+    "graph_node_similarity",
+    "graph_lcc",
+    "graph_betweenness_directed",
+    # sampling / splitting / mixtures
+    "smp_stratified",
+    "smp_ntile",
+    "smp_negatives",
+    "smp_cap_per_source",
+    "smp_budget_mixture",
+    "smp_weighted_k",
+    "smp_train_val_test",
+    "smp_temperature_mixture",
+    # time-series / event analytics
+    "ts_resample_ffill",
+    "ts_ewma",
+    "ts_interpolate",
+    "ev_zscore_outliers",
+    "ev_mad_outliers",
+    "ev_conversion_funnel",
+    "ev_cohort_retention",
+    "ev_markov_transitions",
+    # mutation / history / data-quality ops
+    "upd_merge_upsert",
+    "upd_apply_cdc",
+    "hist_scd2",
+    "hist_snapshot_asof",
+    "dq_constraint_checks",
+    "dq_column_profile",
+    "dq_dataset_fingerprint",
+    "dq_referential_integrity",
+    # layout / skew / sketches / indexing
+    "lay_zorder_key",
+    "skw_count_distinct",
+    "skw_bloom_join",
+    "apx_sketches",
+    "apx_hll_rollup",
+    "apx_theta_setops",
+    "idx_postings",
+    "idx_conjunctive_search",
+    # end-to-end pipelines + dedup/text tails
+    "pipe_corpus_prep",
+    "pipe_training_mix",
+    "pipe_entity_resolution",
+    "dd_canonical",
+    "dd_keep_best",
+    "txt_bpe_learn2",
 ]
 
 

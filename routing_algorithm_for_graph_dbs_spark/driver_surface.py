@@ -5292,7 +5292,7 @@ def upd_apply_cdc(spark, sf_dir):
       FROM runs
     ),
     mid AS (
-      SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2 AS BIGINT) AS at_us
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS at_us
       FROM events
     )
     SELECT h.user_id, h.event_type, h.valid_from
@@ -5321,7 +5321,10 @@ def hist_snapshot_asof(spark, sf_dir):
     )
     hist = scd2_history(ev, "user_id", "event_type", "t_us", order_cols=["event_id"])
     mid = ev.agg(
-        ((F.min("t_us") + F.max("t_us")) / 2).cast("long").alias("at_us")
+        # integer FLOOR division on both engines: double /2 + cast truncates
+        # in Spark but rounds half-to-even in DuckDB's CAST, skewing the
+        # instant by 1 us when min+max is odd
+        F.expr("(min(t_us) + max(t_us)) div 2").alias("at_us")
     )
     snap = snapshot_asof(
         hist.crossJoin(F.broadcast(mid)), F.col("at_us")

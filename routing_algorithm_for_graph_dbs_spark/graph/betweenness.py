@@ -166,32 +166,35 @@ def betweenness(
 
     n_edges = None
     release = lambda: None
-    if strategy == "auto":
-        # pin across the dispatch count, the tier's materialization, and
-        # the scaled-mode vertex count; never evict a caller-persisted
-        # cache (graph/partitioning.py pin_if_uncached)
-        edges, release = pin_if_uncached(edges)
-        n_edges = edges.count()
-        strategy = (
-            "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
-        )
-    if strategy == "broadcast":
-        from routing_algorithm_for_graph_dbs_spark.graph.local_betweenness import (
-            broadcast_betweenness,
-        )
+    try:
+        if strategy == "auto":
+            # pin across the dispatch count, the tier's materialization, and
+            # the scaled-mode vertex count; never evict a caller-persisted
+            # cache (graph/partitioning.py pin_if_uncached). try/finally:
+            # a kernel exception must not leak the persisted DataFrame.
+            edges, release = pin_if_uncached(edges)
+            n_edges = edges.count()
+            strategy = (
+                "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
+            )
+        if strategy == "broadcast":
+            from routing_algorithm_for_graph_dbs_spark.graph.local_betweenness import (
+                broadcast_betweenness,
+            )
 
-        out = broadcast_betweenness(edges, sources)
-    else:
-        out = betweenness_centrality(edges, sources, n_edges=n_edges)
-    if scaled and sources is not None:
-        n = (
-            edges.select(F.col("src").alias("n"))
-            .unionByName(edges.select(F.col("dst").alias("n")))
-            .distinct()
-            .count()
-        )
-        k = sources.distinct().count()
-        if k:
-            out = out.withColumn("score", F.col("score") * (n / k))
-    release()
-    return out
+            out = broadcast_betweenness(edges, sources)
+        else:
+            out = betweenness_centrality(edges, sources, n_edges=n_edges)
+        if scaled and sources is not None:
+            n = (
+                edges.select(F.col("src").alias("n"))
+                .unionByName(edges.select(F.col("dst").alias("n")))
+                .distinct()
+                .count()
+            )
+            k = sources.distinct().count()
+            if k:
+                out = out.withColumn("score", F.col("score") * (n / k))
+        return out
+    finally:
+        release()

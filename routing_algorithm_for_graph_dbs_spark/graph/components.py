@@ -1,12 +1,19 @@
-"""Connected components via iterative min-label propagation.
+"""Connected components via alternating star contraction (O(log n) rounds).
 
 Parity target: the reference's variable-length reachability guard
 ``OPTIONAL MATCH (start)-[:A|B|C*]->(end) WHERE end IS NOT NULL``
 (reference ``prova.py:211-212``, SURVEY.md G5): two nodes are mutually
 reachable over the (symmetrized) footway edge set iff they share a
-component. Label propagation is the standard Spark formulation — each
-superstep a node adopts the minimum label among itself and its neighbors;
-converges in O(diameter) supersteps.
+component.
+
+The iterative tier is the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+each round rewrites the edge set so every node hangs closer to its
+component minimum; the fixed point is a forest of stars centered at the
+minima. Convergence is O(log n) ROUNDS regardless of graph diameter —
+the property that matters at 100 TB, where a web-crawl-shaped graph with
+million-hop chains would cost a min-label-propagation loop (the previous
+implementation here) one superstep per hop.
 """
 
 from __future__ import annotations
@@ -22,9 +29,14 @@ from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
 
 
 # edge relations at or below this fit comfortably on the driver (~40 MB of
-# pairs); union-find there beats O(diameter) distributed supersteps. The
-# iterative tier takes over beyond it — same two-tier pattern as sssp().
+# pairs); union-find there beats distributed rounds. The iterative tier
+# takes over beyond it — same two-tier pattern as sssp().
 LOCAL_EDGE_LIMIT = 5_000_000
+
+# rounds taken by the most recent iterative-tier run; read by the scale
+# tests to assert O(log n) convergence (a 100k-node chain must finish in
+# ~log2(n) rounds, not ~n supersteps).
+LAST_ITERATIVE_ROUNDS = 0
 
 
 def connected_components(
@@ -45,87 +57,136 @@ def connected_components(
 
     Two tiers (``strategy``: auto | local | iterative): a near-dup pair
     graph or a city footway graph is a few thousand to a few million edges
-    — collected once and solved with union-find on the driver in one job,
-    instead of O(diameter) supersteps each costing a join + checkpoint.
-    ``auto`` picks by edge count; the iterative min-label tier serves
-    graphs beyond driver memory. Cross-tier equality is pytest-asserted.
+    — collected once and solved with union-find on the driver in one job.
+    ``auto`` picks by edge count; the iterative star-contraction tier
+    serves graphs beyond driver memory in O(log n) rounds independent of
+    diameter. Cross-tier equality is pytest-asserted, including on a
+    long-chain graph whose diameter vastly exceeds the round count.
     """
-    n_in = None
+    global LAST_ITERATIVE_ROUNDS
     release = lambda: None
-    if strategy == "auto":
-        # the dispatch count and the chosen tier's first materialization
-        # would otherwise EACH execute the caller's upstream pipeline —
-        # for dd_canonical that is the whole minhash->LSH->verify chain,
-        # roughly doubling its cost. Pin across both; release below.
-        edges, release = pin_if_uncached(edges)
-        n_in = edges.count()
-        strategy = "local" if n_in <= LOCAL_EDGE_LIMIT else "iterative"
-    if strategy == "local":
-        out = _local_components(edges, vertices)
+    try:
+        if strategy == "auto":
+            # the dispatch count and the chosen tier's first materialization
+            # would otherwise EACH execute the caller's upstream pipeline —
+            # for dd_canonical that is the whole minhash->LSH->verify chain,
+            # roughly doubling its cost. Pin across both; release in finally.
+            edges, release = pin_if_uncached(edges)
+            n_in = edges.count()
+            strategy = "local" if n_in <= LOCAL_EDGE_LIMIT else "iterative"
+        if strategy == "local":
+            return _local_components(edges, vertices)
+        return _star_contraction_components(edges, vertices, max_iterations)
+    finally:
         release()
-        return out
 
-    e = edges.select("src", "dst")
-    e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # partition estimate from the raw input count (x2 for symmetrization),
-    # reusing the dispatch count — an unpersisted upstream pipeline must
-    # not execute twice just for partition sizing
-    if n_in is None:
-        n_in = edges.count()
-    n_parts = edge_partition_count(edges, 2 * n_in)
-    e = e.distinct().repartition(n_parts, "src").persist()
+
+def _star_contraction_components(
+    edges: DataFrame, vertices: DataFrame | None, max_iterations: int
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.).
+
+    Each round is two edge-set rewrites, each one groupBy + one join on
+    the node key (map-side combinable min-aggregations, equi-joins — no
+    all-pairs anywhere):
+
+    - large-star: every node u links each STRICTLY-LARGER neighbor to the
+      minimum of its closed neighborhood, halving the depth of tall
+      attachment chains;
+    - small-star: every node links itself and its smaller neighbors to
+      that minimum, flattening local stars.
+
+    The fixed point is a set of (child, component-min) star edges; it is
+    detected by an edge-multiset checksum (count + sum of xxhash64) going
+    stable — one cheap aggregate per round that doubles as the action
+    materializing the round's lazy checkpoint.
+    """
+    global LAST_ITERATIVE_ROUNDS
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    n_edges = e.count()
+    n_parts = edge_partition_count(edges, 2 * n_edges)
 
     # vertex set = edge endpoints UNION the caller's vertices (isolated
-    # nodes become their own components). Endpoints are always included:
-    # treating a partial ``vertices`` as the complete set would silently
-    # drop labels for unlisted endpoints — and diverge from the local tier.
+    # nodes become their own components). Built from the UNFILTERED input —
+    # a node appearing only in a self-loop must still get a label — and
+    # endpoints are always included: treating a partial ``vertices`` as the
+    # complete set would silently drop labels for unlisted endpoints.
     verts = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     if vertices is not None:
-        verts = (
-            verts.unionByName(
-                vertices.select(F.col(vertices.columns[0]).alias("node"))
-            ).distinct()
+        verts = verts.unionByName(
+            vertices.select(F.col(vertices.columns[0]).alias("node"))
+        ).distinct()
+    verts = verts.localCheckpoint(eager=True)
+
+    def large_star(b: DataFrame) -> DataFrame:
+        sym = b.unionByName(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", "u").alias("m"))
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
 
-    labels = verts.select("node", F.col("node").alias("component")).localCheckpoint(
-        eager=True
-    )
+    def small_star(b: DataFrame) -> DataFrame:
+        oriented = b.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        # group key is the LARGER endpoint, so every neighbor (and hence
+        # the min) is strictly smaller than u — m = min of closed nbhd.
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            oriented.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_link = mins.select("u", F.col("m").alias("v"))
+        return (
+            relink.unionByName(self_link)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
 
-    with superstep_confs(edges.sparkSession, n_parts):
+    b = e.localCheckpoint(eager=True)
+    prev_chk = None
+    rounds = 0
+    with superstep_confs(spark, n_parts):
         for _ in range(max_iterations):
-            neighbor_min = (
-                labels.join(e, labels["node"] == e["src"])
-                .select(e["dst"].alias("node"), "component")
-                .groupBy("node")
-                .agg(F.min("component").alias("nbr_component"))
+            nxt = small_star(large_star(b)).localCheckpoint(eager=False)
+            # lazy checkpoint + checksum aggregate = one job: the agg's full
+            # scan materializes the checkpoint as a side effect, and the
+            # (count, xor-of-hashes) pair is the convergence signal — the
+            # star fixed point reproduces its own (distinct) edge set
+            # exactly. bit_xor, not sum: ANSI mode makes a 64-bit hash sum
+            # overflow, while xor is closed and order-independent.
+            chk = tuple(
+                nxt.agg(
+                    F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+                ).first()
             )
-            updated = (
-                labels.alias("l")
-                .join(neighbor_min.alias("n"), "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("l.component"),
-                        F.coalesce(F.col("n.nbr_component"), F.col("l.component")),
-                    ).alias("component"),
-                    (F.col("n.nbr_component") < F.col("l.component")).alias("_changed"),
-                )
-            ).localCheckpoint(eager=False)
-            # lazy checkpoint + count = one job: the count's full scan
-            # materializes the checkpoint as a side effect (an eager checkpoint
-            # would spend a second job doing the same scan).
-            n_changed = updated.filter(F.col("_changed")).count()
-            labels = updated.drop("_changed")
-            if n_changed == 0:
+            rounds += 1
+            b = nxt
+            if chk == prev_chk:
                 break
+            prev_chk = chk
+    LAST_ITERATIVE_ROUNDS = rounds
 
-    e.unpersist()
-    release()
-    return labels
+    # at the fixed point b is (child -> component-min); the min-agg is a
+    # no-op safety net, and roots/isolated vertices label themselves.
+    parents = b.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("parent"))
+    return verts.join(parents, "node", "left").select(
+        "node", F.coalesce("parent", "node").alias("component")
+    )
 
 
 def _local_components(edges: DataFrame, vertices: DataFrame | None) -> DataFrame:

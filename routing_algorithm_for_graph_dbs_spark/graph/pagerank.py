@@ -74,18 +74,30 @@ def pagerank(
     if seeds is not None and not seeds:
         raise ValueError("seeds must be None (uniform) or a non-empty list")
     release = lambda: None
-    if strategy == "auto":
-        if n_edges is None:
-            # pin across the dispatch count + the tier's first
-            # materialization; never evict a caller-persisted cache
-            # (graph/partitioning.py pin_if_uncached)
-            edges, release = pin_if_uncached(edges)
-            n_edges = edges.count()
-        strategy = "local" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
-    if strategy == "local":
-        out = _local_pagerank(edges, damping, iterations, seeds)
+    try:
+        if strategy == "auto":
+            if n_edges is None:
+                # pin across the dispatch count + the tier's first
+                # materialization; never evict a caller-persisted cache
+                # (graph/partitioning.py pin_if_uncached). try/finally: a
+                # kernel exception must not leak the persisted DataFrame.
+                edges, release = pin_if_uncached(edges)
+                n_edges = edges.count()
+            strategy = "local" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
+        if strategy == "local":
+            return _local_pagerank(edges, damping, iterations, seeds)
+        return _iterative_pagerank(edges, damping, iterations, seeds, n_edges)
+    finally:
         release()
-        return out
+
+
+def _iterative_pagerank(
+    edges: DataFrame,
+    damping: float,
+    iterations: int,
+    seeds: list | None,
+    n_edges: int | None,
+) -> DataFrame:
     e = edges.select("src", "dst").distinct()
     if n_edges is None:
         n_edges = e.count()
@@ -155,7 +167,6 @@ def pagerank(
 
     out = state.select("node", "pr")
     e.unpersist()
-    release()
     return out
 
 

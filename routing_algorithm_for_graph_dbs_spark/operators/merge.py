@@ -151,11 +151,15 @@ def apply_cdc(
     times; per-key cost is bounded by that key's change count, no
     collect anywhere. Ties on ``seq_col`` are broken by preferring
     deletes (op desc: 'U'/'I' < 'D' lexically is NOT relied on — an
-    explicit is-delete flag sorts last-wins deterministic).
+    explicit is-delete flag sorts last-wins deterministic), then by the
+    full non-key payload struct descending — two non-delete ops sharing
+    (key, seq) would otherwise keep a nondeterministic payload across
+    runs/partitionings.
     """
     is_del = (F.col(op_col) == F.lit("D")).cast("int")
+    payload = F.struct(*[c for c in changes.columns if c not in set(keys)])
     w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(), is_del.desc()
+        F.col(seq_col).desc(), is_del.desc(), payload.desc()
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

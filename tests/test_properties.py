@@ -199,11 +199,13 @@ def test_apply_cdc_matches_python_oracle(spark, changes):
     from routing_algorithm_for_graph_dbs_spark.operators.merge import apply_cdc
 
     target_rows = [(0, -1), (1, -1), (2, -1)]
-    # python oracle: latest (seq, is_delete-last tie-break) op per key wins
+    # python oracle mirroring apply_cdc's total order: (seq, is_delete,
+    # payload struct) — the struct tail makes equal-(key, seq) upserts
+    # deterministic instead of input-order-dependent
     final = {}
     for k, seq, op, v in changes:
         prev = final.get(k)
-        rank = (seq, 1 if op == "D" else 0)
+        rank = (seq, 1 if op == "D" else 0, (seq, op, v))
         if prev is None or rank >= prev[0]:
             final[k] = (rank, op, v)
     state = dict(target_rows)

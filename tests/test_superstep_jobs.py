@@ -57,8 +57,8 @@ def test_superstep_confs_restores_session(spark):
 
 
 def test_components_converges_with_lazy_checkpoint(spark):
-    """Min-label propagation still terminates and labels correctly with the
-    one-job superstep (count-materialized lazy checkpoint)."""
+    """Star contraction terminates and labels correctly with the one-job
+    round (checksum-materialized lazy checkpoint), incl. self-loop nodes."""
     from routing_algorithm_for_graph_dbs_spark.graph.components import (
         connected_components,
     )
