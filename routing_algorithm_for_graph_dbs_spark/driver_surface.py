@@ -1600,9 +1600,10 @@ _HEXBYTE = (
       FROM img
     )
     SELECT media_id, hx AS sha256, CAST(n_bytes AS BIGINT) AS n_bytes,
-           CAST(64 + b0 % 192 AS BIGINT) AS fake_width,
-           CAST(64 + b1 % 192 AS BIGINT) AS fake_height,
-           ROUND(b2 / 255.0, 6) AS fake_mean_luma
+           CAST(64 + b0 % 192 AS BIGINT) AS width,
+           CAST(64 + b1 % 192 AS BIGINT) AS height,
+           ROUND(b2 / 255.0, 6) AS mean_luma,
+           'fake' AS decoder
     FROM b
     """,
 )
@@ -1621,9 +1622,10 @@ def mm_image_features(spark, sf_dir):
         "media_id",
         "sha256",
         F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.col("fake_width").cast("long").alias("fake_width"),
-        F.col("fake_height").cast("long").alias("fake_height"),
-        "fake_mean_luma",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        "decoder",
     )
 
 
@@ -2854,34 +2856,28 @@ def f11_maps(spark, sf_dir):
 )
 def txt_repetition(spark, sf_dir):
     """Gopher-style within-document repetition filters
-    (text.repetition_scores + text.top_ngram_fraction): duplicate-part
-    fractions at line and word granularity (count- and char-weighted) plus
-    the most-frequent-bigram occupancy. The part fractions are pure array
-    expressions (no shuffle); the bigram mode is one combiner-friendly
-    shuffle on (doc, gram). Line-level columns exercise the canonical
-    Gopher unit (the synthetic corpus is single-line, so they are
-    structurally 0 here — the crafted-fixture pytest proves the line/
-    paragraph semantics); word-level columns carry the real signal."""
+    (text.repetition_profile): duplicate-part fractions at line and word
+    granularity (count- and char-weighted) plus the most-frequent-bigram
+    occupancy — ONE projection over one scan, zero shuffles/joins (each
+    stat is a sorted-run fold over the part array). spread_for_compute:
+    the work is regex-CPU-bound per row, so a byte-sized scan split must
+    not serialize the corpus onto one core (no-op at real scale). Line-
+    level columns exercise the canonical Gopher unit (the synthetic
+    corpus is single-line, so they are structurally 0 here — the
+    crafted-fixture pytest proves the line/paragraph semantics);
+    word-level columns carry the real signal."""
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
     from routing_algorithm_for_graph_dbs_spark.operators.text import (
-        repetition_scores,
-        top_ngram_fraction,
+        repetition_profile,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"))
     # explicit whitespace class: Java's \s and RE2's \s disagree on \x0B
     # (vertical tab), so both engines get the same literal class.
-    rep = repetition_scores(
-        docs, parts={"line": r"\n", "word": r"[ \t\n\x0B\f\r]+"}
-    )
-    top = top_ngram_fraction(docs, n=2)
-    return rep.join(top, "doc_id").select(
-        "doc_id",
-        "dup_line_frac",
-        "dup_line_char_frac",
-        "dup_word_frac",
-        "dup_word_char_frac",
-        "n_grams",
-        "top_ngram_frac",
+    return repetition_profile(
+        docs, parts={"line": r"\n", "word": r"[ \t\n\x0B\f\r]+"}, n=2
     )
 
 

