@@ -56,6 +56,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` + conditional round-robin repartition up to cluster
+    parallelism (operators.skew.spread_for_compute) — for queries whose
+    per-row work is CPU-bound (regex scans, minhash permutations, IVF
+    dot products): a kilobyte-sized parquet arrives as ONE byte-sized
+    split and would otherwise serialize the whole stage onto one core.
+    No-op at real scale, where the scan already has >= parallelism
+    splits."""
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    return spread_for_compute(_t(spark, sf_dir, name))
+
+
 # =====================================================================
 # §2.1/§2.2 scans, projections, filters
 # =====================================================================
@@ -1026,7 +1041,7 @@ def txt_language_id(spark, sf_dir):
     """Marker-word language ID (argmax with lexicographic tie-break)."""
     from routing_algorithm_for_graph_dbs_spark.operators.text import language_id
 
-    out = language_id(_t(spark, sf_dir, "documents"))
+    out = language_id(_t_spread(spark, sf_dir, "documents"))
     return out.select(
         "doc_id",
         F.col("hits_de").cast("long").alias("hits_de"),
@@ -1277,7 +1292,9 @@ _CANDS_SQL = (
 def _min3_docs(spark, sf_dir):
     from routing_algorithm_for_graph_dbs_spark.operators.dedup import normalize_text
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread: minhash permutations are CPU-per-row (md5 x shingles x
+    # hashes) and the toy parquet is a single byte-sized split
+    docs = _t_spread(spark, sf_dir, "documents")
     return docs.filter(F.size(F.split(normalize_text(F.col("text")), " ")) >= 3)
 
 
@@ -1922,7 +1939,7 @@ def dd_simhash(spark, sf_dir):
     tests/test_dataops.py)."""
     from routing_algorithm_for_graph_dbs_spark.operators.dedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"), hash_fn="md5")
+    return simhash(_t_spread(spark, sf_dir, "documents"), hash_fn="md5")
 
 
 # Betweenness oracles: the nation graph is SF-independent (25 fixed rows),
@@ -2953,7 +2970,7 @@ def sem_dedup(spark, sf_dir):
     from routing_algorithm_for_graph_dbs_spark.operators.similarity import semdedup
 
     out = semdedup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
+        _t_spread(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
     )
     return out.select(
         "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"), "kept"

@@ -41,6 +41,19 @@ Two tiers, same dispatch pattern as :func:`graph.components
 Component label = the minimum vertex id in the SCC (matching the weak
 tier's convention), so both tiers agree bit-for-bit and the DuckDB
 oracle (mutual-reachability closure) can hash-check the result.
+
+Why the weak tier's large-star/small-star contraction is NOT mirrored
+here: star contraction rewrites an UNDIRECTED edge set around local
+minima, which preserves connectivity but destroys direction — the
+contracted graph answers "connected", not "mutually reachable". The
+O(diameter) term in FW-BW lives inside the forward min-label fixpoint
+(step 1), and the directed analogue of round-halving (path doubling /
+transitive-closure squaring, cf. Fischer-Uhlig) squares the edge set —
+O(n²) intermediate edges, a non-starter at 100 TB. Long directed
+diameters inside one color are therefore this tier's documented cost
+profile; in exchange, peel parallelism keeps the ROUND count at the
+condensation-chain length (500k SCCs peel in 3 phases — tools/
+scale_scc.py).
 """
 
 from __future__ import annotations

@@ -44,6 +44,7 @@ def multi_source_dijkstra(
     track_paths: bool = True,
     checkpoint_every: int = 1,
     n_edges: int | None = None,
+    max_cost: float | None = None,
 ) -> DataFrame:
     """Shortest path costs (and paths) from every source to every reachable node.
 
@@ -53,6 +54,15 @@ def multi_source_dijkstra(
     sources : DataFrame with columns (lane, node). ``lane`` identifies the
         source run (the reference's per-(source,target) Dijkstra call index);
         one lane per source node, but several lanes may share a node.
+    max_cost : optional cost horizon. Frontier rows beyond it are pruned
+        each superstep and the result keeps only nodes with cost <=
+        max_cost — EXACT within the horizon (weights are non-negative, so
+        an over-horizon node can never improve an in-horizon one). This is
+        what makes iterative-tier ROUTING converge: the reference itself
+        caps itineraries at ``max_duration`` (reference ``main.py:129-130``),
+        so bounding the search there turns unbounded global convergence
+        over the time-expanded day graph into O(horizon / min-edge-weight)
+        supersteps over a frontier that stops growing at the cap.
     Returns (lane, node, cost, path) — ``path`` is the array of node ids from
     the source to ``node`` inclusive (omitted when track_paths=False).
     """
@@ -127,6 +137,10 @@ def multi_source_dijkstra(
             if track_paths:
                 sel.append(F.col("c.path2").alias("path"))
             frontier = improved.select(*sel)
+            if max_cost is not None:
+                # bounded horizon: never expand past the cap (exact for all
+                # nodes within it — non-negative weights only grow cost)
+                frontier = frontier.filter(F.col("cost") <= max_cost)
 
             # merge improvements into best: union + per-key min (frontier rows
             # are strictly better for their keys, so min_by picks them). The
@@ -161,6 +175,11 @@ def multi_source_dijkstra(
                 break
 
     e.unpersist()
+    if max_cost is not None:
+        # over-horizon entries in best may hold non-final costs (their
+        # improvements were pruned) — the horizon contract only returns
+        # settled rows
+        best = best.filter(F.col("cost") <= max_cost)
     return best
 
 
@@ -178,6 +197,7 @@ def sssp(
     strategy: str = "auto",
     max_iterations: int = 200,
     targets: list | dict | None = None,
+    max_cost: float | None = None,
 ) -> DataFrame:
     """Two-tier SSSP dispatcher (same (lane, node, cost[, path]) contract).
 
@@ -195,6 +215,11 @@ def sssp(
     per-lane target sets (batch routing) — the broadcast tier then returns
     only target rows and early-terminates once all are settled (the
     iterative tier ignores it — callers filter, same results).
+
+    ``max_cost``: optional cost horizon — both tiers return only rows with
+    cost <= max_cost; the iterative tier additionally PRUNES its frontier
+    at the cap each superstep (see ``multi_source_dijkstra``), which is
+    what bounds its superstep count on time-expanded routing graphs.
     """
     n_edges = None
     release = lambda: None
@@ -214,12 +239,15 @@ def sssp(
                 broadcast_dijkstra,
             )
 
-            return broadcast_dijkstra(
+            out = broadcast_dijkstra(
                 edges, sources, weight_col, track_paths, targets
             )
+            if max_cost is not None:
+                out = out.filter(F.col("cost") <= max_cost)
+            return out
         return multi_source_dijkstra(
             edges, sources, weight_col, max_iterations, track_paths,
-            n_edges=n_edges,
+            n_edges=n_edges, max_cost=max_cost,
         )
     finally:
         release()

@@ -116,6 +116,7 @@ def _run_pairs(
     sources: DataFrame,
     targets: DataFrame,
     strategy: str = "auto",
+    max_cost: float | None = None,
 ) -> DataFrame:
     """Stage 3: lanes = source stoptimes; join lane results onto targets.
 
@@ -131,7 +132,7 @@ def _run_pairs(
     target_ids = [r["stoptime_id"] for r in targets.select("stoptime_id").distinct().collect()]
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time", targets=target_ids,
-        strategy=strategy,
+        strategy=strategy, max_cost=max_cost,
     )
     t = targets.select(
         F.col("stoptime_id").alias("t_id"),
@@ -182,7 +183,14 @@ def routing(
         (F.col("stop_name") == target_stop_name) & (F.col("departure_s") < end_s)
     )
 
-    ranked = _run_pairs(graph, sources, targets, strategy=strategy)
+    # the reference's own duration cap (main.py:129-130) doubles as the
+    # SSSP cost horizon: elapsed time telescopes along time-expanded paths,
+    # so no itinerary the rank can select costs more than the cap — and the
+    # horizon is what bounds the iterative tier's superstep count.
+    ranked = _run_pairs(
+        graph, sources, targets, strategy=strategy,
+        max_cost=float(max_duration_h * 3600),
+    )
     # ORDER BY arrival_time, cost LIMIT 1 (main.py:102); deterministic tiebreak
     winner = ranked.orderBy("dst_arrival_s", "cost", "src", "dst").limit(1)
     return _decompose_path(winner, day_st)
@@ -194,6 +202,7 @@ def routing_batch(
     time_s: int,
     max_duration_h: int = 4,
     strategy: str = "auto",
+    max_iterations: int = 200,
 ) -> DataFrame:
     """Every OD pair's itinerary in ONE multi-lane SSSP run.
 
@@ -261,7 +270,8 @@ def routing_batch(
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time",
         targets={k: sorted(v) for k, v in lane_targets.items()},
-        strategy=strategy,
+        strategy=strategy, max_cost=float(max_duration_h * 3600),
+        max_iterations=max_iterations,
     )
 
     t = targets.select(

@@ -73,6 +73,35 @@ def test_sssp_unreachable_absent(spark):
     assert nodes == {"a", "b"}
 
 
+def test_sssp_bounded_horizon_exact_within_cap(spark):
+    """max_cost prunes the frontier at the cap but stays EXACT inside it
+    (non-negative weights: a prefix of an optimal path never exceeds the
+    whole), and both tiers return the same capped set. The horizon is
+    what makes iterative-tier routing converge (plans/routing.py)."""
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import (
+        multi_source_dijkstra,
+        sssp,
+    )
+
+    # diamond + tail: d reachable at 3, e at 4 — cap at 3 keeps a,b,c,d
+    e = _edges_df(
+        spark,
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 3.0), ("c", "d", 1.0),
+         ("d", "e", 1.0)],
+    )
+    src = spark.createDataFrame([("a", "a")], ["lane", "node"])
+    it = {
+        r["node"]: r["cost"]
+        for r in multi_source_dijkstra(e, src, max_cost=3.0).collect()
+    }
+    assert it == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
+    bc = {
+        r["node"]: r["cost"]
+        for r in sssp(e, src, strategy="broadcast", max_cost=3.0).collect()
+    }
+    assert bc == it
+
+
 def test_connected_components(spark):
     from routing_algorithm_for_graph_dbs_spark.graph.components import (
         connected_components,
