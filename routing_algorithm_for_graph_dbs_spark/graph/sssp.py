@@ -35,6 +35,11 @@ from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
     superstep_confs,
 )
 
+# supersteps used / convergence of the most recent multi_source_dijkstra
+# run — read by the scale tools to report the batch-regime cost honestly
+LAST_ITERATIVE_SUPERSTEPS = 0
+LAST_ITERATIVE_CONVERGED = True
+
 
 def multi_source_dijkstra(
     edges: DataFrame,
@@ -174,6 +179,9 @@ def multi_source_dijkstra(
             if n_frontier == 0:
                 break
 
+    global LAST_ITERATIVE_SUPERSTEPS, LAST_ITERATIVE_CONVERGED
+    LAST_ITERATIVE_SUPERSTEPS = it + 1
+    LAST_ITERATIVE_CONVERGED = n_frontier == 0
     e.unpersist()
     if max_cost is not None:
         # over-horizon entries in best may hold non-final costs (their
@@ -198,6 +206,7 @@ def sssp(
     max_iterations: int = 200,
     targets: list | dict | None = None,
     max_cost: float | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Two-tier SSSP dispatcher (same (lane, node, cost[, path]) contract).
 
@@ -247,7 +256,7 @@ def sssp(
             return out
         return multi_source_dijkstra(
             edges, sources, weight_col, max_iterations, track_paths,
-            n_edges=n_edges, max_cost=max_cost,
+            n_edges=n_edges, max_cost=max_cost, checkpoint_every=checkpoint_every,
         )
     finally:
         release()

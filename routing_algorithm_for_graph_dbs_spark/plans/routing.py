@@ -203,6 +203,8 @@ def routing_batch(
     max_duration_h: int = 4,
     strategy: str = "auto",
     max_iterations: int = 200,
+    winners_only: bool = False,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Every OD pair's itinerary in ONE multi-lane SSSP run.
 
@@ -271,7 +273,7 @@ def routing_batch(
         graph.edges, lanes, weight_col="waiting_time",
         targets={k: sorted(v) for k, v in lane_targets.items()},
         strategy=strategy, max_cost=float(max_duration_h * 3600),
-        max_iterations=max_iterations,
+        max_iterations=max_iterations, checkpoint_every=checkpoint_every,
     )
 
     t = targets.select(
@@ -306,9 +308,17 @@ def routing_batch(
     winners = (
         ranked.withColumn("rn", F.row_number().over(ww))
         .filter(F.col("rn") == 1)
-        .select("pair_id", "path")
     )
-    return _decompose_path(winners, day_st, keys=("pair_id",))
+    if winners_only:
+        # the rank identity (pair, src, dst, cost, arrival) is fully
+        # deterministic across SSSP tiers; the PATH between a fixed
+        # (src, dst) stoptime pair is one arbitrary member of the
+        # equal-cost tie class (GDS behaves the same) — the scale
+        # validation compares tiers on this contract
+        return winners.select(
+            "pair_id", "src", "dst", "cost", "dst_arrival_s"
+        )
+    return _decompose_path(winners.select("pair_id", "path"), day_st, keys=("pair_id",))
 
 
 def routing_between_two_points_in_space(
