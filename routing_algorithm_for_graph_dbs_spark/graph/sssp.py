@@ -50,6 +50,7 @@ def multi_source_dijkstra(
     checkpoint_every: int = 1,
     n_edges: int | None = None,
     max_cost: float | None = None,
+    shuffle_parts: int | None = None,
 ) -> DataFrame:
     """Shortest path costs (and paths) from every source to every reachable node.
 
@@ -69,7 +70,10 @@ def multi_source_dijkstra(
         over the time-expanded day graph into O(horizon / min-edge-weight)
         supersteps over a frontier that stops growing at the cap.
     Returns (lane, node, cost, path) — ``path`` is the array of node ids from
-    the source to ``node`` inclusive (omitted when track_paths=False).
+    the source to ``node`` inclusive. ``track_paths``: True = accumulate
+    path arrays in-state; ``"pred"`` = carry only a predecessor pointer
+    (narrow state — reconstruct with :func:`reconstruct_paths`); False =
+    costs only.
     """
     e = edges.select(
         F.col("src"), F.col("dst"), F.col(weight_col).cast("double").alias("w")
@@ -79,17 +83,39 @@ def multi_source_dijkstra(
         # dispatcher (which already counted) to skip it
         n_edges = e.count()
     # see graph/partitioning.py: edge partition count is a per-superstep
-    # task-launch multiplier — size it to the graph, not the session default
+    # task-launch multiplier — size it to the graph, not the session default.
+    # ``shuffle_parts`` overrides upward for STATE-heavy runs: batch routing
+    # drags (lane x horizon-ball) rows with path arrays through every
+    # superstep, so the state, not the edge relation, is the work to spread
+    # (measured 3x on the 1x day graph: 4 edge-sized partitions left 28
+    # cores idle per superstep).
     n_parts = edge_partition_count(e, n_edges)
+    if shuffle_parts is not None:
+        n_parts = max(n_parts, shuffle_parts)
     e = e.repartition(n_parts, "src")
     e = e.persist()
 
-    if track_paths:
+    full_paths = track_paths is True
+    pred_mode = track_paths == "pred"
+    if full_paths:
         best = sources.select(
             "lane",
             F.col("node"),
             F.lit(0.0).alias("cost"),
             F.array(F.col("node")).alias("path"),
+        )
+    elif pred_mode:
+        # predecessor pointers instead of accumulated path arrays: the
+        # per-superstep state rewrite (union + groupBy + checkpoint) is
+        # O(state WIDTH x rows), and a horizon-ball state dragging ~100-
+        # element id arrays costs ~10x the narrow (lane, node, cost, pred)
+        # row — reconstruct full paths afterward only for the few rows that
+        # need them (graph.sssp.reconstruct_paths)
+        best = sources.select(
+            "lane",
+            F.col("node"),
+            F.lit(0.0).alias("cost"),
+            F.lit(None).cast(sources.schema["node"].dataType).alias("pred"),
         )
     else:
         best = sources.select("lane", F.col("node"), F.lit(0.0).alias("cost"))
@@ -107,10 +133,12 @@ def multi_source_dijkstra(
                 F.col("g.dst").alias("node2"),
                 (F.col("f.cost") + F.col("g.w")).alias("cost2"),
             ]
-            if track_paths:
+            if full_paths:
                 proj.append(
                     F.concat(F.col("f.path"), F.array(F.col("g.dst"))).alias("path2")
                 )
+            elif pred_mode:
+                proj.append(F.col("f.node").alias("pred2"))
             cand = (
                 frontier.alias("f")
                 .join(e.alias("g"), F.col("f.node") == F.col("g.src"), "inner")
@@ -120,8 +148,10 @@ def multi_source_dijkstra(
             # keep the per-(lane,node) minimum among candidates (min_by keeps one
             # arbitrary path among exact ties, matching GDS tie behavior)
             aggs = [F.min("cost2").alias("cost2")]
-            if track_paths:
+            if full_paths:
                 aggs.append(F.min_by("path2", "cost2").alias("path2"))
+            elif pred_mode:
+                aggs.append(F.min_by("pred2", "cost2").alias("pred2"))
             cand = cand.groupBy("lane", "node2").agg(*aggs)
 
             # improved = strictly better than current best
@@ -139,8 +169,10 @@ def multi_source_dijkstra(
                 F.col("c.node2").alias("node"),
                 F.col("c.cost2").alias("cost"),
             ]
-            if track_paths:
+            if full_paths:
                 sel.append(F.col("c.path2").alias("path"))
+            elif pred_mode:
+                sel.append(F.col("c.pred2").alias("pred"))
             frontier = improved.select(*sel)
             if max_cost is not None:
                 # bounded horizon: never expand past the cap (exact for all
@@ -153,8 +185,10 @@ def multi_source_dijkstra(
             # materializes both states — halving the per-superstep job count,
             # which dominates wall time when frontiers are small.
             aggs2 = [F.min("cost").alias("cost")]
-            if track_paths:
+            if full_paths:
                 aggs2.append(F.min_by("path", "cost").alias("path"))
+            elif pred_mode:
+                aggs2.append(F.min_by("pred", "cost").alias("pred"))
             merged = (
                 best.unionByName(frontier)
                 .groupBy("lane", "node")
@@ -191,6 +225,67 @@ def multi_source_dijkstra(
     return best
 
 
+def reconstruct_paths(
+    state: DataFrame,
+    heads: DataFrame,
+    carry_cols: tuple[str, ...] = (),
+    max_hops: int = 100_000,
+) -> DataFrame:
+    """Walk predecessor pointers backward to full path arrays — the read
+    side of ``track_paths='pred'``.
+
+    ``state``: (lane, node, cost, pred) from the pred-mode kernel.
+    ``heads``: (lane, node [, *carry_cols]) rows to reconstruct — expected
+    FEW (ranked winners), which is the whole point: the kernel never drags
+    path arrays through its per-superstep state rewrite, and only these
+    rows pay reconstruction. Each hop is one pushdown filter + tiny
+    collect against the persisted narrow state, so the job count is the
+    longest path's hop count while every job touches ~|heads| rows.
+    Returns (*carry_cols, path) with path source->node inclusive.
+    """
+    from functools import reduce
+
+    spark = state.sparkSession
+    slim = state.select("lane", "node", "pred").persist()
+    slim.count()
+    rows = heads.collect()
+    paths = {i: [r["node"]] for i, r in enumerate(rows)}
+    cur = {i: (r["lane"], r["node"]) for i, r in enumerate(rows)}
+    hops = 0
+    while cur and hops < max_hops:
+        keys = sorted(set(cur.values()))
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("lane") == F.lit(l)) & (F.col("node") == F.lit(n))
+                for l, n in keys
+            ],
+        )
+        got = {
+            (r["lane"], r["node"]): r["pred"]
+            for r in slim.filter(cond).select("lane", "node", "pred").collect()
+        }
+        nxt = {}
+        for i, (l, n) in cur.items():
+            p = got.get((l, n))
+            if p is not None:
+                paths[i].insert(0, p)
+                nxt[i] = (l, p)
+        cur = nxt
+        hops += 1
+    slim.unpersist()
+
+    from pyspark.sql import types as T
+
+    node_t = heads.schema["node"].dataType
+    fields = [T.StructField(c, heads.schema[c].dataType) for c in carry_cols]
+    fields.append(T.StructField("path", T.ArrayType(node_t)))
+    out_rows = [
+        tuple(r[c] for c in carry_cols) + (paths[i],) for i, r in enumerate(rows)
+    ]
+    return spark.createDataFrame(out_rows, T.StructType(fields))
+
+
 # edges below this count are broadcast and solved per-lane in memory;
 # a city-year GTFS graph (~738k edges, BASELINE.md) is ~30 MB — far under
 # any executor budget. Above it, the iterative shuffling kernel takes over.
@@ -207,6 +302,7 @@ def sssp(
     targets: list | dict | None = None,
     max_cost: float | None = None,
     checkpoint_every: int = 1,
+    shuffle_parts: int | None = None,
 ) -> DataFrame:
     """Two-tier SSSP dispatcher (same (lane, node, cost[, path]) contract).
 
@@ -249,7 +345,9 @@ def sssp(
             )
 
             out = broadcast_dijkstra(
-                edges, sources, weight_col, track_paths, targets
+                # "pred" coerces to full paths here: the CSR tier's prev-
+                # pointer walk is already cheap, and its contract is (path)
+                edges, sources, weight_col, bool(track_paths), targets
             )
             if max_cost is not None:
                 out = out.filter(F.col("cost") <= max_cost)
@@ -257,6 +355,7 @@ def sssp(
         return multi_source_dijkstra(
             edges, sources, weight_col, max_iterations, track_paths,
             n_edges=n_edges, max_cost=max_cost, checkpoint_every=checkpoint_every,
+            shuffle_parts=shuffle_parts,
         )
     finally:
         release()

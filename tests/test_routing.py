@@ -110,6 +110,57 @@ def test_routing_batch_equals_sequential(graph):
         assert by_pair.get(i, []) == seq, (s, t)
 
 
+def test_routing_batch_iterative_pred_mode(graph):
+    """The iterative tier (pred-pointer state + winner-path
+    reconstruction) must reproduce the broadcast tier's winner identity
+    and produce a valid contiguous leg chain on the hand-verified
+    fixture. Full leg equality is also asserted HERE because the fixture
+    graph has unique shortest paths — on dense feeds only the winner
+    identity is tier-invariant (equal-cost path ties)."""
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import routing_batch
+
+    pairs = [("Autostazione 1", "Tonini 1")]
+    bc = routing_batch(graph, pairs, time_s=T0, strategy="broadcast").collect()
+    it = routing_batch(
+        graph, pairs, time_s=T0, strategy="iterative", max_iterations=500
+    ).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(bc) == key(it)
+    assert len(it) > 0
+
+    wb = routing_batch(
+        graph, pairs, time_s=T0, strategy="broadcast", winners_only=True
+    ).collect()
+    wi = routing_batch(
+        graph, pairs, time_s=T0, strategy="iterative", winners_only=True,
+        max_iterations=500,
+    ).collect()
+    assert sorted(map(tuple, wb)) == sorted(map(tuple, wi))
+
+
+def test_sssp_pred_mode_reconstruction(spark):
+    """track_paths='pred' carries only predecessor pointers; the backward
+    walk rebuilds exactly the path the full-path mode would store."""
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import (
+        multi_source_dijkstra,
+        reconstruct_paths,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 3.0), ("c", "d", 1.0)],
+        ["src", "dst", "weight"],
+    )
+    src = spark.createDataFrame([("L", "a")], ["lane", "node"])
+    res = multi_source_dijkstra(e, src, track_paths="pred")
+    got = {r["node"]: (r["cost"], r["pred"]) for r in res.collect()}
+    assert got == {
+        "a": (0.0, None), "b": (1.0, "a"), "c": (2.0, "b"), "d": (3.0, "c"),
+    }
+    heads = spark.createDataFrame([("L", "d", 7)], ["lane", "node", "k"])
+    paths = reconstruct_paths(res, heads, carry_cols=("k",)).collect()
+    assert paths[0]["k"] == 7 and paths[0]["path"] == ["a", "b", "c", "d"]
+
+
 def test_routing_no_feasible_target(graph):
     from routing_algorithm_for_graph_dbs_spark.plans.routing import routing
 
