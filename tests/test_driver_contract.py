@@ -10,23 +10,26 @@ from __future__ import annotations
 
 import pytest
 
-# one query per distinct SURVEY §2 operator / family head that MUST stay
-# inside the driver's 50-row window (VERDICT r4 gate condition)
+# The window ROTATES each round (VERDICT r5 item 2): round 5's window —
+# every distinct §2 operator head — is driver-green in CORRECTNESS_r05,
+# so round 6 promotes a DISJOINT set of previously-local-only families.
+# This list pins one representative per newly-promoted family; the
+# disjointness test below enforces the rotation itself.
 REQUIRED_IN_WINDOW = [
-    "p5_computed_theta",
-    "graph_betweenness",
-    "graph_bfs_hops",
-    "asof_last_view",
-    "rng_followup_events",
-    "dd_simhash",
-    "dd_decontaminate",
-    "sem_dedup",
-    "txt_repetition",
-    "smp_mixture",
-    "pack_shards",
-    "st_watermark_dedup",
-    "st_sessionization",
-    "mm_image_features",
+    "graph_pagerank",
+    "graph_scc",
+    "graph_kcore",
+    "smp_temperature_mixture",
+    "ts_interpolate",
+    "ev_cohort_retention",
+    "upd_apply_cdc",
+    "hist_snapshot_asof",
+    "dq_dataset_fingerprint",
+    "apx_theta_setops",
+    "idx_conjunctive_search",
+    "pipe_entity_resolution",
+    "dd_canonical",
+    "txt_bpe_learn2",
 ]
 
 
@@ -58,4 +61,18 @@ def test_queries_are_callable_and_keys_stable(entry_mod):
     assert len(q) >= 108
     assert all(callable(f) for f in q.values())
     # dict ordering is the contract: first 50 must be deterministic
-    assert list(q)[:3] == ["p1_project_rename", "p3_p4_filters", "p5_computed_theta"]
+    assert list(q)[:3] == ["graph_pagerank", "graph_ppr", "graph_triangles"]
+
+
+def test_window_rotated_disjoint_from_r05(entry_mod):
+    """Round-6 rotation: the driver's 50-row window must not overlap the
+    set already driver-hash-checked in CORRECTNESS_r05.json, so every
+    registry family eventually earns an adversarial driver row."""
+    import json
+    import os
+
+    r05 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "CORRECTNESS_r05.json")
+    prev = set(json.load(open(r05)))
+    window = set(list(entry_mod.queries())[:50])
+    assert not (window & prev), f"window overlaps r05: {sorted(window & prev)}"
