@@ -149,6 +149,7 @@ def broadcast_dijkstra(
     weight_col: str = "weight",
     track_paths: bool = True,
     targets: list | dict | None = None,
+    max_cost: float | None = None,
 ) -> DataFrame:
     """Same contract as ``multi_source_dijkstra``: (lane, node, cost[, path]).
 
@@ -206,6 +207,10 @@ def broadcast_dijkstra(
         recs = []
         for u in emit:
             if not np.isfinite(dist[u]):
+                continue
+            if max_cost is not None and dist[u] > max_cost:
+                # horizon contract applied at emit time — cheaper than a
+                # post-UDF filter stage over the Arrow output
                 continue
             if track_paths:
                 recs.append(

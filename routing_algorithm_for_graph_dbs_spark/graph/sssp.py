@@ -344,14 +344,12 @@ def sssp(
                 broadcast_dijkstra,
             )
 
-            out = broadcast_dijkstra(
+            return broadcast_dijkstra(
                 # "pred" coerces to full paths here: the CSR tier's prev-
                 # pointer walk is already cheap, and its contract is (path)
-                edges, sources, weight_col, bool(track_paths), targets
+                edges, sources, weight_col, bool(track_paths), targets,
+                max_cost=max_cost,
             )
-            if max_cost is not None:
-                out = out.filter(F.col("cost") <= max_cost)
-            return out
         return multi_source_dijkstra(
             edges, sources, weight_col, max_iterations, track_paths,
             n_edges=n_edges, max_cost=max_cost, checkpoint_every=checkpoint_every,
