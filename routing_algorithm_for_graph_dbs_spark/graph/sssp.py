@@ -119,7 +119,10 @@ def multi_source_dijkstra(
         )
     else:
         best = sources.select("lane", F.col("node"), F.lit(0.0).alias("cost"))
-    best = best.localCheckpoint(eager=True)
+    # generic callers may seed duplicate (lane, node) rows; the merge join
+    # below relies on per-key uniqueness of the state (all dups carry the
+    # identical cost-0 seed row, so dropping is exact)
+    best = best.dropDuplicates(["lane", "node"]).localCheckpoint(eager=True)
     frontier = best
 
     with superstep_confs(edges.sparkSession, n_parts):
@@ -154,47 +157,56 @@ def multi_source_dijkstra(
                 aggs.append(F.min_by("pred2", "cost2").alias("pred2"))
             cand = cand.groupBy("lane", "node2").agg(*aggs)
 
-            # improved = strictly better than current best
-            improved = (
-                cand.alias("c")
-                .join(
-                    best.select("lane", "node", "cost").alias("b"),
-                    (F.col("c.lane") == F.col("b.lane")) & (F.col("c.node2") == F.col("b.node")),
-                    "left",
-                )
-                .filter(F.col("b.cost").isNull() | (F.col("c.cost2") < F.col("b.cost")))
+            # improvement detection + state merge in ONE full-outer join:
+            # both sides are unique per (lane, node), so a CASE picks the
+            # winner per row — no union + re-aggregation of the whole state
+            # (the old shape shuffled the full state TWICE per superstep:
+            # once into the improved-join, once into the merge groupBy; this
+            # shuffles it once and runs no agg over it). ``better`` folds in
+            # the horizon: an over-cap improvement is never accepted, which
+            # both prunes the frontier at the cap and keeps over-horizon
+            # state rows at their (equally over-horizon) old values — the
+            # final cost <= max_cost filter drops them either way.
+            better = F.col("c.cost2").isNotNull() & (
+                F.col("b.cost").isNull() | (F.col("c.cost2") < F.col("b.cost"))
             )
+            if max_cost is not None:
+                better = better & (F.col("c.cost2") <= F.lit(max_cost))
             sel = [
-                F.col("c.lane").alias("lane"),
-                F.col("c.node2").alias("node"),
-                F.col("c.cost2").alias("cost"),
+                F.coalesce(F.col("b.lane"), F.col("c.lane")).alias("lane"),
+                F.coalesce(F.col("b.node"), F.col("c.node2")).alias("node"),
+                F.when(better, F.col("c.cost2")).otherwise(F.col("b.cost")).alias(
+                    "cost"
+                ),
+                better.alias("is_frontier"),
             ]
             if full_paths:
-                sel.append(F.col("c.path2").alias("path"))
+                sel.append(
+                    F.when(better, F.col("c.path2")).otherwise(F.col("b.path")).alias(
+                        "path"
+                    )
+                )
             elif pred_mode:
-                sel.append(F.col("c.pred2").alias("pred"))
-            frontier = improved.select(*sel)
-            if max_cost is not None:
-                # bounded horizon: never expand past the cap (exact for all
-                # nodes within it — non-negative weights only grow cost)
-                frontier = frontier.filter(F.col("cost") <= max_cost)
-
-            # merge improvements into best: union + per-key min (frontier rows
-            # are strictly better for their keys, so min_by picks them). The
-            # frontier rides along with a marker column so ONE checkpoint
-            # materializes both states — halving the per-superstep job count,
-            # which dominates wall time when frontiers are small.
-            aggs2 = [F.min("cost").alias("cost")]
-            if full_paths:
-                aggs2.append(F.min_by("path", "cost").alias("path"))
-            elif pred_mode:
-                aggs2.append(F.min_by("pred", "cost").alias("pred"))
+                sel.append(
+                    F.when(better, F.col("c.pred2")).otherwise(F.col("b.pred")).alias(
+                        "pred"
+                    )
+                )
             merged = (
-                best.unionByName(frontier)
-                .groupBy("lane", "node")
-                .agg(*aggs2)
-                .withColumn("is_frontier", F.lit(False))
-                .unionByName(frontier.withColumn("is_frontier", F.lit(True)))
+                best.alias("b")
+                .join(
+                    cand.alias("c"),
+                    (F.col("b.lane") == F.col("c.lane"))
+                    & (F.col("b.node") == F.col("c.node2")),
+                    "full_outer",
+                )
+                .select(*sel)
+                # cand-only rows rejected by the horizon would surface as
+                # NULL-cost state — they never entered the state before
+                .filter(F.col("cost").isNotNull())
+            )
+            frontier_cols = ["lane", "node", "cost"] + (
+                ["path"] if full_paths else (["pred"] if pred_mode else [])
             )
             n_frontier = None
             if (it + 1) % checkpoint_every == 0:
@@ -206,8 +218,8 @@ def multi_source_dijkstra(
                 # supersteps in the 100x-scale batch routing regime).
                 merged = merged.localCheckpoint(eager=False)
                 n_frontier = merged.filter(F.col("is_frontier")).count()
-            best = merged.filter(~F.col("is_frontier")).drop("is_frontier")
-            frontier = merged.filter("is_frontier").drop("is_frontier")
+            best = merged.drop("is_frontier")
+            frontier = merged.filter("is_frontier").select(*frontier_cols)
             # between checkpoints (checkpoint_every>1) convergence goes
             # unchecked; the extra relaxation on an empty frontier is a no-op.
             if n_frontier == 0:

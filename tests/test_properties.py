@@ -366,3 +366,58 @@ def test_keep_best_matches_python_oracle(spark, rows):
         if cur is None or (q, -i) > (cur[0], -cur[1]):
             want[g] = (q, i)
     assert got == {g: (q, i, counts[g]) for g, (q, i) in want.items()}
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,  # each example runs O(log n) Spark rounds
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(edges=edge_lists)
+def test_star_contraction_matches_union_find(spark, edges):
+    """Iterative star-contraction components == python union-find on
+    random graphs incl. self-loops, duplicates, and isolated vertices —
+    the randomized twin of the long-chain O(log n) evidence test."""
+    from routing_algorithm_for_graph_dbs_spark.graph.components import (
+        connected_components,
+    )
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    # canonical label = component min (find roots merge toward the min)
+    want = {n: find(n) for n in nodes}
+    # re-canonicalize: union-by-min guarantees root IS the min
+    want = {n: find(n) for n in nodes}
+
+    edf = spark.createDataFrame(
+        edges or [(None, None)], "src long, dst long"
+    ).filter(F.col("src").isNotNull())
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edf, strategy="iterative").collect()
+    }
+    assert got == want
