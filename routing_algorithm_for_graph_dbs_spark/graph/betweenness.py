@@ -90,52 +90,93 @@ def betweenness_centrality(
             depth += 1
 
     # ---- backward: dependency accumulation per level, deepest first ----
-    # delta rows exist only once a node gets a value; start empty via join.
-    deltas = visited.select("lane", "node", F.lit(0.0).alias("delta")).localCheckpoint(
-        eager=True
-    )
+    # In an unweighted BFS DAG every predecessor edge satisfies
+    # dist(u) + 1 = dist(w), so ALL of a level-(d-1) node's dependency
+    # arrives from level d in one pass — a node's delta is final the
+    # moment its level is processed. Each level therefore only joins
+    # LEVEL-SIZED relations (the previous accumulator formulation
+    # rejoined and rewrote the full (lane, node) state every level:
+    # O(V x depth) checkpoint writes, the dominant term on deep graphs).
+    level_deltas = []
+    prev = None  # (lane, node, delta) — the finished level-d deltas
     with superstep_confs(edges.sparkSession, n_parts):
         for d in range(depth, 0, -1):
-            w_nodes = (
-                visited.filter(F.col("dist") == d)
-                .alias("w")
-                .join(deltas.alias("dw"), ["lane", "node"])
-                .select("lane", F.col("node"), F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"))
+            # every frame below derives from the same checkpointed level
+            # RDDs (visited), so pass-through columns would carry shared
+            # expr-ids into the joins — every select renames through fresh
+            # aliases to keep the analyzer's lineage unambiguous
+            w = visited.filter(F.col("dist") == d).select(
+                F.col("lane").alias("w_lane"),
+                F.col("node").alias("w_node"),
+                F.col("sigma").alias("sigma_w"),
             )
+            if prev is None:
+                w_delta = w.withColumn("delta_w", F.lit(0.0))
+            else:
+                prev_r = prev.select(
+                    F.col("lane").alias("p_lane"),
+                    F.col("node").alias("p_node"),
+                    F.col("delta").alias("p_delta"),
+                )
+                w_delta = w.join(
+                    prev_r,
+                    (w["w_lane"] == prev_r["p_lane"])
+                    & (w["w_node"] == prev_r["p_node"]),
+                    "left",
+                ).select(
+                    "w_lane",
+                    "w_node",
+                    "sigma_w",
+                    F.coalesce(F.col("p_delta"), F.lit(0.0)).alias("delta_w"),
+                )
             u_nodes = visited.filter(F.col("dist") == d - 1).select(
-                "lane", F.col("node").alias("u"), F.col("sigma").alias("sigma_u")
+                F.col("lane").alias("u_lane"),
+                F.col("node").alias("u"),
+                F.col("sigma").alias("sigma_u"),
             )
             contrib = (
                 u_nodes.join(e, u_nodes["u"] == e["src"])
                 .join(
-                    w_nodes,
-                    (u_nodes["lane"] == w_nodes["lane"]) & (e["dst"] == w_nodes["node"]),
+                    w_delta,
+                    (F.col("u_lane") == F.col("w_lane"))
+                    & (e["dst"] == F.col("w_node")),
                 )
                 .select(
-                    u_nodes["lane"].alias("lane"),
+                    F.col("u_lane").alias("lane"),
                     F.col("u").alias("node"),
-                    ((F.col("sigma_u") / F.col("sigma_w")) * (1.0 + F.col("delta_w"))).alias(
-                        "c"
-                    ),
+                    (
+                        (F.col("sigma_u") / F.col("sigma_w"))
+                        * (1.0 + F.col("delta_w"))
+                    ).alias("c"),
                 )
                 .groupBy("lane", "node")
-                .agg(F.sum("c").alias("add_delta"))
-            )
-            deltas = (
-                deltas.alias("d")
-                .join(contrib.alias("c"), ["lane", "node"], "left")
-                .select(
-                    "lane",
-                    "node",
-                    (F.col("delta") + F.coalesce(F.col("add_delta"), F.lit(0.0))).alias(
-                        "delta"
-                    ),
-                )
+                .agg(F.sum("c").alias("delta"))
                 .localCheckpoint(eager=True)
             )
+            level_deltas.append(
+                w_delta.select(
+                    F.col("w_lane").alias("lane"),
+                    F.col("w_node").alias("node"),
+                    F.col("delta_w").alias("delta"),
+                )
+            )
+            prev = contrib
+
+    if level_deltas:
+        from functools import reduce
+
+        all_deltas = reduce(lambda a, b: a.unionByName(b), level_deltas)
+        if prev is not None:
+            # level-0 rows are the sources themselves (lane == node) and
+            # are excluded from the score anyway — but a source reached
+            # AGAIN at depth 0 cannot occur, so prev (level-0 deltas)
+            # only carries lane == node rows; keep for completeness.
+            all_deltas = all_deltas.unionByName(prev)
+    else:
+        all_deltas = visited.select("lane", "node", F.lit(0.0).alias("delta"))
 
     score = (
-        deltas.filter(F.col("lane") != F.col("node"))
+        all_deltas.filter(F.col("lane") != F.col("node"))
         .groupBy("node")
         .agg(F.sum("delta").alias("score"))
     )
