@@ -64,6 +64,12 @@ def betweenness_centrality(
     ).localCheckpoint(eager=True)
     frontier = visited
     depth = 0
+    # each BFS level is its OWN checkpointed RDD; the backward pass reads
+    # levels directly instead of filtering the union (a per-level filter
+    # over a depth-leaf union costs leaves x partitions tasks per level
+    # and nests the serialized lineage depth-deep — measured as an
+    # executor OOM at 4x scale with ~100 levels)
+    levels = [visited]
     with superstep_confs(edges.sparkSession, n_parts):
         while depth < max_depth:
             nxt = (
@@ -86,6 +92,7 @@ def betweenness_centrality(
             # total — the union of materialized leaves costs only planner time,
             # bounded by max_depth.
             visited = visited.unionByName(nxt)
+            levels.append(nxt)
             frontier = nxt
             depth += 1
 
@@ -101,11 +108,11 @@ def betweenness_centrality(
     prev = None  # (lane, node, delta) — the finished level-d deltas
     with superstep_confs(edges.sparkSession, n_parts):
         for d in range(depth, 0, -1):
-            # every frame below derives from the same checkpointed level
-            # RDDs (visited), so pass-through columns would carry shared
-            # expr-ids into the joins — every select renames through fresh
-            # aliases to keep the analyzer's lineage unambiguous
-            w = visited.filter(F.col("dist") == d).select(
+            # every frame below derives from the checkpointed level RDDs,
+            # so pass-through columns would carry shared expr-ids into the
+            # joins — every select renames through fresh aliases to keep
+            # the analyzer's lineage unambiguous
+            w = levels[d].select(
                 F.col("lane").alias("w_lane"),
                 F.col("node").alias("w_node"),
                 F.col("sigma").alias("sigma_w"),
@@ -129,7 +136,7 @@ def betweenness_centrality(
                     "sigma_w",
                     F.coalesce(F.col("p_delta"), F.lit(0.0)).alias("delta_w"),
                 )
-            u_nodes = visited.filter(F.col("dist") == d - 1).select(
+            u_nodes = levels[d - 1].select(
                 F.col("lane").alias("u_lane"),
                 F.col("node").alias("u"),
                 F.col("sigma").alias("sigma_u"),
@@ -154,11 +161,14 @@ def betweenness_centrality(
                 .localCheckpoint(eager=True)
             )
             level_deltas.append(
+                # eager checkpoint: the final union then reads flat
+                # level-sized leaves instead of replanning every level's
+                # join chain inside one giant action
                 w_delta.select(
                     F.col("w_lane").alias("lane"),
                     F.col("w_node").alias("node"),
                     F.col("delta_w").alias("delta"),
-                )
+                ).localCheckpoint(eager=True)
             )
             prev = contrib
 
