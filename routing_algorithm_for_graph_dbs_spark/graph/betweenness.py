@@ -86,15 +86,20 @@ def betweenness_centrality(
             )
             if nxt.count() == 0:
                 break
-            # visited stays a union of already-checkpointed level RDDs instead
-            # of being re-checkpointed wholesale each level: rewriting the whole
-            # visited set every superstep is O(V) writes per level, O(V*depth)
-            # total — the union of materialized leaves costs only planner time,
-            # bounded by max_depth.
+            # visited (the anti-join target) is a union of already-
+            # checkpointed level RDDs — but an unbounded union makes
+            # superstep d scan d leaves (O(depth^2) leaf scans total, and
+            # depth-nested task binaries). Consolidating every K levels
+            # bounds the leaf count at K while paying the O(V) re-write
+            # only once per K levels: amortized V/K writes per level vs
+            # the old all-or-nothing choices (every level: O(V*depth)
+            # writes; never: quadratic scans).
             visited = visited.unionByName(nxt)
             levels.append(nxt)
             frontier = nxt
             depth += 1
+            if depth % 10 == 0:
+                visited = visited.localCheckpoint(eager=True)
 
     # ---- backward: dependency accumulation per level, deepest first ----
     # In an unweighted BFS DAG every predecessor edge satisfies
