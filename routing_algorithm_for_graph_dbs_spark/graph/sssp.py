@@ -126,6 +126,7 @@ def multi_source_dijkstra(
     frontier = best
 
     with superstep_confs(edges.sparkSession, n_parts):
+        it, n_frontier = -1, 0  # max_iterations=0: zero supersteps, converged
         for it in range(max_iterations):
             # relax: candidate distances through the current frontier. String
             # aliases (not DataFrame column refs) keep the join unambiguous when
