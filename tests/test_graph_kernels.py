@@ -234,6 +234,39 @@ def test_components_tiers_agree(spark):
     assert lm[30] == 0 and lm[130] == 100 and lm[230] == 200
 
 
+def test_sssp_checkpoint_batching_equivalent(spark):
+    """checkpoint_every > 1 (relaxations batched between checkpoints)
+    must produce the same costs as per-superstep checkpointing — the
+    convergence check goes unchecked between checkpoints, so the extra
+    relaxations must be provable no-ops."""
+    import random
+
+    from routing_algorithm_for_graph_dbs_spark.graph.sssp import (
+        multi_source_dijkstra,
+    )
+
+    rng = random.Random(5)
+    edges = [
+        (rng.randrange(12), rng.randrange(12), float(rng.randint(1, 9)))
+        for _ in range(40)
+    ]
+    e = spark.createDataFrame(edges, ["src", "dst", "weight"]).filter(
+        "src != dst"
+    )
+    src = spark.createDataFrame([("L", 0)], ["lane", "node"])
+    one = {
+        r["node"]: r["cost"]
+        for r in multi_source_dijkstra(e, src, track_paths=False).collect()
+    }
+    batched = {
+        r["node"]: r["cost"]
+        for r in multi_source_dijkstra(
+            e, src, track_paths=False, checkpoint_every=3
+        ).collect()
+    }
+    assert one == batched and one[0] == 0.0
+
+
 def test_components_long_chain_logarithmic_rounds(spark):
     """Scale-shape evidence for the iterative tier: a 50k-node chain has
     diameter 50k, so min-label propagation (the pre-round-6 kernel) would
