@@ -1633,7 +1633,15 @@ def mm_image_features(spark, sf_dir):
         image_features,
     )
 
-    media = _media(spark, sf_dir).filter(F.col("kind") == "image")
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # the Arrow-batched extractor is Python-CPU per row; a single-split
+    # toy scan would serialize every batch onto one core (no-op at scale)
+    media = spread_for_compute(
+        _media(spark, sf_dir).filter(F.col("kind") == "image")
+    )
     out = image_features(media)
     return out.select(
         "media_id",
@@ -1674,7 +1682,13 @@ def mm_audio_features(spark, sf_dir):
         audio_features,
     )
 
-    media = _media(spark, sf_dir).filter(F.col("kind") == "audio")
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    media = spread_for_compute(
+        _media(spark, sf_dir).filter(F.col("kind") == "audio")
+    )
     out = audio_features(media)
     return out.select(
         "media_id",
