@@ -30,62 +30,70 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # remaining 105 stay covered by tools/check_oracles.py (committed as
 # CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # graph analytics (beyond round-5's bfs/components/betweenness/degree)
-    "graph_pagerank",
-    "graph_ppr",
-    "graph_triangles",
-    "graph_kcore",
-    "graph_scc",
-    "graph_labelprop",
-    "graph_closeness",
-    "graph_harmonic",
+    # round-7 window: the 42 queries that had only local-mirror coverage
+    # before this round (every registered query now has had at least one
+    # adversarial driver row), + the 2 rows fixed this round (array
+    # columns serialized to strings), + 6 riskiest re-runs.
+    # -- aggregation / reshape tails
+    "a8_rollup",
+    "a9_pivot",
+    "a10_histogram",
+    "a11_corr_cov",
+    "a12_cube",
+    "a13_unpivot",
+    "u2_intersect_except",
+    # -- window-function tails
+    "w4_rank_distributions",
+    "w5_moving_avg",
+    "w6_inactivity_gaps",
+    "w7_rolling_distinct",
+    # -- functions: json / maps / feature transforms
+    "f10_json_extract",
+    "f11_maps",
+    "ft_minmax_norm",
+    "ft_percent_rank",
+    "ft_winsorize",
+    # -- text-analysis tail
+    "txt_tfidf_top3",
+    "txt_pmi_pairs",
+    "txt_top_ngrams",
+    "txt_corpus_stats",
+    "txt_url_domains",
+    "txt_source_kl",
+    "txt_unigram_logprob",
+    "txt_bigram_logprob",
+    "txt_chunks",
+    "txt_scrub",
+    "txt_sentence_dedup",
+    # -- embeddings / similarity tail
+    "emb_quantize",
+    "emb_random_proj",
+    "er_fuzzy_name_pairs",
+    "mm_phash_neardup",
+    # -- sketches tail
+    "apx_join_overlap",
+    "apx_top_k_types",
+    "apx_mergeable_sketches",
+    # -- streaming / temporal tail
+    "st_hopping_window",
+    "st_interval_join",
+    "st_interval_join_left",
+    "st_enriched_counts",
+    "asof_next_view",
+    "dq_snapshot_diff",
+    # -- sampling / packing tail
+    "smp_replicate",
+    "pack_shards_grouped",
+    # -- fixed this round (array columns -> comma-joined strings)
     "graph_random_walks",
-    "graph_node_similarity",
-    "graph_lcc",
-    "graph_betweenness_directed",
-    # sampling / splitting / mixtures
-    "smp_stratified",
-    "smp_ntile",
-    "smp_negatives",
-    "smp_cap_per_source",
-    "smp_budget_mixture",
-    "smp_weighted_k",
-    "smp_train_val_test",
-    "smp_temperature_mixture",
-    # time-series / event analytics
-    "ts_resample_ffill",
-    "ts_ewma",
-    "ts_interpolate",
-    "ev_zscore_outliers",
-    "ev_mad_outliers",
-    "ev_conversion_funnel",
-    "ev_cohort_retention",
-    "ev_markov_transitions",
-    # mutation / history / data-quality ops
-    "upd_merge_upsert",
+    "idx_postings",
+    # -- riskiest re-runs (subtle cross-engine rounding/ordering contracts)
+    "hist_snapshot_asof",
     "upd_apply_cdc",
     "hist_scd2",
-    "hist_snapshot_asof",
-    "dq_constraint_checks",
-    "dq_column_profile",
-    "dq_dataset_fingerprint",
-    "dq_referential_integrity",
-    # layout / skew / sketches / indexing
-    "lay_zorder_key",
-    "skw_count_distinct",
-    "skw_bloom_join",
-    "apx_sketches",
-    "apx_hll_rollup",
-    "apx_theta_setops",
-    "idx_postings",
-    "idx_conjunctive_search",
-    # end-to-end pipelines + dedup/text tails
-    "pipe_corpus_prep",
-    "pipe_training_mix",
-    "pipe_entity_resolution",
-    "dd_canonical",
-    "dd_keep_best",
-    "txt_bpe_learn2",
+    "ts_interpolate",
+    "ts_ewma",
+    "dd_simhash",
 ]
 
 

@@ -2294,10 +2294,10 @@ def dd_canonical(spark, sf_dir):
       FROM e
     )
     SELECT vec_id,
-           CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
+           array_to_string(CASE WHEN sc = 0 THEN list_transform(v, x -> 0)
                 ELSE list_transform(v, x ->
                   CAST(GREATEST(-127, LEAST(127, FLOOR(x / sc + 0.5))) AS INT))
-           END AS q8,
+           END, ',') AS q8,
            ROUND(sc, 9) AS q_scale
     FROM s
     """,
@@ -2305,7 +2305,8 @@ def dd_canonical(spark, sf_dir):
 def emb_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization (similarity.quantize_int8):
     floor(x/scale + 0.5) is engine-exact where round() is not (negative-half
-    disagreement)."""
+    disagreement). q8 is serialized as a comma-joined string because the
+    driver's pandas canonicalizer cannot sort array cells."""
     from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
         quantize_int8,
     )
@@ -2313,7 +2314,7 @@ def emb_quantize(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return quantize_int8(emb).select(
         F.col("vec_id").cast("long"),
-        "q8",
+        F.concat_ws(",", F.col("q8").cast("array<string>")).alias("q8"),
         F.round("q_scale", 9).alias("q_scale"),
     )
 
@@ -4656,7 +4657,7 @@ def w7_rolling_distinct(spark, sf_dir):
       WHERE t.term <> '' AND LENGTH(t.term) >= 3
     )
     SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-           (list_sort(list(doc_id)))[1:20] AS postings
+           array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
     FROM tok GROUP BY term HAVING COUNT(*) >= 5
     """,
 )
@@ -4665,7 +4666,9 @@ def idx_postings(spark, sf_dir):
     tooling): tokenize -> distinct (term, doc) -> posting lists. All
     map-side explode + one aggregation shuffle on the term key; postings
     capped at 20 sorted ids so hot terms (stopwords) bound both memory
-    and the comparison payload — df keeps the true frequency."""
+    and the comparison payload — df keeps the true frequency. Postings
+    are serialized as a comma-joined string so the driver's pandas
+    canonicalizer (which cannot sort array cells) can hash the row."""
     docs = _t(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -4683,7 +4686,13 @@ def idx_postings(spark, sf_dir):
             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings"),
         )
         .filter(F.col("df") >= 5)
-        .select("term", F.col("df").cast("long").alias("df"), "postings")
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.concat_ws(",", F.col("postings").cast("array<string>")).alias(
+                "postings"
+            ),
+        )
     )
 
 
@@ -4785,7 +4794,8 @@ _WALK_STEP_SQL = """
     {_WALK_STEP_SQL.format(i=2, p=1)},
     {_WALK_STEP_SQL.format(i=3, p=2)},
     {_WALK_STEP_SQL.format(i=4, p=3)}
-    SELECT CAST(walk_id AS BIGINT) AS walk_id, walk FROM w4
+    SELECT CAST(walk_id AS BIGINT) AS walk_id,
+           array_to_string(walk, ',') AS walk FROM w4
     """,
 )
 def graph_random_walks(spark, sf_dir):
@@ -4793,14 +4803,16 @@ def graph_random_walks(spark, sf_dir):
     ``graph/walks.py``): one 4-step walk per vertex, neighbor choice =
     md5(walk_id|step) mod out-degree over rank-ordered neighbors — the
     reproducible-sampling discipline of operators/sampling.py applied to
-    graph traversal. The oracle unrolls the identical steps."""
+    graph traversal. The oracle unrolls the identical steps. The walk is
+    serialized as a comma-joined string so the driver's pandas
+    canonicalizer (which cannot sort array cells) can hash the row."""
     from routing_algorithm_for_graph_dbs_spark.graph.walks import random_walks
 
     e = _nation_edges(spark, sf_dir)
     res = random_walks(e, length=4)
     return res.select(
         F.col("walk_id").cast("long").alias("walk_id"),
-        F.col("walk").cast("array<long>").alias("walk"),
+        F.concat_ws(",", F.col("walk").cast("array<string>")).alias("walk"),
     )
 
 

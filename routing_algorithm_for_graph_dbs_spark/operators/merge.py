@@ -152,12 +152,32 @@ def apply_cdc(
     collect anywhere. Ties on ``seq_col`` are broken by preferring
     deletes (op desc: 'U'/'I' < 'D' lexically is NOT relied on — an
     explicit is-delete flag sorts last-wins deterministic), then by the
-    full non-key payload struct descending — two non-delete ops sharing
+    non-key payload struct descending — two non-delete ops sharing
     (key, seq) would otherwise keep a nondeterministic payload across
-    runs/partitionings.
+    runs/partitionings. Unorderable payload columns (maps) enter the
+    tiebreak through ``to_json`` (a deterministic serialization) since
+    Spark's window orderBy rejects MapType.
     """
     is_del = (F.col(op_col) == F.lit("D")).cast("int")
-    payload = F.struct(*[c for c in changes.columns if c not in set(keys)])
+
+    def _orderable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    payload = F.struct(
+        *[
+            F.col(f.name) if _orderable(f.dataType) else F.to_json(f.name)
+            for f in changes.schema.fields
+            if f.name not in set(keys)
+        ]
+    )
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(), is_del.desc(), payload.desc()
     )
