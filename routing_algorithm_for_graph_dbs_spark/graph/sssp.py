@@ -51,6 +51,7 @@ def multi_source_dijkstra(
     n_edges: int | None = None,
     max_cost: float | None = None,
     shuffle_parts: int | None = None,
+    targets: list | dict | None = None,
 ) -> DataFrame:
     """Shortest path costs (and paths) from every source to every reachable node.
 
@@ -63,18 +64,35 @@ def multi_source_dijkstra(
     max_cost : optional cost horizon. Frontier rows beyond it are pruned
         each superstep and the result keeps only nodes with cost <=
         max_cost — EXACT within the horizon (weights are non-negative, so
-        an over-horizon node can never improve an in-horizon one). This is
-        what makes iterative-tier ROUTING converge: the reference itself
-        caps itineraries at ``max_duration`` (reference ``main.py:129-130``),
-        so bounding the search there turns unbounded global convergence
-        over the time-expanded day graph into O(horizon / min-edge-weight)
-        supersteps over a frontier that stops growing at the cap.
+        an over-horizon node can never improve an in-horizon one). NOTE:
+        routing must NOT pass one — the reference caps only the target
+        departure window, never path cost, and CHANGE weights exceed
+        elapsed time by the walking component, so a cost cap can prune a
+        reference-feasible winner. Target settlement (below) is what
+        bounds routing supersteps instead.
+    targets : optional node list — or dict of lane -> node list — enabling
+        EXACT early termination: at each checkpoint, a target is settled
+        once its state cost <= its lane's frontier minimum (non-negative
+        weights: any later improvement would route through a frontier row
+        of cost >= that minimum). When every requested target of every
+        still-active lane is settled the loop stops. With an early stop,
+        only TARGET rows are guaranteed final — callers that read other
+        rows must not pass targets.
+    checkpoint_every : supersteps per localCheckpoint. Between checkpoints
+        each superstep's plan references the previous merged state twice
+        (as ``best`` and via the frontier), so planning cost grows
+        O(2^k) until the next checkpoint truncates it — capped at 8.
     Returns (lane, node, cost, path) — ``path`` is the array of node ids from
     the source to ``node`` inclusive. ``track_paths``: True = accumulate
     path arrays in-state; ``"pred"`` = carry only a predecessor pointer
     (narrow state — reconstruct with :func:`reconstruct_paths`); False =
     costs only.
     """
+    if not 1 <= checkpoint_every <= 8:
+        raise ValueError(
+            f"checkpoint_every={checkpoint_every} outside [1, 8]: plan size "
+            "doubles per un-checkpointed superstep (O(2^k) growth)"
+        )
     e = edges.select(
         F.col("src"), F.col("dst"), F.col(weight_col).cast("double").alias("w")
     )
@@ -125,6 +143,34 @@ def multi_source_dijkstra(
     best = best.dropDuplicates(["lane", "node"]).localCheckpoint(eager=True)
     frontier = best
 
+    # settlement targets: normalized to explicit (lane, node) pairs. A
+    # global list means every lane must settle every target; a dict gives
+    # per-lane target sets (batch routing). The pair set stays driver-side
+    # (|lanes| x |targets| — bounded, both are candidate lists the caller
+    # already collected) and rides each checkpoint probe as one broadcast.
+    tgt_df = None
+    tgt_pairs: set = set()
+    if targets:
+        if isinstance(targets, dict):
+            pair_rows = [(l, n) for l, ns in targets.items() for n in ns]
+        else:
+            lanes = [r["lane"] for r in sources.select("lane").distinct().collect()]
+            pair_rows = [(l, n) for l in lanes for n in targets]
+        tgt_pairs = set(pair_rows)
+        if pair_rows:
+            from pyspark.sql.types import StructField, StructType
+
+            tgt_df = edges.sparkSession.createDataFrame(
+                pair_rows,
+                StructType(
+                    [
+                        StructField("lane", sources.schema["lane"].dataType),
+                        StructField("node", sources.schema["node"].dataType),
+                    ]
+                ),
+            )
+
+    early_stop = False
     with superstep_confs(edges.sparkSession, n_parts):
         it, n_frontier = -1, 0  # max_iterations=0: zero supersteps, converged
         for it in range(max_iterations):
@@ -218,17 +264,57 @@ def multi_source_dijkstra(
                 # dominates wall time once frontiers are small (hundreds of
                 # supersteps in the 100x-scale batch routing regime).
                 merged = merged.localCheckpoint(eager=False)
-                n_frontier = merged.filter(F.col("is_frontier")).count()
+                if tgt_df is None:
+                    n_frontier = merged.filter(F.col("is_frontier")).count()
+                else:
+                    # per-lane frontier minimum rides the same materializing
+                    # scan the plain count would run; the target-cost probe
+                    # is a second small job (broadcast semi of the pair
+                    # list against the checkpointed state).
+                    stats = (
+                        merged.filter(F.col("is_frontier"))
+                        .groupBy("lane")
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.min("cost").alias("fmin"),
+                        )
+                        .collect()
+                    )
+                    n_frontier = sum(r["n"] for r in stats)
+                    if n_frontier:
+                        fmin = {r["lane"]: r["fmin"] for r in stats}
+                        need = [p for p in tgt_pairs if p[0] in fmin]
+                        got = {}
+                        if need:
+                            got = {
+                                (r["lane"], r["node"]): r["cost"]
+                                for r in merged.join(
+                                    F.broadcast(tgt_df), ["lane", "node"]
+                                )
+                                .select("lane", "node", "cost")
+                                .collect()
+                            }
+                        # settled = cost can no longer improve: any future
+                        # relaxation passes through a frontier row of cost
+                        # >= fmin and adds a non-negative weight
+                        if all(p in got and got[p] <= fmin[p[0]] for p in need):
+                            early_stop = True
             best = merged.drop("is_frontier")
             frontier = merged.filter("is_frontier").select(*frontier_cols)
             # between checkpoints (checkpoint_every>1) convergence goes
             # unchecked; the extra relaxation on an empty frontier is a no-op.
-            if n_frontier == 0:
+            if n_frontier == 0 or early_stop:
                 break
 
+    if n_frontier is None and not early_stop:
+        # max_iterations landed between checkpoints: run the frontier count
+        # now so convergence is reported truthfully instead of defaulting
+        # to not-converged (the un-checkpointed plan tail is at most
+        # checkpoint_every-1 supersteps deep)
+        n_frontier = frontier.count()
     global LAST_ITERATIVE_SUPERSTEPS, LAST_ITERATIVE_CONVERGED
     LAST_ITERATIVE_SUPERSTEPS = it + 1
-    LAST_ITERATIVE_CONVERGED = n_frontier == 0
+    LAST_ITERATIVE_CONVERGED = early_stop or n_frontier == 0
     e.unpersist()
     if max_cost is not None:
         # over-horizon entries in best may hold non-final costs (their
@@ -331,13 +417,20 @@ def sssp(
 
     ``targets``: optional node list — or dict of lane -> node list for
     per-lane target sets (batch routing) — the broadcast tier then returns
-    only target rows and early-terminates once all are settled (the
-    iterative tier ignores it — callers filter, same results).
+    only target rows and early-terminates once all are settled; the
+    iterative tier keeps relaxing until every requested target's cost is
+    provably final (settlement check per checkpoint) and then stops, so
+    with targets only TARGET rows are guaranteed settled in its output —
+    exactly the rows routing reads. Callers that consume non-target rows
+    must not pass targets.
 
     ``max_cost``: optional cost horizon — both tiers return only rows with
     cost <= max_cost; the iterative tier additionally PRUNES its frontier
-    at the cap each superstep (see ``multi_source_dijkstra``), which is
-    what bounds its superstep count on time-expanded routing graphs.
+    at the cap each superstep (see ``multi_source_dijkstra``). Routing
+    does NOT use it (the reference caps the target departure window, not
+    path cost — a cost cap would prune winners whose walking component
+    pushes cost past the elapsed-time horizon); target settlement bounds
+    the routing superstep count instead.
     """
     n_edges = None
     release = lambda: None
@@ -366,7 +459,7 @@ def sssp(
         return multi_source_dijkstra(
             edges, sources, weight_col, max_iterations, track_paths,
             n_edges=n_edges, max_cost=max_cost, checkpoint_every=checkpoint_every,
-            shuffle_parts=shuffle_parts,
+            shuffle_parts=shuffle_parts, targets=targets,
         )
     finally:
         release()

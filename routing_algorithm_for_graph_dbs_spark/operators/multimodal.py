@@ -4,10 +4,12 @@ Images/audio/video ride through the engine as opaque ``binary`` columns with
 a typed metadata struct. The Spark-side machinery — schemas, Arrow-batched
 ``mapInPandas`` pipelines, partition sizing — is real and tested. Codecs:
 uncompressed 24-bit **BMP decode is REAL** (pure Python + numpy,
-``decode_bmp``/``encode_bmp`` below — no external image lib needed);
-every other format is a deterministic sha256-derived fake, clearly
-marked, with ``strict=True`` raising ``NotImplementedError`` where a real
-deployment would plug PIL/libvips/ffmpeg.
+``decode_bmp``/``encode_bmp`` below) and **baseline JPEG decode is REAL**
+(``operators/jpeg.py`` — Huffman entropy decode + exact IDCT of the luma
+channel, no external image lib needed); every other format is a
+deterministic sha256-derived fake, clearly marked, with ``strict=True``
+raising ``NotImplementedError`` where a real deployment would plug
+PIL/libvips/ffmpeg (audio/video, progressive JPEG).
 
 Scale notes: binary payloads dominate row size, so these pipelines must
 (a) never shuffle the binary column (all derivation is map-side),
@@ -181,11 +183,15 @@ def image_features(
     payloads (batch memory = batch_size x payload size, independent of
     partition size). Dispatch is per row on the ``mime`` column:
     ``image/bmp`` payloads get the REAL pure-Python decoder
-    (:func:`decode_bmp` — width/height/channels/Rec.601 luma from actual
-    pixels); other formats use the deterministic sha256 fake, and with
-    ``strict=True`` raise NotImplementedError instead — the remaining
-    codec boundary.
+    (:func:`decode_bmp`) and ``image/jpeg`` the REAL baseline-JPEG
+    decoder (``operators/jpeg.py decode_jpeg`` — full Huffman entropy
+    decode + exact IDCT of the Y channel; progressive/arithmetic modes
+    raise there). Other formats use the deterministic sha256 fake, and
+    with ``strict=True`` raise NotImplementedError instead — the
+    remaining codec boundary (audio/video and non-baseline JPEG).
     """
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import decode_jpeg
+
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
@@ -199,6 +205,9 @@ def image_features(
                 if mime == "image/bmp":
                     w, h, _nc, luma = decode_bmp(b)
                     dec = "bmp"
+                elif mime == "image/jpeg":
+                    w, h, _nc, luma = decode_jpeg(b)
+                    dec = "jpeg"
                 elif strict:
                     raise NotImplementedError(
                         f"real decode of {mime!r} requires PIL/libvips — not"

@@ -116,7 +116,6 @@ def _run_pairs(
     sources: DataFrame,
     targets: DataFrame,
     strategy: str = "auto",
-    max_cost: float | None = None,
 ) -> DataFrame:
     """Stage 3: lanes = source stoptimes; join lane results onto targets.
 
@@ -132,7 +131,7 @@ def _run_pairs(
     target_ids = [r["stoptime_id"] for r in targets.select("stoptime_id").distinct().collect()]
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time", targets=target_ids,
-        strategy=strategy, max_cost=max_cost,
+        strategy=strategy,
     )
     t = targets.select(
         F.col("stoptime_id").alias("t_id"),
@@ -183,14 +182,14 @@ def routing(
         (F.col("stop_name") == target_stop_name) & (F.col("departure_s") < end_s)
     )
 
-    # the reference's own duration cap (main.py:129-130) doubles as the
-    # SSSP cost horizon: elapsed time telescopes along time-expanded paths,
-    # so no itinerary the rank can select costs more than the cap — and the
-    # horizon is what bounds the iterative tier's superstep count.
-    ranked = _run_pairs(
-        graph, sources, targets, strategy=strategy,
-        max_cost=float(max_duration_h * 3600),
-    )
+    # NO cost horizon: the reference caps only the target departure window
+    # (main.py:129-130), never path cost. CHANGE weights are waiting +
+    # walking, so a path's cost exceeds its elapsed time by the accumulated
+    # walking (minus dwell) — capping cost at the duration window would
+    # prune a reference-feasible winner whose elapsed time sits near the
+    # cap with nonzero walking. Termination comes from target settlement
+    # (both SSSP tiers early-stop once every target cost is provably final).
+    ranked = _run_pairs(graph, sources, targets, strategy=strategy)
     # ORDER BY arrival_time, cost LIMIT 1 (main.py:102); deterministic tiebreak
     winner = ranked.orderBy("dst_arrival_s", "cost", "src", "dst").limit(1)
     return _decompose_path(winner, day_st)
@@ -277,8 +276,11 @@ def routing_batch(
         )
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time",
+        # no max_cost: a cost horizon would prune winners whose walking
+        # component pushes cost past the elapsed-time cap (see routing());
+        # per-lane target settlement bounds the superstep count instead
         targets={k: sorted(v) for k, v in lane_targets.items()},
-        strategy=strategy, max_cost=float(max_duration_h * 3600),
+        strategy=strategy,
         max_iterations=max_iterations, checkpoint_every=checkpoint_every,
         track_paths=("pred" if pred_mode else True),
         # iterative tier: spread the (lane x horizon-ball) state across

@@ -1975,3 +1975,100 @@ class TestTemperatureMixture:
         assert a != c
         with pytest.raises(ValueError, match="alpha"):
             temperature_mixture_sample(docs, 1.0, alpha=-0.1)
+
+
+def test_jpeg_decode_golden():
+    """Real baseline-JPEG codec (operators/jpeg.py): flat-gray image
+    round-trips EXACTLY (DC-only blocks suffer no quantization loss);
+    gradient and noise images round-trip within quantization tolerance;
+    the 3-component 4:2:0 interleaved-MCU layout (what real-world color
+    JPEGs use) decodes through the same path."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr420,
+    )
+
+    flat = np.full((16, 16), 128, np.uint8)
+    assert decode_jpeg(encode_jpeg_gray(flat, 90)) == (
+        16, 16, 1, round(128 / 255.0, 6),
+    )
+
+    # non-multiple-of-8 dims exercise MCU padding + crop
+    grad = np.linspace(0, 255, 37 * 29).reshape(37, 29).astype(np.uint8)
+    w, h, nc, luma = decode_jpeg(encode_jpeg_gray(grad, 95))
+    assert (w, h, nc) == (29, 37, 1)
+    assert abs(luma - grad.mean() / 255.0) < 0.005
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    w, h, nc, luma = decode_jpeg(encode_jpeg_gray(noise, 95))
+    assert (w, h, nc) == (40, 24, 1)
+    assert abs(luma - noise.mean() / 255.0) < 0.02
+
+    lum = rng.integers(0, 256, (30, 50), dtype=np.uint8)
+    w, h, nc, luma = decode_jpeg(encode_jpeg_ycbcr420(lum, 90))
+    assert (w, h, nc) == (50, 30, 3)
+    assert abs(luma - lum.mean() / 255.0) < 0.02
+
+
+def test_jpeg_decode_rejects_unsupported():
+    """The honest codec boundary: non-JPEG bytes -> ValueError;
+    progressive (SOF2) -> NotImplementedError."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import decode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"BMnot a jpeg")
+    progressive = (
+        b"\xff\xd8"
+        + b"\xff\xc2"
+        + _struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(progressive)
+
+
+def test_image_features_real_jpeg_in_pipeline(spark):
+    """image/jpeg rows get the REAL decoder inside the Arrow-batched
+    mapInPandas path (decoder='jpeg', true dims + luma); BMP and fake
+    rows coexist in the same DataFrame; strict=True accepts jpeg."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        encode_jpeg_gray,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_features,
+    )
+
+    jpg = encode_jpeg_gray(np.full((12, 20), 64, np.uint8), 90)
+    bmp = encode_bmp(np.full((4, 7, 3), 200, np.uint8))
+    rows = [
+        (1, "image", jpg, "image/jpeg", (20, 12, 1, None, None)),
+        (2, "image", bmp, "image/bmp", (7, 4, 3, None, None)),
+        (3, "image", b"\x89PNGfakebytes", "image/png", (800, 600, 3, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in image_features(media).collect()}
+    assert got[1]["decoder"] == "jpeg"
+    assert (got[1]["width"], got[1]["height"]) == (20, 12)
+    # flat-64 quantizes DC to the nearest multiple of q0=3 (-513 vs -512):
+    # within one grey level, unlike flat-128 whose DC is exactly 0
+    assert abs(got[1]["mean_luma"] - 64 / 255.0) < 1 / 255.0
+    assert got[2]["decoder"] == "bmp"
+    assert got[3]["decoder"] == "fake"
+
+    strict_got = image_features(
+        media.filter(media.mime != "image/png"), strict=True
+    ).collect()
+    assert {r["decoder"] for r in strict_got} == {"jpeg", "bmp"}

@@ -254,3 +254,72 @@ def test_plan_trip_no_itinerary(gtfs, graph):
     )
     assert out["rows"] == [] and out["totals"] is None
     assert "No feasible itinerary" in out["narrative"]
+
+
+def _cap_boundary_graph(spark):
+    """Minimal day graph whose only itinerary's COST exceeds the elapsed
+    -time window: CHANGE weight = waiting + walking, so cost = 4120 while
+    the target departs at 3590 < H = 3600. The reference caps only the
+    target departure window (main.py:129-130), never path cost — a
+    ``max_cost = H`` prune (pre-round-7 behavior) drops this winner."""
+    from routing_algorithm_for_graph_dbs_spark.plans.projection import (
+        ProjectedGraph,
+    )
+
+    st = spark.createDataFrame(
+        [
+            # stoptime_id, trip, route, stop_id, stop_name, arr, dep, lat, lon
+            ("S1", "TA", "1", "A", "SrcStop", 60, 60, 44.0, 10.0),
+            ("S2", "TA", "1", "B", "MidStop", 3000, 3010, 44.1, 10.1),
+            ("S3", "TB", "2", "C", "DstStop", 3580, 3590, 44.2, 10.2),
+        ],
+        "stoptime_id string, trip_id string, route_id string, stop_id string,"
+        " stop_name string, arrival_s long, departure_s long,"
+        " stop_lat double, stop_lon double",
+    )
+    edges = spark.createDataFrame(
+        [
+            # PRECEDES weight = dst_arrival - src_departure = 2940
+            ("S1", "S2", "PRECEDES", 2940, 0),
+            # CHANGE weight = (dst_departure - src_arrival) + walk
+            #               = (3590 - 3000) + 590 = 1180 (boarding feasible:
+            # src_arrival + walk = 3590 <= dst_departure)
+            ("S2", "S3", ":CHANGE", 1180, 590),
+        ],
+        "src string, dst string, type string, waiting_time long,"
+        " walking_time long",
+    )
+    return ProjectedGraph(
+        name="cap_boundary",
+        day="2024-01-18",
+        speed=1.0,
+        vertices=st.selectExpr(
+            "stoptime_id as id", "0 as stop_sequence",
+            "stop_lon as lon", "stop_lat as lat",
+        ),
+        edges=edges,
+        stoptimes=st,
+    )
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "iterative"])
+def test_routing_winner_cost_beyond_duration_window(spark, strategy):
+    """ADVICE r6 (medium): a reference-feasible winner whose cost
+    (elapsed + walking) exceeds max_duration_h*3600 must still be found —
+    the duration cap constrains the target departure window only."""
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import routing
+
+    g = _cap_boundary_graph(spark)
+    legs = routing(
+        g,
+        time_s=0,
+        source_stop_name="SrcStop",
+        target_stop_name="DstStop",
+        max_duration_h=1,
+        strategy=strategy,
+    ).collect()
+    assert [(r["trip"], r["next_trip"]) for r in legs] == [
+        ("TA", "TA"),
+        ("TA", "TB"),
+    ]
+    assert legs[-1]["arrival"] == 3580

@@ -1,15 +1,15 @@
-"""Iterative-tier ROUTING at 4x scale with the bounded-horizon kernel
-(VERDICT r5, next-round item 5).
+"""Iterative-tier ROUTING at 4x scale (VERDICT r5, next-round item 5).
 
 Earlier rounds validated the iterative SSSP *kernel* past the broadcast
 regime but never timed iterative-tier *routing* end-to-end: ranking needs
 every target's final cost, and unbounded convergence over the
-time-expanded day graph is hundreds of supersteps. The reference itself
-caps itineraries at ``max_duration`` (reference ``main.py:129-130``), so
-the SSSP horizon (``max_cost = max_duration``) is semantics-preserving
-for ranked results — and it bounds the frontier: no lane expands past the
-cap, so the superstep count is bounded by the horizon's hop depth, not
-the day graph's.
+time-expanded day graph is hundreds of supersteps. Round 7 replaced the
+cost-horizon prune (unsound: CHANGE weights exceed elapsed time by the
+walking component, so ``max_cost = max_duration`` could prune a
+reference-feasible winner at the boundary) with per-lane TARGET
+SETTLEMENT: the kernel stops once every requested target's cost is
+provably final (cost <= its lane's frontier minimum), which bounds the
+superstep count by the targets' hop depth, not the day graph's.
 
 Comparison contract: the RANKED WINNER identity (pair, src stoptime,
 dst stoptime, cost, arrival) is fully deterministic and must be
