@@ -125,12 +125,38 @@ def _run_pairs(
     lanes = sources.select(
         F.col("stoptime_id").alias("lane"), F.col("stoptime_id").alias("node")
     ).distinct()
-    # target ids are known up front (a few hundred stoptimes at the
-    # destination stops): the broadcast SSSP tier early-terminates on them
-    # and skips path materialization for every other reached node
-    target_ids = [r["stoptime_id"] for r in targets.select("stoptime_id").distinct().collect()]
+    # per-lane target sets, known up front (a few hundred stoptimes at the
+    # destination stops): both SSSP tiers early-terminate once a lane's
+    # targets settle. Targets departing at-or-before the lane's own
+    # departure are EXCLUDED — the ranking join discards them anyway
+    # (dst_departure > src_departure), and keeping them would block
+    # settlement forever (they are generally unreachable: time moves
+    # forward along the expanded graph), degrading early termination to
+    # full-graph convergence on the iterative tier.
+    both = (
+        sources.select(
+            F.lit("s").alias("side"), "stoptime_id", "departure_s"
+        )
+        .unionByName(
+            targets.select(
+                F.lit("t").alias("side"), "stoptime_id", "departure_s"
+            )
+        )
+        .distinct()
+        .collect()  # ONE driver job for both candidate lists (both tiny)
+    )
+    src_rows = [r for r in both if r["side"] == "s"]
+    tgt_rows = [r for r in both if r["side"] == "t"]
+    lane_targets = {
+        s["stoptime_id"]: sorted(
+            t["stoptime_id"]
+            for t in tgt_rows
+            if t["departure_s"] > s["departure_s"]
+        )
+        for s in src_rows
+    }
     res = sssp(
-        graph.edges, lanes, weight_col="waiting_time", targets=target_ids,
+        graph.edges, lanes, weight_col="waiting_time", targets=lane_targets,
         strategy=strategy,
     )
     t = targets.select(
@@ -264,15 +290,30 @@ def routing_batch(
     # settle (a lane shared by several pairs gets the union of their
     # targets). A single global list would make every lane settle every
     # pair's targets — correct but up to |pairs|x the search work.
-    src_rows = sources.select("pair_id", "stoptime_id").distinct().collect()
-    tgt_rows = targets.select("pair_id", "stoptime_id").distinct().collect()
+    # Targets departing at-or-before the lane's own departure are excluded
+    # (the ranking discards them; keeping them would stall settlement —
+    # see _run_pairs).
+    src_rows = (
+        sources.select("pair_id", "stoptime_id", "departure_s")
+        .distinct()
+        .collect()
+    )
+    tgt_rows = (
+        targets.select("pair_id", "stoptime_id", "departure_s")
+        .distinct()
+        .collect()
+    )
     tgt_by_pair: dict[int, list] = {}
     for r in tgt_rows:
-        tgt_by_pair.setdefault(r["pair_id"], []).append(r["stoptime_id"])
+        tgt_by_pair.setdefault(r["pair_id"], []).append(
+            (r["stoptime_id"], r["departure_s"])
+        )
     lane_targets: dict[str, set] = {}
     for r in src_rows:
         lane_targets.setdefault(r["stoptime_id"], set()).update(
-            tgt_by_pair.get(r["pair_id"], ())
+            t
+            for t, dep in tgt_by_pair.get(r["pair_id"], ())
+            if dep > r["departure_s"]
         )
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time",
