@@ -5586,7 +5586,8 @@ def idx_conjunctive_search(spark, sf_dir):
     mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
     SELECT d.event_id,
            CASE WHEN x.mad = 0 THEN 0.0
-                ELSE ROUND(0.6745 * (d.value - d.med) / x.mad, 4) END AS rz,
+                ELSE FLOOR(0.6745 * (d.value - d.med) / x.mad * 1e4 + 0.5)
+                     / 1e4 END AS rz,
            CASE WHEN x.mad = 0 THEN FALSE
                 ELSE ABS(0.6745 * (d.value - d.med) / x.mad) > 3.5 END
              AS is_outlier
@@ -5599,7 +5600,9 @@ def ev_mad_outliers(spark, sf_dir):
     are themselves dragged by the outliers). Two exact-percentile
     aggregations on the type key (Spark `percentile` == DuckDB
     `quantile_cont`), each joined back broadcast; flag at |robust z| >
-    3.5 (Iglewicz-Hoaglin)."""
+    3.5 (Iglewicz-Hoaglin). rz is floor-rounded (floor(x*1e4+0.5)/1e4)
+    on both engines — engine round() tie handling flipped last digits
+    at sf0.1."""
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     med = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
@@ -5616,7 +5619,7 @@ def ev_mad_outliers(spark, sf_dir):
         .select(
             "event_id",
             F.when(F.col("mad") == 0, F.lit(0.0))
-            .otherwise(F.round(rz, 4))
+            .otherwise(F.floor(rz * 1e4 + F.lit(0.5)) / 1e4)
             .alias("rz"),
             F.when(F.col("mad") == 0, F.lit(False))
             .otherwise(F.abs(rz) > 3.5)
@@ -5630,7 +5633,8 @@ def ev_mad_outliers(spark, sf_dir):
     """
     WITH b AS (
       SELECT user_id AS k, time_bucket(INTERVAL '1 day', ts) AS day,
-             ROUND(AVG(value), 6) AS v
+             FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*) * 1e6 + 0.5) / 1e6 AS v
       FROM events GROUP BY 1, 2
     ),
     span AS (SELECT k, MIN(day) AS d0, MAX(day) AS d1 FROM b GROUP BY k),
@@ -5657,9 +5661,9 @@ def ev_mad_outliers(spark, sf_dir):
     )
     SELECT k AS user_id, strftime(day, '%Y-%m-%d') AS day,
            v IS NOT NULL AS observed,
-           ROUND(COALESCE(v, pv + (nv - pv) *
-             (date_diff('day', pd, day) * 1.0 / date_diff('day', pd, nd))), 6)
-             AS v_interp
+           FLOOR(COALESCE(v, pv + (nv - pv) *
+             (date_diff('day', pd, day) * 1.0 / date_diff('day', pd, nd)))
+             * 1e6 + 0.5) / 1e6 AS v_interp
     FROM j
     """,
 )
@@ -5668,8 +5672,9 @@ def ts_interpolate(spark, sf_dir):
     (``operators/asof.py interpolate_daily``) — the numeric sibling of
     ts_resample_ffill. Same dense-grid shape; the backward/forward
     neighbor scans are two window passes over ONE per-key sort. Daily
-    means are rounded to 6 BEFORE interpolating so both engines feed the
-    interpolation identical doubles."""
+    means use an exact (order-independent) DECIMAL sum and floor-based
+    rounding so both engines feed the interpolation IDENTICAL doubles —
+    a double AVG into engine round() flipped boundary rows at sf0.1."""
     from routing_algorithm_for_graph_dbs_spark.operators.asof import (
         interpolate_daily,
     )

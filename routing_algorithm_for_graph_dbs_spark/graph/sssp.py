@@ -150,13 +150,20 @@ def multi_source_dijkstra(
     # already collected) and rides each checkpoint probe as one broadcast.
     tgt_df = None
     tgt_pairs: set = set()
+    tgt_cost: dict = {}
     if targets:
+        src_pairs = [
+            (r["lane"], r["node"])
+            for r in sources.select("lane", "node").distinct().collect()
+        ]
         if isinstance(targets, dict):
             pair_rows = [(l, n) for l, ns in targets.items() for n in ns]
         else:
-            lanes = [r["lane"] for r in sources.select("lane").distinct().collect()]
+            lanes = sorted({l for l, _ in src_pairs})
             pair_rows = [(l, n) for l in lanes for n in targets]
         tgt_pairs = set(pair_rows)
+        # a target that IS a seed is known settled at cost 0 up front
+        tgt_cost = {p: 0.0 for p in tgt_pairs & set(src_pairs)}
         if pair_rows:
             from pyspark.sql.types import StructField, StructType
 
@@ -267,37 +274,51 @@ def multi_source_dijkstra(
                 if tgt_df is None:
                     n_frontier = merged.filter(F.col("is_frontier")).count()
                 else:
-                    # per-lane frontier minimum rides the same materializing
-                    # scan the plain count would run; the target-cost probe
-                    # is a second small job (broadcast semi of the pair
-                    # list against the checkpointed state).
+                    # settlement probe fused into the materializing scan:
+                    # a target's cost only ever changes by appearing in a
+                    # frontier, so collecting target-matching FRONTIER rows
+                    # (broadcast left join + conditional collect_list —
+                    # tiny per lane) keeps a driver-side cost dict current
+                    # with NO scan of the full state. One job per
+                    # checkpoint, same as the plain count.
                     stats = (
                         merged.filter(F.col("is_frontier"))
+                        .join(
+                            F.broadcast(tgt_df.withColumn("_t", F.lit(1))),
+                            ["lane", "node"],
+                            "left",
+                        )
                         .groupBy("lane")
                         .agg(
                             F.count(F.lit(1)).alias("n"),
                             F.min("cost").alias("fmin"),
+                            F.collect_list(
+                                F.when(
+                                    F.col("_t").isNotNull(),
+                                    F.struct("node", "cost"),
+                                )
+                            ).alias("hits"),
                         )
                         .collect()
                     )
                     n_frontier = sum(r["n"] for r in stats)
+                    for r in stats:
+                        for hit in r["hits"]:
+                            tgt_cost[(r["lane"], hit["node"])] = hit["cost"]
                     if n_frontier:
                         fmin = {r["lane"]: r["fmin"] for r in stats}
-                        need = [p for p in tgt_pairs if p[0] in fmin]
-                        got = {}
-                        if need:
-                            got = {
-                                (r["lane"], r["node"]): r["cost"]
-                                for r in merged.join(
-                                    F.broadcast(tgt_df), ["lane", "node"]
-                                )
-                                .select("lane", "node", "cost")
-                                .collect()
-                            }
                         # settled = cost can no longer improve: any future
                         # relaxation passes through a frontier row of cost
-                        # >= fmin and adds a non-negative weight
-                        if all(p in got and got[p] <= fmin[p[0]] for p in need):
+                        # >= fmin and adds a non-negative weight. (With
+                        # checkpoint_every>1 a target improved only in a
+                        # non-checkpoint superstep is seen late or not at
+                        # all — the stop is then merely DELAYED, never
+                        # premature, since tgt_cost only over-estimates.)
+                        if all(
+                            p in tgt_cost and tgt_cost[p] <= fmin[p[0]]
+                            for p in tgt_pairs
+                            if p[0] in fmin
+                        ):
                             early_stop = True
             best = merged.drop("is_frontier")
             frontier = merged.filter("is_frontier").select(*frontier_cols)

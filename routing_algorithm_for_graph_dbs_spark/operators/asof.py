@@ -250,8 +250,19 @@ def interpolate_daily(
     self-join, no global window.
     """
     day = F.date_trunc("day", F.col(ts_col))
+    # cross-engine-exact daily mean: a double AVG is order-dependent (both
+    # engines sum in their own partition/scan order), and feeding an
+    # order-dependent last bit into a 6-decimal round flips boundary rows
+    # between engines (observed at sf0.1). A DECIMAL sum is exact and
+    # order-independent; cast to double and divide by the count gives the
+    # IDENTICAL double on both engines, and floor(x*1e6 + 0.5)/1e6 is a
+    # deterministic function of that double (no decimal-tie ambiguity the
+    # way engine round() implementations have).
+    vm = F.sum(F.col(val_col).cast("decimal(28,6)")).cast("double") / F.count(
+        F.lit(1)
+    )
     b = events.groupBy(F.col(key_col).alias("k"), day.alias("day")).agg(
-        F.round(F.avg(val_col), 6).alias("v")
+        (F.floor(vm * 1e6 + F.lit(0.5)) / 1e6).alias("v")
     )
     span = b.groupBy("k").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     grid = span.select(
@@ -280,9 +291,10 @@ def interpolate_daily(
     )
     frac = F.datediff("day", "pd") / F.datediff("nd", "pd")
     interp = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    out = F.coalesce(F.col("v"), interp)
     return g.select(
         F.col("k").alias(key_col),
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("v").isNotNull().alias("observed"),
-        F.round(F.coalesce(F.col("v"), interp), 6).alias("v_interp"),
+        (F.floor(out * 1e6 + F.lit(0.5)) / 1e6).alias("v_interp"),
     )

@@ -230,6 +230,7 @@ def routing_batch(
     max_iterations: int = 200,
     winners_only: bool = False,
     checkpoint_every: int = 1,
+    max_cost: float | None = None,
 ) -> DataFrame:
     """Every OD pair's itinerary in ONE multi-lane SSSP run.
 
@@ -246,6 +247,20 @@ def routing_batch(
     Returns the reference leg table with a leading ``pair_id`` column
     (index into ``od_pairs``); pairs with no feasible itinerary yield no
     rows, matching ``routing``'s empty result.
+
+    ``max_cost`` is an EXPLICIT OPT-IN cost horizon for the kernel, default
+    off. The default (None) is exact: per-lane target settlement bounds the
+    superstep count, but a lane whose target set includes an unreachable
+    stoptime explores its full component first — the reference's own
+    per-pair Dijkstra does the same, and on a dense time-expanded day graph
+    that is the dominant cost of the iterative tier. A finite horizon
+    bounds that exploration but is NOT provably winner-preserving: CHANGE
+    weights are (elapsed + walking), so a winner whose accumulated walking
+    pushes cost past the horizon is pruned even though its elapsed time is
+    inside the duration window (tests/test_routing.py cap-boundary case).
+    Callers that opt in (tools/scale_routing.py) must certify the run by
+    winner-identity against an exact tier and pad the horizon well past
+    ``max_duration_h`` to cover accumulated walking.
     """
     spark = graph.stoptimes.sparkSession
     day_st = graph.stoptimes
@@ -317,9 +332,11 @@ def routing_batch(
         )
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time",
-        # no max_cost: a cost horizon would prune winners whose walking
-        # component pushes cost past the elapsed-time cap (see routing());
-        # per-lane target settlement bounds the superstep count instead
+        # default max_cost=None: a cost horizon is not winner-preserving
+        # (walking pushes cost past the elapsed-time cap — see docstring);
+        # per-lane target settlement bounds the superstep count instead.
+        # A finite max_cost is the caller's certified-per-run opt-in.
+        max_cost=max_cost,
         targets={k: sorted(v) for k, v in lane_targets.items()},
         strategy=strategy,
         max_iterations=max_iterations, checkpoint_every=checkpoint_every,

@@ -323,3 +323,31 @@ def test_routing_winner_cost_beyond_duration_window(spark, strategy):
         ("TA", "TB"),
     ]
     assert legs[-1]["arrival"] == 3580
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "iterative"])
+def test_routing_batch_max_cost_optin_semantics(spark, strategy):
+    """routing_batch's default is exact (cap-boundary winner found); the
+    explicit ``max_cost`` opt-in prunes by PATH COST, so a horizon equal
+    to the duration window loses that winner (the documented caveat the
+    scale harness certifies against), while a padded horizon keeps it."""
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import (
+        routing_batch,
+    )
+
+    g = _cap_boundary_graph(spark)
+    pairs = [("SrcStop", "DstStop")]
+
+    def run(**kw):
+        return routing_batch(
+            g, pairs, time_s=0, max_duration_h=1, strategy=strategy,
+            winners_only=True, **kw,
+        ).collect()
+
+    exact = run()
+    assert len(exact) == 1 and exact[0]["cost"] == 4120.0
+    padded = run(max_cost=2 * 3600.0)
+    assert [(r["src"], r["dst"], r["cost"]) for r in padded] == [
+        (exact[0]["src"], exact[0]["dst"], exact[0]["cost"])
+    ]
+    assert run(max_cost=3600.0) == []
