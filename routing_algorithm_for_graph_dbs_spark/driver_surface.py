@@ -1669,15 +1669,18 @@ def mm_image_features(spark, sf_dir):
       FROM aud
     )
     SELECT media_id, hx AS sha256, CAST(n_bytes AS BIGINT) AS n_bytes,
-           ROUND(b3 / 255.0, 6) AS fake_rms,
-           CAST(b4 * 256 + b5 AS BIGINT) AS fake_zero_crossings
+           ROUND(b3 / 255.0, 6) AS rms,
+           CAST(b4 * 256 + b5 AS BIGINT) AS zero_crossings,
+           'fake' AS decoder
     FROM b
     """,
 )
 def mm_audio_features(spark, sf_dir):
     """Arrow-batched audio feature extraction over binary payloads —
     value-checked like mm_image_features via the sha256-derived fake decode
-    (multimodal.audio_features)."""
+    (these payloads are text bytes, so the dispatcher's RIFF sniff routes
+    them past the REAL WAV decoder; operators/wav.py is golden-tested with
+    real PCM bytes in tests/)."""
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
         audio_features,
     )
@@ -1694,8 +1697,9 @@ def mm_audio_features(spark, sf_dir):
         "media_id",
         "sha256",
         F.col("n_bytes").cast("long").alias("n_bytes"),
-        "fake_rms",
-        F.col("fake_zero_crossings").cast("long").alias("fake_zero_crossings"),
+        "rms",
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        "decoder",
     )
 
 

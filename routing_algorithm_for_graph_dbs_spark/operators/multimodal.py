@@ -4,12 +4,16 @@ Images/audio/video ride through the engine as opaque ``binary`` columns with
 a typed metadata struct. The Spark-side machinery — schemas, Arrow-batched
 ``mapInPandas`` pipelines, partition sizing — is real and tested. Codecs:
 uncompressed 24-bit **BMP decode is REAL** (pure Python + numpy,
-``decode_bmp``/``encode_bmp`` below) and **baseline JPEG decode is REAL**
+``decode_bmp``/``encode_bmp`` below), **baseline JPEG decode is REAL**
 (``operators/jpeg.py`` — Huffman entropy decode + exact IDCT of the luma
-channel, no external image lib needed); every other format is a
-deterministic sha256-derived fake, clearly marked, with ``strict=True``
-raising ``NotImplementedError`` where a real deployment would plug
-PIL/libvips/ffmpeg (audio/video, progressive JPEG).
+channel), **non-interlaced 8-bit PNG decode is REAL** (``operators/png.py``
+— stdlib-zlib inflate + all five scanline unfilters, gray/RGB/palette/
+alpha), and **integer-PCM WAV decode is REAL** (``operators/wav.py`` —
+RIFF parse, 8/16/24/32-bit samples, real RMS/zero-crossing features).
+Everything else is a deterministic sha256-derived fake, clearly marked,
+with ``strict=True`` raising ``NotImplementedError`` where a real
+deployment would plug PIL/libvips/ffmpeg (video, compressed audio,
+progressive JPEG, interlaced/16-bit PNG).
 
 Scale notes: binary payloads dominate row size, so these pipelines must
 (a) never shuffle the binary column (all derivation is map-side),
@@ -60,7 +64,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
         T.StructField("mean_luma", T.DoubleType(), False),
-        T.StructField("decoder", T.StringType(), False),  # bmp | fake
+        T.StructField("decoder", T.StringType(), False),  # bmp|jpeg|png|fake
     ]
 )
 
@@ -183,14 +187,22 @@ def image_features(
     payloads (batch memory = batch_size x payload size, independent of
     partition size). Dispatch is per row on the ``mime`` column:
     ``image/bmp`` payloads get the REAL pure-Python decoder
-    (:func:`decode_bmp`) and ``image/jpeg`` the REAL baseline-JPEG
-    decoder (``operators/jpeg.py decode_jpeg`` — full Huffman entropy
-    decode + exact IDCT of the Y channel; progressive/arithmetic modes
-    raise there). Other formats use the deterministic sha256 fake, and
-    with ``strict=True`` raise NotImplementedError instead — the
-    remaining codec boundary (audio/video and non-baseline JPEG).
+    (:func:`decode_bmp`), ``image/jpeg`` the REAL baseline-JPEG decoder
+    (``operators/jpeg.py decode_jpeg`` — full Huffman entropy decode +
+    exact IDCT of the Y channel; progressive/arithmetic modes raise
+    there), and ``image/png`` payloads carrying a real PNG signature the
+    REAL PNG decoder (``operators/png.py decode_png`` — stdlib-zlib
+    inflate + scanline unfiltering; interlaced/16-bit raise there). The
+    signature sniff matters: synthetic media tables label text payloads
+    ``image/png``, and those must keep taking the deterministic sha256
+    fake (or, with ``strict=True``, NotImplementedError) — the remaining
+    codec boundary.
     """
     from routing_algorithm_for_graph_dbs_spark.operators.jpeg import decode_jpeg
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
@@ -208,6 +220,9 @@ def image_features(
                 elif mime == "image/jpeg":
                     w, h, _nc, luma = decode_jpeg(b)
                     dec = "jpeg"
+                elif mime == "image/png" and b.startswith(PNG_SIGNATURE):
+                    w, h, _nc, luma = decode_png(b)
+                    dec = "png"
                 elif strict:
                     raise NotImplementedError(
                         f"real decode of {mime!r} requires PIL/libvips — not"
@@ -252,8 +267,11 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("sha256", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("fake_rms", T.DoubleType(), False),
-        T.StructField("fake_zero_crossings", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), True),  # wav path only
+        T.StructField("sample_rate", T.IntegerType(), True),  # wav path only
+        T.StructField("decoder", T.StringType(), False),  # wav | fake
     ]
 )
 
@@ -262,33 +280,63 @@ def audio_features(
     media: DataFrame, strict: bool = False, batch_size: int = 256
 ) -> DataFrame:
     """Arrow-batched audio feature extraction (same plumbing contract as
-    ``image_features``; the decode is the marked stub boundary — a real
-    deployment calls librosa/ffmpeg here)."""
+    ``image_features``). Payloads carrying a real RIFF/WAVE signature get
+    the REAL integer-PCM decoder (``operators/wav.py decode_wav``) —
+    true RMS, zero-crossing count, duration and sample rate; float/ADPCM
+    WAV and compressed codecs raise there. Other payloads use the
+    deterministic sha256 fake (nulls for duration/rate), and with
+    ``strict=True`` raise NotImplementedError instead — the remaining
+    codec boundary (a real deployment plugs librosa/ffmpeg)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        decode_wav,
+        is_wav,
+    )
+
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real audio decode requires librosa/ffmpeg — not in this container"
-                )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                d = hashlib.sha256(b).digest()
-                rows.append(
-                    (
-                        int(mid),
-                        hashlib.sha256(b).hexdigest(),
-                        len(b),
-                        round(d[3] / 255.0, 6),
-                        int.from_bytes(d[4:6], "big"),
+                hx = hashlib.sha256(b).hexdigest()
+                if is_wav(b):
+                    _nc, rate, _nf, dur, rms, zc = decode_wav(b)
+                    rows.append(
+                        (int(mid), hx, len(b), rms, zc, dur, rate, "wav")
                     )
-                )
+                elif strict:
+                    raise NotImplementedError(
+                        "real decode of non-WAV audio requires"
+                        " librosa/ffmpeg — not in this container"
+                    )
+                else:
+                    d = hashlib.sha256(b).digest()
+                    rows.append(
+                        (
+                            int(mid),
+                            hx,
+                            len(b),
+                            round(d[3] / 255.0, 6),
+                            int.from_bytes(d[4:6], "big"),
+                            None,
+                            None,
+                            "fake",
+                        )
+                    )
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "sha256", "n_bytes", "fake_rms", "fake_zero_crossings"],
+                columns=[
+                    "media_id",
+                    "sha256",
+                    "n_bytes",
+                    "rms",
+                    "zero_crossings",
+                    "duration_ms",
+                    "sample_rate",
+                    "decoder",
+                ],
             )
 
     return media.select("media_id", "payload").mapInPandas(

@@ -1,0 +1,162 @@
+"""REAL pure-Python WAV/PCM audio codec (struct + numpy) — no audio lib.
+
+The audio half of the multimodal codec boundary: RIFF/WAVE framing and
+integer-PCM sample decode are fully specified public formats, so the
+features a training-data pipeline filters on (duration, sample rate,
+RMS level, zero-crossing rate) are computable here without
+librosa/ffmpeg. Compressed codecs (MP3/AAC/Opus...) and float/ADPCM
+WAV variants remain the marked ``NotImplementedError`` boundary.
+
+Supported: RIFF little-endian WAVE, ``fmt `` audio format 1 (PCM) or
+0xFFFE (WAVE_FORMAT_EXTENSIBLE wrapping PCM), 8-bit unsigned / 16-bit /
+24-bit / 32-bit signed samples, any channel count. Malformed framing
+raises ``ValueError``.
+
+Scale shape: one payload decodes independently inside an Arrow batch
+(``multimodal.audio_features`` mapInPandas); nothing here touches Spark.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_PCM_SUBFORMAT = (
+    b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
+
+
+def is_wav(payload: bytes) -> bool:
+    """Cheap signature sniff — dispatch guard for mixed-mime batches."""
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
+def _iter_chunks(payload: bytes):
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) < size:
+            raise ValueError(f"WAV chunk {cid!r} truncated")
+        yield cid, data
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+
+
+def decode_wav(payload: bytes):
+    """Decode integer-PCM WAV to
+    ``(n_channels, sample_rate, n_samples, duration_ms, rms,
+    zero_crossings)``.
+
+    ``n_samples`` counts frames (per channel). ``rms`` is over all
+    samples normalized to [-1, 1], rounded to 6. ``zero_crossings``
+    counts strict sign flips of the channel-averaged signal — the
+    classic voiced/unvoiced & noisiness signal a quality filter uses.
+    """
+    if not is_wav(payload):
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    fmt = None
+    data = None
+    for cid, chunk in _iter_chunks(payload):
+        if cid == b"fmt " and fmt is None:
+            if len(chunk) < 16:
+                raise ValueError("WAV fmt chunk too short")
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+            if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                if len(chunk) < 40 or chunk[24:40] != _PCM_SUBFORMAT:
+                    raise NotImplementedError(
+                        "extensible WAV with a non-PCM subformat needs a"
+                        " real audio lib"
+                    )
+                fmt = (1,) + fmt[1:]
+        elif cid == b"data" and data is None:
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} (non-PCM) needs a real"
+            " audio lib"
+        )
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"bad WAV fmt: channels={n_channels}, rate={sample_rate}")
+    if bits == 8:  # unsigned, midpoint 128
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.float64) / 32768.0
+    elif bits == 24:
+        b = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif bits == 32:
+        x = np.frombuffer(
+            data[: len(data) // 4 * 4], dtype="<i4"
+        ).astype(np.float64) / float(1 << 31)
+    else:
+        raise NotImplementedError(
+            f"WAV bit depth {bits} is outside this decoder (8/16/24/32)"
+        )
+    n_frames = x.shape[0] // n_channels
+    x = x[: n_frames * n_channels].reshape(n_frames, n_channels)
+    duration_ms = int(round(n_frames * 1000.0 / sample_rate))
+    if n_frames == 0:
+        return n_channels, sample_rate, 0, 0, 0.0, 0
+    rms = float(np.sqrt(np.mean(np.square(x))))
+    mono = x.mean(axis=1)
+    zc = int(np.count_nonzero(mono[1:] * mono[:-1] < 0))
+    return n_channels, sample_rate, n_frames, duration_ms, round(rms, 6), zc
+
+
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int, bits: int = 16
+) -> bytes:
+    """Encode float samples in [-1, 1] (frames x channels, or 1-D mono)
+    as integer-PCM WAV — mints REAL golden bytes for decoder tests and
+    the sink path."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise ValueError("expected (frames[, channels]) samples")
+    n_frames, n_channels = arr.shape
+    if bits == 16:
+        pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
+        data = pcm.reshape(-1).tobytes()
+    elif bits == 8:
+        pcm = np.clip(np.round(arr * 127.0) + 128, 0, 255).astype(np.uint8)
+        data = pcm.reshape(-1).tobytes()
+    else:
+        raise ValueError("encoder emits 8- or 16-bit PCM only")
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

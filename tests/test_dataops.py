@@ -2072,3 +2072,255 @@ def test_image_features_real_jpeg_in_pipeline(spark):
         media.filter(media.mime != "image/png"), strict=True
     ).collect()
     assert {r["decoder"] for r in strict_got} == {"jpeg", "bmp"}
+
+
+def test_png_decode_golden_all_filters():
+    """Real PNG codec: golden pixels through every scanline filter type.
+    ``encode_png(filter_mode='cycle')`` emits filters 0-4 by row, so a
+    7-row image forces the decoder to invert None/Sub/Up/Average/Paeth
+    against ground-truth pixels (zlib is stdlib — the DEFLATE stream is
+    real, not a fixture)."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        decode_png,
+        encode_png,
+    )
+
+    # white, black / red, blue — same hand-computed luma as the BMP twin
+    px = np.array(
+        [[[255, 255, 255], [0, 0, 0]], [[255, 0, 0], [0, 0, 255]]], np.uint8
+    )
+    assert decode_png(encode_png(px)) == (
+        2, 2, 3, round((1.0 + 0.0 + 0.299 + 0.114) / 4, 6)
+    )
+
+    rng = np.random.default_rng(7)
+    big = rng.integers(0, 256, size=(7, 13, 3), dtype=np.uint8)
+    r, g, b = (big[..., i].astype(np.float64) for i in range(3))
+    want = round(float((0.299 * r + 0.587 * g + 0.114 * b).mean() / 255.0), 6)
+    assert decode_png(encode_png(big, "cycle")) == (13, 7, 3, want)
+    # filter choice must not change decoded values
+    assert decode_png(encode_png(big, "none")) == (13, 7, 3, want)
+
+
+def test_png_decode_color_types():
+    """Gray, gray+alpha, RGBA and palette color types; alpha is ignored
+    by the luma contract and palette indices expand through PLTE."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        PNG_SIGNATURE,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    gray = np.array([[0, 128], [255, 17]], np.uint8)
+    assert decode_png(encode_png(gray)) == (
+        2, 2, 1, round((0 + 128 + 255 + 17) / 4 / 255.0, 6)
+    )
+
+    ga = np.dstack([gray, np.full((2, 2), 7, np.uint8)])  # alpha ignored
+    assert decode_png(encode_png(ga, "cycle"))[2:] == (
+        2, round((0 + 128 + 255 + 17) / 4 / 255.0, 6)
+    )
+
+    rgba = np.zeros((2, 2, 4), np.uint8)
+    rgba[..., 0] = 255  # pure red, alpha 0
+    assert decode_png(encode_png(rgba, "cycle")) == (2, 2, 4, 0.299)
+
+    # palette PNG built chunk-by-chunk: 2 entries (red, white), 1 row
+    ihdr = _struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 255, 255, 255])
+    idat = _zlib.compress(b"\x00" + bytes([0, 1]))  # filter 0, indices 0,1
+    payload = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (2, 1, 3, round((0.299 + 1.0) / 2, 6))
+
+
+def test_png_decode_rejects():
+    """Honest boundary: interlace/16-bit raise NotImplementedError; bad
+    signature, CRC corruption and truncation raise ValueError."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        PNG_SIGNATURE,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"BM not a png")
+
+    ok = encode_png(np.zeros((2, 2, 3), np.uint8))
+
+    def rebuild(bit_depth=8, interlace=0):
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, bit_depth, 2, 0, 0, interlace)
+        return PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + ok[8 + 25 :]
+
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(rebuild(interlace=1))
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(rebuild(bit_depth=16))
+
+    corrupted = bytearray(ok)
+    corrupted[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupted))
+    with _pytest.raises(ValueError):
+        decode_png(ok[:30])
+
+
+def test_wav_decode_golden():
+    """Real PCM codec: an alternating +/-0.5 square wave has RMS exactly
+    0.5 and n-1 sign flips; stereo with mirrored channels mixes to
+    silence (0 crossings); 8-bit unsigned round-trips the same values."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        decode_wav,
+        encode_wav,
+        is_wav,
+    )
+
+    sq = np.tile([0.5, -0.5], 8)  # 16 frames
+    payload = encode_wav(sq, 8000)
+    assert is_wav(payload)
+    nc, rate, nf, dur, rms, zc = decode_wav(payload)
+    assert (nc, rate, nf, dur) == (1, 8000, 16, 2)
+    assert rms == 0.5 and zc == 15
+
+    stereo = np.stack([sq, -sq], axis=1)  # mono mix == 0
+    nc, rate, nf, dur, rms, zc = decode_wav(encode_wav(stereo, 16000))
+    assert (nc, nf, zc) == (2, 16, 0) and rms == 0.5
+
+    nc, rate, nf, dur, rms, zc = decode_wav(encode_wav(sq, 8000, bits=8))
+    assert (nc, nf) == (1, 16) and rms == 0.5 and zc == 15
+
+
+def test_wav_decode_24bit_extensible_and_padding():
+    """Hand-built 24-bit samples (incl. a negative), a WAVE_FORMAT_
+    EXTENSIBLE fmt wrapping PCM, and an odd-length chunk whose pad byte
+    the parser must skip."""
+    import struct as _struct
+
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        _PCM_SUBFORMAT,
+        decode_wav,
+    )
+
+    def le24(v):
+        return (v & 0xFFFFFF).to_bytes(3, "little")
+
+    data = le24(1 << 22) + le24(-(1 << 22))  # +0.5, -0.5
+    fmt16 = _struct.pack("<HHIIHH", 0xFFFE, 1, 48000, 48000 * 3, 3, 24)
+    fmt = fmt16 + _struct.pack("<HHI", 22, 24, 4) + _PCM_SUBFORMAT
+    body = (
+        b"WAVE"
+        + b"LIST" + _struct.pack("<I", 3) + b"odd\x00"  # padded odd chunk
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+    nc, rate, nf, dur, rms, zc = decode_wav(payload)
+    assert (nc, rate, nf) == (1, 48000, 2)
+    assert rms == 0.5 and zc == 1
+
+
+def test_wav_decode_rejects():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+
+    ok = bytearray(encode_wav(np.zeros(4), 8000))
+    ok[20:22] = _struct.pack("<H", 3)  # audio format 3 = IEEE float
+    with _pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_wav(bytes(ok))
+
+    ok = bytearray(encode_wav(np.zeros(4), 8000))
+    ok[34:36] = _struct.pack("<H", 12)  # 12-bit samples
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        decode_wav(bytes(ok))
+
+
+def test_image_features_real_png_in_pipeline(spark):
+    """image/png rows with REAL PNG bytes decode for real (decoder='png',
+    true dimensions) while text payloads mislabeled image/png keep the
+    deterministic fake — the signature sniff is what separates them."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.png import encode_png
+
+    png = encode_png(np.full((5, 9, 3), 200, np.uint8), "cycle")
+    rows = [
+        (1, "image", png, "image/png", (9, 5, 3, None, None)),
+        (2, "image", b"\x89PNGfakebytes", "image/png", (800, 600, 3, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in image_features(media).collect()}
+    assert got[1]["decoder"] == "png"
+    assert (got[1]["width"], got[1]["height"]) == (9, 5)
+    assert got[1]["mean_luma"] == round(200 / 255.0, 6)
+    assert got[2]["decoder"] == "fake"
+    # strict still raises for the mislabeled row, not the real PNG
+    strict_got = image_features(
+        media.filter(media.media_id == 1), strict=True
+    ).collect()
+    assert strict_got[0]["decoder"] == "png"
+
+
+def test_audio_features_real_wav_in_pipeline(spark):
+    """RIFF-sniffed dispatch inside the Arrow-batched audio extractor:
+    real WAV rows get true RMS/zero-crossings/duration/rate, text rows
+    keep the digest fake with null duration/rate."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import encode_wav
+
+    wav = encode_wav(np.tile([0.5, -0.5], 8), 8000)
+    rows = [
+        (1, "audio", wav, "audio/wav", (None, None, 1, 2, 8000)),
+        (2, "audio", b"not really audio", "audio/wav", (None, None, 1, 9, 1)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in audio_features(media).collect()}
+    assert got[1]["decoder"] == "wav"
+    assert got[1]["rms"] == 0.5 and got[1]["zero_crossings"] == 15
+    assert got[1]["duration_ms"] == 2 and got[1]["sample_rate"] == 8000
+    assert got[2]["decoder"] == "fake"
+    assert got[2]["duration_ms"] is None and got[2]["sample_rate"] is None
+    # strict raises only when a non-WAV payload is present
+    strict_ok = audio_features(
+        media.filter(media.media_id == 1), strict=True
+    ).collect()
+    assert strict_ok[0]["decoder"] == "wav"
