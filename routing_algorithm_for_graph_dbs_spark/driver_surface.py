@@ -6276,3 +6276,101 @@ def smp_temperature_mixture(spark, sf_dir):
     return temperature_mixture_sample(docs, budget=60000.0, alpha=0.3).select(
         "doc_id", "source"
     )
+
+
+@_register(
+    "mm_wav_roundtrip",
+    """
+    WITH aud AS (
+      SELECT doc_id AS media_id,
+             (n_chars % 50) + 2 AS n,
+             ROUND(32767 * ((doc_id % 9) + 1) / 20.0) AS k
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+           FLOOR(k / 32768.0 * 1e6 + 0.5) / 1e6 AS rms,
+           CAST(n - 1 AS BIGINT) AS zero_crossings,
+           CAST(n AS BIGINT) AS duration_ms,
+           1000 AS sample_rate,
+           'wav' AS decoder
+    FROM aud
+    """,
+)
+def mm_wav_roundtrip(spark, sf_dir):
+    """REAL-codec cross-engine check: synth_wav_media encodes a
+    parameterized square wave to actual RIFF/PCM bytes per doc
+    (operators/wav.py encode_wav), audio_features RIFF-sniffs and
+    REALLY decodes them (decode_wav), and the oracle predicts every
+    decoded feature in closed form — RMS is the 16-bit quantized
+    amplitude round(amp*32767)/32768, zero crossings are n-1 sign
+    flips, duration is exact at the 1 kHz rate, n_bytes is the fixed
+    44-byte header + 2 bytes/frame. A decode bug anywhere (RIFF parse,
+    PCM scaling, feature math) breaks the hash match."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+        synth_wav_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_wav_media(docs))
+    return audio_features(media).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "rms",
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        "decoder",
+    )
+
+
+@_register(
+    "mm_png_roundtrip",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id, (doc_id % 7) + 1 AS m
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT img.media_id,
+             AVG(CAST((i.i * img.m) % 256 AS DOUBLE)) / 255.0 AS luma
+      FROM img, generate_series(0, 63) AS i(i)
+      GROUP BY img.media_id
+    )
+    SELECT media_id,
+           CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           FLOOR(luma * 1e6 + 0.5) / 1e6 AS mean_luma,
+           'png' AS decoder
+    FROM px
+    """,
+)
+def mm_png_roundtrip(spark, sf_dir):
+    """REAL-codec cross-engine check, PNG half: synth_png_media encodes
+    an 8x8 gray gradient to actual zlib-deflated PNG bytes per doc —
+    cycling through ALL FIVE scanline filter types — image_features
+    signature-sniffs and REALLY decodes them (operators/png.py: chunk
+    CRC verify, inflate, unfilter), and the oracle reproduces the mean
+    luma analytically from a generated series. Any inflate/unfilter/
+    luma bug breaks the hash match. (Mean-luma rounding cannot tie:
+    sum*3125/51 is never half-odd, margins >= 1/102 >> double error.)"""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+        synth_png_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = spread_for_compute(synth_png_media(docs))
+    return image_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        "decoder",
+    )

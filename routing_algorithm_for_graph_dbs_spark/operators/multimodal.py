@@ -344,6 +344,88 @@ def audio_features(
     )
 
 
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV payloads derived from the documents table.
+
+    Each audio-kind doc becomes a mono square wave (alternating +/-amp,
+    1 kHz sample rate, ``(n_chars % 50) + 2`` frames) encoded to real
+    RIFF/PCM bytes by ``operators.wav.encode_wav`` inside an
+    Arrow-batched ``mapInPandas``. The parameters are closed-form column
+    expressions, so an external engine can predict the DECODED features
+    analytically (RMS = round(amp*32767)/32768, zero crossings = n-1,
+    duration = n ms, n_bytes = 44 + 2n) — which makes the full
+    encode -> decode -> feature pipeline value-checkable cross-engine
+    without the oracle ever touching a codec. Amplitudes are chosen so
+    no feature lands on a rounding tie (margins >> double error).
+    """
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import encode_wav
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        ((F.col("n_chars") % 50) + 2).cast("int").alias("n_frames"),
+        (((F.col("doc_id") % 9) + 1) / 20.0).alias("amp"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for n, a in zip(pdf["n_frames"], pdf["amp"]):
+                wave = np.full(int(n), float(a))
+                wave[1::2] *= -1.0
+                payloads.append(encode_wav(wave, 1000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG payloads derived from the documents table.
+
+    Each image-kind doc becomes an 8x8 grayscale gradient
+    (pixel_i = (i * ((doc_id % 7) + 1)) % 256) encoded to real
+    zlib-deflated PNG bytes (every scanline filter type, via
+    ``encode_png(..., 'cycle')``). Mean luma is an analytic function of
+    (doc_id) an external engine can reproduce with a generated series —
+    cross-engine value-checking the inflate + unfilter + luma path.
+    """
+    from routing_algorithm_for_graph_dbs_spark.operators.png import encode_png
+
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        ((F.col("doc_id") % 7) + 1).cast("int").alias("mult"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    ((idx * int(m)) % 256).astype(np.uint8).reshape(8, 8),
+                    "cycle",
+                )
+                for m in pdf["mult"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
 def resize_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
     """Image resize *plan*: target dimensions from metadata only, preserving
     aspect ratio — pure column math, payload untouched (the actual pixel
