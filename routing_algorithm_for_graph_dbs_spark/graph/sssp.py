@@ -423,8 +423,13 @@ def sssp(
     max_cost: float | None = None,
     checkpoint_every: int = 1,
     shuffle_parts: int | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Two-tier SSSP dispatcher (same (lane, node, cost[, path]) contract).
+
+    ``n_edges``: caller-known edge cardinality (ProjectedGraph.edge_count
+    memoizes it) — skips the dispatch count job, which is pure overhead on
+    repeated kernel runs over the same graph (interactive routing).
 
     - ``broadcast``: graph fits in executor memory -> broadcast it once and
       run one in-memory Dijkstra task per lane (graph/local_sssp.py). This is
@@ -453,7 +458,6 @@ def sssp(
     pushes cost past the elapsed-time horizon); target settlement bounds
     the routing superstep count instead.
     """
-    n_edges = None
     release = lambda: None
     if strategy == "auto":
         # pin across the dispatch count + the tier's first materialization
@@ -462,7 +466,8 @@ def sssp(
         # day-graph across nine kernel runs) must NOT be evicted
         # (graph/partitioning.py pin_if_uncached documents both)
         edges, release = pin_if_uncached(edges)
-        n_edges = edges.count()
+        if n_edges is None:
+            n_edges = edges.count()
         strategy = "broadcast" if n_edges <= BROADCAST_EDGE_LIMIT else "iterative"
 
     try:

@@ -103,9 +103,19 @@ def _decompose_path(
         F.col("route_id").alias("next_line"),
         F.col("arrival_s").alias("arrival"),
     )
+    # broadcast the PAIRS side (winner legs: tens of rows, bounded by
+    # |pairs| x path length), never the stoptime relation: at city scale
+    # the two s1/s2 projections are ~252k rows EACH, and broadcasting them
+    # rebuilt two quarter-million-row broadcast variables per interactive
+    # query (~0.4 s/call measured); at 100 TB the stoptime relation isn't
+    # broadcastable at all. With pairs broadcast, each join is one
+    # streaming pass over the cached stoptimes.
+    legs = F.broadcast(pairs).join(s1, "s1_id")
     return (
-        pairs.join(F.broadcast(s1), "s1_id")
-        .join(F.broadcast(s2), "s2_id")
+        # re-hint: the first join's output is pairs-sized but Catalyst
+        # won't propagate the hint through it
+        F.broadcast(legs)
+        .join(s2, "s2_id")
         .orderBy(*keys, "pos")
         .select(*keys, *LEG_COLUMNS)
     )
@@ -157,7 +167,7 @@ def _run_pairs(
     }
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time", targets=lane_targets,
-        strategy=strategy,
+        strategy=strategy, n_edges=graph.edge_count(),
     )
     t = targets.select(
         F.col("stoptime_id").alias("t_id"),
@@ -338,7 +348,7 @@ def routing_batch(
         # A finite max_cost is the caller's certified-per-run opt-in.
         max_cost=max_cost,
         targets={k: sorted(v) for k, v in lane_targets.items()},
-        strategy=strategy,
+        strategy=strategy, n_edges=graph.edge_count(),
         max_iterations=max_iterations, checkpoint_every=checkpoint_every,
         track_paths=("pred" if pred_mode else True),
         # iterative tier: spread the (lane x horizon-ball) state across
