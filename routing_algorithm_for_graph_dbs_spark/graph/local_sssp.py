@@ -106,7 +106,26 @@ def _decoded(payload: dict) -> dict:
     return g
 
 
-def _dijkstra_csr(g: dict, seeds: list[int], target_idx: set[int] | None):
+def _dijkstra_csr(
+    g: dict,
+    seeds: list[int],
+    target_idx: set[int] | None,
+    target_groups: list[dict] | None = None,
+):
+    """Multi-seed Dijkstra over broadcast CSR arrays.
+
+    ``target_idx``: plain early stop — break once every target settles.
+    ``target_groups``: RANK-PRUNED early stop (a list of {node_idx: rank}
+    dicts, one per consumer group). The routing consumer ranks candidates
+    by (rank, cost) ascending per group, so once a group member settles
+    with rank r, members with rank > r can never win that group — they
+    are dropped from the group's remaining set, which stops the search at
+    the winner's cost radius instead of the farthest target's (~4 h of
+    day-graph for routing's departure window). Equal-rank members are
+    KEPT for the downstream cost/src/dst tiebreaks. Returns
+    (dist, prev, settled) — with pruning, only SETTLED target rows carry
+    final costs (a pruned target's dist may be a live overestimate).
+    """
     indptr, nbr, w = g["indptr"], g["nbr"], g["w"]
     n = len(indptr) - 1
     dist = np.full(n, np.inf)
@@ -116,13 +135,40 @@ def _dijkstra_csr(g: dict, seeds: list[int], target_idx: set[int] | None):
     for s in seeds:
         dist[s] = 0.0
     remaining = None if target_idx is None else set(target_idx)
+    groups_of: dict[int, list] = {}
+    n_remaining = 0
+    settled: set[int] = set()
+    if target_groups is not None:
+        remaining = None
+        groups = [dict(grp) for grp in target_groups]
+        for grp in groups:
+            for u in grp:
+                groups_of.setdefault(u, []).append(grp)
+            n_remaining += len(grp)
+        if n_remaining == 0:
+            return dist, prev, settled
     while heap:
         d, u = heapq.heappop(heap)
         if d > dist[u]:
             continue
         if remaining is not None:
-            remaining.discard(u)
-            if not remaining:
+            if u in remaining:
+                remaining.discard(u)
+                settled.add(u)
+                if not remaining:
+                    break
+        elif target_groups is not None and u in groups_of:
+            settled.add(u)
+            for grp in groups_of[u]:
+                r = grp.pop(u, None)
+                if r is None:
+                    continue
+                n_remaining -= 1
+                doomed = [v for v, rv in grp.items() if rv > r]
+                for v in doomed:
+                    del grp[v]
+                n_remaining -= len(doomed)
+            if n_remaining == 0:
                 break
         for j in range(indptr[u], indptr[u + 1]):
             v = nbr[j]
@@ -131,7 +177,7 @@ def _dijkstra_csr(g: dict, seeds: list[int], target_idx: set[int] | None):
                 dist[v] = nd
                 prev[v] = u
                 heapq.heappush(heap, (nd, v))
-    return dist, prev
+    return dist, prev, settled
 
 
 def _walk_path(prev: np.ndarray, ids: np.ndarray, node: int) -> list:
@@ -150,6 +196,7 @@ def broadcast_dijkstra(
     track_paths: bool = True,
     targets: list | dict | None = None,
     max_cost: float | None = None,
+    target_ranks: dict | None = None,
 ) -> DataFrame:
     """Same contract as ``multi_source_dijkstra``: (lane, node, cost[, path]).
 
@@ -161,7 +208,19 @@ def broadcast_dijkstra(
     absent from the dict fall back to full expansion, the ``None``
     behavior). ``edges`` must fit in executor memory (the dispatcher
     checks).
+
+    ``target_ranks`` (mutually exclusive with ``targets``): dict of
+    lane -> list of (group, node, rank) triples for RANK-PRUNED early
+    termination. The consumer ranks each group's candidates by
+    (rank, cost) ascending — routing's ORDER BY arrival, cost — so once
+    a group member settles with rank r, members with rank > r are dead
+    and the kernel stops at the winner's cost radius (see
+    ``_dijkstra_csr``). Only SETTLED rows are emitted; a pruned target's
+    cost is a live overestimate the consumer must not read (it can only
+    lose its group's rank anyway).
     """
+    if target_ranks is not None and targets is not None:
+        raise ValueError("pass either targets or target_ranks, not both")
     bc = _prepare(edges, weight_col)
     node_t = edges.schema["src"].dataType
     integral = isinstance(node_t, (T.LongType, T.IntegerType, T.ShortType))
@@ -180,6 +239,11 @@ def broadcast_dijkstra(
     else:
         target_list = list(targets) if targets is not None else None
         target_map = None
+    rank_map = (
+        {str(k): list(v) for k, v in target_ranks.items()}
+        if target_ranks is not None
+        else None
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         g = _decoded(bc.value)
@@ -196,14 +260,24 @@ def broadcast_dijkstra(
             if tl is not None
             else None
         )
+        t_groups = None
+        tr = rank_map.get(str(lane)) if rank_map is not None else None
+        if tr is not None:  # absent lane = full expansion, like target_map
+            by_group: dict = {}
+            for grp_id, node, rank in tr:
+                i = index.get(str(node))
+                if i is not None:
+                    by_group.setdefault(grp_id, {})[i] = rank
+            t_groups = list(by_group.values())
         if not seeds:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        dist, prev = _dijkstra_csr(g, seeds, t_idx)
-        emit = (
-            sorted(t_idx)
-            if t_idx is not None
-            else np.flatnonzero(np.isfinite(dist)).tolist()
-        )
+        dist, prev, settled = _dijkstra_csr(g, seeds, t_idx, t_groups)
+        if t_groups is not None:
+            emit = sorted(settled)  # pruned targets hold live overestimates
+        elif t_idx is not None:
+            emit = sorted(t_idx)
+        else:
+            emit = np.flatnonzero(np.isfinite(dist)).tolist()
         recs = []
         for u in emit:
             if not np.isfinite(dist[u]):

@@ -52,6 +52,7 @@ def multi_source_dijkstra(
     max_cost: float | None = None,
     shuffle_parts: int | None = None,
     targets: list | dict | None = None,
+    target_ranks: dict | None = None,
 ) -> DataFrame:
     """Shortest path costs (and paths) from every source to every reachable node.
 
@@ -78,6 +79,14 @@ def multi_source_dijkstra(
         still-active lane is settled the loop stops. With an early stop,
         only TARGET rows are guaranteed final — callers that read other
         rows must not pass targets.
+    target_ranks : mutually exclusive with ``targets``: dict of
+        lane -> [(group, node, rank)] for RANK-PRUNED settlement. The
+        consumer ranks each group by (rank, cost) ascending — routing's
+        ORDER BY arrival, cost — so once a group member settles with rank
+        r, members with rank > r can never win and stop blocking
+        termination (they may hold non-final costs in the output; the
+        consumer's rank discards them). Cuts the superstep count to the
+        winner's cost radius instead of the farthest target's.
     checkpoint_every : supersteps per localCheckpoint. Between checkpoints
         each superstep's plan references the previous merged state twice
         (as ``best`` and via the frontier), so planning cost grows
@@ -151,12 +160,23 @@ def multi_source_dijkstra(
     tgt_df = None
     tgt_pairs: set = set()
     tgt_cost: dict = {}
-    if targets:
+    tgt_groups: dict | None = None  # (lane, group) -> {node: rank}
+    if targets and target_ranks:
+        raise ValueError("pass either targets or target_ranks, not both")
+    if targets or target_ranks:
         src_pairs = [
             (r["lane"], r["node"])
             for r in sources.select("lane", "node").distinct().collect()
         ]
-        if isinstance(targets, dict):
+        if target_ranks:
+            tgt_groups = {}
+            for lane, triples in target_ranks.items():
+                for grp_id, node, rank in triples:
+                    tgt_groups.setdefault((lane, grp_id), {})[node] = rank
+            pair_rows = sorted(
+                {(l, n) for (l, _g), ns in tgt_groups.items() for n in ns}
+            )
+        elif isinstance(targets, dict):
             pair_rows = [(l, n) for l, ns in targets.items() for n in ns]
         else:
             lanes = sorted({l for l, _ in src_pairs})
@@ -176,6 +196,37 @@ def multi_source_dijkstra(
                     ]
                 ),
             )
+
+    def _targets_done(fmin: dict) -> bool:
+        """All requested targets provably final for every lane that still
+        has a frontier (absent lanes are exhausted — nothing can improve).
+        With ``tgt_groups`` (rank-pruned mode), a group member whose rank
+        exceeds the group's best settled rank is DEAD — the consumer ranks
+        by (rank, cost) ascending, so it can never win — and stops
+        blocking termination; equal-rank members still must settle (they
+        compete on the cost tiebreak)."""
+        if tgt_groups is None:
+            return all(
+                p in tgt_cost and tgt_cost[p] <= fmin[p[0]]
+                for p in tgt_pairs
+                if p[0] in fmin
+            )
+        for (lane, _g), members in tgt_groups.items():
+            fm = fmin.get(lane)
+            if fm is None:
+                continue
+            settled = [
+                r
+                for n, r in members.items()
+                if tgt_cost.get((lane, n), float("inf")) <= fm
+            ]
+            thresh = min(settled) if settled else None
+            for n, r in members.items():
+                if thresh is not None and r > thresh:
+                    continue
+                if tgt_cost.get((lane, n), float("inf")) > fm:
+                    return False
+        return True
 
     early_stop = False
     with superstep_confs(edges.sparkSession, n_parts):
@@ -314,11 +365,7 @@ def multi_source_dijkstra(
                         # non-checkpoint superstep is seen late or not at
                         # all — the stop is then merely DELAYED, never
                         # premature, since tgt_cost only over-estimates.)
-                        if all(
-                            p in tgt_cost and tgt_cost[p] <= fmin[p[0]]
-                            for p in tgt_pairs
-                            if p[0] in fmin
-                        ):
+                        if _targets_done(fmin):
                             early_stop = True
             best = merged.drop("is_frontier")
             frontier = merged.filter("is_frontier").select(*frontier_cols)
@@ -424,6 +471,7 @@ def sssp(
     checkpoint_every: int = 1,
     shuffle_parts: int | None = None,
     n_edges: int | None = None,
+    target_ranks: dict | None = None,
 ) -> DataFrame:
     """Two-tier SSSP dispatcher (same (lane, node, cost[, path]) contract).
 
@@ -480,12 +528,13 @@ def sssp(
                 # "pred" coerces to full paths here: the CSR tier's prev-
                 # pointer walk is already cheap, and its contract is (path)
                 edges, sources, weight_col, bool(track_paths), targets,
-                max_cost=max_cost,
+                max_cost=max_cost, target_ranks=target_ranks,
             )
         return multi_source_dijkstra(
             edges, sources, weight_col, max_iterations, track_paths,
             n_edges=n_edges, max_cost=max_cost, checkpoint_every=checkpoint_every,
             shuffle_parts=shuffle_parts, targets=targets,
+            target_ranks=target_ranks,
         )
     finally:
         release()

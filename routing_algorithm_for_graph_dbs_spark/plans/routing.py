@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from routing_algorithm_for_graph_dbs_spark.functions.spatial import haversine_meters
@@ -126,30 +126,44 @@ def _run_pairs(
     sources: DataFrame,
     targets: DataFrame,
     strategy: str = "auto",
+    rank_col: Column | None = None,
 ) -> DataFrame:
     """Stage 3: lanes = source stoptimes; join lane results onto targets.
 
     Returns per feasible (source, target): src, dst, cost, path,
     src_departure_s, dst_arrival_s, dst_departure_s.
+
+    ``rank_col``: the consumer's PRIMARY rank over target stoptime rows
+    (default arrival_s — routing's ORDER BY arrival, cost; the
+    two-points pipeline passes arrival + exit-walk = its final_time).
+    The kernel uses it for rank-pruned settlement: once a target settles,
+    same-group targets with a strictly larger rank can never win the
+    (rank, cost, ...) order, so the search stops at the winner's cost
+    radius instead of the farthest feasible target's (~the whole
+    duration window of day-graph).
     """
     lanes = sources.select(
         F.col("stoptime_id").alias("lane"), F.col("stoptime_id").alias("node")
     ).distinct()
     # per-lane target sets, known up front (a few hundred stoptimes at the
     # destination stops): both SSSP tiers early-terminate once a lane's
-    # targets settle. Targets departing at-or-before the lane's own
-    # departure are EXCLUDED — the ranking join discards them anyway
+    # WINNABLE targets settle. Targets departing at-or-before the lane's
+    # own departure are EXCLUDED — the ranking join discards them anyway
     # (dst_departure > src_departure), and keeping them would block
     # settlement forever (they are generally unreachable: time moves
     # forward along the expanded graph), degrading early termination to
     # full-graph convergence on the iterative tier.
+    if rank_col is None:
+        rank_col = F.col("arrival_s")
     both = (
         sources.select(
-            F.lit("s").alias("side"), "stoptime_id", "departure_s"
+            F.lit("s").alias("side"), "stoptime_id", "departure_s",
+            F.lit(0.0).alias("rank"),
         )
         .unionByName(
             targets.select(
-                F.lit("t").alias("side"), "stoptime_id", "departure_s"
+                F.lit("t").alias("side"), "stoptime_id", "departure_s",
+                rank_col.cast("double").alias("rank"),
             )
         )
         .distinct()
@@ -157,16 +171,17 @@ def _run_pairs(
     )
     src_rows = [r for r in both if r["side"] == "s"]
     tgt_rows = [r for r in both if r["side"] == "t"]
-    lane_targets = {
-        s["stoptime_id"]: sorted(
-            t["stoptime_id"]
+    lane_ranks = {
+        s["stoptime_id"]: [
+            (0, t["stoptime_id"], t["rank"])
             for t in tgt_rows
             if t["departure_s"] > s["departure_s"]
-        )
+        ]
         for s in src_rows
     }
     res = sssp(
-        graph.edges, lanes, weight_col="waiting_time", targets=lane_targets,
+        graph.edges, lanes, weight_col="waiting_time",
+        target_ranks=lane_ranks,
         strategy=strategy, n_edges=graph.edge_count(),
     )
     t = targets.select(
@@ -324,22 +339,24 @@ def routing_batch(
         .collect()
     )
     tgt_rows = (
-        targets.select("pair_id", "stoptime_id", "departure_s")
+        targets.select("pair_id", "stoptime_id", "departure_s", "arrival_s")
         .distinct()
         .collect()
     )
     tgt_by_pair: dict[int, list] = {}
     for r in tgt_rows:
         tgt_by_pair.setdefault(r["pair_id"], []).append(
-            (r["stoptime_id"], r["departure_s"])
+            (r["stoptime_id"], r["departure_s"], r["arrival_s"])
         )
-    lane_targets: dict[str, set] = {}
+    # groups are PAIR-scoped: a lane shared by several OD pairs carries one
+    # group per pair, so settling pair A's early-arrival target prunes only
+    # pair A's later-arrival targets — pair B's rank is independent.
+    lane_ranks: dict[str, dict] = {}
     for r in src_rows:
-        lane_targets.setdefault(r["stoptime_id"], set()).update(
-            t
-            for t, dep in tgt_by_pair.get(r["pair_id"], ())
-            if dep > r["departure_s"]
-        )
+        grp = lane_ranks.setdefault(r["stoptime_id"], {})
+        for t, dep, arr in tgt_by_pair.get(r["pair_id"], ()):
+            if dep > r["departure_s"]:
+                grp[(r["pair_id"], t)] = float(arr)
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time",
         # default max_cost=None: a cost horizon is not winner-preserving
@@ -347,7 +364,10 @@ def routing_batch(
         # per-lane target settlement bounds the superstep count instead.
         # A finite max_cost is the caller's certified-per-run opt-in.
         max_cost=max_cost,
-        targets={k: sorted(v) for k, v in lane_targets.items()},
+        target_ranks={
+            lane: [(g, n, rk) for (g, n), rk in grp.items()]
+            for lane, grp in lane_ranks.items()
+        },
         strategy=strategy, n_edges=graph.edge_count(),
         max_iterations=max_iterations, checkpoint_every=checkpoint_every,
         track_paths=("pred" if pred_mode else True),
@@ -459,7 +479,11 @@ def routing_between_two_points_in_space(
         & ((F.col("departure_s") + end_walk) < F.lit(end_s))
     )
 
-    pairs = _run_pairs(graph, sources, targets)
+    # the consumer ranks by final_time = arrival + exit-walk (below), so
+    # that expression is the settlement rank — static per target stoptime
+    pairs = _run_pairs(
+        graph, sources, targets, rank_col=F.col("arrival_s") + end_walk
+    )
 
     # stage 4: augment with entry/exit walking (main.py:157)
     src_walk = day_st.select(
