@@ -536,3 +536,49 @@ def test_betweenness_sampled_within_tolerance_of_exact(spark):
     top_e = set(sorted(exact, key=exact.get, reverse=True)[:5])
     top_s = set(sorted(samp, key=samp.get, reverse=True)[:5])
     assert len(top_e & top_s) >= 3, (top_e, top_s)
+
+
+def test_rank_pruned_settlement_both_tiers(spark):
+    """Rank-pruned targets (r7): on a 60-hop unit chain with group
+    targets {n3: rank 5.0, n50: rank 9.0}, settling n3 (rank 5) makes
+    n50 (rank 9) unwinnable under the consumer's (rank, cost) order —
+    both tiers must stop near hop 3 instead of walking to hop 50, and
+    only SETTLED targets are guaranteed/emitted. An equal-rank sibling
+    (n4, rank 5.0) must NOT be pruned: it competes on the cost tiebreak."""
+    import importlib
+
+    S = importlib.import_module("routing_algorithm_for_graph_dbs_spark.graph.sssp")
+    from routing_algorithm_for_graph_dbs_spark.graph.local_sssp import (
+        broadcast_dijkstra,
+    )
+
+    n = 60
+    e = _edges_df(spark, [(f"n{i}", f"n{i+1}", 1.0) for i in range(n)])
+    src = spark.createDataFrame([("n0", "n0")], ["lane", "node"])
+    ranks = {"n0": [(0, "n3", 5.0), (0, "n4", 5.0), (0, "n50", 9.0)]}
+
+    got_b = {
+        r["node"]: r["cost"]
+        for r in broadcast_dijkstra(e, src, target_ranks=ranks).collect()
+    }
+    # settled, exact: n3 and its equal-rank sibling n4; pruned: n50
+    assert got_b["n3"] == 3.0 and got_b["n4"] == 4.0
+    assert "n50" not in got_b
+
+    res_i = S.multi_source_dijkstra(e, src, target_ranks=ranks)
+    got_i = {r["node"]: r["cost"] for r in res_i.collect()}
+    assert got_i["n3"] == 3.0 and got_i["n4"] == 4.0
+    assert S.LAST_ITERATIVE_SUPERSTEPS < 15  # stopped at the winners' radius
+    assert S.LAST_ITERATIVE_CONVERGED
+
+    # separate GROUPS are independent: pair 1's early settle must not
+    # prune pair 2's later-rank target
+    ranks2 = {"n0": [(1, "n3", 5.0), (2, "n50", 9.0)]}
+    got_b2 = {
+        r["node"]: r["cost"]
+        for r in broadcast_dijkstra(e, src, target_ranks=ranks2).collect()
+    }
+    assert got_b2["n3"] == 3.0 and got_b2["n50"] == 50.0
+
+    with pytest.raises(ValueError, match="not both"):
+        broadcast_dijkstra(e, src, targets=["n3"], target_ranks=ranks)
