@@ -6374,3 +6374,70 @@ def mm_png_roundtrip(spark, sf_dir):
         "mean_luma",
         "decoder",
     )
+
+
+@_register(
+    "mm_resize_roundtrip",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id, (doc_id % 7) + 1 AS m
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    tgt AS (
+      SELECT img.media_id, img.m, t.i AS ti
+      FROM img, generate_series(0, 15) AS t(i)
+    ),
+    px AS (
+      SELECT media_id,
+             (((2*(ti//4))*8   + 2*(ti%4))   * m) % 256
+           + (((2*(ti//4)+1)*8 + 2*(ti%4))   * m) % 256
+           + (((2*(ti//4))*8   + 2*(ti%4)+1) * m) % 256
+           + (((2*(ti//4)+1)*8 + 2*(ti%4)+1) * m) % 256 AS s
+      FROM tgt
+    ),
+    rhe AS (  -- round-half-even of s/4, numpy rint's tie rule
+      SELECT media_id,
+             CASE WHEN s % 4 < 2 THEN s // 4
+                  WHEN s % 4 > 2 THEN s // 4 + 1
+                  WHEN (s // 4) % 2 = 0 THEN s // 4
+                  ELSE s // 4 + 1 END AS v
+      FROM px
+    )
+    SELECT media_id,
+           CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+           FLOOR(AVG(CAST(v AS DOUBLE)) / 255.0 * 1e6 + 0.5) / 1e6
+             AS mean_luma,
+           'png' AS decoder
+    FROM rhe GROUP BY media_id
+    """,
+)
+def mm_resize_roundtrip(spark, sf_dir):
+    """REAL-codec cross-engine check, resize half: synth_png_media's 8x8
+    gray gradients go through resize_images (REAL bilinear resample at
+    scale 0.5 — every target pixel is exactly a 2x2 source-block mean
+    under the pixel-center convention — then a REAL PNG re-encode) and
+    back through image_features' REAL decode; the oracle reproduces the
+    block means analytically, including numpy rint's round-half-even tie
+    rule on the quarter-step averages. Any bug in resample math, encode,
+    or decode breaks the hash."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+        resize_images,
+        synth_png_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = spread_for_compute(synth_png_media(docs))
+    resized = resize_images(media, max_dim=4, strict=True).withColumn(
+        "mime", F.lit("image/png")
+    )
+    return image_features(resized, strict=True).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        "decoder",
+    )

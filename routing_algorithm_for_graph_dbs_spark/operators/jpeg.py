@@ -197,12 +197,11 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
-    """Decode a baseline JPEG; return (width, height, n_components,
-    mean_luma) with mean_luma the mean of the decoded Y plane (cropped to
-    the true image size) normalized to [0, 1], rounded to 6 — the same
-    contract as ``decode_bmp``.
-    """
+def _decode_jpeg_plane(payload: bytes):
+    """Shared decode core: (width, height, n_components, y_plane) with
+    ``y_plane`` the float64 Y channel in [0, 255], cropped to the Y
+    component's true size (subsampled chroma layouts give a Y plane at
+    the Y component's resolution)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     quant: dict[int, np.ndarray] = {}
@@ -287,7 +286,7 @@ def _decode_scan(
     huff_dc: dict,
     huff_ac: dict,
     restart_interval: int,
-) -> tuple[int, int, int, float]:
+) -> tuple:
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -359,12 +358,31 @@ def _decode_scan(
     # crop MCU padding to the true Y size (Y dims scale by h/hmax, v/vmax)
     y_w = -(-w * y_comp["h"] // hmax)
     y_h = -(-h * y_comp["v"] // vmax)
-    luma = float(plane[:y_h, :y_w].mean() / 255.0)
-    return w, h, len(comps), round(luma, 6)
+    return w, h, len(comps), plane[:y_h, :y_w]
 
 
 # ---------------------------------------------------------------------------
 # minimal baseline grayscale encoder (golden-test byte source)
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
+    """Decode a baseline JPEG; return (width, height, n_components,
+    mean_luma) with mean_luma the mean of the decoded Y plane (cropped to
+    the true image size) normalized to [0, 1], rounded to 6 — the same
+    contract as ``decode_bmp``.
+    """
+    w, h, nc, plane = _decode_jpeg_plane(payload)
+    return w, h, nc, round(float(plane.mean() / 255.0), 6)
+
+
+def decode_jpeg_luma(payload: bytes) -> np.ndarray:
+    """Pixel-level JPEG decode: the Y (luma) plane as a uint8 array —
+    the entry the real pHash / resize operators build on. For subsampled
+    color JPEGs this is the Y component's resolution (what perceptual
+    hashing wants anyway); chroma reconstruction stays outside this
+    codec's scope."""
+    _w, _h, _nc, plane = _decode_jpeg_plane(payload)
+    return np.clip(np.rint(plane), 0, 255).astype(np.uint8)
 
 
 def encode_jpeg_gray(pixels: np.ndarray, quality: int = 90) -> bytes:

@@ -124,6 +124,35 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     return width, n_rows, 3, round(luma, 6)
 
 
+def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
+    """Pixel-level BMP decode: (H, W, 3) uint8 RGB, top-down row order —
+    the entry the real pHash / resize operators build on. Same format
+    support and error contract as :func:`decode_bmp`."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic or header)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is decoded here (got bpp={bpp},"
+            f" compression={compression}) — other modes need a real image lib"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    top_down, n_rows = height < 0, abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    if len(payload) < data_off + row_bytes * n_rows:
+        raise ValueError("BMP payload truncated")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * n_rows, offset=data_off
+    ).reshape(n_rows, row_bytes)[:, : width * 3].reshape(n_rows, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
 def encode_bmp(pixels: "np.ndarray") -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
     (bottom-up, BI_RGB) — the write half of the codec, used by the sink
@@ -446,6 +475,63 @@ def resize_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
     )
 
 
+def resize_images(
+    media: DataFrame, max_dim: int = 256, strict: bool = False,
+    batch_size: int = 64,
+) -> DataFrame:
+    """REAL pixel resample for decodable payloads — the execution half of
+    :func:`resize_plan` (which stays the metadata-only planner).
+
+    Arrow-batched ``mapInPandas``: signature-sniffed decode through the
+    repo's real codecs (BMP/baseline JPEG/PNG), deterministic bilinear
+    resample preserving aspect ratio (same target-dim formula as
+    ``resize_plan``), re-encode as PNG. Non-decodable payloads are
+    SKIPPED (emitting them unresized would lie about the column's
+    contract) unless ``strict=True``, which raises — the remaining codec
+    boundary. Output: (media_id, payload PNG, width, height) at the
+    target size. The batch size bounds Arrow memory: decoded pixel
+    arrays, not the input payloads, dominate here.
+    """
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from routing_algorithm_for_graph_dbs_spark.operators.phash import (
+            resize_bilinear,
+            sniff_decode,
+        )
+        from routing_algorithm_for_graph_dbs_spark.operators.png import (
+            encode_png,
+        )
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = sniff_decode(bytes(payload))
+                if px is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "real resize of undecodable payloads requires"
+                            " PIL/libvips — not in this container"
+                        )
+                    continue
+                h, w = px.shape[:2]
+                scale = max_dim / max(w, h) if max(w, h) > max_dim else 1.0
+                tw = max(int(w * scale), 1)
+                th = max(int(h * scale), 1)
+                out = np.clip(
+                    np.rint(resize_bilinear(px, tw, th)), 0, 255
+                ).astype(np.uint8)
+                recs.append((int(mid), encode_png(out, "none"), tw, th))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "payload", "width", "height"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize, schema="media_id long, payload binary, width int, height int"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (media_id, frame_ts).
 
@@ -484,30 +570,79 @@ def phash_near_dup_pairs(
     """Perceptual-hash near-duplicate pairs over media payloads —
     multimodal dedup's analogue of text SimHash.
 
-    A production pHash is a DCT over decoded pixels; decoding is this
-    module's documented codec boundary (``strict=True`` raises there,
-    same contract as image_features). The deterministic stand-in derives
-    the 64-bit hash from the payload's UTF-8 text via the md5 SimHash —
-    bit-reproducible by the DuckDB oracle, so the WHOLE pipeline stays
-    value-checked. The pairing is the real scale component and is
-    hash-source-agnostic: 16-bit-chunk pigeonhole blocking
-    (operators.dedup.simhash_near_pairs) — candidates meet in an
-    equi-join on (chunk_id, chunk), never all-pairs. Swap in real
-    pHashes and nothing downstream changes.
+    Payloads carrying a real image signature (BMP/baseline JPEG/PNG) get
+    the REAL DCT perceptual hash over decoded pixels
+    (``operators/phash.py``: gray -> bilinear 32x32 -> 2-D DCT-II ->
+    8x8 low-frequency block thresholded at the non-DC median). Other
+    payloads keep the deterministic md5-SimHash-over-text stand-in —
+    bit-reproducible by the DuckDB oracle, so that pipeline stays
+    value-checked — or, with ``strict=True``, raise at execution (video
+    frames and compressed formats remain the codec boundary). The
+    pairing is hash-source-agnostic and is the scale component:
+    16-bit-chunk pigeonhole blocking (operators.dedup.simhash_near_pairs)
+    — candidates meet in an equi-join on (chunk_id, chunk), never
+    all-pairs.
     """
-    if strict:
-        raise NotImplementedError(
-            "real perceptual hashing requires an image decoder (PIL/libvips)"
-            " — not in this container; the text-derived stand-in is the"
-            " non-strict path"
-        )
     from routing_algorithm_for_graph_dbs_spark.operators.dedup import (
         simhash,
         simhash_near_pairs,
     )
+    from routing_algorithm_for_graph_dbs_spark.operators.png import PNG_SIGNATURE
 
-    decoded = media.select(
-        "media_id", F.decode(F.col("payload"), "UTF-8").alias("text")
+    # column-level signature sniff (binary substring compares): the real
+    # branch must see only actually-decodable payloads. "BM" alone is weak
+    # magic — require the BMP header's four reserved zero bytes too.
+    is_dec = (
+        (
+            (F.substring("payload", 1, 2) == F.lit(b"BM"))
+            & (F.length("payload") >= 54)
+            & (F.substring("payload", 7, 4) == F.lit(b"\x00\x00\x00\x00"))
+        )
+        | (F.substring("payload", 1, 2) == F.lit(b"\xff\xd8"))
+        | (F.substring("payload", 1, 8) == F.lit(bytes(PNG_SIGNATURE)))
     )
-    sims = simhash(decoded, text_col="text", key_col="media_id", hash_fn="md5")
+
+    def hash_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from routing_algorithm_for_graph_dbs_spark.operators.phash import (
+            payload_phash,
+        )
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = payload_phash(bytes(payload))
+                if h is None:  # cannot happen given the sniff; belt+braces
+                    raise ValueError("undecodable payload in real branch")
+                recs.append((int(mid), h))
+            yield pd.DataFrame(recs, columns=["media_id", "simhash"])
+
+    real = (
+        media.filter(is_dec)
+        .select("media_id", "payload")
+        .mapInPandas(hash_real, schema="media_id long, simhash long")
+    )
+    rest = media.filter(~is_dec)
+    if strict:
+
+        def refuse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf):
+                    raise NotImplementedError(
+                        "real perceptual hashing of non-image payloads"
+                        " requires a video/audio decoder — not in this"
+                        " container"
+                    )
+                yield pd.DataFrame(columns=["media_id", "simhash"])
+
+        fake = rest.select("media_id", "payload").mapInPandas(
+            refuse, schema="media_id long, simhash long"
+        )
+    else:
+        decoded = rest.select(
+            "media_id", F.decode(F.col("payload"), "UTF-8").alias("text")
+        )
+        fake = simhash(
+            decoded, text_col="text", key_col="media_id", hash_fn="md5"
+        )
+    sims = real.unionByName(fake)
     return simhash_near_pairs(sims, key_col="media_id", max_hamming=max_hamming)

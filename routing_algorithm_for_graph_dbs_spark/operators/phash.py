@@ -1,0 +1,129 @@
+"""REAL DCT perceptual hash over decoded pixels (numpy) — no image lib.
+
+The production pHash recipe (public: Zauner's pHash / the classic
+ImageHash algorithm): grayscale -> resize to 32x32 -> 2-D DCT-II ->
+keep the low-frequency 8x8 block -> threshold each coefficient against
+the median (DC excluded from the median so a bright image doesn't bias
+it) -> 64-bit hash. Every step is implementable from the public
+definition with numpy; the decoders this builds on are the repo's own
+real codecs (``operators/jpeg.py``, ``operators/png.py``,
+``multimodal.decode_bmp_pixels``).
+
+Near-duplicate pairing over these hashes stays the existing scale
+component (``operators.dedup.simhash_near_pairs`` 16-bit-chunk
+pigeonhole blocking) — hashes meet in an equi-join, never all-pairs.
+
+Scale shape: one payload hashes independently inside an Arrow batch;
+nothing here touches Spark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from routing_algorithm_for_graph_dbs_spark.operators.png import PNG_SIGNATURE
+
+
+def to_gray(px: "np.ndarray") -> np.ndarray:
+    """(H, W[, C]) uint8 -> float64 grayscale (Rec.601 for >=3 channels,
+    channel 0 for gray / gray+alpha)."""
+    if px.ndim == 2:
+        return px.astype(np.float64)
+    if px.shape[2] >= 3:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        return 0.299 * r + 0.587 * g + 0.114 * b
+    return px[..., 0].astype(np.float64)
+
+
+def resize_bilinear(px: "np.ndarray", tw: int, th: int) -> np.ndarray:
+    """Deterministic bilinear resample to (th, tw); channels preserved.
+    Sample points sit at target-pixel centers mapped into the source's
+    pixel-center grid (the standard align-corners=False convention)."""
+    arr = px.astype(np.float64)
+    squeeze = arr.ndim == 2
+    if squeeze:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    ys = (np.arange(th) + 0.5) * (h / th) - 0.5
+    xs = (np.arange(tw) + 0.5) * (w / tw) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = arr[y0][:, x0] * (1 - fx) + arr[y0][:, x1] * fx
+    bot = arr[y1][:, x0] * (1 - fx) + arr[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return out[..., 0] if squeeze else out
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (type-II, norm='ortho')."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    t = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    t[0] /= np.sqrt(2.0)
+    return t
+
+
+_T32 = _dct_matrix(32)
+
+
+def phash64(px: "np.ndarray") -> int:
+    """64-bit DCT perceptual hash of a decoded pixel array.
+
+    Bit k (row-major over the 8x8 low-frequency block) is set iff that
+    DCT coefficient exceeds the median of the block's 63 non-DC
+    coefficients; the DC bit compares against the same median. Fully
+    deterministic — same pixels, same hash, any platform.
+    """
+    g = resize_bilinear(to_gray(px), 32, 32)
+    d = _T32 @ g @ _T32.T
+    block = d[:8, :8].reshape(64)
+    med = float(np.median(block[1:]))
+    bits = block > med
+    out = 0
+    for k in range(64):
+        if bits[k]:
+            out |= 1 << k
+    # signed 64-bit: the pairing join stores hashes in a Spark LongType
+    # (operators.dedup.simhash_near_pairs), same convention as SimHash
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def sniff_decode(payload: bytes) -> "np.ndarray | None":
+    """Signature-sniffed pixel decode through the repo's real codecs:
+    BMP / baseline JPEG / non-interlaced 8-bit PNG. Returns None for
+    unrecognized payloads (the caller decides fake vs strict)."""
+    # "BM" alone is weak magic (ordinary text can start with it); a real
+    # BMP also has the four reserved zero bytes at offset 6
+    if (
+        len(payload) >= 54
+        and payload[:2] == b"BM"
+        and payload[6:10] == b"\x00\x00\x00\x00"
+    ):
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            decode_bmp_pixels,
+        )
+
+        return decode_bmp_pixels(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        from routing_algorithm_for_graph_dbs_spark.operators.png import (
+            decode_png_pixels,
+        )
+
+        return decode_png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+            decode_jpeg_luma,
+        )
+
+        return decode_jpeg_luma(payload)
+    return None
+
+
+def payload_phash(payload: bytes) -> "int | None":
+    """Real pHash for decodable payloads, None otherwise."""
+    px = sniff_decode(payload)
+    return None if px is None else phash64(px)

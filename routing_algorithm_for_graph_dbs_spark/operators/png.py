@@ -112,12 +112,10 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
-def decode_png(payload: bytes):
-    """Decode a non-interlaced 8-bit PNG to
-    ``(width, height, n_channels, mean_luma)`` — the same contract as
-    ``multimodal.decode_bmp`` (mean_luma = Rec.601 over RGB, gray value
-    for grayscale, normalized to [0, 1], rounded to 6; alpha ignored).
-    """
+def decode_png_pixels(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to an (H, W, C) uint8 array
+    (palette expanded to RGB; C = 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA) —
+    the pixel-level entry the real pHash / resize operators build on."""
     if len(payload) < 8 or payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload (bad signature)")
     width = height = None
@@ -169,10 +167,18 @@ def decode_png(payload: bytes):
         if int(px.max()) >= len(palette):
             raise ValueError("palette index out of range")
         px = palette[px[..., 0]]  # -> (h, w, 3)
-        n_channels = 3
-    else:
-        n_channels = bpp
-    if px.shape[2] >= 3:
+    return px
+
+
+def decode_png(payload: bytes):
+    """Decode a non-interlaced 8-bit PNG to
+    ``(width, height, n_channels, mean_luma)`` — the same contract as
+    ``multimodal.decode_bmp`` (mean_luma = Rec.601 over RGB, gray value
+    for grayscale, normalized to [0, 1], rounded to 6; alpha ignored).
+    """
+    px = decode_png_pixels(payload)
+    height, width, n_channels = px.shape
+    if n_channels >= 3:
         r, g, b = (px[..., i].astype(np.float64) for i in range(3))
         luma = float((0.299 * r + 0.587 * g + 0.114 * b).mean() / 255.0)
     else:  # gray / gray+alpha

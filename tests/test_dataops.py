@@ -1804,12 +1804,57 @@ class TestPhashNearDup:
         assert not any(3 in p for p in pairs)
 
     def test_strict_raises_at_codec_boundary(self, spark):
+        """strict=True is the remaining boundary for payloads no real
+        codec covers (r7: BMP/JPEG/PNG now hash for real) — a text
+        payload under strict must still raise at execution."""
+        from pyspark.sql import functions as F
+
         from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
             phash_near_dup_pairs,
         )
 
-        with pytest.raises(NotImplementedError, match="image decoder"):
-            phash_near_dup_pairs(spark.range(1), strict=True)
+        media = spark.createDataFrame(
+            [(1, "not an image")], "media_id long, text string"
+        ).select("media_id", F.encode("text", "UTF-8").alias("payload"))
+        with pytest.raises(Exception, match="NotImplementedError|decoder"):
+            phash_near_dup_pairs(media, strict=True).collect()
+
+    def test_real_phash_over_decoded_pixels(self, spark):
+        """Payloads with real image signatures hash through the DCT
+        pHash: a one-pixel perturbation of a structured image lands
+        within hamming<=3 of the original; a different structure does
+        not pair with it; and real-vs-text rows coexist in one call."""
+        import numpy as np
+
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            encode_bmp,
+            phash_near_dup_pairs,
+        )
+        from routing_algorithm_for_graph_dbs_spark.operators.png import (
+            encode_png,
+        )
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        tweaked = base.copy()
+        tweaked[7, 9] ^= 0x30  # one-pixel perturbation
+        other = np.rot90(base).copy()  # same palette, different structure
+        rows = [
+            (1, bytearray(encode_png(base, "cycle"))),
+            (2, bytearray(encode_bmp(tweaked))),  # cross-CODEC near-dup
+            (3, bytearray(encode_png(other))),
+            (4, bytearray(b"just text, takes the simhash stand-in path")),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        )
+        pairs = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in phash_near_dup_pairs(media, max_hamming=3).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+        assert not any(3 in p or 4 in p for p in pairs)
 
 
 def test_snapshot_diff_applies_via_cdc(spark):
@@ -2324,3 +2369,49 @@ def test_audio_features_real_wav_in_pipeline(spark):
         media.filter(media.media_id == 1), strict=True
     ).collect()
     assert strict_ok[0]["decoder"] == "wav"
+
+
+def test_resize_images_real_resample(spark):
+    """REAL resize execution: a 64x32 gradient BMP downsamples to 32x16
+    PNG whose decoded pixels are the bilinear resample (constant regions
+    stay exact); undecodable rows are skipped non-strict and raise
+    strict."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        encode_bmp,
+        resize_images,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        decode_png_pixels,
+    )
+
+    const = np.full((64, 32, 3), 77, np.uint8)
+    grad = np.zeros((64, 32, 3), np.uint8)
+    grad[:, :, 0] = np.arange(64, dtype=np.uint8)[:, None] * 4
+    rows = [
+        (1, bytearray(encode_bmp(const))),
+        (2, bytearray(encode_bmp(grad))),
+        (3, bytearray(b"not an image")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in resize_images(media, max_dim=32).collect()
+    }
+    assert set(got) == {1, 2}  # undecodable row skipped
+    assert (got[1]["width"], got[1]["height"]) == (16, 32)
+    px1 = decode_png_pixels(bytes(got[1]["payload"]))
+    assert px1.shape == (32, 16, 3) and int(px1.min()) == int(px1.max()) == 77
+    px2 = decode_png_pixels(bytes(got[2]["payload"]))
+    # vertical gradient halves: rows average adjacent source rows
+    assert px2.shape == (32, 16, 3)
+    assert abs(int(px2[0, 0, 0]) - 2) <= 2 and abs(int(px2[31, 0, 0]) - 250) <= 4
+    assert int(px2[:, :, 1].max()) == 0  # untouched channels stay zero
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|libvips"):
+        resize_images(
+            media.filter(media.media_id == 3), strict=True
+        ).collect()
