@@ -6441,3 +6441,55 @@ def mm_resize_roundtrip(spark, sf_dir):
         "mean_luma",
         "decoder",
     )
+
+
+@_register(
+    "mm_wav_spectral",
+    """
+    WITH aud AS (
+      SELECT doc_id AS media_id,
+             4 * ((n_chars % 12) + 2) AS n,
+             ROUND(32767 * ((doc_id % 9) + 1) / 20.0) AS k,
+             CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 4 END AS p
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+           FLOOR(k / 32768.0 * 1e6 + 0.5) / 1e6 AS rms,
+           CAST(CASE WHEN p = 2 THEN n - 1 ELSE (n - 1) // 2 END AS BIGINT)
+             AS zero_crossings,
+           CAST(n AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN p = 2 THEN 500 ELSE 250 END AS DOUBLE)
+             AS spectral_centroid_hz,
+           'wav' AS decoder
+    FROM aud
+    """,
+)
+def mm_wav_spectral(spark, sf_dir):
+    """REAL-codec cross-engine check, DSP half: synth_wav_tones encodes
+    square tones whose discrete spectrum is a SINGLE bin (period 2 =
+    all-Nyquist -> rate/2; period 4 -> rate/4, integer periods), the
+    extractor really decodes the PCM and computes an rfft spectral
+    centroid, and the oracle states the centroid in closed form (500 or
+    250 Hz at the 1 kHz rate) along with the quantized RMS and the
+    pattern's sign-flip count. FFT noise is ~1e-11 Hz — six decimal
+    places of margin under the rounding."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+        synth_wav_tones,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_wav_tones(docs))
+    return audio_features(media).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "rms",
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "spectral_centroid_hz",
+        "decoder",
+    )

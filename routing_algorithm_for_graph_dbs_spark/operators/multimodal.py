@@ -300,6 +300,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("zero_crossings", T.LongType(), False),
         T.StructField("duration_ms", T.LongType(), True),  # wav path only
         T.StructField("sample_rate", T.IntegerType(), True),  # wav path only
+        T.StructField("spectral_centroid_hz", T.DoubleType(), True),  # wav
         T.StructField("decoder", T.StringType(), False),  # wav | fake
     ]
 )
@@ -318,7 +319,9 @@ def audio_features(
     codec boundary (a real deployment plugs librosa/ffmpeg)."""
     from routing_algorithm_for_graph_dbs_spark.operators.wav import (
         decode_wav,
+        decode_wav_samples,
         is_wav,
+        spectral_centroid,
     )
 
     spark = media.sparkSession
@@ -332,8 +335,11 @@ def audio_features(
                 hx = hashlib.sha256(b).hexdigest()
                 if is_wav(b):
                     _nc, rate, _nf, dur, rms, zc = decode_wav(b)
+                    sc = spectral_centroid(*decode_wav_samples(b))
+                    # floor-rounded for cross-engine-exact comparisons
+                    sc = float(np.floor(sc * 1e6 + 0.5) / 1e6)
                     rows.append(
-                        (int(mid), hx, len(b), rms, zc, dur, rate, "wav")
+                        (int(mid), hx, len(b), rms, zc, dur, rate, sc, "wav")
                     )
                 elif strict:
                     raise NotImplementedError(
@@ -351,6 +357,7 @@ def audio_features(
                             int.from_bytes(d[4:6], "big"),
                             None,
                             None,
+                            None,
                             "fake",
                         )
                     )
@@ -364,6 +371,7 @@ def audio_features(
                     "zero_crossings",
                     "duration_ms",
                     "sample_rate",
+                    "spectral_centroid_hz",
                     "decoder",
                 ],
             )
@@ -401,6 +409,47 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
             for n, a in zip(pdf["n_frames"], pdf["amp"]):
                 wave = np.full(int(n), float(a))
                 wave[1::2] *= -1.0
+                payloads.append(encode_wav(wave, 1000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_wav_tones(docs: DataFrame) -> DataFrame:
+    """REAL WAV payloads whose SPECTRUM is known in closed form.
+
+    Each audio-kind doc becomes a square tone of period 2 (alternating
+    +/-amp — all energy at Nyquist = rate/2) or period 4
+    ((a, a, -a, -a) — a single bin at rate/4), length a multiple of 4
+    frames so the tone has integer periods and the FFT is single-bin
+    EXACT up to float noise (~1e-11 Hz, far under the 1e-6 rounding).
+    Lets the oracle predict the decoded spectral centroid analytically.
+    """
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import encode_wav
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (4 * ((F.col("n_chars") % 12) + 2)).cast("int").alias("n_frames"),
+        (((F.col("doc_id") % 9) + 1) / 20.0).alias("amp"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(2))
+        .otherwise(F.lit(4))
+        .alias("period"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for n, a, p in zip(pdf["n_frames"], pdf["amp"], pdf["period"]):
+                pat = [a, -a] if int(p) == 2 else [a, a, -a, -a]
+                wave = np.tile(np.array(pat, dtype=np.float64), int(n) // int(p))
                 payloads.append(encode_wav(wave, 1000))
             yield pd.DataFrame(
                 {

@@ -49,16 +49,10 @@ def _iter_chunks(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
 
 
-def decode_wav(payload: bytes):
-    """Decode integer-PCM WAV to
-    ``(n_channels, sample_rate, n_samples, duration_ms, rms,
-    zero_crossings)``.
-
-    ``n_samples`` counts frames (per channel). ``rms`` is over all
-    samples normalized to [-1, 1], rounded to 6. ``zero_crossings``
-    counts strict sign flips of the channel-averaged signal — the
-    classic voiced/unvoiced & noisiness signal a quality filter uses.
-    """
+def decode_wav_samples(payload: bytes):
+    """Sample-level decode: ``(x, sample_rate)`` with ``x`` a float64
+    (frames, channels) array normalized to [-1, 1] — the entry the DSP
+    features (RMS, zero crossings, spectral centroid) build on."""
     if not is_wav(payload):
         raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
     fmt = None
@@ -110,6 +104,21 @@ def decode_wav(payload: bytes):
         )
     n_frames = x.shape[0] // n_channels
     x = x[: n_frames * n_channels].reshape(n_frames, n_channels)
+    return x, sample_rate
+
+
+def decode_wav(payload: bytes):
+    """Decode integer-PCM WAV to
+    ``(n_channels, sample_rate, n_samples, duration_ms, rms,
+    zero_crossings)``.
+
+    ``n_samples`` counts frames (per channel). ``rms`` is over all
+    samples normalized to [-1, 1], rounded to 6. ``zero_crossings``
+    counts strict sign flips of the channel-averaged signal — the
+    classic voiced/unvoiced & noisiness signal a quality filter uses.
+    """
+    x, sample_rate = decode_wav_samples(payload)
+    n_frames, n_channels = x.shape
     duration_ms = int(round(n_frames * 1000.0 / sample_rate))
     if n_frames == 0:
         return n_channels, sample_rate, 0, 0, 0.0, 0
@@ -117,6 +126,26 @@ def decode_wav(payload: bytes):
     mono = x.mean(axis=1)
     zc = int(np.count_nonzero(mono[1:] * mono[:-1] < 0))
     return n_channels, sample_rate, n_frames, duration_ms, round(rms, 6), zc
+
+
+def spectral_centroid(x: "np.ndarray", sample_rate: int) -> float:
+    """Magnitude-weighted mean frequency of the channel-averaged signal
+    (DC excluded) in Hz — the classic brightness feature an audio
+    quality filter uses. Pure numpy rfft; 0.0 for silence. Exact on
+    single-bin tones: an alternating +/-a signal (period 2) is all
+    Nyquist -> rate/2; an (a, a, -a, -a) tone (period 4, length a
+    multiple of 4) is a single bin at rate/4 — the closed forms the
+    oracle-checked driver query leans on."""
+    mono = x.mean(axis=1) if x.ndim == 2 else np.asarray(x, dtype=np.float64)
+    n = mono.shape[0]
+    if n < 2:
+        return 0.0
+    mags = np.abs(np.fft.rfft(mono))[1:]  # drop DC
+    total = float(mags.sum())
+    if total <= 0.0:
+        return 0.0
+    freqs = np.arange(1, mags.shape[0] + 1) * (sample_rate / n)
+    return float((freqs * mags).sum() / total)
 
 
 def encode_wav(

@@ -2415,3 +2415,32 @@ def test_resize_images_real_resample(spark):
         resize_images(
             media.filter(media.media_id == 3), strict=True
         ).collect()
+
+
+def test_wav_spectral_centroid_golden():
+    """Single-bin tones have closed-form centroids: the alternating
+    (period-2) square is all-Nyquist (rate/2); the (a,a,-a,-a) period-4
+    tone is one bin at rate/4; a silent signal reports 0; a 3:1 mix of
+    the two bins lands at the magnitude-weighted mean."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        decode_wav_samples,
+        encode_wav,
+        spectral_centroid,
+    )
+
+    nyq = np.tile([0.5, -0.5], 8)
+    assert abs(spectral_centroid(nyq, 1000) - 500.0) < 1e-9
+    p4 = np.tile([0.4, 0.4, -0.4, -0.4], 4)
+    assert abs(spectral_centroid(p4, 1000) - 250.0) < 1e-9
+    assert spectral_centroid(np.zeros(8), 1000) == 0.0
+    # through the real codec roundtrip the centroid survives quantization
+    x, rate = decode_wav_samples(encode_wav(p4, 1000))
+    assert abs(spectral_centroid(x, rate) - 250.0) < 1e-6
+    # two-bin mix: centroid = (250*m4 + 500*m2) / (m4 + m2)
+    mix = p4 + np.tile([0.1, -0.1], 8)
+    c = spectral_centroid(mix, 1000)
+    m4 = np.abs(np.fft.rfft(p4)).sum()
+    m2 = np.abs(np.fft.rfft(np.tile([0.1, -0.1], 8))).sum()
+    assert abs(c - (250.0 * m4 + 500.0 * m2) / (m4 + m2)) < 1e-9
