@@ -192,9 +192,20 @@ def _load_floor(sf: float, last_n: int = 3) -> tuple[dict, dict]:
         except (OSError, ValueError):
             continue
     by_round.sort(reverse=True)
+    # window = last_n distinct ROUNDS, not files: a rerun artifact
+    # (BENCH_r7.json + BENCH_r7b.json) must not spend two window slots on
+    # one round and shrink the anti-ratchet history
+    kept_rounds: list[int] = []
+    window: list[tuple[int, str, dict]] = []
+    for rnd, fname, parsed in by_round:
+        if rnd not in kept_rounds:
+            if len(kept_rounds) == last_n:
+                break
+            kept_rounds.append(rnd)
+        window.append((rnd, fname, parsed))
     floor: dict[str, float] = {}
     floor_src: dict[str, str] = {}
-    for _, fname, parsed in by_round[:last_n]:
+    for _, fname, parsed in window:
         for name, t in parsed["queries"].items():
             if not isinstance(t, (int, float)):
                 continue

@@ -5637,8 +5637,8 @@ def ev_mad_outliers(spark, sf_dir):
     """
     WITH b AS (
       SELECT user_id AS k, time_bucket(INTERVAL '1 day', ts) AS day,
-             FLOOR(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
-                   / COUNT(*) * 1e6 + 0.5) / 1e6 AS v
+             FLOOR(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                   / NULLIF(COUNT(value), 0) * 1e6 + 0.5) / 1e6 AS v
       FROM events GROUP BY 1, 2
     ),
     span AS (SELECT k, MIN(day) AS d0, MAX(day) AS d1 FROM b GROUP BY k),

@@ -384,6 +384,17 @@ def multi_source_dijkstra(
     LAST_ITERATIVE_SUPERSTEPS = it + 1
     LAST_ITERATIVE_CONVERGED = early_stop or n_frontier == 0
     e.unpersist()
+    if (targets or target_ranks) and not LAST_ITERATIVE_CONVERGED:
+        # target callers consume ONLY target rows and assume them final;
+        # returning non-settled costs here would hand a ranking consumer a
+        # plausible-but-wrong winner with no signal. Fail loudly instead —
+        # the caller raises max_iterations (each superstep = one BFS/
+        # Dijkstra frontier hop).
+        raise RuntimeError(
+            f"SSSP hit max_iterations={max_iterations} before the requested"
+            " targets settled — target costs would be non-final; raise"
+            " max_iterations"
+        )
     if max_cost is not None:
         # over-horizon entries in best may hold non-final costs (their
         # improvements were pruned) — the horizon contract only returns

@@ -258,8 +258,14 @@ def interpolate_daily(
     # IDENTICAL double on both engines, and floor(x*1e6 + 0.5)/1e6 is a
     # deterministic function of that double (no decimal-tie ambiguity the
     # way engine round() implementations have).
-    vm = F.sum(F.col(val_col).cast("decimal(28,6)")).cast("double") / F.count(
-        F.lit(1)
+    # COUNT(value), not COUNT(*): SUM skips NULLs, so an all-rows divisor
+    # would dilute the mean on nullable inputs (F.avg semantics kept).
+    # DECIMAL(38,12) keeps 12 fractional digits of the inputs — a (28,6)
+    # cast pre-rounded values to 6 decimals before averaging.
+    n_obs = F.count(F.col(val_col))
+    vm = F.when(
+        n_obs > 0,
+        F.sum(F.col(val_col).cast("decimal(38,12)")).cast("double") / n_obs,
     )
     b = events.groupBy(F.col(key_col).alias("k"), day.alias("day")).agg(
         (F.floor(vm * 1e6 + F.lit(0.5)) / 1e6).alias("v")

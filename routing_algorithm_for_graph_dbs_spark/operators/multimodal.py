@@ -246,7 +246,9 @@ def image_features(
                 if mime == "image/bmp":
                     w, h, _nc, luma = decode_bmp(b)
                     dec = "bmp"
-                elif mime == "image/jpeg":
+                elif mime == "image/jpeg" and b.startswith(b"\xff\xd8"):
+                    # signature guard like PNG: a mislabeled payload must
+                    # fall to the fake/strict path, not crash the stage
                     w, h, _nc, luma = decode_jpeg(b)
                     dec = "jpeg"
                 elif mime == "image/png" and b.startswith(PNG_SIGNATURE):
@@ -318,7 +320,6 @@ def audio_features(
     ``strict=True`` raise NotImplementedError instead — the remaining
     codec boundary (a real deployment plugs librosa/ffmpeg)."""
     from routing_algorithm_for_graph_dbs_spark.operators.wav import (
-        decode_wav,
         decode_wav_samples,
         is_wav,
         spectral_centroid,
@@ -334,8 +335,18 @@ def audio_features(
                 b = bytes(payload) if payload is not None else b""
                 hx = hashlib.sha256(b).hexdigest()
                 if is_wav(b):
-                    _nc, rate, _nf, dur, rms, zc = decode_wav(b)
-                    sc = spectral_centroid(*decode_wav_samples(b))
+                    # decode ONCE; derive every feature from the samples
+                    # (decode_wav's scalar stats re-parse the payload)
+                    x, rate = decode_wav_samples(b)
+                    nf = x.shape[0]
+                    dur = int(round(nf * 1000.0 / rate))
+                    if nf == 0:
+                        rms, zc, sc = 0.0, 0, 0.0
+                    else:
+                        rms = round(float(np.sqrt(np.mean(np.square(x)))), 6)
+                        mono = x.mean(axis=1)
+                        zc = int(np.count_nonzero(mono[1:] * mono[:-1] < 0))
+                        sc = spectral_centroid(x, rate)
                     # floor-rounded for cross-engine-exact comparisons
                     sc = float(np.floor(sc * 1e6 + 0.5) / 1e6)
                     rows.append(

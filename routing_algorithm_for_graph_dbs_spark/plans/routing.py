@@ -127,6 +127,7 @@ def _run_pairs(
     targets: DataFrame,
     strategy: str = "auto",
     rank_col: Column | None = None,
+    max_iterations: int = 1000,
 ) -> DataFrame:
     """Stage 3: lanes = source stoptimes; join lane results onto targets.
 
@@ -183,6 +184,9 @@ def _run_pairs(
         graph.edges, lanes, weight_col="waiting_time",
         target_ranks=lane_ranks,
         strategy=strategy, n_edges=graph.edge_count(),
+        # iterative tier: the kernel RAISES if targets don't settle within
+        # this budget (silent non-final costs would corrupt the ranking)
+        max_iterations=max_iterations,
     )
     t = targets.select(
         F.col("stoptime_id").alias("t_id"),
@@ -216,6 +220,7 @@ def routing(
     target_stop_name: str,
     max_duration_h: int = 4,
     strategy: str = "auto",
+    max_iterations: int = 1000,
 ) -> DataFrame:
     """Stop-name to stop-name itinerary (parity ``App.routing``,
     ``main.py:73-117``). Returns the reference's 12-column leg table.
@@ -240,7 +245,10 @@ def routing(
     # prune a reference-feasible winner whose elapsed time sits near the
     # cap with nonzero walking. Termination comes from target settlement
     # (both SSSP tiers early-stop once every target cost is provably final).
-    ranked = _run_pairs(graph, sources, targets, strategy=strategy)
+    ranked = _run_pairs(
+        graph, sources, targets, strategy=strategy,
+        max_iterations=max_iterations,
+    )
     # ORDER BY arrival_time, cost LIMIT 1 (main.py:102); deterministic tiebreak
     winner = ranked.orderBy("dst_arrival_s", "cost", "src", "dst").limit(1)
     return _decompose_path(winner, day_st)
@@ -451,6 +459,7 @@ def routing_between_two_points_in_space(
     speed: float,
     time_s: int,
     max_duration_h: int = 4,
+    max_iterations: int = 1000,
 ) -> DataFrame:
     """Coordinates-to-coordinates itinerary (parity
     ``App.routing_between_two_points_in_space``, ``main.py:119-176``)."""
@@ -482,7 +491,8 @@ def routing_between_two_points_in_space(
     # the consumer ranks by final_time = arrival + exit-walk (below), so
     # that expression is the settlement rank — static per target stoptime
     pairs = _run_pairs(
-        graph, sources, targets, rank_col=F.col("arrival_s") + end_walk
+        graph, sources, targets, rank_col=F.col("arrival_s") + end_walk,
+        max_iterations=max_iterations,
     )
 
     # stage 4: augment with entry/exit walking (main.py:157)

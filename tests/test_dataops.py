@@ -2444,3 +2444,28 @@ def test_wav_spectral_centroid_golden():
     m4 = np.abs(np.fft.rfft(p4)).sum()
     m2 = np.abs(np.fft.rfft(np.tile([0.1, -0.1], 8))).sum()
     assert abs(c - (250.0 * m4 + 500.0 * m2) / (m4 + m2)) < 1e-9
+
+
+def test_interpolate_daily_null_values_not_diluting(spark):
+    """Review r7: the exact-DECIMAL daily mean must divide by the
+    NON-NULL count (F.avg semantics) — a NULL event value must not drag
+    the day's mean toward zero."""
+    from routing_algorithm_for_graph_dbs_spark.operators.asof import (
+        interpolate_daily,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("k", "2024-01-01 01:00:00", 10.0),
+            ("k", "2024-01-01 02:00:00", None),
+            ("k", "2024-01-03 01:00:00", 20.0),
+        ],
+        "user_id string, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {
+        r["day"]: (r["observed"], r["v_interp"])
+        for r in interpolate_daily(ev, "user_id", "ts", "value").collect()
+    }
+    assert got["2024-01-01"] == (True, 10.0)  # not 5.0
+    assert got["2024-01-02"] == (False, 15.0)
+    assert got["2024-01-03"] == (True, 20.0)

@@ -582,3 +582,20 @@ def test_rank_pruned_settlement_both_tiers(spark):
 
     with pytest.raises(ValueError, match="not both"):
         broadcast_dijkstra(e, src, targets=["n3"], target_ranks=ranks)
+
+
+def test_sssp_targets_unsettled_raises(spark):
+    """Review r7: exhausting max_iterations before requested targets
+    settle must RAISE, not return non-final target costs that a ranking
+    consumer would silently trust."""
+    import importlib
+
+    S = importlib.import_module("routing_algorithm_for_graph_dbs_spark.graph.sssp")
+
+    e = _edges_df(spark, [(f"n{i}", f"n{i+1}", 1.0) for i in range(20)])
+    src = spark.createDataFrame([("n0", "n0")], ["lane", "node"])
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        S.multi_source_dijkstra(e, src, targets={"n0": ["n20"]}, max_iterations=3)
+    # targetless callers keep partial-result semantics (flag, no raise)
+    S.multi_source_dijkstra(e, src, max_iterations=3)
+    assert not S.LAST_ITERATIVE_CONVERGED
