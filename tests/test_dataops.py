@@ -2469,3 +2469,38 @@ def test_interpolate_daily_null_values_not_diluting(spark):
     assert got["2024-01-01"] == (True, 10.0)  # not 5.0
     assert got["2024-01-02"] == (False, 15.0)
     assert got["2024-01-03"] == (True, 20.0)
+
+
+def test_multimodal_extractors_never_shuffle_payload(spark, tmp_path):
+    """100 TB property pin: the binary payload column must never cross an
+    Exchange — every multimodal derivation (feature extract, synth
+    builders, real resize) is map-side over the scan. A payload shuffle
+    at scale moves terabytes for no reason."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        media_from_documents,
+        resize_images,
+        synth_png_media,
+        synth_wav_media,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text payload number {i}", 20 + i) for i in range(30)],
+        "doc_id long, text string, n_chars int",
+    ).write.parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+    media = media_from_documents(docs)
+
+    plans = {
+        "image_features": image_features(media),
+        "audio_features": audio_features(media),
+        "synth_wav": synth_wav_media(docs),
+        "synth_png": synth_png_media(docs),
+        "resize_images": resize_images(synth_png_media(docs)),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        df.collect()  # and the map-side plan actually executes
