@@ -421,3 +421,86 @@ def test_star_contraction_matches_union_find(spark, edges):
         for r in connected_components(edf, strategy="iterative").collect()
     }
     assert got == want
+
+
+# ---------- real-codec roundtrip properties (r7) ----------
+
+img_arrays = st.tuples(
+    st.integers(min_value=1, max_value=9),   # height
+    st.integers(min_value=1, max_value=9),   # width
+    st.sampled_from([1, 2, 3, 4]),           # channels
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.sampled_from(["none", "cycle"]),      # filter mode
+)
+
+
+@SET
+@given(spec=img_arrays)
+def test_png_roundtrip_pixel_exact(spec):
+    """encode_png -> decode_png_pixels is PIXEL-EXACT for every shape,
+    channel count and scanline filter mode — PNG is lossless, so any
+    deviation is a codec bug (goldens can't sweep this input space)."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    h, w, c, seed, mode = spec
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    got = decode_png_pixels(encode_png(px, mode))
+    assert got.shape == (h, w, c)
+    assert np.array_equal(got, px)
+
+
+wav_specs = st.tuples(
+    st.integers(min_value=0, max_value=40),          # frames
+    st.integers(min_value=1, max_value=3),           # channels
+    st.sampled_from([8, 16]),                        # bits
+    st.integers(min_value=0, max_value=2**32 - 1),   # sample seed
+)
+
+
+@SET
+@given(spec=wav_specs)
+def test_wav_roundtrip_matches_quantization(spec):
+    """encode_wav -> decode_wav_samples returns EXACTLY the quantized
+    samples (round-to-int at the bit depth, back to [-1, 1]) for every
+    frame count, channel count and supported depth — including the
+    empty payload."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    n, ch, bits, seed = spec
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1.0, 1.0, size=(n, ch))
+    got, rate = decode_wav_samples(encode_wav(x, 8000, bits=bits))
+    assert rate == 8000 and got.shape == (n, ch)
+    if bits == 16:
+        want = np.clip(np.round(x * 32767.0), -32768, 32767) / 32768.0
+    else:
+        want = (np.clip(np.round(x * 127.0) + 128, 0, 255) - 128.0) / 128.0
+    assert np.array_equal(got, want)
+
+
+@SET
+@given(spec=img_arrays)
+def test_phash_deterministic_and_tolerant(spec):
+    """phash64 is a pure function of the pixels (same array -> same
+    hash, any encode route) and fits signed 64-bit."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.phash import phash64
+
+    h, w, c, seed, _mode = spec
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    a, b = phash64(px), phash64(px.copy())
+    assert a == b
+    assert -(1 << 63) <= a < (1 << 63)
