@@ -95,6 +95,12 @@ _DRIVER_WINDOW = [
     "ts_ewma",
     "dd_simhash",
 ]
+# ROUND-8 ROTATION NOTE: after this round, the only queries never
+# driver-checked are the four real-codec roundtrips added late in round 7
+# (mm_wav_roundtrip, mm_png_roundtrip, mm_resize_roundtrip,
+# mm_wav_spectral) — promote them (plus this round's review-touched
+# queries: ev_mad_outliers, mm_audio_features, mm_image_features,
+# mm_phash_neardup, ts_interpolate) into the next window.
 
 
 def _ordered() -> list[str]:
