@@ -184,6 +184,11 @@ def multi_source_dijkstra(
         tgt_pairs = set(pair_rows)
         # a target that IS a seed is known settled at cost 0 up front
         tgt_cost = {p: 0.0 for p in tgt_pairs & set(src_pairs)}
+        # dedup in ALL modes: the public `targets` list/dict forms may
+        # carry duplicate (lane, node) pairs, and the settlement probe's
+        # broadcast left join must stay unique per pair or it duplicates
+        # frontier rows (inflating n_frontier and the collected hits)
+        pair_rows = sorted(tgt_pairs)
         if pair_rows:
             from pyspark.sql.types import StructField, StructType
 

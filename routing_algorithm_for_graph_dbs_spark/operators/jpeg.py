@@ -152,6 +152,10 @@ class _BitReader:
                 self.pos += 1
             self.bitbuf = (self.bitbuf << 8) | byte
             self.nbits += 8
+        # truncate to the live bits: consumed high bits would otherwise
+        # accumulate forever (the int grows 8 bits per scan byte, making
+        # every read_bit shift superlinear on DRI-less streams)
+        self.bitbuf &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from routing_algorithm_for_graph_dbs_spark.operators.phash import DECODE_ERRORS
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -243,23 +245,34 @@ def image_features(
                 pdf["media_id"], pdf["payload"], pdf["mime"]
             ):
                 b = bytes(payload) if payload is not None else b""
-                if mime == "image/bmp":
-                    w, h, _nc, luma = decode_bmp(b)
-                    dec = "bmp"
-                elif mime == "image/jpeg" and b.startswith(b"\xff\xd8"):
-                    # signature guard like PNG: a mislabeled payload must
-                    # fall to the fake/strict path, not crash the stage
-                    w, h, _nc, luma = decode_jpeg(b)
-                    dec = "jpeg"
-                elif mime == "image/png" and b.startswith(PNG_SIGNATURE):
-                    w, h, _nc, luma = decode_png(b)
-                    dec = "png"
-                elif strict:
-                    raise NotImplementedError(
-                        f"real decode of {mime!r} requires PIL/libvips — not"
-                        " in this container (only image/bmp is native)"
-                    )
-                else:
+                # signature guard + decode-error guard: a payload that is
+                # mislabeled, or that passes the cheap signature sniff but
+                # is not decodable by the baseline codecs (progressive/
+                # truncated JPEG, 16-bit/interlaced/corrupt PNG), must
+                # fall to the fake path, not crash the stage — unless
+                # strict=True, where the codec's error propagates.
+                dec = None
+                try:
+                    if mime == "image/bmp":
+                        w, h, _nc, luma = decode_bmp(b)
+                        dec = "bmp"
+                    elif mime == "image/jpeg" and b.startswith(b"\xff\xd8"):
+                        w, h, _nc, luma = decode_jpeg(b)
+                        dec = "jpeg"
+                    elif mime == "image/png" and b.startswith(PNG_SIGNATURE):
+                        w, h, _nc, luma = decode_png(b)
+                        dec = "png"
+                except DECODE_ERRORS:
+                    if strict:
+                        raise
+                    dec = None
+                if dec is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"real decode of {mime!r} requires PIL/libvips —"
+                            " not in this container (only image/bmp is"
+                            " native)"
+                        )
                     w, h, luma = _fake_decode(b)
                     dec = "fake"
                 rows.append(
@@ -334,10 +347,20 @@ def audio_features(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 hx = hashlib.sha256(b).hexdigest()
+                decoded = None
                 if is_wav(b):
                     # decode ONCE; derive every feature from the samples
-                    # (decode_wav's scalar stats re-parse the payload)
-                    x, rate = decode_wav_samples(b)
+                    # (decode_wav's scalar stats re-parse the payload).
+                    # is_wav is a cheap RIFF sniff — a float-PCM/ADPCM
+                    # WAV passes it but decode raises; without strict
+                    # that payload falls to the fake path below.
+                    try:
+                        decoded = decode_wav_samples(b)
+                    except DECODE_ERRORS:
+                        if strict:
+                            raise
+                if decoded is not None:
+                    x, rate = decoded
                     nf = x.shape[0]
                     dur = int(round(nf * 1000.0 / rate))
                     if nf == 0:
@@ -567,7 +590,10 @@ def resize_images(
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = sniff_decode(bytes(payload))
+                # strict lets codec errors propagate; otherwise a payload
+                # that sniffs decodable but fails to decode returns None
+                # and is skipped like any other undecodable payload
+                px = sniff_decode(bytes(payload), strict=strict)
                 if px is None:
                     if strict:
                         raise NotImplementedError(
@@ -670,9 +696,12 @@ def phash_near_dup_pairs(
         for pdf in batches:
             recs = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                h = payload_phash(bytes(payload))
-                if h is None:  # cannot happen given the sniff; belt+braces
-                    raise ValueError("undecodable payload in real branch")
+                # strict propagates codec errors; otherwise a payload that
+                # passes the JVM-side signature filter but fails the real
+                # decode (progressive JPEG, corrupt PNG, ...) hashes to
+                # null and is dropped below — it simply doesn't take part
+                # in near-dup pairing rather than crashing the stage
+                h = payload_phash(bytes(payload), strict=strict)
                 recs.append((int(mid), h))
             yield pd.DataFrame(recs, columns=["media_id", "simhash"])
 
@@ -680,6 +709,7 @@ def phash_near_dup_pairs(
         media.filter(is_dec)
         .select("media_id", "payload")
         .mapInPandas(hash_real, schema="media_id long, simhash long")
+        .filter(F.col("simhash").isNotNull())
     )
     rest = media.filter(~is_dec)
     if strict:

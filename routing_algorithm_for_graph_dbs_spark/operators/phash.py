@@ -19,6 +19,9 @@ nothing here touches Spark.
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 
 from routing_algorithm_for_graph_dbs_spark.operators.png import PNG_SIGNATURE
@@ -92,12 +95,35 @@ def phash64(px: "np.ndarray") -> int:
     return out - (1 << 64) if out >= 1 << 63 else out
 
 
-def sniff_decode(payload: bytes) -> "np.ndarray | None":
+# Exceptions a real codec may raise on a payload that PASSES the cheap
+# signature sniff but is not actually decodable: progressive/arithmetic/
+# truncated JPEG (NotImplementedError/ValueError), 16-bit/interlaced/
+# CRC-corrupt PNG (ValueError/zlib.error), truncated BMP (ValueError/
+# struct.error). IndexError covers byte-indexing past the end of a
+# truncated stream — with untrusted training-data payloads that is a data
+# error, not a code bug.
+DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    IndexError,
+    zlib.error,
+    struct.error,
+)
+
+
+def sniff_decode(payload: bytes, strict: bool = False) -> "np.ndarray | None":
     """Signature-sniffed pixel decode through the repo's real codecs:
     BMP / baseline JPEG / non-interlaced 8-bit PNG. Returns None for
-    unrecognized payloads (the caller decides fake vs strict)."""
+    unrecognized payloads (the caller decides fake vs strict).
+
+    A payload that passes the signature sniff but fails to decode (e.g.
+    a progressive JPEG, a CRC-corrupt PNG, a truncated stream) returns
+    None too unless ``strict=True``, which lets the codec's error
+    propagate — a mislabeled payload must fall to the caller's
+    fake/skip path, never crash the stage (module contract)."""
     # "BM" alone is weak magic (ordinary text can start with it); a real
     # BMP also has the four reserved zero bytes at offset 6
+    decode = None
     if (
         len(payload) >= 54
         and payload[:2] == b"BM"
@@ -107,23 +133,31 @@ def sniff_decode(payload: bytes) -> "np.ndarray | None":
             decode_bmp_pixels,
         )
 
-        return decode_bmp_pixels(payload)
-    if payload[:8] == PNG_SIGNATURE:
+        decode = decode_bmp_pixels
+    elif payload[:8] == PNG_SIGNATURE:
         from routing_algorithm_for_graph_dbs_spark.operators.png import (
             decode_png_pixels,
         )
 
-        return decode_png_pixels(payload)
-    if payload[:2] == b"\xff\xd8":
+        decode = decode_png_pixels
+    elif payload[:2] == b"\xff\xd8":
         from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
             decode_jpeg_luma,
         )
 
-        return decode_jpeg_luma(payload)
-    return None
+        decode = decode_jpeg_luma
+    if decode is None:
+        return None
+    if strict:
+        return decode(payload)
+    try:
+        return decode(payload)
+    except DECODE_ERRORS:
+        return None
 
 
-def payload_phash(payload: bytes) -> "int | None":
-    """Real pHash for decodable payloads, None otherwise."""
-    px = sniff_decode(payload)
+def payload_phash(payload: bytes, strict: bool = False) -> "int | None":
+    """Real pHash for decodable payloads, None otherwise (decode errors
+    propagate only with ``strict=True``)."""
+    px = sniff_decode(payload, strict=strict)
     return None if px is None else phash64(px)

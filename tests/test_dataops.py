@@ -2504,3 +2504,153 @@ def test_multimodal_extractors_never_shuffle_payload(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
         df.collect()  # and the map-side plan actually executes
+
+
+# ---------- ADVICE r7: sniff-pass-but-undecodable payloads ----------
+
+
+def _undecodable_media(spark):
+    """Payloads that PASS the cheap signature sniffs but are NOT decodable
+    by the baseline codecs (the ADVICE r7 hole): a JPEG SOI followed by
+    garbage, a PNG signature over a CRC-corrupt body, and a float-PCM WAV
+    (RIFF/WAVE magic, fmt audio_format=3)."""
+    import struct as _struct
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.png import PNG_SIGNATURE
+
+    bad_jpeg = b"\xff\xd8" + b"\x00" * 64
+    bad_png = bytes(PNG_SIGNATURE) + b"\x00" * 32
+    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    data = b"\x00" * 16
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + _struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + _struct.pack("<I", len(data))
+        + data
+    )
+    float_wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    rows = [
+        (1, "image", bad_jpeg, "image/jpeg", (None, None, None, None, None)),
+        (2, "image", bad_png, "image/png", (None, None, None, None, None)),
+        (3, "audio", float_wav, "audio/wav", (None, None, 1, None, 8000)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+class TestSniffPassUndecodableFallsToFake:
+    """Module contract: 'a mislabeled payload must fall to the fake/strict
+    path, not crash the stage' — now including payloads that pass the
+    signature sniff but fail the real decode (ADVICE r7 medium)."""
+
+    def test_image_features_fall_to_fake(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            image_features,
+        )
+
+        got = {
+            r["media_id"]: r["decoder"]
+            for r in image_features(_undecodable_media(spark)).collect()
+        }
+        assert got[1] == "fake" and got[2] == "fake"
+
+    def test_image_features_strict_still_raises(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            image_features,
+        )
+
+        with pytest.raises(Exception) as ei:
+            image_features(_undecodable_media(spark), strict=True).collect()
+        assert "ValueError" in str(ei.value) or "marker" in str(ei.value)
+
+    def test_audio_features_float_pcm_falls_to_fake(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        got = {
+            r["media_id"]: r.asDict()
+            for r in audio_features(_undecodable_media(spark)).collect()
+        }
+        assert got[3]["decoder"] == "fake"
+        assert got[3]["duration_ms"] is None  # fake path, not half-decoded
+
+    def test_audio_features_strict_still_raises(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        with pytest.raises(Exception) as ei:
+            audio_features(_undecodable_media(spark), strict=True).collect()
+        assert "NotImplementedError" in str(ei.value) or "non-PCM" in str(
+            ei.value
+        )
+
+    def test_phash_neardup_skips_undecodable(self, spark):
+        """The two image payloads pass the JVM-side signature filter into
+        the real-hash branch; with the decode failing they must hash to
+        null and drop out of pairing — not raise."""
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        media = _undecodable_media(spark).select("media_id", "payload")
+        pairs = phash_near_dup_pairs(media).collect()
+        ids = {x for r in pairs for x in (r["a"], r["b"])}
+        assert 1 not in ids and 2 not in ids
+
+    def test_resize_images_skips_undecodable(self, spark):
+        from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        media = _undecodable_media(spark).select("media_id", "payload")
+        assert resize_images(media).collect() == []
+        with pytest.raises(Exception):
+            resize_images(media, strict=True).collect()
+
+    def test_sniff_decode_contract_direct(self):
+        """Unit-level: sniff-pass/decode-fail -> None (non-strict) and the
+        codec's own error (strict)."""
+        from routing_algorithm_for_graph_dbs_spark.operators.phash import (
+            payload_phash,
+            sniff_decode,
+        )
+        from routing_algorithm_for_graph_dbs_spark.operators.png import (
+            PNG_SIGNATURE,
+        )
+
+        bad = [b"\xff\xd8" + b"\x00" * 64, bytes(PNG_SIGNATURE) + b"\x00" * 32]
+        for b in bad:
+            assert sniff_decode(b) is None
+            assert payload_phash(b) is None
+            with pytest.raises((ValueError, NotImplementedError)):
+                sniff_decode(b, strict=True)
+
+
+def test_jpeg_bitreader_bitbuf_bounded():
+    """ADVICE r7 low: the entropy bit buffer must stay <= 32 live bits —
+    consumed bytes left in the Python int made entropy decode O(n^2) on
+    DRI-less streams (every read_bit shifting an ever-larger integer)."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        _BitReader,
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    br = _BitReader(bytes(rng.integers(0, 255, size=20000, dtype=np.uint8)), 0)
+    for _ in range(120000):
+        br.read_bit()
+        assert br.bitbuf.bit_length() <= 32
+    # and the decoder still roundtrips a real stream after the masking
+    px = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    w, h, _nc, _luma = decode_jpeg(encode_jpeg_gray(px, quality=90))
+    assert (w, h) == (64, 64)

@@ -599,3 +599,30 @@ def test_sssp_targets_unsettled_raises(spark):
     # targetless callers keep partial-result semantics (flag, no raise)
     S.multi_source_dijkstra(e, src, max_iterations=3)
     assert not S.LAST_ITERATIVE_CONVERGED
+
+
+def test_sssp_duplicate_targets_deduped(spark):
+    """ADVICE r7 low: the public ``targets`` list/dict forms accept
+    duplicates; the settlement probe's broadcast join must be unique per
+    (lane, node) or duplicate target rows inflate the frontier stats.
+    Duplicated targets must give byte-identical results to unique ones."""
+    import importlib
+
+    S = importlib.import_module("routing_algorithm_for_graph_dbs_spark.graph.sssp")
+
+    n = 30
+    e = _edges_df(spark, [(f"n{i}", f"n{i+1}", 1.0) for i in range(n)])
+    src = spark.createDataFrame([("n0", "n0")], ["lane", "node"])
+    dup = S.multi_source_dijkstra(
+        e, src, targets={"n0": ["n3", "n3", "n5", "n3", "n5"]}
+    )
+    got_dup = {(r["lane"], r["node"]): r["cost"] for r in dup.collect()}
+    steps_dup = S.LAST_ITERATIVE_SUPERSTEPS
+    uniq = S.multi_source_dijkstra(e, src, targets={"n0": ["n3", "n5"]})
+    got_uniq = {(r["lane"], r["node"]): r["cost"] for r in uniq.collect()}
+    assert got_dup == got_uniq
+    assert got_dup[("n0", "n5")] == 5.0
+    assert S.LAST_ITERATIVE_SUPERSTEPS == steps_dup
+    # list form dedups too
+    res = S.sssp(e, src, strategy="iterative", targets=["n4", "n4", "n4"])
+    assert {r["node"]: r["cost"] for r in res.collect()}["n4"] == 4.0
