@@ -22,85 +22,78 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
-# order. The window ROTATES each round (round-5 verdict demand): round 5's
-# 50 §2-operator heads are all driver-green in CORRECTNESS_r05.json, so this
-# round promotes a DISJOINT set of 50 previously-local-only queries — the
-# graph-analytics, sampling, time-series/event, ops/layout/sketch, and
-# pipeline families — so they too earn an adversarial driver-run row. The
-# remaining 105 stay covered by tools/check_oracles.py (committed as
-# CORRECTNESS_local_r{N}.json).
+# order. The window ROTATES each round (round-5 verdict demand). After round
+# 7 every registered query except the 4 late-added codec roundtrips has had
+# at least one adversarial driver row, so round 8 promotes those 4, re-runs
+# every query whose implementation changed since its last driver row, and
+# tops up with the OLDEST driver rows (the r5 §2 heads). The remaining 109
+# stay covered by tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # round-7 window: the 42 queries that had only local-mirror coverage
-    # before this round (every registered query now has had at least one
-    # adversarial driver row), + the 2 rows fixed this round (array
-    # columns serialized to strings), + 6 riskiest re-runs.
-    # -- aggregation / reshape tails
-    "a8_rollup",
-    "a9_pivot",
-    "a10_histogram",
-    "a11_corr_cov",
-    "a12_cube",
-    "a13_unpivot",
-    "u2_intersect_except",
-    # -- window-function tails
-    "w4_rank_distributions",
-    "w5_moving_avg",
-    "w6_inactivity_gaps",
-    "w7_rolling_distinct",
-    # -- functions: json / maps / feature transforms
-    "f10_json_extract",
-    "f11_maps",
-    "ft_minmax_norm",
-    "ft_percent_rank",
-    "ft_winsorize",
-    # -- text-analysis tail
-    "txt_tfidf_top3",
-    "txt_pmi_pairs",
-    "txt_top_ngrams",
-    "txt_corpus_stats",
-    "txt_url_domains",
-    "txt_source_kl",
-    "txt_unigram_logprob",
-    "txt_bigram_logprob",
-    "txt_chunks",
-    "txt_scrub",
-    "txt_sentence_dedup",
-    # -- embeddings / similarity tail
-    "emb_quantize",
-    "emb_random_proj",
-    "er_fuzzy_name_pairs",
+    # -- the 4 never-driver-checked codec roundtrips (added late in r7)
+    "mm_wav_roundtrip",
+    "mm_png_roundtrip",
+    "mm_resize_roundtrip",
+    "mm_wav_spectral",
+    # -- re-runs: r7-review-touched (single-decode WAV path, JPEG sniff,
+    #    exact-mean MAD) + this round's ADVICE fixes (decode-error
+    #    fall-through in image/audio features, phash, resize; JPEG bitbuf)
+    "ev_mad_outliers",
+    "mm_audio_features",
+    "mm_image_features",
+    "mm_media_stats",
     "mm_phash_neardup",
-    # -- sketches tail
-    "apx_join_overlap",
-    "apx_top_k_types",
-    "apx_mergeable_sketches",
-    # -- streaming / temporal tail
-    "st_hopping_window",
-    "st_interval_join",
-    "st_interval_join_left",
-    "st_enriched_counts",
-    "asof_next_view",
-    "dq_snapshot_diff",
-    # -- sampling / packing tail
-    "smp_replicate",
-    "pack_shards_grouped",
-    # -- fixed this round (array columns -> comma-joined strings)
-    "graph_random_walks",
-    "idx_postings",
-    # -- riskiest re-runs (subtle cross-engine rounding/ordering contracts)
-    "hist_snapshot_asof",
-    "upd_apply_cdc",
-    "hist_scd2",
-    "ts_interpolate",
-    "ts_ewma",
-    "dd_simhash",
+    "mm_resize_plan",
+    # -- re-runs: routing/settlement-touched since their r5 rows (two-tier
+    #    SSSP settlement probe, exact-by-default horizon, target dedup)
+    "graph_bfs_hops",
+    "t1_t2_topk",
+    "j5_earliest_transfer",
+    # -- top-up: the OLDEST driver rows — r5-window §2 operator heads
+    "p1_project_rename",
+    "p3_p4_filters",
+    "p5_computed_theta",
+    "p6_radius_filter",
+    "p8_p9_p10_membership",
+    "j1_join_chain",
+    "j2_fk_dims",
+    "w1_lead_consecutive",
+    "j4_band_selfjoin",
+    "j6_explode_rejoin",
+    "j7_nn_top1",
+    "j8_semi_join",
+    "j9_anti_join",
+    "a1_a2_aggregates",
+    "a3_argmin_ties",
+    "a5_collect_sorted",
+    "w3_running_sum",
+    "u1_union_all",
+    "f1_casts",
+    "f2_temporal",
+    "f3_durations",
+    "f7_arrays",
+    "f8_strings",
+    "graph_components",
+    "graph_degree_metrics",
+    "graph_betweenness",
+    "st_tumbling_window",
+    "st_watermark_dedup",
+    "st_sessionization",
+    "asof_last_view",
+    "rng_followup_events",
+    "dd_exact_dedup",
+    "dd_lsh_candidates",
+    # dd_decontaminate / sem_dedup / smp_mixture: also the BENCH_r07
+    # floor-watch rows (regressed under suspected contention) — a fresh
+    # driver row confirms the results stayed exact while re-timing them
+    "dd_decontaminate",
+    "sem_dedup",
+    "smp_mixture",
+    "pack_shards",
 ]
-# ROUND-8 ROTATION NOTE: after this round, the only queries never
-# driver-checked are the four real-codec roundtrips added late in round 7
-# (mm_wav_roundtrip, mm_png_roundtrip, mm_resize_roundtrip,
-# mm_wav_spectral) — promote them (plus this round's review-touched
-# queries: ev_mad_outliers, mm_audio_features, mm_image_features,
-# mm_phash_neardup, ts_interpolate) into the next window.
+# ROUND-9 ROTATION NOTE: after this round every registered query has had a
+# driver row (the 4 codec roundtrips were the last). Future windows: lead
+# with any query whose implementation changed during the round, then cycle
+# the stalest prior driver rows (r6 window next).
 
 
 def _ordered() -> list[str]:

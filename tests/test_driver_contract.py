@@ -10,46 +10,40 @@ from __future__ import annotations
 
 import pytest
 
-# The window ROTATES each round (VERDICT r5 item 2): rounds 5+6 are
-# driver-green in CORRECTNESS_r05/r06, so round 7 promotes the 42
-# remaining never-driver-checked queries (VERDICT r6 item 2) — after this
-# round every registered query has had at least one adversarial driver
-# row — plus the two rows fixed this round and six risky re-runs.
-# This list pins one representative per newly-promoted family; the
-# rotation test below enforces the promotion itself.
-REQUIRED_IN_WINDOW = [
-    "a8_rollup",
-    "a12_cube",
-    "w4_rank_distributions",
-    "f10_json_extract",
-    "ft_winsorize",
-    "txt_tfidf_top3",
-    "txt_sentence_dedup",
-    "emb_quantize",
-    "mm_phash_neardup",
-    "apx_mergeable_sketches",
-    "st_interval_join",
-    "asof_next_view",
-    "smp_replicate",
-    "pack_shards_grouped",
-    "u2_intersect_except",
-    # fixed this round (array columns -> strings)
-    "graph_random_walks",
-    "idx_postings",
+# Round-8 window (VERDICT r7 item 1): the 4 never-driver-checked codec
+# roundtrips lead; then re-runs of every query whose implementation
+# changed since its last driver row (r7-review-touched media/outlier
+# rows, this round's decode-fall-through/bitbuf/target-dedup fixes, the
+# settlement-probe-touched routing rows); topped to 50 with the OLDEST
+# driver rows — r5-window §2 operator heads, including the three
+# BENCH_r07 floor-watch rows (dd_decontaminate, sem_dedup, smp_mixture).
+NEVER_CHECKED = [
+    "mm_wav_roundtrip",
+    "mm_png_roundtrip",
+    "mm_resize_roundtrip",
+    "mm_wav_spectral",
 ]
 
-# deliberately re-run despite prior driver coverage: the two array-fix
-# rows above plus the subtlest cross-engine rounding/ordering contracts
-RERUN_EXCEPTIONS = {
-    "graph_random_walks",
-    "idx_postings",
-    "hist_snapshot_asof",
-    "upd_apply_cdc",
-    "hist_scd2",
-    "ts_interpolate",
-    "ts_ewma",
-    "dd_simhash",
-}
+CHANGED_SINCE_LAST_ROW = [
+    "ev_mad_outliers",
+    "mm_audio_features",
+    "mm_image_features",
+    "mm_media_stats",
+    "mm_phash_neardup",
+    "mm_resize_plan",
+    "graph_bfs_hops",
+    "t1_t2_topk",
+    "j5_earliest_transfer",
+]
+
+REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
+    # representatives of the oldest-row top-up + the bench floor-watch rows
+    "j1_join_chain",
+    "graph_betweenness",
+    "dd_decontaminate",
+    "sem_dedup",
+    "smp_mixture",
+]
 
 
 @pytest.fixture(scope="module")
@@ -72,7 +66,7 @@ def test_every_query_has_matching_oracle(entry_mod):
 def test_window_covers_required_operators(entry_mod):
     window = list(entry_mod.queries())[:50]
     missing = [k for k in REQUIRED_IN_WINDOW if k not in window]
-    assert not missing, f"§2 operators fell out of the driver window: {missing}"
+    assert not missing, f"required rows fell out of the driver window: {missing}"
 
 
 def test_queries_are_callable_and_keys_stable(entry_mod):
@@ -80,21 +74,22 @@ def test_queries_are_callable_and_keys_stable(entry_mod):
     assert len(q) >= 108
     assert all(callable(f) for f in q.values())
     # dict ordering is the contract: first 50 must be deterministic
-    assert list(q)[:3] == ["a8_rollup", "a9_pivot", "a10_histogram"]
+    assert list(q)[:4] == NEVER_CHECKED
 
 
-def test_window_rotated_covers_never_checked(entry_mod):
-    """Round-7 rotation: the window may only repeat r05/r06-checked
-    queries from the declared re-run list — everything else must be a
-    previously-never-driver-checked query, so after this round every
-    registered query has had an adversarial driver row at least once."""
+def test_window_rotation_r8(entry_mod):
+    """Round-8 rotation: every window row must be (a) one of the 4
+    never-driver-checked codec roundtrips, (b) a declared
+    changed-since-last-row re-run, or (c) an oldest-driver-row top-up
+    drawn from the r5 window — never a recent (r6/r7) row re-run for no
+    reason, which would waste the gate's 50 slots."""
     import json
     import os
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prev: set[str] = set()
-    for r in ("CORRECTNESS_r05.json", "CORRECTNESS_r06.json"):
-        prev |= set(json.load(open(os.path.join(here, r))))
+    r5 = set(json.load(open(os.path.join(here, "CORRECTNESS_r05.json"))))
     window = set(list(entry_mod.queries())[:50])
-    overlap = (window & prev) - RERUN_EXCEPTIONS
-    assert not overlap, f"window wastes rows on already-checked: {sorted(overlap)}"
+    assert set(NEVER_CHECKED) <= window
+    allowed = set(NEVER_CHECKED) | set(CHANGED_SINCE_LAST_ROW) | r5
+    stray = window - allowed
+    assert not stray, f"window wastes rows on recently-checked queries: {sorted(stray)}"
