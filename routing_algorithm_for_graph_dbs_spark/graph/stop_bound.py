@@ -1,0 +1,278 @@
+"""Admissible earliest-arrival lower bounds on the collapsed stop graph.
+
+The exact-settlement routing kernel's worst case is a lane whose target
+set contains an UNREACHABLE stoptime: proving unreachability by search
+means exhausting the lane's component (SCALE.md: the earliest-arrival
+target stoptimes of each destination stop are exactly such blockers —
+they depart minutes after the source departs, rank first ahead of every
+reachable target, and cannot be rank-pruned; the reference's per-pair
+GDS Dijkstra pays the same). This module computes a cheap, provable
+certificate instead: a per-(source stoptime, stop) lower bound ``L``
+such that ANY path in the time-expanded graph from source stoptime
+``u0`` to a node ``t`` satisfies
+
+    arrival_s(t)  >=  L(stop(t))  -  S(stop(t))
+
+so a target with ``arrival_s(t)`` strictly below that is PROVABLY
+unreachable and is excluded from the settlement set up front. The bound
+is admissible — it can only under-prune — unlike a cost horizon (the
+round-7 removal): a pruned target yields no result row either way (no
+path exists, so the kernel never costs it), and kept targets keep exact
+settlement semantics.
+
+Soundness construction (the subtlety is vehicle dwell). Model the
+rider's clock along an arbitrary expanded path: entering a stoptime via
+PRECEDES sets clock ``arrival_s``; via CHANGE sets ``departure_s`` (the
+edge predicate guarantees ``departure_s(y) > arrival_s(x) + walk``,
+reference ``main.py:17`` / ``new_dbSetup.py:66-74`` edge semantics).
+In-stop change chains can DESCEND the clock — board a long-dwelling
+vehicle at its departure, change out at its (earlier) arrival. The key
+fact bounding the descent: each in-stop CHANGE step ``x -> x'`` requires
+``departure_s(x') > arrival_s(x)``, so the step either stays within the
+same merged cluster of overlapping ``[arrival_s, departure_s]`` dwell
+intervals at the stop, or jumps to a strictly LATER cluster (a departure
+reaching below the current cluster's minimum arrival would belong to an
+earlier cluster whose max departure lies below that minimum,
+contradicting ``departure_s(x') > arrival_s(x)``); in-stop PRECEDES hops
+only ascend the clock. Hence during one visit at stop ``A`` the clock
+never drops more than ``S(A)`` = the maximum merged-cluster span at
+``A`` — a DATA quantity (seconds of contiguous dwell overlap), not a
+path-length term — and every stoptime ``x`` the rider can occupy during
+the visit satisfies ``departure_s(x) >= entry_clock - S(A)``.
+
+Time-dependent relaxation over the stop quotient (one label per stop,
+initialized ``L(stop(u0)) = departure_s(u0)``, all else +inf). Every
+expanded inter-stop edge ``x -> y`` (either type) is usable only if the
+rider occupies ``x``, i.e. ``departure_s(x) >= clock - S(A)``, and
+yields entry clock ``arrival_s(y)`` (PRECEDES) or ``departure_s(y)``
+(CHANGE). Quotienting to stop pairs gives ONE staircase per (A, B):
+connection rows ``(key = departure_s(x), val = resulting clock)``,
+reduced to min-val per key, and the relaxation is
+
+    f_{A,B}(c) = min { val : key >= c - S(A) }
+
+(a suffix-min over the key-sorted staircase — one binary search).
+``f`` is monotone non-decreasing in ``c`` and returns members of a
+finite integer set (day arrivals/departures), so SPFA-style label
+correction reaches its fixpoint in finitely many relaxations — no
+negative-cycle subtlety (a pop cap guards anyway; hitting it disables
+the prune, never unsound). Validity at the fixpoint is by induction
+over the true path's inter-stop hops: ``L(A_i) <= e_i`` (true entry
+clock) implies the hop's connection is inside the relaxation's
+candidate set (``departure_s(x) >= e_i - S(A_i) >= L(A_i) - S(A_i)``),
+so ``L(A_{i+1}) <= f(L(A_i)) <= e_{i+1}``; in-stop movement needs no
+edge because the label is per-stop and descent is absorbed by ``S(A)``.
+Finally ``arrival_s(t) >= entry - S(stop(t)) >= L(stop(t)) -
+S(stop(t))``.
+
+Scale shape: one aggregation job per graph — the edge relation joined
+to the three-column stoptime map and grouped to (stop-pair, departure)
+rows, i.e. the STOP-level connection timetable, O(|grouped
+connections|) not O(|expanded edges|) — Arrow-collected once and
+memoized on the ProjectedGraph like ``edge_count``. At city-year scale
+pass ``bucket_s`` to coarsen keys into buckets (keys round UP — a
+connection only becomes available EARLIER than truth; vals keep the
+bucket min — still admissible) which caps the staircase at
+|stop-pairs| x |active buckets|. Per lane, one SPFA over ~10^3 stops
+driver-side (milliseconds against a kernel superstep).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+INF = float("inf")
+
+
+def stop_slack(stoptimes: DataFrame) -> DataFrame:
+    """Per-stop max merged-dwell-cluster span ``S(A)`` (seconds).
+
+    Sort a stop's ``[arrival_s, departure_s]`` intervals by arrival; a new
+    cluster starts when an interval's arrival exceeds the running max
+    departure of all earlier intervals (the standard overlap merge —
+    clusters are time-ordered, so the global running max equals the
+    current cluster's reach). Span = cluster max departure - min arrival.
+    """
+    w = Window.partitionBy("stop_id").orderBy("arrival_s", "departure_s")
+    prev_reach = F.max("departure_s").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        stoptimes.select("stop_id", "arrival_s", "departure_s")
+        .withColumn(
+            "new_cluster",
+            (F.col("arrival_s") > F.coalesce(prev_reach, F.lit(-(1 << 60))))
+            .cast("int"),
+        )
+        .withColumn("cluster", F.sum("new_cluster").over(w))
+        .groupBy("stop_id", "cluster")
+        .agg(
+            (F.max("departure_s") - F.min("arrival_s")).alias("span")
+        )
+        .groupBy("stop_id")
+        .agg(F.max("span").alias("slack"))
+    )
+
+
+def timetable_bound_data(graph, bucket_s: int = 0):
+    """Stop-level connection staircases for the relaxation, memoized.
+
+    Returns ``(out, slack_by_stop)``:
+
+    - ``out[a]`` = list of ``(b, keys, suffmin_val)`` — per destination
+      stop the connection staircase: ``keys`` (source departures) as a
+      sorted int64 numpy array, ``suffmin_val[i]`` = min resulting clock
+      over connections with key at or after ``keys[i]``.
+    - ``slack_by_stop[a]`` = ``S(A)``.
+
+    ``val`` is ``arrival_s(y)`` for PRECEDES connections (recovered as
+    ``departure_s(x) + waiting_time`` — operators/derived.py:56) and
+    ``departure_s(y)`` for CHANGE (recovered as ``arrival_s(x) +
+    waiting_time - walking_time`` — plans/projection.py:119, weight =
+    (dst_departure - src_arrival) + walk). In-stop pairs (a == b) are
+    excluded: in-stop movement is absorbed by the slack term (PRECEDES
+    self-pairs only ascend the clock — see module docstring).
+    """
+    cached = getattr(graph, "_timetable_bound_data", None)
+    if cached is not None and cached[0] == bucket_s:
+        return cached[1]
+    st = graph.stoptimes
+    stop_of = st.select("stoptime_id", "stop_id").distinct()
+    m_src = st.select(
+        F.col("stoptime_id").alias("src"),
+        F.col("stop_id").alias("a"),
+        F.col("departure_s").cast("long").alias("dep_x"),
+        F.col("arrival_s").cast("long").alias("arr_x"),
+    ).distinct()
+    m_dst = stop_of.select(
+        F.col("stoptime_id").alias("dst"), F.col("stop_id").alias("b")
+    )
+    key_expr = F.col("dep_x")
+    if bucket_s > 0:
+        # round keys UP: a connection only becomes available EARLIER
+        # than truth under the bucketed availability test — admissible
+        key_expr = (
+            -F.floor(-F.col("dep_x") / F.lit(bucket_s)) * F.lit(bucket_s)
+        ).cast("long")
+    val_expr = F.when(
+        F.col("type") == "PRECEDES",
+        F.col("dep_x") + F.col("waiting_time"),
+    ).otherwise(
+        # CHANGE: dst departure = src arrival + waiting - walking
+        F.col("arr_x") + F.col("waiting_time") - F.col("walking_time")
+    ).cast("long")
+    grouped = (
+        graph.edges.select("src", "dst", "type", "waiting_time", "walking_time")
+        .join(m_src, "src")
+        .join(m_dst, "dst")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b", key_expr.alias("k"))
+        .agg(F.min(val_expr).alias("v"))
+    )
+    pdf = grouped.toPandas()
+    slack_rows = stop_slack(st).collect()
+
+    out: dict = {}
+    if len(pdf):
+        pdf = pdf.sort_values(["a", "b", "k"], ignore_index=True)
+        a_arr = pdf["a"].to_numpy()
+        b_arr = pdf["b"].to_numpy()
+        k_arr = pdf["k"].to_numpy(dtype=np.int64)
+        v_arr = pdf["v"].to_numpy(dtype=np.int64)
+        # group boundaries of the (a, b) runs
+        brk = np.nonzero((a_arr[1:] != a_arr[:-1]) | (b_arr[1:] != b_arr[:-1]))[0] + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(pdf)]))
+        for s, e in zip(starts, ends):
+            keys = k_arr[s:e]
+            # suffix min of resulting clocks over the key-ascending run
+            suff = np.minimum.accumulate(v_arr[s:e][::-1])[::-1]
+            out.setdefault(a_arr[s], []).append((b_arr[s], keys, suff))
+    slack_by_stop = {r["stop_id"]: int(r["slack"]) for r in slack_rows}
+    data = (out, slack_by_stop)
+    object.__setattr__(graph, "_timetable_bound_data", (bucket_s, data))
+    return data
+
+
+def _spfa(data, src_stop, src_dep: int, max_pops: int | None = None):
+    """Label-correcting earliest-clock lower bounds from one source.
+
+    Returns ``{stop: L}`` (stops absent are quotient-unreachable, hence
+    expanded-unreachable), or None if the pop cap is hit (caller must
+    disable the prune — a sound no-op; unreachable with integer labels,
+    but guarded)."""
+    from collections import deque
+
+    out, slack = data
+    if max_pops is None:
+        max_pops = 200 * max(len(out), 16)
+    L: dict = {src_stop: int(src_dep)}
+    q = deque([src_stop])
+    in_q = {src_stop}
+    pops = 0
+    while q:
+        pops += 1
+        if pops > max_pops:
+            return None
+        a = q.popleft()
+        in_q.discard(a)
+        base = L[a] - slack.get(a, 0)
+        for b, keys, suff in out.get(a, ()):
+            i = np.searchsorted(keys, base, side="left")
+            if i >= len(keys):
+                continue
+            cand = int(suff[i])
+            if cand < L.get(b, INF):
+                L[b] = cand
+                if b not in in_q:
+                    in_q.add(b)
+                    q.append(b)
+    return L
+
+
+def earliest_arrival_bounds(graph, src_points, bucket_s: int = 0):
+    """Per-(source stop, departure) earliest-clock lower bounds.
+
+    ``src_points``: iterable of ``(stop_id, departure_s)`` — one per lane
+    (the bound is time-dependent, so lanes boarding the same stop at
+    different times get different label maps; duplicates share one run).
+    Returns ``(labels_by_src, slack_by_stop)`` with ``labels_by_src``
+    keyed by the (stop, int departure) pair, or None when any SPFA hits
+    its cap (prune disabled, exactness preserved).
+    """
+    data = timetable_bound_data(graph, bucket_s=bucket_s)
+    slack_by_stop = data[1]
+    labels_by_src: dict = {}
+    for stop, dep in set(src_points):
+        lab = _spfa(data, stop, int(dep))
+        if lab is None:
+            return None
+        labels_by_src[(stop, int(dep))] = lab
+    return labels_by_src, slack_by_stop
+
+
+def provably_unreachable(
+    bounds,
+    src_stop: str,
+    src_departure_s: int,
+    tgt_stop: str,
+    tgt_arrival_s: float,
+) -> bool:
+    """The certificate: True iff NO expanded-graph path from a source
+    stoptime departing ``src_departure_s`` at ``src_stop`` can reach a
+    target stoptime with this arrival at ``tgt_stop``. False whenever the
+    bound is disabled or inconclusive (keep the target — exact)."""
+    if bounds is None:
+        return False
+    labels_by_src, slack_by_stop = bounds
+    lab = labels_by_src.get((src_stop, int(src_departure_s)))
+    if lab is None:
+        return False
+    lb = lab.get(tgt_stop)
+    if lb is None:
+        # quotient-unreachable stop: no expanded path exists at all
+        return True
+    return tgt_arrival_s < lb - slack_by_stop.get(tgt_stop, 0)

@@ -128,6 +128,7 @@ def _run_pairs(
     strategy: str = "auto",
     rank_col: Column | None = None,
     max_iterations: int = 1000,
+    stop_bound: bool = True,
 ) -> DataFrame:
     """Stage 3: lanes = source stoptimes; join lane results onto targets.
 
@@ -142,28 +143,25 @@ def _run_pairs(
     (rank, cost, ...) order, so the search stops at the winner's cost
     radius instead of the farthest feasible target's (~the whole
     duration window of day-graph).
+
+    ``stop_bound``: pre-prune targets the admissible earliest-arrival
+    certificate (graph/stop_bound.py) PROVES unreachable — they could
+    never produce a result row, but waiting for them to settle forces
+    full-component exploration (SCALE.md blocker). Sound: the
+    certificate under-prunes only; disable to A/B the exact same search
+    without the certificate (tests assert winner identity both ways).
     """
-    lanes = sources.select(
-        F.col("stoptime_id").alias("lane"), F.col("stoptime_id").alias("node")
-    ).distinct()
-    # per-lane target sets, known up front (a few hundred stoptimes at the
-    # destination stops): both SSSP tiers early-terminate once a lane's
-    # WINNABLE targets settle. Targets departing at-or-before the lane's
-    # own departure are EXCLUDED — the ranking join discards them anyway
-    # (dst_departure > src_departure), and keeping them would block
-    # settlement forever (they are generally unreachable: time moves
-    # forward along the expanded graph), degrading early termination to
-    # full-graph convergence on the iterative tier.
     if rank_col is None:
         rank_col = F.col("arrival_s")
     both = (
         sources.select(
-            F.lit("s").alias("side"), "stoptime_id", "departure_s",
-            F.lit(0.0).alias("rank"),
+            F.lit("s").alias("side"), "stoptime_id", "stop_id",
+            "departure_s", "arrival_s", F.lit(0.0).alias("rank"),
         )
         .unionByName(
             targets.select(
-                F.lit("t").alias("side"), "stoptime_id", "departure_s",
+                F.lit("t").alias("side"), "stoptime_id", "stop_id",
+                "departure_s", "arrival_s",
                 rank_col.cast("double").alias("rank"),
             )
         )
@@ -172,14 +170,47 @@ def _run_pairs(
     )
     src_rows = [r for r in both if r["side"] == "s"]
     tgt_rows = [r for r in both if r["side"] == "t"]
+    bounds = None
+    if stop_bound and src_rows:
+        from routing_algorithm_for_graph_dbs_spark.graph.stop_bound import (
+            earliest_arrival_bounds,
+            provably_unreachable,
+        )
+
+        bounds = earliest_arrival_bounds(
+            graph, [(s["stop_id"], int(s["departure_s"])) for s in src_rows]
+        )
+    else:
+        def provably_unreachable(*_a):  # noqa: E306 - bound disabled
+            return False
+
+    # per-lane target sets, known up front (a few hundred stoptimes at the
+    # destination stops): both SSSP tiers early-terminate once a lane's
+    # WINNABLE targets settle. Targets departing at-or-before the lane's
+    # own departure are EXCLUDED — the ranking join discards them anyway
+    # (dst_departure > src_departure) — as are certificate-pruned ones;
+    # keeping either would block settlement forever (they are generally
+    # unreachable: time moves forward along the expanded graph), degrading
+    # early termination to full-graph convergence on the iterative tier.
     lane_ranks = {
         s["stoptime_id"]: [
             (0, t["stoptime_id"], t["rank"])
             for t in tgt_rows
             if t["departure_s"] > s["departure_s"]
+            and not provably_unreachable(
+                bounds, s["stop_id"], int(s["departure_s"]),
+                t["stop_id"], t["arrival_s"],
+            )
         ]
         for s in src_rows
     }
+    # a lane pruned to zero targets cannot produce a result row — drop it
+    # from the seed set entirely rather than letting it expand idly
+    lane_ranks = {lane: ts for lane, ts in lane_ranks.items() if ts}
+    spark = sources.sparkSession
+    lanes = spark.createDataFrame(
+        [(lane, lane) for lane in sorted(lane_ranks)], "lane string, node string"
+    )
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time",
         target_ranks=lane_ranks,
@@ -221,6 +252,7 @@ def routing(
     max_duration_h: int = 4,
     strategy: str = "auto",
     max_iterations: int = 1000,
+    stop_bound: bool = True,
 ) -> DataFrame:
     """Stop-name to stop-name itinerary (parity ``App.routing``,
     ``main.py:73-117``). Returns the reference's 12-column leg table.
@@ -247,7 +279,7 @@ def routing(
     # (both SSSP tiers early-stop once every target cost is provably final).
     ranked = _run_pairs(
         graph, sources, targets, strategy=strategy,
-        max_iterations=max_iterations,
+        max_iterations=max_iterations, stop_bound=stop_bound,
     )
     # ORDER BY arrival_time, cost LIMIT 1 (main.py:102); deterministic tiebreak
     winner = ranked.orderBy("dst_arrival_s", "cost", "src", "dst").limit(1)
@@ -264,6 +296,7 @@ def routing_batch(
     winners_only: bool = False,
     checkpoint_every: int = 1,
     max_cost: float | None = None,
+    stop_bound: bool = True,
 ) -> DataFrame:
     """Every OD pair's itinerary in ONE multi-lane SSSP run.
 
@@ -325,9 +358,6 @@ def routing_batch(
         "stop_name",
     )
 
-    lanes = sources.select(
-        F.col("stoptime_id").alias("lane"), F.col("stoptime_id").alias("node")
-    ).distinct()
     # iterative tier: predecessor-pointer state. The per-superstep state
     # rewrite is O(width x rows), and dragging accumulated path arrays
     # through ~100 horizon-bounded supersteps costs ~10x the narrow row —
@@ -340,21 +370,40 @@ def routing_batch(
     # pair's targets — correct but up to |pairs|x the search work.
     # Targets departing at-or-before the lane's own departure are excluded
     # (the ranking discards them; keeping them would stall settlement —
-    # see _run_pairs).
+    # see _run_pairs), as are targets the admissible earliest-arrival
+    # certificate PROVES unreachable (graph/stop_bound.py — sound:
+    # a pruned target could never produce a result row, but waiting for
+    # it to settle forces full-component exploration).
     src_rows = (
-        sources.select("pair_id", "stoptime_id", "departure_s")
+        sources.select("pair_id", "stoptime_id", "stop_id", "departure_s")
         .distinct()
         .collect()
     )
     tgt_rows = (
-        targets.select("pair_id", "stoptime_id", "departure_s", "arrival_s")
+        targets.select(
+            "pair_id", "stoptime_id", "stop_id", "departure_s", "arrival_s"
+        )
         .distinct()
         .collect()
     )
+    bounds = None
+    if stop_bound and src_rows:
+        from routing_algorithm_for_graph_dbs_spark.graph.stop_bound import (
+            earliest_arrival_bounds,
+            provably_unreachable,
+        )
+
+        bounds = earliest_arrival_bounds(
+            graph, [(s["stop_id"], int(s["departure_s"])) for s in src_rows]
+        )
+    else:
+        def provably_unreachable(*_a):  # noqa: E306 - bound disabled
+            return False
+
     tgt_by_pair: dict[int, list] = {}
     for r in tgt_rows:
         tgt_by_pair.setdefault(r["pair_id"], []).append(
-            (r["stoptime_id"], r["departure_s"], r["arrival_s"])
+            (r["stoptime_id"], r["stop_id"], r["departure_s"], r["arrival_s"])
         )
     # groups are PAIR-scoped: a lane shared by several OD pairs carries one
     # group per pair, so settling pair A's early-arrival target prunes only
@@ -362,9 +411,16 @@ def routing_batch(
     lane_ranks: dict[str, dict] = {}
     for r in src_rows:
         grp = lane_ranks.setdefault(r["stoptime_id"], {})
-        for t, dep, arr in tgt_by_pair.get(r["pair_id"], ()):
-            if dep > r["departure_s"]:
+        for t, t_stop, dep, arr in tgt_by_pair.get(r["pair_id"], ()):
+            if dep > r["departure_s"] and not provably_unreachable(
+                bounds, r["stop_id"], int(r["departure_s"]), t_stop, arr
+            ):
                 grp[(r["pair_id"], t)] = float(arr)
+    # lanes pruned to zero targets cannot produce a result row — drop them
+    lane_ranks = {lane: grp for lane, grp in lane_ranks.items() if grp}
+    lanes = spark.createDataFrame(
+        [(lane, lane) for lane in sorted(lane_ranks)], "lane string, node string"
+    )
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time",
         # default max_cost=None: a cost horizon is not winner-preserving
@@ -460,6 +516,7 @@ def routing_between_two_points_in_space(
     time_s: int,
     max_duration_h: int = 4,
     max_iterations: int = 1000,
+    stop_bound: bool = True,
 ) -> DataFrame:
     """Coordinates-to-coordinates itinerary (parity
     ``App.routing_between_two_points_in_space``, ``main.py:119-176``)."""
@@ -492,7 +549,7 @@ def routing_between_two_points_in_space(
     # that expression is the settlement rank — static per target stoptime
     pairs = _run_pairs(
         graph, sources, targets, rank_col=F.col("arrival_s") + end_walk,
-        max_iterations=max_iterations,
+        max_iterations=max_iterations, stop_bound=stop_bound,
     )
 
     # stage 4: augment with entry/exit walking (main.py:157)

@@ -2564,8 +2564,12 @@ class TestSniffPassUndecodableFallsToFake:
             image_features,
         )
 
+        # image rows only: the fixture's float-PCM WAV row would also raise
+        # under strict (NotImplementedError), and whichever failing task
+        # loses the race would make the message assertion flaky
+        media = _undecodable_media(spark).filter("mime like 'image/%'")
         with pytest.raises(Exception) as ei:
-            image_features(_undecodable_media(spark), strict=True).collect()
+            image_features(media, strict=True).collect()
         assert "ValueError" in str(ei.value) or "marker" in str(ei.value)
 
     def test_audio_features_float_pcm_falls_to_fake(self, spark):

@@ -351,3 +351,49 @@ def test_routing_batch_max_cost_optin_semantics(spark, strategy):
         (exact[0]["src"], exact[0]["dst"], exact[0]["cost"])
     ]
     assert run(max_cost=3600.0) == []
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "iterative"])
+def test_stop_bound_prune_preserves_results(graph, strategy):
+    """The admissible earliest-arrival prune (graph/stop_bound.py) must be
+    invisible in the OUTPUT: full leg tables with the certificate on and
+    off are identical on both tiers (the certificate only removes targets
+    it proves can never produce a result row). This is the A/B gate for
+    the sound replacement of the round-7-removed cost horizon."""
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import routing_batch
+
+    pairs = [
+        ("Autostazione 1", "Tonini 1"),
+        ("Autostazione 2", "Tonini 1"),
+        ("Tonini 1", "Autostazione 1"),
+    ]
+    on = routing_batch(
+        graph, pairs, time_s=T0, strategy=strategy, max_iterations=500,
+        stop_bound=True,
+    ).collect()
+    off = routing_batch(
+        graph, pairs, time_s=T0, strategy=strategy, max_iterations=500,
+        stop_bound=False,
+    ).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(on) == key(off)
+    assert len(on) > 0
+
+
+def test_stop_bound_prune_point_to_point(gtfs, graph):
+    """Same A/B for the coordinates pipeline (custom rank_col path)."""
+    from routing_algorithm_for_graph_dbs_spark.plans.routing import (
+        routing_between_two_points_in_space,
+    )
+
+    kw = dict(
+        start_lat=44.6500, start_lon=10.9180,
+        end_lat=44.6313, end_lon=10.8733,
+        start_list=["Autostazione 1", "Autostazione 2"],
+        end_list=["Tonini 1"],
+        speed=1.0, time_s=T0,
+    )
+    on = routing_between_two_points_in_space(graph, **kw, stop_bound=True).collect()
+    off = routing_between_two_points_in_space(graph, **kw, stop_bound=False).collect()
+    assert [tuple(r) for r in on] == [tuple(r) for r in off]
+    assert len(on) > 0
