@@ -39,6 +39,9 @@ from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
 # run — read by the scale tools to report the batch-regime cost honestly
 LAST_ITERATIVE_SUPERSTEPS = 0
 LAST_ITERATIVE_CONVERGED = True
+# lanes retired before global convergence (targets settled early) — the
+# per-lane retirement optimization's observable effect
+LAST_ITERATIVE_RETIRED = 0
 
 
 def multi_source_dijkstra(
@@ -202,23 +205,21 @@ def multi_source_dijkstra(
                 ),
             )
 
-    def _targets_done(fmin: dict) -> bool:
-        """All requested targets provably final for every lane that still
-        has a frontier (absent lanes are exhausted — nothing can improve).
-        With ``tgt_groups`` (rank-pruned mode), a group member whose rank
-        exceeds the group's best settled rank is DEAD — the consumer ranks
-        by (rank, cost) ascending, so it can never win — and stops
-        blocking termination; equal-rank members still must settle (they
-        compete on the cost tiebreak)."""
+    def _lane_done(lane, fm: float) -> bool:
+        """This lane's requested targets are all provably final given its
+        current frontier minimum ``fm``. With ``tgt_groups`` (rank-pruned
+        mode), a group member whose rank exceeds the group's best settled
+        rank is DEAD — the consumer ranks by (rank, cost) ascending, so
+        it can never win — and stops blocking; equal-rank members still
+        must settle (they compete on the cost tiebreak)."""
         if tgt_groups is None:
             return all(
-                p in tgt_cost and tgt_cost[p] <= fmin[p[0]]
+                tgt_cost.get(p, float("inf")) <= fm
                 for p in tgt_pairs
-                if p[0] in fmin
+                if p[0] == lane
             )
-        for (lane, _g), members in tgt_groups.items():
-            fm = fmin.get(lane)
-            if fm is None:
+        for (l, _g), members in tgt_groups.items():
+            if l != lane:
                 continue
             settled = [
                 r
@@ -233,7 +234,15 @@ def multi_source_dijkstra(
                     return False
         return True
 
+    def _targets_done(fmin: dict) -> bool:
+        """All requested targets provably final for every lane that still
+        has a frontier (absent lanes are exhausted — nothing can improve;
+        RETIRED lanes were removed at an earlier checkpoint when already
+        done)."""
+        return all(_lane_done(lane, fm) for lane, fm in fmin.items())
+
     early_stop = False
+    retired_lanes: set = set()
     with superstep_confs(edges.sparkSession, n_parts):
         it, n_frontier = -1, 0  # max_iterations=0: zero supersteps, converged
         for it in range(max_iterations):
@@ -372,8 +381,28 @@ def multi_source_dijkstra(
                         # premature, since tgt_cost only over-estimates.)
                         if _targets_done(fmin):
                             early_stop = True
+                        else:
+                            # per-lane RETIREMENT: a lane whose targets are
+                            # all settled-or-dead gains nothing from further
+                            # expansion — its non-target state may stay
+                            # non-final, which the target contract already
+                            # allows ("only TARGET rows are guaranteed
+                            # final"). Dropping its frontier rows shrinks
+                            # every later superstep to the unfinished lanes
+                            # instead of the whole lane set.
+                            done_now = {
+                                lane
+                                for lane, fm in fmin.items()
+                                if _lane_done(lane, fm)
+                            }
+                            if done_now:
+                                retired_lanes |= done_now
             best = merged.drop("is_frontier")
             frontier = merged.filter("is_frontier").select(*frontier_cols)
+            if retired_lanes:
+                frontier = frontier.filter(
+                    ~F.col("lane").isin(sorted(retired_lanes))
+                )
             # between checkpoints (checkpoint_every>1) convergence goes
             # unchecked; the extra relaxation on an empty frontier is a no-op.
             if n_frontier == 0 or early_stop:
@@ -386,6 +415,8 @@ def multi_source_dijkstra(
         # checkpoint_every-1 supersteps deep)
         n_frontier = frontier.count()
     global LAST_ITERATIVE_SUPERSTEPS, LAST_ITERATIVE_CONVERGED
+    global LAST_ITERATIVE_RETIRED
+    LAST_ITERATIVE_RETIRED = len(retired_lanes)
     LAST_ITERATIVE_SUPERSTEPS = it + 1
     LAST_ITERATIVE_CONVERGED = early_stop or n_frontier == 0
     e.unpersist()

@@ -626,3 +626,35 @@ def test_sssp_duplicate_targets_deduped(spark):
     # list form dedups too
     res = S.sssp(e, src, strategy="iterative", targets=["n4", "n4", "n4"])
     assert {r["node"]: r["cost"] for r in res.collect()}["n4"] == 4.0
+
+
+def test_iterative_per_lane_retirement(spark):
+    """A lane whose targets settle early must be RETIRED (frontier rows
+    dropped) while a farther lane keeps searching — results identical to
+    the unretired run, and the retirement counter observes it. Chain
+    graph: lane A targets node n1 (settles at superstep 1), lane B
+    targets the far end."""
+    import importlib
+
+    sssp_mod = importlib.import_module(
+        "routing_algorithm_for_graph_dbs_spark.graph.sssp"
+    )
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1.0) for i in range(n)],
+        "src string, dst string, weight double",
+    )
+    sources = spark.createDataFrame(
+        [("A", "n0"), ("B", "n0")], "lane string, node string"
+    )
+    res = sssp_mod.sssp(
+        edges, sources, weight_col="weight", strategy="iterative",
+        n_edges=n, max_iterations=50,
+        target_ranks={"A": [(0, "n1", 1.0)], "B": [(0, f"n{n}", 1.0)]},
+    )
+    rows = {(r["lane"], r["node"]): r["cost"] for r in res.collect()}
+    # target rows are exact despite lane A's early retirement
+    assert rows[("A", "n1")] == 1.0
+    assert rows[("B", f"n{n}")] == float(n)
+    assert sssp_mod.LAST_ITERATIVE_RETIRED == 1
+    assert sssp_mod.LAST_ITERATIVE_CONVERGED

@@ -9,13 +9,15 @@ requested target's cost is provably final (cost <= its lane's frontier
 minimum); the previous implicit ``max_cost = max_duration`` prune was
 unsound (CHANGE weights exceed elapsed time by the walking component, so
 it could prune a reference-feasible winner at the boundary — now a
-regression test). But exact settlement must fully explore the component
-of any lane holding an UNREACHABLE target (the reference's per-pair GDS
-Dijkstra does the same), which on this dense synthetic day graph is
-state-OOM territory. This harness therefore OPTS IN to a padded bounded
-horizon (``SCALE_HORIZON_H``, default 6 h vs the 4 h duration window) and
-certifies the run a posteriori by asserting winner identity against the
-exact broadcast tier.
+regression test). Exact settlement then stalled on lanes holding an
+UNREACHABLE target (proving unreachability by search = exhausting the
+component), which round 7 worked around with an OPT-IN padded cost
+horizon (``SCALE_HORIZON_H``) certified a posteriori by winner identity.
+Round 8 removed the stall soundly: the admissible earliest-arrival
+certificate (graph/stop_bound.py) excludes provably-unreachable targets
+up front and the kernel retires lanes whose targets settle early, so the
+DEFAULT here is now fully exact (``SCALE_HORIZON_H=0``); set a nonzero
+horizon only to reproduce the legacy certified-horizon regime.
 
 Comparison contract: the RANKED WINNER identity (pair, src stoptime,
 dst stoptime, cost, arrival) is fully deterministic and must be
@@ -110,17 +112,12 @@ def main() -> None:
     t_broadcast = round(time.perf_counter() - t0, 1)
 
     ck = int(os.environ.get("SCALE_CHECKPOINT_EVERY", "1"))
-    # Bounded-horizon OPT-IN for the iterative tier (hours; 0 = exact/off).
-    # Exact settlement must explore the full component of any lane holding
-    # an unreachable target — on the dense synthetic day graph that is
-    # hundreds of supersteps and an OOM-sized state. The horizon bounds
-    # state and supersteps; it is NOT provably winner-preserving (walking
-    # inflates cost past elapsed time), so this run is certified a
-    # posteriori: the winner-identity assert below compares against the
-    # EXACT broadcast tier, and a pruned winner would fail it. The pad
-    # over max_duration_h=4 covers accumulated walking (<= 500 s per
-    # CHANGE at the 500 m/1 m/s transfer build; 2 h is >> any chain).
-    horizon_h = float(os.environ.get("SCALE_HORIZON_H", "6"))
+    # Legacy bounded-horizon opt-in (hours; 0 = exact/off — the DEFAULT
+    # since the stop-bound certificate landed). A nonzero horizon is NOT
+    # provably winner-preserving (walking inflates cost past elapsed
+    # time); if set, the winner-identity assert below is its a-posteriori
+    # certification against the exact broadcast tier.
+    horizon_h = float(os.environ.get("SCALE_HORIZON_H", "0"))
     t0 = time.perf_counter()
     it = routing_batch(
         g, od_pairs_9(), time_s=14 * 3600, strategy="iterative",
@@ -160,6 +157,7 @@ def main() -> None:
                 "t_routing_batch_iterative_s": t_iterative,
                 "iterative_supersteps": supersteps,
                 "iterative_converged": converged,
+                "iterative_lanes_retired": sssp_mod.LAST_ITERATIVE_RETIRED,
                 "legs_broadcast": len(bc),
                 "legs_iterative": len(it),
                 "winners_identical": True,
