@@ -225,6 +225,69 @@ def test_apply_cdc_matches_python_oracle(spark, changes):
     assert got == state
 
 
+cdc_map_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # key
+        st.integers(min_value=0, max_value=10),  # seq (small: force ties)
+        st.sampled_from(["U", "D", "I"]),        # op
+        st.dictionaries(                          # MapType payload
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=9),
+            max_size=3,
+        ),
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@SET
+@given(changes=cdc_map_stream)
+def test_apply_cdc_map_payload_matches_python_oracle(spark, changes):
+    """MapType payload exercises apply_cdc's to_json orderable-fallback
+    tiebreak (operators/merge.py: Spark's window orderBy rejects MapType,
+    so the payload tail enters the (seq, is_delete, payload) order as a
+    deterministic JSON serialization). The oracle mirrors it with
+    json.dumps in the same entry order and no whitespace — equal-(key,
+    seq) upserts with different maps must resolve identically on both
+    sides, and a latest-D tie must still delete."""
+    import json
+
+    from routing_algorithm_for_graph_dbs_spark.operators.merge import apply_cdc
+
+    # fix map entry order at generation time so Spark's to_json (entry
+    # order) and the oracle's json.dumps agree byte-for-byte
+    changes = [(k, s, op, dict(sorted(v.items()))) for k, s, op, v in changes]
+
+    def jmap(d: dict) -> str:
+        return json.dumps(d, separators=(",", ":"))
+
+    final: dict = {}
+    for k, seq, op, v in changes:
+        # payload struct = non-key change columns in schema order:
+        # (seq, op, to_json(v))
+        rank = (seq, 1 if op == "D" else 0, (seq, op, jmap(v)))
+        prev = final.get(k)
+        if prev is None or rank >= prev[0]:
+            final[k] = (rank, op, v)
+    state: dict = {0: {"z": 0}}
+    for k, (_, op, v) in final.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    target = spark.createDataFrame([(0, {"z": 0})], "k long, v map<string,int>")
+    log = spark.createDataFrame(
+        changes or [(None, None, None, None)],
+        "k long, seq long, op string, v map<string,int>",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r["k"]: dict(r["v"])
+        for r in apply_cdc(target, log, ["k"], "seq").collect()
+    }
+    assert got == state
+
+
 @SET
 @given(
     vals=st.lists(
