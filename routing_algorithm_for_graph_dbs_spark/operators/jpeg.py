@@ -7,15 +7,18 @@ training-data pipeline meets JPEG before any other binary format, and the
 luma statistics the pipeline derives (quality filters, near-dup pHash)
 only need the Y channel.
 
-``decode_jpeg``: baseline sequential DCT (SOF0), 8-bit, Huffman entropy
-coding, grayscale or YCbCr with any sampling factors (4:4:4 / 4:2:0 /
-4:2:2 ...), restart intervals. It entropy-decodes EVERY component's
-coefficients (the MCU stream interleaves them — skipping requires
-decoding), but only the Y component is inverse-transformed; chroma
-upsampling never runs because the returned statistic is Rec.601 luma and
-JPEG's Y channel IS that luma. Progressive (SOF2), arithmetic coding,
-12-bit precision and hierarchical modes raise ``NotImplementedError`` —
-the honest remaining boundary (a real deployment plugs libjpeg there).
+``decode_jpeg``: sequential DCT (SOF0/1) AND progressive (SOF2, round 8:
+spectral selection + successive approximation per T.81 Annex G), 8-bit,
+Huffman entropy coding, grayscale or YCbCr with any sampling factors
+(4:4:4 / 4:2:0 / 4:2:2 ...), restart intervals. Sequential scans
+entropy-decode EVERY component's coefficients (the MCU stream
+interleaves them — skipping requires decoding), but only the Y component
+is inverse-transformed; chroma upsampling never runs because the
+returned statistic is Rec.601 luma and JPEG's Y channel IS that luma.
+Progressive chroma AC scans are skipped outright (their entropy data is
+self-delimiting). Arithmetic coding, 12-bit precision, lossless and
+hierarchical modes raise ``NotImplementedError`` — the honest remaining
+boundary (a real deployment plugs libjpeg there).
 
 ``encode_jpeg_gray``: minimal single-component baseline encoder (Annex K
 tables) — the write half used to generate REAL jpeg bytes for golden
@@ -212,6 +215,8 @@ def _decode_jpeg_plane(payload: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    prog_state = None  # persistent Y coefficient grid across scans
     restart_interval = 0
     pos = 2
     d = payload
@@ -235,7 +240,7 @@ def _decode_jpeg_plane(payload: bytes):
                     tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
                     i += 128
                 quant[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
@@ -246,11 +251,13 @@ def _decode_jpeg_plane(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0/1) is decoded here "
-                f"(got SOF marker 0x{marker:02X}) — progressive/arithmetic/"
-                "hierarchical modes need a real image lib"
+                f"only Huffman sequential (SOF0/1) and progressive (SOF2) "
+                f"JPEG are decoded here (got SOF marker 0x{marker:02X}) — "
+                "arithmetic-coded, lossless and hierarchical modes need a "
+                "real image lib"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -272,12 +279,31 @@ def _decode_jpeg_plane(payload: bytes):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 15))
-            return _decode_scan(
-                d, pos + 2 + seg_len, frame, scan, quant, huff_dc, huff_ac,
-                restart_interval,
-            )
+            if not progressive:
+                return _decode_scan(
+                    d, pos + 2 + seg_len, frame, scan, quant, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            # progressive (T.81 Annex G): many scans accumulate into one
+            # coefficient grid; each scan's entropy data is self-delimiting
+            # (ends at the next real marker), so scans that never touch the
+            # Y component (chroma AC refinements) are skipped outright
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _init_prog_state(frame)
+            data_pos = pos + 2 + seg_len
+            if any(c is frame["comps"][0] for c, _, _ in scan):
+                _decode_prog_scan(
+                    d, data_pos, frame, scan, ss, se, ah_al >> 4, ah_al & 15,
+                    huff_dc, huff_ac, restart_interval, prog_state,
+                )
+            pos = _entropy_end(d, data_pos)
+            continue
         # APPn/COM/other: skip
         pos += 2 + seg_len
+    if prog_state is not None:
+        return _assemble_y(frame, prog_state["zz"], quant)
     raise ValueError("no SOS segment found")
 
 
@@ -363,6 +389,245 @@ def _decode_scan(
     y_w = -(-w * y_comp["h"] // hmax)
     y_h = -(-h * y_comp["v"] // vmax)
     return w, h, len(comps), plane[:y_h, :y_w]
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (SOF2), T.81 Annex G — Huffman spectral selection +
+# successive approximation. Scans accumulate quantized coefficients into a
+# persistent per-block grid (zigzag index order); dequantization and the
+# exact IDCT run once at EOI. Only the Y component's coefficients are
+# stored — interleaved DC scans still entropy-decode every component in
+# the scan (the bits interleave), AC scans are single-component by spec
+# and non-Y ones never reach the decoder (their entropy data is
+# self-delimiting).
+
+
+def _entropy_end(d: bytes, pos: int) -> int:
+    """Position of the next real marker after entropy-coded data: skips
+    stuffed 0xFF00 pairs, restart markers, and 0xFF fill bytes."""
+    n = len(d)
+    while pos + 1 < n:
+        if d[pos] != 0xFF:
+            pos += 1
+        elif d[pos + 1] == 0x00 or 0xD0 <= d[pos + 1] <= 0xD7:
+            pos += 2
+        elif d[pos + 1] == 0xFF:  # fill byte
+            pos += 1
+        else:
+            return pos
+    return n
+
+
+def _init_prog_state(frame: dict) -> dict:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    y = comps[0]
+    bw, bh = mcus_x * y["h"], mcus_y * y["v"]
+    return {
+        "zz": np.zeros((bh * bw, 64), dtype=np.int32),
+        "bw": bw,
+        "bh": bh,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "hmax": hmax,
+        "vmax": vmax,
+    }
+
+
+def _comp_block_dims(frame: dict, comp: dict, state: dict) -> tuple[int, int]:
+    """Block grid of a NON-interleaved scan (T.81 A.2.2): the component's
+    true sample extent, not the MCU-padded grid."""
+    cw = -(-frame["w"] * comp["h"] // state["hmax"])
+    ch = -(-frame["h"] * comp["v"] // state["vmax"])
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_prog_scan(
+    d: bytes,
+    data_pos: int,
+    frame: dict,
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+    state: dict,
+) -> None:
+    """Decode ONE progressive scan into the persistent coefficient grid
+    (T.81 G.1.2; the control flow mirrors the spec's decision figures,
+    independently implemented)."""
+    zz = state["zz"]
+    y_comp = frame["comps"][0]
+    reader = _BitReader(d, data_pos)
+    rst = 0
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+
+    if ss == 0:  # ---- DC scan (first or refinement); may interleave comps
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        pred = {c["id"]: 0 for c, _, _ in scan}
+
+        def dc_block(comp: dict, td: int, idx: int | None) -> None:
+            if ah == 0:  # G.1.2.1: first scan — diff-coded, scaled by 2^Al
+                t = reader.decode_symbol(huff_dc[td])
+                pred[comp["id"]] += _extend(reader.receive(t), t)
+                if idx is not None:
+                    zz[idx, 0] = pred[comp["id"]] << al
+            else:  # refinement — one appended bit per block
+                if reader.read_bit() and idx is not None:
+                    zz[idx, 0] |= p1
+
+        interleaved = len(scan) > 1
+        if interleaved:
+            mcus_x = state["mcus_x"]
+            n_units = mcus_x * state["mcus_y"]
+        else:
+            bw_n, bh_n = _comp_block_dims(frame, scan[0][0], state)
+            n_units = bw_n * bh_n
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align_and_expect_restart(rst)
+                rst = (rst + 1) & 7
+                for c, _, _ in scan:
+                    pred[c["id"]] = 0
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for comp, td, _ta in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            idx = None
+                            if comp is y_comp:
+                                row = my * comp["v"] + by
+                                col = mx * comp["h"] + bx
+                                idx = row * state["bw"] + col
+                            dc_block(comp, td, idx)
+            else:
+                comp, td, _ta = scan[0]
+                by, bx = divmod(unit, bw_n)
+                idx = by * state["bw"] + bx if comp is y_comp else None
+                dc_block(comp, td, idx)
+        return
+
+    # ---- AC scan: single component by spec, only Y reaches here
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    comp, _td, ta = scan[0]
+    ac_tbl = huff_ac[ta]
+    bw_n, bh_n = _comp_block_dims(frame, comp, state)
+    store_bw = state["bw"]
+    for unit in range(bw_n * bh_n):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_and_expect_restart(rst)
+            rst = (rst + 1) & 7
+            eobrun = 0
+        by, bx = divmod(unit, bw_n)
+        blk = zz[by * store_bw + bx]
+        if ah == 0:  # -- G.1.2.2: first scan of this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rsym = reader.decode_symbol(ac_tbl)
+                r, s = rsym >> 4, rsym & 15
+                if s == 0:
+                    if r == 15:  # ZRL: 16 zero coefficients
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1  # EOBn: this block + 2^r-1 more
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overran spectral band")
+                blk[k] = _extend(reader.receive(s), s) << al
+                k += 1
+        else:  # -- G.1.2.3: refinement — one more magnitude bit per coeff
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rsym = reader.decode_symbol(ac_tbl)
+                    r, s = rsym >> 4, rsym & 15
+                    sval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # ZRL: skip 16 zero-history coefficients below
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "refinement scan symbol with size != 1"
+                            )
+                        sval = p1 if reader.read_bit() else m1
+                    # advance: correction bits ride along for every
+                    # already-nonzero coefficient passed over; r counts
+                    # only zero-history positions
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if reader.read_bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if sval:
+                        if k > se:
+                            raise ValueError(
+                                "refinement overran spectral band"
+                            )
+                        blk[k] = sval
+                    k += 1
+            if eobrun > 0:
+                # EOB region: correction bits still flow for the
+                # already-nonzero coefficients in the rest of the band
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _assemble_y(frame: dict, zz: np.ndarray, quant: dict) -> tuple:
+    """Dequantize + exact IDCT of the accumulated Y grid (progressive
+    epilogue); same vectorized math as the baseline path."""
+    comps = frame["comps"]
+    y_comp = comps[0]
+    q = quant[y_comp["tq"]].astype(np.float64)
+    deq = np.zeros((zz.shape[0], 64), dtype=np.float64)
+    deq[:, ZIGZAG] = zz.astype(np.float64) * q  # q is zigzag-ordered (DQT)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    y_bw = mcus_x * y_comp["h"]
+    y_bh = mcus_y * y_comp["v"]
+    blocks = deq.reshape(-1, 8, 8)
+    pix = np.einsum("ki,nkl,lj->nij", _T, blocks, _T) + 128.0
+    pix = np.clip(pix, 0.0, 255.0)
+    plane = (
+        pix.reshape(y_bh, y_bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(y_bh * 8, y_bw * 8)
+    )
+    y_w = -(-frame["w"] * y_comp["h"] // hmax)
+    y_h = -(-frame["h"] * y_comp["v"] // vmax)
+    return frame["w"], frame["h"], len(comps), plane[:y_h, :y_w]
 
 
 # ---------------------------------------------------------------------------
@@ -489,6 +754,359 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 90) -> bytes:
     while nbits:  # flush: pad the final partial byte with 1-bits (spec)
         emit(1, 1)
     out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (golden-byte source for the SOF2 decode path) —
+# standard-conformant output; any progressive-capable decoder reads it.
+
+# one flat 8-bit Huffman table covering every symbol a progressive AC scan
+# can emit: run/size for s 1..10, EOBn (r<<4 for r 0..14) and ZRL. 176
+# codes of length 8 leave the all-ones code unused (T.81 C.2 requirement).
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)]
+    + [0xF0]
+)
+
+# (Ss, Se, Ah, Al) script: DC first with point transform, split AC bands,
+# two successive-approximation refinement rounds per band, DC refinement —
+# every Annex G decode procedure fires
+DEFAULT_PROG_SCANS = (
+    (0, 0, 0, 1),
+    (1, 5, 0, 2),
+    (6, 63, 0, 2),
+    (1, 5, 2, 1),
+    (6, 63, 2, 1),
+    (1, 5, 1, 0),
+    (6, 63, 1, 0),
+    (0, 0, 1, 0),
+)
+
+
+class _BitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing (encoder twin of
+    _BitReader)."""
+
+    def __init__(self) -> None:
+        self.body = bytearray()
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def emit(self, code: int, length: int) -> None:
+        self.bitbuf = (self.bitbuf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.bitbuf >> self.nbits) & 0xFF
+            self.body.append(byte)
+            if byte == 0xFF:
+                self.body.append(0x00)
+        self.bitbuf &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.emit(1, 1)
+
+
+def _quantize_zigzag(arr: np.ndarray, quality: int, mcu: int = 8):
+    """(H, W) uint8 -> ((n_blocks, 64) int64 zigzag-ordered quantized
+    coefficients in raster block order over the mcu-padded grid, zigzag
+    DQT table, blocks-per-row)."""
+    h, w = arr.shape
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((QUANT_LUMA_K1 * scale + 50) // 100, 1, 255).astype(np.int64)
+    q_nat = np.zeros(64, dtype=np.int64)
+    q_nat[ZIGZAG] = q
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge").astype(
+        np.float64
+    )
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    coeff = np.einsum("ik,nkl,jl->nij", _T, blocks - 128.0, _T)
+    qz = np.round(coeff.reshape(-1, 64) / q_nat).astype(np.int64)
+    return qz[:, ZIGZAG], q, pw // 8
+
+
+def _emit_dc_first(wtr: _BitWriter, seq, dc_codes: dict, al: int, preds: dict) -> None:
+    """DC first scan (G.1.1.1.1): diff-code coef0 >> Al (arithmetic shift).
+    ``seq`` yields (component_key, coef0); preds is per-key state."""
+    for key, c0 in seq:
+        v = int(c0) >> al
+        diff = v - preds[key]
+        preds[key] = v
+        t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+        ln, code = dc_codes[t]
+        wtr.emit(code, ln)
+        if t:
+            mv = diff if diff >= 0 else diff + (1 << t) - 1
+            wtr.emit(mv & ((1 << t) - 1), t)
+
+
+def _emit_dc_refine(wtr: _BitWriter, seq, al: int) -> None:
+    """DC refinement: one appended magnitude bit per block."""
+    for _key, c0 in seq:
+        wtr.emit((int(c0) >> al) & 1, 1)
+
+
+def _emit_ac_first(wtr: _BitWriter, blocks, ac_codes: dict, ss: int, se: int, al: int) -> None:
+    """AC first scan of a band (G.1.1.2 encoder flow): run/size coding of
+    the point-transformed coefficients, EOB runs across blocks."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            ln, code = ac_codes[nb << 4]
+            wtr.emit(code, ln)
+            if nb:
+                wtr.emit(eobrun & ((1 << nb) - 1), nb)
+            eobrun = 0
+
+    for zzb in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zzb[k])
+            if v < 0:
+                t = (-v) >> al
+                t2 = ~t  # low bits = magnitude complement (sign coding)
+            else:
+                t = v >> al
+                t2 = t
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                ln, code = ac_codes[0xF0]
+                wtr.emit(code, ln)
+                r -= 16
+            nb = t.bit_length()
+            ln, code = ac_codes[(r << 4) | nb]
+            wtr.emit(code, ln)
+            wtr.emit(t2 & ((1 << nb) - 1), nb)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(wtr: _BitWriter, blocks, ac_codes: dict, ss: int, se: int, al: int) -> None:
+    """AC refinement scan (G.1.1.2 successive approximation): one
+    correction bit per already-nonzero coefficient, run/size(=1) symbols
+    for newly-nonzero ones, correction bits buffered to ride just after
+    the symbol that closes their run (decoder reads them interleaved)."""
+    eobrun = 0
+    be_bits: list[int] = []  # correction bits owed after the next EOBn
+
+    def flush_eob() -> None:
+        nonlocal eobrun, be_bits
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            ln, code = ac_codes[nb << 4]
+            wtr.emit(code, ln)
+            if nb:
+                wtr.emit(eobrun & ((1 << nb) - 1), nb)
+            eobrun = 0
+        for b in be_bits:
+            wtr.emit(b, 1)
+        be_bits = []
+
+    for zzb in blocks:
+        vals = [int(zzb[k]) for k in range(ss, se + 1)]
+        absv = [(-v if v < 0 else v) >> al for v in vals]
+        eob_i = -1  # last newly-nonzero index; later ZRLs fold into EOB
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_i = i
+        r = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_i:
+                flush_eob()
+                ln, code = ac_codes[0xF0]
+                wtr.emit(code, ln)
+                r -= 16
+                for b in br:
+                    wtr.emit(b, 1)
+                br = []
+            if t > 1:  # history-nonzero: correction bit only
+                br.append(t & 1)
+                continue
+            flush_eob()  # newly-nonzero: close the run
+            ln, code = ac_codes[(r << 4) | 1]
+            wtr.emit(code, ln)
+            wtr.emit(0 if vals[i] < 0 else 1, 1)
+            for b in br:
+                wtr.emit(b, 1)
+            br = []
+            r = 0
+        if r or br:
+            eobrun += 1
+            be_bits.extend(br)
+            if eobrun == 0x7FFF or len(be_bits) > 900:
+                flush_eob()
+    flush_eob()
+
+
+def _dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    return (
+        b"\xff\xc4"
+        + struct.pack(">H", 3 + 16 + len(vals))
+        + bytes([tc_th] + bits + vals)
+    )
+
+
+def encode_jpeg_gray_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    scans: tuple = DEFAULT_PROG_SCANS,
+) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as a PROGRESSIVE (SOF2)
+    JPEG — the multi-scan twin of :func:`encode_jpeg_gray`, used to
+    generate real progressive bytes for the decoder's golden tests. The
+    quantized coefficients are identical to the baseline encoder's at the
+    same quality, so a correct progressive decode must match the baseline
+    decode bit-for-bit."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("expected an (H, W) grayscale array")
+    h, w = arr.shape
+    if quality < 1 or quality > 100:
+        raise ValueError("quality in [1, 100]")
+    zzq, q, _bw = _quantize_zigzag(arr, quality)
+    dc_codes = _encode_huffman_lengths(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _encode_huffman_lengths(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += _dht(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht(0x10, PROG_AC_BITS, PROG_AC_VALS)
+    blocks = list(zzq)
+    for ss, se, ah, al in scans:
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes(
+            [1, 1, 0x00, ss, se, (ah << 4) | al]
+        )
+        wtr = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                _emit_dc_first(
+                    wtr, ((0, b[0]) for b in blocks), dc_codes, al, {0: 0}
+                )
+            else:
+                _emit_dc_refine(wtr, ((0, b[0]) for b in blocks), al)
+        elif ah == 0:
+            _emit_ac_first(wtr, blocks, ac_codes, ss, se, al)
+        else:
+            _emit_ac_refine(wtr, blocks, ac_codes, ss, se, al)
+        wtr.flush()
+        out += wtr.body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_ycbcr420_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive twin of :func:`encode_jpeg_ycbcr420`: 3 components
+    (Y 2x2, flat neutral chroma 1x1), interleaved DC first + refinement
+    scans, per-component AC band scans — exercises the decoder's
+    interleaved-MCU DC paths and the chroma-scan skip."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("expected an (H, W) luma array")
+    h, w = arr.shape
+    zzq, q, bw16 = _quantize_zigzag(arr, quality, mcu=16)
+    dc_codes = _encode_huffman_lengths(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _encode_huffman_lengths(PROG_AC_BITS, PROG_AC_VALS)
+    mcus_x, mcus_y = bw16 // 2, -(-h // 16)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in q)
+    out += (
+        b"\xff\xc2"
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    out += _dht(0x00, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht(0x10, PROG_AC_BITS, PROG_AC_VALS)
+
+    def dc_seq():
+        """Interleaved MCU order: 4 Y blocks then Cb then Cr (flat chroma
+        = all-zero coefficients)."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(2):
+                    for bx in range(2):
+                        yield 1, zzq[(my * 2 + by) * bw16 + (mx * 2 + bx), 0]
+                yield 2, 0
+                yield 3, 0
+
+    def y_ac_blocks():
+        """Non-interleaved Y scan: the component's TRUE block grid
+        (ceil(w/8) x ceil(h/8)), strided into the MCU-padded storage."""
+        bw_n, bh_n = -(-w // 8), -(-h // 8)
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                yield zzq[by * bw16 + bx]
+
+    zero_blk = np.zeros(64, dtype=np.int64)
+    cw, ch = -(-w // 2), -(-h // 2)  # chroma sample extent (1x1 vs hmax 2)
+    n_chroma = -(-cw // 8) * -(-ch // 8)
+
+    # DC first (interleaved, Al=1)
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]
+    )
+    wtr = _BitWriter()
+    _emit_dc_first(wtr, dc_seq(), dc_codes, 1, {1: 0, 2: 0, 3: 0})
+    wtr.flush()
+    out += wtr.body
+    # Y AC full band, two approximation levels
+    for ss, se, ah, al in ((1, 63, 0, 1), (1, 63, 1, 0)):
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes(
+            [1, 1, 0x00, ss, se, (ah << 4) | al]
+        )
+        wtr = _BitWriter()
+        if ah == 0:
+            _emit_ac_first(wtr, y_ac_blocks(), ac_codes, ss, se, al)
+        else:
+            _emit_ac_refine(wtr, y_ac_blocks(), ac_codes, ss, se, al)
+        wtr.flush()
+        out += wtr.body
+    # chroma AC scans: all-zero bands collapse to one EOB run each
+    for cid in (2, 3):
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes(
+            [1, cid, 0x00, 1, 63, 0x00]
+        )
+        wtr = _BitWriter()
+        _emit_ac_first(
+            wtr, (zero_blk for _ in range(n_chroma)), ac_codes, 1, 63, 0
+        )
+        wtr.flush()
+        out += wtr.body
+    # DC refinement (interleaved, Ah=1 -> Al=0)
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]
+    )
+    wtr = _BitWriter()
+    _emit_dc_refine(wtr, dc_seq(), 0)
+    wtr.flush()
+    out += wtr.body
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -4,16 +4,17 @@ Images/audio/video ride through the engine as opaque ``binary`` columns with
 a typed metadata struct. The Spark-side machinery — schemas, Arrow-batched
 ``mapInPandas`` pipelines, partition sizing — is real and tested. Codecs:
 uncompressed 24-bit **BMP decode is REAL** (pure Python + numpy,
-``decode_bmp``/``encode_bmp`` below), **baseline JPEG decode is REAL**
-(``operators/jpeg.py`` — Huffman entropy decode + exact IDCT of the luma
-channel), **non-interlaced 8-bit PNG decode is REAL** (``operators/png.py``
+``decode_bmp``/``encode_bmp`` below), **baseline AND progressive JPEG
+decode is REAL** (``operators/jpeg.py`` — Huffman entropy decode, SOF2
+multi-scan accumulation, exact IDCT of the luma channel),
+**non-interlaced 8-bit PNG decode is REAL** (``operators/png.py``
 — stdlib-zlib inflate + all five scanline unfilters, gray/RGB/palette/
 alpha), and **integer-PCM WAV decode is REAL** (``operators/wav.py`` —
 RIFF parse, 8/16/24/32-bit samples, real RMS/zero-crossing features).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
 deployment would plug PIL/libvips/ffmpeg (video, compressed audio,
-progressive JPEG, interlaced/16-bit PNG).
+arithmetic-coded/12-bit JPEG, interlaced/16-bit PNG).
 
 Scale notes: binary payloads dominate row size, so these pipelines must
 (a) never shuffle the binary column (all derivation is map-side),
@@ -219,9 +220,9 @@ def image_features(
     partition size). Dispatch is per row on the ``mime`` column:
     ``image/bmp`` payloads get the REAL pure-Python decoder
     (:func:`decode_bmp`), ``image/jpeg`` the REAL baseline-JPEG decoder
-    (``operators/jpeg.py decode_jpeg`` — full Huffman entropy decode +
-    exact IDCT of the Y channel; progressive/arithmetic modes raise
-    there), and ``image/png`` payloads carrying a real PNG signature the
+    (``operators/jpeg.py decode_jpeg`` — full Huffman entropy decode,
+    baseline and progressive, exact IDCT of the Y channel;
+    arithmetic-coded/12-bit modes raise there), and ``image/png`` payloads carrying a real PNG signature the
     REAL PNG decoder (``operators/png.py decode_png`` — stdlib-zlib
     inflate + scanline unfiltering; interlaced/16-bit raise there). The
     signature sniff matters: synthetic media tables label text payloads
@@ -247,7 +248,7 @@ def image_features(
                 b = bytes(payload) if payload is not None else b""
                 # signature guard + decode-error guard: a payload that is
                 # mislabeled, or that passes the cheap signature sniff but
-                # is not decodable by the baseline codecs (progressive/
+                # is not decodable by the real codecs (arithmetic/
                 # truncated JPEG, 16-bit/interlaced/corrupt PNG), must
                 # fall to the fake path, not crash the stage — unless
                 # strict=True, where the codec's error propagates.

@@ -96,7 +96,7 @@ def phash64(px: "np.ndarray") -> int:
 
 
 # Exceptions a real codec may raise on a payload that PASSES the cheap
-# signature sniff but is not actually decodable: progressive/arithmetic/
+# signature sniff but is not actually decodable: arithmetic-coded/
 # truncated JPEG (NotImplementedError/ValueError), 16-bit/interlaced/
 # CRC-corrupt PNG (ValueError/zlib.error), truncated BMP (ValueError/
 # struct.error). IndexError covers byte-indexing past the end of a
@@ -113,11 +113,11 @@ DECODE_ERRORS = (
 
 def sniff_decode(payload: bytes, strict: bool = False) -> "np.ndarray | None":
     """Signature-sniffed pixel decode through the repo's real codecs:
-    BMP / baseline JPEG / non-interlaced 8-bit PNG. Returns None for
-    unrecognized payloads (the caller decides fake vs strict).
+    BMP / baseline+progressive JPEG / non-interlaced 8-bit PNG. Returns
+    None for unrecognized payloads (the caller decides fake vs strict).
 
     A payload that passes the signature sniff but fails to decode (e.g.
-    a progressive JPEG, a CRC-corrupt PNG, a truncated stream) returns
+    an arithmetic-coded JPEG, a CRC-corrupt PNG, a truncated stream) returns
     None too unless ``strict=True``, which lets the codec's error
     propagate — a mislabeled payload must fall to the caller's
     fake/skip path, never crash the stage (module contract)."""

@@ -2061,7 +2061,8 @@ def test_jpeg_decode_golden():
 
 def test_jpeg_decode_rejects_unsupported():
     """The honest codec boundary: non-JPEG bytes -> ValueError;
-    progressive (SOF2) -> NotImplementedError."""
+    arithmetic-coded (SOF9) -> NotImplementedError (progressive SOF2
+    decodes for real since round 8)."""
     import struct as _struct
 
     import pytest as _pytest
@@ -2070,15 +2071,141 @@ def test_jpeg_decode_rejects_unsupported():
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"BMnot a jpeg")
-    progressive = (
+    arithmetic = (
         b"\xff\xd8"
-        + b"\xff\xc2"
+        + b"\xff\xc9"
         + _struct.pack(">HBHHB", 11, 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
         + b"\xff\xd9"
     )
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(progressive)
+        decode_jpeg(arithmetic)
+
+
+def test_progressive_jpeg_matches_baseline_exactly():
+    """SOF2 progressive decode (spectral selection + successive
+    approximation, T.81 Annex G): the progressive and baseline encoders
+    share the exact same quantization stage, so a correct multi-scan
+    decode must reproduce the single-scan baseline decode BIT-FOR-BIT —
+    any error in the DC/AC first or refinement procedures shows up as a
+    coefficient mismatch."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_luma,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (16, 24), (23, 37), (64, 64)]:
+        for q in (50, 90, 95):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = decode_jpeg_luma(encode_jpeg_gray(img, q))
+            prog = decode_jpeg_luma(encode_jpeg_gray_progressive(img, q))
+            assert np.array_equal(base, prog), (shape, q)
+    # dims + mean-luma contract of decode_jpeg on a progressive payload
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    w, h, nc, luma = decode_jpeg(encode_jpeg_gray_progressive(img, 95))
+    assert (w, h, nc) == (40, 24, 1)
+    assert abs(luma - img.mean() / 255.0) < 0.02
+
+
+def test_progressive_jpeg_interleaved_dc_and_chroma_skip():
+    """3-component progressive: interleaved DC first/refinement scans
+    (all components share the MCU bit stream) and single-component chroma
+    AC scans, which the decoder skips without entropy-decoding. The Y
+    plane must equal the GRAYSCALE progressive decode bit-for-bit (both
+    encoders quantize through the same vectorized path); the sequential
+    ycbcr encoder is allowed one grey level of slack — its per-block
+    matmul can round a coefficient across the .5 boundary differently
+    from the vectorized einsum."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_luma,
+        encode_jpeg_gray_progressive,
+        encode_jpeg_ycbcr420,
+        encode_jpeg_ycbcr420_progressive,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape in [(16, 16), (30, 50), (23, 37)]:
+        for q in (75, 90):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            prog_y = decode_jpeg_luma(encode_jpeg_ycbcr420_progressive(img, q))
+            prog_g = decode_jpeg_luma(encode_jpeg_gray_progressive(img, q))
+            assert np.array_equal(prog_y, prog_g), (shape, q)
+            base_y = decode_jpeg_luma(encode_jpeg_ycbcr420(img, q))
+            diff = np.abs(base_y.astype(int) - prog_y.astype(int)).max()
+            assert diff <= 1, (shape, q, diff)
+    w, h, nc, _ = decode_jpeg(encode_jpeg_ycbcr420_progressive(
+        rng.integers(0, 256, (30, 50), dtype=np.uint8), 90))
+    assert (w, h, nc) == (50, 30, 3)
+
+
+def test_progressive_jpeg_hand_constructed_stream():
+    """Decoder-only golden: a spec-exact progressive stream whose entropy
+    bytes were computed BY HAND from T.81 (identity quant table, one 8x8
+    block, three scans: DC first, AC first at Al=1, AC refinement to
+    Al=0). Catches encoder/decoder bugs that would cancel in roundtrips.
+
+    Hand derivation: DC=6 -> DC size 3 ('100' in the Annex K DC table) +
+    bits '110', padded -> 0x9B. AC first (Al=1): zz[1]=3 -> size 1 at
+    run 0 (symbol 0x01, flat 8-bit code = its index 1) + sign bit 1;
+    zz[4]=-2 -> run 2 size 1 (symbol 0x21, index 23) + bit 0; EOB
+    (symbol 0x00, index 0) -> bytes 0x01 0x8B 0x80 0x3F. Refinement
+    (Ah=1, Al=0): EOB0 then correction bits 1 (3 is odd), 0 (-2 even)
+    -> 0x00 0xBF. Expected coefficients: nat[0]=6, nat[1]=3, nat[9]=-2
+    (zigzag index 4 is natural position 9)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        PROG_AC_BITS,
+        PROG_AC_VALS,
+        decode_jpeg_luma,
+    )
+
+    def sos(ss, se, ahal, body):
+        return (
+            b"\xff\xda"
+            + _struct.pack(">H", 8)
+            + bytes([1, 1, 0x00, ss, se, ahal])
+            + body
+        )
+
+    stream = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+        + b"\xff\xc2" + _struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xc4" + _struct.pack(">H", 3 + 16 + len(DC_LUMA_VALS))
+        + bytes([0x00] + DC_LUMA_BITS + DC_LUMA_VALS)
+        + b"\xff\xc4" + _struct.pack(">H", 3 + 16 + len(PROG_AC_VALS))
+        + bytes([0x10] + PROG_AC_BITS + PROG_AC_VALS)
+        + sos(0, 0, 0x00, bytes([0x9B]))
+        + sos(1, 63, 0x01, bytes([0x01, 0x8B, 0x80, 0x3F]))
+        + sos(1, 63, 0x10, bytes([0x00, 0xBF]))
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg_luma(stream)
+    # independent IDCT of the expected coefficients (orthonormal DCT-II)
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    t = np.cos((2 * n + 1) * k * np.pi / 16)
+    t[0] *= np.sqrt(1 / 8)
+    t[1:] *= np.sqrt(2 / 8)
+    coeffs = np.zeros((8, 8))
+    coeffs[0, 0] = 6.0
+    coeffs[0, 1] = 3.0
+    coeffs[1, 1] = -2.0  # natural position 9
+    want = np.clip(np.rint(t.T @ coeffs @ t + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
 
 
 def test_image_features_real_jpeg_in_pipeline(spark):
@@ -2096,12 +2223,18 @@ def test_image_features_real_jpeg_in_pipeline(spark):
         image_features,
     )
 
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
     jpg = encode_jpeg_gray(np.full((12, 20), 64, np.uint8), 90)
     bmp = encode_bmp(np.full((4, 7, 3), 200, np.uint8))
+    prog = encode_jpeg_gray_progressive(np.full((12, 20), 64, np.uint8), 90)
     rows = [
         (1, "image", jpg, "image/jpeg", (20, 12, 1, None, None)),
         (2, "image", bmp, "image/bmp", (7, 4, 3, None, None)),
         (3, "image", b"\x89PNGfakebytes", "image/png", (800, 600, 3, None, None)),
+        (4, "image", prog, "image/jpeg", (20, 12, 1, None, None)),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r["media_id"]: r.asDict() for r in image_features(media).collect()}
@@ -2112,6 +2245,11 @@ def test_image_features_real_jpeg_in_pipeline(spark):
     assert abs(got[1]["mean_luma"] - 64 / 255.0) < 1 / 255.0
     assert got[2]["decoder"] == "bmp"
     assert got[3]["decoder"] == "fake"
+    # the progressive (SOF2) row decodes REAL since round 8 — identical
+    # features to its baseline twin (same quantized coefficients)
+    assert got[4]["decoder"] == "jpeg"
+    assert (got[4]["width"], got[4]["height"]) == (20, 12)
+    assert got[4]["mean_luma"] == got[1]["mean_luma"]
 
     strict_got = image_features(
         media.filter(media.mime != "image/png"), strict=True
