@@ -62,7 +62,11 @@ def nearest_footnode(foot_nodes: DataFrame, lat: float, lon: float) -> DataFrame
 
 
 def walking_distances(
-    foot_edges: DataFrame, start_ids: list[str], targets: list | None = None
+    foot_edges: DataFrame,
+    start_ids: list[str],
+    targets: list | None = None,
+    strategy: str = "auto",
+    track_paths: bool = True,
 ) -> DataFrame:
     """Shortest walking distance from each start FootNode to every reachable
     FootNode: (lane=start_id, node, cost, path).
@@ -70,13 +74,22 @@ def walking_distances(
     ``targets``: optional node list threaded to the SSSP kernel — the
     broadcast tier then stops expanding once every target is settled and
     emits only target rows (same early-termination routing uses,
-    plans/routing.py)."""
+    plans/routing.py).
+
+    ``strategy``/``track_paths`` thread to the two-tier dispatcher
+    (graph/sssp.py): past BROADCAST_EDGE_LIMIT the auto tier flips to the
+    iterative Pregel kernel, and full-graph runs should disable path
+    materialization (cost-only consumers like tools/scale_footway.py —
+    path arrays over every reachable node dominate the output width)."""
     spark = foot_edges.sparkSession
     sources = spark.createDataFrame(
         [(s, s) for s in start_ids], ["lane", "node"]
     )
     edges = foot_edge_union(foot_edges).withColumnRenamed("length", "weight")
-    return sssp(edges, sources, weight_col="weight", targets=targets)
+    return sssp(
+        edges, sources, weight_col="weight", targets=targets,
+        strategy=strategy, track_paths=track_paths,
+    )
 
 
 def walking_distance(
