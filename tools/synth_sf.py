@@ -104,9 +104,24 @@ def generate(sf: float, out_dir: str) -> dict:
     t1 = ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"]
     t2 = ["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"]
     t3 = ["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"]
+    # p_name mirrors the driver tables' CLOSED vocabulary ("small ring",
+    # "red widget", ...): DISTINCT lower(p_name) stays ~|adj|x|noun|
+    # regardless of sf — er_fuzzy_name_pairs dedups names before its
+    # blocked self-join, and per-row-unique names would blow its block
+    # quadratic up with sf (one prefix block x 60k names = 1.8B pairs)
+    adjs = ["small", "red", "blue", "hot", "large", "green", "cold",
+            "dim", "shiny", "plain"]
+    nouns = ["ring", "widget", "bolt", "gear", "gizmo", "cog", "washer",
+             "pin", "lever", "spring"]
     write("part", pa.table({
         "p_partkey": pa.array(np.arange(np_), pa.int64()),
-        "p_name": [f"part_{i:06d}" for i in range(np_)],
+        "p_name": [
+            f"{adjs[a]} {nouns[b]}"
+            for a, b in zip(
+                rng.integers(0, len(adjs), np_),
+                rng.integers(0, len(nouns), np_),
+            )
+        ],
         "p_brand": pa.array(np.array(brands)[rng.integers(0, 5, np_)]),
         "p_type": [
             f"{t1[a]} {t2[b]} {t3[c]}"
@@ -136,7 +151,7 @@ def generate(sf: float, out_dir: str) -> dict:
     target = n["lineitem"]
     # take orders (in key order) until the cumulative line total hits target
     cum = np.cumsum(lines)
-    cut = int(np.searchsorted(cum, target)) + 1
+    cut = min(int(np.searchsorted(cum, target)) + 1, no)
     okeys = np.repeat(np.arange(cut), lines[:cut])
     lnum = np.concatenate([np.arange(1, k + 1) for k in lines[:cut]])
     nl = len(okeys)
