@@ -2663,15 +2663,25 @@ def apx_sketches(spark, sf_dir):
     """Approximate analytics with a hash-checkable accuracy contract:
     sketch values differ across engines by construction, so the oracle
     pins (a) the exact companion aggregates and (b) booleans asserting the
-    approximations land within their documented error (HLL++ rsd=0.05,
-    approx percentile accuracy 10000 -> well under 2% here). A sketch
-    drifting out of tolerance flips a flag and fails the value-hash."""
+    approximations land within their documented error (HLL++ rsd=0.05;
+    approx percentile rank error <= n/accuracy). A sketch drifting out of
+    tolerance flips a flag and fails the value-hash.
+
+    The percentile check is a RANK window, not a value-relative bound:
+    l_quantity is dense integer data whose true median can sit exactly on
+    a value boundary (uniform 1..50 puts it on 25|26), where the sketch's
+    documented +-n/10000 rank wobble legitimately returns either side —
+    a 2%-of-value tolerance flips on sample luck (caught by the sf0.3
+    probe, round 8). Any value between the exact 0.498 and 0.502
+    quantiles is within 20x the documented rank error; a broken sketch
+    lands far outside."""
     li = _t(spark, sf_dir, "lineitem")
     g = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_exact"),
         F.approx_count_distinct("l_orderkey", rsd=0.05).alias("n_apx"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_apx"),
-        F.percentile("l_quantity", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("l_quantity", F.lit(0.498)).alias("p50_lo"),
+        F.percentile("l_quantity", F.lit(0.502)).alias("p50_hi"),
     )
     return g.select(
         "rf",
@@ -2681,8 +2691,11 @@ def apx_sketches(spark, sf_dir):
             <= 0.05 * 3 * F.col("n_exact")
         ).alias("hll_ok"),
         (
-            F.abs(F.col("p50_apx") - F.col("p50_exact"))
-            <= 0.02 * F.greatest(F.col("p50_exact"), F.lit(1.0))
+            # floor/ceil: the exact quantile interpolates BETWEEN the
+            # integer runs at the window edge; the sketch returns actual
+            # (integer) data values, so snap the window outward
+            (F.col("p50_apx") >= F.floor(F.col("p50_lo")))
+            & (F.col("p50_apx") <= F.ceil(F.col("p50_hi")))
         ).alias("p50_ok"),
     )
 
