@@ -90,10 +90,13 @@ _DRIVER_WINDOW = [
     "smp_mixture",
     "pack_shards",
 ]
-# ROUND-9 ROTATION NOTE: after this round every registered query has had a
-# driver row (the 4 codec roundtrips were the last). Future windows: lead
-# with any query whose implementation changed during the round, then cycle
-# the stalest prior driver rows (r6 window next).
+# ROUND-9 ROTATION NOTE: after this round every query registered through r7
+# has had a driver row (the 4 codec roundtrips were the last). Round 9 must
+# lead with mm_jpeg_roundtrip (NEW in r8 — never driver-checked) plus the
+# r8-implementation-touched rows (routing family via the stop-bound prune;
+# mm_image_features/mm_phash_neardup/mm_resize_roundtrip via progressive
+# JPEG; apx_sketches via the rank-window p50 contract), then cycle the
+# stalest prior driver rows (r6 window next).
 
 
 def _ordered() -> list[str]:

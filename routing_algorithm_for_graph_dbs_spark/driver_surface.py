@@ -6506,3 +6506,61 @@ def mm_wav_spectral(spark, sf_dir):
         "spectral_centroid_hz",
         "decoder",
     )
+
+
+@_register(
+    "mm_jpeg_roundtrip",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             16 + (doc_id % 14) * 16 AS g,
+             8 + doc_id % 9 AS w,
+             8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    dc AS (
+      -- flat-block reconstruction: the only nonzero coefficient is the
+      -- DC 8*(g-128), quantized by q0=3 (Annex K luma, quality 90), so
+      -- every decoded pixel is 128 + round(8(g-128)/3)*3/8; the ratio's
+      -- fractional part is 0, 1/3 or 2/3 — never a rounding tie
+      SELECT media_id, w, h,
+             128.0 + ROUND(8.0 * (g - 128) / 3.0) * 3.0 / 8.0 AS px
+      FROM img
+    )
+    SELECT media_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           FLOOR(px / 255.0 * 1e6 + 0.5) / 1e6 AS mean_luma,
+           'jpeg' AS decoder
+    FROM dc
+    """,
+)
+def mm_jpeg_roundtrip(spark, sf_dir):
+    """REAL-codec cross-engine check, JPEG half (round 8): synth_jpeg_media
+    encodes FLAT gray images through three real encoder variants —
+    baseline grayscale, PROGRESSIVE grayscale (DC/AC successive
+    approximation through the round-8 Annex G decoder), and progressive
+    YCbCr 4:2:0 (interleaved DC scans; chroma AC scans skipped) —
+    image_features really entropy-decodes each (strict=True: no fake
+    fallback possible) and the oracle states the decoded mean
+    analytically from the flat block's quantized DC. The x*1e6 rounding
+    never lands on a tie (300q = 365 mod 510 has no solution, gcd 30
+    does not divide 5), so python round-half-even == SQL FLOOR(x + 0.5).
+    Any Huffman, scan-accumulation, refinement-bit or IDCT bug shifts
+    the mean and breaks the hash."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+        synth_jpeg_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = spread_for_compute(synth_jpeg_media(docs))
+    return image_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        "decoder",
+    )

@@ -539,6 +539,60 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL JPEG payloads derived from the documents table.
+
+    Each image-kind doc becomes a FLAT gray image (g = 16 + (doc_id % 14)
+    * 16, dims (8 + doc_id % 9) x (8 + doc_id % 7)) encoded at quality 90
+    through one of THREE real encoder variants chosen by (doc_id // 3) %
+    3: baseline grayscale, progressive grayscale (the full successive-
+    approximation scan script), progressive YCbCr 4:2:0 (interleaved DC
+    scans; chroma AC scans the decoder skips). Flat images make the
+    decoded mean closed-form — the only nonzero coefficient is the block
+    DC, so every decoded pixel is 128 + round(8*(g-128)/q0) * q0/8 with
+    q0 = 3 (Annex K luma table at quality 90) — reproducible in SQL
+    (see mm_jpeg_roundtrip's oracle)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+        encode_jpeg_ycbcr420_progressive,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (16 + (F.col("doc_id") % 14) * 16).cast("int").alias("g"),
+        (8 + F.col("doc_id") % 9).cast("int").alias("w"),
+        (8 + F.col("doc_id") % 7).cast("int").alias("h"),
+        # image docs all have doc_id % 3 == 0, so cycle on doc_id // 3
+        ((F.col("doc_id") / 3).cast("long") % 3).cast("int").alias("variant"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for g, w, h, v in zip(
+                pdf["g"], pdf["w"], pdf["h"], pdf["variant"]
+            ):
+                img = np.full((int(h), int(w)), int(g), np.uint8)
+                if v == 0:
+                    payloads.append(encode_jpeg_gray(img, 90))
+                elif v == 1:
+                    payloads.append(encode_jpeg_gray_progressive(img, 90))
+                else:
+                    payloads.append(encode_jpeg_ycbcr420_progressive(img, 90))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
 def resize_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
     """Image resize *plan*: target dimensions from metadata only, preserving
     aspect ratio — pure column math, payload untouched (the actual pixel
