@@ -2619,6 +2619,7 @@ def test_multimodal_extractors_never_shuffle_payload(spark, tmp_path):
         image_features,
         media_from_documents,
         resize_images,
+        synth_jpeg_media,
         synth_png_media,
         synth_wav_media,
     )
@@ -2636,7 +2637,9 @@ def test_multimodal_extractors_never_shuffle_payload(spark, tmp_path):
         "audio_features": audio_features(media),
         "synth_wav": synth_wav_media(docs),
         "synth_png": synth_png_media(docs),
+        "synth_jpeg": synth_jpeg_media(docs),
         "resize_images": resize_images(synth_png_media(docs)),
+        "jpeg_decode": image_features(synth_jpeg_media(docs), strict=True),
     }
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
