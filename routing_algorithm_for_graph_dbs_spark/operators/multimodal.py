@@ -9,8 +9,9 @@ decode is REAL** (``operators/jpeg.py`` — Huffman entropy decode, SOF2
 multi-scan accumulation, exact IDCT of the luma channel),
 **non-interlaced 8-bit PNG decode is REAL** (``operators/png.py``
 — stdlib-zlib inflate + all five scanline unfilters, gray/RGB/palette/
-alpha), and **integer-PCM WAV decode is REAL** (``operators/wav.py`` —
-RIFF parse, 8/16/24/32-bit samples, real RMS/zero-crossing features).
+alpha), and **integer- AND float-PCM WAV decode is REAL**
+(``operators/wav.py`` — RIFF parse, 8/16/24/32-bit integer and 32/64-bit
+IEEE-float samples, real RMS/zero-crossing features).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
 deployment would plug PIL/libvips/ffmpeg (video, compressed audio,
@@ -352,7 +353,7 @@ def audio_features(
                 if is_wav(b):
                     # decode ONCE; derive every feature from the samples
                     # (decode_wav's scalar stats re-parse the payload).
-                    # is_wav is a cheap RIFF sniff — a float-PCM/ADPCM
+                    # is_wav is a cheap RIFF sniff — an ADPCM/compressed
                     # WAV passes it but decode raises; without strict
                     # that payload falls to the fake path below.
                     try:

@@ -4,13 +4,14 @@ The audio half of the multimodal codec boundary: RIFF/WAVE framing and
 integer-PCM sample decode are fully specified public formats, so the
 features a training-data pipeline filters on (duration, sample rate,
 RMS level, zero-crossing rate) are computable here without
-librosa/ffmpeg. Compressed codecs (MP3/AAC/Opus...) and float/ADPCM
-WAV variants remain the marked ``NotImplementedError`` boundary.
+librosa/ffmpeg. Compressed codecs (MP3/AAC/Opus...) and ADPCM remain
+the marked ``NotImplementedError`` boundary.
 
-Supported: RIFF little-endian WAVE, ``fmt `` audio format 1 (PCM) or
-0xFFFE (WAVE_FORMAT_EXTENSIBLE wrapping PCM), 8-bit unsigned / 16-bit /
-24-bit / 32-bit signed samples, any channel count. Malformed framing
-raises ``ValueError``.
+Supported: RIFF little-endian WAVE, ``fmt `` audio format 1 (integer
+PCM: 8-bit unsigned / 16-bit / 24-bit / 32-bit signed), audio format 3
+(IEEE float, 32- or 64-bit — round 8), or 0xFFFE
+(WAVE_FORMAT_EXTENSIBLE wrapping either subformat), any channel count.
+Malformed framing raises ``ValueError``.
 
 Scale shape: one payload decodes independently inside an Arrow batch
 (``multimodal.audio_features`` mapInPandas); nothing here touches Spark.
@@ -24,6 +25,9 @@ import numpy as np
 
 _PCM_SUBFORMAT = (
     b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+)
+_FLOAT_SUBFORMAT = (  # KSDATAFORMAT_SUBTYPE_IEEE_FLOAT
+    b"\x03\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 )
 
 
@@ -63,25 +67,39 @@ def decode_wav_samples(payload: bytes):
                 raise ValueError("WAV fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", chunk, 0)
             if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
-                if len(chunk) < 40 or chunk[24:40] != _PCM_SUBFORMAT:
+                if len(chunk) >= 40 and chunk[24:40] == _PCM_SUBFORMAT:
+                    fmt = (1,) + fmt[1:]
+                elif len(chunk) >= 40 and chunk[24:40] == _FLOAT_SUBFORMAT:
+                    fmt = (3,) + fmt[1:]
+                else:
                     raise NotImplementedError(
-                        "extensible WAV with a non-PCM subformat needs a"
-                        " real audio lib"
+                        "extensible WAV with a non-PCM/non-float subformat"
+                        " needs a real audio lib"
                     )
-                fmt = (1,) + fmt[1:]
         elif cid == b"data" and data is None:
             data = chunk
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
-    if audio_format != 1:
+    if audio_format not in (1, 3):
         raise NotImplementedError(
             f"WAV audio format {audio_format} (non-PCM) needs a real"
             " audio lib"
         )
     if n_channels < 1 or sample_rate < 1:
         raise ValueError(f"bad WAV fmt: channels={n_channels}, rate={sample_rate}")
-    if bits == 8:  # unsigned, midpoint 128
+    if audio_format == 3:  # IEEE float — samples are already normalized
+        if bits == 32:
+            x = np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<f4"
+            ).astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8").copy()
+        else:
+            raise NotImplementedError(
+                f"float WAV bit depth {bits} is outside this decoder (32/64)"
+            )
+    elif bits == 8:  # unsigned, midpoint 128
         x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
         x = (x - 128.0) / 128.0
     elif bits == 16:
@@ -108,12 +126,14 @@ def decode_wav_samples(payload: bytes):
 
 
 def decode_wav(payload: bytes):
-    """Decode integer-PCM WAV to
+    """Decode integer- or float-PCM WAV to
     ``(n_channels, sample_rate, n_samples, duration_ms, rms,
     zero_crossings)``.
 
     ``n_samples`` counts frames (per channel). ``rms`` is over all
-    samples normalized to [-1, 1], rounded to 6. ``zero_crossings``
+    samples in [-1, 1] (integer PCM normalized; float PCM taken as
+    stored — nominally already in range), rounded to 6.
+    ``zero_crossings``
     counts strict sign flips of the channel-averaged signal — the
     classic voiced/unvoiced & noisiness signal a quality filter uses.
     """
@@ -152,26 +172,30 @@ def encode_wav(
     samples: "np.ndarray", sample_rate: int, bits: int = 16
 ) -> bytes:
     """Encode float samples in [-1, 1] (frames x channels, or 1-D mono)
-    as integer-PCM WAV — mints REAL golden bytes for decoder tests and
-    the sink path."""
+    as WAV — integer PCM at 8/16 bits, IEEE float (format 3) at 32 —
+    minting REAL golden bytes for decoder tests and the sink path."""
     arr = np.asarray(samples, dtype=np.float64)
     if arr.ndim == 1:
         arr = arr[:, None]
     if arr.ndim != 2:
         raise ValueError("expected (frames[, channels]) samples")
     n_frames, n_channels = arr.shape
+    audio_format = 1
     if bits == 16:
         pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
         data = pcm.reshape(-1).tobytes()
     elif bits == 8:
         pcm = np.clip(np.round(arr * 127.0) + 128, 0, 255).astype(np.uint8)
         data = pcm.reshape(-1).tobytes()
+    elif bits == 32:  # IEEE float (format 3) — lossless for f32 inputs
+        audio_format = 3
+        data = arr.astype("<f4").reshape(-1).tobytes()
     else:
-        raise ValueError("encoder emits 8- or 16-bit PCM only")
+        raise ValueError("encoder emits 8/16-bit integer or 32-bit float PCM")
     block_align = n_channels * bits // 8
     fmt = struct.pack(
         "<HHIIHH",
-        1,
+        audio_format,
         n_channels,
         sample_rate,
         sample_rate * block_align,

@@ -2438,14 +2438,97 @@ def test_wav_decode_rejects():
         decode_wav(b"not audio at all")
 
     ok = bytearray(encode_wav(np.zeros(4), 8000))
-    ok[20:22] = _struct.pack("<H", 3)  # audio format 3 = IEEE float
+    ok[20:22] = _struct.pack("<H", 2)  # audio format 2 = ADPCM
     with _pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_wav(bytes(ok))
+
+    ok = bytearray(encode_wav(np.zeros(4), 8000))
+    ok[20:22] = _struct.pack("<H", 3)  # float format with integer depth
+    with _pytest.raises(NotImplementedError, match="float WAV bit depth"):
         decode_wav(bytes(ok))
 
     ok = bytearray(encode_wav(np.zeros(4), 8000))
     ok[34:36] = _struct.pack("<H", 12)  # 12-bit samples
     with _pytest.raises(NotImplementedError, match="bit depth"):
         decode_wav(bytes(ok))
+
+
+def test_wav_float_pcm_decodes_exactly():
+    """IEEE-float WAV (format 3, round 8): a 32-bit float encode/decode
+    roundtrip is LOSSLESS for float32 inputs (no quantization), the
+    closed-form RMS/zero-crossing contract holds, and the extensible
+    (0xFFFE) header wrapping the float subformat GUID decodes the same."""
+    import struct as _struct
+
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        _FLOAT_SUBFORMAT,
+        decode_wav,
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    x = np.array([0.5, -0.5, 0.25, -0.25, 1.0, -1.0, 0.125, -0.125])
+    payload = encode_wav(x, 16000, bits=32)
+    xs, sr = decode_wav_samples(payload)
+    assert sr == 16000
+    assert np.array_equal(xs[:, 0], x)  # every value is a dyadic float32
+    nch, rate, n, dur, rms, zc = decode_wav(payload)
+    assert (nch, rate, n) == (1, 16000, 8)
+    assert rms == round(float(np.sqrt(np.mean(x * x))), 6)
+    assert zc == 7  # strict alternation
+
+    # 64-bit float data decodes too (hand-build: format 3, bits 64)
+    data = x.astype("<f8").tobytes()
+    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 64000, 8, 64)
+    body = (
+        b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    f64 = b"RIFF" + _struct.pack("<I", len(body)) + body
+    xs64, sr64 = decode_wav_samples(f64)
+    assert sr64 == 8000 and np.array_equal(xs64[:, 0], x)
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping the IEEE-float subformat GUID
+    ext_fmt = (
+        _struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 64000, 4, 32)
+        + _struct.pack("<HHI", 22, 32, 0)
+        + _FLOAT_SUBFORMAT
+    )
+    data32 = x.astype("<f4").tobytes()
+    body = (
+        b"WAVE" + b"fmt " + _struct.pack("<I", len(ext_fmt)) + ext_fmt
+        + b"data" + _struct.pack("<I", len(data32)) + data32
+    )
+    ext = b"RIFF" + _struct.pack("<I", len(body)) + body
+    xse, sre = decode_wav_samples(ext)
+    assert sre == 16000 and np.array_equal(xse[:, 0], x)
+
+
+def test_audio_features_float_wav_real_in_pipeline(spark):
+    """A float-PCM WAV payload now takes the REAL decode path inside the
+    Arrow-batched pipeline (decoder='wav', exact duration/rate), not the
+    fake — the round-8 boundary shrink."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import encode_wav
+
+    x = np.tile([0.5, -0.5], 400)  # 800 frames at 8 kHz -> 100 ms
+    payload = encode_wav(x, 8000, bits=32)
+    media = spark.createDataFrame(
+        [(1, "audio", payload, "audio/wav", (None, None, 1, None, 8000))],
+        MEDIA_SCHEMA,
+    )
+    got = audio_features(media).collect()[0]
+    assert got["decoder"] == "wav"
+    assert got["duration_ms"] == 100
+    assert got["rms"] == 0.5
+    assert got["zero_crossings"] == 799
 
 
 def test_image_features_real_png_in_pipeline(spark):
@@ -2652,9 +2735,10 @@ def test_multimodal_extractors_never_shuffle_payload(spark, tmp_path):
 
 def _undecodable_media(spark):
     """Payloads that PASS the cheap signature sniffs but are NOT decodable
-    by the baseline codecs (the ADVICE r7 hole): a JPEG SOI followed by
-    garbage, a PNG signature over a CRC-corrupt body, and a float-PCM WAV
-    (RIFF/WAVE magic, fmt audio_format=3)."""
+    by the real codecs (the ADVICE r7 hole): a JPEG SOI followed by
+    garbage, a PNG signature over a CRC-corrupt body, and an ADPCM WAV
+    (RIFF/WAVE magic, fmt audio_format=2 — float PCM decodes for real
+    since round 8, so ADPCM is the undecodable-audio stand-in now)."""
     import struct as _struct
 
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
@@ -2664,7 +2748,7 @@ def _undecodable_media(spark):
 
     bad_jpeg = b"\xff\xd8" + b"\x00" * 64
     bad_png = bytes(PNG_SIGNATURE) + b"\x00" * 32
-    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    fmt = _struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 32)
     data = b"\x00" * 16
     body = (
         b"WAVE"
@@ -2675,11 +2759,11 @@ def _undecodable_media(spark):
         + _struct.pack("<I", len(data))
         + data
     )
-    float_wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    adpcm_wav = b"RIFF" + _struct.pack("<I", len(body)) + body
     rows = [
         (1, "image", bad_jpeg, "image/jpeg", (None, None, None, None, None)),
         (2, "image", bad_png, "image/png", (None, None, None, None, None)),
-        (3, "audio", float_wav, "audio/wav", (None, None, 1, None, 8000)),
+        (3, "audio", adpcm_wav, "audio/wav", (None, None, 1, None, 8000)),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -2705,7 +2789,7 @@ class TestSniffPassUndecodableFallsToFake:
             image_features,
         )
 
-        # image rows only: the fixture's float-PCM WAV row would also raise
+        # image rows only: the fixture's ADPCM WAV row would also raise
         # under strict (NotImplementedError), and whichever failing task
         # loses the race would make the message assertion flaky
         media = _undecodable_media(spark).filter("mime like 'image/%'")
@@ -2713,7 +2797,7 @@ class TestSniffPassUndecodableFallsToFake:
             image_features(media, strict=True).collect()
         assert "ValueError" in str(ei.value) or "marker" in str(ei.value)
 
-    def test_audio_features_float_pcm_falls_to_fake(self, spark):
+    def test_audio_features_adpcm_falls_to_fake(self, spark):
         from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
             audio_features,
         )
