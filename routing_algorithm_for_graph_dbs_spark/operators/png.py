@@ -14,10 +14,13 @@ zlib for the DEFLATE stream:
   prefix sum, Up a previous-row add; Average/Paeth carry a true
   sequential dependency along x and run as a bounded per-pixel loop,
 - color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-  6 (RGBA) at bit depth 8.
+  6 (RGBA) at bit depth 8, and color types 0/2/4/6 at bit depth 16
+  (round 8 — filtering is byte-oriented per the spec, so the unfilter
+  core is shared; 16-bit samples downconvert to their high byte, the
+  8-bit pixel contract phash/resize operate on).
 
 The honest remaining boundary raises ``NotImplementedError``: bit
-depths 1/2/4/16 and Adam7 interlacing (rare in training corpora; a real
+depths 1/2/4 and Adam7 interlacing (rare in training corpora; a real
 deployment plugs PIL there). Malformed payloads raise ``ValueError``.
 
 The encoder exists to mint REAL golden bytes for tests and the sink
@@ -113,9 +116,10 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
 
 
 def decode_png_pixels(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to an (H, W, C) uint8 array
-    (palette expanded to RGB; C = 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA) —
-    the pixel-level entry the real pHash / resize operators build on."""
+    """Decode a non-interlaced 8- or 16-bit PNG to an (H, W, C) uint8
+    array (palette expanded to RGB; C = 1 gray, 2 gray+alpha, 3 RGB,
+    4 RGBA; 16-bit samples keep their high byte) — the pixel-level entry
+    the real pHash / resize operators build on."""
     if len(payload) < 8 or payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload (bad signature)")
     width = height = None
@@ -148,10 +152,12 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             "Adam7-interlaced PNG is outside this decoder — needs a real"
             " image lib"
         )
-    if bit_depth != 8:
+    if bit_depth not in (8, 16):
         raise NotImplementedError(
-            f"PNG bit depth {bit_depth} is outside this decoder (8 only)"
+            f"PNG bit depth {bit_depth} is outside this decoder (8/16)"
         )
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
     if not idat:
         raise ValueError("PNG missing IDAT")
     try:
@@ -159,8 +165,15 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
 
-    bpp = _CHANNELS[color_type]
+    nch = _CHANNELS[color_type]
+    bpp = nch * (bit_depth // 8)  # filtering is BYTE-oriented (spec 6.2)
     px = _unfilter(raw, width, height, bpp).reshape(height, width, bpp)
+    if bit_depth == 16:
+        # big-endian sample pairs -> high byte = floor(v / 256), the
+        # standard 16->8 downconversion; output contract stays uint8
+        px = np.ascontiguousarray(
+            px.reshape(height, width, nch, 2)[..., 0]
+        )
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
@@ -171,7 +184,7 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
 
 
 def decode_png(payload: bytes):
-    """Decode a non-interlaced 8-bit PNG to
+    """Decode a non-interlaced 8- or 16-bit PNG to
     ``(width, height, n_channels, mean_luma)`` — the same contract as
     ``multimodal.decode_bmp`` (mean_luma = Rec.601 over RGB, gray value
     for grayscale, normalized to [0, 1], rounded to 6; alpha ignored).
@@ -225,23 +238,32 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(
-    pixels: "np.ndarray", filter_mode: str = "cycle"
+    pixels: "np.ndarray", filter_mode: str = "cycle", bit_depth: int = 8
 ) -> bytes:
-    """Encode a uint8 array as a non-interlaced 8-bit PNG.
+    """Encode an array as a non-interlaced 8- or 16-bit PNG.
 
     Accepts (H, W) gray, (H, W, 2) gray+alpha, (H, W, 3) RGB or
-    (H, W, 4) RGBA. ``filter_mode``: ``"none"`` emits filter 0 rows;
-    ``"cycle"`` cycles filter types 0-4 by row so decoding golden bytes
-    exercises every unfilter path against ground-truth pixels.
+    (H, W, 4) RGBA — uint8 at ``bit_depth=8``, uint16 at 16 (big-endian
+    samples per the spec). ``filter_mode``: ``"none"`` emits filter 0
+    rows; ``"cycle"`` cycles filter types 0-4 by row so decoding golden
+    bytes exercises every unfilter path against ground-truth pixels.
     """
-    arr = np.asarray(pixels, dtype=np.uint8)
+    if bit_depth not in (8, 16):
+        raise ValueError("bit_depth must be 8 or 16")
+    arr = np.asarray(pixels, dtype=np.uint8 if bit_depth == 8 else np.uint16)
     if arr.ndim == 2:
         arr = arr[..., None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
-        raise ValueError("expected (H, W[, 1|2|3|4]) uint8 pixels")
-    h, w, bpp = arr.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[bpp]
-    flat = arr.reshape(h, w * bpp)
+        raise ValueError("expected (H, W[, 1|2|3|4]) pixels")
+    h, w, nch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if bit_depth == 16:
+        flat = np.ascontiguousarray(arr.astype(">u2")).view(np.uint8)
+        flat = flat.reshape(h, w * nch * 2)
+        bpp = nch * 2
+    else:
+        flat = arr.reshape(h, w * nch)
+        bpp = nch
     prev = np.zeros(w * bpp, dtype=np.uint8)
     body = bytearray()
     for y in range(h):
@@ -249,7 +271,7 @@ def encode_png(
         body.append(ftype)
         body.extend(_filter_row(ftype, flat[y], prev, bpp).tobytes())
         prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)

@@ -2331,8 +2331,9 @@ def test_png_decode_color_types():
 
 
 def test_png_decode_rejects():
-    """Honest boundary: interlace/16-bit raise NotImplementedError; bad
-    signature, CRC corruption and truncation raise ValueError."""
+    """Honest boundary: interlace/low-bit-depth raise NotImplementedError;
+    bad signature, CRC corruption and truncation raise ValueError (16-bit
+    decodes for real since round 8)."""
     import struct as _struct
 
     import numpy as np
@@ -2357,7 +2358,7 @@ def test_png_decode_rejects():
     with _pytest.raises(NotImplementedError, match="interlaced"):
         decode_png(rebuild(interlace=1))
     with _pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(rebuild(bit_depth=16))
+        decode_png(rebuild(bit_depth=4))
 
     corrupted = bytearray(ok)
     corrupted[-5] ^= 0xFF  # flip a bit inside IEND's CRC
@@ -2365,6 +2366,35 @@ def test_png_decode_rejects():
         decode_png(bytes(corrupted))
     with _pytest.raises(ValueError):
         decode_png(ok[:30])
+
+
+def test_png_16bit_decode_golden():
+    """16-bit PNG (round 8): filtering is byte-oriented per the spec, so
+    the shared unfilter core must reconstruct big-endian sample pairs
+    through every filter type; decoded pixels keep the high byte (the
+    standard 16->8 downconversion). Values k*257 scale exactly to k, so
+    the roundtrip is value-exact, and a full-scale (65535) gray decodes
+    to mean_luma 1.0."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        decode_png,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(21)
+    for shape in [(7, 5), (7, 5, 3), (9, 4, 4), (6, 6, 2)]:
+        k = rng.integers(0, 256, shape, dtype=np.uint16)
+        got = decode_png_pixels(encode_png(k * 257, "cycle", bit_depth=16))
+        want = k.astype(np.uint8)
+        if want.ndim == 2:
+            want = want[..., None]
+        assert np.array_equal(got, want), shape
+    w, h, nc, luma = decode_png(
+        encode_png(np.full((4, 6), 65535, np.uint16), "cycle", bit_depth=16)
+    )
+    assert (w, h, nc, luma) == (6, 4, 1, 1.0)
 
 
 def test_wav_decode_golden():
