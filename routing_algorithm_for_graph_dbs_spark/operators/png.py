@@ -19,9 +19,13 @@ zlib for the DEFLATE stream:
   core is shared; 16-bit samples downconvert to their high byte, the
   8-bit pixel contract phash/resize operate on).
 
+- Adam7 interlacing (round 8): seven independently-filtered
+  sub-images through the same unfilter core, scattered back onto the
+  full grid.
+
 The honest remaining boundary raises ``NotImplementedError``: bit
-depths 1/2/4 and Adam7 interlacing (rare in training corpora; a real
-deployment plugs PIL there). Malformed payloads raise ``ValueError``.
+depths 1/2/4 (rare in training corpora; a real deployment plugs PIL
+there). Malformed payloads raise ``ValueError``.
 
 The encoder exists to mint REAL golden bytes for tests and the sink
 path — it can emit every filter type so the decoder's unfiltering is
@@ -42,6 +46,17 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> raw channels per pixel (before palette expansion)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass origins and strides: (x0, y0, dx, dy) — spec 8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _chunks(payload: bytes):
@@ -117,9 +132,10 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
 
 def decode_png_pixels(payload: bytes) -> np.ndarray:
     """Decode a non-interlaced 8- or 16-bit PNG to an (H, W, C) uint8
-    array (palette expanded to RGB; C = 1 gray, 2 gray+alpha, 3 RGB,
-    4 RGBA; 16-bit samples keep their high byte) — the pixel-level entry
-    the real pHash / resize operators build on."""
+    array, sequential or Adam7-interlaced (palette expanded to RGB;
+    C = 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA; 16-bit samples keep their
+    high byte) — the pixel-level entry the real pHash / resize
+    operators build on."""
     if len(payload) < 8 or payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload (bad signature)")
     width = height = None
@@ -147,11 +163,8 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG dimensions {width}x{height}")
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG color type {color_type} is invalid")
-    if interlace:
-        raise NotImplementedError(
-            "Adam7-interlaced PNG is outside this decoder — needs a real"
-            " image lib"
-        )
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} is invalid")
     if bit_depth not in (8, 16):
         raise NotImplementedError(
             f"PNG bit depth {bit_depth} is outside this decoder (8/16)"
@@ -167,7 +180,22 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
 
     nch = _CHANNELS[color_type]
     bpp = nch * (bit_depth // 8)  # filtering is BYTE-oriented (spec 6.2)
-    px = _unfilter(raw, width, height, bpp).reshape(height, width, bpp)
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the full grid (empty passes contribute no bytes at all)
+        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            n_bytes = ph * (pw * bpp + 1)
+            sub = _unfilter(raw[pos : pos + n_bytes], pw, ph, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            pos += n_bytes
+    else:
+        px = _unfilter(raw, width, height, bpp).reshape(height, width, bpp)
     if bit_depth == 16:
         # big-endian sample pairs -> high byte = floor(v / 256), the
         # standard 16->8 downconversion; output contract stays uint8
@@ -238,15 +266,20 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(
-    pixels: "np.ndarray", filter_mode: str = "cycle", bit_depth: int = 8
+    pixels: "np.ndarray",
+    filter_mode: str = "cycle",
+    bit_depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
-    """Encode an array as a non-interlaced 8- or 16-bit PNG.
+    """Encode an array as an 8- or 16-bit PNG, sequential or Adam7.
 
     Accepts (H, W) gray, (H, W, 2) gray+alpha, (H, W, 3) RGB or
     (H, W, 4) RGBA — uint8 at ``bit_depth=8``, uint16 at 16 (big-endian
     samples per the spec). ``filter_mode``: ``"none"`` emits filter 0
     rows; ``"cycle"`` cycles filter types 0-4 by row so decoding golden
     bytes exercises every unfilter path against ground-truth pixels.
+    ``interlace=True`` emits the seven Adam7 passes, each independently
+    filtered.
     """
     if bit_depth not in (8, 16):
         raise ValueError("bit_depth must be 8 or 16")
@@ -257,21 +290,31 @@ def encode_png(
         raise ValueError("expected (H, W[, 1|2|3|4]) pixels")
     h, w, nch = arr.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-    if bit_depth == 16:
-        flat = np.ascontiguousarray(arr.astype(">u2")).view(np.uint8)
-        flat = flat.reshape(h, w * nch * 2)
-        bpp = nch * 2
-    else:
-        flat = arr.reshape(h, w * nch)
-        bpp = nch
-    prev = np.zeros(w * bpp, dtype=np.uint8)
+
+    def to_rows(sub: "np.ndarray"):
+        sh, sw = sub.shape[:2]
+        if bit_depth == 16:
+            rows = np.ascontiguousarray(sub.astype(">u2")).view(np.uint8)
+            return rows.reshape(sh, sw * nch * 2)
+        return np.ascontiguousarray(sub).reshape(sh, sw * nch)
+
+    bpp = nch * (bit_depth // 8)
     body = bytearray()
-    for y in range(h):
-        ftype = 0 if filter_mode == "none" else y % 5
-        body.append(ftype)
-        body.extend(_filter_row(ftype, flat[y], prev, bpp).tobytes())
-        prev = flat[y]
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        flat = to_rows(sub)
+        prev = np.zeros(flat.shape[1], dtype=np.uint8)
+        for y in range(flat.shape[0]):
+            ftype = 0 if filter_mode == "none" else y % 5
+            body.append(ftype)
+            body.extend(_filter_row(ftype, flat[y], prev, bpp).tobytes())
+            prev = flat[y]
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, int(interlace)
+    )
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)

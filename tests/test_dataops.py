@@ -2331,9 +2331,9 @@ def test_png_decode_color_types():
 
 
 def test_png_decode_rejects():
-    """Honest boundary: interlace/low-bit-depth raise NotImplementedError;
-    bad signature, CRC corruption and truncation raise ValueError (16-bit
-    decodes for real since round 8)."""
+    """Honest boundary: low bit depths raise NotImplementedError; bad
+    signature, invalid interlace method, CRC corruption and truncation
+    raise ValueError (16-bit AND Adam7 decode for real since round 8)."""
     import struct as _struct
 
     import numpy as np
@@ -2355,8 +2355,8 @@ def test_png_decode_rejects():
         ihdr = _struct.pack(">IIBBBBB", 2, 2, bit_depth, 2, 0, 0, interlace)
         return PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + ok[8 + 25 :]
 
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(rebuild(interlace=1))
+    with _pytest.raises(ValueError, match="interlace method"):
+        decode_png(rebuild(interlace=2))
     with _pytest.raises(NotImplementedError, match="bit depth"):
         decode_png(rebuild(bit_depth=4))
 
@@ -2366,6 +2366,32 @@ def test_png_decode_rejects():
         decode_png(bytes(corrupted))
     with _pytest.raises(ValueError):
         decode_png(ok[:30])
+
+
+def test_png_adam7_decode_golden():
+    """Adam7-interlaced PNG (round 8): seven independently-filtered
+    passes reassemble to the exact source pixels across color types,
+    odd dimensions (empty passes contribute zero bytes), the 16-bit
+    combination, and every scanline filter type."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(33)
+    for shape in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 13, 3), (16, 16, 4),
+                  (5, 2, 2), (3, 9)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_png_pixels(encode_png(img, "cycle", interlace=True))
+        want = img if img.ndim == 3 else img[..., None]
+        assert np.array_equal(got, want), shape
+    img16 = rng.integers(0, 256, (11, 7, 3), dtype=np.uint16) * 257
+    got = decode_png_pixels(
+        encode_png(img16, "cycle", bit_depth=16, interlace=True)
+    )
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
 
 
 def test_png_16bit_decode_golden():
