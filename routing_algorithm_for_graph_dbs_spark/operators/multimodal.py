@@ -7,15 +7,15 @@ uncompressed 24-bit **BMP decode is REAL** (pure Python + numpy,
 ``decode_bmp``/``encode_bmp`` below), **baseline AND progressive JPEG
 decode is REAL** (``operators/jpeg.py`` — Huffman entropy decode, SOF2
 multi-scan accumulation, exact IDCT of the luma channel),
-**8/16-bit PNG decode is REAL, Adam7 included** (``operators/png.py``
-— stdlib-zlib inflate + all five scanline unfilters, gray/RGB/palette/
-alpha), and **integer- AND float-PCM WAV decode is REAL**
+**PNG decode is REAL and boundary-complete** (``operators/png.py``
+— stdlib-zlib inflate + all five scanline unfilters, every legal
+depth/color/interlace combination), and **integer- AND float-PCM WAV decode is REAL**
 (``operators/wav.py`` — RIFF parse, 8/16/24/32-bit integer and 32/64-bit
 IEEE-float samples, real RMS/zero-crossing features).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
 deployment would plug PIL/libvips/ffmpeg (video, compressed audio,
-arithmetic-coded/12-bit JPEG, 1/2/4-bit PNG).
+arithmetic-coded/12-bit JPEG).
 
 Scale notes: binary payloads dominate row size, so these pipelines must
 (a) never shuffle the binary column (all derivation is map-side),
@@ -225,8 +225,8 @@ def image_features(
     baseline and progressive, exact IDCT of the Y channel;
     arithmetic-coded/12-bit modes raise there), and ``image/png`` payloads carrying a real PNG signature the
     REAL PNG decoder (``operators/png.py decode_png`` — stdlib-zlib
-    inflate + scanline unfiltering, sequential or Adam7; 1/2/4-bit
-    raise there). The
+    inflate + scanline unfiltering, every legal depth/color/interlace
+    combination). The
     signature sniff matters: synthetic media tables label text payloads
     ``image/png``, and those must keep taking the deterministic sha256
     fake (or, with ``strict=True``, NotImplementedError) — the remaining

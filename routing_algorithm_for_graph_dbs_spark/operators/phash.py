@@ -97,7 +97,7 @@ def phash64(px: "np.ndarray") -> int:
 
 # Exceptions a real codec may raise on a payload that PASSES the cheap
 # signature sniff but is not actually decodable: arithmetic-coded/
-# truncated JPEG (NotImplementedError/ValueError), low-bit-depth/
+# truncated JPEG (NotImplementedError/ValueError),
 # CRC-corrupt PNG (ValueError/zlib.error), truncated BMP (ValueError/
 # struct.error). IndexError covers byte-indexing past the end of a
 # truncated stream — with untrusted training-data payloads that is a data
@@ -113,8 +113,8 @@ DECODE_ERRORS = (
 
 def sniff_decode(payload: bytes, strict: bool = False) -> "np.ndarray | None":
     """Signature-sniffed pixel decode through the repo's real codecs:
-    BMP / baseline+progressive JPEG / 8/16-bit PNG (Adam7 included).
-    Returns
+    BMP / baseline+progressive JPEG / PNG (every legal
+    depth/color/interlace combination). Returns
     None for unrecognized payloads (the caller decides fake vs strict).
 
     A payload that passes the signature sniff but fails to decode (e.g.

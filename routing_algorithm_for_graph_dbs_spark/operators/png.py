@@ -3,9 +3,8 @@
 Closes most of the remaining image-codec boundary in
 ``operators/multimodal.py``: a training-data pipeline's image corpus is
 overwhelmingly JPEG + PNG, and this container ships neither PIL nor
-libvips. Everything a non-interlaced 8-bit-depth PNG needs is
-implementable from the public spec (RFC 2083 / W3C PNG) with stdlib
-zlib for the DEFLATE stream:
+libvips. Everything a PNG needs is implementable from the public spec
+(RFC 2083 / W3C PNG) with stdlib zlib for the DEFLATE stream:
 
 - chunk framing with CRC-32 verification (``zlib.crc32``),
 - IHDR/PLTE/tRNS/IDAT/IEND parsing (ancillary chunks skipped),
@@ -14,18 +13,19 @@ zlib for the DEFLATE stream:
   prefix sum, Up a previous-row add; Average/Paeth carry a true
   sequential dependency along x and run as a bounded per-pixel loop,
 - color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
-  6 (RGBA) at bit depth 8, and color types 0/2/4/6 at bit depth 16
-  (round 8 — filtering is byte-oriented per the spec, so the unfilter
-  core is shared; 16-bit samples downconvert to their high byte, the
-  8-bit pixel contract phash/resize operate on).
+  6 (RGBA) at every legal bit depth (round 8: 16-bit — filtering is
+  byte-oriented per the spec, so the unfilter core is shared, and
+  samples downconvert to their high byte; 1/2/4-bit gray and palette —
+  MSB-first bit unpacking, gray scaled by the exact 255/(2^d - 1)
+  factor).
 
 - Adam7 interlacing (round 8): seven independently-filtered
   sub-images through the same unfilter core, scattered back onto the
   full grid.
 
-The honest remaining boundary raises ``NotImplementedError``: bit
-depths 1/2/4 (rare in training corpora; a real deployment plugs PIL
-there). Malformed payloads raise ``ValueError``.
+Every legal bit depth / color type / interlace combination decodes
+(round 8 closed the boundary); only malformed payloads raise
+(``ValueError``).
 
 The encoder exists to mint REAL golden bytes for tests and the sink
 path — it can emit every filter type so the decoder's unfiltering is
@@ -80,9 +80,12 @@ def _chunks(payload: bytes):
     raise ValueError("PNG missing IEND chunk")
 
 
-def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
-    """Reverse per-scanline filtering -> (height, width*bpp) uint8."""
-    stride = width * bpp
+def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering -> (height, stride) uint8 bytes.
+
+    ``stride`` = filtered bytes per row; ``bpp`` = the filter's
+    left-neighbor offset in bytes (max(1, channels * depth // 8) per the
+    spec — sub-byte depths filter with a one-byte offset)."""
     if len(raw) < height * (stride + 1):
         raise ValueError("PNG pixel stream truncated after inflate")
     lines = np.frombuffer(
@@ -97,7 +100,7 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
             cur = row
         elif ftype == 1:  # Sub: modular prefix sum per byte lane
             cur = (
-                np.cumsum(row.reshape(width, bpp).astype(np.uint64), axis=0)
+                np.cumsum(row.reshape(-1, bpp).astype(np.uint64), axis=0)
                 .astype(np.uint8)
                 .reshape(stride)
             )
@@ -131,11 +134,11 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
 
 
 def decode_png_pixels(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8- or 16-bit PNG to an (H, W, C) uint8
-    array, sequential or Adam7-interlaced (palette expanded to RGB;
+    """Decode a PNG of any legal bit depth / color type / interlace
+    combination to an (H, W, C) uint8 array (palette expanded to RGB;
     C = 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA; 16-bit samples keep their
-    high byte) — the pixel-level entry the real pHash / resize
-    operators build on."""
+    high byte, sub-byte gray scales to the full 8-bit range) — the
+    pixel-level entry the real pHash / resize operators build on."""
     if len(payload) < 8 or payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload (bad signature)")
     width = height = None
@@ -165,9 +168,12 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"PNG color type {color_type} is invalid")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} is invalid")
-    if bit_depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {bit_depth} is outside this decoder (8/16)"
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {bit_depth} is invalid")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"bit depth {bit_depth} with color type {color_type} is not a"
+            " legal combination"
         )
     if bit_depth == 16 and color_type == 3:
         raise ValueError("16-bit palette PNG is not a legal combination")
@@ -179,40 +185,59 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
 
     nch = _CHANNELS[color_type]
-    bpp = nch * (bit_depth // 8)  # filtering is BYTE-oriented (spec 6.2)
+    # filtering is BYTE-oriented (spec 6.2): the left-neighbor offset
+    # floors to one byte at sub-byte depths
+    fbpp = max(1, nch * bit_depth // 8)
+
+    def rows_to_px(rows: np.ndarray, pw: int, ph: int) -> np.ndarray:
+        """Unfiltered byte rows -> (ph, pw, nch) uint8 raw samples."""
+        if bit_depth == 16:
+            # big-endian sample pairs -> high byte = floor(v / 256), the
+            # standard 16->8 downconversion; output contract stays uint8
+            return np.ascontiguousarray(rows.reshape(ph, pw, nch, 2)[..., 0])
+        if bit_depth == 8:
+            return rows.reshape(ph, pw, nch)
+        # sub-byte gray/palette samples, MSB-first packing (spec 7.2)
+        bits = np.unpackbits(rows, axis=1)[:, : pw * bit_depth]
+        groups = bits.reshape(ph, pw, bit_depth).astype(np.uint8)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        return (groups * weights).sum(axis=2).astype(np.uint8)[..., None]
+
+    def consume(pos: int, pw: int, ph: int):
+        row_bytes = (pw * nch * bit_depth + 7) // 8
+        n_bytes = ph * (row_bytes + 1)
+        rows = _unfilter(raw[pos : pos + n_bytes], row_bytes, ph, fbpp)
+        return rows_to_px(rows, pw, ph), pos + n_bytes
+
     if interlace:
         # Adam7: seven independently-filtered sub-images, scattered back
         # onto the full grid (empty passes contribute no bytes at all)
-        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        px = np.zeros((height, width, nch), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = max(0, -(-(width - x0) // dx))
             ph = max(0, -(-(height - y0) // dy))
             if pw == 0 or ph == 0:
                 continue
-            n_bytes = ph * (pw * bpp + 1)
-            sub = _unfilter(raw[pos : pos + n_bytes], pw, ph, bpp)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-            pos += n_bytes
+            sub, pos = consume(pos, pw, ph)
+            px[y0::dy, x0::dx] = sub
     else:
-        px = _unfilter(raw, width, height, bpp).reshape(height, width, bpp)
-    if bit_depth == 16:
-        # big-endian sample pairs -> high byte = floor(v / 256), the
-        # standard 16->8 downconversion; output contract stays uint8
-        px = np.ascontiguousarray(
-            px.reshape(height, width, nch, 2)[..., 0]
-        )
+        px, _ = consume(0, width, height)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
         if int(px.max()) >= len(palette):
             raise ValueError("palette index out of range")
         px = palette[px[..., 0]]  # -> (h, w, 3)
+    elif bit_depth < 8:
+        # scale gray samples to the full 8-bit range: 255/(2^d - 1) is
+        # an exact integer for d in {1, 2, 4} (255, 85, 17)
+        px = px * np.uint8(255 // ((1 << bit_depth) - 1))
     return px
 
 
 def decode_png(payload: bytes):
-    """Decode a non-interlaced 8- or 16-bit PNG to
+    """Decode a PNG (any legal depth/color/interlace combination) to
     ``(width, height, n_channels, mean_luma)`` — the same contract as
     ``multimodal.decode_bmp`` (mean_luma = Rec.601 over RGB, gray value
     for grayscale, normalized to [0, 1], rounded to 6; alpha ignored).

@@ -2331,9 +2331,10 @@ def test_png_decode_color_types():
 
 
 def test_png_decode_rejects():
-    """Honest boundary: low bit depths raise NotImplementedError; bad
-    signature, invalid interlace method, CRC corruption and truncation
-    raise ValueError (16-bit AND Adam7 decode for real since round 8)."""
+    """Boundary closed in round 8 (every legal depth/color/interlace
+    decodes): only malformed payloads raise — bad signature, invalid
+    interlace method, illegal depth/color combination, invalid depth,
+    CRC corruption, truncation."""
     import struct as _struct
 
     import numpy as np
@@ -2357,8 +2358,10 @@ def test_png_decode_rejects():
 
     with _pytest.raises(ValueError, match="interlace method"):
         decode_png(rebuild(interlace=2))
-    with _pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(rebuild(bit_depth=4))
+    with _pytest.raises(ValueError, match="not a legal combination"):
+        decode_png(rebuild(bit_depth=4))  # depth 4 with RGB color type
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_png(rebuild(bit_depth=3))
 
     corrupted = bytearray(ok)
     corrupted[-5] ^= 0xFF  # flip a bit inside IEND's CRC
@@ -2392,6 +2395,62 @@ def test_png_adam7_decode_golden():
         encode_png(img16, "cycle", bit_depth=16, interlace=True)
     )
     assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+
+def test_png_low_bit_depth_decode_golden():
+    """1/2/4-bit PNG (round 8, closing the PNG boundary): hand-built
+    spec-exact streams — MSB-first sample packing with row padding, gray
+    scaled by the exact 255/(2^d - 1) factor, palette indices expanded —
+    decode to hand-computed pixels."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        PNG_SIGNATURE,
+        _chunk,
+        decode_png,
+        decode_png_pixels,
+    )
+
+    def build(w, h, depth, color_type, rows_vals, palette=None):
+        ihdr = _struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        body = bytearray()
+        for row in rows_vals:
+            bits = []
+            for v in row:
+                bits.extend(int(b) for b in format(v, f"0{depth}b"))
+            nbytes = (w * depth + 7) // 8
+            padded = np.zeros(nbytes * 8, dtype=np.uint8)
+            padded[: len(bits)] = bits
+            body.append(0)  # filter None
+            body.extend(np.packbits(padded).tobytes())
+        out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += _chunk(b"PLTE", bytes(palette))
+        return out + _chunk(b"IDAT", _zlib.compress(bytes(body))) + _chunk(
+            b"IEND", b""
+        )
+
+    # 1-bit gray, width 5 (3 pad bits per row must be ignored)
+    p1 = build(5, 2, 1, 0, [[1, 0, 1, 1, 0], [0, 1, 0, 0, 1]])
+    px = decode_png_pixels(p1)
+    assert px.shape == (2, 5, 1)
+    assert list(px[0, :, 0]) == [255, 0, 255, 255, 0]
+    assert list(px[1, :, 0]) == [0, 255, 0, 0, 255]
+
+    # 2-bit gray: 0..3 scale to 0/85/170/255 exactly
+    p2 = build(4, 1, 2, 0, [[0, 1, 2, 3]])
+    assert list(decode_png_pixels(p2)[0, :, 0]) == [0, 85, 170, 255]
+    assert decode_png(p2) == (4, 1, 1, 0.5)
+
+    # 4-bit palette: indices expand through PLTE
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    p4 = build(3, 2, 4, 3, [[0, 1, 2], [2, 1, 0]], palette=pal)
+    px = decode_png_pixels(p4)
+    assert px.shape == (2, 3, 3)
+    assert list(px[0, 0]) == [255, 0, 0] and list(px[1, 0]) == [0, 0, 255]
 
 
 def test_png_16bit_decode_golden():
