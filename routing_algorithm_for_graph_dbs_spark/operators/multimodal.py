@@ -9,9 +9,10 @@ decode is REAL** (``operators/jpeg.py`` — Huffman entropy decode, SOF2
 multi-scan accumulation, exact IDCT of the luma channel),
 **PNG decode is REAL and boundary-complete** (``operators/png.py``
 — stdlib-zlib inflate + all five scanline unfilters, every legal
-depth/color/interlace combination), and **integer- AND float-PCM WAV decode is REAL**
-(``operators/wav.py`` — RIFF parse, 8/16/24/32-bit integer and 32/64-bit
-IEEE-float samples, real RMS/zero-crossing features).
+depth/color/interlace combination), and **integer-PCM, float-PCM AND IMA-ADPCM WAV decode is REAL**
+(``operators/wav.py`` — RIFF parse, 8/16/24/32-bit integer, 32/64-bit
+IEEE-float and block-structured 4-bit IMA residual samples, real
+RMS/zero-crossing features).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
 deployment would plug PIL/libvips/ffmpeg (video, compressed audio,

@@ -4,14 +4,16 @@ The audio half of the multimodal codec boundary: RIFF/WAVE framing and
 integer-PCM sample decode are fully specified public formats, so the
 features a training-data pipeline filters on (duration, sample rate,
 RMS level, zero-crossing rate) are computable here without
-librosa/ffmpeg. Compressed codecs (MP3/AAC/Opus...) and ADPCM remain
-the marked ``NotImplementedError`` boundary.
+librosa/ffmpeg. Compressed codecs (MP3/AAC/Opus...) and the remaining
+ADPCM dialects (MS ADPCM format 2, ...) are the marked
+``NotImplementedError`` boundary.
 
 Supported: RIFF little-endian WAVE, ``fmt `` audio format 1 (integer
 PCM: 8-bit unsigned / 16-bit / 24-bit / 32-bit signed), audio format 3
-(IEEE float, 32- or 64-bit — round 8), or 0xFFFE
-(WAVE_FORMAT_EXTENSIBLE wrapping either subformat), any channel count.
-Malformed framing raises ``ValueError``.
+(IEEE float, 32- or 64-bit — round 8), audio format 0x11 (IMA/DVI
+ADPCM, block-structured 4-bit residuals — round 8), or 0xFFFE
+(WAVE_FORMAT_EXTENSIBLE wrapping the PCM/float subformats), any channel
+count. Malformed framing raises ``ValueError``.
 
 Scale shape: one payload decodes independently inside an Arrow batch
 (``multimodal.audio_features`` mapInPandas); nothing here touches Spark.
@@ -29,6 +31,71 @@ _PCM_SUBFORMAT = (
 _FLOAT_SUBFORMAT = (  # KSDATAFORMAT_SUBTYPE_IEEE_FLOAT
     b"\x03\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 )
+
+# IMA/DVI ADPCM quantizer tables (public spec constants — IMA "Recommended
+# Practices for Enhancing Digital Audio Compatibility", also RFC 3551 app.)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJUST = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (new predictor, new step index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJUST[nibble]))
+    return pred, index
+
+
+def _decode_ima_adpcm(
+    data: bytes, n_channels: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM (WAV format 0x11) -> float64 (frames, channels) in
+    [-1, 1]. Block layout per the spec: a 4-byte per-channel header
+    (int16 predictor, step index, reserved), then channel-interleaved
+    4-byte nibble groups, low nibble first."""
+    if block_align < 4 * n_channels or (block_align - 4 * n_channels) % (
+        4 * n_channels
+    ):
+        raise ValueError(f"bad IMA ADPCM block align {block_align}")
+    out: list[list[int]] = []
+    for bstart in range(0, len(data) - block_align + 1, block_align):
+        block = data[bstart : bstart + block_align]
+        preds, idxs = [], []
+        chans: list[list[int]] = []
+        for c in range(n_channels):
+            pred, idx = struct.unpack_from("<hB", block, 4 * c)
+            idx = min(88, idx)
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])  # header predictor IS the first sample
+        pos = 4 * n_channels
+        while pos < block_align:
+            for c in range(n_channels):
+                for b in block[pos : pos + 4]:
+                    for nib in (b & 0xF, b >> 4):  # low nibble first
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        chans[c].append(preds[c])
+                pos += 4
+        n = min(len(ch) for ch in chans)
+        out.extend([ch[i] for ch in chans] for i in range(n))
+    x = np.asarray(out, dtype=np.float64) / 32768.0
+    return x.reshape(-1, n_channels) if len(out) else np.zeros((0, n_channels))
 
 
 def is_wav(payload: bytes) -> bool:
@@ -80,14 +147,18 @@ def decode_wav_samples(payload: bytes):
             data = chunk
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    audio_format, n_channels, sample_rate, _brate, _balign, bits = fmt
-    if audio_format not in (1, 3):
+    audio_format, n_channels, sample_rate, _brate, balign, bits = fmt
+    if audio_format not in (1, 3, 0x11):
         raise NotImplementedError(
             f"WAV audio format {audio_format} (non-PCM) needs a real"
             " audio lib"
         )
     if n_channels < 1 or sample_rate < 1:
         raise ValueError(f"bad WAV fmt: channels={n_channels}, rate={sample_rate}")
+    if audio_format == 0x11:  # IMA/DVI ADPCM (round 8)
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM with {bits}-bit samples is invalid")
+        return _decode_ima_adpcm(data, n_channels, balign), sample_rate
     if audio_format == 3:  # IEEE float — samples are already normalized
         if bits == 32:
             x = np.frombuffer(
@@ -146,6 +217,78 @@ def decode_wav(payload: bytes):
     mono = x.mean(axis=1)
     zc = int(np.count_nonzero(mono[1:] * mono[:-1] < 0))
     return n_channels, sample_rate, n_frames, duration_ms, round(rms, 6), zc
+
+
+def encode_wav_ima_adpcm(
+    samples: "np.ndarray", sample_rate: int, block_frames: int = 505
+) -> bytes:
+    """Encode float samples in [-1, 1] as IMA/DVI ADPCM WAV (format
+    0x11) — the golden-byte source for the ADPCM decode path. Lossy by
+    construction (4-bit residuals), but the encoder updates its state
+    with the DECODER's own step function, so the decoded stream is the
+    deterministic quantization of the input (first sample of each block
+    is exact — it rides the block header)."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_channels = arr.shape
+    if (block_frames - 1) % 8:
+        raise ValueError("block_frames must be 1 + a multiple of 8")
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype(np.int64)
+    groups_per_block = (block_frames - 1) // 8  # 4-byte groups per channel
+    block_align = 4 * n_channels * (1 + groups_per_block)
+
+    body = bytearray()
+    idxs = [0] * n_channels
+    pos = 0
+    while pos < n_frames:
+        frames = pcm[pos : pos + block_frames]
+        if frames.shape[0] < block_frames:  # pad the tail block by edge
+            frames = np.vstack(
+                [frames, np.repeat(frames[-1:], block_frames - frames.shape[0], 0)]
+            )
+        preds = [int(frames[0, c]) for c in range(n_channels)]
+        nibbles: list[list[int]] = [[] for _ in range(n_channels)]
+        for c in range(n_channels):
+            body += struct.pack("<hBB", preds[c], idxs[c], 0)
+        for i in range(1, block_frames):
+            for c in range(n_channels):
+                step = _IMA_STEPS[idxs[c]]
+                diff = int(frames[i, c]) - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                nibbles[c].append(nib)
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+        # channel-interleaved 4-byte groups, low nibble first
+        for g in range(groups_per_block):
+            for c in range(n_channels):
+                for k in range(4):
+                    lo = nibbles[c][8 * g + 2 * k]
+                    hi = nibbles[c][8 * g + 2 * k + 1]
+                    body.append(lo | (hi << 4))
+        pos += block_frames
+
+    byte_rate = sample_rate * block_align // block_frames
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, n_channels, sample_rate, byte_rate, block_align, 4,
+        2, block_frames,  # cbSize + wSamplesPerBlock extension
+    )
+    payload = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
 def spectral_centroid(x: "np.ndarray", sample_rate: int) -> float:

@@ -2621,6 +2621,77 @@ def test_wav_float_pcm_decodes_exactly():
     assert sre == 16000 and np.array_equal(xse[:, 0], x)
 
 
+def test_wav_ima_adpcm_decode_golden():
+    """IMA/DVI ADPCM (format 0x11, round 8): a hand-computed block
+    (predictor 0, index 0, nibbles 2, 15, then six zeros) must decode to
+    the exact step-table walk [0, 3, -8, -6, -5, -4, -3, -2, -1]; the
+    encoder (which advances its state with the decoder's own step
+    function) roundtrips a sine at >25 dB SNR mono and stereo, and block
+    headers carry the first sample exactly."""
+    import struct as _struct
+
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        decode_wav_samples,
+        encode_wav_ima_adpcm,
+    )
+
+    fmt = _struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, 8, 4, 2, 9)
+    data = b"\x00\x00\x00\x00" + bytes([0xF2, 0, 0, 0])
+    body = (
+        b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    x, sr = decode_wav_samples(wav)
+    assert sr == 8000
+    assert [int(round(v * 32768)) for v in x[:, 0]] == [
+        0, 3, -8, -6, -5, -4, -3, -2, -1
+    ]
+
+    t = np.arange(4000)
+    sig = 0.6 * np.sin(2 * np.pi * 440 * t / 8000)
+    dec, _ = decode_wav_samples(encode_wav_ima_adpcm(sig, 8000))
+    d = dec[: len(sig), 0]
+    snr = 10 * np.log10(np.mean(sig**2) / np.mean((sig - d) ** 2))
+    assert snr > 25, snr
+    assert d[0] == np.round(sig[0] * 32767) / 32768.0  # header is exact
+
+    st = np.stack([sig, -sig], axis=1)
+    dec2, _ = decode_wav_samples(encode_wav_ima_adpcm(st, 8000))
+    snr2 = 10 * np.log10(
+        np.mean(st**2) / np.mean((st - dec2[: len(st)]) ** 2)
+    )
+    assert snr2 > 25, snr2
+
+
+def test_audio_features_ima_adpcm_real_in_pipeline(spark):
+    """An IMA-ADPCM payload takes the REAL decode path in the pipeline
+    (decoder='wav'), while the MS-ADPCM (format 2) fixture keeps falling
+    to the fake — the remaining ADPCM dialect boundary."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        encode_wav_ima_adpcm,
+    )
+
+    sig = 0.5 * np.sin(2 * np.pi * 200 * np.arange(808) / 8000)
+    payload = encode_wav_ima_adpcm(sig, 8000, block_frames=505)
+    media = spark.createDataFrame(
+        [(1, "audio", payload, "audio/wav", (None, None, 1, None, 8000))],
+        MEDIA_SCHEMA,
+    )
+    got = audio_features(media).collect()[0]
+    assert got["decoder"] == "wav"
+    # two 505-frame blocks; the tail block edge-pads to a full block
+    assert got["duration_ms"] == int(round(1010 * 1000.0 / 8000))
+
+
 def test_audio_features_float_wav_real_in_pipeline(spark):
     """A float-PCM WAV payload now takes the REAL decode path inside the
     Arrow-batched pipeline (decoder='wav', exact duration/rate), not the
@@ -2851,9 +2922,10 @@ def test_multimodal_extractors_never_shuffle_payload(spark, tmp_path):
 def _undecodable_media(spark):
     """Payloads that PASS the cheap signature sniffs but are NOT decodable
     by the real codecs (the ADVICE r7 hole): a JPEG SOI followed by
-    garbage, a PNG signature over a CRC-corrupt body, and an ADPCM WAV
-    (RIFF/WAVE magic, fmt audio_format=2 — float PCM decodes for real
-    since round 8, so ADPCM is the undecodable-audio stand-in now)."""
+    garbage, a PNG signature over a CRC-corrupt body, and an MS-ADPCM WAV
+    (RIFF/WAVE magic, fmt audio_format=2 — float PCM and IMA ADPCM decode
+    for real since round 8, so MS ADPCM is the undecodable-audio
+    stand-in now)."""
     import struct as _struct
 
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
