@@ -92,7 +92,8 @@ _DRIVER_WINDOW = [
 ]
 # ROUND-9 ROTATION NOTE: after this round every query registered through r7
 # has had a driver row (the 4 codec roundtrips were the last). Round 9 must
-# lead with mm_jpeg_roundtrip (NEW in r8 — never driver-checked) plus the
+# lead with mm_jpeg_roundtrip and mm_mp4_metadata (NEW in r8 — never
+# driver-checked) plus the
 # r8-implementation-touched rows (routing family via the stop-bound prune;
 # mm_image_features/mm_phash_neardup/mm_resize_roundtrip via progressive
 # JPEG; apx_sketches via the rank-window p50 contract), then cycle the

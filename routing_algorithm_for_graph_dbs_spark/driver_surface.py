@@ -6564,3 +6564,47 @@ def mm_jpeg_roundtrip(spark, sf_dir):
         "mean_luma",
         "decoder",
     )
+
+
+@_register(
+    "mm_mp4_metadata",
+    """
+    SELECT doc_id AS media_id,
+           'isom' AS brand,
+           CAST(n_chars * 10 AS BIGINT) AS duration_ms,
+           CAST(320 + (doc_id % 5) * 64 AS BIGINT) AS width,
+           CAST(180 + (doc_id % 5) * 36 AS BIGINT) AS height,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+           'mp4' AS parser
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def mm_mp4_metadata(spark, sf_dir):
+    """REAL-parser cross-engine check, video half (round 8):
+    synth_mp4_media mints standard-conformant ISO-BMFF bytes per video
+    doc (ftyp + moov{mvhd, traks} + mdat) and video_metadata parses them
+    for real (strict=True: no fake fallback) — duration from mvhd's
+    timescale-scaled duration, dimensions from the visual track's 16.16
+    fixed-point tkhd fields, track count from the trak boxes. The oracle
+    states every field in closed form from the build parameters. Frame
+    DECODE stays the honest boundary; the metadata a pipeline filters
+    and plans on is real."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        synth_mp4_media,
+        video_metadata,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_mp4_media(docs))
+    return video_metadata(media, strict=True).select(
+        "media_id",
+        "brand",
+        "duration_ms",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_tracks").cast("long").alias("n_tracks"),
+        "parser",
+    )

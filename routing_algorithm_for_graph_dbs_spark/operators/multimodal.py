@@ -12,7 +12,9 @@ multi-scan accumulation, exact IDCT of the luma channel),
 depth/color/interlace combination), and **integer-PCM, float-PCM AND IMA-ADPCM WAV decode is REAL**
 (``operators/wav.py`` — RIFF parse, 8/16/24/32-bit integer, 32/64-bit
 IEEE-float and block-structured 4-bit IMA residual samples, real
-RMS/zero-crossing features).
+RMS/zero-crossing features). **Video METADATA parsing is REAL**
+(``operators/mp4.py`` — ISO-BMFF box walk: ftyp brand, mvhd duration,
+tkhd dimensions, track count; frame decode stays the boundary).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
 deployment would plug PIL/libvips/ffmpeg (video, compressed audio,
@@ -593,6 +595,132 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_mp4_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL MP4 payloads derived from the documents table.
+
+    Each video-kind doc becomes a minimal standard-conformant ISO-BMFF
+    file (``operators/mp4.py build_mp4``): duration n_chars * 10 ms (the
+    same convention the synthetic metadata column uses), dimensions and
+    audio-track count cycling on doc_id — all closed-form for the
+    cross-engine oracle (mm_mp4_metadata)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.mp4 import build_mp4
+
+    base = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.col("n_chars") * 10).cast("long").alias("dur"),
+        (320 + (F.col("doc_id") % 5) * 64).cast("int").alias("w"),
+        (180 + (F.col("doc_id") % 5) * 36).cast("int").alias("h"),
+        (F.col("doc_id") % 2).cast("int").alias("n_audio"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_mp4(int(d), int(w), int(h), n_audio_tracks=int(a))
+                for d, w, h, a in zip(
+                    pdf["dur"], pdf["w"], pdf["h"], pdf["n_audio"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "video/mp4",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def video_metadata(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched video METADATA extraction over binary payloads.
+
+    Frame decode genuinely needs an av library (the honest boundary),
+    but the fields a pipeline filters and plans on — duration,
+    dimensions, track count, brand — live in the public ISO-BMFF box
+    structure, parsed for REAL by ``operators/mp4.py`` when the payload
+    carries an ftyp signature (parser='mp4'). Payloads without it (the
+    synthetic tables label text payloads video/mp4) take the
+    deterministic sha256 fake, or raise under ``strict=True``; a payload
+    that sniffs mp4 but has corrupt framing falls to the fake the same
+    way (module contract: mislabeled payloads must not crash the stage).
+    Map-side only — the payload column never crosses a shuffle."""
+    from routing_algorithm_for_graph_dbs_spark.operators.mp4 import (
+        is_mp4,
+        parse_mp4_metadata,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_mp4(b):
+                        parsed = parse_mp4_metadata(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    brand, dur, w, h, n_trk = parsed
+                    parser = "mp4"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real video metadata needs ISO-BMFF framing —"
+                            " this payload has none (frame decode itself"
+                            " needs ffmpeg, not in this container)"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    brand = None
+                    dur = (d[3] * 256 + d[4]) * 10
+                    w, h = 64 + d[0] % 192, 64 + d[1] % 192
+                    n_trk = 1 + d[5] % 3
+                    parser = "fake"
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        brand,
+                        int(dur),
+                        int(w),
+                        int(h),
+                        int(n_trk),
+                        parser,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "brand", "duration_ms",
+                    "width", "height", "n_tracks", "parser",
+                ],
+            )
+
+    # callers pre-filter kind (like image_features' callers do) — synth
+    # tables carry no kind column
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, brand string,"
+            " duration_ms long, width int, height int, n_tracks int,"
+            " parser string"
+        ),
     )
 
 

@@ -2692,6 +2692,93 @@ def test_audio_features_ima_adpcm_real_in_pipeline(spark):
     assert got["duration_ms"] == int(round(1010 * 1000.0 / 8000))
 
 
+def test_mp4_metadata_parser_golden():
+    """ISO-BMFF parser goldens: builder roundtrip (timescale 1000 makes
+    duration exact), a hand-built version-1 stream (64-bit mvhd/tkhd
+    times, 90 kHz timescale), audio tracks without dimensions, and the
+    malformed-framing rejects."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.mp4 import (
+        _box,
+        build_mp4,
+        is_mp4,
+        parse_mp4_metadata,
+    )
+
+    b = build_mp4(12345, 1920, 1080, n_audio_tracks=1)
+    assert is_mp4(b)
+    assert parse_mp4_metadata(b) == ("isom", 12345, 1920, 1080, 2)
+    assert parse_mp4_metadata(build_mp4(500, 640, 360)) == (
+        "isom", 500, 640, 360, 1,
+    )
+
+    ident = _struct.pack(
+        ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    mvhd1 = _box(
+        b"mvhd",
+        _struct.pack(">Bxxx", 1)
+        + _struct.pack(">QQIQ", 0, 0, 90000, 90000 * 7)
+        + _struct.pack(">IHHQ", 0x10000, 0x100, 0, 0)
+        + ident + b"\x00" * 24 + _struct.pack(">I", 2),
+    )
+    tkhd1 = _box(
+        b"tkhd",
+        _struct.pack(">Bxxx", 1)
+        + _struct.pack(">QQIxxxxQ", 0, 0, 1, 7 * 90000)
+        + b"\x00" * 8 + _struct.pack(">HHHH", 0, 0, 0, 0)
+        + ident + _struct.pack(">II", 320 << 16, 240 << 16),
+    )
+    p = (
+        _box(b"ftyp", b"mp42" + _struct.pack(">I", 0))
+        + _box(b"moov", mvhd1 + _box(b"trak", tkhd1))
+    )
+    assert parse_mp4_metadata(p) == ("mp42", 7000, 320, 240, 1)
+
+    with _pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_metadata(b"\x00\x00\x00\x08free")
+    with _pytest.raises(ValueError):
+        parse_mp4_metadata(build_mp4(1, 2, 2)[:40])  # truncated box
+
+
+def test_video_metadata_real_and_fake_in_pipeline(spark):
+    """video/mp4 rows with real ISO-BMFF bytes parse for REAL inside the
+    Arrow-batched path (parser='mp4', exact duration/dims/tracks); text
+    payloads labeled video/mp4 keep the deterministic fake; strict=True
+    raises on them."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.mp4 import build_mp4
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        video_metadata,
+    )
+
+    real = build_mp4(2500, 1280, 720, n_audio_tracks=1)
+    rows = [
+        (1, "video", real, "video/mp4", (None, None, None, 2500, None)),
+        (2, "video", b"not a video at all", "video/mp4",
+         (None, None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in video_metadata(media).collect()}
+    assert got[1]["parser"] == "mp4"
+    assert (got[1]["duration_ms"], got[1]["width"], got[1]["height"],
+            got[1]["n_tracks"]) == (2500, 1280, 720, 2)
+    assert got[2]["parser"] == "fake"
+
+    with _pytest.raises(Exception) as ei:
+        video_metadata(
+            media.filter(media.media_id == 2), strict=True
+        ).collect()
+    assert "NotImplementedError" in str(ei.value) or "ISO-BMFF" in str(
+        ei.value
+    )
+
+
 def test_audio_features_float_wav_real_in_pipeline(spark):
     """A float-PCM WAV payload now takes the REAL decode path inside the
     Arrow-batched pipeline (decoder='wav', exact duration/rate), not the
@@ -2889,8 +2976,10 @@ def test_multimodal_extractors_never_shuffle_payload(spark, tmp_path):
         media_from_documents,
         resize_images,
         synth_jpeg_media,
+        synth_mp4_media,
         synth_png_media,
         synth_wav_media,
+        video_metadata,
     )
 
     docs_path = str(tmp_path / "docs")
@@ -2907,8 +2996,10 @@ def test_multimodal_extractors_never_shuffle_payload(spark, tmp_path):
         "synth_wav": synth_wav_media(docs),
         "synth_png": synth_png_media(docs),
         "synth_jpeg": synth_jpeg_media(docs),
+        "synth_mp4": synth_mp4_media(docs),
         "resize_images": resize_images(synth_png_media(docs)),
         "jpeg_decode": image_features(synth_jpeg_media(docs), strict=True),
+        "video_metadata": video_metadata(synth_mp4_media(docs), strict=True),
     }
     for name, df in plans.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
