@@ -9,9 +9,9 @@ decode is REAL** (``operators/jpeg.py`` — Huffman entropy decode, SOF2
 multi-scan accumulation, exact IDCT of the luma channel),
 **PNG decode is REAL and boundary-complete** (``operators/png.py``
 — stdlib-zlib inflate + all five scanline unfilters, every legal
-depth/color/interlace combination), and **integer-PCM, float-PCM AND IMA-ADPCM WAV decode is REAL**
-(``operators/wav.py`` — RIFF parse, 8/16/24/32-bit integer, 32/64-bit
-IEEE-float and block-structured 4-bit IMA residual samples, real
+depth/color/interlace combination), and **WAV decode is REAL for every PCM/ADPCM/companded dialect**
+(``operators/wav.py`` — RIFF parse; 8/16/24/32-bit integer, 32/64-bit
+IEEE-float, MS + IMA ADPCM residual blocks, G.711 A-law/mu-law; real
 RMS/zero-crossing features). **Video METADATA parsing is REAL**
 (``operators/mp4.py`` — ISO-BMFF box walk: ftyp brand, mvhd duration,
 tkhd dimensions, track count; frame decode stays the boundary).
@@ -914,8 +914,27 @@ def phash_near_dup_pairs(
             refuse, schema="media_id long, simhash long"
         )
     else:
-        decoded = rest.select(
-            "media_id", F.decode(F.col("payload"), "UTF-8").alias("text")
+
+        def lenient_text(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            # JVM-side decode(payload, 'UTF-8') ANSI-raises on arbitrary
+            # binary (a non-UTF-8 non-image payload would crash the
+            # stage); replacement-char decoding is identical for valid
+            # UTF-8 (the synthetic tables) and total for everything else
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "text": [
+                            bytes(p).decode("utf-8", errors="replace")
+                            for p in pdf["payload"]
+                        ],
+                    }
+                )
+
+        decoded = rest.select("media_id", "payload").mapInPandas(
+            lenient_text, schema="media_id long, text string"
         )
         fake = simhash(
             decoded, text_col="text", key_col="media_id", hash_fn="md5"

@@ -4,16 +4,16 @@ The audio half of the multimodal codec boundary: RIFF/WAVE framing and
 integer-PCM sample decode are fully specified public formats, so the
 features a training-data pipeline filters on (duration, sample rate,
 RMS level, zero-crossing rate) are computable here without
-librosa/ffmpeg. Compressed codecs (MP3/AAC/Opus...) and the remaining
-ADPCM dialects (MS ADPCM format 2, ...) are the marked
-``NotImplementedError`` boundary.
+librosa/ffmpeg. Genuinely compressed codecs (MP3/AAC/GSM... in WAV)
+are the marked ``NotImplementedError`` boundary.
 
 Supported: RIFF little-endian WAVE, ``fmt `` audio format 1 (integer
-PCM: 8-bit unsigned / 16-bit / 24-bit / 32-bit signed), audio format 3
-(IEEE float, 32- or 64-bit — round 8), audio format 0x11 (IMA/DVI
-ADPCM, block-structured 4-bit residuals — round 8), or 0xFFFE
-(WAVE_FORMAT_EXTENSIBLE wrapping the PCM/float subformats), any channel
-count. Malformed framing raises ``ValueError``.
+PCM: 8-bit unsigned / 16-bit / 24-bit / 32-bit signed), format 3 (IEEE
+float, 32/64-bit), format 2 (MS ADPCM), format 0x11 (IMA/DVI ADPCM),
+formats 6/7 (G.711 A-law / mu-law), or 0xFFFE (WAVE_FORMAT_EXTENSIBLE
+wrapping the PCM/float subformats), any channel count — every
+PCM/ADPCM/companded dialect, all added rounds 7-8. Malformed framing
+raises ``ValueError``.
 
 Scale shape: one payload decodes independently inside an Arrow batch
 (``multimodal.audio_features`` mapInPandas); nothing here touches Spark.
@@ -98,6 +98,165 @@ def _decode_ima_adpcm(
     return x.reshape(-1, n_channels) if len(out) else np.zeros((0, n_channels))
 
 
+# MS ADPCM (WAV format 2) tables — public spec constants (Microsoft
+# multimedia registration / RIFF WAVE documentation)
+_MS_COEFFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+              (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _decode_ms_adpcm(
+    data: bytes, n_channels: int, block_align: int
+) -> np.ndarray:
+    """MS ADPCM (WAV format 2) -> float64 (frames, channels) in [-1, 1].
+
+    Block layout per the public spec: per-channel predictor index (1 B),
+    then per-channel idelta (i16), sample1 (i16), sample2 (i16) — the
+    two seed samples are emitted oldest-first — then 4-bit signed
+    residuals, channels alternating nibbles (high nibble first)."""
+    hdr = 7 * n_channels
+    if block_align <= hdr:
+        raise ValueError(f"bad MS ADPCM block align {block_align}")
+    out: list[list[int]] = []
+    for bstart in range(0, len(data) - block_align + 1, block_align):
+        block = data[bstart : bstart + block_align]
+        c1, c2, idelta, s1, s2 = [], [], [], [], []
+        for c in range(n_channels):
+            pidx = block[c]
+            if pidx >= len(_MS_COEFFS):
+                raise ValueError(f"MS ADPCM predictor index {pidx}")
+            c1.append(_MS_COEFFS[pidx][0])
+            c2.append(_MS_COEFFS[pidx][1])
+        for c in range(n_channels):
+            (d,) = struct.unpack_from("<h", block, n_channels + 2 * c)
+            idelta.append(d)
+        for c in range(n_channels):
+            (v,) = struct.unpack_from("<h", block, 3 * n_channels + 2 * c)
+            s1.append(v)
+        for c in range(n_channels):
+            (v,) = struct.unpack_from("<h", block, 5 * n_channels + 2 * c)
+            s2.append(v)
+        frames = [list(s2), list(s1)]  # seeds, oldest first
+        chan = 0
+        cur: list[int] = [0] * n_channels
+        filled = 0
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 0xF):
+                signed = nib - 16 if nib >= 8 else nib
+                pred = (s1[chan] * c1[chan] + s2[chan] * c2[chan]) // 256
+                pred += signed * idelta[chan]
+                pred = max(-32768, min(32767, pred))
+                s2[chan] = s1[chan]
+                s1[chan] = pred
+                idelta[chan] = max(16, (_MS_ADAPT[nib] * idelta[chan]) // 256)
+                cur[chan] = pred
+                filled += 1
+                chan = (chan + 1) % n_channels
+                if filled == n_channels:
+                    frames.append(list(cur))
+                    filled = 0
+        out.extend(frames)
+    x = np.asarray(out, dtype=np.float64) / 32768.0
+    return x.reshape(-1, n_channels) if len(out) else np.zeros((0, n_channels))
+
+
+def encode_wav_ms_adpcm(
+    samples: "np.ndarray", sample_rate: int, block_frames: int = 500
+) -> bytes:
+    """Encode float samples as MS ADPCM WAV (format 2, predictor 0) —
+    the golden-byte source for the decode path. The encoder quantizes
+    each residual with the decoder's own state update, so decode is
+    deterministic; the two seed samples per block are exact."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_channels = arr.shape
+    if block_frames < 3 or (block_frames - 2) % 2:
+        raise ValueError("block_frames must be 2 + an even count")
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype(np.int64)
+    block_align = 7 * n_channels + (block_frames - 2) * n_channels // 2
+
+    body = bytearray()
+    pos = 0
+    while pos < n_frames:
+        frames = pcm[pos : pos + block_frames]
+        if frames.shape[0] < block_frames:
+            frames = np.vstack(
+                [frames, np.repeat(frames[-1:], block_frames - frames.shape[0], 0)]
+            )
+        c1, c2 = _MS_COEFFS[0]
+        idelta = [256] * n_channels
+        s2 = [int(frames[0, c]) for c in range(n_channels)]
+        s1 = [int(frames[1, c]) for c in range(n_channels)]
+        body += bytes([0] * n_channels)  # predictor 0 per channel
+        for c in range(n_channels):
+            body += struct.pack("<h", idelta[c])
+        for c in range(n_channels):
+            body += struct.pack("<h", s1[c])
+        for c in range(n_channels):
+            body += struct.pack("<h", s2[c])
+        nibbles: list[int] = []
+        for i in range(2, block_frames):
+            for c in range(n_channels):
+                pred = (s1[c] * c1 + s2[c] * c2) // 256
+                err = int(frames[i, c]) - pred
+                nib = max(-8, min(7, int(round(err / idelta[c]))))
+                nibu = nib + 16 if nib < 0 else nib
+                val = max(-32768, min(32767, pred + nib * idelta[c]))
+                s2[c] = s1[c]
+                s1[c] = val
+                idelta[c] = max(16, (_MS_ADAPT[nibu] * idelta[c]) // 256)
+                nibbles.append(nibu)
+        for k in range(0, len(nibbles), 2):
+            body.append((nibbles[k] << 4) | nibbles[k + 1])
+        pos += block_frames
+
+    byte_rate = sample_rate * block_align // block_frames
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        2, n_channels, sample_rate, byte_rate, block_align, 4,
+        2, block_frames,
+    )
+    payload = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _decode_g711(data: bytes, n_channels: int, mu: bool) -> np.ndarray:
+    """G.711 companded 8-bit samples -> float64 (frames, channels).
+
+    mu-law: invert bits, then ((mantissa*8 + 0x84) << exponent) - 0x84 —
+    the G.711 reference expansion, which lands directly in the 16-bit
+    range (max +-32124, the audioop convention). A-law: XOR 0x55,
+    (mantissa*16 + 0x108) << (exponent-1) (or +8 at exponent 0) — max
+    +-32256, same convention."""
+    u = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    if mu:
+        u = 255 - u  # complement
+        sign = np.where(u & 0x80, -1, 1)
+        exp = (u >> 4) & 7
+        mant = u & 0xF
+        x = sign * ((((mant << 3) + 0x84) << exp) - 0x84)
+    else:
+        a = u ^ 0x55
+        sign = np.where(a & 0x80, -1, 1)
+        exp = (a >> 4) & 7
+        mant = a & 0xF
+        x = sign * np.where(
+            exp == 0,
+            (mant << 4) + 8,
+            ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+        )
+    x = x.astype(np.float64) / 32768.0
+    n = x.shape[0] // n_channels
+    return x[: n * n_channels].reshape(n, n_channels)
+
+
 def is_wav(payload: bytes) -> bool:
     """Cheap signature sniff — dispatch guard for mixed-mime batches."""
     return (
@@ -148,13 +307,21 @@ def decode_wav_samples(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_channels, sample_rate, _brate, balign, bits = fmt
-    if audio_format not in (1, 3, 0x11):
+    if audio_format not in (1, 2, 3, 6, 7, 0x11):
         raise NotImplementedError(
-            f"WAV audio format {audio_format} (non-PCM) needs a real"
-            " audio lib"
+            f"WAV audio format {audio_format} (compressed codec) needs a"
+            " real audio lib"
         )
     if n_channels < 1 or sample_rate < 1:
         raise ValueError(f"bad WAV fmt: channels={n_channels}, rate={sample_rate}")
+    if audio_format == 2:  # MS ADPCM (round 8)
+        if bits != 4:
+            raise ValueError(f"MS ADPCM with {bits}-bit samples is invalid")
+        return _decode_ms_adpcm(data, n_channels, balign), sample_rate
+    if audio_format in (6, 7):  # G.711 A-law / mu-law (round 8)
+        if bits != 8:
+            raise ValueError(f"G.711 with {bits}-bit samples is invalid")
+        return _decode_g711(data, n_channels, mu=audio_format == 7), sample_rate
     if audio_format == 0x11:  # IMA/DVI ADPCM (round 8)
         if bits != 4:
             raise ValueError(f"IMA ADPCM with {bits}-bit samples is invalid")

@@ -2553,8 +2553,8 @@ def test_wav_decode_rejects():
         decode_wav(b"not audio at all")
 
     ok = bytearray(encode_wav(np.zeros(4), 8000))
-    ok[20:22] = _struct.pack("<H", 2)  # audio format 2 = ADPCM
-    with _pytest.raises(NotImplementedError, match="non-PCM"):
+    ok[20:22] = _struct.pack("<H", 0x55)  # MPEG Layer 3 in WAV
+    with _pytest.raises(NotImplementedError, match="compressed"):
         decode_wav(bytes(ok))
 
     ok = bytearray(encode_wav(np.zeros(4), 8000))
@@ -2664,6 +2664,104 @@ def test_wav_ima_adpcm_decode_golden():
         np.mean(st**2) / np.mean((st - dec2[: len(st)]) ** 2)
     )
     assert snr2 > 25, snr2
+
+
+def test_wav_ms_adpcm_decode_golden():
+    """MS ADPCM (format 2, round 8): per-block coefficient prediction +
+    4-bit residuals with the published adaptation table. The two seed
+    samples per block are exact; a sine roundtrips at >20 dB SNR mono
+    and stereo; an out-of-range predictor index raises."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        decode_wav_samples,
+        encode_wav_ms_adpcm,
+    )
+
+    t = np.arange(4000)
+    sig = 0.6 * np.sin(2 * np.pi * 440 * t / 8000)
+    dec, sr = decode_wav_samples(encode_wav_ms_adpcm(sig, 8000))
+    assert sr == 8000
+    d = dec[: len(sig), 0]
+    snr = 10 * np.log10(np.mean(sig**2) / np.mean((sig - d) ** 2))
+    assert snr > 20, snr
+    assert d[0] == np.round(sig[0] * 32767) / 32768.0
+    assert d[1] == np.round(sig[1] * 32767) / 32768.0
+
+    st = np.stack([sig, -sig], axis=1)
+    dec2, _ = decode_wav_samples(encode_wav_ms_adpcm(st, 8000))
+    snr2 = 10 * np.log10(
+        np.mean(st**2) / np.mean((st - dec2[: len(st)]) ** 2)
+    )
+    assert snr2 > 20, snr2
+
+    bad = bytearray(encode_wav_ms_adpcm(sig[:500], 8000))
+    # first data byte after the 44-byte-ish header region: corrupt the
+    # block's predictor index (first byte of the data chunk)
+    di = bad.find(b"data") + 8
+    bad[di] = 9  # only 0..6 are defined
+    with _pytest.raises(ValueError, match="predictor index"):
+        decode_wav_samples(bytes(bad))
+
+
+def test_wav_g711_decode_golden():
+    """G.711 (formats 7/6, round 8): the published reference expansions —
+    mu-law 0xFF/0x7F are plus/minus zero, 0x80 is the +32124 full scale,
+    0xEF expands to +132; A-law 0x55/0xD5 are the +-8 minimum, 0x2A/0xAA
+    the +-32256 full scale."""
+    import struct as _struct
+
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.wav import (
+        decode_wav_samples,
+    )
+
+    def g711_wav(fmt_code: int, data: bytes) -> bytes:
+        fmt = _struct.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    x, sr = decode_wav_samples(g711_wav(7, bytes([0xFF, 0x7F, 0x80, 0x00, 0xEF])))
+    assert sr == 8000
+    assert [int(v * 32768) for v in x[:, 0]] == [0, 0, 32124, -32124, 132]
+    y, _ = decode_wav_samples(g711_wav(6, bytes([0x55, 0xD5, 0x2A, 0xAA])))
+    assert [int(v * 32768) for v in y[:, 0]] == [8, -8, 32256, -32256]
+
+
+def test_audio_features_g711_real_in_pipeline(spark):
+    """A mu-law payload takes the REAL decode path in the pipeline: an
+    alternating full-scale/-full-scale pattern has closed-form RMS
+    (32124/32768) and n-1 sign flips."""
+    import struct as _struct
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    data = bytes([0x80, 0x00] * 400)  # +32124, -32124 alternating
+    fmt = _struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+    media = spark.createDataFrame(
+        [(1, "audio", payload, "audio/wav", (None, None, 1, None, 8000))],
+        MEDIA_SCHEMA,
+    )
+    got = audio_features(media).collect()[0]
+    assert got["decoder"] == "wav"
+    assert got["duration_ms"] == 100
+    assert got["zero_crossings"] == 799
+    assert got["rms"] == round(32124 / 32768.0, 6)
 
 
 def test_audio_features_ima_adpcm_real_in_pipeline(spark):
@@ -3013,10 +3111,10 @@ def test_multimodal_extractors_never_shuffle_payload(spark, tmp_path):
 def _undecodable_media(spark):
     """Payloads that PASS the cheap signature sniffs but are NOT decodable
     by the real codecs (the ADVICE r7 hole): a JPEG SOI followed by
-    garbage, a PNG signature over a CRC-corrupt body, and an MS-ADPCM WAV
-    (RIFF/WAVE magic, fmt audio_format=2 — float PCM and IMA ADPCM decode
-    for real since round 8, so MS ADPCM is the undecodable-audio
-    stand-in now)."""
+    garbage, a PNG signature over a CRC-corrupt body, and an MPEG-in-WAV
+    payload (RIFF/WAVE magic, fmt audio_format=0x55 — every PCM/ADPCM/
+    G.711 dialect decodes for real since round 8, so a genuinely
+    compressed codec is the undecodable-audio stand-in now)."""
     import struct as _struct
 
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
@@ -3026,7 +3124,7 @@ def _undecodable_media(spark):
 
     bad_jpeg = b"\xff\xd8" + b"\x00" * 64
     bad_png = bytes(PNG_SIGNATURE) + b"\x00" * 32
-    fmt = _struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 32)
+    fmt = _struct.pack("<HHIIHH", 0x55, 1, 8000, 4000, 1, 0)
     data = b"\x00" * 16
     body = (
         b"WAVE"
@@ -3037,11 +3135,11 @@ def _undecodable_media(spark):
         + _struct.pack("<I", len(data))
         + data
     )
-    adpcm_wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    mp3_wav = b"RIFF" + _struct.pack("<I", len(body)) + body
     rows = [
         (1, "image", bad_jpeg, "image/jpeg", (None, None, None, None, None)),
         (2, "image", bad_png, "image/png", (None, None, None, None, None)),
-        (3, "audio", adpcm_wav, "audio/wav", (None, None, 1, None, 8000)),
+        (3, "audio", mp3_wav, "audio/wav", (None, None, 1, None, 8000)),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -3075,7 +3173,7 @@ class TestSniffPassUndecodableFallsToFake:
             image_features(media, strict=True).collect()
         assert "ValueError" in str(ei.value) or "marker" in str(ei.value)
 
-    def test_audio_features_adpcm_falls_to_fake(self, spark):
+    def test_audio_features_compressed_falls_to_fake(self, spark):
         from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
             audio_features,
         )
@@ -3094,7 +3192,7 @@ class TestSniffPassUndecodableFallsToFake:
 
         with pytest.raises(Exception) as ei:
             audio_features(_undecodable_media(spark), strict=True).collect()
-        assert "NotImplementedError" in str(ei.value) or "non-PCM" in str(
+        assert "NotImplementedError" in str(ei.value) or "compressed" in str(
             ei.value
         )
 
