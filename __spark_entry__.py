@@ -29,11 +29,16 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # tops up with the OLDEST driver rows (the r5 §2 heads). The remaining 109
 # stay covered by tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- the 4 never-driver-checked codec roundtrips (added late in r7)
+    # -- never-driver-checked: the 4 codec roundtrips added late in r7,
+    #    plus the two queries NEW this round (real-JPEG and ISO-BMFF
+    #    cross-engine checks) — with these in, after r8 every registered
+    #    query has had a driver row
     "mm_wav_roundtrip",
     "mm_png_roundtrip",
     "mm_resize_roundtrip",
     "mm_wav_spectral",
+    "mm_jpeg_roundtrip",
+    "mm_mp4_metadata",
     # -- re-runs: r7-review-touched (single-decode WAV path, JPEG sniff,
     #    exact-mean MAD) + this round's ADVICE fixes (decode-error
     #    fall-through in image/audio features, phash, resize; JPEG bitbuf)
@@ -66,8 +71,6 @@ _DRIVER_WINDOW = [
     "a3_argmin_ties",
     "a5_collect_sorted",
     "w3_running_sum",
-    "u1_union_all",
-    "f1_casts",
     "f2_temporal",
     "f3_durations",
     "f7_arrays",
@@ -90,14 +93,13 @@ _DRIVER_WINDOW = [
     "smp_mixture",
     "pack_shards",
 ]
-# ROUND-9 ROTATION NOTE: after this round every query registered through r7
-# has had a driver row (the 4 codec roundtrips were the last). Round 9 must
-# lead with mm_jpeg_roundtrip and mm_mp4_metadata (NEW in r8 — never
-# driver-checked) plus the
-# r8-implementation-touched rows (routing family via the stop-bound prune;
-# mm_image_features/mm_phash_neardup/mm_resize_roundtrip via progressive
-# JPEG; apx_sketches via the rank-window p50 contract), then cycle the
-# stalest prior driver rows (r6 window next).
+# ROUND-9 ROTATION NOTE: after this round EVERY registered query has had
+# a driver row (the r7 codec roundtrips and the two r8-new queries are in
+# this window). Round 9: lead with any query whose implementation changed
+# during r8 but whose row predates the change (apx_sketches via the
+# rank-window p50 contract; mm_phash_neardup via the lenient fake-text
+# decode; the WAV-family rows via the new dialect dispatch), then cycle
+# the stalest prior driver rows (the r6 window next).
 
 
 def _ordered() -> list[str]:
