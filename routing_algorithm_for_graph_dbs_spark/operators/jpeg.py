@@ -8,17 +8,20 @@ luma statistics the pipeline derives (quality filters, near-dup pHash)
 only need the Y channel.
 
 ``decode_jpeg``: sequential DCT (SOF0/1) AND progressive (SOF2, round 8:
-spectral selection + successive approximation per T.81 Annex G), 8-bit,
-Huffman entropy coding, grayscale or YCbCr with any sampling factors
+spectral selection + successive approximation per T.81 Annex G), 8- and
+12-bit, Huffman entropy coding, grayscale or YCbCr with any sampling factors
 (4:4:4 / 4:2:0 / 4:2:2 ...), restart intervals. Sequential scans
 entropy-decode EVERY component's coefficients (the MCU stream
 interleaves them — skipping requires decoding), but only the Y component
 is inverse-transformed; chroma upsampling never runs because the
 returned statistic is Rec.601 luma and JPEG's Y channel IS that luma.
 Progressive chroma AC scans are skipped outright (their entropy data is
-self-delimiting). Arithmetic coding, 12-bit precision, lossless and
-hierarchical modes raise ``NotImplementedError`` — the honest remaining
-boundary (a real deployment plugs libjpeg there).
+self-delimiting). 12-bit precision decodes too (round 8: level shift
+and sample range follow the frame precision; the returned plane rescales
+to the uniform [0, 255] contract; ``encode_jpeg_gray12`` mints the
+golden bytes). Arithmetic coding, lossless and hierarchical modes raise
+``NotImplementedError`` — the honest remaining boundary (a real
+deployment plugs libjpeg there).
 
 ``encode_jpeg_gray``: minimal single-component baseline encoder (Annex K
 tables) — the write half used to generate REAL jpeg bytes for golden
@@ -242,15 +245,17 @@ def _decode_jpeg_plane(payload: bytes):
                 quant[tq] = tbl
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
-            if precision != 8:
-                raise NotImplementedError(f"{precision}-bit JPEG not supported")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG not supported (8/12 only)"
+                )
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            frame = {"w": w, "h": h, "comps": comps, "prec": precision}
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -376,10 +381,14 @@ def _decode_scan(
                         col = mx * comp["h"] + bx
                         y_coeffs[row * y_bw + col] = deq
 
-    # vectorized exact IDCT over every Y block at once
+    # vectorized exact IDCT over every Y block at once; level shift and
+    # sample range follow the frame precision (12-bit: 2048 / 4095), and
+    # the plane contract stays [0, 255] via an exact rescale
+    prec = frame.get("prec", 8)
+    level, maxval = float(1 << (prec - 1)), float((1 << prec) - 1)
     blocks = y_coeffs.reshape(-1, 8, 8)
-    pix = np.einsum("ki,nkl,lj->nij", _T, blocks, _T) + 128.0
-    pix = np.clip(pix, 0.0, 255.0)
+    pix = np.einsum("ki,nkl,lj->nij", _T, blocks, _T) + level
+    pix = np.clip(pix, 0.0, maxval) * (255.0 / maxval)
     plane = (
         pix.reshape(y_bh, y_bw, 8, 8)
         .transpose(0, 2, 1, 3)
@@ -617,9 +626,11 @@ def _assemble_y(frame: dict, zz: np.ndarray, quant: dict) -> tuple:
     mcus_y = -(-frame["h"] // (8 * vmax))
     y_bw = mcus_x * y_comp["h"]
     y_bh = mcus_y * y_comp["v"]
+    prec = frame.get("prec", 8)
+    level, maxval = float(1 << (prec - 1)), float((1 << prec) - 1)
     blocks = deq.reshape(-1, 8, 8)
-    pix = np.einsum("ki,nkl,lj->nij", _T, blocks, _T) + 128.0
-    pix = np.clip(pix, 0.0, 255.0)
+    pix = np.einsum("ki,nkl,lj->nij", _T, blocks, _T) + level
+    pix = np.clip(pix, 0.0, maxval) * (255.0 / maxval)
     plane = (
         pix.reshape(y_bh, y_bw, 8, 8)
         .transpose(0, 2, 1, 3)
@@ -1016,6 +1027,101 @@ def encode_jpeg_gray_progressive(
             _emit_ac_refine(wtr, blocks, ac_codes, ss, se, al)
         wtr.flush()
         out += wtr.body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# flat tables wide enough for 12-bit data: DC sizes 0..15 as 5-bit codes
+# (4-bit would need the forbidden all-ones code), AC run/size with sizes
+# 1..14 plus EOB and ZRL as 8-bit codes (226 of 255 — all-ones unused)
+DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC12_VALS = list(range(16))
+AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+AC12_VALS = sorted(
+    [(r << 4) | s for r in range(16) for s in range(1, 15)] + [0x00, 0xF0]
+)
+
+
+def encode_jpeg_gray12(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (H, W) uint16 array of 12-bit samples (0..4095) as an
+    extended-sequential (SOF1) 12-bit grayscale JPEG — the golden-byte
+    source for the precision-12 decode path. Level shift 2048; magnitude
+    categories reach 15 (DC) / 14 (AC), which the flat wide tables
+    cover."""
+    arr = np.asarray(pixels, dtype=np.uint16)
+    if arr.ndim != 2:
+        raise ValueError("expected an (H, W) 12-bit gray array")
+    if arr.size and int(arr.max()) > 4095:
+        raise ValueError("samples exceed 12 bits")
+    h, w = arr.shape
+    if quality < 1 or quality > 100:
+        raise ValueError("quality in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.clip((QUANT_LUMA_K1 * scale + 50) // 100, 1, 255).astype(np.int64)
+    q_nat = np.zeros(64, dtype=np.int64)
+    q_nat[ZIGZAG] = q
+    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, bh - h), (0, bw - w)), mode="edge").astype(
+        np.float64
+    )
+    blocks = (
+        padded.reshape(bh // 8, 8, bw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    coeff = np.einsum("ik,nkl,jl->nij", _T, blocks - 2048.0, _T)
+    qz = np.round(coeff.reshape(-1, 64) / q_nat).astype(np.int64)
+
+    dc_codes = _encode_huffman_lengths(DC12_BITS, DC12_VALS)
+    ac_codes = _encode_huffman_lengths(AC12_BITS, AC12_VALS)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in q)
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, h, w, 1) + bytes([1, 0x11, 0])
+    out += _dht(0x00, DC12_BITS, DC12_VALS)
+    out += _dht(0x10, AC12_BITS, AC12_VALS)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    wtr = _BitWriter()
+
+    def magnitude(v: int) -> tuple[int, int]:
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        if v < 0:
+            v = v + (1 << t) - 1
+        return t, v
+
+    pred = 0
+    for blk in qz:
+        zz = blk[ZIGZAG]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        t, mv = magnitude(diff)
+        ln, code = dc_codes[t]
+        wtr.emit(code, ln)
+        if t:
+            wtr.emit(mv & ((1 << t) - 1), t)
+        nz = np.nonzero(zz[1:])[0]
+        last_nz = (nz[-1] + 1) if len(nz) else 0
+        run = 0
+        for k in range(1, last_nz + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                wtr.emit(code, ln)
+                run -= 16
+            t, mv = magnitude(v)
+            ln, code = ac_codes[(run << 4) | t]
+            wtr.emit(code, ln)
+            wtr.emit(mv & ((1 << t) - 1), t)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_codes[0x00]
+            wtr.emit(code, ln)
+    wtr.flush()
+    out += wtr.body
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -4,9 +4,10 @@ Images/audio/video ride through the engine as opaque ``binary`` columns with
 a typed metadata struct. The Spark-side machinery — schemas, Arrow-batched
 ``mapInPandas`` pipelines, partition sizing — is real and tested. Codecs:
 uncompressed 24-bit **BMP decode is REAL** (pure Python + numpy,
-``decode_bmp``/``encode_bmp`` below), **baseline AND progressive JPEG
+``decode_bmp``/``encode_bmp`` below), **baseline, progressive AND 12-bit JPEG
 decode is REAL** (``operators/jpeg.py`` — Huffman entropy decode, SOF2
-multi-scan accumulation, exact IDCT of the luma channel),
+multi-scan accumulation, precision-scaled level shift, exact IDCT of
+the luma channel),
 **PNG decode is REAL and boundary-complete** (``operators/png.py``
 — stdlib-zlib inflate + all five scanline unfilters, every legal
 depth/color/interlace combination), and **WAV decode is REAL for every PCM/ADPCM/companded dialect**
@@ -17,8 +18,8 @@ RMS/zero-crossing features). **Video METADATA parsing is REAL**
 tkhd dimensions, track count; frame decode stays the boundary).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
-deployment would plug PIL/libvips/ffmpeg (video, compressed audio,
-arithmetic-coded/12-bit JPEG).
+deployment would plug PIL/libvips/ffmpeg (video frames, compressed
+audio, arithmetic-coded JPEG).
 
 Scale notes: binary payloads dominate row size, so these pipelines must
 (a) never shuffle the binary column (all derivation is map-side),

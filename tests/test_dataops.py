@@ -2146,6 +2146,43 @@ def test_progressive_jpeg_interleaved_dc_and_chroma_skip():
     assert (w, h, nc) == (50, 30, 3)
 
 
+def test_jpeg_12bit_decode_golden():
+    """12-bit JPEG (round 8): level shift and sample range follow the
+    frame precision, the plane rescales to the uniform [0, 255] contract.
+    Flat images have a closed-form decode (the only nonzero coefficient
+    is the quantized DC); at the same quality the 16x-finer quantization
+    reconstructs a noise image far closer to the original than the 8-bit
+    encode does."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_luma,
+        encode_jpeg_gray,
+        encode_jpeg_gray12,
+    )
+
+    for v, qual in [(1000, 90), (3000, 90), (2048, 75), (100, 50)]:
+        img = np.full((16, 24), v, np.uint16)
+        w, h, nc, luma = decode_jpeg(encode_jpeg_gray12(img, qual))
+        scale = 5000 // qual if qual < 50 else 200 - 2 * qual
+        q0 = max(1, min(255, (16 * scale + 50) // 100))
+        px = (
+            np.clip(round(8 * (v - 2048) / q0) * q0 / 8 + 2048, 0, 4095)
+            * 255 / 4095
+        )
+        assert (w, h, nc) == (24, 16, 1)
+        assert luma == round(px / 255, 6), (v, qual)
+
+    rng = np.random.default_rng(7)
+    img8 = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    d8 = decode_jpeg_luma(encode_jpeg_gray(img8, 90)).astype(float)
+    d12 = decode_jpeg_luma(
+        encode_jpeg_gray12(img8.astype(np.uint16) * 16 + 8, 90)
+    ).astype(float)
+    assert np.abs(d12 - img8).mean() < np.abs(d8 - img8).mean() / 4
+
+
 def test_progressive_jpeg_hand_constructed_stream():
     """Decoder-only golden: a spec-exact progressive stream whose entropy
     bytes were computed BY HAND from T.81 (identity quant table, one 8x8
