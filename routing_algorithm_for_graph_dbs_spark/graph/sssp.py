@@ -246,6 +246,7 @@ def multi_source_dijkstra(
     with superstep_confs(edges.sparkSession, n_parts):
         it, n_frontier = -1, 0  # max_iterations=0: zero supersteps, converged
         for it in range(max_iterations):
+            done_now: set = set()  # lanes retiring THIS superstep (filter once)
             # relax: candidate distances through the current frontier. String
             # aliases (not DataFrame column refs) keep the join unambiguous when
             # a non-checkpointed frontier still carries e's attribute ids from
@@ -393,15 +394,22 @@ def multi_source_dijkstra(
                             done_now = {
                                 lane
                                 for lane, fm in fmin.items()
-                                if _lane_done(lane, fm)
+                                if lane not in retired_lanes
+                                and _lane_done(lane, fm)
                             }
                             if done_now:
                                 retired_lanes |= done_now
             best = merged.drop("is_frontier")
             frontier = merged.filter("is_frontier").select(*frontier_cols)
-            if retired_lanes:
+            if done_now:
+                # Drop a retired lane's rows ONCE, the superstep it retires:
+                # a lane's frontier derives only from its own previous
+                # frontier rows, so a lane filtered here can never reappear
+                # — no need to re-apply the cumulative retired set (whose
+                # IN-list would grow O(|retired|) per superstep at large
+                # lane counts).
                 frontier = frontier.filter(
-                    ~F.col("lane").isin(sorted(retired_lanes))
+                    ~F.col("lane").isin(sorted(done_now))
                 )
             # between checkpoints (checkpoint_every>1) convergence goes
             # unchecked; the extra relaxation on an empty frontier is a no-op.

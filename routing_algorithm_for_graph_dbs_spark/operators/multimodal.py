@@ -226,8 +226,9 @@ def image_features(
     ``image/bmp`` payloads get the REAL pure-Python decoder
     (:func:`decode_bmp`), ``image/jpeg`` the REAL baseline-JPEG decoder
     (``operators/jpeg.py decode_jpeg`` — full Huffman entropy decode,
-    baseline and progressive, exact IDCT of the Y channel;
-    arithmetic-coded/12-bit modes raise there), and ``image/png`` payloads carrying a real PNG signature the
+    baseline, extended-sequential 12-bit, and progressive, exact IDCT of
+    the Y channel; arithmetic-coded/lossless/hierarchical modes raise
+    there), and ``image/png`` payloads carrying a real PNG signature the
     REAL PNG decoder (``operators/png.py decode_png`` — stdlib-zlib
     inflate + scanline unfiltering, every legal depth/color/interlace
     combination). The

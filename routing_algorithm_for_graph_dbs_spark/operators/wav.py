@@ -244,7 +244,9 @@ def _decode_g711(data: bytes, n_channels: int, mu: bool) -> np.ndarray:
         x = sign * ((((mant << 3) + 0x84) << exp) - 0x84)
     else:
         a = u ^ 0x55
-        sign = np.where(a & 0x80, -1, 1)
+        # A-law sign convention is INVERTED vs mu-law: after ^0x55, bit7
+        # SET means positive (Sun g711.c / audioop: 0x55 -> -8, 0xD5 -> +8).
+        sign = np.where(a & 0x80, 1, -1)
         exp = (a >> 4) & 7
         mant = a & 0xF
         x = sign * np.where(

@@ -2747,8 +2747,9 @@ def test_wav_ms_adpcm_decode_golden():
 def test_wav_g711_decode_golden():
     """G.711 (formats 7/6, round 8): the published reference expansions —
     mu-law 0xFF/0x7F are plus/minus zero, 0x80 is the +32124 full scale,
-    0xEF expands to +132; A-law 0x55/0xD5 are the +-8 minimum, 0x2A/0xAA
-    the +-32256 full scale."""
+    0xEF expands to +132; A-law 0x55/0xD5 are the -8/+8 minimum (after
+    ^0x55 the sign bit SET means positive — audioop convention),
+    0x2A/0xAA the -32256/+32256 full scale."""
     import struct as _struct
 
     import numpy as np
@@ -2769,7 +2770,7 @@ def test_wav_g711_decode_golden():
     assert sr == 8000
     assert [int(v * 32768) for v in x[:, 0]] == [0, 0, 32124, -32124, 132]
     y, _ = decode_wav_samples(g711_wav(6, bytes([0x55, 0xD5, 0x2A, 0xAA])))
-    assert [int(v * 32768) for v in y[:, 0]] == [8, -8, 32256, -32256]
+    assert [int(v * 32768) for v in y[:, 0]] == [-8, 8, -32256, 32256]
 
 
 def test_audio_features_g711_real_in_pipeline(spark):
