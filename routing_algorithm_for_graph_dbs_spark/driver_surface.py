@@ -6575,20 +6575,27 @@ def mm_jpeg_roundtrip(spark, sf_dir):
            CAST(320 + (doc_id % 5) * 64 AS BIGINT) AS width,
            CAST(180 + (doc_id % 5) * 36 AS BIGINT) AS height,
            CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+           CAST(24 + (doc_id % 7) * 12 AS BIGINT) AS n_frames,
+           CAST(CASE ((doc_id - 2) // 3) % 3
+                WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END AS DOUBLE) AS fps,
            'mp4' AS parser
     FROM documents WHERE doc_id % 3 = 2
     """,
 )
 def mm_mp4_metadata(spark, sf_dir):
-    """REAL-parser cross-engine check, video half (round 8):
-    synth_mp4_media mints standard-conformant ISO-BMFF bytes per video
-    doc (ftyp + moov{mvhd, traks} + mdat) and video_metadata parses them
-    for real (strict=True: no fake fallback) — duration from mvhd's
-    timescale-scaled duration, dimensions from the visual track's 16.16
-    fixed-point tkhd fields, track count from the trak boxes. The oracle
-    states every field in closed form from the build parameters. Frame
-    DECODE stays the honest boundary; the metadata a pipeline filters
-    and plans on is real."""
+    """REAL-parser cross-engine check, video half (round 8; round 9
+    extends to the sample tables): synth_mp4_media mints
+    standard-conformant ISO-BMFF bytes per video doc (ftyp + moov{mvhd,
+    trak{tkhd, mdia{mdhd, minf{stbl{stts, stsz}}}}} + mdat) and
+    video_metadata parses them for real (strict=True: no fake fallback)
+    — duration from mvhd's timescale-scaled duration, dimensions from
+    the visual track's 16.16 fixed-point tkhd fields, track count from
+    the trak boxes, and NEW: frame count from the stts entry sum
+    (cross-checked against stsz's sample_count) with fps from count over
+    mdhd-timescale-scaled stts ticks — the fields a video-filtering
+    pipeline actually thresholds on. The oracle states every field in
+    closed form from the build parameters. Frame DECODE stays the honest
+    boundary; the metadata a pipeline filters and plans on is real."""
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
         synth_mp4_media,
         video_metadata,
@@ -6606,5 +6613,139 @@ def mm_mp4_metadata(spark, sf_dir):
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.col("n_tracks").cast("long").alias("n_tracks"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        "fps",
         "parser",
+    )
+
+
+@_register(
+    "mm_mp3_metadata",
+    """
+    WITH au AS (
+      SELECT doc_id AS media_id,
+             8 + n_chars % 40 AS nf,
+             CASE ((doc_id - 1) // 3) % 7
+               WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128
+               WHEN 3 THEN 160 WHEN 4 THEN 192 WHEN 5 THEN 256
+               ELSE 320 END AS br,
+             CASE doc_id % 9
+               WHEN 1 THEN 44100 WHEN 4 THEN 48000 ELSE 32000 END AS rate,
+             doc_id % 2 AS odd,
+             CASE WHEN doc_id % 5 = 0 THEN 128 ELSE 0 END AS id3v1
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           -- frame bytes via the public Layer III length formula
+           -- floor(144 * bitrate / rate), no padding bit, plus the
+           -- ID3v2 (10 hdr + 32 body) and ID3v1 (128) tag sizes
+           CAST(nf * (144 * br * 1000 // rate)
+                + CASE WHEN odd = 1 THEN 42 ELSE 0 END
+                + id3v1 AS BIGINT) AS n_bytes,
+           '1' AS mpeg_version,
+           CAST(3 AS INTEGER) AS layer,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(br AS INTEGER) AS bitrate_kbps,
+           CAST(nf AS INTEGER) AS n_frames,
+           -- 1152 samples per MPEG-1 Layer III frame; never a .5 tie
+           -- (44100 = 4*odd, 48000/32000 divide 1152000 exactly)
+           CAST(FLOOR(nf * 1152 * 1000.0 / rate + 0.5) AS BIGINT)
+             AS duration_ms,
+           CAST(FALSE AS BOOLEAN) AS vbr,
+           CASE WHEN odd = 0 THEN 'stereo' ELSE 'mono' END AS channel_mode,
+           'mp3' AS parser
+    FROM au
+    """,
+)
+def mm_mp3_metadata(spark, sf_dir):
+    """REAL-parser cross-engine check, compressed-audio half (round 9):
+    synth_mp3_media mints conformant CBR MPEG-1 Layer III streams
+    (correct frame-header bitrate/rate/mode bits, frame lengths from the
+    public formula, ID3v2/ID3v1 tags on sub-cycles) and mp3_metadata
+    walks EVERY frame header for real (strict=True: no fake fallback) —
+    version/layer from the header bits, duration from the frame count
+    times 1152 samples over the rate, total bytes via the length
+    formula. The oracle states each field in closed form from the build
+    parameters, so any bitrate-table, length-formula, tag-skip or
+    sync-walk bug breaks the hash. Sample DECODE stays the honest
+    boundary (needs a codec library); the metadata the dominant
+    real-crawl audio format is filtered on is now real."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        mp3_metadata,
+        synth_mp3_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_mp3_media(docs))
+    return mp3_metadata(media, strict=True).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "mpeg_version",
+        "layer",
+        "sample_rate",
+        "bitrate_kbps",
+        "n_frames",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "vbr",
+        "channel_mode",
+        "parser",
+    )
+
+
+@_register(
+    "mm_g711_roundtrip",
+    """
+    WITH au AS (
+      SELECT doc_id AS media_id,
+             2 + n_chars % 30 AS k,
+             -- full-scale G.711 expansions: mu-law (even ids) +-32124,
+             -- A-law (odd ids) +-32256
+             CASE WHEN doc_id % 2 = 0 THEN 32124.0 ELSE 32256.0 END AS amp
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           CAST(44 + 8 * k AS BIGINT) AS n_bytes,
+           FLOOR(amp / 32768.0 * 1e6 + 0.5) / 1e6 AS rms,
+           -- 5 positive / 3 negative full-scale samples per period-8
+           -- cycle: mean = amp/4 (sign-SENSITIVE — a companding sign
+           -- bug flips it; RMS/zc are invariant)
+           FLOOR(amp / 131072.0 * 1e6 + 0.5) / 1e6 AS mean_amplitude,
+           CAST(2 * k - 1 AS BIGINT) AS zero_crossings,
+           CAST(k AS BIGINT) AS duration_ms,
+           'wav' AS decoder
+    FROM au
+    """,
+)
+def mm_g711_roundtrip(spark, sf_dir):
+    """REAL-codec cross-engine check, companded-telephony half (round
+    9, the A-law sign-convention regression guard): synth_g711_media
+    encodes full-scale 5-positive/3-negative period-8 patterns as real
+    G.711 mu-law/A-law WAV bytes, audio_features really expands them by
+    the published tables (strict=True: no fake fallback), and the
+    oracle states RMS, the sign-sensitive mean amplitude, zero
+    crossings, and duration in closed form. A-law's inverted sign
+    convention (after ^0x55, bit7 SET = positive) is exactly what the
+    mean-amplitude column catches — RMS and zero crossings are
+    invariant to a global negation."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+        synth_g711_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_g711_media(docs))
+    return audio_features(media, strict=True).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "rms",
+        "mean_amplitude",
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "decoder",
     )

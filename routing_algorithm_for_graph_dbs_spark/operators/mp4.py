@@ -51,12 +51,67 @@ def _boxes(payload: bytes, pos: int, end: int):
         pos += size
 
 
+def _parse_stbl(payload: bytes, tbody: int, tend: int):
+    """Walk one trak's mdia for (media_timescale, stts entries, stsz
+    sample count). Returns (timescale, n_frames, total_ticks) or None if
+    the trak carries no sample table (the round-8 minimal traks)."""
+    for mtype, mbody, mend in _boxes(payload, tbody, tend):
+        if mtype != b"mdia":
+            continue
+        timescale = None
+        n_stts = total_ticks = None
+        n_stsz = None
+        for ctype, cbody, cend in _boxes(payload, mbody, mend):
+            if ctype == b"mdhd":
+                ver = payload[cbody]
+                if ver == 1:
+                    (timescale,) = struct.unpack_from(">I", payload, cbody + 4 + 16)
+                else:
+                    (timescale,) = struct.unpack_from(">I", payload, cbody + 4 + 8)
+            elif ctype == b"minf":
+                for stype, sbody, send in _boxes(payload, cbody, cend):
+                    if stype != b"stbl":
+                        continue
+                    for xtype, xbody, _xend in _boxes(payload, sbody, send):
+                        if xtype == b"stts":
+                            (n_ent,) = struct.unpack_from(">I", payload, xbody + 4)
+                            n_stts = total_ticks = 0
+                            for i in range(n_ent):
+                                cnt, delta = struct.unpack_from(
+                                    ">II", payload, xbody + 8 + 8 * i
+                                )
+                                n_stts += cnt
+                                total_ticks += cnt * delta
+                        elif xtype == b"stsz":
+                            # sample_size u32 (0 = per-sample table),
+                            # sample_count u32
+                            _ss, n_stsz = struct.unpack_from(
+                                ">II", payload, xbody + 4
+                            )
+        if n_stts is None and n_stsz is None:
+            return None
+        if n_stts is not None and n_stsz is not None and n_stts != n_stsz:
+            raise ValueError(
+                f"stts sample count {n_stts} != stsz sample count {n_stsz}"
+            )
+        if timescale in (None, 0):
+            raise ValueError("sample table without a usable mdhd timescale")
+        return timescale, (n_stts if n_stts is not None else n_stsz), total_ticks
+    return None
+
+
 def parse_mp4_metadata(payload: bytes):
-    """Parse ``(brand, duration_ms, width, height, n_tracks)`` from the
-    ISO-BMFF box structure. Width/height come from the first track whose
-    tkhd carries nonzero dimensions (visual tracks; audio tracks store
-    zero) and are 16.16 fixed-point, returned rounded to int.
-    ``duration_ms`` is mvhd duration scaled by its timescale, rounded.
+    """Parse ``(brand, duration_ms, width, height, n_tracks, n_frames,
+    fps)`` from the ISO-BMFF box structure. Width/height come from the
+    first track whose tkhd carries nonzero dimensions (visual tracks;
+    audio tracks store zero) and are 16.16 fixed-point, returned rounded
+    to int. ``duration_ms`` is mvhd duration scaled by its timescale,
+    rounded. ``n_frames``/``fps`` (round 9) come from the visual track's
+    sample tables — frame count as the stts entry-count sum
+    (cross-checked against stsz's sample_count when both exist), fps as
+    count over stts total ticks scaled by the mdhd media timescale — the
+    fields a video-filtering pipeline actually thresholds on. Tracks
+    without sample tables (metadata-only files) report ``(0, 0.0)``.
     Raises ``ValueError`` on malformed framing or a missing moov."""
     if not is_mp4(payload):
         raise ValueError("not an ISO-BMFF payload (missing ftyp)")
@@ -64,6 +119,7 @@ def parse_mp4_metadata(payload: bytes):
     duration_ms = None
     width = height = 0
     n_tracks = 0
+    n_frames, fps = 0, 0.0
     for btype, body, bend in _boxes(payload, 0, len(payload)):
         if btype == b"ftyp":
             brand = payload[body : body + 4].decode("latin-1")
@@ -84,6 +140,7 @@ def parse_mp4_metadata(payload: bytes):
                     duration_ms = int(round(duration * 1000.0 / timescale))
                 elif ctype == b"trak":
                     n_tracks += 1
+                    visual = False
                     for ttype, tbody, _tend in _boxes(payload, cbody, cend):
                         if ttype != b"tkhd":
                             continue
@@ -96,9 +153,16 @@ def parse_mp4_metadata(payload: bytes):
                         if (width, height) == (0, 0) and (w_fx or h_fx):
                             width = int(round(w_fx / 65536.0))
                             height = int(round(h_fx / 65536.0))
+                            visual = True
+                    if visual:
+                        stbl = _parse_stbl(payload, cbody, cend)
+                        if stbl is not None:
+                            mts, n_frames, ticks = stbl
+                            if ticks:
+                                fps = n_frames * mts / ticks
     if duration_ms is None:
         raise ValueError("MP4 missing moov/mvhd")
-    return brand, duration_ms, width, height, n_tracks
+    return brand, duration_ms, width, height, n_tracks, n_frames, fps
 
 
 def _box(btype: bytes, body: bytes) -> bytes:
@@ -112,11 +176,19 @@ def build_mp4(
     n_audio_tracks: int = 0,
     brand: str = "isom",
     mdat_bytes: int = 16,
+    n_frames: int = 0,
+    fps: float = 0.0,
+    frame_bytes: int = 256,
 ) -> bytes:
     """Mint minimal standard-conformant MP4 bytes: ftyp + moov{mvhd,
     one visual trak, ``n_audio_tracks`` dimensionless traks} + mdat.
     Timescale is fixed at 1000, so ``duration_ms`` roundtrips exactly —
-    the closed form the cross-engine oracle leans on."""
+    the closed form the cross-engine oracle leans on. With ``n_frames``
+    > 0 the visual trak also carries mdia{mdhd, minf{stbl{stts, stsz}}}:
+    media timescale = round(fps * 1000), one stts entry of ``n_frames``
+    samples at delta 1000 ticks (so the parsed fps roundtrips exactly
+    for fps values with ≤3 decimals) and a constant-size stsz declaring
+    the same count."""
     mvhd = _box(
         b"mvhd",
         struct.pack(">BxxxIIII", 0, 0, 0, 1000, int(duration_ms))
@@ -138,7 +210,23 @@ def build_mp4(
             + struct.pack(">II", w << 16, h << 16),
         )
 
-    traks = _box(b"trak", tkhd(1, width, height))
+    visual = tkhd(1, width, height)
+    if n_frames > 0:
+        mts = int(round(fps * 1000))
+        mdhd = _box(
+            b"mdhd",
+            struct.pack(">BxxxIIII", 0, 0, 0, mts, n_frames * 1000)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+        )
+        stts = _box(
+            b"stts", struct.pack(">BxxxI", 0, 1) + struct.pack(">II", n_frames, 1000)
+        )
+        stsz = _box(
+            b"stsz", struct.pack(">BxxxII", 0, frame_bytes, n_frames)
+        )
+        stbl = _box(b"stbl", stts + stsz)
+        visual += _box(b"mdia", mdhd + _box(b"minf", stbl))
+    traks = _box(b"trak", visual)
     for i in range(n_audio_tracks):
         traks += _box(b"trak", tkhd(2 + i, 0, 0))
     moov = _box(b"moov", mvhd + traks)

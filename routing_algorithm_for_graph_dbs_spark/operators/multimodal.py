@@ -319,12 +319,15 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("sha256", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("rms", T.DoubleType(), False),
-        T.StructField("zero_crossings", T.LongType(), False),
-        T.StructField("duration_ms", T.LongType(), True),  # wav path only
-        T.StructField("sample_rate", T.IntegerType(), True),  # wav path only
+        T.StructField("rms", T.DoubleType(), True),  # null on mp3-meta
+        T.StructField("mean_amplitude", T.DoubleType(), True),  # sign-
+        # sensitive (round 9): the one feature that catches a companding
+        # sign-convention bug RMS/zc/centroid are invariant to
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),  # wav/mp3 paths
+        T.StructField("sample_rate", T.IntegerType(), True),  # wav/mp3
         T.StructField("spectral_centroid_hz", T.DoubleType(), True),  # wav
-        T.StructField("decoder", T.StringType(), False),  # wav | fake
+        T.StructField("decoder", T.StringType(), False),  # wav|mp3-meta|fake
     ]
 )
 
@@ -335,11 +338,19 @@ def audio_features(
     """Arrow-batched audio feature extraction (same plumbing contract as
     ``image_features``). Payloads carrying a real RIFF/WAVE signature get
     the REAL integer-PCM decoder (``operators/wav.py decode_wav``) —
-    true RMS, zero-crossing count, duration and sample rate; float/ADPCM
-    WAV and compressed codecs raise there. Other payloads use the
+    true RMS, zero-crossing count, duration and sample rate (the full
+    PCM family: int/float PCM, IMA/MS ADPCM, G.711). Payloads sniffing
+    as MPEG audio get a REAL frame-header metadata walk
+    (``operators/mp3.py``, round 9): duration and sample rate are real,
+    sample-derived stats are null, decoder='mp3-meta' — sample decode of
+    compressed audio is the honest boundary. Other payloads use the
     deterministic sha256 fake (nulls for duration/rate), and with
-    ``strict=True`` raise NotImplementedError instead — the remaining
-    codec boundary (a real deployment plugs librosa/ffmpeg)."""
+    ``strict=True`` raise NotImplementedError instead (a real deployment
+    plugs librosa/ffmpeg)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import (
+        is_mp3,
+        parse_mp3_metadata,
+    )
     from routing_algorithm_for_graph_dbs_spark.operators.wav import (
         decode_wav_samples,
         is_wav,
@@ -356,6 +367,7 @@ def audio_features(
                 b = bytes(payload) if payload is not None else b""
                 hx = hashlib.sha256(b).hexdigest()
                 decoded = None
+                mp3_meta = None
                 if is_wav(b):
                     # decode ONCE; derive every feature from the samples
                     # (decode_wav's scalar stats re-parse the payload).
@@ -367,21 +379,39 @@ def audio_features(
                     except DECODE_ERRORS:
                         if strict:
                             raise
+                elif is_mp3(b):
+                    # MPEG audio: sample decode needs a codec library
+                    # (the honest boundary), but the frame-header walk
+                    # gives REAL duration and sample rate — the fields a
+                    # pipeline plans on for the dominant crawl format.
+                    try:
+                        mp3_meta = parse_mp3_metadata(b)
+                    except DECODE_ERRORS:
+                        if strict:
+                            raise
                 if decoded is not None:
                     x, rate = decoded
                     nf = x.shape[0]
                     dur = int(round(nf * 1000.0 / rate))
                     if nf == 0:
-                        rms, zc, sc = 0.0, 0, 0.0
+                        rms, mean_amp, zc, sc = 0.0, 0.0, 0, 0.0
                     else:
                         rms = round(float(np.sqrt(np.mean(np.square(x)))), 6)
+                        mean_amp = round(float(np.mean(x)), 6)
                         mono = x.mean(axis=1)
                         zc = int(np.count_nonzero(mono[1:] * mono[:-1] < 0))
                         sc = spectral_centroid(x, rate)
                     # floor-rounded for cross-engine-exact comparisons
                     sc = float(np.floor(sc * 1e6 + 0.5) / 1e6)
                     rows.append(
-                        (int(mid), hx, len(b), rms, zc, dur, rate, sc, "wav")
+                        (int(mid), hx, len(b), rms, mean_amp, zc, dur, rate,
+                         sc, "wav")
+                    )
+                elif mp3_meta is not None:
+                    _v, _l, rate, _kbps, _nf, dur, _vbr, _mode = mp3_meta
+                    rows.append(
+                        (int(mid), hx, len(b), None, None, None, dur, rate,
+                         None, "mp3-meta")
                     )
                 elif strict:
                     raise NotImplementedError(
@@ -396,6 +426,7 @@ def audio_features(
                             hx,
                             len(b),
                             round(d[3] / 255.0, 6),
+                            round(d[6] / 255.0 - 0.5, 6),
                             int.from_bytes(d[4:6], "big"),
                             None,
                             None,
@@ -410,6 +441,7 @@ def audio_features(
                     "sha256",
                     "n_bytes",
                     "rms",
+                    "mean_amplitude",
                     "zero_crossings",
                     "duration_ms",
                     "sample_rate",
@@ -493,6 +525,55 @@ def synth_wav_tones(docs: DataFrame) -> DataFrame:
                 pat = [a, -a] if int(p) == 2 else [a, a, -a, -a]
                 wave = np.tile(np.array(pat, dtype=np.float64), int(n) // int(p))
                 payloads.append(encode_wav(wave, 1000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_g711_media(docs: DataFrame) -> DataFrame:
+    """REAL G.711-companded WAV payloads with closed-form decoded stats.
+
+    Each audio-kind doc becomes a mono 8 kHz G.711 stream — mu-law
+    (format 7) for even doc_ids, A-law (format 6) for odd — of k
+    period-8 cycles of 5 full-scale-positive then 3 full-scale-negative
+    samples. Full scale decodes to exactly +-32124 (mu) / +-32256 (A) by
+    the published expansions, so RMS = amp/32768, mean = amp/131072
+    (sign-SENSITIVE: a companding sign bug flips it — the round-9 A-law
+    regression guard), zero crossings = 2k-1, duration = k ms — all
+    closed-form for the cross-engine oracle, no value on a rounding tie.
+    Positive bytes: 0x80 (mu: complement 0x7F, sign clear), 0xAA (A:
+    ^0x55 = 0xFF, sign SET — the inverted-vs-mu convention)."""
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (2 + F.col("n_chars") % 30).cast("int").alias("k"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, k in zip(pdf["media_id"], pdf["k"]):
+                mu = int(mid) % 2 == 0
+                pos, neg = (0x80, 0x00) if mu else (0xAA, 0x2A)
+                data = bytes([pos] * 5 + [neg] * 3) * int(k)
+                fmt = struct.pack(
+                    "<HHIIHH", 7 if mu else 6, 1, 8000, 8000, 1, 8
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(body)) + body
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -616,14 +697,32 @@ def synth_mp4_media(docs: DataFrame) -> DataFrame:
         (320 + (F.col("doc_id") % 5) * 64).cast("int").alias("w"),
         (180 + (F.col("doc_id") % 5) * 36).cast("int").alias("h"),
         (F.col("doc_id") % 2).cast("int").alias("n_audio"),
+        # round 9: real sample tables — frame count and fps cycle in
+        # closed form for the oracle (fps from {24, 25, 30}; the index
+        # uses doc_id//3 because doc_id % 3 is pinned to 2 by the filter)
+        (24 + (F.col("doc_id") % 7) * 12).cast("int").alias("nf"),
     )
+
+    _FPS = (24.0, 25.0, 30.0)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                build_mp4(int(d), int(w), int(h), n_audio_tracks=int(a))
-                for d, w, h, a in zip(
-                    pdf["dur"], pdf["w"], pdf["h"], pdf["n_audio"]
+                build_mp4(
+                    int(d),
+                    int(w),
+                    int(h),
+                    n_audio_tracks=int(a),
+                    n_frames=int(nf),
+                    fps=_FPS[(int(mid) // 3) % 3],
+                )
+                for mid, d, w, h, a, nf in zip(
+                    pdf["media_id"],
+                    pdf["dur"],
+                    pdf["w"],
+                    pdf["h"],
+                    pdf["n_audio"],
+                    pdf["nf"],
                 )
             ]
             yield pd.DataFrame(
@@ -678,7 +777,7 @@ def video_metadata(
                         raise
                     parsed = None
                 if parsed is not None:
-                    brand, dur, w, h, n_trk = parsed
+                    brand, dur, w, h, n_trk, n_frames, fps = parsed
                     parser = "mp4"
                 else:
                     if strict:
@@ -692,6 +791,8 @@ def video_metadata(
                     dur = (d[3] * 256 + d[4]) * 10
                     w, h = 64 + d[0] % 192, 64 + d[1] % 192
                     n_trk = 1 + d[5] % 3
+                    n_frames = 1 + d[6]
+                    fps = float((24, 25, 30)[d[7] % 3])
                     parser = "fake"
                 rows.append(
                     (
@@ -703,6 +804,8 @@ def video_metadata(
                         int(w),
                         int(h),
                         int(n_trk),
+                        int(n_frames),
+                        float(fps),
                         parser,
                     )
                 )
@@ -710,7 +813,8 @@ def video_metadata(
                 rows,
                 columns=[
                     "media_id", "sha256", "n_bytes", "brand", "duration_ms",
-                    "width", "height", "n_tracks", "parser",
+                    "width", "height", "n_tracks", "n_frames", "fps",
+                    "parser",
                 ],
             )
 
@@ -721,7 +825,146 @@ def video_metadata(
         schema=(
             "media_id long, sha256 string, n_bytes long, brand string,"
             " duration_ms long, width int, height int, n_tracks int,"
-            " parser string"
+            " n_frames int, fps double, parser string"
+        ),
+    )
+
+
+def synth_mp3_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL MPEG-audio payloads from the documents table.
+
+    Each audio-kind doc becomes a CBR MPEG-1 Layer III stream
+    (``operators/mp3.py build_mp3``: conformant frame headers, zeroed
+    payloads) whose bitrate / sample rate / channel mode / frame count
+    cycle in closed form on doc_id, with ID3v2 and ID3v1 tags toggling
+    on sub-cycles to exercise the skip paths. Every parsed field —
+    including total n_bytes via the frame-length formula
+    floor(144*bitrate/rate)*n_frames — is SQL-predictable, so the
+    cross-engine oracle checks the real header walk end-to-end."""
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import build_mp3
+
+    _BR = (64, 96, 128, 160, 192, 256, 320)
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (8 + F.col("n_chars") % 40).cast("int").alias("nf"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, nf in zip(pdf["media_id"], pdf["nf"]):
+                mid = int(mid)
+                payloads.append(
+                    build_mp3(
+                        int(nf),
+                        bitrate_kbps=_BR[(mid // 3) % 7],
+                        sample_rate=(44100, 48000, 32000)[(mid % 9) // 3],
+                        mode="stereo" if mid % 2 == 0 else "mono",
+                        id3v2_bytes=32 if mid % 2 == 1 else 0,
+                        id3v1=mid % 5 == 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "audio/mpeg",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def mp3_metadata(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched MPEG-audio METADATA extraction (same plumbing
+    contract as ``video_metadata`` — the audio analog of the ISO-BMFF
+    split). Payloads that sniff as MPEG audio (ID3v2 tag or valid frame
+    sync) get the REAL frame-header walk (``operators/mp3.py``,
+    parser='mp3'): version, layer, sample rate, average bitrate, frame
+    count, duration, VBR flag, channel mode — the fields an audio
+    pipeline filters and plans on. Sample DECODE stays the honest
+    boundary. Non-MPEG payloads take the deterministic sha256 fake, or
+    raise under ``strict=True``; a payload that sniffs MPEG but has
+    corrupt framing falls to the fake the same way. Map-side only — the
+    payload column never crosses a shuffle."""
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import (
+        is_mp3,
+        parse_mp3_metadata,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_mp3(b):
+                        parsed = parse_mp3_metadata(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    ver, layer, rate, kbps, n_frames, dur, vbr, mode = parsed
+                    parser = "mp3"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real audio metadata needs MPEG framing — this"
+                            " payload has none (sample decode itself needs"
+                            " a codec library, not in this container)"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    ver, layer = "1", 3
+                    rate = (44100, 48000, 32000)[d[0] % 3]
+                    kbps = (64, 128, 192, 320)[d[1] % 4]
+                    n_frames = 1 + d[2]
+                    dur = int(round(n_frames * 1152 * 1000.0 / rate))
+                    vbr = False
+                    mode = ("stereo", "mono")[d[4] % 2]
+                    parser = "fake"
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        ver,
+                        int(layer),
+                        int(rate),
+                        int(kbps),
+                        int(n_frames),
+                        int(dur),
+                        bool(vbr),
+                        mode,
+                        parser,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "mpeg_version", "layer",
+                    "sample_rate", "bitrate_kbps", "n_frames", "duration_ms",
+                    "vbr", "channel_mode", "parser",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, mpeg_version"
+            " string, layer int, sample_rate int, bitrate_kbps int,"
+            " n_frames int, duration_ms long, vbr boolean, channel_mode"
+            " string, parser string"
         ),
     )
 

@@ -2846,10 +2846,23 @@ def test_mp4_metadata_parser_golden():
 
     b = build_mp4(12345, 1920, 1080, n_audio_tracks=1)
     assert is_mp4(b)
-    assert parse_mp4_metadata(b) == ("isom", 12345, 1920, 1080, 2)
+    assert parse_mp4_metadata(b) == ("isom", 12345, 1920, 1080, 2, 0, 0.0)
     assert parse_mp4_metadata(build_mp4(500, 640, 360)) == (
-        "isom", 500, 640, 360, 1,
+        "isom", 500, 640, 360, 1, 0, 0.0,
     )
+    # round 9: sample tables — frame count from stts (validated against
+    # stsz), fps from mdhd timescale over stts ticks
+    assert parse_mp4_metadata(
+        build_mp4(10000, 640, 360, n_frames=240, fps=24.0)
+    ) == ("isom", 10000, 640, 360, 1, 240, 24.0)
+    assert parse_mp4_metadata(
+        build_mp4(8008, 1280, 720, n_frames=240, fps=29.97)
+    )[5:] == (240, 29.97)
+    corrupt = bytearray(build_mp4(1000, 64, 64, n_frames=10, fps=25.0))
+    i = corrupt.find(b"stsz")
+    corrupt[i + 12 : i + 16] = _struct.pack(">I", 11)
+    with _pytest.raises(ValueError, match="stsz"):
+        parse_mp4_metadata(bytes(corrupt))
 
     ident = _struct.pack(
         ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
@@ -2872,12 +2885,83 @@ def test_mp4_metadata_parser_golden():
         _box(b"ftyp", b"mp42" + _struct.pack(">I", 0))
         + _box(b"moov", mvhd1 + _box(b"trak", tkhd1))
     )
-    assert parse_mp4_metadata(p) == ("mp42", 7000, 320, 240, 1)
+    assert parse_mp4_metadata(p) == ("mp42", 7000, 320, 240, 1, 0, 0.0)
 
     with _pytest.raises(ValueError, match="ftyp"):
         parse_mp4_metadata(b"\x00\x00\x00\x08free")
     with _pytest.raises(ValueError):
         parse_mp4_metadata(build_mp4(1, 2, 2)[:40])  # truncated box
+
+
+def test_mp3_metadata_golden():
+    """MPEG audio header walk (round 9): the canonical FF FB 90 00
+    header (MPEG-1 Layer III, 128 kbps, 44.1 kHz, stereo, no CRC) and
+    the public length formula floor(144*128000/44100) = 417; duration,
+    version/layer/rate variants, Xing VBR declaration, ID3v2/ID3v1 tag
+    skips, and loud failures on truncation, mid-stream parameter
+    changes, and trailing garbage."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import (
+        build_mp3,
+        is_mp3,
+        parse_mp3_metadata,
+    )
+
+    p = build_mp3(38)
+    assert is_mp3(p)
+    assert p[:4] == bytes([0xFF, 0xFB, 0x90, 0x00])
+    assert len(p) == 38 * 417
+    # 38 frames * 1152 samples / 44100 Hz = 992.65... ms
+    assert parse_mp3_metadata(p) == ("1", 3, 44100, 128, 38, 993, False, "stereo")
+
+    # Xing-tagged VBR: declared frame count wins, placeholder frame
+    # excluded from the byte-average bitrate; ID3 tags are skipped
+    v = build_mp3(100, xing=True, id3v2_bytes=64, id3v1=True)
+    ver, layer, rate, kbps, nf, dur, vbr, mode = parse_mp3_metadata(v)
+    assert (nf, dur, vbr) == (100, 2612, True)
+    assert kbps == 128  # zero-padded CBR frames average back to nominal
+
+    # MPEG-2 Layer III: 576 samples/frame, low-rate bitrate table
+    assert parse_mp3_metadata(
+        build_mp3(20, bitrate_kbps=64, sample_rate=22050, mode="mono", version="2")
+    ) == ("2", 3, 22050, 64, 20, 522, False, "mono")
+    # Layer I: 384 samples/frame, slot size 4
+    assert parse_mp3_metadata(
+        build_mp3(10, bitrate_kbps=448, sample_rate=32000, layer=1)
+    ) == ("1", 1, 32000, 448, 10, 120, False, "stereo")
+
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_mp3_metadata(p[:100])
+    with _pytest.raises(ValueError, match="sync"):
+        parse_mp3_metadata(p + b"garbage!")
+    mixed = build_mp3(3) + build_mp3(3, sample_rate=48000)
+    with _pytest.raises(ValueError, match="mid-stream"):
+        parse_mp3_metadata(mixed)
+    assert not is_mp3(b"RIFF....WAVE")
+
+
+def test_mp3_metadata_in_audio_features(spark):
+    """An MPEG payload in the audio pipeline takes the metadata walk:
+    real duration/sample-rate, null sample stats, decoder='mp3-meta' —
+    while sample decode stays the strict-mode boundary for genuinely
+    undecodable (non-MPEG, non-WAV) payloads."""
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import build_mp3
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    payload = build_mp3(38)  # 993 ms at 44.1 kHz
+    media = spark.createDataFrame(
+        [(1, "audio", payload, "audio/mpeg", (None, None, None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    got = audio_features(media, strict=True).collect()[0]
+    assert got["decoder"] == "mp3-meta"
+    assert (got["duration_ms"], got["sample_rate"]) == (993, 44100)
+    assert got["rms"] is None and got["zero_crossings"] is None
+    assert got["mean_amplitude"] is None
 
 
 def test_video_metadata_real_and_fake_in_pipeline(spark):
