@@ -69,12 +69,15 @@ Scale shape: one aggregation job per graph — the edge relation joined
 to the three-column stoptime map and grouped to (stop-pair, departure)
 rows, i.e. the STOP-level connection timetable, O(|grouped
 connections|) not O(|expanded edges|) — Arrow-collected once and
-memoized on the ProjectedGraph like ``edge_count``. At city-year scale
-pass ``bucket_s`` to coarsen keys into buckets (keys round UP — a
-connection only becomes available EARLIER than truth; vals keep the
-bucket min — still admissible) which caps the staircase at
-|stop-pairs| x |active buckets|. Per lane, one SPFA over ~10^3 stops
-driver-side (milliseconds against a kernel superstep).
+memoized on the ProjectedGraph like ``edge_count``. The driver-side
+size is capped BY DEFAULT (round 9): a pre-collect count sizes the
+quotient, and past ``AUTO_BUCKET_TARGET_ROWS`` keys are coarsened into
+auto-derived buckets (keys round UP — a connection only becomes
+available EARLIER than truth; vals keep the bucket min — still
+admissible), capping the staircase at |stop-pairs| x |active buckets|;
+``bucket_s`` remains available to pin or disable the coarsening. Per
+lane, one SPFA over ~10^3 stops driver-side (milliseconds against a
+kernel superstep).
 """
 
 from __future__ import annotations
@@ -117,8 +120,22 @@ def stop_slack(stoptimes: DataFrame) -> DataFrame:
     )
 
 
-def timetable_bound_data(graph, bucket_s: int = 0):
+AUTO_BUCKET_TARGET_ROWS = 2_000_000
+LAST_AUTO_BUCKET_S = 0  # telemetry: bucket chosen by the last auto run
+
+
+def timetable_bound_data(graph, bucket_s: int | None = None):
     """Stop-level connection staircases for the relaxation, memoized.
+
+    ``bucket_s=None`` (the round-9 default) sizes the driver-side
+    collect automatically: the quotient is collected exactly when its
+    row count is at most ``AUTO_BUCKET_TARGET_ROWS``; above that a
+    bucket is derived from the measured key span and pair count so the
+    bucketed staircase fits the target (``n_pairs * (span/bucket + 1)
+    <= target``) — the city-year cap no longer relies on callers
+    passing a knob. Explicit ``bucket_s=0`` forces the exact quotient;
+    explicit ``bucket_s>0`` pins the bucket. Coarsening stays
+    admissible either way (keys round UP — see below).
 
     Returns ``(out, slack_by_stop)``:
 
@@ -155,13 +172,6 @@ def timetable_bound_data(graph, bucket_s: int = 0):
     m_dst = F.broadcast(
         st.select(F.col("stoptime_id").alias("dst"), F.col("stop_id").alias("b"))
     )
-    key_expr = F.col("dep_x")
-    if bucket_s > 0:
-        # round keys UP: a connection only becomes available EARLIER
-        # than truth under the bucketed availability test — admissible
-        key_expr = (
-            -F.floor(-F.col("dep_x") / F.lit(bucket_s)) * F.lit(bucket_s)
-        ).cast("long")
     val_expr = F.when(
         F.col("type") == "PRECEDES",
         F.col("dep_x") + F.col("waiting_time"),
@@ -169,15 +179,52 @@ def timetable_bound_data(graph, bucket_s: int = 0):
         # CHANGE: dst departure = src arrival + waiting - walking
         F.col("arr_x") + F.col("waiting_time") - F.col("walking_time")
     ).cast("long")
-    grouped = (
-        graph.edges.select("src", "dst", "type", "waiting_time", "walking_time")
-        .join(m_src, "src")
-        .join(m_dst, "dst")
-        .filter(F.col("a") != F.col("b"))
-        .groupBy("a", "b", key_expr.alias("k"))
-        .agg(F.min(val_expr).alias("v"))
-    )
-    pdf = grouped.toPandas()
+
+    def _grouped(b: int):
+        key_expr = F.col("dep_x")
+        if b > 0:
+            # round keys UP: a connection only becomes available EARLIER
+            # than truth under the bucketed availability test — admissible
+            key_expr = (
+                -F.floor(-F.col("dep_x") / F.lit(b)) * F.lit(b)
+            ).cast("long")
+        return (
+            graph.edges.select(
+                "src", "dst", "type", "waiting_time", "walking_time"
+            )
+            .join(m_src, "src")
+            .join(m_dst, "dst")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b", key_expr.alias("k"))
+            .agg(F.min(val_expr).alias("v"))
+        )
+
+    eff_bucket = bucket_s
+    if bucket_s is None:
+        # collect the exact quotient behind a LIMIT guard: the common
+        # (fits-in-driver) case stays ONE job and transfers at most
+        # target+1 rows; only an oversized quotient pays the sizing agg
+        # and the bucketed recompute
+        pdf = _grouped(0).limit(AUTO_BUCKET_TARGET_ROWS + 1).toPandas()
+        if len(pdf) <= AUTO_BUCKET_TARGET_ROWS:
+            eff_bucket = 0
+        else:
+            stats = _grouped(0).agg(
+                F.count_distinct(F.struct("a", "b")).alias("n_pairs"),
+                F.min("k").alias("kmin"),
+                F.max("k").alias("kmax"),
+            ).collect()[0]
+            span = int(stats["kmax"]) - int(stats["kmin"])
+            # n_pairs * (span/bucket + 1) <= target  =>  bucket >=
+            # span / (target/n_pairs - 1); clamp the denominator for
+            # the degenerate n_pairs ~ target case
+            per_pair = AUTO_BUCKET_TARGET_ROWS / int(stats["n_pairs"]) - 1
+            eff_bucket = max(1, int(np.ceil(span / max(per_pair, 1))))
+            pdf = _grouped(eff_bucket).toPandas()
+        global LAST_AUTO_BUCKET_S
+        LAST_AUTO_BUCKET_S = eff_bucket
+    else:
+        pdf = _grouped(eff_bucket).toPandas()
     slack_rows = stop_slack(st).collect()
 
     out: dict = {}
@@ -238,7 +285,7 @@ def _spfa(data, src_stop, src_dep: int, max_pops: int | None = None):
     return L
 
 
-def earliest_arrival_bounds(graph, src_points, bucket_s: int = 0):
+def earliest_arrival_bounds(graph, src_points, bucket_s: int | None = None):
     """Per-(source stop, departure) earliest-clock lower bounds.
 
     ``src_points``: iterable of ``(stop_id, departure_s)`` — one per lane

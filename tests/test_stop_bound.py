@@ -211,6 +211,57 @@ def test_stop_slack_merged_clusters(spark):
     assert got == {"A": 500, "B": 0}
 
 
+def test_auto_bucket_derives_and_stays_admissible(spark, monkeypatch):
+    """Round 9: with no ``bucket_s`` passed, a quotient past
+    AUTO_BUCKET_TARGET_ROWS coarsens itself — the derived bucket is
+    recorded, the staircase shrinks under the target, and the coarsened
+    bound (a) never prunes an oracle-reachable pair and (b) still
+    fires. The default path needs no caller knob for its 100x-feed
+    memory story."""
+    from routing_algorithm_for_graph_dbs_spark.graph import stop_bound as sb
+
+    rng = random.Random(0)
+    stoptimes, edges = _random_instance(rng)
+    # exact run for the prune-decision comparison
+    g_exact = _graph(spark, stoptimes, edges)
+    exact_data = timetable_bound_data(g_exact, bucket_s=0)
+    n_exact_rows = sum(
+        len(keys) for runs in exact_data[0].values() for _b, keys, _v in runs
+    )
+    assert n_exact_rows > 8  # the cap below must actually bind
+
+    # a mild cap: the derived bucket coarsens the staircase noticeably
+    # but keeps enough resolution that typical unreachable-in-time
+    # targets still sit provably below the bound
+    monkeypatch.setattr(sb, "AUTO_BUCKET_TARGET_ROWS", n_exact_rows // 2)
+    g_auto = _graph(spark, stoptimes, edges)
+    auto_data = timetable_bound_data(g_auto)  # default: auto
+    assert sb.LAST_AUTO_BUCKET_S > 0, "cap exceeded but no bucket derived"
+    n_auto_rows = sum(
+        len(keys) for runs in auto_data[0].values() for _b, keys, _v in runs
+    )
+    assert n_auto_rows < n_exact_rows
+
+    srcs = rng.sample(stoptimes, min(3, len(stoptimes)))
+    bounds = earliest_arrival_bounds(
+        g_auto, [(stop, dep) for _sid, stop, _arr, dep in srcs]
+    )
+    assert bounds is not None
+    fired = 0
+    for sid, s_stop, _s_arr, s_dep in srcs:
+        reach = _reachable_from(edges, sid)
+        for tid, t_stop, t_arr, _t_dep in stoptimes:
+            if tid == sid:
+                continue
+            if provably_unreachable(bounds, s_stop, s_dep, t_stop, t_arr):
+                fired += 1
+                assert tid not in reach, (
+                    "UNSOUND prune under auto-derived bucket: "
+                    f"{sid} -> {tid} is reachable"
+                )
+    assert fired > 0, "coarsened bound must still prune something"
+
+
 def test_timetable_data_memoized(spark):
     stoptimes = [("u0", "A", 100, 200), ("v", "B", 300, 400)]
     edges = [("u0", "v", "PRECEDES", 100, 0)]
