@@ -7,10 +7,19 @@ Prints ONE JSON line:
 
 Each query materializes fully through the noop sink (computes every output
 column — .count() would let Catalyst prune the work). One warmup pass
-(catalog/code-gen caches), then the MIN of two timed passes — single-pass
+(catalog/code-gen caches), then the MIN of three timed passes — single-pass
 numbers on a shared box swing 20-80% on sub-second queries, and the min is
 the reproducible capability figure. Mirrors how the reference's stored
 timings exclude driver connection setup (BASELINE.md).
+
+Settle discipline (round 9, VERDICT r8 #2): identical binaries measured
+20-40% apart across same-day runs purely from box state, and round 8
+banked a 39.1s artifact that re-measured at 33.3s settled. The harness
+now enforces what SCALE.md prescribed manually: it waits for 1-min load
+avg < $SPARK_GRAFT_MAX_LOAD (default 0.2, up to $SPARK_GRAFT_SETTLE_S,
+default 300 s) before starting, and records the load gate outcome plus
+the full per-query run spread in the artifact, so a contaminated run is
+self-documenting instead of silently banked.
 """
 
 from __future__ import annotations
@@ -215,39 +224,78 @@ def _load_floor(sf: float, last_n: int = 3) -> tuple[dict, dict]:
     return floor, floor_src
 
 
+def _settle_gate() -> dict:
+    """Block until the box is idle enough to measure: 1-min load avg
+    below $SPARK_GRAFT_MAX_LOAD (default 0.2), polling up to
+    $SPARK_GRAFT_SETTLE_S (default 300 s). Never hard-fails — a shared
+    driver box may not quiesce — but the outcome lands in the artifact
+    so a contaminated measurement is visible, not silently banked."""
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "0.2"))
+    settle_s = float(os.environ.get("SPARK_GRAFT_SETTLE_S", "300"))
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    waited = 0.0
+    while load > max_load and (waited := time.monotonic() - t0) < settle_s:
+        print(
+            f"bench: load avg {load:.2f} > {max_load} — settling "
+            f"({waited:.0f}/{settle_s:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(min(15.0, settle_s - waited))
+        load = os.getloadavg()[0]
+    return {
+        "max_load": max_load,
+        "load_at_start": round(load, 3),
+        "settle_waited_s": round(waited, 1),
+        "outcome": "idle" if load <= max_load else "timeout",
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    load_gate = _settle_gate()
     spark = get_spark(app_name="bench")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spread: dict[str, list[float]] = {}
 
-    def timed(fn) -> float:
-        """Warmup once, then MIN of two timed passes. Single-pass timings
-        on this box swing 20-80% on sub-second queries (GC, codegen cache,
-        page cache); the min of two is the reproducible capability number
-        and is what the per-round floor comparison needs (r4's six
-        "regressions" were all single-pass noise, judge-confirmed)."""
+    def timed(name: str, fn) -> float:
+        """Warmup once, then MIN of n_runs timed passes. Single-pass
+        timings on this box swing 20-80% on sub-second queries (GC,
+        codegen cache, page cache); the min is the reproducible
+        capability number and is what the per-round floor comparison
+        needs (r4's six "regressions" were all single-pass noise,
+        judge-confirmed). Every pass is recorded in the artifact's
+        ``spread`` field — a wide spread flags box contamination."""
         _materialize(fn())  # warmup
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             _materialize(fn())
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        spread[name] = runs
+        return min(runs)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        timings[name] = timed(lambda fn=fn: fn(spark, sf_dir))
+        timings[name] = timed(name, lambda fn=fn: fn(spark, sf_dir))
 
     # reference-scale routing workload (not in QUERIES: it synthesizes its
     # own GTFS feed instead of reading sf_dir). Warmup builds + memoizes the
     # projection, mirroring the reference's one-off routing_graph_creation.
-    timings["routing_9od"] = timed(lambda: routing_9od(spark, sf_dir))
-    timings["routing_9od_batch"] = timed(lambda: routing_9od_batch(spark, sf_dir))
-    timings["find_near_stops_9"] = timed(lambda: find_near_stops_9(spark, sf_dir))
+    timings["routing_9od"] = timed(
+        "routing_9od", lambda: routing_9od(spark, sf_dir)
+    )
+    timings["routing_9od_batch"] = timed(
+        "routing_9od_batch", lambda: routing_9od_batch(spark, sf_dir)
+    )
+    timings["find_near_stops_9"] = timed(
+        "find_near_stops_9", lambda: find_near_stops_9(spark, sf_dir)
+    )
     timings["find_near_stops_batch_9"] = timed(
-        lambda: find_near_stops_batch_9(spark, sf_dir)
+        "find_near_stops_batch_9", lambda: find_near_stops_batch_9(spark, sf_dir)
     )
 
     total = round(sum(timings.values()), 3)
@@ -257,6 +305,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_gate": load_gate,
+        "runs_per_query": n_runs,
+        "spread": spread,
     }
 
     # regression floor: each query's historical-min timing at this sf
