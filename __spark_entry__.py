@@ -22,84 +22,84 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
-# order. The window ROTATES each round (round-5 verdict demand). After round
-# 7 every registered query except the 4 late-added codec roundtrips has had
-# at least one adversarial driver row, so round 8 promotes those 4, re-runs
-# every query whose implementation changed since its last driver row, and
-# tops up with the OLDEST driver rows (the r5 §2 heads). The remaining 109
-# stay covered by tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
+# order. The window ROTATES each round (round-5 verdict demand). After
+# round 8 every registered query has had at least one driver row, so round
+# 9 leads with the queries NEW this round, re-runs every query whose
+# implementation changed since its last driver row, and cycles the STALEST
+# prior rows — the r6 window (its rows' last driver check). The remaining
+# 113 stay covered by tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: the 4 codec roundtrips added late in r7,
-    #    plus the two queries NEW this round (real-JPEG and ISO-BMFF
-    #    cross-engine checks) — with these in, after r8 every registered
-    #    query has had a driver row
-    "mm_wav_roundtrip",
-    "mm_png_roundtrip",
-    "mm_resize_roundtrip",
-    "mm_wav_spectral",
-    "mm_jpeg_roundtrip",
+    # -- never-driver-checked: NEW this round — real MPEG-audio metadata
+    #    walk; G.711 companding roundtrip (the A-law sign-fix guard via
+    #    the sign-sensitive mean_amplitude column)
+    "mm_mp3_metadata",
+    "mm_g711_roundtrip",
+    # -- re-runs: implementation changed since their last driver row.
+    #    mm_mp4_metadata: r9 stts/stsz extension (n_frames/fps).
+    #    mm_audio_features / mm_wav_*: r8 dialect dispatch landed after
+    #    their r8 rows + r9 A-law sign fix and mean_amplitude column.
+    #    mm_phash_neardup: r8 lenient fake-text decode post-row.
+    #    apx_sketches: r8 rank-window p50 contract (last row r6).
+    #    graph_bfs_hops: r9 one-time lane-retirement frontier filter.
     "mm_mp4_metadata",
-    # -- re-runs: r7-review-touched (single-decode WAV path, JPEG sniff,
-    #    exact-mean MAD) + this round's ADVICE fixes (decode-error
-    #    fall-through in image/audio features, phash, resize; JPEG bitbuf)
-    "ev_mad_outliers",
     "mm_audio_features",
-    "mm_image_features",
-    "mm_media_stats",
+    "mm_wav_roundtrip",
+    "mm_wav_spectral",
     "mm_phash_neardup",
-    "mm_resize_plan",
-    # -- re-runs: routing/settlement-touched since their r5 rows (two-tier
-    #    SSSP settlement probe, exact-by-default horizon, target dedup)
+    "apx_sketches",
     "graph_bfs_hops",
-    "t1_t2_topk",
-    "j5_earliest_transfer",
-    # -- top-up: the OLDEST driver rows — r5-window §2 operator heads
-    "p1_project_rename",
-    "p3_p4_filters",
-    "p5_computed_theta",
-    "p6_radius_filter",
-    "p8_p9_p10_membership",
-    "j1_join_chain",
-    "j2_fk_dims",
-    "w1_lead_consecutive",
-    "j4_band_selfjoin",
-    "j6_explode_rejoin",
-    "j7_nn_top1",
-    "j8_semi_join",
-    "j9_anti_join",
-    "a1_a2_aggregates",
-    "a3_argmin_ties",
-    "a5_collect_sorted",
-    "w3_running_sum",
-    "f2_temporal",
-    "f3_durations",
-    "f7_arrays",
-    "f8_strings",
-    "graph_components",
-    "graph_degree_metrics",
-    "graph_betweenness",
-    "st_tumbling_window",
-    "st_watermark_dedup",
-    "st_sessionization",
-    "asof_last_view",
-    "rng_followup_events",
-    "dd_exact_dedup",
-    "dd_lsh_candidates",
-    # dd_decontaminate / sem_dedup / smp_mixture: also the BENCH_r07
-    # floor-watch rows (regressed under suspected contention) — a fresh
-    # driver row confirms the results stayed exact while re-timing them
-    "dd_decontaminate",
-    "sem_dedup",
-    "smp_mixture",
-    "pack_shards",
+    # -- cycle: the stalest driver rows — the r6 window, minus members
+    #    re-checked in r7/r8 (graph_random_walks, ts_ewma, ts_interpolate,
+    #    ev_mad_outliers, upd_apply_cdc, hist_scd2, hist_snapshot_asof,
+    #    idx_postings), in r6 registration order
+    "graph_pagerank",
+    "graph_ppr",
+    "graph_triangles",
+    "graph_kcore",
+    "graph_scc",
+    "graph_labelprop",
+    "graph_closeness",
+    "graph_harmonic",
+    "graph_node_similarity",
+    "graph_lcc",
+    "graph_betweenness_directed",
+    "smp_stratified",
+    "smp_ntile",
+    "smp_negatives",
+    "smp_cap_per_source",
+    "smp_budget_mixture",
+    "smp_weighted_k",
+    "smp_train_val_test",
+    "smp_temperature_mixture",
+    "ts_resample_ffill",
+    "ev_zscore_outliers",
+    "ev_conversion_funnel",
+    "ev_cohort_retention",
+    "ev_markov_transitions",
+    "upd_merge_upsert",
+    "dq_constraint_checks",
+    "dq_column_profile",
+    "dq_dataset_fingerprint",
+    "dq_referential_integrity",
+    "lay_zorder_key",
+    "skw_count_distinct",
+    "skw_bloom_join",
+    "apx_hll_rollup",
+    "apx_theta_setops",
+    "idx_conjunctive_search",
+    "pipe_corpus_prep",
+    "pipe_training_mix",
+    "pipe_entity_resolution",
+    "dd_canonical",
+    "dd_keep_best",
+    "txt_bpe_learn2",
 ]
-# ROUND-9 ROTATION NOTE: after this round EVERY registered query has had
-# a driver row (the r7 codec roundtrips and the two r8-new queries are in
-# this window). Round 9: lead with any query whose implementation changed
-# during r8 but whose row predates the change (apx_sketches via the
-# rank-window p50 contract; mm_phash_neardup via the lenient fake-text
-# decode; the WAV-family rows via the new dialect dispatch), then cycle
-# the stalest prior driver rows (the r6 window next).
+# ROUND-10 ROTATION NOTE: lead with any query whose implementation
+# changes during r9 after its driver row, then cycle the stalest prior
+# rows — the r7 window rows not re-checked since (see
+# CORRECTNESS_r07.json), then the r8 window. dd_canonical got both a
+# driver row AND the scale_dedup ground-truth run this round; it does
+# not need another row before the r7 set cycles.
 
 
 def _ordered() -> list[str]:

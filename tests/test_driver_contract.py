@@ -10,43 +10,35 @@ from __future__ import annotations
 
 import pytest
 
-# Round-8 window (VERDICT r7 item 1): the 4 never-driver-checked codec
-# roundtrips lead; then re-runs of every query whose implementation
-# changed since its last driver row (r7-review-touched media/outlier
-# rows, this round's decode-fall-through/bitbuf/target-dedup fixes, the
-# settlement-probe-touched routing rows); topped to 50 with the OLDEST
-# driver rows — r5-window §2 operator heads, including the three
-# BENCH_r07 floor-watch rows (dd_decontaminate, sem_dedup, smp_mixture).
+# Round-9 window (VERDICT r8 item 3 + the builder's own rotation note):
+# the two queries NEW this round lead (MPEG-audio metadata; G.711 sign
+# guard); then re-runs of every query whose implementation changed since
+# its last driver row (the r8 dialect-dispatch/phash/p50 changes that
+# landed after their r8 rows, plus this round's MP4 stts/stsz extension,
+# A-law sign fix, and SSSP lane-retirement filter); topped to 50 with
+# the STALEST driver rows — the r6 window members not re-checked since.
 NEVER_CHECKED = [
-    "mm_wav_roundtrip",
-    "mm_png_roundtrip",
-    "mm_resize_roundtrip",
-    "mm_wav_spectral",
-    # new in round 8 (real-JPEG roundtrip incl. progressive; ISO-BMFF
-    # video metadata) — first driver rows
-    "mm_jpeg_roundtrip",
-    "mm_mp4_metadata",
+    "mm_mp3_metadata",
+    "mm_g711_roundtrip",
 ]
 
 CHANGED_SINCE_LAST_ROW = [
-    "ev_mad_outliers",
+    "mm_mp4_metadata",
     "mm_audio_features",
-    "mm_image_features",
-    "mm_media_stats",
+    "mm_wav_roundtrip",
+    "mm_wav_spectral",
     "mm_phash_neardup",
-    "mm_resize_plan",
+    "apx_sketches",
     "graph_bfs_hops",
-    "t1_t2_topk",
-    "j5_earliest_transfer",
 ]
 
 REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
-    # representatives of the oldest-row top-up + the bench floor-watch rows
-    "j1_join_chain",
-    "graph_betweenness",
-    "dd_decontaminate",
-    "sem_dedup",
-    "smp_mixture",
+    # representatives of the stalest-row (r6-window) cycle
+    "graph_pagerank",
+    "graph_scc",
+    "smp_stratified",
+    "dq_constraint_checks",
+    "dd_canonical",
 ]
 
 
@@ -81,19 +73,24 @@ def test_queries_are_callable_and_keys_stable(entry_mod):
     assert list(q)[: len(NEVER_CHECKED)] == NEVER_CHECKED
 
 
-def test_window_rotation_r8(entry_mod):
-    """Round-8 rotation: every window row must be (a) one of the 4
-    never-driver-checked codec roundtrips, (b) a declared
-    changed-since-last-row re-run, or (c) an oldest-driver-row top-up
-    drawn from the r5 window — never a recent (r6/r7) row re-run for no
-    reason, which would waste the gate's 50 slots."""
+def test_window_rotation_r9(entry_mod):
+    """Round-9 rotation: every window row must be (a) a query new this
+    round (never driver-checked), (b) a declared changed-since-last-row
+    re-run, or (c) a stalest-row cycle member — an r6-window row whose
+    last driver check was r6 (not re-checked in r7/r8). Anything else
+    would waste the gate's 50 slots on recently-checked queries."""
     import json
     import os
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r5 = set(json.load(open(os.path.join(here, "CORRECTNESS_r05.json"))))
+    r6 = set(
+        list(json.load(open(os.path.join(here, "CORRECTNESS_r06.json"))))[:50]
+    )
+    r7 = set(json.load(open(os.path.join(here, "CORRECTNESS_r07.json"))))
+    r8 = set(json.load(open(os.path.join(here, "CORRECTNESS_r08.json"))))
+    stale_r6 = (r6 - r7) - r8
     window = set(list(entry_mod.queries())[:50])
     assert set(NEVER_CHECKED) <= window
-    allowed = set(NEVER_CHECKED) | set(CHANGED_SINCE_LAST_ROW) | r5
+    allowed = set(NEVER_CHECKED) | set(CHANGED_SINCE_LAST_ROW) | stale_r6
     stray = window - allowed
     assert not stray, f"window wastes rows on recently-checked queries: {sorted(stray)}"
