@@ -29,10 +29,11 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # prior rows — the r6 window (its rows' last driver check). The remaining
 # 113 stay covered by tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: NEW this round — real MPEG-audio metadata
-    #    walk; G.711 companding roundtrip (the A-law sign-fix guard via
-    #    the sign-sensitive mean_amplitude column)
+    # -- never-driver-checked: NEW this round — real MPEG-audio and
+    #    ADTS-AAC metadata walks; G.711 companding roundtrip (the A-law
+    #    sign-fix guard via the sign-sensitive mean_amplitude column)
     "mm_mp3_metadata",
+    "mm_aac_metadata",
     "mm_g711_roundtrip",
     # -- re-runs: implementation changed since their last driver row.
     #    mm_mp4_metadata: r9 stts/stsz extension (n_frames/fps).
@@ -90,16 +91,15 @@ _DRIVER_WINDOW = [
     "pipe_corpus_prep",
     "pipe_training_mix",
     "pipe_entity_resolution",
-    "dd_canonical",
     "dd_keep_best",
     "txt_bpe_learn2",
 ]
 # ROUND-10 ROTATION NOTE: lead with any query whose implementation
 # changes during r9 after its driver row, then cycle the stalest prior
-# rows — the r7 window rows not re-checked since (see
-# CORRECTNESS_r07.json), then the r8 window. dd_canonical got both a
-# driver row AND the scale_dedup ground-truth run this round; it does
-# not need another row before the r7 set cycles.
+# rows — dd_canonical first (it ceded its r9 slot to mm_aac_metadata;
+# it did get the 5M-doc scale_dedup ground-truth run this round), then
+# the r7 window rows not re-checked since (see CORRECTNESS_r07.json),
+# then the r8 window.
 
 
 def _ordered() -> list[str]:

@@ -6749,3 +6749,64 @@ def mm_g711_roundtrip(spark, sf_dir):
         F.col("duration_ms").cast("long").alias("duration_ms"),
         "decoder",
     )
+
+
+@_register(
+    "mm_aac_metadata",
+    """
+    WITH au AS (
+      SELECT doc_id AS media_id,
+             6 + n_chars % 50 AS nf,
+             100 + doc_id % 30 AS fb,
+             CASE doc_id % 9
+               WHEN 1 THEN 48000 WHEN 4 THEN 44100 ELSE 32000 END AS rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS n_channels
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           CAST(nf * fb AS BIGINT) AS n_bytes,
+           'LC' AS profile,
+           CAST(rate AS INTEGER) AS sample_rate,
+           n_channels,
+           CAST(nf AS INTEGER) AS n_frames,
+           -- 1024 samples per raw block; 1024000/rate never lands on a
+           -- .5 tie (441 odd; 64/3 thirds; 32 exact)
+           CAST(FLOOR(nf * 1024 * 1000.0 / rate + 0.5) AS BIGINT)
+             AS duration_ms,
+           'aac' AS parser
+    FROM au
+    """,
+)
+def mm_aac_metadata(spark, sf_dir):
+    """REAL-parser cross-engine check, AAC half (round 9, the other
+    dominant crawl audio format): synth_aac_media mints conformant ADTS
+    framing (explicit 13-bit frame lengths, cycling rate/channel
+    configs) and aac_metadata walks every frame header for real
+    (strict=True: no fake fallback) — profile/rate/channels from the
+    header bits, duration from the raw-block count times 1024 samples
+    over the rate, total bytes as frames x frame length. The oracle
+    states each field in closed form from the build parameters. The
+    stream-average bitrate column is parsed too but left out of the
+    oracle: its rounding can land on exact .5 (engine tie rules differ);
+    pytest pins it on specific values instead. Raw-block DECODE stays
+    the honest boundary."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        aac_metadata,
+        synth_aac_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_aac_media(docs))
+    return aac_metadata(media, strict=True).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "profile",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "parser",
+    )

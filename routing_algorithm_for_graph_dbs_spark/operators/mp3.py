@@ -192,6 +192,95 @@ def parse_mp3_metadata(payload: bytes):
     return version, layer, rate, bitrate_kbps, counted, duration_ms, vbr, mode
 
 
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+_AAC_PROFILES = ("Main", "LC", "SSR", "LTP")
+
+
+def is_adts(payload: bytes) -> bool:
+    """Cheap sniff for ADTS AAC: 12-bit sync 0xFFF with layer bits 00
+    (which in an MPEG-audio header would be the reserved layer, so the
+    two sniffs are disjoint) and a legal sampling-frequency index."""
+    if len(payload) < 7:
+        return False
+    return (
+        payload[0] == 0xFF
+        and payload[1] & 0xF6 == 0xF0  # sync high nibble + layer 00
+        and ((payload[2] >> 2) & 0xF) < len(_ADTS_RATES)
+    )
+
+
+def parse_adts_metadata(payload: bytes):
+    """Parse ``(profile, sample_rate, n_channels, n_frames, duration_ms,
+    bitrate_kbps)`` by hopping every ADTS frame header (ISO/IEC 14496-3
+    1.A.2): each 7/9-byte header carries an EXPLICIT 13-bit frame length
+    and a raw-data-block count (each block = 1024 samples). Like the
+    MPEG walk, corruption fails loudly. Raw AAC DECODE stays the honest
+    boundary; the fields a pipeline filters on are real."""
+    pos, end = 0, len(payload)
+    if not is_adts(payload):
+        raise ValueError("not an ADTS stream")
+    profile = rate = channels = None
+    n_frames = 0
+    total_samples = 0
+    while pos + 7 <= end:
+        h = payload[pos : pos + 7]
+        if not (h[0] == 0xFF and h[1] & 0xF6 == 0xF0):
+            raise ValueError("lost ADTS frame sync")
+        p = (h[2] >> 6) & 3
+        ridx = (h[2] >> 2) & 0xF
+        if ridx >= len(_ADTS_RATES):
+            raise ValueError("reserved ADTS sampling-frequency index")
+        ch = ((h[2] & 1) << 2) | (h[3] >> 6)
+        flen = ((h[3] & 3) << 11) | (h[4] << 3) | (h[5] >> 5)
+        blocks = (h[6] & 3) + 1
+        if flen < 7:
+            raise ValueError("ADTS frame length below header size")
+        if pos + flen > end:
+            raise ValueError("final ADTS frame truncated")
+        if n_frames == 0:
+            profile, rate, channels = _AAC_PROFILES[p], _ADTS_RATES[ridx], ch
+        elif (rate, channels) != (_ADTS_RATES[ridx], ch):
+            raise ValueError("ADTS rate/channels changed mid-stream")
+        total_samples += blocks * 1024
+        n_frames += 1
+        pos += flen
+    if pos != end:
+        raise ValueError(f"{end - pos} trailing bytes after last ADTS frame")
+    if n_frames == 0:
+        raise ValueError("ADTS stream has zero frames")
+    duration_ms = int(round(total_samples * 1000.0 / rate))
+    bitrate_kbps = int(round(end * 8.0 / duration_ms))
+    return profile, rate, channels, n_frames, duration_ms, bitrate_kbps
+
+
+def build_adts(
+    n_frames: int,
+    frame_bytes: int = 256,
+    sample_rate: int = 44100,
+    n_channels: int = 2,
+    profile: str = "LC",
+) -> bytes:
+    """Mint standard-conformant ADTS AAC framing: ``n_frames`` frames of
+    ``frame_bytes`` each (header + zeroed raw block), one 1024-sample
+    block per frame — total size and duration are closed-form for the
+    cross-engine oracle."""
+    ridx = _ADTS_RATES.index(sample_rate)
+    p = _AAC_PROFILES.index(profile)
+    hdr = bytearray(7)
+    hdr[0] = 0xFF
+    hdr[1] = 0xF1  # sync + MPEG-4 + layer 00 + no CRC
+    hdr[2] = (p << 6) | (ridx << 2) | (n_channels >> 2)
+    hdr[3] = ((n_channels & 3) << 6) | (frame_bytes >> 11)
+    hdr[4] = (frame_bytes >> 3) & 0xFF
+    hdr[5] = ((frame_bytes & 7) << 5) | 0x1F  # buffer fullness high
+    hdr[6] = 0xFC  # fullness low + 1 raw block (field stores blocks-1)
+    frame = bytes(hdr) + b"\x00" * (frame_bytes - 7)
+    return frame * n_frames
+
+
 def build_mp3(
     n_frames: int,
     bitrate_kbps: int = 128,

@@ -348,7 +348,9 @@ def audio_features(
     ``strict=True`` raise NotImplementedError instead (a real deployment
     plugs librosa/ffmpeg)."""
     from routing_algorithm_for_graph_dbs_spark.operators.mp3 import (
+        is_adts,
         is_mp3,
+        parse_adts_metadata,
         parse_mp3_metadata,
     )
     from routing_algorithm_for_graph_dbs_spark.operators.wav import (
@@ -385,7 +387,15 @@ def audio_features(
                     # gives REAL duration and sample rate — the fields a
                     # pipeline plans on for the dominant crawl format.
                     try:
-                        mp3_meta = parse_mp3_metadata(b)
+                        _p = parse_mp3_metadata(b)
+                        mp3_meta = (_p[2], _p[5], "mp3-meta")
+                    except DECODE_ERRORS:
+                        if strict:
+                            raise
+                elif is_adts(b):
+                    try:
+                        _p = parse_adts_metadata(b)
+                        mp3_meta = (_p[1], _p[4], "aac-meta")
                     except DECODE_ERRORS:
                         if strict:
                             raise
@@ -408,10 +418,10 @@ def audio_features(
                          sc, "wav")
                     )
                 elif mp3_meta is not None:
-                    _v, _l, rate, _kbps, _nf, dur, _vbr, _mode = mp3_meta
+                    rate, dur, tag = mp3_meta
                     rows.append(
                         (int(mid), hx, len(b), None, None, None, dur, rate,
-                         None, "mp3-meta")
+                         None, tag)
                     )
                 elif strict:
                     raise NotImplementedError(
@@ -965,6 +975,129 @@ def mp3_metadata(
             " string, layer int, sample_rate int, bitrate_kbps int,"
             " n_frames int, duration_ms long, vbr boolean, channel_mode"
             " string, parser string"
+        ),
+    )
+
+
+def synth_aac_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL ADTS-AAC framing from the documents table:
+    per audio-kind doc, ``nf`` frames of ``fb`` bytes at a cycling
+    rate/channel config — total bytes (nf*fb) and duration
+    (nf*1024/rate) closed-form for the cross-engine oracle."""
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import build_adts
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (6 + F.col("n_chars") % 50).cast("int").alias("nf"),
+        (100 + F.col("doc_id") % 30).cast("int").alias("fb"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, nf, fb in zip(pdf["media_id"], pdf["nf"], pdf["fb"]):
+                mid = int(mid)
+                payloads.append(
+                    build_adts(
+                        int(nf),
+                        frame_bytes=int(fb),
+                        sample_rate=(48000, 44100, 32000)[(mid % 9) // 3],
+                        n_channels=1 + mid % 2,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "audio/aac",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def aac_metadata(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched ADTS-AAC METADATA extraction (same plumbing contract
+    as ``mp3_metadata``/``video_metadata``): payloads that sniff as ADTS
+    get the REAL frame-header walk (``operators/mp3.py
+    parse_adts_metadata``, parser='aac') — profile, sample rate,
+    channels, frame count, duration, average bitrate. Raw-block DECODE
+    stays the honest boundary. Non-ADTS payloads take the deterministic
+    sha256 fake, or raise under ``strict=True``. Map-side only."""
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import (
+        is_adts,
+        parse_adts_metadata,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_adts(b):
+                        parsed = parse_adts_metadata(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    profile, rate, ch, n_frames, dur, kbps = parsed
+                    parser = "aac"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real AAC metadata needs ADTS framing — this"
+                            " payload has none (raw-block decode itself"
+                            " needs a codec library, not in this container)"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    profile = ("Main", "LC", "SSR", "LTP")[d[0] % 4]
+                    rate = (48000, 44100, 32000)[d[1] % 3]
+                    ch = 1 + d[2] % 2
+                    n_frames = 1 + d[3]
+                    dur = int(round(n_frames * 1024 * 1000.0 / rate))
+                    kbps = (64, 128, 192)[d[4] % 3]
+                    parser = "fake"
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        profile,
+                        int(rate),
+                        int(ch),
+                        int(n_frames),
+                        int(dur),
+                        int(kbps),
+                        parser,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "profile",
+                    "sample_rate", "n_channels", "n_frames", "duration_ms",
+                    "bitrate_kbps", "parser",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, profile string,"
+            " sample_rate int, n_channels int, n_frames int,"
+            " duration_ms long, bitrate_kbps int, parser string"
         ),
     )
 

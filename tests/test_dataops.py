@@ -2941,6 +2941,64 @@ def test_mp3_metadata_golden():
     assert not is_mp3(b"RIFF....WAVE")
 
 
+def test_adts_metadata_golden():
+    """ADTS AAC header walk (round 9): explicit 13-bit frame lengths,
+    1024 samples per raw block, profile/rate/channel bits; disjoint
+    sniff from MPEG audio (layer bits 00 = reserved MPEG layer); loud
+    failures on truncation and trailing bytes."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import (
+        build_adts,
+        build_mp3,
+        is_adts,
+        is_mp3,
+        parse_adts_metadata,
+    )
+
+    p = build_adts(43, frame_bytes=300, sample_rate=22050, n_channels=1)
+    assert is_adts(p) and not is_mp3(p)
+    assert len(p) == 43 * 300
+    # 43 * 1024 * 1000 / 22050 = 1996.9... ms; 43*300*8/1997 = 51.7 kbps
+    assert parse_adts_metadata(p) == ("LC", 22050, 1, 43, 1997, 52)
+    assert parse_adts_metadata(
+        build_adts(5, profile="Main", sample_rate=96000, n_channels=6)
+    ) == ("Main", 96000, 6, 5, 53, 193)
+
+    assert not is_adts(build_mp3(3)) and is_mp3(build_mp3(3))
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_adts_metadata(p[:-10])
+    with _pytest.raises(ValueError, match="trailing"):
+        parse_adts_metadata(p + b"xx")
+    mixed = build_adts(2) + build_adts(2, sample_rate=32000)
+    with _pytest.raises(ValueError, match="mid-stream"):
+        parse_adts_metadata(mixed)
+
+
+def test_aac_metadata_in_audio_features(spark):
+    """An ADTS payload in the audio pipeline gets real duration/rate
+    (decoder='aac-meta'); aac_metadata's fake path handles non-ADTS."""
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import build_adts
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        aac_metadata,
+        audio_features,
+    )
+
+    payload = build_adts(43, sample_rate=22050, n_channels=1)
+    rows = [
+        (1, "audio", payload, "audio/aac", (None, None, 1, None, 22050)),
+        (2, "audio", b"not audio", "audio/aac", (None, None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in audio_features(media).collect()}
+    assert got[1]["decoder"] == "aac-meta"
+    assert (got[1]["duration_ms"], got[1]["sample_rate"]) == (1997, 22050)
+    meta = {r["media_id"]: r.asDict() for r in aac_metadata(media).collect()}
+    assert meta[1]["parser"] == "aac" and meta[1]["n_frames"] == 43
+    assert meta[2]["parser"] == "fake"
+
+
 def test_mp3_metadata_in_audio_features(spark):
     """An MPEG payload in the audio pipeline takes the metadata walk:
     real duration/sample-rate, null sample stats, decoder='mp3-meta' —

@@ -19,6 +19,7 @@ import pytest
 # the STALEST driver rows — the r6 window members not re-checked since.
 NEVER_CHECKED = [
     "mm_mp3_metadata",
+    "mm_aac_metadata",
     "mm_g711_roundtrip",
 ]
 
@@ -38,7 +39,7 @@ REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
     "graph_scc",
     "smp_stratified",
     "dq_constraint_checks",
-    "dd_canonical",
+    "dd_keep_best",
 ]
 
 
