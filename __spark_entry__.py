@@ -42,6 +42,8 @@ _DRIVER_WINDOW = [
     #    mm_phash_neardup: r8 lenient fake-text decode post-row.
     #    apx_sketches: r8 rank-window p50 contract (last row r6).
     #    graph_bfs_hops: r9 one-time lane-retirement frontier filter.
+    #    knn_ivf_join / sem_dedup: r9 sqrt(n)-sized IVF centroid counts
+    #    (the gate-sized pin of 8 went quadratic at the sf1.0 probe).
     "mm_mp4_metadata",
     "mm_audio_features",
     "mm_wav_roundtrip",
@@ -49,6 +51,8 @@ _DRIVER_WINDOW = [
     "mm_phash_neardup",
     "apx_sketches",
     "graph_bfs_hops",
+    "knn_ivf_join",
+    "sem_dedup",
     # -- cycle: the stalest driver rows — the r6 window, minus members
     #    re-checked in r7/r8 (graph_random_walks, ts_ewma, ts_interpolate,
     #    ev_mad_outliers, upd_apply_cdc, hist_scd2, hist_snapshot_asof,
@@ -91,15 +95,14 @@ _DRIVER_WINDOW = [
     "pipe_corpus_prep",
     "pipe_training_mix",
     "pipe_entity_resolution",
-    "dd_keep_best",
-    "txt_bpe_learn2",
 ]
 # ROUND-10 ROTATION NOTE: lead with any query whose implementation
 # changes during r9 after its driver row, then cycle the stalest prior
-# rows — dd_canonical first (it ceded its r9 slot to mm_aac_metadata;
-# it did get the 5M-doc scale_dedup ground-truth run this round), then
-# the r7 window rows not re-checked since (see CORRECTNESS_r07.json),
-# then the r8 window.
+# rows — dd_canonical, dd_keep_best, txt_bpe_learn2 first (the three
+# r6-window rows that ceded r9 slots to mm_aac_metadata and the two
+# IVF-resizing re-runs; dd_canonical did get the 5M-doc scale_dedup
+# ground-truth run this round), then the r7 window rows not re-checked
+# since (see CORRECTNESS_r07.json), then the r8 window.
 
 
 def _ordered() -> list[str]:

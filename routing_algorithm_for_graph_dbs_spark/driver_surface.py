@@ -1512,7 +1512,16 @@ def ann_ivf_topk(spark, sf_dir):
     "knn_ivf_join",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    -- centroid count scales with the corpus (max(8, floor(sqrt(n))) —
+    -- cells stay ~sqrt(n) so per-cell candidate work is bounded; a count
+    -- pinned for the sf0.01 gate put 50k vectors in 8 cells at sf1.0 and
+    -- went quadratic). IEEE sqrt is exact on perfect squares, so
+    -- FLOOR(SQRT(n)) == python isqrt for every n here.
+    c AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
+                      FROM e)
+    ),
     assign AS (
       SELECT vec_id, cid, v,
              ROW_NUMBER() OVER (
@@ -1539,13 +1548,19 @@ def ann_ivf_topk(spark, sf_dir):
 def knn_ivf_join(spark, sf_dir):
     """IVF-partitioned kNN self-join (the 100 TB tier of similarity.knn_join,
     forced here so the cell equi-join path is what the oracle checks):
-    deterministic seeded centroids, nprobe=2, top-3 per vector. The oracle
-    mirrors cell assignment, probe sets, and the per-left rank in SQL."""
+    deterministic seeded centroids, nprobe=2, top-3 per vector,
+    n_centroids = max(8, isqrt(n)) so cell population tracks sqrt(n) at
+    every sf (round 9: the gate-sized pin of 8 made the sf1.0 probe
+    quadratic — 50k vectors in 8 cells). The oracle mirrors the centroid
+    count, cell assignment, probe sets, and the per-left rank in SQL."""
+    import math
+
     from routing_algorithm_for_graph_dbs_spark.operators.similarity import knn_join
 
     emb = _t(spark, sf_dir, "embeddings")
+    nc = max(8, math.isqrt(emb.count()))
     out = knn_join(
-        emb, emb, k=3, strategy="ivf", n_centroids=8, nprobe=2,
+        emb, emb, k=3, strategy="ivf", n_centroids=nc, nprobe=2,
         exclude_same_key=True,
     )
     return out.select(
@@ -2973,7 +2988,13 @@ def dd_decontaminate(spark, sf_dir):
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    -- centroid count scales as sqrt(n) like knn_ivf_join (round 9): the
+    -- gate-sized pin of 8 made per-cell pair work quadratic at sf1.0
+    c AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
+                      FROM e)
+    ),
     assign AS (
       SELECT vec_id, cid, v,
              ROW_NUMBER() OVER (
@@ -2998,11 +3019,15 @@ def sem_dedup(spark, sf_dir):
     inside IVF clusters — drop every vector with a lower-keyed same-cluster
     neighbor at cosine >= threshold. Deterministic keep rule, one
     cluster-key equi-join; the demo threshold 0.35 fits the near-orthogonal
-    synthetic embeddings (same rationale as ann_lsh_pairs)."""
+    synthetic embeddings (same rationale as ann_lsh_pairs). n_centroids =
+    max(8, isqrt(n)) — sqrt-sized cells at every sf (round 9)."""
+    import math
+
     from routing_algorithm_for_graph_dbs_spark.operators.similarity import semdedup
 
+    emb = _t_spread(spark, sf_dir, "embeddings")
     out = semdedup(
-        _t_spread(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=8
+        emb, threshold=0.35, n_centroids=max(8, math.isqrt(emb.count()))
     )
     return out.select(
         "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"), "kept"

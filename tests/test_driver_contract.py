@@ -31,6 +31,9 @@ CHANGED_SINCE_LAST_ROW = [
     "mm_phash_neardup",
     "apx_sketches",
     "graph_bfs_hops",
+    # r9 sqrt(n)-sized IVF centroid counts (sf1.0-probe quadratic fix)
+    "knn_ivf_join",
+    "sem_dedup",
 ]
 
 REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
@@ -39,7 +42,7 @@ REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
     "graph_scc",
     "smp_stratified",
     "dq_constraint_checks",
-    "dd_keep_best",
+    "pipe_entity_resolution",
 ]
 
 
