@@ -120,7 +120,17 @@ def stop_slack(stoptimes: DataFrame) -> DataFrame:
     )
 
 
-AUTO_BUCKET_TARGET_ROWS = 2_000_000
+# The auto-coarsening threshold is deliberately GENEROUS: prune efficacy
+# degrades NONLINEARLY with bucket width — a target that stops being
+# provably unreachable flips the kernel from settlement-radius supersteps
+# to full component exhaustion (measured on the 4x feed: the quotient is
+# ~4.4M rows; a 2M cap coarsened it to ~75-minute buckets, the
+# certificates died, and the exact run went from 47 supersteps/77s toward
+# thousands of supersteps before it was killed). 20M rows is ~1GB of
+# Arrow transfer — cheap against that cliff; bucket only to SURVIVE a
+# feed whose quotient genuinely cannot sit on the driver, not to
+# optimize.
+AUTO_BUCKET_TARGET_ROWS = 20_000_000
 LAST_AUTO_BUCKET_S = 0  # telemetry: bucket chosen by the last auto run
 
 
