@@ -70,14 +70,18 @@ to the three-column stoptime map and grouped to (stop-pair, departure)
 rows, i.e. the STOP-level connection timetable, O(|grouped
 connections|) not O(|expanded edges|) — Arrow-collected once and
 memoized on the ProjectedGraph like ``edge_count``. The driver-side
-size is capped BY DEFAULT (round 9): a pre-collect count sizes the
-quotient, and past ``AUTO_BUCKET_TARGET_ROWS`` keys are coarsened into
-auto-derived buckets (keys round UP — a connection only becomes
-available EARLIER than truth; vals keep the bucket min — still
-admissible), capping the staircase at |stop-pairs| x |active buckets|;
-``bucket_s`` remains available to pin or disable the coarsening. Per
-lane, one SPFA over ~10^3 stops driver-side (milliseconds against a
-kernel superstep).
+size is capped BY DEFAULT: a pre-collect count sizes the quotient, and
+past ``AUTO_BUCKET_TARGET_ROWS`` the row budget is apportioned PER
+stop-pair (round 10): the pairs with the fewest connection rows keep
+exact keys and only the heavy pairs are coarsened, each to its own
+bucket (keys round UP — a connection only becomes available EARLIER
+than truth; vals keep the bucket min — still admissible). Uniform
+round-9 coarsening lost certificate-critical resolution on cheap pairs
+(the measured 75-minute-bucket cliff, SCALE.md); apportioning keeps
+their staircases bit-exact and degrades only where the rows actually
+are. ``bucket_s`` remains available to pin one global bucket or
+disable coarsening. Per lane, one SPFA over ~10^3 stops driver-side
+(milliseconds against a kernel superstep).
 """
 
 from __future__ import annotations
@@ -127,25 +131,41 @@ def stop_slack(stoptimes: DataFrame) -> DataFrame:
 # ~4.4M rows; a 2M cap coarsened it to ~75-minute buckets, the
 # certificates died, and the exact run went from 47 supersteps/77s toward
 # thousands of supersteps before it was killed). 20M rows is ~1GB of
-# Arrow transfer — cheap against that cliff; bucket only to SURVIVE a
+# Arrow transfer — cheap against that cliff; coarsen only to SURVIVE a
 # feed whose quotient genuinely cannot sit on the driver, not to
-# optimize.
+# optimize. Round 10 softens the cliff itself: past the cap the budget
+# is apportioned per pair (cheap pairs stay exact), so efficacy degrades
+# where the rows are instead of uniformly.
 AUTO_BUCKET_TARGET_ROWS = 20_000_000
-LAST_AUTO_BUCKET_S = 0  # telemetry: bucket chosen by the last auto run
+# telemetry from the last auto-sizing run:
+LAST_AUTO_BUCKET_S = 0  # max per-pair bucket chosen (0 = exact collect)
+LAST_AUTO_EXACT_PAIRS = 0  # pairs that kept exact keys under the budget
+LAST_AUTO_COARSE_PAIRS = 0  # pairs coarsened to per-pair buckets
+# True when even 2 rows per pair exceeds the target (n_pairs ~ target):
+# the collect is then up to ~2*n_pairs rows, OVER the target — recorded
+# here so an oversized driver transfer is self-documenting (r10 ADVICE)
+LAST_AUTO_BUCKET_CLAMPED = False
 
 
 def timetable_bound_data(graph, bucket_s: int | None = None):
     """Stop-level connection staircases for the relaxation, memoized.
 
-    ``bucket_s=None`` (the round-9 default) sizes the driver-side
-    collect automatically: the quotient is collected exactly when its
-    row count is at most ``AUTO_BUCKET_TARGET_ROWS``; above that a
-    bucket is derived from the measured key span and pair count so the
-    bucketed staircase fits the target (``n_pairs * (span/bucket + 1)
-    <= target``) — the city-year cap no longer relies on callers
-    passing a knob. Explicit ``bucket_s=0`` forces the exact quotient;
-    explicit ``bucket_s>0`` pins the bucket. Coarsening stays
-    admissible either way (keys round UP — see below).
+    ``bucket_s=None`` (the default) sizes the driver-side collect
+    automatically: the quotient is collected exactly when its row count
+    is at most ``AUTO_BUCKET_TARGET_ROWS``; above that the budget is
+    apportioned PER PAIR (round 10, replacing round 9's single global
+    bucket): pairs with the fewest connection rows keep exact keys
+    (they are cheap, and losing resolution there is what killed
+    certificates in the measured 4x cliff — SCALE.md r9), and only the
+    heavy pairs are coarsened, each to its own bucket sized from its
+    key span and an equal share of the remaining row budget. In the
+    degenerate ``n_pairs ~ target`` case even 2 rows per pair
+    overshoots; the collect then proceeds at minimum resolution (up to
+    ~2x the target) and records ``LAST_AUTO_BUCKET_CLAMPED`` so the
+    oversized transfer is self-documenting rather than silent.
+    Explicit ``bucket_s=0`` forces the exact quotient; explicit
+    ``bucket_s>0`` pins one global bucket. Coarsening stays admissible
+    either way (keys round UP — see below).
 
     Returns ``(out, slack_by_stop)``:
 
@@ -190,6 +210,17 @@ def timetable_bound_data(graph, bucket_s: int | None = None):
         F.col("arr_x") + F.col("waiting_time") - F.col("walking_time")
     ).cast("long")
 
+    def _base():
+        return (
+            graph.edges.select(
+                "src", "dst", "type", "waiting_time", "walking_time"
+            )
+            .join(m_src, "src")
+            .join(m_dst, "dst")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b", "dep_x", val_expr.alias("v0"))
+        )
+
     def _grouped(b: int):
         key_expr = F.col("dep_x")
         if b > 0:
@@ -199,40 +230,97 @@ def timetable_bound_data(graph, bucket_s: int | None = None):
                 -F.floor(-F.col("dep_x") / F.lit(b)) * F.lit(b)
             ).cast("long")
         return (
-            graph.edges.select(
-                "src", "dst", "type", "waiting_time", "walking_time"
-            )
-            .join(m_src, "src")
-            .join(m_dst, "dst")
-            .filter(F.col("a") != F.col("b"))
+            _base()
             .groupBy("a", "b", key_expr.alias("k"))
-            .agg(F.min(val_expr).alias("v"))
+            .agg(F.min("v0").alias("v"))
         )
 
+    def _grouped_per_pair(bmap):
+        # bmap: small (a, b, bucket) frame, one row per COARSENED pair —
+        # broadcast-joined so unmapped (exact) pairs keep raw keys
+        j = _base().join(F.broadcast(bmap), ["a", "b"], "left")
+        key_expr = (
+            F.when(
+                F.col("bucket").isNull() | (F.col("bucket") <= 1),
+                F.col("dep_x"),
+            )
+            .otherwise(
+                -F.floor(-F.col("dep_x") / F.col("bucket")) * F.col("bucket")
+            )
+            .cast("long")
+        )
+        return (
+            j.groupBy("a", "b", key_expr.alias("k"))
+            .agg(F.min("v0").alias("v"))
+        )
+
+    global LAST_AUTO_BUCKET_S, LAST_AUTO_EXACT_PAIRS
+    global LAST_AUTO_COARSE_PAIRS, LAST_AUTO_BUCKET_CLAMPED
     eff_bucket = bucket_s
     if bucket_s is None:
         # collect the exact quotient behind a LIMIT guard: the common
         # (fits-in-driver) case stays ONE job and transfers at most
-        # target+1 rows; only an oversized quotient pays the sizing agg
-        # and the bucketed recompute
-        pdf = _grouped(0).limit(AUTO_BUCKET_TARGET_ROWS + 1).toPandas()
-        if len(pdf) <= AUTO_BUCKET_TARGET_ROWS:
-            eff_bucket = 0
+        # target+1 rows; only an oversized quotient pays the per-pair
+        # sizing agg and the apportioned recompute
+        target = AUTO_BUCKET_TARGET_ROWS
+        pdf = _grouped(0).limit(target + 1).toPandas()
+        if len(pdf) <= target:
+            LAST_AUTO_BUCKET_S = 0
+            LAST_AUTO_EXACT_PAIRS = 0
+            LAST_AUTO_COARSE_PAIRS = 0
+            LAST_AUTO_BUCKET_CLAMPED = False
         else:
-            stats = _grouped(0).agg(
-                F.count_distinct(F.struct("a", "b")).alias("n_pairs"),
-                F.min("k").alias("kmin"),
-                F.max("k").alias("kmax"),
-            ).collect()[0]
-            span = int(stats["kmax"]) - int(stats["kmin"])
-            # n_pairs * (span/bucket + 1) <= target  =>  bucket >=
-            # span / (target/n_pairs - 1); clamp the denominator for
-            # the degenerate n_pairs ~ target case
-            per_pair = AUTO_BUCKET_TARGET_ROWS / int(stats["n_pairs"]) - 1
-            eff_bucket = max(1, int(np.ceil(span / max(per_pair, 1))))
-            pdf = _grouped(eff_bucket).toPandas()
-        global LAST_AUTO_BUCKET_S
-        LAST_AUTO_BUCKET_S = eff_bucket
+            stats = (
+                _grouped(0)
+                .groupBy("a", "b")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.min("k").alias("kmin"),
+                    F.max("k").alias("kmax"),
+                )
+                .toPandas()
+            )
+            cnt = stats["cnt"].to_numpy(dtype=np.int64)
+            span = (stats["kmax"] - stats["kmin"]).to_numpy(dtype=np.int64)
+            n = len(cnt)
+            order = np.argsort(cnt, kind="stable")
+            # water-fill: exact pairs in ascending row-count order while
+            # every remaining (heavy) pair can still afford its 2-row
+            # minimum (bucket >= span collapses a pair to <= 2 keys)
+            csum = np.concatenate(([0], np.cumsum(cnt[order])))
+            totals = csum + 2 * (n - np.arange(n + 1))
+            feasible = np.nonzero(totals <= target)[0]
+            LAST_AUTO_BUCKET_CLAMPED = len(feasible) == 0
+            n_exact = int(feasible.max()) if len(feasible) else 0
+            coarse_idx = order[n_exact:]
+            if len(coarse_idx) == 0:
+                # cannot happen (the exact collect above already
+                # overflowed), but keep the fallback total
+                eff_pdf = pdf
+            else:
+                remaining = target - int(csum[n_exact])
+                rows_each = max(2, remaining // len(coarse_idx))
+                b_arr = np.maximum(
+                    1, -(-span[coarse_idx] // max(rows_each - 1, 1))
+                )
+                # a heavy pair whose exact rows fit its allotment keeps
+                # exact keys (bucket 1 passes raw dep_x through)
+                b_arr = np.where(cnt[coarse_idx] <= rows_each, 1, b_arr)
+                bmap = graph.stoptimes.sparkSession.createDataFrame(
+                    list(
+                        zip(
+                            stats["a"].to_numpy()[coarse_idx],
+                            stats["b"].to_numpy()[coarse_idx],
+                            [int(x) for x in b_arr],
+                        )
+                    ),
+                    "a string, b string, bucket long",
+                )
+                eff_pdf = _grouped_per_pair(bmap).toPandas()
+                LAST_AUTO_BUCKET_S = int(b_arr.max())
+                LAST_AUTO_EXACT_PAIRS = n_exact + int((b_arr == 1).sum())
+                LAST_AUTO_COARSE_PAIRS = int((b_arr > 1).sum())
+            pdf = eff_pdf
     else:
         pdf = _grouped(eff_bucket).toPandas()
     slack_rows = stop_slack(st).collect()

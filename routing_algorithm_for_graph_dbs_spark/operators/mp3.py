@@ -109,14 +109,27 @@ def _side_info_bytes(version: str, mode: str) -> int:
     return 9 if mode == "mono" else 17
 
 
+def _post_id3_offset(payload: bytes) -> int:
+    """Offset of the first post-ID3v2 byte, 0 if no tag or the tag is
+    malformed (the strict parsers re-raise on malformation; the sniffs
+    just need a best-effort skip so an ID3-tagged ADTS-AAC file — common
+    in the wild — is not mis-routed to the MPEG walk)."""
+    try:
+        return _id3v2_size(payload)
+    except ValueError:
+        return 0
+
+
 def is_mp3(payload: bytes) -> bool:
-    """Cheap sniff: a leading ID3v2 tag, or a valid MPEG frame header at
-    byte 0 (11-bit sync + non-reserved version/layer)."""
-    if len(payload) >= 10 and payload[:3] == b"ID3":
-        return True
-    if len(payload) < 4:
+    """Cheap sniff: a valid MPEG frame header (11-bit sync +
+    non-reserved version/layer) at byte 0 or right after a leading ID3v2
+    tag. An ID3 tag alone does NOT qualify — ID3 is a container-agnostic
+    prefix (ADTS-AAC files carry it too), so the sniff commits only on
+    the actual frame sync that follows it."""
+    pos = _post_id3_offset(payload)
+    if len(payload) < pos + 4:
         return False
-    hdr = struct.unpack_from(">I", payload, 0)[0]
+    hdr = struct.unpack_from(">I", payload, pos)[0]
     return (
         hdr >> 21 == 0x7FF
         and (hdr >> 19) & 3 in _VERSION_BITS
@@ -146,19 +159,25 @@ def parse_mp3_metadata(payload: bytes):
     audio_start = pos
 
     # Xing/Info (LAME) lives after the Layer III side info of frame 0;
-    # VBRI (Fraunhofer) at a fixed 32-byte offset past the header.
+    # VBRI (Fraunhofer) at a fixed 32-byte offset past the header. The
+    # tagged frame is a metadata placeholder, not audio, even when the
+    # tag's flags omit the frame-count field — track its presence
+    # independently of whether we got a count out of it.
     xing_frames = None
     vbr_tagged = False
+    has_placeholder = False
     if layer == 3:
         xoff = pos + 4 + _side_info_bytes(version, mode)
         tag = payload[xoff : xoff + 4]
         if tag in (b"Xing", b"Info"):
+            has_placeholder = True
             vbr_tagged = tag == b"Xing"
             flags = struct.unpack_from(">I", payload, xoff + 4)[0]
             if flags & 1:
                 xing_frames = struct.unpack_from(">I", payload, xoff + 8)[0]
     vboff = pos + 4 + 32
     if payload[vboff : vboff + 4] == b"VBRI":
+        has_placeholder = True
         vbr_tagged = True
         xing_frames = struct.unpack_from(">I", payload, vboff + 14)[0]
 
@@ -177,15 +196,15 @@ def parse_mp3_metadata(payload: bytes):
     if pos != end:
         raise ValueError(f"{end - pos} trailing bytes after last frame")
 
-    # A Xing/VBRI frame is a metadata placeholder, not audio
-    audio_frames = n_frames - (1 if xing_frames is not None else 0)
+    # A Xing/Info/VBRI frame is a metadata placeholder, not audio
+    audio_frames = n_frames - (1 if has_placeholder else 0)
     counted = xing_frames if xing_frames is not None else audio_frames
     if counted <= 0:
         raise ValueError("MPEG stream has zero audio frames")
     duration_ms = int(round(counted * samples * 1000.0 / rate))
     vbr = vbr_tagged or len(bitrates) > 1
     if vbr:
-        audio_bytes = end - audio_start - (first_len if xing_frames is not None else 0)
+        audio_bytes = end - audio_start - (first_len if has_placeholder else 0)
         bitrate_kbps = int(round(audio_bytes * 8.0 / duration_ms))
     else:
         bitrate_kbps = next(iter(bitrates))
@@ -202,13 +221,16 @@ _AAC_PROFILES = ("Main", "LC", "SSR", "LTP")
 def is_adts(payload: bytes) -> bool:
     """Cheap sniff for ADTS AAC: 12-bit sync 0xFFF with layer bits 00
     (which in an MPEG-audio header would be the reserved layer, so the
-    two sniffs are disjoint) and a legal sampling-frequency index."""
-    if len(payload) < 7:
+    two sniffs are disjoint) and a legal sampling-frequency index — at
+    byte 0 or right after a leading ID3v2 tag (same skip as
+    :func:`is_mp3`, so tagged AAC routes here, not to the MPEG walk)."""
+    pos = _post_id3_offset(payload)
+    if len(payload) < pos + 7:
         return False
     return (
-        payload[0] == 0xFF
-        and payload[1] & 0xF6 == 0xF0  # sync high nibble + layer 00
-        and ((payload[2] >> 2) & 0xF) < len(_ADTS_RATES)
+        payload[pos] == 0xFF
+        and payload[pos + 1] & 0xF6 == 0xF0  # sync high nibble + layer 00
+        and ((payload[pos + 2] >> 2) & 0xF) < len(_ADTS_RATES)
     )
 
 
@@ -216,12 +238,14 @@ def parse_adts_metadata(payload: bytes):
     """Parse ``(profile, sample_rate, n_channels, n_frames, duration_ms,
     bitrate_kbps)`` by hopping every ADTS frame header (ISO/IEC 14496-3
     1.A.2): each 7/9-byte header carries an EXPLICIT 13-bit frame length
-    and a raw-data-block count (each block = 1024 samples). Like the
+    and a raw-data-block count (each block = 1024 samples). A leading
+    ID3v2 tag is skipped (tagged AAC is common in the wild). Like the
     MPEG walk, corruption fails loudly. Raw AAC DECODE stays the honest
     boundary; the fields a pipeline filters on are real."""
-    pos, end = 0, len(payload)
+    pos, end = _id3v2_size(payload), len(payload)
     if not is_adts(payload):
         raise ValueError("not an ADTS stream")
+    audio_start = pos
     profile = rate = channels = None
     n_frames = 0
     total_samples = 0
@@ -252,7 +276,7 @@ def parse_adts_metadata(payload: bytes):
     if n_frames == 0:
         raise ValueError("ADTS stream has zero frames")
     duration_ms = int(round(total_samples * 1000.0 / rate))
-    bitrate_kbps = int(round(end * 8.0 / duration_ms))
+    bitrate_kbps = int(round((end - audio_start) * 8.0 / duration_ms))
     return profile, rate, channels, n_frames, duration_ms, bitrate_kbps
 
 

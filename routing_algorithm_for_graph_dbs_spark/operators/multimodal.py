@@ -327,7 +327,8 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("duration_ms", T.LongType(), True),  # wav/mp3 paths
         T.StructField("sample_rate", T.IntegerType(), True),  # wav/mp3
         T.StructField("spectral_centroid_hz", T.DoubleType(), True),  # wav
-        T.StructField("decoder", T.StringType(), False),  # wav|mp3-meta|fake
+        T.StructField("decoder", T.StringType(), False),
+        # wav | mp3-meta | aac-meta | fake
     ]
 )
 
@@ -343,7 +344,9 @@ def audio_features(
     as MPEG audio get a REAL frame-header metadata walk
     (``operators/mp3.py``, round 9): duration and sample rate are real,
     sample-derived stats are null, decoder='mp3-meta' — sample decode of
-    compressed audio is the honest boundary. Other payloads use the
+    compressed audio is the honest boundary. ADTS-AAC payloads (with or
+    without a leading ID3v2 tag) get the same treatment via the ADTS
+    header walk, decoder='aac-meta'. Other payloads use the
     deterministic sha256 fake (nulls for duration/rate), and with
     ``strict=True`` raise NotImplementedError instead (a real deployment
     plugs librosa/ffmpeg)."""
@@ -892,8 +895,10 @@ def mp3_metadata(
 ) -> DataFrame:
     """Arrow-batched MPEG-audio METADATA extraction (same plumbing
     contract as ``video_metadata`` — the audio analog of the ISO-BMFF
-    split). Payloads that sniff as MPEG audio (ID3v2 tag or valid frame
-    sync) get the REAL frame-header walk (``operators/mp3.py``,
+    split). Payloads that sniff as MPEG audio (valid frame sync at byte
+    0 or after a leading ID3v2 tag — an ID3 tag alone does not commit,
+    so ID3-tagged ADTS-AAC routes to the AAC walk instead) get the REAL
+    frame-header walk (``operators/mp3.py``,
     parser='mp3'): version, layer, sample rate, average bitrate, frame
     count, duration, VBR flag, channel mode — the fields an audio
     pipeline filters and plans on. Sample DECODE stays the honest

@@ -2922,6 +2922,27 @@ def test_mp3_metadata_golden():
     assert (nf, dur, vbr) == (100, 2612, True)
     assert kbps == 128  # zero-padded CBR frames average back to nominal
 
+    # Xing tag whose flags word omits the frames field (r10 ADVICE): the
+    # placeholder frame must STILL be excluded from the audio frame count
+    # and the byte-average bitrate (xoff = 4 header + 32 side-info bytes)
+    x = bytearray(build_mp3(10, xing=True))
+    x[40:44] = b"\x00\x00\x00\x00"
+    assert parse_mp3_metadata(bytes(x)) == (
+        "1", 3, 44100, 128, 10, 261, True, "stereo"
+    )
+    # Info tag (CBR convention): placeholder excluded, not VBR
+    x[36:40] = b"Info"
+    x[40:44] = b"\x00\x00\x00\x01"
+    x[44:48] = (10).to_bytes(4, "big")
+    assert parse_mp3_metadata(bytes(x)) == (
+        "1", 3, 44100, 128, 10, 261, False, "stereo"
+    )
+
+    # An ID3v2 tag alone is no longer an MP3 sniff hit — the sniff
+    # commits on the post-tag frame sync (so tagged AAC routes to ADTS)
+    id3_only = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 8]) + b"\x00" * 8
+    assert not is_mp3(id3_only)
+
     # MPEG-2 Layer III: 576 samples/frame, low-rate bitrate table
     assert parse_mp3_metadata(
         build_mp3(20, bitrate_kbps=64, sample_rate=22050, mode="mono", version="2")
@@ -2966,6 +2987,14 @@ def test_adts_metadata_golden():
     ) == ("Main", 96000, 6, 5, 53, 193)
 
     assert not is_adts(build_mp3(3)) and is_mp3(build_mp3(3))
+
+    # ID3-tagged ADTS-AAC (common in the wild, r10 ADVICE): sniffs as
+    # ADTS (not MPEG), parses identically, bitrate excludes tag bytes
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 64]) + b"\x00" * 64
+    tagged = id3 + p
+    assert is_adts(tagged) and not is_mp3(tagged)
+    assert parse_adts_metadata(tagged) == ("LC", 22050, 1, 43, 1997, 52)
+
     with _pytest.raises(ValueError, match="truncated"):
         parse_adts_metadata(p[:-10])
     with _pytest.raises(ValueError, match="trailing"):

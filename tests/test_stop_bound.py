@@ -262,6 +262,103 @@ def test_auto_bucket_derives_and_stays_admissible(spark, monkeypatch):
     assert fired > 0, "coarsened bound must still prune something"
 
 
+def test_auto_bucket_apportions_budget_per_pair(spark, monkeypatch):
+    """Round 10: past the cap the row budget is apportioned PER PAIR —
+    cheap pairs keep bit-exact staircases, only the heavy pair coarsens,
+    and prune efficacy stays within 10% of the exact bound (the uniform
+    round-9 bucket lost certificate-critical resolution on cheap pairs;
+    see the measured SCALE.md cliff)."""
+    from routing_algorithm_for_graph_dbs_spark.graph import stop_bound as sb
+
+    stoptimes, edges = [], []
+    # one HEAVY pair A -> B: 60 connections at distinct departures
+    for i in range(60):
+        dep = 1000 + 37 * i
+        stoptimes.append((f"h{i}a", "A", dep - 20, dep))
+        stoptimes.append((f"h{i}b", "B", dep + 120, dep + 130))
+        edges.append((f"h{i}a", f"h{i}b", "PRECEDES", 120, 0))
+    # many CHEAP pairs C{j} -> D{j}: one connection each
+    for j in range(12):
+        dep = 500 + 400 * j
+        stoptimes.append((f"c{j}a", f"C{j}", dep - 10, dep))
+        stoptimes.append((f"c{j}b", f"D{j}", dep + 300, dep + 310))
+        edges.append((f"c{j}a", f"c{j}b", "PRECEDES", 300, 0))
+
+    g_exact = _graph(spark, stoptimes, edges)
+    exact_data = timetable_bound_data(g_exact, bucket_s=0)
+    n_exact_rows = sum(
+        len(keys) for runs in exact_data[0].values() for _b, keys, _v in runs
+    )
+    assert n_exact_rows == 72  # 60 heavy + 12 cheap
+
+    monkeypatch.setattr(sb, "AUTO_BUCKET_TARGET_ROWS", 40)
+    g_auto = _graph(spark, stoptimes, edges)
+    auto_data = timetable_bound_data(g_auto)
+    n_auto_rows = sum(
+        len(keys) for runs in auto_data[0].values() for _b, keys, _v in runs
+    )
+    assert n_auto_rows <= 40
+    assert not sb.LAST_AUTO_BUCKET_CLAMPED
+    assert sb.LAST_AUTO_EXACT_PAIRS == 12 and sb.LAST_AUTO_COARSE_PAIRS == 1
+    assert sb.LAST_AUTO_BUCKET_S > 1
+
+    # every cheap pair's staircase is BIT-IDENTICAL to the exact run
+    for a in [f"C{j}" for j in range(12)]:
+        (eb, ek, ev), = exact_data[0][a]
+        (ab, ak, av), = auto_data[0][a]
+        assert eb == ab
+        assert (ek == ak).all() and (ev == av).all()
+    # the heavy pair coarsened
+    (_, hk_exact, _), = exact_data[0]["A"]
+    (_, hk_auto, _), = auto_data[0]["A"]
+    assert len(hk_auto) < len(hk_exact)
+
+    # prune efficacy within 10% of exact, and sound against the oracle
+    srcs = [s for s in stoptimes if s[0] in ("h50a", "h5a", "c0a", "c11a")]
+    src_points = [(stop, dep) for _sid, stop, _arr, dep in srcs]
+    b_exact = earliest_arrival_bounds(g_exact, src_points)
+    b_auto = earliest_arrival_bounds(g_auto, src_points)
+    fired_exact = fired_auto = 0
+    for sid, s_stop, _s_arr, s_dep in srcs:
+        reach = _reachable_from(edges, sid)
+        for tid, t_stop, t_arr, _t_dep in stoptimes:
+            if tid == sid:
+                continue
+            if provably_unreachable(b_exact, s_stop, s_dep, t_stop, t_arr):
+                fired_exact += 1
+            if provably_unreachable(b_auto, s_stop, s_dep, t_stop, t_arr):
+                fired_auto += 1
+                assert tid not in reach, (
+                    f"UNSOUND apportioned prune: {sid} -> {tid} reachable"
+                )
+    assert fired_exact > 50  # non-vacuous comparison
+    assert fired_auto >= 0.9 * fired_exact
+
+
+def test_auto_bucket_clamp_is_recorded(spark, monkeypatch):
+    """n_pairs ~ target degenerate case (r10 ADVICE): even 2 rows per
+    pair overshoots the budget — the collect proceeds at minimum
+    resolution and the clamp is recorded, not silent."""
+    from routing_algorithm_for_graph_dbs_spark.graph import stop_bound as sb
+
+    stoptimes, edges = [], []
+    for j in range(8):
+        for r in range(3):  # 3 connections per pair so exact = 24 rows
+            dep = 500 + 400 * j + 50 * r
+            stoptimes.append((f"c{j}a{r}", f"C{j}", dep - 10, dep))
+            stoptimes.append((f"c{j}b{r}", f"D{j}", dep + 300, dep + 310))
+            edges.append((f"c{j}a{r}", f"c{j}b{r}", "PRECEDES", 300, 0))
+    monkeypatch.setattr(sb, "AUTO_BUCKET_TARGET_ROWS", 9)  # < 2 * 8 pairs
+    g = _graph(spark, stoptimes, edges)
+    data = timetable_bound_data(g)
+    assert sb.LAST_AUTO_BUCKET_CLAMPED
+    n_rows = sum(len(keys) for runs in data[0].values() for _b, keys, _v in runs)
+    assert n_rows <= 16  # minimum resolution: <= 2 rows per pair
+    # still admissible: the single reachable pair is never pruned
+    bounds = earliest_arrival_bounds(g, [("C0", 500)])
+    assert not provably_unreachable(bounds, "C0", 500, "D0", 800)
+
+
 def test_timetable_data_memoized(spark):
     stoptimes = [("u0", "A", 100, 200), ("v", "B", 300, 400)]
     edges = [("u0", "v", "PRECEDES", 100, 0)]
