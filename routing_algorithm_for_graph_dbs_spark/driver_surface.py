@@ -6835,3 +6835,129 @@ def mm_aac_metadata(spark, sf_dir):
         F.col("duration_ms").cast("long").alias("duration_ms"),
         "parser",
     )
+
+
+@_register(
+    "mm_flac_metadata",
+    """
+    WITH au AS (
+      SELECT doc_id AS media_id,
+             96 * (10 + n_chars % 200) AS ts,
+             (doc_id % 5) * 7 AS pad,
+             32 + doc_id % 40 AS fb,
+             CASE (doc_id % 9) // 3
+               WHEN 0 THEN 48000 WHEN 1 THEN 32000 ELSE 24000 END AS rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+             CASE (doc_id // 3) % 2 WHEN 0 THEN 16 ELSE 24 END AS bps
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           -- fLaC(4) + STREAMINFO(4+34) + optional PADDING(4+pad) + frames
+           CAST(42 + CASE WHEN pad > 0 THEN 4 + pad ELSE 0 END + fb
+                AS BIGINT) AS n_bytes,
+           CAST(rate AS INTEGER) AS sample_rate,
+           n_channels,
+           CAST(bps AS INTEGER) AS bits_per_sample,
+           CAST(ts AS BIGINT) AS total_samples,
+           -- ts is a multiple of 96 and every rate divides 96000: the
+           -- exact STREAMINFO duration is an integer with no tie hazard
+           CAST(ts * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN pad > 0 THEN 2 ELSE 1 END AS INTEGER) AS n_blocks,
+           'flac' AS parser
+    FROM au
+    """,
+)
+def mm_flac_metadata(spark, sf_dir):
+    """REAL-parser cross-engine check, lossless-audio half (round 10):
+    synth_flac_media mints conformant FLAC containers (STREAMINFO with
+    packed 20/3/5/36-bit fields, optional PADDING block, synced frame
+    region) and flac_metadata walks the metadata-block chain for real
+    (strict=True: no fake fallback) — rate/channels/bit depth and the
+    EXACT total-sample count and duration from STREAMINFO, block count
+    from the chain walk, total bytes from the closed-form container
+    layout. Any bit-packing, chain-walk, or length-accounting bug breaks
+    the hash. Rice/LPC sample DECODE stays the honest boundary; the
+    metadata a lossless-audio pipeline filters on is real
+    (parse-not-decode split per operators/mp3.py — reference boundary
+    analog main.py:1, the engine delegates media handling entirely)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        flac_metadata,
+        synth_flac_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_flac_media(docs))
+    return flac_metadata(media, strict=True).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        F.col("total_samples").cast("long").alias("total_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "n_blocks",
+        "parser",
+    )
+
+
+@_register(
+    "mm_opus_metadata",
+    """
+    WITH au AS (
+      SELECT doc_id AS media_id,
+             5 + n_chars % 60 AS nf,
+             40 + doc_id % 50 AS pb,
+             312 + doc_id % 100 AS pre_skip,
+             CASE (doc_id % 9) // 3
+               WHEN 0 THEN 48000 WHEN 1 THEN 24000 ELSE 16000 END AS rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS n_channels
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           -- OpusHead page 47 + OpusTags page 44 + nf*(27 hdr + 1 lacing
+           -- + packet)
+           CAST(91 + nf * (28 + pb) AS BIGINT) AS n_bytes,
+           n_channels,
+           CAST(pre_skip AS INTEGER) AS pre_skip,
+           CAST(rate AS INTEGER) AS input_sample_rate,
+           CAST(nf + 2 AS INTEGER) AS n_pages,
+           -- 960 granule ticks per page at the fixed 48 kHz granule
+           -- clock = exactly 20 ms per audio page
+           CAST(nf * 20 AS BIGINT) AS duration_ms,
+           'opus' AS parser
+    FROM au
+    """,
+)
+def mm_opus_metadata(spark, sf_dir):
+    """REAL-parser cross-engine check, modern-voice-codec half (round
+    10): synth_opus_media mints conformant Ogg/Opus streams (RFC 3533
+    pages with REAL CRC-32 checksums, RFC 7845 OpusHead/OpusTags,
+    granules advancing 960 ticks per audio page) and opus_metadata walks
+    every page for real (strict=True: no fake fallback) — each page's
+    CRC re-verified, channels/pre-skip/input rate from OpusHead, page
+    count from the walk, duration from granule arithmetic at the fixed
+    48 kHz granule clock. Any CRC-table, lacing, or granule bug breaks
+    the hash. CELT/SILK packet DECODE stays the honest boundary."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        opus_metadata,
+        synth_opus_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_opus_media(docs))
+    return opus_metadata(media, strict=True).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "n_channels",
+        "pre_skip",
+        "input_sample_rate",
+        "n_pages",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "parser",
+    )

@@ -328,7 +328,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType(), True),  # wav/mp3
         T.StructField("spectral_centroid_hz", T.DoubleType(), True),  # wav
         T.StructField("decoder", T.StringType(), False),
-        # wav | mp3-meta | aac-meta | fake
+        # wav | mp3-meta | aac-meta | flac-meta | opus-meta | fake
     ]
 )
 
@@ -346,15 +346,26 @@ def audio_features(
     sample-derived stats are null, decoder='mp3-meta' — sample decode of
     compressed audio is the honest boundary. ADTS-AAC payloads (with or
     without a leading ID3v2 tag) get the same treatment via the ADTS
-    header walk, decoder='aac-meta'. Other payloads use the
+    header walk (decoder='aac-meta'), FLAC via the STREAMINFO block
+    (decoder='flac-meta' — duration there is exact, not estimated), and
+    Ogg/Opus via the CRC-checked page walk (decoder='opus-meta',
+    granule-derived duration). Other payloads use the
     deterministic sha256 fake (nulls for duration/rate), and with
     ``strict=True`` raise NotImplementedError instead (a real deployment
     plugs librosa/ffmpeg)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        is_flac,
+        parse_flac_metadata,
+    )
     from routing_algorithm_for_graph_dbs_spark.operators.mp3 import (
         is_adts,
         is_mp3,
         parse_adts_metadata,
         parse_mp3_metadata,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.opus import (
+        is_ogg_opus,
+        parse_opus_metadata,
     )
     from routing_algorithm_for_graph_dbs_spark.operators.wav import (
         decode_wav_samples,
@@ -399,6 +410,27 @@ def audio_features(
                     try:
                         _p = parse_adts_metadata(b)
                         mp3_meta = (_p[1], _p[4], "aac-meta")
+                    except DECODE_ERRORS:
+                        if strict:
+                            raise
+                elif is_flac(b):
+                    # STREAMINFO carries the EXACT sample count — the
+                    # one compressed format whose duration needs no
+                    # frame-walk estimate (rice/LPC sample decode stays
+                    # the boundary)
+                    try:
+                        _p = parse_flac_metadata(b)
+                        mp3_meta = (_p[0], _p[4], "flac-meta")
+                    except DECODE_ERRORS:
+                        if strict:
+                            raise
+                elif is_ogg_opus(b):
+                    # granule arithmetic on the CRC-checked page walk;
+                    # sample_rate reports OpusHead's input rate (granules
+                    # are always 48 kHz)
+                    try:
+                        _p = parse_opus_metadata(b)
+                        mp3_meta = (_p[2], _p[4], "opus-meta")
                     except DECODE_ERRORS:
                         if strict:
                             raise
@@ -1103,6 +1135,262 @@ def aac_metadata(
             "media_id long, sha256 string, n_bytes long, profile string,"
             " sample_rate int, n_channels int, n_frames int,"
             " duration_ms long, bitrate_kbps int, parser string"
+        ),
+    )
+
+
+def synth_flac_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL FLAC containers from the documents table: per
+    audio-kind doc, a STREAMINFO declaring ``96 * (10 + n_chars % 200)``
+    total samples at a cycling rate/channel/bit-depth config, an
+    optional PADDING block, and a synced frame region — every size and
+    the exact duration closed-form for the cross-engine oracle (rates
+    48000/32000/24000 divide 96 * 1000 exactly: durations are integer
+    milliseconds with no rounding ties)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import build_flac
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (96 * (10 + F.col("n_chars") % 200)).cast("long").alias("ts"),
+        ((F.col("doc_id") % 5) * 7).cast("int").alias("pad"),
+        (32 + F.col("doc_id") % 40).cast("int").alias("fb"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, ts, pad, fb in zip(
+                pdf["media_id"], pdf["ts"], pdf["pad"], pdf["fb"]
+            ):
+                mid = int(mid)
+                payloads.append(
+                    build_flac(
+                        int(ts),
+                        sample_rate=(48000, 32000, 24000)[(mid % 9) // 3],
+                        n_channels=1 + mid % 2,
+                        bits_per_sample=(16, 24)[(mid // 3) % 2],
+                        padding_bytes=int(pad),
+                        frame_bytes=int(fb),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "audio/flac",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def flac_metadata(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched FLAC METADATA extraction (same plumbing contract as
+    ``mp3_metadata``/``aac_metadata``): payloads that sniff as FLAC get
+    the REAL metadata-block walk (``operators/flac.py``, parser='flac')
+    — sample rate, channels, bit depth, the EXACT total-sample count and
+    duration from STREAMINFO, plus the block count the chain walk
+    visited. Rice/LPC sample DECODE stays the honest boundary. Non-FLAC
+    payloads take the deterministic sha256 fake, or raise under
+    ``strict=True``. Map-side only — the payload never crosses a
+    shuffle."""
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        is_flac,
+        parse_flac_metadata,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_flac(b):
+                        parsed = parse_flac_metadata(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    rate, ch, bps, ts, dur, n_blocks, _ab = parsed
+                    parser = "flac"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real FLAC metadata needs a STREAMINFO chain —"
+                            " this payload has none (sample decode itself"
+                            " needs a codec library, not in this container)"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    rate = (48000, 44100, 32000)[d[0] % 3]
+                    ch = 1 + d[1] % 2
+                    bps = (16, 24)[d[2] % 2]
+                    ts = 1000 + int.from_bytes(d[3:5], "big")
+                    dur = int(round(ts * 1000.0 / rate))
+                    n_blocks = 1
+                    parser = "fake"
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        int(rate),
+                        int(ch),
+                        int(bps),
+                        int(ts),
+                        int(dur),
+                        int(n_blocks),
+                        parser,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "sample_rate",
+                    "n_channels", "bits_per_sample", "total_samples",
+                    "duration_ms", "n_blocks", "parser",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, sample_rate int,"
+            " n_channels int, bits_per_sample int, total_samples long,"
+            " duration_ms long, n_blocks int, parser string"
+        ),
+    )
+
+
+def synth_opus_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL Ogg/Opus streams from the documents table: per
+    audio-kind doc, an OpusHead + OpusTags + ``5 + n_chars % 60`` audio
+    pages (real page CRCs, 960 granule ticks per page = 20 ms each) at a
+    cycling pre-skip/rate/channel config — total bytes and duration
+    closed-form for the cross-engine oracle."""
+    from routing_algorithm_for_graph_dbs_spark.operators.opus import build_opus
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (5 + F.col("n_chars") % 60).cast("int").alias("nf"),
+        (40 + F.col("doc_id") % 50).cast("int").alias("pb"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, nf, pb in zip(pdf["media_id"], pdf["nf"], pdf["pb"]):
+                mid = int(mid)
+                payloads.append(
+                    build_opus(
+                        int(nf),
+                        packet_bytes=int(pb),
+                        pre_skip=312 + mid % 100,
+                        input_sample_rate=(48000, 24000, 16000)[(mid % 9) // 3],
+                        n_channels=1 + mid % 2,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "audio/ogg",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def opus_metadata(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched Ogg/Opus METADATA extraction (same plumbing contract
+    as ``flac_metadata``): payloads that sniff as Ogg-encapsulated Opus
+    get the REAL page walk (``operators/opus.py``, parser='opus') — every
+    page's CRC verified, channels/pre-skip/input rate from OpusHead,
+    page count, and granule-derived duration. CELT/SILK packet DECODE
+    stays the honest boundary. Non-Opus payloads take the deterministic
+    sha256 fake, or raise under ``strict=True``. Map-side only."""
+    from routing_algorithm_for_graph_dbs_spark.operators.opus import (
+        is_ogg_opus,
+        parse_opus_metadata,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_ogg_opus(b):
+                        parsed = parse_opus_metadata(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    ch, pre_skip, rate, n_pages, dur = parsed
+                    parser = "opus"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real Opus metadata needs Ogg/OpusHead framing"
+                            " — this payload has none (packet decode itself"
+                            " needs a codec library, not in this container)"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    ch = 1 + d[0] % 2
+                    pre_skip = 312
+                    rate = (48000, 24000, 16000)[d[1] % 3]
+                    n_pages = 2 + d[2] % 60
+                    dur = (n_pages - 2) * 20
+                    parser = "fake"
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        int(ch),
+                        int(pre_skip),
+                        int(rate),
+                        int(n_pages),
+                        int(dur),
+                        parser,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "n_channels",
+                    "pre_skip", "input_sample_rate", "n_pages",
+                    "duration_ms", "parser",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, n_channels int,"
+            " pre_skip int, input_sample_rate int, n_pages int,"
+            " duration_ms long, parser string"
         ),
     )
 

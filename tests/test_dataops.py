@@ -3004,6 +3004,125 @@ def test_adts_metadata_golden():
         parse_adts_metadata(mixed)
 
 
+def test_flac_metadata_golden():
+    """FLAC metadata-block walk (round 10): packed STREAMINFO bit fields
+    (20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total samples),
+    chain walk over PADDING, exact duration, frame-sync verification,
+    and loud failures on truncation / bad first block / reserved types."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        build_flac,
+        is_flac,
+        parse_flac_metadata,
+    )
+
+    p = build_flac(96000, sample_rate=48000, padding_bytes=10, frame_bytes=64)
+    assert is_flac(p) and p[:4] == b"fLaC"
+    assert len(p) == 42 + 14 + 64
+    # 96000 samples / 48000 Hz = exactly 2000 ms; 2 blocks walked
+    assert parse_flac_metadata(p) == (48000, 2, 16, 96000, 2000, 2, 64)
+
+    # no padding -> single block; odd rate/channels/bit-depth packing
+    q = build_flac(44100, sample_rate=44100, n_channels=6,
+                   bits_per_sample=24, frame_bytes=2)
+    assert parse_flac_metadata(q) == (44100, 6, 24, 44100, 1000, 1, 2)
+    # zero samples: metadata-only container, no frame region required
+    assert parse_flac_metadata(build_flac(0, frame_bytes=0))[3] == 0
+
+    with _pytest.raises(ValueError, match="fLaC"):
+        parse_flac_metadata(b"RIFF....WAVE")
+    with _pytest.raises(ValueError, match="runs past"):
+        parse_flac_metadata(p[:20])
+    bad = bytearray(p)
+    bad[4] = 0x83  # first block not STREAMINFO
+    with _pytest.raises(ValueError, match="STREAMINFO"):
+        parse_flac_metadata(bytes(bad))
+    nosync = bytearray(build_flac(96, frame_bytes=4))
+    nosync[-4] = 0x00  # clobber the frame sync byte
+    with _pytest.raises(ValueError, match="sync"):
+        parse_flac_metadata(bytes(nosync))
+
+
+def test_opus_metadata_golden():
+    """Ogg/Opus page walk (round 10): RFC 3533 page framing with REAL
+    CRC-32 verification (poly 0x04c11db7, unreflected), OpusHead fields,
+    granule-derived duration, and loud failures on truncation, CRC
+    corruption, sequence gaps, and post-EOS pages."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import is_mp3
+    from routing_algorithm_for_graph_dbs_spark.operators.opus import (
+        build_opus,
+        is_ogg_opus,
+        ogg_crc,
+        parse_opus_metadata,
+    )
+
+    # the Ogg CRC is NOT the zlib CRC: known vector for the zero page
+    assert ogg_crc(b"") == 0
+    assert ogg_crc(b"\x01") == 0x04C11DB7
+
+    p = build_opus(5, packet_bytes=50, pre_skip=312, n_channels=2)
+    assert is_ogg_opus(p) and not is_mp3(p)
+    assert len(p) == 47 + 44 + 5 * 78
+    # 5 pages * 960 ticks / 48 = 100 ms; 7 pages total
+    assert parse_opus_metadata(p) == (2, 312, 48000, 7, 100)
+    assert parse_opus_metadata(
+        build_opus(1, packet_bytes=1, pre_skip=0,
+                   input_sample_rate=16000, n_channels=1)
+    ) == (1, 0, 16000, 3, 20)
+
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_opus_metadata(p[:-1])
+    flip = bytearray(p)
+    flip[100] ^= 1
+    with _pytest.raises(ValueError, match="CRC"):
+        parse_opus_metadata(bytes(flip))
+    with _pytest.raises(ValueError, match="EOS"):
+        # drop the last page entirely: clean page boundary, no EOS
+        parse_opus_metadata(p[: 47 + 44 + 4 * 78])
+    two = build_opus(2)
+    with _pytest.raises(ValueError, match="after the EOS"):
+        parse_opus_metadata(two + two[91:169])  # re-append an audio page
+
+
+def test_flac_opus_in_audio_features(spark):
+    """FLAC and Ogg/Opus payloads in the audio pipeline get real
+    duration/rate (decoder='flac-meta'/'opus-meta'); the strict
+    metadata extractors reject foreign payloads."""
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import build_flac
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        flac_metadata,
+        opus_metadata,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.opus import build_opus
+
+    rows = [
+        (1, "audio", build_flac(96000, sample_rate=32000), "audio/flac",
+         (None, None, 2, None, 32000)),
+        (2, "audio", build_opus(25, input_sample_rate=24000), "audio/ogg",
+         (None, None, 2, None, 24000)),
+        (3, "audio", b"not audio", "audio/flac",
+         (None, None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in audio_features(media).collect()}
+    assert got[1]["decoder"] == "flac-meta"
+    assert (got[1]["duration_ms"], got[1]["sample_rate"]) == (3000, 32000)
+    assert got[2]["decoder"] == "opus-meta"
+    assert (got[2]["duration_ms"], got[2]["sample_rate"]) == (500, 24000)
+    assert got[3]["decoder"] == "fake"
+    fm = {r["media_id"]: r.asDict() for r in flac_metadata(media).collect()}
+    assert fm[1]["parser"] == "flac" and fm[1]["total_samples"] == 96000
+    assert fm[2]["parser"] == "fake" and fm[3]["parser"] == "fake"
+    om = {r["media_id"]: r.asDict() for r in opus_metadata(media).collect()}
+    assert om[2]["parser"] == "opus" and om[2]["n_pages"] == 27
+    assert om[1]["parser"] == "fake"
+
+
 def test_aac_metadata_in_audio_features(spark):
     """An ADTS payload in the audio pipeline gets real duration/rate
     (decoder='aac-meta'); aac_metadata's fake path handles non-ADTS."""
