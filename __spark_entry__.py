@@ -22,87 +22,84 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
-# order. The window ROTATES each round (round-5 verdict demand). After
-# round 8 every registered query has had at least one driver row, so round
-# 9 leads with the queries NEW this round, re-runs every query whose
-# implementation changed since its last driver row, and cycles the STALEST
-# prior rows — the r6 window (its rows' last driver check). The remaining
-# 113 stay covered by tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
+# order. The window ROTATES each round (round-5 verdict demand). Round 10
+# (VERDICT r9 item 6): lead with the queries NEW this round, re-run every
+# query whose implementation changed since its last driver row, then the
+# §2 relational rows the verdict named (f1/u1 last checked r5; the
+# p*/j*/a*/f*/t*/w* block last checked r8), then the three r6-window rows
+# that ceded their r9 slots, topped up with the stalest r7-window rows.
+# The remaining registry stays covered by tools/check_oracles.py
+# (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: NEW this round — real MPEG-audio and
-    #    ADTS-AAC metadata walks; G.711 companding roundtrip (the A-law
-    #    sign-fix guard via the sign-sensitive mean_amplitude column)
+    # -- never-driver-checked: NEW this round — FLAC STREAMINFO and
+    #    CRC-verified Ogg/Opus metadata walks
+    "mm_flac_metadata",
+    "mm_opus_metadata",
+    # -- re-runs: implementation changed since their last driver row.
+    #    mm_mp3_metadata / mm_aac_metadata: r10 ID3-tagged-AAC re-sniff,
+    #    Xing-placeholder accounting, tag-excluded ADTS bitrate.
+    #    mm_audio_features: r10 flac-meta/opus-meta dispatch branches.
+    #    sem_dedup / knn_ivf_join: r10 Arrow assignment/probe kernels
+    #    (bit-identical by construction AND re-proven by the gate).
     "mm_mp3_metadata",
     "mm_aac_metadata",
-    "mm_g711_roundtrip",
-    # -- re-runs: implementation changed since their last driver row.
-    #    mm_mp4_metadata: r9 stts/stsz extension (n_frames/fps).
-    #    mm_audio_features / mm_wav_*: r8 dialect dispatch landed after
-    #    their r8 rows + r9 A-law sign fix and mean_amplitude column.
-    #    mm_phash_neardup: r8 lenient fake-text decode post-row.
-    #    apx_sketches: r8 rank-window p50 contract (last row r6).
-    #    graph_bfs_hops: r9 one-time lane-retirement frontier filter.
-    #    knn_ivf_join / sem_dedup: r9 sqrt(n)-sized IVF centroid counts
-    #    (the gate-sized pin of 8 went quadratic at the sf1.0 probe).
-    "mm_mp4_metadata",
     "mm_audio_features",
-    "mm_wav_roundtrip",
-    "mm_wav_spectral",
-    "mm_phash_neardup",
-    "apx_sketches",
-    "graph_bfs_hops",
-    "knn_ivf_join",
     "sem_dedup",
-    # -- cycle: the stalest driver rows — the r6 window, minus members
-    #    re-checked in r7/r8 (graph_random_walks, ts_ewma, ts_interpolate,
-    #    ev_mad_outliers, upd_apply_cdc, hist_scd2, hist_snapshot_asof,
-    #    idx_postings), in r6 registration order
-    "graph_pagerank",
-    "graph_ppr",
-    "graph_triangles",
-    "graph_kcore",
-    "graph_scc",
-    "graph_labelprop",
-    "graph_closeness",
-    "graph_harmonic",
-    "graph_node_similarity",
-    "graph_lcc",
-    "graph_betweenness_directed",
-    "smp_stratified",
-    "smp_ntile",
-    "smp_negatives",
-    "smp_cap_per_source",
-    "smp_budget_mixture",
-    "smp_weighted_k",
-    "smp_train_val_test",
-    "smp_temperature_mixture",
-    "ts_resample_ffill",
-    "ev_zscore_outliers",
-    "ev_conversion_funnel",
-    "ev_cohort_retention",
-    "ev_markov_transitions",
-    "upd_merge_upsert",
-    "dq_constraint_checks",
-    "dq_column_profile",
-    "dq_dataset_fingerprint",
-    "dq_referential_integrity",
-    "lay_zorder_key",
-    "skw_count_distinct",
-    "skw_bloom_join",
-    "apx_hll_rollup",
-    "apx_theta_setops",
-    "idx_conjunctive_search",
-    "pipe_corpus_prep",
-    "pipe_training_mix",
-    "pipe_entity_resolution",
+    "knn_ivf_join",
+    # -- §2 relational block (VERDICT r9 item 6): f1/u1 ceded their r8
+    #    slots to the codec rows (last driver rows r5 — the stalest in
+    #    the registry); the rest last checked r8
+    "f1_casts",
+    "u1_union_all",
+    "t1_t2_topk",
+    "j5_earliest_transfer",
+    "p1_project_rename",
+    "p3_p4_filters",
+    "p5_computed_theta",
+    "p6_radius_filter",
+    "p8_p9_p10_membership",
+    "j1_join_chain",
+    "j2_fk_dims",
+    "w1_lead_consecutive",
+    "j4_band_selfjoin",
+    "j6_explode_rejoin",
+    "j7_nn_top1",
+    "j8_semi_join",
+    "j9_anti_join",
+    "a1_a2_aggregates",
+    "a3_argmin_ties",
+    "a5_collect_sorted",
+    "w3_running_sum",
+    "f2_temporal",
+    "f3_durations",
+    "f7_arrays",
+    "f8_strings",
+    # -- the three r6-window rows that ceded their r9 slots (last rows r6)
+    "dd_canonical",
+    "dd_keep_best",
+    "txt_bpe_learn2",
+    # -- stalest r7-window rows not re-checked since, in r7 order
+    "a8_rollup",
+    "a9_pivot",
+    "a10_histogram",
+    "a11_corr_cov",
+    "a12_cube",
+    "a13_unpivot",
+    "u2_intersect_except",
+    "w4_rank_distributions",
+    "w5_moving_avg",
+    "w6_inactivity_gaps",
+    "w7_rolling_distinct",
+    "f10_json_extract",
+    "f11_maps",
+    "ft_minmax_norm",
+    "ft_percent_rank",
 ]
-# ROUND-10 ROTATION NOTE: lead with any query whose implementation
-# changes during r9 after its driver row, then cycle the stalest prior
-# rows — dd_canonical, dd_keep_best, txt_bpe_learn2 first (the three
-# r6-window rows that ceded r9 slots to mm_aac_metadata and the two
-# IVF-resizing re-runs; dd_canonical did get the 5M-doc scale_dedup
-# ground-truth run this round), then the r7 window rows not re-checked
-# since (see CORRECTNESS_r07.json), then the r8 window.
+# ROUND-11 ROTATION NOTE: lead with any query whose implementation
+# changes during r10 after its driver row, then continue the r7-window
+# stale cycle where r10 left off (txt_tfidf_top3 onward — see
+# CORRECTNESS_r07.json order), then the remaining r8-window rows
+# (streaming/asof/dedup block), then the r9 window.
 
 
 def _ordered() -> list[str]:

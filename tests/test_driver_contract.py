@@ -10,39 +10,39 @@ from __future__ import annotations
 
 import pytest
 
-# Round-9 window (VERDICT r8 item 3 + the builder's own rotation note):
-# the two queries NEW this round lead (MPEG-audio metadata; G.711 sign
-# guard); then re-runs of every query whose implementation changed since
-# its last driver row (the r8 dialect-dispatch/phash/p50 changes that
-# landed after their r8 rows, plus this round's MP4 stts/stsz extension,
-# A-law sign fix, and SSSP lane-retirement filter); topped to 50 with
-# the STALEST driver rows — the r6 window members not re-checked since.
+# Round-10 window (VERDICT r9 item 6 + the builder's rotation note): the
+# two queries NEW this round lead (FLAC STREAMINFO; CRC-verified
+# Ogg/Opus); then re-runs of every query whose implementation changed
+# since its last driver row (the r10 ID3/Xing sniff fixes and the Arrow
+# IVF assignment/probe kernels); then the §2 relational block the
+# verdict named (f1/u1 stale since r5, the rest since r8); topped to 50
+# with the r6 rows that ceded their r9 slots and the stalest r7 rows.
 NEVER_CHECKED = [
-    "mm_mp3_metadata",
-    "mm_aac_metadata",
-    "mm_g711_roundtrip",
+    "mm_flac_metadata",
+    "mm_opus_metadata",
 ]
 
 CHANGED_SINCE_LAST_ROW = [
-    "mm_mp4_metadata",
+    # r10 ID3-tagged-AAC re-sniff + Xing-placeholder accounting
+    "mm_mp3_metadata",
+    "mm_aac_metadata",
+    # r10 flac-meta/opus-meta dispatch branches
     "mm_audio_features",
-    "mm_wav_roundtrip",
-    "mm_wav_spectral",
-    "mm_phash_neardup",
-    "apx_sketches",
-    "graph_bfs_hops",
-    # r9 sqrt(n)-sized IVF centroid counts (sf1.0-probe quadratic fix)
-    "knn_ivf_join",
+    # r10 Arrow assignment/probe kernels
     "sem_dedup",
+    "knn_ivf_join",
 ]
 
 REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
-    # representatives of the stalest-row (r6-window) cycle
-    "graph_pagerank",
-    "graph_scc",
-    "smp_stratified",
-    "dq_constraint_checks",
-    "pipe_entity_resolution",
+    # representatives of the verdict-named §2 relational block and the
+    # stale-row cycle
+    "f1_casts",
+    "u1_union_all",
+    "j1_join_chain",
+    "a1_a2_aggregates",
+    "dd_canonical",
+    "a8_rollup",
+    "ft_percent_rank",
 ]
 
 
@@ -77,24 +77,19 @@ def test_queries_are_callable_and_keys_stable(entry_mod):
     assert list(q)[: len(NEVER_CHECKED)] == NEVER_CHECKED
 
 
-def test_window_rotation_r9(entry_mod):
-    """Round-9 rotation: every window row must be (a) a query new this
+def test_window_rotation_r10(entry_mod):
+    """Round-10 rotation: every window row must be (a) a query new this
     round (never driver-checked), (b) a declared changed-since-last-row
-    re-run, or (c) a stalest-row cycle member — an r6-window row whose
-    last driver check was r6 (not re-checked in r7/r8). Anything else
-    would waste the gate's 50 slots on recently-checked queries."""
+    re-run, or (c) STALE — not checked in the r9 window (its last driver
+    row is r8 or older). Anything else would waste the gate's 50 slots
+    on recently-checked queries."""
     import json
     import os
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r6 = set(
-        list(json.load(open(os.path.join(here, "CORRECTNESS_r06.json"))))[:50]
-    )
-    r7 = set(json.load(open(os.path.join(here, "CORRECTNESS_r07.json"))))
-    r8 = set(json.load(open(os.path.join(here, "CORRECTNESS_r08.json"))))
-    stale_r6 = (r6 - r7) - r8
+    r9 = set(json.load(open(os.path.join(here, "CORRECTNESS_r09.json"))))
     window = set(list(entry_mod.queries())[:50])
     assert set(NEVER_CHECKED) <= window
-    allowed = set(NEVER_CHECKED) | set(CHANGED_SINCE_LAST_ROW) | stale_r6
-    stray = window - allowed
-    assert not stray, f"window wastes rows on recently-checked queries: {sorted(stray)}"
+    fresh = r9 - set(NEVER_CHECKED) - set(CHANGED_SINCE_LAST_ROW)
+    stray = window & fresh
+    assert not stray, f"window wastes rows on r9-checked queries: {sorted(stray)}"
