@@ -1,0 +1,310 @@
+"""Multimodal decode/parse throughput at data volume (round 10).
+
+VERDICT r9 #2: the codec paths were correctness-proven at sf1.0 but the
+mapInPandas decode pipelines had no recorded MB/s-per-core run — the
+last major surface without a SCALE.md record. This driver mints a >=1 GB
+mixed REAL-media corpus with the repo's own encoders (all eight formats
+the extractors handle: JPEG/PNG images, PCM WAV + MPEG/ADTS/FLAC/Ogg-
+Opus audio, ISO-BMFF video), writes it to parquet, and times the three
+production extractors end-to-end on local[32]:
+
+- ``image_features``  (REAL pixel decode: pure-Python Huffman JPEG,
+  zlib-unfilter PNG)
+- ``audio_features``  (REAL PCM decode + FFT centroid for WAV; REAL
+  header/CRC metadata walks for MP3/AAC/FLAC/Opus)
+- ``video_metadata``  (REAL ISO-BMFF box walk; mdat skipped by length)
+
+Every extractor runs ``strict=True`` — a single fake-path fallback
+fails the run, so the measured throughput is the real decode path.
+A sampler thread records python-worker RSS (sum and max across
+``pyspark.daemon`` forks) during the timed section, proving the
+batch-bounded-memory claim (multimodal.py: Arrow batch size bounds
+decoded-payload residency, not corpus size) at data volume.
+
+Prints one JSON line; the recorded run lives in SCALE.md. Run:
+
+    python tools/scale_multimodal.py            # default ~2.3 GB corpus
+    MM_SCALE=0.1 python tools/scale_multimodal.py   # quick smoke
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from routing_algorithm_for_graph_dbs_spark.session import get_spark
+
+# (family, rows at MM_SCALE=1) — sized so audio/video carry the bytes
+# (cheap to mint) while images carry the decode CPU (pure-Python codecs)
+FAMILIES = [
+    ("jpeg", 320),
+    ("png", 1200),
+    ("wav", 400),
+    ("mp3", 300),
+    ("aac", 300),
+    ("flac", 250),
+    ("opus", 300),
+    ("mp4", 250),
+]
+
+
+def _mint(family: str, mid: int) -> bytes:
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators import (
+        flac,
+        jpeg,
+        mp3,
+        mp4,
+        opus,
+        png,
+        wav,
+    )
+
+    rng = np.random.default_rng(mid)
+    if family == "jpeg":
+        px = rng.integers(0, 256, (256, 256)).astype(np.uint8)
+        return jpeg.encode_jpeg_gray(px, quality=75 + mid % 20)
+    if family == "png":
+        px = rng.integers(0, 256, (256, 256, 3)).astype(np.uint8)
+        return png.encode_png(px, filter_mode="cycle")
+    if family == "wav":
+        n = 400_000 + (mid % 7) * 30_000
+        t = np.arange(n) * (2 * np.pi * (200 + mid % 300) / 44100.0)
+        x = np.stack([0.8 * np.sin(t), 0.5 * np.cos(t)], axis=1)
+        return wav.encode_wav(x, 44100, bits=16)
+    if family == "mp3":
+        return mp3.build_mp3(
+            1800 + mid % 200, bitrate_kbps=(128, 192, 320)[mid % 3]
+        )
+    if family == "aac":
+        return mp3.build_adts(2800 + mid % 200, frame_bytes=256)
+    if family == "flac":
+        return flac.build_flac(
+            48000 * (50 + mid % 20),
+            padding_bytes=64,
+            frame_bytes=900_000 + (mid % 5) * 50_000,
+        )
+    if family == "opus":
+        return opus.build_opus(450 + mid % 100, packet_bytes=400)
+    if family == "mp4":
+        return mp4.build_mp4(
+            60_000 + (mid % 10) * 1000,
+            1280,
+            720,
+            n_frames=1440,
+            fps=(24.0, 25.0, 30.0)[mid % 3],
+            mdat_bytes=1_900_000 + (mid % 5) * 40_000,
+        )
+    raise ValueError(family)
+
+
+class _RssSampler(threading.Thread):
+    """Samples the RSS of every ``pyspark.daemon`` fork (the Arrow
+    python workers that run the decode kernels) plus this driver."""
+
+    def __init__(self, interval: float = 0.25):
+        super().__init__(daemon=True)
+        self.interval = interval
+        self.peak_sum_mb = 0.0
+        self.peak_single_mb = 0.0
+        # NB: not `_stop` — threading.Thread defines a private _stop()
+        # method that join() calls internally
+        self._halt = threading.Event()
+
+    @staticmethod
+    def _worker_rss_mb():
+        total, single = 0.0, 0.0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+                if b"pyspark.daemon" not in cmd:
+                    continue
+                with open(f"/proc/{pid}/statm") as f:
+                    rss_pages = int(f.read().split()[1])
+                mb = rss_pages * os.sysconf("SC_PAGE_SIZE") / 1e6
+                total += mb
+                single = max(single, mb)
+            except (OSError, IndexError, ValueError):
+                continue
+        return total, single
+
+    def run(self):
+        while not self._halt.is_set():
+            total, single = self._worker_rss_mb()
+            self.peak_sum_mb = max(self.peak_sum_mb, total)
+            self.peak_single_mb = max(self.peak_single_mb, single)
+            self._halt.wait(self.interval)
+
+    def stop(self):
+        self._halt.set()
+
+
+def main() -> None:
+    scale = float(os.environ.get("MM_SCALE", "1"))
+    out_dir = os.environ.get("MM_DIR", "/tmp/scale_multimodal")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="scale_multimodal")
+    sc = spark.sparkContext
+
+    from pyspark.sql import functions as F
+
+    # ---- mint the corpus (parallel; REAL encoders) -------------------
+    rows_per = [(fam, max(8, int(n * scale))) for fam, n in FAMILIES]
+    ids = []
+    base = 0
+    for fam, n in rows_per:
+        ids += [(base + i, fam) for i in range(n)]
+        base += n
+    t0 = time.perf_counter()
+    n_parts = min(256, max(cpus * 4, 8))
+    media_path = os.path.join(out_dir, "media.parquet")
+
+    mimes = {
+        "jpeg": "image/jpeg",
+        "png": "image/png",
+        "wav": "audio/wav",
+        "mp3": "audio/mpeg",
+        "aac": "audio/aac",
+        "flac": "audio/flac",
+        "opus": "audio/ogg",
+        "mp4": "video/mp4",
+    }
+
+    def mint_part(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                _mint(fam, int(mid))
+                for mid, fam in zip(pdf["media_id"], pdf["family"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "family": pdf["family"],
+                    "mime": [mimes[f] for f in pdf["family"]],
+                    "payload": payloads,
+                }
+            )
+
+    (
+        spark.createDataFrame(ids, "media_id long, family string")
+        .repartition(n_parts)
+        .mapInPandas(
+            mint_part,
+            "media_id long, family string, mime string, payload binary",
+        )
+        .write.mode("overwrite")
+        .parquet(media_path)
+    )
+    mint_s = round(time.perf_counter() - t0, 1)
+
+    # small files + CPU-bound decode: cap split size so all cores engage
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
+    media = spark.read.parquet(media_path)
+    stats = {
+        r["family"]: (r["n"], r["mb"])
+        for r in media.groupBy("family")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.length("payload")) / 1e6).alias("mb"),
+        )
+        .collect()
+    }
+    total_mb = round(sum(mb for _n, mb in stats.values()), 1)
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        video_metadata,
+    )
+
+    image_fams = ("jpeg", "png")
+    audio_fams = ("wav", "mp3", "aac", "flac", "opus")
+
+    def timed(tag, fams, fn, check_col, real_values):
+        sub = media.filter(F.col("family").isin(*fams))
+        base_sum, base_single = _RssSampler._worker_rss_mb()
+        sampler = _RssSampler()
+        sampler.start()
+        t0 = time.perf_counter()
+        got = (
+            fn(sub)
+            .groupBy(check_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        wall = time.perf_counter() - t0
+        sampler.stop()
+        sampler.join(timeout=2)
+        by = {r[check_col]: r["n"] for r in got}
+        assert set(by) <= set(real_values), f"{tag}: fake path fired: {by}"
+        n_rows = sum(by.values())
+        mb = sum(stats[f][1] for f in fams)
+        assert n_rows == sum(stats[f][0] for f in fams), (tag, by)
+        return {
+            "rows": n_rows,
+            "payload_mb": round(mb, 1),
+            "wall_s": round(wall, 2),
+            "docs_per_s": round(n_rows / wall, 1),
+            "mb_per_s": round(mb / wall, 1),
+            "mb_per_s_per_core": round(mb / wall / cpus, 3),
+            "decoders": by,
+            # absolute peaks include every resident pyspark.daemon fork's
+            # idle baseline; the RISE during the timed section is what the
+            # batch-bounded claim predicts stays ~batch-sized per worker
+            "peak_worker_rss_sum_mb": round(sampler.peak_sum_mb, 1),
+            "peak_worker_rss_max_mb": round(sampler.peak_single_mb, 1),
+            "rss_rise_sum_mb": round(max(sampler.peak_sum_mb - base_sum, 0), 1),
+            "rss_rise_max_worker_mb": round(
+                max(sampler.peak_single_mb - base_single, 0), 1
+            ),
+        }
+
+    results = {
+        "image_features": timed(
+            "image",
+            image_fams,
+            lambda df: image_features(df, strict=True, batch_size=64),
+            "decoder",
+            {"jpeg", "png"},
+        ),
+        "audio_features": timed(
+            "audio",
+            audio_fams,
+            lambda df: audio_features(df, strict=True, batch_size=32),
+            "decoder",
+            {"wav", "mp3-meta", "aac-meta", "flac-meta", "opus-meta"},
+        ),
+        "video_metadata": timed(
+            "video",
+            ("mp4",),
+            lambda df: video_metadata(df, strict=True, batch_size=64),
+            "parser",
+            {"mp4"},
+        ),
+    }
+
+    out = {
+        "metric": "scale_multimodal",
+        "corpus_mb": total_mb,
+        "corpus_rows": sum(n for n, _ in stats.values()),
+        "mint_s": mint_s,
+        "cpus": cpus,
+        "per_family_mb": {f: round(mb, 1) for f, (_n, mb) in sorted(stats.items())},
+        "pipelines": results,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
