@@ -487,6 +487,85 @@ def _knn_join_broadcast(
     )
 
 
+def _knn_pair_topk_cells(
+    l_cells: DataFrame,
+    r_cells: DataFrame,
+    k: int,
+    key_col: str,
+    exclude_same_key: bool,
+    vec_type,
+    key_type,
+) -> DataFrame:
+    """Per-cell top-k candidates via a cogrouped numpy kernel — the
+    vectorized twin of ``join + per-pair fold`` in :func:`knn_join_ivf`.
+
+    Bit-exactness: each pair's dot accumulates left-to-right over the
+    dimension (one vectorized multiply-add per dimension — the fold's
+    exact IEEE-754 sequence) and rounds HALF-UP, so the rounded cosines
+    equal the expression path's. Rights are ordered by key inside the
+    kernel, so a stable argsort on descending cosine breaks ties to the
+    lowest ``r_id`` — the global window's exact total order, which makes
+    the per-cell cut lossless for the global top-k. The left block is
+    chunked so the pair matrix stays ~32 MB regardless of cell size."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("l_id", key_type, False),
+            T.StructField("r_id", key_type, False),
+            T.StructField("cosine_sim", T.DoubleType(), False),
+        ]
+    )
+    empty = {"l_id": [], "r_id": [], "cosine_sim": []}
+
+    def topk(left_pdf, right_pdf):
+        if len(left_pdf) == 0 or len(right_pdf) == 0:
+            return pd.DataFrame(empty)
+        X = np.array([np.asarray(v, np.float64) for v in left_pdf["lv"]])
+        Y = np.array([np.asarray(v, np.float64) for v in right_pdf["rv"]])
+        ln = left_pdf["ln"].to_numpy(np.float64)
+        rn = right_pdf["rn_"].to_numpy(np.float64)
+        lid = left_pdf["l_id"].to_numpy()
+        rid = right_pdf["r_id"].to_numpy()
+        r_order = np.argsort(rid, kind="stable")
+        Y, rn, rid = Y[r_order], rn[r_order], rid[r_order]
+        m, D = X.shape
+        n = Y.shape[0]
+        kk = min(k, n)
+        outs = []
+        chunk = max(1, 4_000_000 // max(n, 1))
+        for s in range(0, m, chunk):
+            Xc, lnc, lidc = X[s : s + chunk], ln[s : s + chunk], lid[s : s + chunk]
+            acc = np.zeros((Xc.shape[0], n))
+            for d in range(D):
+                acc += Xc[:, d][:, None] * Y[None, :, d]
+            cos = acc / (lnc[:, None] * rn[None, :])
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            if exclude_same_key:
+                cos[lidc[:, None] == rid[None, :]] = -np.inf
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            sims = np.take_along_axis(cos, idx, axis=1).ravel()
+            keep = sims > -np.inf
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "l_id": np.repeat(lidc, kk)[keep],
+                        "r_id": rid[idx.ravel()][keep],
+                        "cosine_sim": sims[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        l_cells.groupBy("cell")
+        .cogroup(r_cells.groupBy("cell"))
+        .applyInPandas(topk, schema=out_schema)
+    )
+
+
 def knn_join_ivf(
     left: DataFrame,
     right: DataFrame,
@@ -561,10 +640,32 @@ def knn_join_ivf(
                 F.explode(probe_cells).alias("cell"),
             )
         )
+    w = Window.partitionBy("l_id").orderBy(F.desc("cosine_sim"), F.col("r_id"))
+    if len(cents) >= IVF_ASSIGN_ARROW_MIN_CENTROIDS:
+        # vectorized pair stage (round 10): the per-pair interpreted fold
+        # was the sf1.0 bottleneck — pairs grow ~n^1.5 under sqrt(n) cells
+        # and AQE coalesces the cell join's small SHUFFLE BYTES into a
+        # handful of partitions, blind to the O(pairs * dim) CPU behind
+        # them (measured: 202 s at sf1.0, alpha=1.96 — SCALE.md r10). A
+        # cogroup per cell computes the whole (left x right) rounded-
+        # cosine block in numpy with the fold's exact accumulation order
+        # and keeps the per-cell top-k; a row can only beat the global
+        # top-k if it survives its own cell's top-k under the SAME total
+        # order, so the cheap cross-cell window below is exact.
+        candidates = _knn_pair_topk_cells(
+            l_cells, r_cells, k, key_col=key_col,
+            exclude_same_key=exclude_same_key,
+            vec_type=right.schema[vec_col].dataType,
+            key_type=right.schema[key_col].dataType,
+        )
+        return (
+            candidates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("l_id", "r_id", "cosine_sim", "rn")
+        )
     joined = l_cells.join(r_cells, "cell")
     if exclude_same_key:
         joined = joined.filter(F.col("l_id") != F.col("r_id"))
-    w = Window.partitionBy("l_id").orderBy(F.desc("cosine_sim"), F.col("r_id"))
     return (
         joined.withColumn(
             "cosine_sim",
