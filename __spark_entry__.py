@@ -31,10 +31,11 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # The remaining registry stays covered by tools/check_oracles.py
 # (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: NEW this round — FLAC STREAMINFO and
-    #    CRC-verified Ogg/Opus metadata walks
+    # -- never-driver-checked: NEW this round — FLAC STREAMINFO,
+    #    CRC-verified Ogg/Opus, and EBML/WebM metadata walks
     "mm_flac_metadata",
     "mm_opus_metadata",
+    "mm_webm_metadata",
     # -- re-runs: implementation changed since their last driver row.
     #    mm_mp3_metadata / mm_aac_metadata: r10 ID3-tagged-AAC re-sniff,
     #    Xing-placeholder accounting, tag-excluded ADTS bitrate.
@@ -93,11 +94,11 @@ _DRIVER_WINDOW = [
     "f10_json_extract",
     "f11_maps",
     "ft_minmax_norm",
-    "ft_percent_rank",
 ]
 # ROUND-11 ROTATION NOTE: lead with any query whose implementation
 # changes during r10 after its driver row, then continue the r7-window
-# stale cycle where r10 left off (txt_tfidf_top3 onward — see
+# stale cycle where r10 left off (ft_percent_rank — it ceded its r10
+# slot to mm_webm_metadata — then txt_tfidf_top3 onward, see
 # CORRECTNESS_r07.json order), then the remaining r8-window rows
 # (streaming/asof/dedup block), then the r9 window.
 

@@ -6961,3 +6961,76 @@ def mm_opus_metadata(spark, sf_dir):
         F.col("duration_ms").cast("long").alias("duration_ms"),
         "parser",
     )
+
+
+@_register(
+    "mm_webm_metadata",
+    """
+    WITH au AS (
+      SELECT doc_id AS media_id,
+             20000 + (doc_id % 500) * 16 AS dur,
+             1 + doc_id % 4 AS nc,
+             2000 + n_chars % 3000 AS pad,
+             CASE (doc_id // 3) % 3
+               WHEN 0 THEN 1280 WHEN 1 THEN 1920 ELSE 640 END AS w,
+             CASE (doc_id // 3) % 3
+               WHEN 0 THEN 720 WHEN 1 THEN 1080 ELSE 360 END AS h,
+             CASE (doc_id % 9) // 3
+               WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END AS rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+             CASE WHEN doc_id % 5 = 0 THEN 'matroska' ELSE 'webm' END AS dt
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           -- fixed 8-byte size VINTs make the container layout exact:
+           -- 106 + len(doctype) + n_clusters * (cluster_pad + 24)
+           CAST(106 + length(dt) + nc * (pad + 24) AS BIGINT) AS n_bytes,
+           dt AS doctype,
+           CAST(dur AS BIGINT) AS duration_ms,
+           CAST(1 AS INTEGER) AS n_video,
+           CAST(1 AS INTEGER) AS n_audio,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(rate AS INTEGER) AS sample_rate,
+           n_channels,
+           CAST(nc AS INTEGER) AS n_clusters,
+           'webm' AS parser
+    FROM au
+    """,
+)
+def mm_webm_metadata(spark, sf_dir):
+    """REAL-parser cross-engine check, EBML-container half (round 10 —
+    WebM is the dominant crawl video container after MP4, whose ISO-BMFF
+    twin is mm_mp4_metadata): synth_webm_media mints conformant
+    Matroska/WebM bytes (RFC 8794 VINT framing, Info with
+    TimecodeScale x f32 Duration, video+audio TrackEntries, Clusters
+    hopped by size) and webm_metadata walks every element for real
+    (strict=True: no fake fallback) — DocType, exact duration, track
+    counts, dimensions, audio rate/channels, cluster count, and total
+    bytes from the fixed-VINT closed form. Any VINT-length, registry-id,
+    or float-width bug breaks the hash. Frame DECODE stays the honest
+    boundary."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        synth_webm_media,
+        webm_metadata,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_webm_media(docs))
+    return webm_metadata(media, strict=True).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "doctype",
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "n_video",
+        "n_audio",
+        "width",
+        "height",
+        "sample_rate",
+        "n_channels",
+        "n_clusters",
+        "parser",
+    )

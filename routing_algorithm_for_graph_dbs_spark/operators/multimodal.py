@@ -1395,6 +1395,146 @@ def opus_metadata(
     )
 
 
+def synth_webm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WebM/Matroska containers from the documents
+    table: per video-kind doc, an EBML header + Segment{Info, one video
+    + one audio track, ``1 + doc_id % 4`` Clusters of ``2000 + n_chars
+    % 3000`` pad bytes} at cycling dimension/rate/doctype configs —
+    every size and field closed-form for the cross-engine oracle
+    (fixed 8-byte size VINTs, see ``operators/ebml.py``)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.ebml import build_webm
+
+    base = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (20000 + (F.col("doc_id") % 500) * 16).cast("long").alias("dur"),
+        (1 + F.col("doc_id") % 4).cast("int").alias("nc"),
+        (2000 + F.col("n_chars") % 3000).cast("int").alias("pad"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, dur, nc, pad in zip(
+                pdf["media_id"], pdf["dur"], pdf["nc"], pdf["pad"]
+            ):
+                mid = int(mid)
+                w, h = ((1280, 720), (1920, 1080), (640, 360))[(mid // 3) % 3]
+                payloads.append(
+                    build_webm(
+                        int(dur),
+                        width=w,
+                        height=h,
+                        sample_rate=(48000, 44100, 32000)[(mid % 9) // 3],
+                        n_channels=1 + mid % 2,
+                        n_clusters=int(nc),
+                        cluster_pad=int(pad),
+                        doctype="matroska" if mid % 5 == 0 else "webm",
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "video/webm",
+                }
+            )
+
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def webm_metadata(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched WebM/Matroska METADATA extraction (same plumbing
+    contract as ``video_metadata``, the EBML sibling of the ISO-BMFF
+    walk): payloads that sniff as EBML get the REAL element walk
+    (``operators/ebml.py``, parser='webm') — DocType, TimecodeScale x
+    Duration -> exact milliseconds, track counts, the video track's
+    dimensions, the audio track's rate/channels, and the Cluster count
+    (cluster BODIES are hopped by size — frame decode stays the honest
+    boundary). Non-EBML payloads take the deterministic sha256 fake, or
+    raise under ``strict=True``. Map-side only."""
+    from routing_algorithm_for_graph_dbs_spark.operators.ebml import (
+        is_webm,
+        parse_webm_metadata,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_webm(b):
+                        parsed = parse_webm_metadata(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    dt, dur, nv, na, w, h, rate, ch, nclu = parsed
+                    parser = "webm"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real WebM metadata needs EBML framing — this"
+                            " payload has none (frame decode itself needs"
+                            " a codec library, not in this container)"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    dt = "webm"
+                    dur = 1000 * (1 + d[0])
+                    nv, na = 1, d[1] % 2
+                    w, h = (1280, 640)[d[2] % 2], (720, 360)[d[2] % 2]
+                    rate = (48000, 44100)[d[3] % 2] if na else None
+                    ch = 1 + d[4] % 2 if na else None
+                    nclu = 1 + d[5] % 4
+                    parser = "fake"
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        dt,
+                        int(dur),
+                        int(nv),
+                        int(na),
+                        None if w is None else int(w),
+                        None if h is None else int(h),
+                        None if rate is None else int(rate),
+                        None if ch is None else int(ch),
+                        int(nclu),
+                        parser,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "doctype",
+                    "duration_ms", "n_video", "n_audio", "width", "height",
+                    "sample_rate", "n_channels", "n_clusters", "parser",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, doctype string,"
+            " duration_ms long, n_video int, n_audio int, width int,"
+            " height int, sample_rate int, n_channels int, n_clusters int,"
+            " parser string"
+        ),
+    )
+
+
 def resize_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
     """Image resize *plan*: target dimensions from metadata only, preserving
     aspect ratio — pure column math, payload untouched (the actual pixel

@@ -3184,6 +3184,64 @@ def test_flac_opus_in_audio_features(spark):
     assert om[1]["parser"] == "fake"
 
 
+def test_webm_metadata_golden():
+    """EBML/Matroska walk (round 10): RFC 8794 VINT framing (IDs keep
+    the marker, sizes strip it, non-minimal 8-byte sizes accepted),
+    TimecodeScale x f32 Duration -> exact ms, track registry ids,
+    cluster hop-by-size; loud failures on truncation, missing header
+    fields, and bad magic."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.ebml import (
+        build_webm,
+        is_webm,
+        parse_webm_metadata,
+    )
+
+    p = build_webm(30000, n_clusters=2, cluster_pad=1000)
+    assert is_webm(p)
+    assert len(p) == 106 + 4 + 2 * (1000 + 24)
+    assert parse_webm_metadata(p) == (
+        "webm", 30000, 1, 1, 1280, 720, 48000, 2, 2
+    )
+    assert parse_webm_metadata(
+        build_webm(12345, width=1920, height=1080, sample_rate=44100,
+                   n_channels=1, doctype="matroska")
+    ) == ("matroska", 12345, 1, 1, 1920, 1080, 44100, 1, 1)
+
+    with _pytest.raises(ValueError, match="magic"):
+        parse_webm_metadata(b"RIFF....WAVE")
+    with _pytest.raises(ValueError, match="runs past"):
+        parse_webm_metadata(p[:-3])
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_webm_metadata(p[:40])
+    # a clean EBML header alone (32 + len('webm') = 36 bytes), no Segment
+    with _pytest.raises(ValueError, match="Segment"):
+        parse_webm_metadata(p[:36])
+
+
+def test_webm_metadata_extractor(spark):
+    """webm_metadata routes EBML payloads to the real walk
+    (parser='webm') and non-EBML to the fake path; strict raises."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.ebml import build_webm
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        webm_metadata,
+    )
+
+    media = spark.createDataFrame(
+        [(1, build_webm(5000, n_clusters=3)), (2, b"not a container")],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in webm_metadata(media).collect()}
+    assert got[1]["parser"] == "webm"
+    assert (got[1]["duration_ms"], got[1]["n_clusters"]) == (5000, 3)
+    assert got[2]["parser"] == "fake"
+    with _pytest.raises(Exception):
+        webm_metadata(media, strict=True).collect()
+
+
 def test_aac_metadata_in_audio_features(spark):
     """An ADTS payload in the audio pipeline gets real duration/rate
     (decoder='aac-meta'); aac_metadata's fake path handles non-ADTS."""

@@ -20,6 +20,7 @@ import pytest
 NEVER_CHECKED = [
     "mm_flac_metadata",
     "mm_opus_metadata",
+    "mm_webm_metadata",
 ]
 
 CHANGED_SINCE_LAST_ROW = [
@@ -42,7 +43,7 @@ REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
     "a1_a2_aggregates",
     "dd_canonical",
     "a8_rollup",
-    "ft_percent_rank",
+    "ft_minmax_norm",
 ]
 
 
