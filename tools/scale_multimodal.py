@@ -50,6 +50,7 @@ FAMILIES = [
     ("flac", 250),
     ("opus", 300),
     ("mp4", 250),
+    ("webm", 250),
 ]
 
 
@@ -57,6 +58,7 @@ def _mint(family: str, mid: int) -> bytes:
     import numpy as np
 
     from routing_algorithm_for_graph_dbs_spark.operators import (
+        ebml,
         flac,
         jpeg,
         mp3,
@@ -100,6 +102,12 @@ def _mint(family: str, mid: int) -> bytes:
             n_frames=1440,
             fps=(24.0, 25.0, 30.0)[mid % 3],
             mdat_bytes=1_900_000 + (mid % 5) * 40_000,
+        )
+    if family == "webm":
+        return ebml.build_webm(
+            60_000 + (mid % 10) * 1000,
+            n_clusters=8 + mid % 5,
+            cluster_pad=150_000 + (mid % 5) * 10_000,
         )
     raise ValueError(family)
 
@@ -177,6 +185,7 @@ def main() -> None:
         "flac": "audio/flac",
         "opus": "audio/ogg",
         "mp4": "video/mp4",
+        "webm": "video/webm",
     }
 
     def mint_part(it):
@@ -226,6 +235,7 @@ def main() -> None:
         audio_features,
         image_features,
         video_metadata,
+        webm_metadata,
     )
 
     image_fams = ("jpeg", "png")
@@ -291,6 +301,13 @@ def main() -> None:
             lambda df: video_metadata(df, strict=True, batch_size=64),
             "parser",
             {"mp4"},
+        ),
+        "webm_metadata": timed(
+            "webm",
+            ("webm",),
+            lambda df: webm_metadata(df, strict=True, batch_size=64),
+            "parser",
+            {"webm"},
         ),
     }
 
