@@ -170,6 +170,8 @@ def build_opus(
     Closed-form for the oracle (``packet_bytes`` < 255):
     total bytes = 47 + 44 + n_audio_pages * (28 + packet_bytes),
     duration_ms = n_audio_pages * samples_per_page / 48."""
+    if n_audio_pages < 1:
+        raise ValueError("an Ogg/Opus stream needs >= 1 audio page (EOS)")
     head = (
         b"OpusHead"
         + bytes([1, n_channels])
