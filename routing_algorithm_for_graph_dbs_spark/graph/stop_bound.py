@@ -137,6 +137,11 @@ def stop_slack(stoptimes: DataFrame) -> DataFrame:
 # is apportioned per pair (cheap pairs stay exact), so efficacy degrades
 # where the rows are instead of uniformly.
 AUTO_BUCKET_TARGET_ROWS = 20_000_000
+# per-pair apportionment needs a (pair -> cnt/span) stats frame on the
+# driver; past this many pairs that frame is itself a driver hazard, so
+# the sizing falls back to one global bucket (round-9 scheme) computed
+# from a single-row aggregate
+PAIR_STATS_MAX_PAIRS = 4_000_000
 # telemetry from the last auto-sizing run:
 LAST_AUTO_BUCKET_S = 0  # max per-pair bucket chosen (0 = exact collect)
 LAST_AUTO_EXACT_PAIRS = 0  # pairs that kept exact keys under the budget
@@ -270,34 +275,66 @@ def timetable_bound_data(graph, bucket_s: int | None = None):
             LAST_AUTO_COARSE_PAIRS = 0
             LAST_AUTO_BUCKET_CLAMPED = False
         else:
-            stats = (
+            head = (
                 _grouped(0)
-                .groupBy("a", "b")
                 .agg(
-                    F.count(F.lit(1)).alias("cnt"),
+                    F.count_distinct(F.struct("a", "b")).alias("n_pairs"),
                     F.min("k").alias("kmin"),
                     F.max("k").alias("kmax"),
                 )
-                .toPandas()
+                .collect()[0]
             )
-            cnt = stats["cnt"].to_numpy(dtype=np.int64)
-            span = (stats["kmax"] - stats["kmin"]).to_numpy(dtype=np.int64)
-            n = len(cnt)
-            order = np.argsort(cnt, kind="stable")
-            # water-fill: exact pairs in ascending row-count order while
-            # every remaining (heavy) pair can still afford its 2-row
-            # minimum (bucket >= span collapses a pair to <= 2 keys)
-            csum = np.concatenate(([0], np.cumsum(cnt[order])))
-            totals = csum + 2 * (n - np.arange(n + 1))
-            feasible = np.nonzero(totals <= target)[0]
-            LAST_AUTO_BUCKET_CLAMPED = len(feasible) == 0
-            n_exact = int(feasible.max()) if len(feasible) else 0
-            coarse_idx = order[n_exact:]
-            if len(coarse_idx) == 0:
-                # cannot happen (the exact collect above already
-                # overflowed), but keep the fallback total
-                eff_pdf = pdf
+            n_pairs = int(head["n_pairs"])
+            if n_pairs > PAIR_STATS_MAX_PAIRS:
+                # degenerate regime: the per-pair stats frame would
+                # itself strain the driver — fall back to ONE global
+                # bucket sized from the single-row aggregate (round-9
+                # scheme), recording the clamp when even 2 rows per
+                # pair overshoots the target
+                span = int(head["kmax"]) - int(head["kmin"])
+                per_pair = target / n_pairs - 1
+                eff = max(1, int(np.ceil(span / max(per_pair, 1))))
+                pdf = _grouped(eff).toPandas()
+                LAST_AUTO_BUCKET_S = eff
+                LAST_AUTO_EXACT_PAIRS = 0
+                LAST_AUTO_COARSE_PAIRS = n_pairs
+                LAST_AUTO_BUCKET_CLAMPED = per_pair <= 1
             else:
+                stats = (
+                    _grouped(0)
+                    .groupBy("a", "b")
+                    .agg(
+                        F.count(F.lit(1)).alias("cnt"),
+                        F.min("k").alias("kmin"),
+                        F.max("k").alias("kmax"),
+                    )
+                    .toPandas()
+                )
+                cnt = stats["cnt"].to_numpy(dtype=np.int64)
+                span = (stats["kmax"] - stats["kmin"]).to_numpy(dtype=np.int64)
+                n = len(cnt)
+                order = np.argsort(cnt, kind="stable")
+                # water-fill: exact pairs in ascending row-count order
+                # while every remaining (heavy) pair can still afford its
+                # 2-row minimum (bucket >= span collapses a pair to <= 2
+                # keys)
+                csum = np.concatenate(([0], np.cumsum(cnt[order])))
+                totals = csum + 2 * (n - np.arange(n + 1))
+                feasible = np.nonzero(totals <= target)[0]
+                LAST_AUTO_BUCKET_CLAMPED = len(feasible) == 0
+                n_exact = int(feasible.max()) if len(feasible) else 0
+                coarse_idx = order[n_exact:]
+                if len(coarse_idx) == 0:
+                    # the LIMIT collect said > target rows but the stats
+                    # say every pair fits exactly — the two jobs saw
+                    # different data. A truncated staircase would make
+                    # the prune UNSOUND (missing connections RAISE the
+                    # bound), so fail loudly like every other path here.
+                    raise RuntimeError(
+                        "stop-bound sizing jobs disagree (quotient"
+                        " changed between jobs?) — refusing to build a"
+                        " potentially truncated bound"
+                    )
                 remaining = target - int(csum[n_exact])
                 rows_each = max(2, remaining // len(coarse_idx))
                 b_arr = np.maximum(
@@ -316,11 +353,10 @@ def timetable_bound_data(graph, bucket_s: int | None = None):
                     ),
                     "a string, b string, bucket long",
                 )
-                eff_pdf = _grouped_per_pair(bmap).toPandas()
+                pdf = _grouped_per_pair(bmap).toPandas()
                 LAST_AUTO_BUCKET_S = int(b_arr.max())
                 LAST_AUTO_EXACT_PAIRS = n_exact + int((b_arr == 1).sum())
                 LAST_AUTO_COARSE_PAIRS = int((b_arr > 1).sum())
-            pdf = eff_pdf
     else:
         pdf = _grouped(eff_bucket).toPandas()
     slack_rows = stop_slack(st).collect()

@@ -127,6 +127,7 @@ def parse_webm_metadata(payload: bytes):
     duration_units = None
     n_video = n_audio = n_clusters = 0
     width = height = sample_rate = n_channels = None
+    video_dims_done = audio_fields_done = False
     for eid, s, e in _walk(payload, *seg_at):
         if eid == _INFO:
             for fid, fs, fe in _walk(payload, s, e):
@@ -147,9 +148,14 @@ def parse_webm_metadata(payload: bytes):
                         video = (fs, fe)
                     elif fid == _AUDIO:
                         audio = (fs, fe)
+                # fields come from the FIRST track of each type ONLY —
+                # a per-track done flag, not per-field None checks, so a
+                # first track missing one field can't mix with a later
+                # track's values
                 if ttype == 1:
                     n_video += 1
-                    if video is not None and width is None:
+                    if video is not None and not video_dims_done:
+                        video_dims_done = True
                         for fid, fs, fe in _walk(payload, *video):
                             if fid == _PIXELW:
                                 width = _uint(payload, fs, fe)
@@ -157,7 +163,8 @@ def parse_webm_metadata(payload: bytes):
                                 height = _uint(payload, fs, fe)
                 elif ttype == 2:
                     n_audio += 1
-                    if audio is not None and sample_rate is None:
+                    if audio is not None and not audio_fields_done:
+                        audio_fields_done = True
                         sample_rate, n_channels = 8000, 1  # registry defaults
                         for fid, fs, fe in _walk(payload, *audio):
                             if fid == _SAMPLERATE:

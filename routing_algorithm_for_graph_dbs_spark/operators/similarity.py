@@ -172,15 +172,45 @@ def _collect_centroids(
 IVF_ASSIGN_ARROW_MIN_CENTROIDS = 16
 
 
+def _round_half_up_spark(x):
+    """Round to 6 decimals EXACTLY as Spark's ``F.round`` on DoubleType:
+    the JVM converts via ``BigDecimal.valueOf`` (= the double's SHORTEST
+    decimal representation) and applies ``setScale(6, HALF_UP)``. The
+    vectorized ``floor(|x|*1e6 + 0.5)`` fast path agrees except when the
+    double sits within float error of a 7th-decimal midpoint (e.g.
+    0.0001245, whose product with 1e6 computes to 124.4999...); those
+    rare elements are re-rounded exactly through Python's ``repr`` (also
+    shortest-repr) + ``decimal`` with HALF_UP — so the kernel matches
+    the expression path on ties too, not just on margin-safe data.
+    Vectorized cost: two elementwise ops; the exact path touches ~0
+    elements per batch in practice."""
+    import numpy as np
+
+    y = np.abs(x) * 1e6
+    out = np.floor(y + 0.5)
+    frac = y - np.floor(y)
+    near = (np.abs(frac - 0.5) < 1e-6) & np.isfinite(x)
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        flat, oflat = x.ravel(), out.ravel()
+        for i in np.nonzero(near.ravel())[0]:
+            d = Decimal(repr(abs(float(flat[i])))).quantize(q, ROUND_HALF_UP)
+            oflat[i] = float(d * 1_000_000)
+        out = oflat.reshape(x.shape)
+    return np.sign(x) * out / 1e6
+
+
 def _assign_sims_np(X, C, cn):
     """Rounded cosines of every row of ``X`` (B×D) against every centroid
     row of ``C`` (K×D), BIT-IDENTICAL to the JVM fold the expression path
     evaluates: the dot products and the row norms accumulate left-to-right
     over the dimension (one vectorized multiply-add per dimension — same
     IEEE-754 operation sequence per (row, centroid) as ``aggregate``'s
-    fold, unlike np.dot's pairwise/BLAS summation), and the rounding is
-    HALF-UP away from zero like Spark's ``F.round``, not numpy's
-    half-even."""
+    fold, unlike np.dot's pairwise/BLAS summation), and the rounding
+    replays Spark's HALF-UP-on-shortest-repr semantics including
+    representation ties (:func:`_round_half_up_spark`)."""
     import numpy as np
 
     B, D = X.shape
@@ -190,8 +220,7 @@ def _assign_sims_np(X, C, cn):
         xd = X[:, d]
         acc += xd[:, None] * C[None, :, d]
         nv += xd * xd
-    cos = acc / (np.sqrt(nv)[:, None] * cn[None, :])
-    return np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+    return _round_half_up_spark(acc / (np.sqrt(nv)[:, None] * cn[None, :]))
 
 
 def _ivf_assign_arrow(
@@ -231,7 +260,14 @@ def _ivf_assign_arrow(
             pdf["centroid_id"] = [cids[i] for i in idx]
             yield pdf
 
-    return embeddings.mapInPandas(assign, schema=out_schema)
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # the kernel is CPU-bound per row while parquet splits are sized by
+    # BYTES — a toy-scale table arrives as ONE split and the kernel runs
+    # on one core; spread_for_compute is a no-op at real scale
+    return spread_for_compute(embeddings).mapInPandas(assign, schema=out_schema)
 
 
 def _ivf_probe_arrow(
@@ -288,7 +324,11 @@ def _ivf_probe_arrow(
                 }
             )
 
-    return left.mapInPandas(probe, schema=out_schema)
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    return spread_for_compute(left).mapInPandas(probe, schema=out_schema)
 
 
 def ivf_assign(
@@ -319,6 +359,8 @@ def ivf_assign(
     centroid counts scale as sqrt(n) — VERDICT r9 #1). ``auto`` picks by
     ``IVF_ASSIGN_ARROW_MIN_CENTROIDS``.
     """
+    if method not in ("auto", "arrow", "expr"):
+        raise ValueError(f"ivf_assign: unknown method {method!r}")
     if cents is None:
         cents = _collect_centroids(embeddings, n_centroids, vec_col, key_col)
     if method == "auto":
@@ -487,26 +529,38 @@ def _knn_join_broadcast(
     )
 
 
+# right-side rows per cogroup block in knn_join_ivf's vectorized pair
+# stage: a hot cell is hash-split into ceil(m / this) blocks so no single
+# Python worker materializes more than ~block x dim doubles of the right
+# side (the cogroup analog of semdedup's pair budget — cogroups cannot be
+# AQE-skew-split, so the operator must bound them itself)
+KNN_CELL_BLOCK_ROWS = 8192
+
+
 def _knn_pair_topk_cells(
     l_cells: DataFrame,
     r_cells: DataFrame,
     k: int,
     key_col: str,
     exclude_same_key: bool,
-    vec_type,
     key_type,
 ) -> DataFrame:
-    """Per-cell top-k candidates via a cogrouped numpy kernel — the
-    vectorized twin of ``join + per-pair fold`` in :func:`knn_join_ivf`.
+    """Per-(cell, block) top-k candidates via a cogrouped numpy kernel —
+    the vectorized twin of ``join + per-pair fold`` in
+    :func:`knn_join_ivf`. Inputs carry a ``blk`` column (constant 0 when
+    the cell is small enough to be one block).
 
     Bit-exactness: each pair's dot accumulates left-to-right over the
     dimension (one vectorized multiply-add per dimension — the fold's
-    exact IEEE-754 sequence) and rounds HALF-UP, so the rounded cosines
-    equal the expression path's. Rights are ordered by key inside the
-    kernel, so a stable argsort on descending cosine breaks ties to the
-    lowest ``r_id`` — the global window's exact total order, which makes
-    the per-cell cut lossless for the global top-k. The left block is
-    chunked so the pair matrix stays ~32 MB regardless of cell size."""
+    exact IEEE-754 sequence) and rounds HALF-UP with exact decimal
+    handling of representation ties (:func:`_round_half_up_spark`), so
+    the rounded cosines equal the expression path's. Rights are ordered
+    by key inside the kernel, so a stable argsort on descending cosine
+    breaks ties to the lowest ``r_id`` — the global window's exact total
+    order, which makes the per-block cut lossless for the global top-k
+    (top-k of a union is contained in the union of per-block top-ks
+    under one total order). The left block is additionally chunked so
+    the pair matrix stays ~32 MB regardless of block size."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -541,8 +595,7 @@ def _knn_pair_topk_cells(
             acc = np.zeros((Xc.shape[0], n))
             for d in range(D):
                 acc += Xc[:, d][:, None] * Y[None, :, d]
-            cos = acc / (lnc[:, None] * rn[None, :])
-            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            cos = _round_half_up_spark(acc / (lnc[:, None] * rn[None, :]))
             if exclude_same_key:
                 cos[lidc[:, None] == rid[None, :]] = -np.inf
             idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
@@ -560,8 +613,8 @@ def _knn_pair_topk_cells(
         return pd.concat(outs, ignore_index=True)
 
     return (
-        l_cells.groupBy("cell")
-        .cogroup(r_cells.groupBy("cell"))
+        l_cells.groupBy("cell", "blk")
+        .cogroup(r_cells.groupBy("cell", "blk"))
         .applyInPandas(topk, schema=out_schema)
     )
 
@@ -581,11 +634,17 @@ def knn_join_ivf(
 
     Both sides are assigned to IVF cells: every right vector to its nearest
     centroid, every left vector to its ``nprobe`` nearest cells (one
-    exploded row per probe). Candidates meet in an equi-join on the cell id
-    and a per-left window keeps the top-k. Nothing broadcasts except the
-    literal centroid arrays; the only shuffles hash-partition each side on
-    the cell id (cells are ~|right|/n_centroids rows; AQE skew-split covers
-    hot cells). Approximate by construction: a true neighbor assigned to an
+    exploded row per probe). Candidates meet per cell id and a per-left
+    window keeps the top-k. Nothing broadcasts except the centroid arrays
+    and the tiny per-cell block-count map; the only shuffles hash-partition
+    each side on (cell, block). Below ``IVF_ASSIGN_ARROW_MIN_CENTROIDS``
+    centroids the pair stage is a plain equi-join of column expressions
+    (AQE skew-split applies); at or above it, a cogrouped numpy kernel
+    evaluates each (cell, block)'s pair matrix — cogroups cannot be
+    AQE-split, so hot cells are hash-split into ``KNN_CELL_BLOCK_ROWS``
+    blocks by the operator itself, bounding any single Python worker's
+    residency. Both tiers produce identical results (pytest-asserted).
+    Approximate by construction: a true neighbor assigned to an
     unprobed cell is missed. Recall rises with ``nprobe``, and
     ``nprobe == n_centroids`` degenerates to the exact join (asserted in
     tests/test_dataops.py).
@@ -598,13 +657,14 @@ def knn_join_ivf(
 
     if cents is None:
         cents = _collect_centroids(right, n_centroids, vec_col, key_col)
+    use_arrow = len(cents) >= IVF_ASSIGN_ARROW_MIN_CENTROIDS
     r_cells = ivf_assign(right, n_centroids, vec_col, key_col, cents=cents).select(
         F.col("centroid_id").alias("cell"),
         F.col(key_col).alias("r_id"),
         F.col(vec_col).alias("rv"),
         norm(F.col(vec_col)).alias("rn_"),
     )
-    if len(cents) >= IVF_ASSIGN_ARROW_MIN_CENTROIDS:
+    if use_arrow:
         l_cells = _ivf_probe_arrow(left, cents, nprobe, vec_col, key_col)
     else:
         # struct(-sim, cid) sorted ascending == similarity desc, ties to
@@ -641,21 +701,52 @@ def knn_join_ivf(
             )
         )
     w = Window.partitionBy("l_id").orderBy(F.desc("cosine_sim"), F.col("r_id"))
-    if len(cents) >= IVF_ASSIGN_ARROW_MIN_CENTROIDS:
+    if use_arrow:
         # vectorized pair stage (round 10): the per-pair interpreted fold
         # was the sf1.0 bottleneck — pairs grow ~n^1.5 under sqrt(n) cells
         # and AQE coalesces the cell join's small SHUFFLE BYTES into a
         # handful of partitions, blind to the O(pairs * dim) CPU behind
         # them (measured: 202 s at sf1.0, alpha=1.96 — SCALE.md r10). A
-        # cogroup per cell computes the whole (left x right) rounded-
-        # cosine block in numpy with the fold's exact accumulation order
-        # and keeps the per-cell top-k; a row can only beat the global
-        # top-k if it survives its own cell's top-k under the SAME total
-        # order, so the cheap cross-cell window below is exact.
+        # cogroup per (cell, block) computes its (left x right) rounded-
+        # cosine matrix in numpy with the fold's exact accumulation order
+        # and keeps the per-group top-k; a row can only beat the global
+        # top-k if it survives its own group's top-k under the SAME total
+        # order, so the cheap cross-group window below is exact.
+        #
+        # Hot-cell guardrail: cogroups cannot be AQE-skew-split, so a
+        # cell whose right side exceeds KNN_CELL_BLOCK_ROWS is hash-split
+        # into blocks (the cogroup analog of semdedup's pair budget);
+        # the right side is checkpointed so the assignment kernel feeds
+        # both the sizing count and the pair stage without recomputing.
+        r_cells = r_cells.localCheckpoint(eager=True)
+        cell_s = (
+            r_cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .select(
+                "cell",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("m") / F.lit(KNN_CELL_BLOCK_ROWS)),
+                ).cast("int").alias("s"),
+            )
+        )
+        r_blk = (
+            r_cells.join(F.broadcast(cell_s), "cell")
+            .withColumn(
+                "blk", F.pmod(F.xxhash64(F.col("r_id")), F.col("s")).cast("int")
+            )
+            .drop("s")
+        )
+        l_blk = l_cells.join(F.broadcast(cell_s), "cell").select(
+            "l_id",
+            "lv",
+            "ln",
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("blk"),
+        )
         candidates = _knn_pair_topk_cells(
-            l_cells, r_cells, k, key_col=key_col,
+            l_blk, r_blk, k, key_col=key_col,
             exclude_same_key=exclude_same_key,
-            vec_type=right.schema[vec_col].dataType,
             key_type=right.schema[key_col].dataType,
         )
         return (

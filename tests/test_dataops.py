@@ -400,6 +400,57 @@ def test_ivf_assign_arrow_matches_expr(spark):
     assert len(small) > 0
 
 
+def test_knn_join_ivf_arrow_matches_expr(spark, monkeypatch):
+    """The cogrouped pair kernel (round 10) must reproduce the
+    expression-path result set row-for-row — including under forced
+    hot-cell block splitting (the cogroup analog of AQE skew-split,
+    which cannot reach cogroups)."""
+    from routing_algorithm_for_graph_dbs_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(_clustered_vecs(), ["vec_id", "embedding"])
+    cents = sim._collect_centroids(df, 20, "embedding", "vec_id")
+    arrow = sorted(
+        map(tuple, sim.knn_join_ivf(df, df, k=3, cents=cents, nprobe=4).collect())
+    )
+    assert len(arrow) > 0
+    monkeypatch.setattr(sim, "IVF_ASSIGN_ARROW_MIN_CENTROIDS", 10**9)
+    expr = sorted(
+        map(tuple, sim.knn_join_ivf(df, df, k=3, cents=cents, nprobe=4).collect())
+    )
+    assert arrow == expr
+    # force multi-block cells (7-row blocks over ~25-row cells)
+    monkeypatch.setattr(sim, "IVF_ASSIGN_ARROW_MIN_CENTROIDS", 16)
+    monkeypatch.setattr(sim, "KNN_CELL_BLOCK_ROWS", 7)
+    blocked = sorted(
+        map(tuple, sim.knn_join_ivf(df, df, k=3, cents=cents, nprobe=4).collect())
+    )
+    assert blocked == arrow
+
+
+def test_round_half_up_spark_matches_f_round(spark):
+    """The kernels' rounding must equal Spark's F.round on DoubleType —
+    BigDecimal.valueOf (shortest repr) + HALF_UP — including
+    representation-tie values where floor(|x|*1e6+0.5) alone diverges
+    (e.g. 0.0001245 whose *1e6 product computes below the midpoint)."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        _round_half_up_spark,
+    )
+
+    vals = [
+        0.0001245, -0.0001245, 0.0078125, -0.0078125, 1.9999995,
+        0.1234565, -0.9999995, 0.5, 0.1234567499999, 2.0 ** -7,
+        0.95, 0.9499996, -0.333333, 123.4567895,
+    ]
+    got = list(_round_half_up_spark(np.array(vals)))
+    rows = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.round("x", 6).alias("r")
+    ).collect()
+    want = [r["r"] for r in rows]
+    assert got == want, list(zip(vals, got, want))
+
+
 def test_embedding_near_dup_pairs(spark):
     from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
         embedding_near_dup_pairs,
@@ -3218,6 +3269,50 @@ def test_webm_metadata_golden():
     # a clean EBML header alone (32 + len('webm') = 36 bytes), no Segment
     with _pytest.raises(ValueError, match="Segment"):
         parse_webm_metadata(p[:36])
+
+
+def test_webm_first_track_contract():
+    """Dimensions/audio fields come from the FIRST track of each type
+    ONLY — a first video track missing PixelWidth must not be mixed
+    with a later track's values (r10 review finding)."""
+    import struct as _struct
+
+    from routing_algorithm_for_graph_dbs_spark.operators import ebml as E
+
+    info = E._el(
+        E._INFO,
+        E._el(E._TIMECODESCALE, (1_000_000).to_bytes(4, "big"), 3)
+        + E._el(E._DURATION, _struct.pack(">f", 1000.0), 2),
+        4,
+    )
+    v1 = E._el(
+        E._TRACKENTRY,
+        E._el(E._TRACKTYPE, b"\x01", 1)
+        + E._el(E._VIDEO, E._el(E._PIXELH, (480).to_bytes(2, "big"), 1), 1),
+        1,
+    )
+    v2 = E._el(
+        E._TRACKENTRY,
+        E._el(E._TRACKTYPE, b"\x01", 1)
+        + E._el(
+            E._VIDEO,
+            E._el(E._PIXELW, (1920).to_bytes(2, "big"), 1)
+            + E._el(E._PIXELH, (1080).to_bytes(2, "big"), 1),
+            1,
+        ),
+        1,
+    )
+    seg_body = info + E._el(E._TRACKS, v1 + v2, 4)
+    payload = (
+        E.build_webm(1)[:36]  # the 36-byte EBML header (doctype 'webm')
+        + E._SEGMENT.to_bytes(4, "big")
+        + E._vint_size8(len(seg_body))
+        + seg_body
+    )
+    dt, dur, nv, na, w, h, rate, ch, nclu = E.parse_webm_metadata(payload)
+    assert (dt, dur, nv, na, nclu) == ("webm", 1000, 2, 0, 0)
+    # first video track governs: width missing there stays missing
+    assert (w, h) == (None, 480)
 
 
 def test_webm_metadata_extractor(spark):
