@@ -68,10 +68,22 @@ def _read_vint(payload: bytes, pos: int, keep_marker: bool):
 
 def _walk(payload: bytes, pos: int, end: int):
     """Yield (element_id, body_start, body_end) over [pos, end); an
-    unknown-size element extends to ``end``."""
+    unknown-size SEGMENT extends to ``end``. Any other unknown-size
+    element raises: RFC 8794 §6.2 ends such an element only at the next
+    sibling/parent ID, and silently extending it to the parent's end
+    would swallow the siblings — an unknown-size Cluster (standard in
+    live-streamed Matroska) would collapse every following Cluster into
+    one and report n_clusters=1. Raising loudly routes such files to the
+    strict/fake dispatch like any other unsupported shape."""
     while pos < end:
         eid, pos, _ = _read_vint(payload, pos, keep_marker=True)
         size, pos, unknown = _read_vint(payload, pos, keep_marker=False)
+        if unknown and eid != _SEGMENT:
+            raise ValueError(
+                f"unknown-size EBML element 0x{eid:X} (only Segment is"
+                " supported; sibling-terminated unknown-size elements are"
+                " not implemented)"
+            )
         body_end = end if unknown else pos + size
         if body_end > end:
             raise ValueError("EBML element runs past its parent")

@@ -56,6 +56,17 @@ def py_norm(vec) -> float:
     return math.sqrt(acc)
 
 
+def _drop_zero_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Rows whose vector has a positive L2 norm. Cosine similarity is
+    undefined for the zero vector (0/0 = NaN), and NaN ORDERS differently
+    between the expression tier (Spark ranks NaN largest under ``desc``)
+    and the numpy kernels (NaN > -inf is False), so the kNN tiers drop
+    zero-norm rows up front — cheaper than replaying Spark's NaN-is-largest
+    rule through every argsort/argmax, and the honest semantics: a zero
+    embedding has no defined cosine neighbors."""
+    return df.filter(norm(F.col(vec_col)) > 0)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -183,7 +194,18 @@ def _round_half_up_spark(x):
     shortest-repr) + ``decimal`` with HALF_UP — so the kernel matches
     the expression path on ties too, not just on margin-safe data.
     Vectorized cost: two elementwise ops; the exact path touches ~0
-    elements per batch in practice."""
+    elements per batch in practice.
+
+    JVM caveat: "shortest repr" assumes ``Double.toString`` returns the
+    shortest round-trip decimal, guaranteed only since JDK 19
+    (JDK-4511638); older JVMs may emit extra digits on some values, and a
+    value whose shortest repr lands exactly on a 7th-decimal midpoint
+    could then round differently from ``F.round``. This deployment runs
+    Java 17 and the randomized midpoint fuzz in
+    tests/test_dataops.py::test_round_half_up_fuzz_vs_spark compares the
+    kernel against the ACTUAL JVM's ``F.round`` — a JVM whose
+    ``Double.toString`` diverges on reachable values fails that test
+    instead of silently breaking tier bit-identity."""
     import numpy as np
 
     y = np.abs(x) * 1e6
@@ -502,9 +524,14 @@ def _knn_join_broadcast(
     exclude_same_key: bool,
 ) -> DataFrame:
     """Exact kNN join: block-nested-loop via broadcast of the right side;
-    the per-left top-k is a window rank (no global sort)."""
+    the per-left top-k is a window rank (no global sort). Zero-norm
+    vectors are dropped from both sides (see :func:`_drop_zero_norm` —
+    keeps the broadcast and IVF tiers bit-identical on degenerate
+    input)."""
     from pyspark.sql import Window
 
+    left = _drop_zero_norm(left, vec_col)
+    right = _drop_zero_norm(right, vec_col)
     l = left.select(
         F.col(key_col).alias("l_id"),
         F.col(vec_col).alias("lv"),
@@ -655,6 +682,11 @@ def knn_join_ivf(
     """
     from pyspark.sql import Window
 
+    # cosine is undefined for the zero vector; both tiers drop such rows
+    # BEFORE centroid seeding so a zero vector can neither become a
+    # centroid (cn=0 -> every assignment NaN) nor a candidate
+    left = _drop_zero_norm(left, vec_col)
+    right = _drop_zero_norm(right, vec_col)
     if cents is None:
         cents = _collect_centroids(right, n_centroids, vec_col, key_col)
     use_arrow = len(cents) >= IVF_ASSIGN_ARROW_MIN_CENTROIDS
@@ -794,6 +826,10 @@ def knn_join(
     correct for the self-join use (a vector is trivially its own nearest
     neighbor). Pass False when left and right are DIFFERENT tables whose key
     spaces merely overlap, or coinciding keys silently lose candidates.
+
+    Zero-norm vectors are dropped from both sides by every tier (cosine is
+    undefined for the zero vector; see :func:`_drop_zero_norm`), so the
+    tiers agree bit-for-bit even on degenerate input.
 
     ``auto`` counts the right side (one job; cheap when it is cached) and
     WARNS when it flips to the approximate tier — exactness loss should

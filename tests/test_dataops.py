@@ -339,7 +339,7 @@ def test_knn_join_auto_dispatch(spark):
     assert auto == forced
 
 
-def test_ivf_assign_arrow_matches_expr(spark):
+def test_ivf_assign_arrow_matches_expr(spark, monkeypatch):
     """The Arrow assignment/probe kernels (round 10) must be
     BIT-IDENTICAL to the expression path: the numpy kernel replays the
     fold's left-to-right accumulation and HALF-UP rounding, so the same
@@ -394,10 +394,22 @@ def test_ivf_assign_arrow_matches_expr(spark):
     se = ivf_assign(sdf, cents=scents, method="expr")
     sa = ivf_assign(sdf, cents=scents, method="arrow")
     assert se.exceptAll(sa).count() == 0 and sa.exceptAll(se).count() == 0
-    # and the full IVF join agrees across the threshold boundary
-    small = sorted(map(tuple, knn_join_ivf(df, df, k=2, cents=cents, nprobe=20).collect()))
-    # cents >= threshold -> arrow branches; identical result set
-    assert len(small) > 0
+    # and the full IVF join agrees across the dispatch threshold:
+    # cents >= IVF_ASSIGN_ARROW_MIN_CENTROIDS takes the arrow kernels,
+    # forcing the threshold sky-high takes the expression path — at
+    # nprobe=n_centroids (full probe) both are the exact join, so the
+    # result sets must be identical row-for-row
+    from routing_algorithm_for_graph_dbs_spark.operators import similarity as sim
+
+    arrow_full = sorted(
+        map(tuple, knn_join_ivf(df, df, k=2, cents=cents, nprobe=20).collect())
+    )
+    assert len(arrow_full) > 0
+    monkeypatch.setattr(sim, "IVF_ASSIGN_ARROW_MIN_CENTROIDS", 10**9)
+    expr_full = sorted(
+        map(tuple, knn_join_ivf(df, df, k=2, cents=cents, nprobe=20).collect())
+    )
+    assert arrow_full == expr_full
 
 
 def test_knn_join_ivf_arrow_matches_expr(spark, monkeypatch):
@@ -425,6 +437,80 @@ def test_knn_join_ivf_arrow_matches_expr(spark, monkeypatch):
         map(tuple, sim.knn_join_ivf(df, df, k=3, cents=cents, nprobe=4).collect())
     )
     assert blocked == arrow
+
+
+def test_knn_tiers_drop_zero_norm_identically(spark, monkeypatch):
+    """A zero-norm embedding (cosine = 0/0 = NaN) must not break the
+    cross-tier bit-identity contract (ADVICE r10): Spark's window ranks
+    NaN largest under desc while numpy's argsort drops NaN > -inf, so
+    every tier drops zero vectors up front — same results from the
+    broadcast, ivf-expr, and ivf-arrow tiers, with the zero vector in
+    none of them."""
+    from routing_algorithm_for_graph_dbs_spark.operators import similarity as sim
+
+    rows = _clustered_vecs()
+    dim = len(rows[0][1])
+    zid = 10_000
+    rows = rows + [(zid, [0.0] * dim)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = sorted(
+        map(
+            tuple,
+            sim._knn_join_broadcast(df, df, 3, "embedding", "vec_id", True).collect(),
+        )
+    )
+    assert len(exact) > 0
+    arrow = sorted(
+        map(
+            tuple,
+            sim.knn_join_ivf(df, df, k=3, n_centroids=20, nprobe=20).collect(),
+        )
+    )
+    monkeypatch.setattr(sim, "IVF_ASSIGN_ARROW_MIN_CENTROIDS", 10**9)
+    expr = sorted(
+        map(
+            tuple,
+            sim.knn_join_ivf(df, df, k=3, n_centroids=20, nprobe=20).collect(),
+        )
+    )
+    assert exact == arrow == expr
+    assert all(r[0] != zid and r[1] != zid for r in exact)
+
+
+def test_round_half_up_fuzz_vs_spark(spark):
+    """Randomized fuzz of the kernel rounding against the ACTUAL JVM's
+    F.round (ADVICE r10): the exact-tie path assumes shortest-repr
+    Double.toString (guaranteed JDK 19+, JDK-4511638); this test is the
+    guard that the deployed JVM agrees on reachable values — uniform
+    randoms across magnitudes plus constructed 7th-decimal midpoints
+    (odd multiples of 5e-7, where the vectorized fast path alone
+    diverges)."""
+    import random
+
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import (
+        _round_half_up_spark,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    vals = []
+    for _ in range(1500):
+        mag = 10.0 ** rng.uniform(-8, 3)
+        vals.append(rng.uniform(-1.0, 1.0) * mag)
+    # constructed representation-tie candidates: (2k+1) * 5e-7
+    for _ in range(1500):
+        k = rng.randrange(1, 2_000_000)
+        vals.append((2 * k + 1) * 5e-7 * (1 if rng.random() < 0.5 else -1))
+    got = list(_round_half_up_spark(np.array(vals)))
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 6).alias("r"))
+        .collect()
+    )
+    want = [r["r"] for r in rows]
+    bad = [(v, g, w) for v, g, w in zip(vals, got, want) if g != w]
+    assert not bad, bad[:10]
 
 
 def test_round_half_up_spark_matches_f_round(spark):
@@ -3335,6 +3421,53 @@ def test_webm_metadata_extractor(spark):
     assert got[2]["parser"] == "fake"
     with _pytest.raises(Exception):
         webm_metadata(media, strict=True).collect()
+
+
+def test_webm_unknown_size_cluster_raises():
+    """An unknown-size element that is NOT the Segment (e.g. the
+    unknown-size Clusters standard in live-streamed Matroska) must raise
+    rather than silently extend to the parent's end — extending would
+    swallow every following Cluster and report n_clusters=1 (ADVICE r10).
+    RFC 8794 §6.2 sibling-termination is declared out of scope."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators import ebml as E
+
+    good = E.build_webm(4000, n_clusters=2, cluster_pad=8)
+    # Segment with unknown size (legal) whose body holds an
+    # unknown-size Cluster followed by a sibling Cluster
+    cluster_body = b"\xa3\x82" + b"\x00\x00"  # SimpleBlock-ish filler
+    seg_body = (
+        E._CLUSTER.to_bytes(4, "big") + b"\xff" + cluster_body
+        + E._CLUSTER.to_bytes(4, "big") + E._vint_size8(len(cluster_body))
+        + cluster_body
+    )
+    payload = (
+        good[:36]
+        + E._SEGMENT.to_bytes(4, "big")
+        + b"\xff"  # unknown-size Segment: allowed, extends to EOF
+        + seg_body
+    )
+    with _pytest.raises(ValueError, match="unknown-size EBML element"):
+        E.parse_webm_metadata(payload)
+    # the sized equivalent of the same layout parses fine (the raise is
+    # specific to the unknown-size non-Segment element, not the layout)
+    import struct as _struct
+
+    info = E._el(E._INFO, E._el(E._DURATION, _struct.pack(">f", 1000.0), 2), 4)
+    one_cluster = (
+        E._CLUSTER.to_bytes(4, "big")
+        + E._vint_size8(len(cluster_body))
+        + cluster_body
+    )
+    sized = (
+        good[:36]
+        + E._SEGMENT.to_bytes(4, "big")
+        + E._vint_size8(len(info) + 2 * len(one_cluster))
+        + info
+        + one_cluster * 2
+    )
+    assert E.parse_webm_metadata(sized)[8] == 2  # n_clusters
 
 
 def test_aac_metadata_in_audio_features(spark):

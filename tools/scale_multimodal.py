@@ -3,16 +3,17 @@
 VERDICT r9 #2: the codec paths were correctness-proven at sf1.0 but the
 mapInPandas decode pipelines had no recorded MB/s-per-core run — the
 last major surface without a SCALE.md record. This driver mints a >=1 GB
-mixed REAL-media corpus with the repo's own encoders (all eight formats
+mixed REAL-media corpus with the repo's own encoders (all nine formats
 the extractors handle: JPEG/PNG images, PCM WAV + MPEG/ADTS/FLAC/Ogg-
-Opus audio, ISO-BMFF video), writes it to parquet, and times the three
-production extractors end-to-end on local[32]:
+Opus audio, ISO-BMFF and Matroska/WebM video), writes it to parquet, and
+times the four production extractors end-to-end on local[32]:
 
 - ``image_features``  (REAL pixel decode: pure-Python Huffman JPEG,
   zlib-unfilter PNG)
 - ``audio_features``  (REAL PCM decode + FFT centroid for WAV; REAL
   header/CRC metadata walks for MP3/AAC/FLAC/Opus)
 - ``video_metadata``  (REAL ISO-BMFF box walk; mdat skipped by length)
+- ``webm_metadata``   (REAL RFC-8794 EBML walk; Clusters hopped by size)
 
 Every extractor runs ``strict=True`` — a single fake-path fallback
 fails the run, so the measured throughput is the real decode path.
