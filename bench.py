@@ -20,6 +20,15 @@ avg < $SPARK_GRAFT_MAX_LOAD (default 0.2, up to $SPARK_GRAFT_SETTLE_S,
 default 300 s) before starting, and records the load gate outcome plus
 the full per-query run spread in the artifact, so a contaminated run is
 self-documenting instead of silently banked.
+
+Durable memory (round 11, VERDICT r10 #1): every invocation APPENDS its
+full record to BENCH_local_r{N}.json (committed alongside the
+CORRECTNESS_local mirrors), and the regression floor reads those records
+alongside the driver's BENCH_r{N}.json — the driver's stdout capture
+keeps only the last ~2 KB, and two truncated rounds (r9/r10,
+parsed=null) silently reverted the floor to r6-r8 numbers. The printed
+stdout line is correspondingly SLIM (no spread / floor provenance) so it
+fits the driver's capture again.
 """
 
 from __future__ import annotations
@@ -191,34 +200,49 @@ def _materialize(df) -> None:
 def _load_floor(
     sf: float, last_n: int = 3, here: str | None = None
 ) -> tuple[dict, dict]:
-    """Per-query MIN across the ``last_n`` most recent BENCH_r*.json at the
-    same sf — the regression floor. Comparing only against the previous
-    round lets a slow query ratchet upward unnoticed whenever the prior
-    round was itself contaminated (r5's artifact floored txt_repetition on
-    r4's inflated numbers and masked a +26% drift vs r3 — judge-flagged);
-    but an ALL-TIME min lets one anomalously fast sample (noise in its
-    favor) poison the gate forever (ADVICE r6) — a recent-rounds window
-    keeps the anti-ratchet property while lucky outliers age out. Returns
-    (floor timings, {query: source filename of its min})."""
+    """Per-query MIN across the ``last_n`` most recent rounds' bench
+    artifacts at the same sf — the regression floor. Two artifact kinds
+    feed it: the driver-committed ``BENCH_r{N}.json`` (which since round
+    9 keeps only the last ~2 KB of stdout, so ``parsed`` can be null —
+    that truncation blinded the r10 floor to r9's best-ever routing
+    numbers, VERDICT r10 #1) and the harness's OWN durable records
+    ``BENCH_local_r{N}.json`` (a list, one entry per run, written by
+    :func:`_persist_local` every invocation) — so the floor never again
+    depends on the driver's capture surviving intact. Comparing only
+    against the previous round lets a slow query ratchet upward unnoticed
+    whenever the prior round was itself contaminated (r5's artifact
+    floored txt_repetition on r4's inflated numbers and masked a +26%
+    drift vs r3 — judge-flagged); but an ALL-TIME min lets one
+    anomalously fast sample (noise in its favor) poison the gate forever
+    (ADVICE r6) — a recent-rounds window keeps the anti-ratchet property
+    while lucky outliers age out. Returns (floor timings,
+    {query: source filename of its min})."""
     import glob
 
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
     by_round: list[tuple[int, str, dict]] = []
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+    paths = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+        os.path.join(here, "BENCH_local_r*.json")
+    )
+    for path in paths:
         try:
             with open(path) as f:
                 rec = json.load(f)
-            parsed = rec.get("parsed") or rec
-            if parsed.get("sf") != sf or not parsed.get("queries"):
-                continue
-            m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
-            by_round.append(
-                (int(m.group(1)) if m else -1, os.path.basename(path), parsed)
-            )
         except (OSError, ValueError):
             continue
-    by_round.sort(reverse=True)
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+        rnd = int(m.group(1)) if m else -1
+        for entry in rec if isinstance(rec, list) else [rec]:
+            if not isinstance(entry, dict):
+                continue
+            parsed = entry.get("parsed") or entry
+            if not isinstance(parsed, dict):
+                continue
+            if parsed.get("sf") != sf or not parsed.get("queries"):
+                continue
+            by_round.append((rnd, os.path.basename(path), parsed))
+    by_round.sort(key=lambda x: (x[0], x[1]), reverse=True)
     # window = last_n distinct ROUNDS, not files: a rerun artifact
     # (BENCH_r7.json + BENCH_r7b.json) must not spend two window slots on
     # one round and shrink the anti-ratchet history
@@ -246,6 +270,45 @@ def _load_floor(
                 floor[name] = float(t)
                 floor_src[name] = fname
     return floor, floor_src
+
+
+def _infer_round(here: str) -> int:
+    """Current round = 1 + the highest driver-committed BENCH_r{N}.json
+    (the driver writes round N's artifact at the END of round N, so while
+    round N runs, N-1 is the max on disk). $SPARK_GRAFT_ROUND overrides."""
+    import glob
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    ns = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
+    ]
+    return (max(ns) + 1) if ns else 1
+
+
+def _persist_local(out: dict, here: str) -> str:
+    """Append the FULL bench record to ``BENCH_local_r{N}.json`` (a list,
+    one entry per invocation this round). VERDICT r10 #1: the driver's
+    committed artifacts keep only the last ~2 KB of stdout, and two
+    truncated rounds in a row silently blinded the regression floor to
+    the best-ever numbers — the harness now owns its durable memory, the
+    same way the correctness gate owns CORRECTNESS_local_r*.json."""
+    path = os.path.join(here, f"BENCH_local_r{_infer_round(here):02d}.json")
+    records: list = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                old = json.load(f)
+            records = old if isinstance(old, list) else [old]
+        except (OSError, ValueError):
+            records = []
+    records.append(out)
+    with open(path, "w") as f:
+        json.dump(records, f, indent=1)
+    return path
 
 
 def _settle_gate() -> dict:
@@ -329,6 +392,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "sf_dir": sf_dir,
+        "ts": int(time.time()),
         "load_gate": load_gate,
         "runs_per_query": n_runs,
         "spread": spread,
@@ -358,7 +423,14 @@ def main() -> None:
                     f"{r['floor']:.3f}s (+{(r['now'] / r['floor'] - 1) * 100:.0f}%)",
                     file=sys.stderr,
                 )
-    print(json.dumps(out))
+    local_path = _persist_local(out, os.path.dirname(os.path.abspath(__file__)))
+    print(f"bench: full record appended to {local_path}", file=sys.stderr)
+    # the driver keeps only the last ~2 KB of stdout (BENCH_r09/r10 were
+    # cut mid-line, parsed=null), so the printed line is the SLIM record —
+    # per-run spread and per-query floor provenance live in the durable
+    # local artifact above, which is also what _load_floor reads
+    slim = {k: v for k, v in out.items() if k not in ("spread", "floor_source")}
+    print(json.dumps(slim, separators=(",", ":")))
 
 
 if __name__ == "__main__":

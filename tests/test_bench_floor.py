@@ -62,6 +62,66 @@ def test_floor_respects_config_epochs(tmp_path, monkeypatch):
     assert floor["stable"] == 1.5
 
 
+def test_floor_reads_local_list_records(tmp_path):
+    """VERDICT r10 #1: the harness's own BENCH_local_r{N}.json (a LIST,
+    one entry per run) must feed the floor alongside driver artifacts —
+    and a driver artifact whose stdout capture was truncated
+    (parsed=null, no queries) must be skipped without losing the round's
+    local record."""
+    # truncated driver artifact for r9 (the real r9/r10 shape)
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"n": 9, "sf": 0.1, "tail": "cut mid-line", "parsed": None})
+    )
+    # the harness's own durable record for the same round: two runs
+    (tmp_path / "BENCH_local_r09.json").write_text(
+        json.dumps(
+            [
+                {"sf": 0.1, "queries": {"q": 9.9}},
+                {"sf": 0.1, "queries": {"q": 10.4}},
+            ]
+        )
+    )
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 13.0}})
+    )
+    floor, src = bench._load_floor(0.1, here=str(tmp_path))
+    assert floor["q"] == 9.9 and src["q"] == "BENCH_local_r09.json"
+    # local-only rounds still spend exactly one window slot: three newer
+    # rounds age r9 (and its local record) out
+    for n in (11, 12, 13):
+        (tmp_path / f"BENCH_r{n}.json").write_text(
+            json.dumps({"sf": 0.1, "queries": {"q": 11.0 + n / 10}})
+        )
+    floor, src = bench._load_floor(0.1, here=str(tmp_path))
+    assert floor["q"] == 12.1 and src["q"] == "BENCH_r11.json"
+
+
+def test_persist_local_appends(tmp_path, monkeypatch):
+    """_persist_local appends one entry per invocation to the CURRENT
+    round's file (round inferred as max driver round + 1)."""
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps({"sf": 0.1}))
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    assert bench._infer_round(str(tmp_path)) == 11
+    p1 = bench._persist_local({"sf": 0.1, "queries": {"q": 1.0}}, str(tmp_path))
+    p2 = bench._persist_local({"sf": 0.1, "queries": {"q": 2.0}}, str(tmp_path))
+    assert p1 == p2 and p1.endswith("BENCH_local_r11.json")
+    recs = json.loads((tmp_path / "BENCH_local_r11.json").read_text())
+    assert [r["queries"]["q"] for r in recs] == [1.0, 2.0]
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    assert bench._infer_round(str(tmp_path)) == 7
+
+
+def test_floor_sees_r9_best_numbers_in_repo():
+    """The repo's committed artifacts must give the floor a view of r9's
+    best-ever routing numbers (the r10 blind spot): the reconstructed
+    BENCH_local_r09 record must be readable by the floor machinery (an
+    all-rounds window, so this holds even after r9 ages out of the
+    default 3-round window)."""
+    floor, src = bench._load_floor(0.1, last_n=1000, here="/root/repo")
+    assert floor.get("routing_9od", 99.0) <= 9.961
+    assert floor.get("find_near_stops_9", 99.0) <= 1.212
+
+
 def test_current_epochs_cover_only_known_queries():
     """Epoch keys must name real headline queries — a typo would
     silently disable the floor for the intended query."""
