@@ -26,6 +26,12 @@ Scale notes: binary payloads dominate row size, so these pipelines must
 (b) bound Arrow batch memory via ``maxRecordsPerBatch``, and
 (c) project metadata-only when downstream doesn't need bytes — enforced
 here by splitting metadata derivation from payload transforms.
+
+The ``# arrow-stage:`` comments at every mapInPandas call are the
+exemption marker for tests/test_plan_hygiene.py's Arrow-partitioning
+gate: these stages deliberately do NOT spread_for_compute — a
+repartition would push payload bytes over a shuffle, violating (a);
+their scale parallelism comes from scan splits (files.maxPartitionBytes).
 """
 
 from __future__ import annotations
@@ -309,6 +315,7 @@ def image_features(
 
     # project ONLY the columns the extractor needs — the binary column stays
     # out of any shuffle and un-needed metadata is pruned at the scan.
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return media.select("media_id", "payload", "mime").mapInPandas(
         extract, schema=IMAGE_FEATURES_SCHEMA
     )
@@ -495,6 +502,7 @@ def audio_features(
                 ],
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return media.select("media_id", "payload").mapInPandas(
         extract, schema=AUDIO_FEATURES_SCHEMA
     )
@@ -537,6 +545,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -578,6 +587,7 @@ def synth_wav_tones(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -627,6 +637,7 @@ def synth_g711_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -667,6 +678,7 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -721,6 +733,7 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -778,6 +791,7 @@ def synth_mp4_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -865,6 +879,7 @@ def video_metadata(
 
     # callers pre-filter kind (like image_features' callers do) — synth
     # tables carry no kind column
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return media.select("media_id", "payload").mapInPandas(
         extract,
         schema=(
@@ -917,6 +932,7 @@ def synth_mp3_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -1005,6 +1021,7 @@ def mp3_metadata(
                 ],
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return media.select("media_id", "payload").mapInPandas(
         extract,
         schema=(
@@ -1050,6 +1067,7 @@ def synth_aac_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -1129,6 +1147,7 @@ def aac_metadata(
                 ],
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return media.select("media_id", "payload").mapInPandas(
         extract,
         schema=(
@@ -1181,6 +1200,7 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -1262,6 +1282,7 @@ def flac_metadata(
                 ],
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return media.select("media_id", "payload").mapInPandas(
         extract,
         schema=(
@@ -1308,6 +1329,7 @@ def synth_opus_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -1385,6 +1407,7 @@ def opus_metadata(
                 ],
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return media.select("media_id", "payload").mapInPandas(
         extract,
         schema=(
@@ -1439,6 +1462,7 @@ def synth_webm_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )
@@ -1524,6 +1548,7 @@ def webm_metadata(
                 ],
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return media.select("media_id", "payload").mapInPandas(
         extract,
         schema=(
@@ -1610,6 +1635,7 @@ def resize_images(
                 recs, columns=["media_id", "payload", "width", "height"]
             )
 
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
     return media.select("media_id", "payload").mapInPandas(
         resize, schema="media_id long, payload binary, width int, height int"
     )
@@ -1705,6 +1731,7 @@ def phash_near_dup_pairs(
     real = (
         media.filter(is_dec)
         .select("media_id", "payload")
+        # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
         .mapInPandas(hash_real, schema="media_id long, simhash long")
         .filter(F.col("simhash").isNotNull())
     )
@@ -1721,6 +1748,7 @@ def phash_near_dup_pairs(
                     )
                 yield pd.DataFrame(columns=["media_id", "simhash"])
 
+        # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
         fake = rest.select("media_id", "payload").mapInPandas(
             refuse, schema="media_id long, simhash long"
         )
@@ -1744,6 +1772,7 @@ def phash_near_dup_pairs(
                     }
                 )
 
+        # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
         decoded = rest.select("media_id", "payload").mapInPandas(
             lenient_text, schema="media_id long, text string"
         )

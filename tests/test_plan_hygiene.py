@@ -108,3 +108,62 @@ def test_stats_join_back_broadcasts(spark, name):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
     assert "SortMergeJoin" not in plan, f"{name} sort-merges its stats join"
+
+
+def test_arrow_stages_declare_their_partitioning():
+    """Every mapInPandas/applyInPandas site in the package must make its
+    partitioning deliberate (VERDICT r10 #3). The round-10 lesson: Spark
+    sizes scan splits by BYTES, and AQE coalesces shuffles by BYTES — both
+    the wrong signal for a CPU-bound Arrow kernel, which can end up
+    serialized on one core behind a byte-small input (knn_ivf_join's sf1.0
+    guardrail ran 12.6 s on ONE split until the kernels spread; the pair
+    stage ran 202 s behind a 13 MB shuffle coalesced to 4 partitions).
+
+    A site passes when, within its statement context (the 12 preceding
+    source lines), it either
+      - spreads explicitly: ``spread_for_compute(`` or ``.repartition(``,
+      - is grouped (``​.groupBy(`` / ``.cogroup(``): partitioning comes
+        from the keyed shuffle, not scan splits — per-group cost must
+        then be bounded by the operator (e.g. knn's hot-cell blocks,
+        semdedup's pair budget), or
+      - carries an explicit exemption comment ``# arrow-stage: <reason>``
+        (multimodal extractors: map-side by design, payloads must never
+        cross a shuffle; scan splits provide scale parallelism).
+    A new Arrow kernel without any of these fails here until its
+    partitioning story is written down.
+    """
+    import glob
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "routing_algorithm_for_graph_dbs_spark",
+    )
+    markers = (
+        "spread_for_compute(",
+        ".repartition(",
+        ".groupBy(",
+        ".cogroup(",
+        "# arrow-stage:",
+    )
+    call = re.compile(r"\.(mapInPandas|applyInPandas)\(")
+    sites, bad = [], []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        lines = open(path).read().splitlines()
+        for i, line in enumerate(lines):
+            if not call.search(line):
+                continue
+            rel = os.path.relpath(path, pkg)
+            sites.append(f"{rel}:{i + 1}")
+            ctx = "\n".join(lines[max(0, i - 12) : i + 1])
+            if not any(m in ctx for m in markers):
+                bad.append(f"{rel}:{i + 1}  {line.strip()}")
+    # the scanner itself must keep finding the known kernel surface — a
+    # regex or layout change that finds nothing would pass vacuously
+    assert len(sites) >= 25, f"arrow-stage scan looks broken: {sites}"
+    assert not bad, (
+        "Arrow stages without a declared partitioning strategy "
+        "(spread_for_compute / .repartition / grouped / '# arrow-stage:'):\n"
+        + "\n".join(bad)
+    )
