@@ -1560,6 +1560,416 @@ def webm_metadata(
     )
 
 
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF containers from the documents table: per
+    image-kind doc, a GIF87a still or a GIF89a animation at cycling
+    dimension/palette configs with ``1 + doc_id % 5`` frames of
+    ``10 + n_chars % 100`` filler bytes — every size and field
+    closed-form for the cross-engine oracle (``operators/gif.py``).
+    87a files (every sixth doc) carry no Graphic Control Extensions —
+    the extension block postdates 87a — so their parsed duration is 0."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import build_gif
+
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (1 + F.col("doc_id") % 5).cast("int").alias("nf"),
+        (10 + F.col("n_chars") % 100).cast("int").alias("pad"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, nf, pad in zip(pdf["media_id"], pdf["nf"], pdf["pad"]):
+                mid = int(mid)
+                w, h = ((320, 200), (640, 400), (128, 96))[(mid // 3) % 3]
+                old87 = mid % 6 == 0
+                payloads.append(
+                    build_gif(
+                        w,
+                        h,
+                        n_frames=int(nf),
+                        delay_cs=0 if old87 else 3 + mid % 8,
+                        gct_bits=(0, 3, 5, 8)[mid % 4],
+                        bg_index=mid % 7,
+                        frame_pad=int(pad),
+                        version="87a" if old87 else "89a",
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/gif",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def gif_metadata(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched GIF METADATA extraction (same plumbing contract as
+    ``image_features``): payloads that sniff as GIF get the REAL block
+    walk (``operators/gif.py``, parser='gif') — version, canvas
+    dimensions, Global Color Table size, frame count, and the exact
+    animation duration from summed Graphic Control Extension delays
+    (image data sub-blocks are hopped by length — LZW pixel decode
+    stays the honest boundary). Non-GIF payloads take the deterministic
+    sha256 fake, or raise under ``strict=True``. Map-side only."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        is_gif,
+        parse_gif_metadata,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_gif(b):
+                        parsed = parse_gif_metadata(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    ver, w, h, gct, bg, nf, dur = parsed
+                    parser = "gif"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real GIF metadata needs the GIF87a/89a block"
+                            " structure — this payload has none (LZW pixel"
+                            " decode itself needs a codec library, not in"
+                            " this container)"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    ver = ("87a", "89a")[d[0] % 2]
+                    w, h = 16 * (1 + d[1] % 40), 16 * (1 + d[2] % 30)
+                    gct = (0, 8, 32, 256)[d[3] % 4]
+                    bg, nf = d[4] % 8, 1 + d[5] % 5
+                    dur = nf * (d[6] % 90) * 10
+                    parser = "fake"
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        ver,
+                        int(w),
+                        int(h),
+                        int(gct),
+                        int(bg),
+                        int(nf),
+                        int(dur),
+                        parser,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "version", "width",
+                    "height", "gct_colors", "bg_index", "n_frames",
+                    "duration_ms", "parser",
+                ],
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, version string,"
+            " width int, height int, gct_colors int, bg_index int,"
+            " n_frames int, duration_ms long, parser string"
+        ),
+    )
+
+
+def synth_tiff_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL TIFF files from the documents table: per doc,
+    a single- or multi-page TIFF (``1 + doc_id % 4`` IFDs) in cycling
+    byte orders, bit depths, and compression tags, each page pointing
+    at a ``2 * (20 + n_chars % 200)``-byte strip — every size and field
+    closed-form for the cross-engine oracle (``operators/tiff.py``)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import build_tiff
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (100 + F.col("doc_id") % 900).cast("int").alias("w"),
+        (80 + F.col("n_chars") % 600).cast("int").alias("h"),
+        (2 * (20 + F.col("n_chars") % 200)).cast("int").alias("pad"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, w, h, pad in zip(
+                pdf["media_id"], pdf["w"], pdf["h"], pdf["pad"]
+            ):
+                mid = int(mid)
+                payloads.append(
+                    build_tiff(
+                        int(w),
+                        int(h),
+                        bits_per_sample=(1, 8, 16)[(mid // 2) % 3],
+                        compression=(1, 1, 5, 7, 32773)[mid % 5],
+                        photometric=(mid // 5) % 3,
+                        n_ifds=1 + mid % 4,
+                        strip_pad=int(pad),
+                        byte_order="II" if mid % 2 == 0 else "MM",
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/tiff",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def tiff_metadata(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched TIFF METADATA extraction: payloads that sniff as
+    TIFF get the REAL IFD-chain walk (``operators/tiff.py``,
+    parser='tiff') in either byte order — dimensions, bit depth,
+    compression and photometric tags from the first IFD, page count
+    from the chain (strip PIXEL data is referenced by offset and never
+    read — raster decode stays the honest boundary). Non-TIFF payloads
+    take the deterministic sha256 fake, or raise under ``strict=True``.
+    Map-side only."""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        is_tiff,
+        parse_tiff_metadata,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_tiff(b):
+                        parsed = parse_tiff_metadata(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    bo, w, h, bits, comp, photo, _spp, nifd = parsed
+                    parser = "tiff"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real TIFF metadata needs the II/MM IFD"
+                            " structure — this payload has none (raster"
+                            " decode itself needs a codec library, not in"
+                            " this container)"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    bo = ("II", "MM")[d[0] % 2]
+                    w, h = 100 + d[1] * 4, 80 + d[2] * 3
+                    bits = (1, 8, 16)[d[3] % 3]
+                    comp = (1, 5, 7)[d[4] % 3]
+                    photo, nifd = d[5] % 3, 1 + d[6] % 4
+                    parser = "fake"
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        bo,
+                        int(w),
+                        int(h),
+                        int(bits),
+                        int(comp),
+                        int(photo),
+                        int(nifd),
+                        parser,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "byte_order", "width",
+                    "height", "bits_per_sample", "compression",
+                    "photometric", "n_ifds", "parser",
+                ],
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, byte_order string,"
+            " width int, height int, bits_per_sample int, compression int,"
+            " photometric int, n_ifds int, parser string"
+        ),
+    )
+
+
+def synth_webp_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WebP containers from the documents table: per
+    doc, a lossy, lossless, or extended-animated file (selector
+    ``(doc_id // 3) % 3``) at closed-form dimensions, with
+    ``2 + doc_id % 6`` animation frames of ``20 + doc_id % 80`` ms each
+    on the extended flavor — every size and field closed-form for the
+    cross-engine oracle (``operators/webp.py``)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import build_webp
+
+    base = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (16 + F.col("doc_id") % 2000).cast("int").alias("w"),
+        (16 + F.col("n_chars") % 1500).cast("int").alias("h"),
+        (2 * (10 + F.col("n_chars") % 120)).cast("int").alias("pad"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, w, h, pad in zip(
+                pdf["media_id"], pdf["w"], pdf["h"], pdf["pad"]
+            ):
+                mid = int(mid)
+                payloads.append(
+                    build_webp(
+                        int(w),
+                        int(h),
+                        flavor=("lossy", "lossless", "extended")[
+                            (mid // 3) % 3
+                        ],
+                        alpha=mid % 2 == 1,
+                        n_frames=2 + mid % 6,
+                        frame_duration_ms=20 + mid % 80,
+                        pixel_pad=int(pad),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/webp",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def webp_metadata(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched WebP METADATA extraction: payloads that sniff as
+    RIFF/WEBP get the REAL chunk walk (``operators/webp.py``,
+    parser='webp') — flavor from the VP8/VP8L/VP8X chunk, dimensions
+    from the 14-bit frame fields or the 24-bit VP8X canvas, the alpha
+    feature bit, ANMF frame count and the exact animation duration
+    (entropy-coded pixel regions are hopped by chunk size — decode
+    stays the honest boundary). Non-WebP payloads take the
+    deterministic sha256 fake, or raise under ``strict=True``.
+    Map-side only."""
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import (
+        is_webp,
+        parse_webp_metadata,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_webp(b):
+                        parsed = parse_webp_metadata(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    flavor, w, h, alpha, nf, dur, nchunks = parsed
+                    parser = "webp"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real WebP metadata needs RIFF/WEBP framing —"
+                            " this payload has none (VP8 entropy decode"
+                            " itself needs a codec library, not in this"
+                            " container)"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    flavor = ("lossy", "lossless", "extended")[d[0] % 3]
+                    w, h = 16 + d[1] * 8, 16 + d[2] * 6
+                    alpha = d[3] % 2 == 1
+                    nf = 1 if flavor != "extended" else 2 + d[4] % 6
+                    dur = 0 if flavor != "extended" else nf * (20 + d[5] % 80)
+                    nchunks = 1 if flavor != "extended" else 2 + nf
+                    parser = "fake"
+                rows.append(
+                    (
+                        int(mid),
+                        hashlib.sha256(b).hexdigest(),
+                        len(b),
+                        flavor,
+                        int(w),
+                        int(h),
+                        int(bool(alpha)),
+                        int(nf),
+                        int(dur),
+                        int(nchunks),
+                        parser,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "flavor", "width",
+                    "height", "has_alpha", "n_frames", "duration_ms",
+                    "n_chunks", "parser",
+                ],
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, flavor string,"
+            " width int, height int, has_alpha int, n_frames int,"
+            " duration_ms long, n_chunks int, parser string"
+        ),
+    )
+
+
 def resize_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
     """Image resize *plan*: target dimensions from metadata only, preserving
     aspect ratio — pure column math, payload untouched (the actual pixel

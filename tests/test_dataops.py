@@ -3934,3 +3934,207 @@ def test_jpeg_bitreader_bitbuf_bounded():
     px = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
     w, h, _nc, _luma = decode_jpeg(encode_jpeg_gray(px, quality=90))
     assert (w, h) == (64, 64)
+
+
+def test_gif_metadata_golden():
+    """GIF block walk (round 11): Logical Screen Descriptor packed bits,
+    Global Color Table sizing, per-frame Graphic Control Extension delay
+    summation, sub-block hopping, and loud failures on truncation /
+    unknown introducers / missing trailer."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif,
+        is_gif,
+        parse_gif_metadata,
+    )
+
+    p = build_gif(320, 200, n_frames=3, delay_cs=7, gct_bits=4,
+                  bg_index=2, frame_pad=20)
+    assert is_gif(p) and p[:6] == b"GIF89a"
+    assert len(p) == 13 + 3 * 16 + 3 * (8 + 13 + 20) + 1
+    assert parse_gif_metadata(p) == ("89a", 320, 200, 16, 2, 3, 210)
+
+    # 87a still: no GCE, duration 0, no palette
+    q = build_gif(64, 48, version="87a")
+    assert parse_gif_metadata(q) == ("87a", 64, 48, 0, 0, 1, 0)
+    assert len(q) == 13 + 13 + 16 + 1
+
+    # hand-built byte stream: 2x1 canvas, 4-color GCT, one 1-byte frame
+    hand = (
+        b"GIF89a"
+        + b"\x02\x00\x01\x00"      # width 2, height 1 (LE)
+        + b"\xf1\x03\x00"          # GCT flag, 8-bit res, size bits 1 -> 4
+        + b"\x00\x00\x00\xff\xff\xff\x80\x80\x80\x01\x02\x03"  # 4 RGB
+        + b"\x2c\x00\x00\x00\x00\x02\x00\x01\x00\x00"  # image descriptor
+        + b"\x02\x01\xaa\x00"      # LZW min 2, one 1-byte sub-block
+        + b"\x3b"
+    )
+    assert parse_gif_metadata(hand) == ("89a", 2, 1, 4, 3, 1, 0)
+
+    with _pytest.raises(ValueError, match="GIF8"):
+        parse_gif_metadata(b"PNG not a gif")
+    with _pytest.raises(ValueError, match="version"):
+        parse_gif_metadata(b"GIF88a" + p[6:])
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_gif_metadata(p[:-1])  # trailer gone
+    with _pytest.raises(ValueError, match="introducer"):
+        # 0x99 where a block introducer must be (right after the LSD)
+        parse_gif_metadata(q[:13] + b"\x99" + q[14:])
+    with _pytest.raises(ValueError, match="sub-block"):
+        parse_gif_metadata(p[: len(p) - 10])  # cut inside frame data
+
+
+def test_tiff_metadata_golden():
+    """TIFF IFD-chain walk (round 11): both byte orders, left-justified
+    inline SHORT values, spec defaults for missing tags, multi-page
+    chains, and loud failures on bad magic / zero entries / cycles."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff,
+        is_tiff,
+        parse_tiff_metadata,
+    )
+
+    for bo, fmt in (("II", "<"), ("MM", ">")):
+        p = build_tiff(800, 600, bits_per_sample=16, compression=5,
+                       photometric=2, n_ifds=3, strip_pad=40, byte_order=bo)
+        assert is_tiff(p)
+        assert len(p) == 8 + 3 * (40 + 114)
+        assert parse_tiff_metadata(p) == (bo, 800, 600, 16, 5, 2, 1, 3)
+
+    # hand-built minimal big-endian file: one IFD, width/length only ->
+    # spec defaults (bps 1, compression 1, photometric 0, spp 1)
+    hand = (
+        b"MM\x00\x2a" + _struct.pack(">I", 8)
+        + _struct.pack(">H", 2)
+        + _struct.pack(">HHI", 256, 3, 1) + _struct.pack(">H", 5) + b"\x00\x00"
+        + _struct.pack(">HHI", 257, 4, 1) + _struct.pack(">I", 7)
+        + _struct.pack(">I", 0)
+    )
+    assert parse_tiff_metadata(hand) == ("MM", 5, 7, 1, 1, 0, 1, 1)
+
+    with _pytest.raises(ValueError, match="magic"):
+        parse_tiff_metadata(b"II\x2b\x00" + hand[4:])
+    with _pytest.raises(ValueError, match="no IFD"):
+        parse_tiff_metadata(hand[:4] + _struct.pack(">I", 0) + hand[8:])
+    with _pytest.raises(ValueError, match="zero entries"):
+        parse_tiff_metadata(hand[:8] + _struct.pack(">H", 0) + hand[10:])
+    p = build_tiff(10, 20, strip_pad=8)
+    with _pytest.raises(ValueError, match="runs? past"):
+        parse_tiff_metadata(p[:40])
+    cyc = bytearray(p)
+    _struct.pack_into("<I", cyc, len(p) - 4, 8 + 8)  # last next -> first
+    with _pytest.raises(ValueError, match="cyclic"):
+        parse_tiff_metadata(bytes(cyc))
+    # width present but stored indirect (count 2) -> unreadable -> raises
+    ind = bytearray(hand)
+    _struct.pack_into(">I", ind, 14, 2)  # ImageWidth count = 2
+    with _pytest.raises(ValueError, match="lacks"):
+        parse_tiff_metadata(bytes(ind))
+
+
+def test_webp_metadata_golden():
+    """WebP RIFF chunk walk (round 11): the VP8 key-frame 14-bit
+    dimension fields behind the 9D012A start code, VP8L packed bits,
+    VP8X canvas + ANIM/ANMF frame counting with 24-bit durations, RIFF
+    even-padding, and loud failures on truncation / bad signatures."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import (
+        build_webp,
+        is_webp,
+        parse_webp_metadata,
+    )
+
+    p = build_webp(640, 480, "lossy", pixel_pad=32)
+    assert is_webp(p) and len(p) == 30 + 32
+    assert parse_webp_metadata(p) == ("lossy", 640, 480, False, 1, 0, 1)
+
+    q = build_webp(100, 50, "lossless", alpha=True, pixel_pad=20)
+    assert len(q) == 26 + 20
+    assert parse_webp_metadata(q) == ("lossless", 100, 50, True, 1, 0, 1)
+
+    r = build_webp(1280, 720, "extended", alpha=True, n_frames=4,
+                   frame_duration_ms=33, pixel_pad=10)
+    assert len(r) == 44 + 4 * (42 + 10)
+    assert parse_webp_metadata(r) == ("extended", 1280, 720, True, 4, 132, 6)
+
+    # hand-built lossless: 3x2, no alpha; width-1=2, height-1=1 packed
+    bits = 2 | (1 << 14)
+    body = b"\x2f" + _struct.pack("<I", bits) + b"\xab"  # 6-byte chunk
+    chunk = b"VP8L" + _struct.pack("<I", len(body)) + body
+    hand = b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    assert parse_webp_metadata(hand) == ("lossless", 3, 2, False, 1, 0, 1)
+
+    with _pytest.raises(ValueError, match="RIFF/WEBP"):
+        parse_webp_metadata(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError, match="runs past"):
+        parse_webp_metadata(p[:20])
+    with _pytest.raises(ValueError, match="start code"):
+        bad = bytearray(p)
+        bad[23] = 0x99
+        parse_webp_metadata(bytes(bad))
+    with _pytest.raises(ValueError, match="signature byte"):
+        bad = bytearray(q)
+        bad[20] = 0x30
+        parse_webp_metadata(bytes(bad))
+    with _pytest.raises(ValueError, match="no VP8"):
+        # ICCP-only file: walk succeeds but nothing pixel-bearing
+        icc = b"ICCP" + _struct.pack("<I", 2) + b"ab"
+        parse_webp_metadata(
+            b"RIFF" + _struct.pack("<I", 4 + len(icc)) + b"WEBP" + icc
+        )
+
+
+def test_gif_tiff_webp_extractors(spark):
+    """The three round-11 extractors route real containers to their
+    parsers and non-containers to the fake path; strict raises."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import build_gif
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        gif_metadata,
+        tiff_metadata,
+        webp_metadata,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import build_tiff
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import build_webp
+
+    for builder, extractor, parser, checks in [
+        (
+            lambda: build_gif(320, 200, n_frames=2, delay_cs=5),
+            gif_metadata,
+            "gif",
+            {"n_frames": 2, "duration_ms": 100, "width": 320},
+        ),
+        (
+            lambda: build_tiff(64, 32, n_ifds=2, byte_order="MM"),
+            tiff_metadata,
+            "tiff",
+            {"n_ifds": 2, "byte_order": "MM", "width": 64},
+        ),
+        (
+            lambda: build_webp(33, 44, "extended", n_frames=3,
+                               frame_duration_ms=25),
+            webp_metadata,
+            "webp",
+            {"n_frames": 3, "duration_ms": 75, "flavor": "extended"},
+        ),
+    ]:
+        media = spark.createDataFrame(
+            [(1, builder()), (2, b"not a container")],
+            "media_id long, payload binary",
+        )
+        got = {r["media_id"]: r.asDict() for r in extractor(media).collect()}
+        assert got[1]["parser"] == parser, parser
+        for k, v in checks.items():
+            assert got[1][k] == v, (parser, k, got[1][k])
+        assert got[2]["parser"] == "fake", parser
+        with _pytest.raises(Exception):
+            extractor(media, strict=True).collect()
