@@ -22,85 +22,87 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
-# order. The window ROTATES each round (round-5 verdict demand). Round 10
-# (VERDICT r9 item 6): lead with the queries NEW this round, re-run every
+# order. The window ROTATES each round (round-5 verdict demand). Round 11
+# (VERDICT r10 item 4): lead with the queries NEW this round, re-run every
 # query whose implementation changed since its last driver row, then the
-# §2 relational rows the verdict named (f1/u1 last checked r5; the
-# p*/j*/a*/f*/t*/w* block last checked r8), then the three r6-window rows
-# that ceded their r9 slots, topped up with the stalest r7-window rows.
+# registry's genuinely stalest rows in last-checked order — recomputed
+# from the CORRECTNESS_r*.json artifacts themselves this round, which
+# surfaced rows even staler than the verdict's r7-cycle note:
+# mm_frame_plan (last row r1) and the r4/r5 similarity/text blocks.
 # The remaining registry stays covered by tools/check_oracles.py
 # (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: NEW this round — FLAC STREAMINFO,
-    #    CRC-verified Ogg/Opus, and EBML/WebM metadata walks
-    "mm_flac_metadata",
-    "mm_opus_metadata",
-    "mm_webm_metadata",
+    # -- never-driver-checked: NEW this round — GIF block walk, TIFF IFD
+    #    chains (both byte orders), WebP RIFF/VP8/VP8L/VP8X walk
+    "mm_gif_metadata",
+    "mm_tiff_metadata",
+    "mm_webp_metadata",
     # -- re-runs: implementation changed since their last driver row.
-    #    mm_mp3_metadata / mm_aac_metadata: r10 ID3-tagged-AAC re-sniff,
-    #    Xing-placeholder accounting, tag-excluded ADTS bitrate.
-    #    mm_audio_features: r10 flac-meta/opus-meta dispatch branches.
-    #    sem_dedup / knn_ivf_join: r10 Arrow assignment/probe kernels
-    #    (bit-identical by construction AND re-proven by the gate).
-    "mm_mp3_metadata",
-    "mm_aac_metadata",
-    "mm_audio_features",
-    "sem_dedup",
+    #    knn_ivf_join: r11 zero-norm filter in both kNN tiers (ADVICE).
+    #    mm_webm_metadata: r11 unknown-size non-Segment raise in the
+    #    EBML walk (ADVICE).
     "knn_ivf_join",
-    # -- §2 relational block (VERDICT r9 item 6): f1/u1 ceded their r8
-    #    slots to the codec rows (last driver rows r5 — the stalest in
-    #    the registry); the rest last checked r8
-    "f1_casts",
-    "u1_union_all",
-    "t1_t2_topk",
-    "j5_earliest_transfer",
-    "p1_project_rename",
-    "p3_p4_filters",
-    "p5_computed_theta",
-    "p6_radius_filter",
-    "p8_p9_p10_membership",
-    "j1_join_chain",
-    "j2_fk_dims",
-    "w1_lead_consecutive",
-    "j4_band_selfjoin",
-    "j6_explode_rejoin",
-    "j7_nn_top1",
-    "j8_semi_join",
-    "j9_anti_join",
-    "a1_a2_aggregates",
-    "a3_argmin_ties",
-    "a5_collect_sorted",
-    "w3_running_sum",
-    "f2_temporal",
-    "f3_durations",
-    "f7_arrays",
-    "f8_strings",
-    # -- the three r6-window rows that ceded their r9 slots (last rows r6)
-    "dd_canonical",
-    "dd_keep_best",
-    "txt_bpe_learn2",
-    # -- stalest r7-window rows not re-checked since, in r7 order
-    "a8_rollup",
-    "a9_pivot",
-    "a10_histogram",
-    "a11_corr_cov",
-    "a12_cube",
-    "a13_unpivot",
-    "u2_intersect_except",
-    "w4_rank_distributions",
-    "w5_moving_avg",
-    "w6_inactivity_gaps",
-    "w7_rolling_distinct",
-    "f10_json_extract",
-    "f11_maps",
-    "ft_minmax_norm",
+    "mm_webm_metadata",
+    # -- stalest rows, last-checked order (artifact-derived):
+    #    mm_frame_plan's only driver row is r1
+    "mm_frame_plan",
+    # -- the r4 block (last rows r4, in their r4 order)
+    "p6_radius_batch",
+    "f4_haversine",
+    "jlo_left_outer",
+    "a4_argmax_ties",
+    "dd_minhash_sig",
+    "emb_norms",
+    "dd_jaccard_pairs",
+    "txt_winnow",
+    # -- the r5 block (last rows r5, in their r5 order)
+    "sim_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_pairs",
+    "txt_token_counts",
+    "txt_language_id",
+    "txt_quality",
+    "txt_fingerprint",
+    "txt_repetition",
+    # -- the r7-window stale cycle, continued where r10 left off
+    #    (ft_percent_rank ceded its r10 slot to mm_webm_metadata), in
+    #    CORRECTNESS_r07.json order
+    "ft_percent_rank",
+    "ft_winsorize",
+    "txt_tfidf_top3",
+    "txt_pmi_pairs",
+    "txt_top_ngrams",
+    "txt_corpus_stats",
+    "txt_url_domains",
+    "txt_source_kl",
+    "txt_unigram_logprob",
+    "txt_bigram_logprob",
+    "txt_chunks",
+    "txt_scrub",
+    "txt_sentence_dedup",
+    "emb_quantize",
+    "emb_random_proj",
+    "er_fuzzy_name_pairs",
+    "apx_join_overlap",
+    "apx_top_k_types",
+    "apx_mergeable_sketches",
+    "st_hopping_window",
+    "st_interval_join",
+    "st_interval_join_left",
+    "st_enriched_counts",
+    "asof_next_view",
+    "dq_snapshot_diff",
+    "smp_replicate",
+    "pack_shards_grouped",
+    "graph_random_walks",
 ]
-# ROUND-11 ROTATION NOTE: lead with any query whose implementation
-# changes during r10 after its driver row, then continue the r7-window
-# stale cycle where r10 left off (ft_percent_rank — it ceded its r10
-# slot to mm_webm_metadata — then txt_tfidf_top3 onward, see
-# CORRECTNESS_r07.json order), then the remaining r8-window rows
-# (streaming/asof/dedup block), then the r9 window.
+# ROUND-12 ROTATION NOTE: lead with any query whose implementation
+# changes during r11 after its driver row, then finish the r7-stale
+# cycle (idx_postings, hist_snapshot_asof, upd_apply_cdc, hist_scd2,
+# ts_interpolate, ts_ewma, dd_simhash), then the r8-window rows not
+# re-checked since, then the r9 window (recompute staleness from the
+# CORRECTNESS_r*.json artifacts as r11 did — the note can go stale,
+# the artifacts cannot).
 
 
 def _ordered() -> list[str]:

@@ -10,40 +10,36 @@ from __future__ import annotations
 
 import pytest
 
-# Round-10 window (VERDICT r9 item 6 + the builder's rotation note): the
-# two queries NEW this round lead (FLAC STREAMINFO; CRC-verified
-# Ogg/Opus); then re-runs of every query whose implementation changed
-# since its last driver row (the r10 ID3/Xing sniff fixes and the Arrow
-# IVF assignment/probe kernels); then the §2 relational block the
-# verdict named (f1/u1 stale since r5, the rest since r8); topped to 50
-# with the r6 rows that ceded their r9 slots and the stalest r7 rows.
+# Round-11 window (VERDICT r10 item 4 + the builder's rotation note): the
+# three queries NEW this round lead (GIF block walk, TIFF IFD chains,
+# WebP RIFF walk); then re-runs of every query whose implementation
+# changed since its last driver row (the r11 zero-norm kNN filter and
+# the EBML unknown-size raise); then the registry's genuinely stalest
+# rows, recomputed from the CORRECTNESS_r*.json artifacts (mm_frame_plan
+# last checked r1, the r4/r5 similarity/text blocks, then the r7 cycle
+# from ft_percent_rank onward).
 NEVER_CHECKED = [
-    "mm_flac_metadata",
-    "mm_opus_metadata",
-    "mm_webm_metadata",
+    "mm_gif_metadata",
+    "mm_tiff_metadata",
+    "mm_webp_metadata",
 ]
 
 CHANGED_SINCE_LAST_ROW = [
-    # r10 ID3-tagged-AAC re-sniff + Xing-placeholder accounting
-    "mm_mp3_metadata",
-    "mm_aac_metadata",
-    # r10 flac-meta/opus-meta dispatch branches
-    "mm_audio_features",
-    # r10 Arrow assignment/probe kernels
-    "sem_dedup",
+    # r11 zero-norm vector filter in both kNN tiers (ADVICE r10)
     "knn_ivf_join",
+    # r11 unknown-size non-Segment raise in the EBML walk (ADVICE r10)
+    "mm_webm_metadata",
 ]
 
 REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
-    # representatives of the verdict-named §2 relational block and the
-    # stale-row cycle
-    "f1_casts",
-    "u1_union_all",
-    "j1_join_chain",
-    "a1_a2_aggregates",
-    "dd_canonical",
-    "a8_rollup",
-    "ft_minmax_norm",
+    # representatives of the artifact-derived stale blocks
+    "mm_frame_plan",
+    "p6_radius_batch",
+    "dd_minhash_sig",
+    "sim_cosine_topk",
+    "txt_language_id",
+    "ft_percent_rank",
+    "graph_random_walks",
 ]
 
 
@@ -78,19 +74,51 @@ def test_queries_are_callable_and_keys_stable(entry_mod):
     assert list(q)[: len(NEVER_CHECKED)] == NEVER_CHECKED
 
 
-def test_window_rotation_r10(entry_mod):
-    """Round-10 rotation: every window row must be (a) a query new this
+def test_window_rotation_r11(entry_mod):
+    """Round-11 rotation: every window row must be (a) a query new this
     round (never driver-checked), (b) a declared changed-since-last-row
-    re-run, or (c) STALE — not checked in the r9 window (its last driver
-    row is r8 or older). Anything else would waste the gate's 50 slots
-    on recently-checked queries."""
+    re-run, or (c) STALE — not checked in the r10 window (its last
+    driver row is r9 or older). Anything else would waste the gate's 50
+    slots on recently-checked queries."""
     import json
     import os
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r9 = set(json.load(open(os.path.join(here, "CORRECTNESS_r09.json"))))
+    r10 = set(json.load(open(os.path.join(here, "CORRECTNESS_r10.json"))))
     window = set(list(entry_mod.queries())[:50])
     assert set(NEVER_CHECKED) <= window
-    fresh = r9 - set(NEVER_CHECKED) - set(CHANGED_SINCE_LAST_ROW)
+    fresh = r10 - set(NEVER_CHECKED) - set(CHANGED_SINCE_LAST_ROW)
     stray = window & fresh
-    assert not stray, f"window wastes rows on r9-checked queries: {sorted(stray)}"
+    assert not stray, f"window wastes rows on r10-checked queries: {sorted(stray)}"
+
+
+def test_window_is_stalest_first(entry_mod):
+    """Beyond no-waste: the stale section must actually be the STALEST
+    rows available — no registered query may have an older last-driver-
+    row than the oldest row IN the window unless it is already slated
+    (the rotation-note tail). Recomputed from the artifacts, so this
+    cannot drift from reality the way a hand-written note can."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        n = int(_re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        try:
+            rec = json.load(open(p))
+        except ValueError:
+            continue
+        if isinstance(rec, dict):
+            for k in rec:
+                last[k] = max(last.get(k, 0), n)
+    q = list(entry_mod.queries())
+    window, rest = set(q[:50]), q[50:]
+    oldest_out = min(last.get(k, 0) for k in rest)
+    oldest_in = min(last.get(k, 0) for k in window)
+    assert oldest_in <= oldest_out, (
+        "a staler query sits OUTSIDE the window: "
+        f"in={oldest_in} out={oldest_out}"
+    )
