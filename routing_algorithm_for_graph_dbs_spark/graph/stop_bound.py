@@ -159,11 +159,13 @@ def timetable_bound_data(graph, bucket_s: int | None = None):
     automatically: the quotient is collected exactly when its row count
     is at most ``AUTO_BUCKET_TARGET_ROWS``; above that the budget is
     apportioned PER PAIR (round 10, replacing round 9's single global
-    bucket): pairs with the fewest connection rows keep exact keys
-    (they are cheap, and losing resolution there is what killed
-    certificates in the measured 4x cliff — SCALE.md r9), and only the
-    heavy pairs are coarsened, each to its own bucket sized from its
-    key span and an equal share of the remaining row budget. In the
+    bucket; allocation rule fixed round 11): the MAX-MIN FAIR row cap —
+    the largest ``c`` with ``sum(min(cnt, c)) <= target`` — keeps every
+    pair with at most ``c`` connection rows bit-exact and gives each
+    heavier pair its own bucket sized to ~``c`` rows of resolution.
+    (Round 10 instead maximized the COUNT of exact pairs, which starved
+    every heavy pair to a 2-row staircase whenever several pairs were
+    heavy — measured efficacy ZERO at a 90% budget; SCALE.md r11.) In the
     degenerate ``n_pairs ~ target`` case even 2 rows per pair
     overshoots; the collect then proceeds at minimum resolution (up to
     ~2x the target) and records ``LAST_AUTO_BUCKET_CLAMPED`` so the
@@ -314,17 +316,26 @@ def timetable_bound_data(graph, bucket_s: int | None = None):
                 span = (stats["kmax"] - stats["kmin"]).to_numpy(dtype=np.int64)
                 n = len(cnt)
                 order = np.argsort(cnt, kind="stable")
-                # water-fill: exact pairs in ascending row-count order
-                # while every remaining (heavy) pair can still afford its
-                # 2-row minimum (bucket >= span collapses a pair to <= 2
-                # keys)
-                csum = np.concatenate(([0], np.cumsum(cnt[order])))
-                totals = csum + 2 * (n - np.arange(n + 1))
-                feasible = np.nonzero(totals <= target)[0]
-                LAST_AUTO_BUCKET_CLAMPED = len(feasible) == 0
-                n_exact = int(feasible.max()) if len(feasible) else 0
-                coarse_idx = order[n_exact:]
-                if len(coarse_idx) == 0:
+                # MAX-MIN FAIR row cap (round 11): the largest per-pair
+                # cap ``c`` with sum(min(cnt, c)) <= target — pairs with
+                # cnt <= c keep exact keys, every heavier pair gets ~c
+                # rows of resolution. Round 10's greedy instead MAXIMIZED
+                # the number of exact pairs, which starved every heavy
+                # pair to the 2-row minimum the moment several pairs were
+                # heavy: measured on the 1x feed at a 90%-of-exact budget,
+                # the heavy buckets blew up to ~52,000 s (the whole
+                # service day), labels collapsed to the 6 am timetable
+                # floor, and prune efficacy vs the exact bound was ZERO —
+                # the exact cliff the apportionment was built to avoid
+                # (tools/scale_stop_bound.py caught it; SCALE.md r11).
+                cnt_sorted = cnt[order]
+                csum = np.concatenate(([0], np.cumsum(cnt_sorted)))
+                # cost if the cap equals cnt_sorted[j] (pairs 0..j exact,
+                # the n-j-1 heavier pairs capped at that value)
+                idx = np.arange(n)
+                cost_at = csum[1:] + cnt_sorted * (n - idx - 1)
+                feasible = np.nonzero(cost_at <= target)[0]
+                if len(feasible) == n:
                     # the LIMIT collect said > target rows but the stats
                     # say every pair fits exactly — the two jobs saw
                     # different data. A truncated staircase would make
@@ -335,14 +346,19 @@ def timetable_bound_data(graph, bucket_s: int | None = None):
                         " changed between jobs?) — refusing to build a"
                         " potentially truncated bound"
                     )
-                remaining = target - int(csum[n_exact])
-                rows_each = max(2, remaining // len(coarse_idx))
-                b_arr = np.maximum(
-                    1, -(-span[coarse_idx] // max(rows_each - 1, 1))
+                jmax = int(feasible.max()) if len(feasible) else -1
+                cap = int(
+                    (target - csum[jmax + 1]) // (n - jmax - 1)
                 )
-                # a heavy pair whose exact rows fit its allotment keeps
-                # exact keys (bucket 1 passes raw dep_x through)
-                b_arr = np.where(cnt[coarse_idx] <= rows_each, 1, b_arr)
+                LAST_AUTO_BUCKET_CLAMPED = cap < 2
+                cap = max(cap, 2)
+                n_exact = int(
+                    np.searchsorted(cnt_sorted, cap, side="right")
+                )
+                coarse_idx = order[n_exact:]
+                # cap >= 2 so the divisor is >= 1; a coarse pair whose
+                # span is tiny can still land on bucket 1 (exact keys)
+                b_arr = np.maximum(1, -(-span[coarse_idx] // (cap - 1)))
                 bmap = graph.stoptimes.sparkSession.createDataFrame(
                     list(
                         zip(
@@ -354,7 +370,10 @@ def timetable_bound_data(graph, bucket_s: int | None = None):
                     "a string, b string, bucket long",
                 )
                 pdf = _grouped_per_pair(bmap).toPandas()
-                LAST_AUTO_BUCKET_S = int(b_arr.max())
+                # b_arr can be empty only in the clamped all-tiny-pairs
+                # case (cap raised to 2 covers every pair) — then the
+                # recompute was effectively exact, just oversized
+                LAST_AUTO_BUCKET_S = int(b_arr.max()) if len(b_arr) else 0
                 LAST_AUTO_EXACT_PAIRS = n_exact + int((b_arr == 1).sum())
                 LAST_AUTO_COARSE_PAIRS = int((b_arr > 1).sum())
     else:

@@ -335,6 +335,50 @@ def test_auto_bucket_apportions_budget_per_pair(spark, monkeypatch):
     assert fired_auto >= 0.9 * fired_exact
 
 
+def test_auto_bucket_maxmin_fair_many_heavy_pairs(spark, monkeypatch):
+    """Round 11 regression (caught by tools/scale_stop_bound.py at 1x):
+    with SEVERAL heavy pairs and a budget just under the exact quotient,
+    round 10's greedy maximized the exact-pair count and starved every
+    heavy pair to a 2-row staircase (buckets ~ the whole service day,
+    efficacy 0). The max-min fair cap must instead give each heavy pair
+    ~cap rows of resolution."""
+    from routing_algorithm_for_graph_dbs_spark.graph import stop_bound as sb
+
+    stoptimes, edges = [], []
+    # 10 HEAVY pairs A{p} -> B{p}: 60 connections each
+    for p in range(10):
+        for i in range(60):
+            dep = 1000 + 37 * i + 7 * p
+            stoptimes.append((f"h{p}_{i}a", f"A{p}", dep - 20, dep))
+            stoptimes.append((f"h{p}_{i}b", f"B{p}", dep + 120, dep + 130))
+            edges.append((f"h{p}_{i}a", f"h{p}_{i}b", "PRECEDES", 120, 0))
+    # 12 cheap pairs
+    for j in range(12):
+        dep = 500 + 400 * j
+        stoptimes.append((f"c{j}a", f"C{j}", dep - 10, dep))
+        stoptimes.append((f"c{j}b", f"D{j}", dep + 300, dep + 310))
+        edges.append((f"c{j}a", f"c{j}b", "PRECEDES", 300, 0))
+
+    total = 10 * 60 + 12
+    target = int(total * 0.9)  # 550: the 90%-budget regime
+    monkeypatch.setattr(sb, "AUTO_BUCKET_TARGET_ROWS", target)
+    g = _graph(spark, stoptimes, edges)
+    data = timetable_bound_data(g)
+    assert not sb.LAST_AUTO_BUCKET_CLAMPED
+    # max-min cap: c = (550 - 12) // 10 = 53 rows per heavy pair; the
+    # greedy would have left 2. Every heavy staircase must carry most of
+    # that resolution (round-up bucketing can merge a few keys).
+    for p in range(10):
+        (_, keys, _), = data[0][f"A{p}"]
+        assert len(keys) >= 40, (p, len(keys))
+    # cheap pairs stay bit-exact
+    for j in range(12):
+        (_, keys, _), = data[0][f"C{j}"]
+        assert len(keys) == 1
+    n_rows = sum(len(k) for runs in data[0].values() for _b, k, _v in runs)
+    assert n_rows <= target
+
+
 def test_auto_bucket_clamp_is_recorded(spark, monkeypatch):
     """n_pairs ~ target degenerate case (r10 ADVICE): even 2 rows per
     pair overshoots the budget — the collect proceeds at minimum
