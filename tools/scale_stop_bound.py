@@ -26,7 +26,11 @@ apportionment path, then measures what the verdict asked for:
 Prints one JSON line; the recorded run lives in SCALE.md. Run:
 
     SPARK_GRAFT_DRIVER_MEM=24g python tools/scale_stop_bound.py
-    SCALE_MULT=24 ... python tools/scale_stop_bound.py   # bigger feed
+    SCALE_MULT=32 ... python tools/scale_stop_bound.py   # bigger feed
+
+(The quotient grows ~linearly with trips_per_route: measured 849,230
+rows at 1x, so the default 28x lands ~24M — above the 20M cap with
+margin; 20x measured just under.)
 """
 
 from __future__ import annotations
@@ -43,7 +47,7 @@ from routing_algorithm_for_graph_dbs_spark.session import get_spark
 
 
 def main() -> None:
-    mult = float(os.environ.get("SCALE_MULT", "20"))
+    mult = float(os.environ.get("SCALE_MULT", "28"))
     # NOT `from ...graph import stop_bound` — module-global telemetry
     # must be read off the real module object (memory: graph/__init__
     # re-exports shadow module names)
