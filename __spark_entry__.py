@@ -33,10 +33,13 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
     # -- never-driver-checked: NEW this round — GIF block walk, TIFF IFD
-    #    chains (both byte orders), WebP RIFF/VP8/VP8L/VP8X walk
+    #    chains (both byte orders), WebP RIFF/VP8/VP8L/VP8X walk, and the
+    #    REAL pixel decodes (GIF LZW inflate; TIFF raw/PackBits strips)
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",
+    "mm_gif_pixels",
+    "mm_tiff_pixels",
     # -- re-runs: implementation changed since their last driver row.
     #    knn_ivf_join: r11 zero-norm filter in both kNN tiers (ADVICE).
     #    mm_webm_metadata: r11 unknown-size non-Segment raise in the
@@ -93,16 +96,15 @@ _DRIVER_WINDOW = [
     "asof_next_view",
     "dq_snapshot_diff",
     "smp_replicate",
-    "pack_shards_grouped",
-    "graph_random_walks",
 ]
 # ROUND-12 ROTATION NOTE: lead with any query whose implementation
 # changes during r11 after its driver row, then finish the r7-stale
-# cycle (idx_postings, hist_snapshot_asof, upd_apply_cdc, hist_scd2,
-# ts_interpolate, ts_ewma, dd_simhash), then the r8-window rows not
-# re-checked since, then the r9 window (recompute staleness from the
-# CORRECTNESS_r*.json artifacts as r11 did — the note can go stale,
-# the artifacts cannot).
+# cycle (pack_shards_grouped and graph_random_walks — they ceded their
+# r11 slots to the mm_*_pixels rows — then idx_postings,
+# hist_snapshot_asof, upd_apply_cdc, hist_scd2, ts_interpolate,
+# ts_ewma, dd_simhash), then the r8-window rows not re-checked since,
+# then the r9 window (recompute staleness from the CORRECTNESS_r*.json
+# artifacts as r11 did — the note can go stale, the artifacts cannot).
 
 
 def _ordered() -> list[str]:

@@ -7252,3 +7252,86 @@ def mm_webp_metadata(spark, sf_dir):
         "n_chunks",
         "parser",
     )
+
+
+@_register(
+    "mm_gif_pixels",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 * (1 + doc_id % 5) AS INTEGER) AS width,
+           CAST(16 * (1 + doc_id % 6) AS INTEGER) AS height,
+           -- rows are constant values (doc_id%16) + 16k (mod 256) over a
+           -- height that is a multiple of 16: the mean over each 16-row
+           -- cycle is (doc_id%16) + mean(0,16,...,240) = doc_id%16 + 120,
+           -- an exact integer — closed form without running LZW
+           CAST(doc_id % 16 + 120 AS DOUBLE) AS mean_luma,
+           'gif' AS parser
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_gif_pixels(spark, sf_dir):
+    """REAL-decoder cross-engine check, GIF pixel half (round 11 — LZW
+    is pure table-driven decode, spec Appendix F, so it moves OFF the
+    declared codec boundary): synth_gif_pixel_media mints GIFs whose
+    frames are REAL LZW streams (greedy longest-match encoder, CLEAR/
+    END/KwKwK/4096-reset semantics, variable-width LSB-first codes) of
+    a row-constant gray pattern, and gif_pixel_features inflates every
+    stream for real (strict=True: no fake fallback) — the decoded mean
+    luma must hit the closed form exactly. Any bit-packing, table-growth,
+    width-sync, or palette bug breaks the hash."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        gif_pixel_features,
+        synth_gif_pixel_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_gif_pixel_media(docs))
+    return gif_pixel_features(media, strict=True).select(
+        "media_id",
+        "width",
+        "height",
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+        "parser",
+    )
+
+
+@_register(
+    "mm_tiff_pixels",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 * (1 + doc_id % 5) AS INTEGER) AS width,
+           CAST(16 * (1 + doc_id % 6) AS INTEGER) AS height,
+           CAST(doc_id % 16 + 120 AS DOUBLE) AS mean_luma,
+           'tiff' AS parser
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def mm_tiff_pixels(spark, sf_dir):
+    """REAL-decoder cross-engine check, TIFF strip half (round 11): raw
+    (compression 1, even docs) and PackBits (32773, odd docs) grayscale
+    strips in BOTH byte orders inflate for real
+    (tiff_pixel_features strict=True) and the decoded mean luma must hit
+    the same closed form as mm_gif_pixels — one pattern, two container
+    codecs, cross-checked against each other and the oracle. LZW/JPEG-
+    in-TIFF strips remain the declared boundary (decode_tiff_gray
+    raises on them)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        synth_tiff_pixel_media,
+        tiff_pixel_features,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_tiff_pixel_media(docs))
+    return tiff_pixel_features(media, strict=True).select(
+        "media_id",
+        "width",
+        "height",
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+        "parser",
+    )

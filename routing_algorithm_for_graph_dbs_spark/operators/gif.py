@@ -167,3 +167,248 @@ def build_gif(
         ) + b"\x00"
     out += bytes([_TRAILER])
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode (round 11): GIF's only pixel codec is LZW — a pure
+# table-driven algorithm (spec Appendix F), no codec library involved, so
+# unlike JPEG-arithmetic / compressed audio it does NOT belong on the
+# declared decode boundary. Variable-width codes are packed LSB-first;
+# the table holds 2^min_code_size literals + CLEAR + END, grows by one
+# entry per decoded code (prev ++ first(cur)), widens at 2^width, and
+# clamps at 12 bits until the encoder emits CLEAR.
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """LSB-first bit reader over the concatenated data sub-blocks."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        got = 0
+        while got < n:
+            if self.pos >= len(self.data):
+                raise ValueError("GIF LZW stream truncated mid-code")
+            take = min(8 - self.bit, n - got)
+            v |= ((self.data[self.pos] >> self.bit) & ((1 << take) - 1)) << got
+            got += take
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+def lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """Decode a GIF LZW stream to exactly ``n_pixels`` palette indices.
+
+    Spec Appendix F semantics: CLEAR resets the table and code width;
+    END terminates; the KwKwK case (a code one past the table) emits
+    ``prev + prev[0]``. Raises on truncation, a code beyond the table,
+    or a stream that ends before ``n_pixels`` indices arrive."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"GIF LZW minimum code size {min_code_size} out of range")
+    clear = 1 << min_code_size
+    end = clear + 1
+    br = _BitReader(data)
+    out = bytearray()
+
+    def fresh_table():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh_table()
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = br.read(width)
+        if code == clear:
+            table = fresh_table()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and code not in (clear, end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table size {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        # widen when the NEXT entry would not fit the current width
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF LZW stream ended at {len(out)}/{n_pixels} pixels"
+        )
+    return bytes(out[:n_pixels])
+
+
+def lzw_encode(min_code_size: int, pixels: bytes) -> bytes:
+    """Real (greedy longest-match) GIF LZW encoder — the golden twin for
+    the decoder. Emits CLEAR, then longest-prefix matches against the
+    same growing table, widening in lockstep with the decoder and
+    resetting at the 4096-entry clamp."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"GIF LZW minimum code size {min_code_size} out of range")
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    run = b""
+    for b in pixels:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder adds its entry AFTER consuming our code, then
+        # widens when its table hits 2^width — mirror exactly
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _subblocks(data: bytes) -> bytes:
+    """Wrap a raw byte stream into <=255-byte GIF data sub-blocks."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def build_gif_pixels(
+    width: int,
+    height: int,
+    pixels: bytes,
+    gct_bits: int = 8,
+    delay_cs: int = 0,
+) -> bytes:
+    """Mint a single-frame GIF whose image data is the REAL LZW encoding
+    of ``pixels`` (palette indices, row-major, len == width*height) over
+    a grayscale ramp palette (index i -> gray ``i * 255 // (2^bits -
+    1)``). The decode twin is :func:`decode_gif_pixels`."""
+    n = 1 << gct_bits
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height palette indices")
+    if max(pixels) >= n:
+        raise ValueError("pixel index outside the palette")
+    mcs = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF0 | (gct_bits - 1), 0, 0)
+    out += bytes(v for i in range(n) for v in (i * 255 // (n - 1),) * 3)
+    if delay_cs:
+        out += bytes([_EXTENSION, _GCE_LABEL, 4, 0])
+        out += struct.pack("<H", delay_cs) + bytes([0, 0])
+    out += bytes([_IMAGE]) + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += bytes([mcs]) + _subblocks(lzw_encode(mcs, pixels))
+    out += bytes([_TRAILER])
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL pixel decode of the FIRST frame: walk to its image
+    descriptor, LZW-decode the data sub-blocks, and map palette indices
+    through the active color table to gray lumas (ITU gray ramp tables
+    as built here store r=g=b, so luma == the stored r channel).
+
+    Returns ``(width, height, mean_luma)`` with ``mean_luma`` the exact
+    float mean of the first frame's palette lumas. Raises on any
+    structural or LZW error (strict path). The interlace flag only
+    permutes ROW ORDER (the spec's four-pass scheme); the mean is
+    order-invariant, so no reordering is needed for the features
+    computed here."""
+    if not is_gif(payload):
+        raise ValueError("not a GIF (missing 'GIF8' signature)")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before Logical Screen Descriptor")
+    _w, _h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF block stream truncated (no trailer)")
+        introducer = payload[pos]
+        pos += 1
+        if introducer == _TRAILER:
+            raise ValueError("GIF carries no image frame")
+        if introducer == _EXTENSION:
+            pos += 1
+            pos = _skip_subblocks(payload, pos)
+            continue
+        if introducer != _IMAGE:
+            raise ValueError(f"unknown GIF block introducer 0x{introducer:02X}")
+        if pos + 9 > len(payload):
+            raise ValueError("GIF Image Descriptor truncated")
+        _l, _t, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame has neither local nor global palette")
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF sub-block chain truncated")
+            nblk = payload[pos]
+            pos += 1
+            if nblk == 0:
+                break
+            chunks.append(payload[pos : pos + nblk])
+            pos += nblk
+        idx = lzw_decode(mcs, b"".join(chunks), fw * fh)
+        if max(idx, default=0) * 3 >= len(table):
+            raise ValueError("GIF pixel index outside the palette")
+        # gray ramp palettes store r == g == b; honor the red channel
+        lumas = [table[3 * i] for i in idx]
+        return (fw, fh, sum(lumas) / len(lumas))

@@ -1831,6 +1831,234 @@ def tiff_metadata(
     )
 
 
+def synth_gif_pixel_media(docs: DataFrame) -> DataFrame:
+    """Deterministic GIFs with REAL LZW-encoded pixel payloads: per doc,
+    a 256-gray single-frame image whose rows are constant values
+    ``(doc_id % 16) + 16k (mod 256)`` over a height that is a multiple
+    of 16 — so the decoded mean luma is EXACTLY ``(doc_id % 16) + 120``
+    (an integer; no float hazard) and the cross-engine oracle states it
+    in closed form without running LZW."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_pixels,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (8 * (1 + F.col("doc_id") % 5)).cast("int").alias("w"),
+        (16 * (1 + F.col("doc_id") % 6)).cast("int").alias("h"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                mid, w, h = int(mid), int(w), int(h)
+                b = mid % 16
+                px = bytes(
+                    v
+                    for y in range(h)
+                    for v in [(b + 16 * (y % 16)) % 256] * w
+                )
+                payloads.append(build_gif_pixels(w, h, px, gct_bits=8))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/gif",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def gif_pixel_features(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """REAL GIF pixel decode (round 11 — LZW is a pure table-driven
+    algorithm, spec Appendix F; no codec library involved, so it moves
+    OFF the declared boundary): payloads that sniff as GIF get the full
+    LZW inflate of the first frame plus the palette luma mean
+    (``operators/gif.py decode_gif_pixels``, parser='gif'). Non-GIF
+    payloads take the deterministic sha256 fake, or raise under
+    ``strict=True``. Map-side only."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        decode_gif_pixels,
+        is_gif,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_gif(b):
+                        parsed = decode_gif_pixels(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    w, h, luma = parsed
+                    parser = "gif"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real GIF pixel decode needs the GIF87a/89a"
+                            " container + a valid LZW stream — this"
+                            " payload has neither"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    w, h = 16 * (1 + d[0] % 40), 16 * (1 + d[1] % 30)
+                    luma = float(d[2])
+                    parser = "fake"
+                rows.append(
+                    (int(mid), hashlib.sha256(b).hexdigest(), len(b),
+                     int(w), int(h), float(luma), parser)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "width", "height",
+                    "mean_luma", "parser",
+                ],
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, width int,"
+            " height int, mean_luma double, parser string"
+        ),
+    )
+
+
+def synth_tiff_pixel_media(docs: DataFrame) -> DataFrame:
+    """Deterministic grayscale TIFFs with REAL sample strips (raw on
+    even docs, PackBits on odd; II/MM byte orders cycling) carrying the
+    same row-constant pattern as :func:`synth_gif_pixel_media` — the
+    decoded mean is exactly ``(doc_id % 16) + 120``."""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_gray,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (8 * (1 + F.col("doc_id") % 5)).cast("int").alias("w"),
+        (16 * (1 + F.col("doc_id") % 6)).cast("int").alias("h"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                mid, w, h = int(mid), int(w), int(h)
+                b = mid % 16
+                px = bytes(
+                    v
+                    for y in range(h)
+                    for v in [(b + 16 * (y % 16)) % 256] * w
+                )
+                payloads.append(
+                    build_tiff_gray(
+                        w, h, px,
+                        compression=1 if mid % 2 == 0 else 32773,
+                        byte_order="II" if (mid // 2) % 2 == 0 else "MM",
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/tiff",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def tiff_pixel_features(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """REAL TIFF strip decode (round 11): raw (compression 1) and
+    PackBits (32773) grayscale strips inflate for real in either byte
+    order (``operators/tiff.py decode_tiff_gray``, parser='tiff');
+    LZW/JPEG-in-TIFF strips stay the declared boundary (the decoder
+    raises and strict surfaces it). Non-TIFF payloads take the
+    deterministic sha256 fake, or raise under ``strict=True``.
+    Map-side only."""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        decode_tiff_gray,
+        is_tiff,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                parsed = None
+                try:
+                    if is_tiff(b):
+                        parsed = decode_tiff_gray(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                    parsed = None
+                if parsed is not None:
+                    w, h, luma = parsed
+                    parser = "tiff"
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real TIFF strip decode covers raw/PackBits"
+                            " 8-bit grayscale — other layouts (LZW/JPEG"
+                            " strips) stay the codec boundary"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    w, h = 100 + d[0] * 4, 80 + d[1] * 3
+                    luma = float(d[2])
+                    parser = "fake"
+                rows.append(
+                    (int(mid), hashlib.sha256(b).hexdigest(), len(b),
+                     int(w), int(h), float(luma), parser)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sha256", "n_bytes", "width", "height",
+                    "mean_luma", "parser",
+                ],
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, sha256 string, n_bytes long, width int,"
+            " height int, mean_luma double, parser string"
+        ),
+    )
+
+
 def synth_webp_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL WebP containers from the documents table: per
     doc, a lossy, lossless, or extended-animated file (selector

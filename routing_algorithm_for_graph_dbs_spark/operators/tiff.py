@@ -132,6 +132,172 @@ def parse_tiff_metadata(payload: bytes):
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL strip decode (round 11): TIFF's baseline grayscale payloads are
+# either UNCOMPRESSED samples (compression 1) or PackBits RLE
+# (compression 32773, spec §9) — both pure byte transforms, no codec
+# library, so neither belongs on the declared decode boundary. LZW/JPEG-
+# in-TIFF strips stay there.
+# ---------------------------------------------------------------------------
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (spec §9): control byte n in 0..127 copies n+1
+    literals; n in 129..255 repeats the next byte 257-n times; 128 is a
+    no-op. Raises on truncation or output-size mismatch."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            if pos + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            if pos >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Real PackBits encoder (runs >= 3 become repeat packets) — the
+    golden twin for :func:`packbits_decode`."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # measure the run at i
+        j = i + 1
+        while j < n and data[j] == data[i] and j - i < 128:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal stretch: until a >=3 run starts, max 128
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    return bytes(out)
+
+
+def build_tiff_gray(
+    width: int,
+    height: int,
+    pixels: bytes,
+    compression: int = 1,
+    byte_order: str = "II",
+) -> bytes:
+    """Mint a single-IFD 8-bit grayscale TIFF whose strip holds the REAL
+    encoding of ``pixels`` (row-major, len == width*height): raw samples
+    (compression 1) or PackBits (32773). The decode twin is
+    :func:`decode_tiff_gray`."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height samples")
+    if compression == 1:
+        strip = pixels
+    elif compression == 32773:
+        strip = packbits_encode(pixels)
+    else:
+        raise ValueError("build_tiff_gray supports compression 1 and 32773")
+    if len(strip) % 2:
+        strip += b"\x00"  # keep the IFD word-aligned (decoders use counts)
+    fmt = "<" if byte_order == "II" else ">"
+    out = bytearray()
+    out += byte_order.encode("ascii")
+    out += struct.pack(fmt + "H", 42)
+    out += struct.pack(fmt + "I", 8 + len(strip))
+
+    def entry(tag: int, etype: int, value: int) -> bytes:
+        e = struct.pack(fmt + "HHI", tag, etype, 1)
+        if etype == _SHORT:
+            return e + struct.pack(fmt + "H", value) + b"\x00\x00"
+        return e + struct.pack(fmt + "I", value)
+
+    out += strip
+    out += struct.pack(fmt + "H", _N_ENTRIES)
+    out += entry(_WIDTH, _LONG, width)
+    out += entry(_LENGTH, _LONG, height)
+    out += entry(_BITS_PER_SAMPLE, _SHORT, 8)
+    out += entry(_COMPRESSION, _SHORT, compression)
+    out += entry(_PHOTOMETRIC, _SHORT, 1)  # BlackIsZero
+    out += entry(_STRIP_OFFSETS, _LONG, 8)
+    out += entry(_SAMPLES_PER_PIXEL, _SHORT, 1)
+    out += entry(_ROWS_PER_STRIP, _LONG, height)
+    out += entry(_STRIP_BYTE_COUNTS, _LONG, len(strip))
+    out += struct.pack(fmt + "I", 0)
+    return bytes(out)
+
+
+def decode_tiff_gray(payload: bytes):
+    """REAL pixel decode of the first IFD's grayscale strips: dereference
+    StripOffsets/StripByteCounts, inflate raw or PackBits strips, and
+    return ``(width, height, mean_luma)`` — the exact float mean of the
+    8-bit samples. Raises on unsupported layouts (bits != 8, samples !=
+    1, LZW/JPEG strips — the remaining boundary) and on any structural
+    error."""
+    if not is_tiff(payload):
+        raise ValueError("not a TIFF (bad byte-order mark / magic 42)")
+    fmt = "<" if payload[:2] == b"II" else ">"
+    (ifd_at,) = struct.unpack_from(fmt + "I", payload, 4)
+    if ifd_at == 0:
+        raise ValueError("TIFF has no IFD")
+    if ifd_at + 2 > len(payload):
+        raise ValueError("TIFF IFD offset runs past payload")
+    (n_entries,) = struct.unpack_from(fmt + "H", payload, ifd_at)
+    fields: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        pos = ifd_at + 2 + 12 * i
+        if pos + 12 > len(payload):
+            raise ValueError("TIFF IFD entries run past payload")
+        tag, etype, count = struct.unpack_from(fmt + "HHI", payload, pos)
+        fields[tag] = (etype, count, pos + 8)
+
+    def val(tag: int, default: int | None = None) -> int:
+        if tag not in fields:
+            if default is None:
+                raise ValueError(f"TIFF lacks required tag {tag}")
+            return default
+        etype, count, at = fields[tag]
+        if count != 1 or etype not in (_SHORT, _LONG):
+            raise ValueError(
+                f"TIFF tag {tag}: multi-count/offset values not supported"
+            )
+        f = "H" if etype == _SHORT else "I"
+        return struct.unpack_from(fmt + f, payload, at)[0]
+
+    width, height = val(_WIDTH), val(_LENGTH)
+    if val(_BITS_PER_SAMPLE, 1) != 8 or val(_SAMPLES_PER_PIXEL, 1) != 1:
+        raise ValueError("decode_tiff_gray handles 8-bit single-sample only")
+    comp = val(_COMPRESSION, 1)
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"TIFF compression {comp} needs a codec — the decode boundary"
+        )
+    off, cnt = val(_STRIP_OFFSETS), val(_STRIP_BYTE_COUNTS)
+    if off + cnt > len(payload):
+        raise ValueError("TIFF strip runs past payload")
+    strip = payload[off : off + cnt]
+    n_px = width * height
+    px = strip[:n_px] if comp == 1 else packbits_decode(strip, n_px)
+    if len(px) < n_px:
+        raise ValueError("TIFF strip shorter than width*height")
+    return (width, height, sum(px[:n_px]) / n_px)
+
+
 _N_ENTRIES = 9
 _IFD_BYTES = 2 + 12 * _N_ENTRIES + 4  # 114
 

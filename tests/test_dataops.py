@@ -4138,3 +4138,144 @@ def test_gif_tiff_webp_extractors(spark):
         assert got[2]["parser"] == "fake", parser
         with _pytest.raises(Exception):
             extractor(media, strict=True).collect()
+
+
+def test_gif_lzw_golden():
+    """GIF LZW codec (round 11 — REAL pixel decode, off the boundary):
+    variable-width LSB-first codes, CLEAR/END semantics, KwKwK, width
+    sync, the 4096-entry reset, and loud failures on truncation /
+    out-of-table codes. Hand-verified golden: pixels [1,1,1] at minimum
+    code size 2 encode to exactly 8C 0B (CLEAR=100b, literal 1, table
+    code 6 for '11', END=101b, packed LSB-first)."""
+    import random
+
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_pixels,
+        decode_gif_pixels,
+        lzw_decode,
+        lzw_encode,
+    )
+
+    assert lzw_encode(2, bytes([1, 1, 1])) == bytes([0x8C, 0x0B])
+    assert lzw_decode(2, bytes([0x8C, 0x0B]), 3) == bytes([1, 1, 1])
+
+    rng = random.Random(7)
+    for mcs, n in [(2, 4), (4, 16), (8, 256)]:
+        for ln in (1, 100, 5000):
+            px = bytes(rng.randrange(n) for _ in range(ln))
+            assert lzw_decode(mcs, lzw_encode(mcs, px), ln) == px, (mcs, ln)
+    # table overflow: >4096 entries forces a mid-stream CLEAR reset
+    big = bytes(rng.randrange(256) for _ in range(60000))
+    assert lzw_decode(8, lzw_encode(8, big), len(big)) == big
+
+    with _pytest.raises(ValueError, match="truncated"):
+        lzw_decode(2, b"", 3)
+    with _pytest.raises(ValueError, match="beyond table"):
+        lzw_decode(2, bytes([0xFF, 0xFF]), 100)
+    with _pytest.raises(ValueError, match="ended at"):
+        # valid stream but fewer pixels than promised
+        lzw_decode(2, lzw_encode(2, bytes([1, 2])), 10)
+
+    # container roundtrip with a closed-form mean: (x+y)%4 over a 4-gray
+    # ramp (0, 85, 170, 255) and dims a multiple of 4 -> exactly 127.5
+    px = bytes((x + y) % 4 for y in range(8) for x in range(8))
+    assert decode_gif_pixels(build_gif_pixels(8, 8, px, gct_bits=2)) == (
+        8, 8, 127.5,
+    )
+    # truncated stream: decode must fail loudly, not return short pixels
+    # (note: a single FLIPPED byte may legally decode to different
+    # pixels — LZW has no checksum — so truncation is the loud case)
+    p = build_gif_pixels(8, 8, px, gct_bits=2)
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(p[:-6])
+
+
+def test_tiff_packbits_golden():
+    """TIFF PackBits + raw strip decode (round 11): the spec §9 control
+    semantics (literal 0..127, repeat 129..255, 128 no-op), both byte
+    orders, and the LZW-strip boundary raise."""
+    import random
+
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff,
+        build_tiff_gray,
+        decode_tiff_gray,
+        packbits_decode,
+        packbits_encode,
+        parse_tiff_metadata,
+    )
+
+    # spec-shaped golden: 3 literals then a 5-run
+    d = bytes([1, 2, 3]) + bytes([9]) * 5
+    assert packbits_encode(d) == bytes([0x02, 1, 2, 3, 0xFC, 9])
+    assert packbits_decode(bytes([0x02, 1, 2, 3, 0xFC, 9]), 8) == d
+    # 128 is a no-op control byte
+    assert packbits_decode(bytes([128, 0x00, 7]), 1) == bytes([7])
+
+    rng = random.Random(11)
+    for ln in (1, 128, 129, 1000, 50000):
+        for mk in (
+            lambda: bytes(rng.randrange(256) for _ in range(ln)),
+            lambda: bytes((i // 200) % 256 for i in range(ln)),
+            lambda: bytes([7]) * ln,
+        ):
+            d = mk()
+            assert packbits_decode(packbits_encode(d), ln) == d
+
+    for bo in ("II", "MM"):
+        for comp in (1, 32773):
+            px = bytes((x + y) % 256 for y in range(32) for x in range(16))
+            p = build_tiff_gray(16, 32, px, compression=comp, byte_order=bo)
+            assert decode_tiff_gray(p) == (16, 32, sum(px) / len(px))
+            # the metadata walk reads the same container consistently
+            md = parse_tiff_metadata(p)
+            assert md[:3] == (bo, 16, 32) and md[4] == comp
+
+    with _pytest.raises(ValueError, match="boundary"):
+        decode_tiff_gray(build_tiff(8, 8, compression=5, strip_pad=64))
+    with _pytest.raises(ValueError, match="truncated"):
+        packbits_decode(bytes([5, 1, 2]), 6)
+    with _pytest.raises(ValueError, match="expected"):
+        packbits_decode(packbits_encode(bytes([1, 2])), 5)
+
+
+def test_gif_tiff_pixel_extractors(spark):
+    """The round-11 pixel extractors decode real payloads (strict) and
+    route junk to the fake path; the closed-form mean holds end-to-end."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_pixels,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        gif_pixel_features,
+        tiff_pixel_features,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_gray,
+    )
+
+    px = bytes(v for y in range(16) for v in [(16 * (y % 16)) % 256] * 8)
+    for builder, extractor, parser in [
+        (lambda: build_gif_pixels(8, 16, px, gct_bits=8), gif_pixel_features, "gif"),
+        (
+            lambda: build_tiff_gray(8, 16, px, compression=32773),
+            tiff_pixel_features,
+            "tiff",
+        ),
+    ]:
+        media = spark.createDataFrame(
+            [(1, builder()), (2, b"junk payload")],
+            "media_id long, payload binary",
+        )
+        got = {r["media_id"]: r.asDict() for r in extractor(media).collect()}
+        assert got[1]["parser"] == parser
+        assert (got[1]["width"], got[1]["height"]) == (8, 16)
+        assert got[1]["mean_luma"] == 120.0  # b=0 -> 0+120 closed form
+        assert got[2]["parser"] == "fake"
+        with _pytest.raises(Exception):
+            extractor(media, strict=True).collect()

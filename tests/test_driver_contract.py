@@ -22,6 +22,8 @@ NEVER_CHECKED = [
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",
+    "mm_gif_pixels",
+    "mm_tiff_pixels",
 ]
 
 CHANGED_SINCE_LAST_ROW = [
@@ -39,7 +41,7 @@ REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
     "sim_cosine_topk",
     "txt_language_id",
     "ft_percent_rank",
-    "graph_random_walks",
+    "smp_replicate",
 ]
 
 
