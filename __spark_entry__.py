@@ -33,8 +33,11 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
     # -- never-driver-checked: NEW this round — GIF block walk, TIFF IFD
-    #    chains (both byte orders), WebP RIFF/VP8/VP8L/VP8X walk, and the
-    #    REAL pixel decodes (GIF LZW inflate; TIFF raw/PackBits strips)
+    #    chains (both byte orders), WebP RIFF/VP8/VP8L/VP8X walk, the
+    #    REAL pixel decodes (GIF LZW inflate; TIFF raw/PackBits strips),
+    #    and the REAL FLAC sample decode (Rice/fixed/LPC frames,
+    #    CRC-8/16 + MD5 verified — RFC 9639)
+    "mm_flac_pcm",
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",
@@ -43,9 +46,14 @@ _DRIVER_WINDOW = [
     # -- re-runs: implementation changed since their last driver row.
     #    knn_ivf_join: r11 zero-norm filter in both kNN tiers (ADVICE).
     #    mm_webm_metadata: r11 unknown-size non-Segment raise in the
-    #    EBML walk (ADVICE).
+    #    EBML walk (ADVICE). The four audio_features rows: the r11 FLAC
+    #    real-decode routing touched the extractor's shared dispatch.
     "knn_ivf_join",
     "mm_webm_metadata",
+    "mm_audio_features",
+    "mm_wav_roundtrip",
+    "mm_wav_spectral",
+    "mm_g711_roundtrip",
     # -- stalest rows, last-checked order (artifact-derived):
     #    mm_frame_plan's only driver row is r1
     "mm_frame_plan",
@@ -91,20 +99,18 @@ _DRIVER_WINDOW = [
     "apx_mergeable_sketches",
     "st_hopping_window",
     "st_interval_join",
-    "st_interval_join_left",
-    "st_enriched_counts",
-    "asof_next_view",
-    "dq_snapshot_diff",
-    "smp_replicate",
 ]
 # ROUND-12 ROTATION NOTE: lead with any query whose implementation
 # changes during r11 after its driver row, then finish the r7-stale
-# cycle (pack_shards_grouped and graph_random_walks — they ceded their
-# r11 slots to the mm_*_pixels rows — then idx_postings,
-# hist_snapshot_asof, upd_apply_cdc, hist_scd2, ts_interpolate,
-# ts_ewma, dd_simhash), then the r8-window rows not re-checked since,
-# then the r9 window (recompute staleness from the CORRECTNESS_r*.json
-# artifacts as r11 did — the note can go stale, the artifacts cannot).
+# cycle (pack_shards_grouped, graph_random_walks,
+# st_interval_join_left, st_enriched_counts, asof_next_view,
+# dq_snapshot_diff, smp_replicate — they ceded their r11 slots to the
+# mm_*_pixels / mm_flac_pcm / audio_features re-run rows — then
+# idx_postings, hist_snapshot_asof, upd_apply_cdc, hist_scd2,
+# ts_interpolate, ts_ewma, dd_simhash), then the r8-window rows not
+# re-checked since, then the r9 window (recompute staleness from the
+# CORRECTNESS_r*.json artifacts as r11 did — the note can go stale,
+# the artifacts cannot).
 
 
 def _ordered() -> list[str]:

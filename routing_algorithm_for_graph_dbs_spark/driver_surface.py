@@ -7335,3 +7335,68 @@ def mm_tiff_pixels(spark, sf_dir):
         F.col("mean_luma").cast("double").alias("mean_luma"),
         "parser",
     )
+
+
+@_register(
+    "mm_flac_pcm",
+    """
+    WITH aud AS (
+      SELECT doc_id AS media_id,
+             160 * (1 + doc_id % 4) AS n,
+             100 * (3 + doc_id % 13) AS k,
+             CASE (doc_id // 2) % 3
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END AS rate,
+             doc_id % 11 = 0 AS is_const
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id,
+           -- every sample has magnitude k, so rms = k/32768 exactly;
+           -- k = 100j with j in 3..15 never lands on a 6-decimal
+           -- rounding tie (that would need j = 64 mod 128)
+           FLOOR(k / 32768.0 * 1e6 + 0.5) / 1e6 AS rms,
+           CASE WHEN is_const
+                THEN FLOOR(k / 32768.0 * 1e6 + 0.5) / 1e6
+                ELSE 0.0 END AS mean_amplitude,
+           CAST(CASE WHEN is_const THEN 0 ELSE n - 1 END AS BIGINT)
+             AS zero_crossings,
+           -- n is a multiple of 160 and every rate divides 160000,
+           -- so the duration is an exact integer of milliseconds
+           CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(rate AS INTEGER) AS sample_rate,
+           'flac' AS decoder
+    FROM aud
+    """,
+)
+def mm_flac_pcm(spark, sf_dir):
+    """REAL-codec cross-engine check, lossless-audio SAMPLE half (round
+    11 — FLAC's Rice/fixed/LPC frames are pure integer arithmetic per
+    RFC 9639, so sample decode moves OFF the declared codec boundary
+    the way GIF's LZW did): synth_flac_pcm_media encodes a square wave
+    (or constant) to REAL FLAC frames — constant/verbatim/fixed/LPC
+    subframes, Rice partitions, left/right/mid-side stereo, multi-frame
+    streams with common AND uncommon blocksize codes — and
+    audio_features sample-decodes every stream (decoder='flac'), with
+    CRC-8 + CRC-16 + STREAMINFO-MD5 verified inside the decoder, so a
+    single wrong sample anywhere fails the query rather than shifting a
+    mean. The oracle states rms / mean / zero crossings / duration in
+    closed form without decoding. (Reference boundary analog main.py:1
+    — the engine delegates media handling entirely.)"""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+        synth_flac_pcm_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_flac_pcm_media(docs))
+    return audio_features(media, strict=True).select(
+        "media_id",
+        "rms",
+        F.col("mean_amplitude").cast("double").alias("mean_amplitude"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        "decoder",
+    )

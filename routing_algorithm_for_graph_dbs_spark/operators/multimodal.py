@@ -335,7 +335,8 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType(), True),  # wav/mp3
         T.StructField("spectral_centroid_hz", T.DoubleType(), True),  # wav
         T.StructField("decoder", T.StringType(), False),
-        # wav | mp3-meta | aac-meta | flac-meta | opus-meta | fake
+        # wav | flac (both REAL sample decode) | mp3-meta | aac-meta |
+        # flac-meta | opus-meta | fake
     ]
 )
 
@@ -351,16 +352,22 @@ def audio_features(
     as MPEG audio get a REAL frame-header metadata walk
     (``operators/mp3.py``, round 9): duration and sample rate are real,
     sample-derived stats are null, decoder='mp3-meta' — sample decode of
-    compressed audio is the honest boundary. ADTS-AAC payloads (with or
-    without a leading ID3v2 tag) get the same treatment via the ADTS
-    header walk (decoder='aac-meta'), FLAC via the STREAMINFO block
-    (decoder='flac-meta' — duration there is exact, not estimated), and
+    compressed audio is the honest boundary for PERCEPTUAL codecs. ADTS-
+    AAC payloads (with or without a leading ID3v2 tag) get the same
+    treatment via the ADTS header walk (decoder='aac-meta'), and
     Ogg/Opus via the CRC-checked page walk (decoder='opus-meta',
-    granule-derived duration). Other payloads use the
-    deterministic sha256 fake (nulls for duration/rate), and with
-    ``strict=True`` raise NotImplementedError instead (a real deployment
-    plugs librosa/ffmpeg)."""
+    granule-derived duration). FLAC gets the REAL sample decode (round
+    11 — Rice/fixed/LPC frames are pure integer arithmetic per RFC
+    9639, ``operators/flac.py decode_flac_pcm``, with CRC-8/CRC-16/MD5
+    verified): full sample-derived stats, decoder='flac'; a stream
+    whose metadata chain is valid but whose frames do not decode falls
+    back to the STREAMINFO walk (decoder='flac-meta' — duration there
+    is exact, not estimated). Other payloads use the deterministic
+    sha256 fake (nulls for duration/rate), and with ``strict=True``
+    raise NotImplementedError instead (a real deployment plugs
+    librosa/ffmpeg)."""
     from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        decode_flac_samples,
         is_flac,
         parse_flac_metadata,
     )
@@ -390,6 +397,7 @@ def audio_features(
                 b = bytes(payload) if payload is not None else b""
                 hx = hashlib.sha256(b).hexdigest()
                 decoded = None
+                decoded_tag = "wav"
                 mp3_meta = None
                 if is_wav(b):
                     # decode ONCE; derive every feature from the samples
@@ -421,16 +429,22 @@ def audio_features(
                         if strict:
                             raise
                 elif is_flac(b):
-                    # STREAMINFO carries the EXACT sample count — the
-                    # one compressed format whose duration needs no
-                    # frame-walk estimate (rice/LPC sample decode stays
-                    # the boundary)
+                    # REAL sample decode (round 11): Rice/fixed/LPC
+                    # frames are pure integer arithmetic, so FLAC moved
+                    # OFF the perceptual-codec boundary. Frames that do
+                    # not decode fall back to the STREAMINFO walk —
+                    # still real metadata (the EXACT sample count; no
+                    # frame-walk estimate needed).
                     try:
-                        _p = parse_flac_metadata(b)
-                        mp3_meta = (_p[0], _p[4], "flac-meta")
+                        decoded = decode_flac_samples(b)
+                        decoded_tag = "flac"
                     except DECODE_ERRORS:
-                        if strict:
-                            raise
+                        try:
+                            _p = parse_flac_metadata(b)
+                            mp3_meta = (_p[0], _p[4], "flac-meta")
+                        except DECODE_ERRORS:
+                            if strict:
+                                raise
                 elif is_ogg_opus(b):
                     # granule arithmetic on the CRC-checked page walk;
                     # sample_rate reports OpusHead's input rate (granules
@@ -457,7 +471,7 @@ def audio_features(
                     sc = float(np.floor(sc * 1e6 + 0.5) / 1e6)
                     rows.append(
                         (int(mid), hx, len(b), rms, mean_amp, zc, dur, rate,
-                         sc, "wav")
+                         sc, decoded_tag)
                     )
                 elif mp3_meta is not None:
                     rate, dur, tag = mp3_meta
@@ -2056,6 +2070,79 @@ def tiff_pixel_features(
             "media_id long, sha256 string, n_bytes long, width int,"
             " height int, mean_luma double, parser string"
         ),
+    )
+
+
+def synth_flac_pcm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic FLAC streams with REAL encoded audio frames (round
+    11 — ``operators/flac.py encode_flac_pcm``): per doc, a square wave
+    at Nyquist (samples alternate ``+k, -k`` with ``k = 100 * (3 +
+    doc_id % 13)``; docs with ``doc_id % 11 == 0`` are the constant
+    ``+k`` signal instead, exercising the constant subframe), ``n =
+    160 * (1 + doc_id % 4)`` frames at 8/16/32 kHz, mono or stereo
+    (identical channels — the side channel is constant zero). Stereo
+    docs cycle left/right/mid-side decorrelation; ``doc_id % 5 == 0``
+    forces verbatim subframes and ``doc_id % 7 == 0`` forces the LPC
+    bitstream path, so the driver row walks every subframe type. The
+    block size of 192 splits most docs into multiple frames (common
+    blocksize code + an uncommon 16/8-bit trailing size). Closed forms
+    the oracle states without decoding: rms = k/32768 (every sample has
+    magnitude k; k = 100j with j in 3..15 never rounds to a 6-decimal
+    tie — j = 64 (mod 128) would be needed), mean = 0 for the square
+    wave (exact dyadic cancellation) or k/32768 for the constant docs,
+    zero crossings = n-1 or 0, duration exact at the chosen rates."""
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        encode_flac_pcm,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (160 * (1 + F.col("doc_id") % 4)).cast("int").alias("n"),
+        (100 * (3 + F.col("doc_id") % 13)).cast("int").alias("k"),
+        F.when((F.col("doc_id") / 2).cast("long") % 3 == 0, 8000)
+        .when((F.col("doc_id") / 2).cast("long") % 3 == 1, 16000)
+        .otherwise(32000)
+        .cast("int")
+        .alias("rate"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, n, k, rate in zip(
+                pdf["media_id"], pdf["n"], pdf["k"], pdf["rate"]
+            ):
+                mid, n, k = int(mid), int(n), int(k)
+                sig = np.full(n, k, dtype=np.int64)
+                if mid % 11:
+                    sig[1::2] = -k
+                n_ch = 1 + mid % 2
+                x = np.stack([sig] * n_ch, axis=1)
+                mode = ["left_side", "right_side", "mid_side"][
+                    (mid // 3) % 3
+                ] if n_ch == 2 else "auto"
+                force = ("verbatim" if mid % 5 == 0
+                         else "lpc" if mid % 7 == 0 else None)
+                payloads.append(
+                    encode_flac_pcm(
+                        x,
+                        sample_rate=int(rate),
+                        block_size=192,
+                        stereo_mode=mode,
+                        force_subframe=force,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "audio/flac",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
     )
 
 

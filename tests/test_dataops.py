@@ -3285,6 +3285,209 @@ def test_opus_metadata_golden():
         parse_opus_metadata(two + two[91:169])  # re-append an audio page
 
 
+def test_flac_pcm_golden_frame():
+    """Hand-assembled spec golden (RFC 9639), independent of the
+    encoder: mono, 8-bit, 16 constant samples of 42, blocksize 16.
+    Header bits: sync 11111111 111110, reserved 0, blocking 0 ->
+    FF F8; bs code 0110 (uncommon 8-bit) + rate code 0000 -> 60;
+    assignment 0000 + bps code 001 (8-bit) + reserved 0 -> 02; frame
+    number 0 -> 00; blocksize-1 -> 0F. CRC-8(FF F8 60 02 00 0F) = 11
+    (recomputed below bit-by-bit, NOT with the module's table).
+    Subframe: pad 0 + type 000000 + wasted 0 -> 00; value 42 -> 2A.
+    CRC-16 over the 9 body bytes = 7B B5."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        decode_flac_pcm,
+        encode_flac_pcm,
+    )
+
+    def crc_naive(data, poly, width):  # independent bit-by-bit CRC
+        crc, top, mask = 0, 1 << (width - 1), (1 << width) - 1
+        for b in data:
+            crc ^= b << (width - 8)
+            for _ in range(8):
+                crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+                crc &= mask
+        return crc
+
+    header = bytes([0xFF, 0xF8, 0x60, 0x02, 0x00, 0x0F])
+    assert crc_naive(header, 0x07, 8) == 0x11
+    body = header + bytes([0x11, 0x00, 0x2A])
+    assert crc_naive(body, 0x8005, 16) == 0x7BB5
+    golden = body + b"\x7b\xb5"
+
+    p = encode_flac_pcm(
+        _np.full((16, 1), 42), sample_rate=48000, bits_per_sample=8,
+        block_size=16,
+    )
+    assert p[42:] == golden  # encoder reproduces the hand build exactly
+    got, rate, bps = decode_flac_pcm(p)
+    assert rate == 48000 and bps == 8
+    assert got.shape == (16, 1) and (got == 42).all()
+
+
+def test_flac_pcm_roundtrip_matrix():
+    """Bit-exact encode->decode across every subframe type, stereo
+    decorrelation mode, bit depth, Rice-escape path, multi-frame
+    streams with 2-byte UTF-8 frame numbers, and the empty stream."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        decode_flac_pcm,
+        encode_flac_pcm,
+        parse_flac_metadata,
+    )
+
+    rng = _np.random.RandomState(7)
+    cases = [
+        (_np.arange(100)[:, None] - 50, {}),
+        (_np.full((64, 1), 123), {}),
+        (_np.stack([_np.arange(200)] * 2, 1), {"stereo_mode": "left_side"}),
+        (rng.randint(-2000, 2000, (300, 2)), {"stereo_mode": "right_side"}),
+        (rng.randint(-2000, 2000, (300, 2)), {"stereo_mode": "mid_side"}),
+        (rng.randint(-30000, 30000, (500, 3)), {"block_size": 192}),
+        (rng.randint(-128, 127, (50, 1)),
+         {"bits_per_sample": 8, "force_subframe": "verbatim"}),
+        (rng.randint(-100, 100, 400).cumsum()[:, None],
+         {"force_subframe": "lpc", "block_size": 256}),
+        (rng.randint(-2**23, 2**23 - 1, (100, 2)), {"bits_per_sample": 24}),
+        # spiky signal drives at least one partition to the escape path
+        (_np.where(_np.arange(300) % 37 == 0, 30000, 1)[:, None],
+         {"block_size": 64}),
+        # 200 frames of 16 -> frame numbers need the 2-byte UTF-8 form
+        ((rng.randint(-5, 5, 16 * 200).cumsum() % 1000)[:, None],
+         {"block_size": 16}),
+        (_np.zeros((0, 2), dtype=int), {}),
+    ]
+    for arr, kw in cases:
+        arr = _np.asarray(arr, dtype=_np.int64)
+        p = encode_flac_pcm(arr, **kw)
+        got, rate, bps = decode_flac_pcm(p)
+        assert got.shape == arr.shape and (got == arr).all(), kw
+        # the container is also a valid metadata-walk subject
+        meta = parse_flac_metadata(p)
+        assert meta[3] == arr.shape[0]
+
+
+def test_flac_pcm_verification_is_loud():
+    """Every integrity layer raises on tampering: header CRC-8, frame
+    CRC-16, and — with the CRC repaired — the STREAMINFO MD5."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators import flac as _fl
+
+    x = _np.arange(-100, 100, dtype=_np.int64)[:, None] * 3
+    p = bytearray(_fl.encode_flac_pcm(x))
+    audio_at = 42  # fLaC + 4-byte block header + 34-byte STREAMINFO
+
+    bad = bytearray(p)
+    bad[audio_at + 4] ^= 0x01  # inside the frame header (coded number)
+    with _pytest.raises(ValueError, match="CRC-8"):
+        _fl.decode_flac_pcm(bytes(bad))
+
+    bad = bytearray(p)
+    bad[-3] ^= 0x01  # inside the residual, before the CRC-16 footer
+    with _pytest.raises(ValueError, match="CRC-16"):
+        _fl.decode_flac_pcm(bytes(bad))
+
+    # flip a sample bit AND repair the frame CRC-16: only the MD5 can
+    # catch it now (single-frame stream: frame spans audio_at..-2)
+    bad = bytearray(p)
+    bad[-10] ^= 0x40
+    fixed = _fl._crc16(bytes(bad[audio_at:-2]))
+    bad[-2:] = fixed.to_bytes(2, "big")
+    with _pytest.raises(ValueError, match="MD5"):
+        _fl.decode_flac_pcm(bytes(bad))
+
+    with _pytest.raises(ValueError, match="trailing bytes"):
+        _fl.decode_flac_pcm(bytes(p) + b"\x00")
+
+
+def test_flac_pcm_wasted_bits_decode():
+    """The decoder handles the wasted-bits subframe flag (encoder never
+    emits it, real encoders do): hand-build a constant subframe with 1
+    wasted bit — stored value 21 at bps-1, reconstructed 42."""
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators import flac as _fl
+
+    w = _fl._BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)            # reserved + fixed blocking
+    w.write(6, 4)            # uncommon 8-bit blocksize
+    w.write(0, 4)            # rate from STREAMINFO
+    w.write(0, 4)            # mono
+    w.write(_fl._BPS_CODES[8], 3)
+    w.write(0, 1)
+    w.write(0, 8)            # frame number 0
+    w.write(15, 8)           # blocksize 16
+    header = w.getvalue()
+    w.write(_fl._crc8(header), 8)
+    w.write(0, 1)            # subframe pad
+    w.write(0, 6)            # constant
+    w.write(1, 1)            # wasted-bits flag
+    w.write(1, 1)            # unary 0 -> wasted = 1
+    w.write_signed(21, 7)    # bps 8 - 1 wasted
+    w.align()
+    body = w.getvalue()
+    frame = body + _fl._crc16(body).to_bytes(2, "big")
+
+    packed = (48000 << 44) | (0 << 41) | (7 << 36) | 16
+    streaminfo = (
+        b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+        + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + b"\x00" * 6 + packed.to_bytes(8, "big") + b"\x00" * 16
+    )
+    got, rate, bps = _fl.decode_flac_pcm(streaminfo + frame)
+    assert (got == 42).all() and got.shape == (16, 1)
+
+    # wasted >= bps must raise, not decode nonsense
+    with _pytest.raises(ValueError, match="wasted"):
+        # pad 0, type 0, wasted flag 1, unary 7 zeros... -> wasted 8 = bps
+        _fl._decode_subframe(_fl._MsbBitReader(
+            bytes([0b00000001, 0b00000001, 0x00, 0x00]), 0), 4, 8)
+
+
+def test_flac_real_decode_in_audio_features(spark):
+    """audio_features routes decodable FLAC to the REAL sample decoder
+    (decoder='flac', full WAV-grade stats) and falls back to the
+    STREAMINFO walk for metadata-valid streams whose frames do not
+    decode (decoder='flac-meta'), strict or not."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        build_flac,
+        encode_flac_pcm,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    sig = _np.full(200, 1024, dtype=_np.int64)
+    sig[1::2] = -1024
+    real = encode_flac_pcm(
+        _np.stack([sig, sig], 1), sample_rate=16000, block_size=192,
+        stereo_mode="mid_side",
+    )
+    undecodable = build_flac(96000, sample_rate=32000)  # zeroed frames
+    media = spark.createDataFrame(
+        [(1, "audio", real, "audio/flac"),
+         (2, "audio", undecodable, "audio/flac")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    got = {r["media_id"]: r.asDict()
+           for r in audio_features(media, strict=True).collect()}
+    assert got[1]["decoder"] == "flac"
+    assert got[1]["rms"] == round(1024 / 32768, 6)
+    assert got[1]["zero_crossings"] == 199
+    assert got[1]["duration_ms"] == round(200 * 1000 / 16000)
+    assert got[1]["sample_rate"] == 16000
+    assert got[2]["decoder"] == "flac-meta"
+    assert got[2]["duration_ms"] == 3000 and got[2]["rms"] is None
+
+
 def test_flac_opus_in_audio_features(spark):
     """FLAC and Ogg/Opus payloads in the audio pipeline get real
     duration/rate (decoder='flac-meta'/'opus-meta'); the strict

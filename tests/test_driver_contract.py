@@ -11,14 +11,17 @@ from __future__ import annotations
 import pytest
 
 # Round-11 window (VERDICT r10 item 4 + the builder's rotation note): the
-# three queries NEW this round lead (GIF block walk, TIFF IFD chains,
-# WebP RIFF walk); then re-runs of every query whose implementation
-# changed since its last driver row (the r11 zero-norm kNN filter and
-# the EBML unknown-size raise); then the registry's genuinely stalest
-# rows, recomputed from the CORRECTNESS_r*.json artifacts (mm_frame_plan
+# queries NEW this round lead (GIF block walk, TIFF IFD chains, WebP
+# RIFF walk, the GIF/TIFF pixel decodes, the FLAC sample decode); then
+# re-runs of every query whose implementation changed since its last
+# driver row (the r11 zero-norm kNN filter, the EBML unknown-size
+# raise, and the four audio_features rows touched by the FLAC
+# real-decode dispatch); then the registry's genuinely stalest rows,
+# recomputed from the CORRECTNESS_r*.json artifacts (mm_frame_plan
 # last checked r1, the r4/r5 similarity/text blocks, then the r7 cycle
 # from ft_percent_rank onward).
 NEVER_CHECKED = [
+    "mm_flac_pcm",
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",
@@ -31,6 +34,11 @@ CHANGED_SINCE_LAST_ROW = [
     "knn_ivf_join",
     # r11 unknown-size non-Segment raise in the EBML walk (ADVICE r10)
     "mm_webm_metadata",
+    # r11 FLAC real-sample-decode routing in audio_features' dispatch
+    "mm_audio_features",
+    "mm_wav_roundtrip",
+    "mm_wav_spectral",
+    "mm_g711_roundtrip",
 ]
 
 REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
@@ -41,7 +49,7 @@ REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
     "sim_cosine_topk",
     "txt_language_id",
     "ft_percent_rank",
-    "smp_replicate",
+    "st_interval_join",
 ]
 
 
