@@ -38,6 +38,7 @@ _DRIVER_WINDOW = [
     #    and the REAL FLAC sample decode (Rice/fixed/LPC frames,
     #    CRC-8/16 + MD5 verified — RFC 9639)
     "mm_flac_pcm",
+    "mm_bmp_palette",
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",
@@ -48,12 +49,15 @@ _DRIVER_WINDOW = [
     #    mm_webm_metadata: r11 unknown-size non-Segment raise in the
     #    EBML walk (ADVICE). The four audio_features rows: the r11 FLAC
     #    real-decode routing touched the extractor's shared dispatch.
+    #    mm_phash_neardup: the r11 palette/RLE widening rewrote
+    #    decode_bmp_pixels, phash's image entry.
     "knn_ivf_join",
     "mm_webm_metadata",
     "mm_audio_features",
     "mm_wav_roundtrip",
     "mm_wav_spectral",
     "mm_g711_roundtrip",
+    "mm_phash_neardup",
     # -- stalest rows, last-checked order (artifact-derived):
     #    mm_frame_plan's only driver row is r1
     "mm_frame_plan",
@@ -97,15 +101,14 @@ _DRIVER_WINDOW = [
     "apx_join_overlap",
     "apx_top_k_types",
     "apx_mergeable_sketches",
-    "st_hopping_window",
-    "st_interval_join",
 ]
 # ROUND-12 ROTATION NOTE: lead with any query whose implementation
 # changes during r11 after its driver row, then finish the r7-stale
 # cycle (pack_shards_grouped, graph_random_walks,
-# st_interval_join_left, st_enriched_counts, asof_next_view,
-# dq_snapshot_diff, smp_replicate — they ceded their r11 slots to the
-# mm_*_pixels / mm_flac_pcm / audio_features re-run rows — then
+# st_hopping_window, st_interval_join, st_interval_join_left,
+# st_enriched_counts, asof_next_view, dq_snapshot_diff, smp_replicate
+# — they ceded their r11 slots to the mm_*_pixels / mm_flac_pcm /
+# mm_bmp_palette / audio_features+phash re-run rows — then
 # idx_postings, hist_snapshot_asof, upd_apply_cdc, hist_scd2,
 # ts_interpolate, ts_ewma, dd_simhash), then the r8-window rows not
 # re-checked since, then the r9 window (recompute staleness from the

@@ -7400,3 +7400,54 @@ def mm_flac_pcm(spark, sf_dir):
         F.col("sample_rate").cast("int").alias("sample_rate"),
         "decoder",
     )
+
+
+@_register(
+    "mm_bmp_palette",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             (doc_id * 37 + 40) % 216 + 20 AS v,
+             CAST(2 ** (3 + doc_id % 3) AS INTEGER) AS w,
+             CAST(2 ** (4 + doc_id % 2) AS INTEGER) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, w AS width, h AS height,
+           -- every pixel is the gray (v,v,v): per-pixel Rec.601 luma is
+           -- the identical double on both engines (same literals, same
+           -- IEEE ops, left-associated), the mean over a power-of-two
+           -- pixel count is exact, and v*1e6/255 sits >= ~1/510 from
+           -- any 6-decimal rounding tie
+           FLOOR((0.299 * v + 0.587 * v + 0.114 * v) / 255 * 1e6 + 0.5)
+             / 1e6 AS mean_luma,
+           'bmp' AS decoder
+    FROM img
+    """,
+)
+def mm_bmp_palette(spark, sf_dir):
+    """REAL-codec cross-engine check, palette-BMP half (round 11 —
+    decode_bmp widened beyond 24-bit): synth_bmp_palette_media mints
+    1/4/8-bpp palette BMPs — the target gray hidden at a doc-dependent
+    palette slot amid junk entries, raw rows on some docs and REAL
+    RLE8/RLE4 escape streams (encoded runs + EOL + EOD) on others — and
+    image_features decodes every payload for real (strict=True). A
+    palette-lookup, nibble/bit-unpack, RLE-walk, or bottom-up ordering
+    bug breaks the hash. 16-bit/BI_BITFIELDS/core-header BMPs remain
+    the declared boundary (decode raises NotImplementedError)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+        synth_bmp_palette_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_bmp_palette_media(docs))
+    return image_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+        "decoder",
+    )

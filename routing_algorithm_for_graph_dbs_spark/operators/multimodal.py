@@ -3,7 +3,7 @@
 Images/audio/video ride through the engine as opaque ``binary`` columns with
 a typed metadata struct. The Spark-side machinery — schemas, Arrow-batched
 ``mapInPandas`` pipelines, partition sizing — is real and tested. Codecs:
-uncompressed 24-bit **BMP decode is REAL** (pure Python + numpy,
+**BMP decode is REAL for 24/32-bit, 1/4/8-bit palette and RLE8/RLE4** (pure Python + numpy,
 ``decode_bmp``/``encode_bmp`` below), **baseline, progressive AND 12-bit JPEG
 decode is REAL** (``operators/jpeg.py`` — Huffman entropy decode, SOF2
 multi-scan accumulation, precision-scaled level shift, exact IDCT of
@@ -15,11 +15,15 @@ depth/color/interlace combination), and **WAV decode is REAL for every PCM/ADPCM
 IEEE-float, MS + IMA ADPCM residual blocks, G.711 A-law/mu-law; real
 RMS/zero-crossing features). **Video METADATA parsing is REAL**
 (``operators/mp4.py`` — ISO-BMFF box walk: ftyp brand, mvhd duration,
-tkhd dimensions, track count; frame decode stays the boundary).
+tkhd dimensions, track count; frame decode stays the boundary), **GIF
+and TIFF pixel decode are REAL** (``operators/gif.py`` LZW,
+``operators/tiff.py`` raw/PackBits strips), and **FLAC sample decode
+is REAL** (``operators/flac.py`` — Rice/fixed/LPC frames with
+CRC-8/CRC-16/MD5 verification; round 11).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
-deployment would plug PIL/libvips/ffmpeg (video frames, compressed
-audio, arithmetic-coded JPEG).
+deployment would plug PIL/libvips/ffmpeg (video frames, perceptual
+compressed audio — MP3/AAC/Opus, arithmetic-coded JPEG).
 
 Scale notes: binary payloads dominate row size, so these pipelines must
 (a) never shuffle the binary column (all derivation is map-side),
@@ -97,74 +101,164 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL pure-Python decode of an uncompressed 24-bit Windows BMP.
+    """REAL pure-Python decode of a Windows BMP — uncompressed 24/32-bit
+    BGR(X), palette-indexed 1/4/8-bit, and RLE8/RLE4-compressed (round
+    11 widened the support from 24-bit-only; the RLE modes are the spec's
+    run/absolute/EOL/EOD/delta escapes, MSDN BITMAPINFOHEADER docs).
 
-    Parses BITMAPFILEHEADER + BITMAPINFOHEADER, honors 4-byte row padding
-    and bottom-up vs top-down row order (negative biHeight), and returns
-    ``(width, height, n_channels, mean_luma)`` where mean_luma is the
-    Rec.601 luma (0.299 R + 0.587 G + 0.114 B) averaged over all pixels,
-    normalized to [0, 1] and rounded to 6. Pixel math is vectorized numpy
-    over a zero-copy ``frombuffer`` view — no per-pixel Python loop, so a
-    batch of decodes inside ``mapInPandas`` stays Arrow-speed-bounded.
-
-    Raises ``ValueError`` on malformed headers and ``NotImplementedError``
-    for bit depths / compression modes outside BI_RGB 24-bit — the honest
-    remaining codec boundary (a real deployment plugs PIL there).
-    """
-    if len(payload) < 54 or payload[:2] != b"BM":
-        raise ValueError("not a BMP payload (missing 'BM' magic or header)")
-    data_off = struct.unpack_from("<I", payload, 10)[0]
-    width, height = struct.unpack_from("<ii", payload, 18)
-    bpp = struct.unpack_from("<H", payload, 28)[0]
-    compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError(
-            f"only uncompressed 24-bit BMP is decoded here (got bpp={bpp},"
-            f" compression={compression}) — other modes need a real image lib"
-        )
-    if width <= 0 or height == 0:
-        raise ValueError(f"bad BMP dimensions {width}x{height}")
-    top_down, n_rows = height < 0, abs(height)
-    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
-    if len(payload) < data_off + row_bytes * n_rows:
-        raise ValueError("BMP payload truncated")
-    rows = np.frombuffer(
-        payload, dtype=np.uint8, count=row_bytes * n_rows, offset=data_off
-    ).reshape(n_rows, row_bytes)[:, : width * 3].reshape(n_rows, width, 3)
-    if not top_down:
-        rows = rows[::-1]
-    b, g, r = (rows[..., i].astype(np.float64) for i in range(3))  # BGR order
+    Returns ``(width, height, n_channels, mean_luma)`` where mean_luma is
+    the Rec.601 luma (0.299 R + 0.587 G + 0.114 B) averaged over all
+    pixels, normalized to [0, 1] and rounded to 6. Raises ``ValueError``
+    on malformed headers/streams and ``NotImplementedError`` for modes
+    outside that set (16-bit, BI_BITFIELDS, core/V4/V5 headers) — the
+    honest remaining boundary."""
+    rows = decode_bmp_pixels(payload)
+    h, w = rows.shape[:2]
+    r, g, b = (rows[..., i].astype(np.float64) for i in range(3))
     luma = float((0.299 * r + 0.587 * g + 0.114 * b).mean() / 255.0)
-    return width, n_rows, 3, round(luma, 6)
+    return w, h, 3, round(luma, 6)
+
+
+def _bmp_unpack_indexed_row(raw: "np.ndarray", width: int, bpp: int):
+    if bpp == 8:
+        return raw[:width]
+    if bpp == 4:
+        nib = np.repeat(raw, 2)
+        nib[0::2] >>= 4
+        nib[1::2] &= 0x0F
+        return nib[:width]
+    return np.unpackbits(raw)[:width]  # bpp == 1, MSB first
+
+
+def _bmp_decode_rle(data: bytes, width: int, n_rows: int, bpp: int):
+    """RLE8/RLE4 escape walk -> (n_rows, width) index array, bottom-up
+    rows (the spec forbids top-down RLE). Undefined gaps (after deltas)
+    are index 0, matching common decoders."""
+    idx = np.zeros((n_rows, width), dtype=np.uint8)
+    x = y = 0
+    pos = 0
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("BMP RLE stream ended without end-of-data")
+        count, value = data[pos], data[pos + 1]
+        pos += 2
+        if count > 0:  # encoded run
+            if y >= n_rows or x + count > width:
+                raise ValueError("BMP RLE run overflows the bitmap")
+            if bpp == 8:
+                idx[y, x:x + count] = value
+            else:
+                pair = np.array([value >> 4, value & 0x0F], dtype=np.uint8)
+                idx[y, x:x + count] = np.tile(pair, count // 2 + 1)[:count]
+            x += count
+        elif value == 0:  # end of line
+            x, y = 0, y + 1
+        elif value == 1:  # end of data
+            break
+        elif value == 2:  # delta
+            if pos + 2 > len(data):
+                raise ValueError("BMP RLE delta truncated")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > width or y > n_rows:
+                raise ValueError("BMP RLE delta jumps outside the bitmap")
+        else:  # absolute mode: `value` literal indices follow
+            k = value
+            nbytes = k if bpp == 8 else (k + 1) // 2
+            nbytes += nbytes & 1  # pad to a 2-byte boundary
+            if pos + nbytes > len(data):
+                raise ValueError("BMP RLE absolute run truncated")
+            if y >= n_rows or x + k > width:
+                raise ValueError("BMP RLE absolute run overflows the bitmap")
+            raw = np.frombuffer(data, np.uint8, count=nbytes, offset=pos)
+            if bpp == 8:
+                idx[y, x:x + k] = raw[:k]
+            else:
+                nib = np.repeat(raw, 2)
+                nib[0::2] >>= 4
+                nib[1::2] &= 0x0F
+                idx[y, x:x + k] = nib[:k]
+            x += k
+            pos += nbytes
+    return idx[::-1]  # bottom-up -> top-down
 
 
 def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
     """Pixel-level BMP decode: (H, W, 3) uint8 RGB, top-down row order —
     the entry the real pHash / resize operators build on. Same format
-    support and error contract as :func:`decode_bmp`."""
+    support and error contract as :func:`decode_bmp`: BI_RGB 24/32-bit,
+    palette 1/4/8-bit, RLE8/RLE4."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic or header)")
     data_off = struct.unpack_from("<I", payload, 10)[0]
+    info_size = struct.unpack_from("<I", payload, 14)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or compression != 0:
+    clr_used = struct.unpack_from("<I", payload, 46)[0]
+    if info_size != 40:
         raise NotImplementedError(
-            f"only uncompressed 24-bit BMP is decoded here (got bpp={bpp},"
-            f" compression={compression}) — other modes need a real image lib"
+            f"BMP info header size {info_size} (core/V4/V5) needs a real"
+            " image lib — only BITMAPINFOHEADER is decoded here"
+        )
+    ok = (
+        (bpp in (24, 32) and compression == 0)
+        or (bpp in (1, 4, 8) and compression == 0)
+        or (bpp == 8 and compression == 1)   # BI_RLE8
+        or (bpp == 4 and compression == 2)   # BI_RLE4
+    )
+    if not ok:
+        raise NotImplementedError(
+            f"BMP mode bpp={bpp}, compression={compression} (16-bit /"
+            " BI_BITFIELDS / mismatched RLE) needs a real image lib"
         )
     if width <= 0 or height == 0:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
     top_down, n_rows = height < 0, abs(height)
-    row_bytes = (width * 3 + 3) & ~3
-    if len(payload) < data_off + row_bytes * n_rows:
-        raise ValueError("BMP payload truncated")
-    rows = np.frombuffer(
-        payload, dtype=np.uint8, count=row_bytes * n_rows, offset=data_off
-    ).reshape(n_rows, row_bytes)[:, : width * 3].reshape(n_rows, width, 3)
-    if not top_down:
-        rows = rows[::-1]
-    return rows[..., ::-1].copy()  # BGR -> RGB
+    if bpp in (24, 32):
+        px = bpp // 8
+        row_bytes = (width * px + 3) & ~3
+        if len(payload) < data_off + row_bytes * n_rows:
+            raise ValueError("BMP payload truncated")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * n_rows,
+            offset=data_off,
+        ).reshape(n_rows, row_bytes)[:, : width * px]
+        rows = rows.reshape(n_rows, width, px)[:, :, :3]
+        if not top_down:
+            rows = rows[::-1]
+        return rows[..., ::-1].copy()  # BGR(X) -> RGB
+    # palette modes: quads sit between the info header and the pixel data
+    n_pal = clr_used or (1 << bpp)
+    pal_at = 14 + info_size
+    if pal_at + 4 * n_pal > data_off or data_off > len(payload):
+        raise ValueError("BMP palette runs past the pixel data offset")
+    quads = np.frombuffer(
+        payload, dtype=np.uint8, count=4 * n_pal, offset=pal_at
+    ).reshape(n_pal, 4)
+    palette = quads[:, [2, 1, 0]].copy()  # BGRA quads -> RGB
+    if compression:
+        if top_down:
+            raise ValueError("top-down BMP cannot be RLE-compressed")
+        idx = _bmp_decode_rle(payload[data_off:], width, n_rows, bpp)
+    else:
+        row_bytes = ((width * bpp + 31) // 32) * 4
+        if len(payload) < data_off + row_bytes * n_rows:
+            raise ValueError("BMP payload truncated")
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * n_rows,
+            offset=data_off,
+        ).reshape(n_rows, row_bytes)
+        idx = np.stack(
+            [_bmp_unpack_indexed_row(raw[r].copy(), width, bpp)
+             for r in range(n_rows)]
+        )
+        if not top_down:
+            idx = idx[::-1]
+    if int(idx.max(initial=0)) >= n_pal:
+        raise ValueError("BMP pixel index outside the palette")
+    return palette[idx]
 
 
 def encode_bmp(pixels: "np.ndarray") -> bytes:
@@ -182,6 +276,72 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
     return header + info + data
+
+
+def encode_bmp_indexed(
+    indices: "np.ndarray", palette, bpp: int = 8, rle: bool = False
+) -> bytes:
+    """Encode an (H, W) index array + RGB palette as a palette BMP
+    (bottom-up): raw BI_RGB at 1/4/8 bpp, or REAL RLE8/RLE4 compression
+    (encoded runs + end-of-line + end-of-data escapes) at 8/4 bpp — the
+    write half :func:`decode_bmp_pixels` round-trips, used to mint
+    golden test bytes for every palette mode."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError("expected an (H, W) index array")
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > (1 << bpp):
+        raise ValueError("palette must be (n<=2^bpp, 3) RGB")
+    if idx.size and int(idx.max()) >= len(pal):
+        raise ValueError("index outside the palette")
+    if bpp not in (1, 4, 8) or (rle and bpp == 1):
+        raise ValueError("bpp must be 1/4/8 (RLE: 4/8)")
+    h, w = idx.shape
+    if rle:
+        out = bytearray()
+        for r in range(h - 1, -1, -1):  # bottom-up
+            x = 0
+            row = idx[r]
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if bpp == 8:
+                    out += bytes([run, int(row[x])])
+                else:
+                    v = int(row[x])
+                    out += bytes([run, (v << 4) | v])
+                x += run
+            if r:
+                out += b"\x00\x00"  # end of line
+        out += b"\x00\x01"  # end of data
+        data = bytes(out)
+        compression = 1 if bpp == 8 else 2
+    else:
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        body = np.zeros((h, row_bytes), dtype=np.uint8)
+        for r in range(h):
+            row = idx[h - 1 - r]  # bottom-up
+            if bpp == 8:
+                body[r, :w] = row
+            elif bpp == 4:
+                padded = np.zeros((w + 1) // 2 * 2, dtype=np.uint8)
+                padded[:w] = row
+                body[r, : len(padded) // 2] = (padded[0::2] << 4) | padded[1::2]
+            else:
+                body[r, : (w + 7) // 8] = np.packbits(row)
+        data = body.tobytes()
+        compression = 0
+    quads = np.zeros((len(pal), 4), dtype=np.uint8)
+    quads[:, :3] = pal[:, ::-1]  # RGB -> BGR0
+    pal_bytes = quads.tobytes()
+    data_off = 14 + 40 + len(pal_bytes)
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(data), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(data),
+        2835, 2835, len(pal), 0,
+    )
+    return header + info + pal_bytes + data
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -284,8 +444,8 @@ def image_features(
                     if strict:
                         raise NotImplementedError(
                             f"real decode of {mime!r} requires PIL/libvips —"
-                            " not in this container (only image/bmp is"
-                            " native)"
+                            " not in this container (BMP/JPEG/PNG decode"
+                            " natively; this payload matched none)"
                         )
                     w, h, luma = _fake_decode(b)
                     dec = "fake"
@@ -1228,10 +1388,11 @@ def flac_metadata(
     the REAL metadata-block walk (``operators/flac.py``, parser='flac')
     — sample rate, channels, bit depth, the EXACT total-sample count and
     duration from STREAMINFO, plus the block count the chain walk
-    visited. Rice/LPC sample DECODE stays the honest boundary. Non-FLAC
-    payloads take the deterministic sha256 fake, or raise under
-    ``strict=True``. Map-side only — the payload never crosses a
-    shuffle."""
+    visited — no frame decode needed for these fields (for REAL sample
+    decode, ``audio_features`` routes decodable FLAC through
+    ``decode_flac_pcm`` since round 11). Non-FLAC payloads take the
+    deterministic sha256 fake, or raise under ``strict=True``.
+    Map-side only — the payload never crosses a shuffle."""
     from routing_algorithm_for_graph_dbs_spark.operators.flac import (
         is_flac,
         parse_flac_metadata,
@@ -1262,8 +1423,7 @@ def flac_metadata(
                     if strict:
                         raise NotImplementedError(
                             "real FLAC metadata needs a STREAMINFO chain —"
-                            " this payload has none (sample decode itself"
-                            " needs a codec library, not in this container)"
+                            " this payload has none"
                         )
                     d = hashlib.sha256(b).digest()
                     rate = (48000, 44100, 32000)[d[0] % 3]
@@ -2137,6 +2297,59 @@ def synth_flac_pcm_media(docs: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "payload": payloads,
                     "mime": "audio/flac",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_bmp_palette_media(docs: DataFrame) -> DataFrame:
+    """Deterministic palette BMPs with REAL indexed/RLE pixel payloads
+    (round 11 widened ``decode_bmp`` beyond 24-bit): per doc, a
+    constant-color image whose gray value ``v = (doc_id*37 + 40) % 216
+    + 20`` sits at palette slot ``doc_id % 2^bpp`` amid deterministic
+    junk entries (so a palette-indexing bug changes the answer), at
+    power-of-two dimensions ``w = 2^(3 + doc_id%3)``, ``h = 2^(4 +
+    doc_id%2)`` (power-of-two pixel counts keep the numpy mean of
+    identical per-pixel lumas EXACT — pairwise summation of equal
+    doubles never rounds). bpp cycles 8/4/1 by ``(doc_id//3) % 3``;
+    8-bpp even docs use REAL RLE8 runs, 4-bpp odd docs REAL RLE4."""
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                v = (mid * 37 + 40) % 216 + 20
+                w, h = 1 << (3 + mid % 3), 1 << (4 + mid % 2)
+                bpp = (8, 4, 1)[(mid // 3) % 3]
+                npal = 1 << bpp
+                slot = mid % npal
+                pal = np.array(
+                    [[(i * 41 + mid) % 256] * 3 for i in range(npal)],
+                    dtype=np.uint8,
+                )
+                pal[slot] = (v, v, v)
+                rle = (bpp == 8 and mid % 2 == 0) or (
+                    bpp == 4 and mid % 2 == 1
+                )
+                payloads.append(
+                    encode_bmp_indexed(
+                        np.full((h, w), slot, dtype=np.uint8), pal,
+                        bpp=bpp, rle=rle,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/bmp",
                 }
             )
 

@@ -639,14 +639,112 @@ def test_bmp_decode_rejects_non_bmp():
 
     with _pytest.raises(ValueError):
         decode_bmp(b"\x89PNG not a bmp at all, just padding to 54+ bytes....")
-    # 8-bit BMP header: parses, hits the honest codec boundary
+    # 16-bit BMP header: parses, hits the honest codec boundary (round
+    # 11 moved 1/4/8-bit palette + RLE decode OFF the boundary; 16-bit /
+    # BI_BITFIELDS / core headers stay on it)
     import struct as _struct
 
     hdr = _struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + _struct.pack(
-        "<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, 2, 2, 1, 16, 0, 0, 0, 0, 0, 0
     )
     with _pytest.raises(NotImplementedError):
         decode_bmp(hdr + b"\x00" * 16)
+    # BI_BITFIELDS (compression 3) on 32-bit: boundary
+    hdr = _struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + _struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 32, 3, 0, 0, 0, 0, 0
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(hdr + b"\x00" * 16)
+    # BITMAPCOREHEADER (info size 12): boundary
+    hdr = _struct.pack("<2sIHHI", b"BM", 54, 0, 0, 26) + _struct.pack(
+        "<IHHHH", 12, 2, 2, 1, 24
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(hdr + b"\x00" * 44)
+
+
+def test_bmp_palette_rle_roundtrip():
+    """Round 11: palette BMP decode is REAL — 1/4/8-bpp raw rows (MSB
+    bit order, high-nibble-first, 4-byte row padding, bottom-up) and
+    RLE8/RLE4 escape streams round-trip bit-exactly through
+    encode_bmp_indexed."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_indexed,
+    )
+
+    rng = _np.random.RandomState(11)
+    for bpp in (1, 4, 8):
+        npal = 1 << bpp
+        pal = rng.randint(0, 256, (npal, 3))
+        for rle in (False, True):
+            if rle and bpp == 1:
+                continue
+            for (h, w) in [(5, 7), (16, 32), (3, 1), (9, 13)]:
+                idx = rng.randint(0, npal, (h, w))
+                p = encode_bmp_indexed(idx, pal, bpp=bpp, rle=rle)
+                got = decode_bmp_pixels(p)
+                exp = _np.asarray(pal, _np.uint8)[idx]
+                assert got.shape == (h, w, 3), (bpp, rle, h, w)
+                assert (got == exp).all(), (bpp, rle, h, w)
+
+
+def test_bmp_rle_absolute_delta_and_guards():
+    """Hand-built RLE streams exercise the escapes the run-length
+    encoder never emits: absolute mode (2-byte-aligned literal runs)
+    and delta jumps (skipped pixels stay index 0); malformed streams
+    raise instead of wrapping around."""
+    import struct as _struct
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+
+    def rle8_bmp(data: bytes, w: int, h: int, npal: int = 4) -> bytes:
+        quads = bytes(
+            v for i in range(npal) for v in (i * 10, i * 10, i * 10, 0)
+        )
+        off = 54 + len(quads)
+        hdr = _struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+        info = _struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 0, 0, npal, 0
+        )
+        return hdr + info + quads + data
+
+    # 4x2 bottom-up: row0 (bottom) = absolute [1,2,3] + run of 1x0;
+    # row1 (top) = delta (2,0) then run 2x3 -> [0,0,3,3]
+    data = bytes(
+        [0, 3, 1, 2, 3, 0,      # absolute 3 literals + pad byte
+         1, 0,                  # run 1 of index 0
+         0, 0,                  # end of line
+         0, 2, 2, 0,            # delta +2,+0
+         2, 3,                  # run 2 of index 3
+         0, 1]                  # end of data
+    )
+    px = decode_bmp_pixels(rle8_bmp(data, 4, 2))
+    # palette grays: index i -> i*10
+    exp = _np.array(
+        [[[0] * 3, [0] * 3, [30] * 3, [30] * 3],      # top row (delta gap)
+         [[10] * 3, [20] * 3, [30] * 3, [0] * 3]],    # bottom row
+        dtype=_np.uint8,
+    )
+    assert (px == exp).all()
+
+    with _pytest.raises(ValueError, match="end-of-data"):
+        decode_bmp_pixels(rle8_bmp(bytes([2, 1]), 4, 2))
+    with _pytest.raises(ValueError, match="overflows"):
+        decode_bmp_pixels(rle8_bmp(bytes([5, 1, 0, 1]), 4, 2))
+    with _pytest.raises(ValueError, match="delta"):
+        decode_bmp_pixels(rle8_bmp(bytes([0, 2, 9, 9, 0, 1]), 4, 2))
+    # index outside a truncated palette
+    p = rle8_bmp(bytes([1, 3, 0, 1]), 1, 1, npal=2)
+    with _pytest.raises(ValueError, match="palette"):
+        decode_bmp_pixels(p)
 
 
 def test_image_features_real_bmp_in_pipeline(spark):

@@ -22,6 +22,7 @@ import pytest
 # from ft_percent_rank onward).
 NEVER_CHECKED = [
     "mm_flac_pcm",
+    "mm_bmp_palette",
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",
@@ -39,6 +40,8 @@ CHANGED_SINCE_LAST_ROW = [
     "mm_wav_roundtrip",
     "mm_wav_spectral",
     "mm_g711_roundtrip",
+    # r11 palette/RLE widening rewrote decode_bmp_pixels (phash's entry)
+    "mm_phash_neardup",
 ]
 
 REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
@@ -49,7 +52,7 @@ REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
     "sim_cosine_topk",
     "txt_language_id",
     "ft_percent_rank",
-    "st_interval_join",
+    "apx_mergeable_sketches",
 ]
 
 
