@@ -39,6 +39,7 @@ _DRIVER_WINDOW = [
     #    CRC-8/16 + MD5 verified — RFC 9639)
     "mm_flac_pcm",
     "mm_bmp_palette",
+    "mm_webp_pixels",
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",
@@ -99,16 +100,16 @@ _DRIVER_WINDOW = [
     "emb_random_proj",
     "er_fuzzy_name_pairs",
     "apx_join_overlap",
-    "apx_top_k_types",
     "apx_mergeable_sketches",
 ]
 # ROUND-12 ROTATION NOTE: lead with any query whose implementation
 # changes during r11 after its driver row, then finish the r7-stale
-# cycle (pack_shards_grouped, graph_random_walks,
+# cycle (pack_shards_grouped, graph_random_walks, apx_top_k_types,
 # st_hopping_window, st_interval_join, st_interval_join_left,
 # st_enriched_counts, asof_next_view, dq_snapshot_diff, smp_replicate
 # — they ceded their r11 slots to the mm_*_pixels / mm_flac_pcm /
-# mm_bmp_palette / audio_features+phash re-run rows — then
+# mm_bmp_palette / mm_webp_pixels / audio_features+phash re-run rows
+# — then
 # idx_postings, hist_snapshot_asof, upd_apply_cdc, hist_scd2,
 # ts_interpolate, ts_ewma, dd_simhash), then the r8-window rows not
 # re-checked since, then the r9 window (recompute staleness from the

@@ -7451,3 +7451,55 @@ def mm_bmp_palette(spark, sf_dir):
         F.col("mean_luma").cast("double").alias("mean_luma"),
         "decoder",
     )
+
+
+@_register(
+    "mm_webp_pixels",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             (doc_id * 53 + 60) % 216 + 20 AS v,
+             CAST(2 ** (3 + doc_id % 3) AS INTEGER) AS w,
+             CAST(2 ** (4 + doc_id % 2) AS INTEGER) AS h
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, w AS width, h AS height,
+           -- same exactness argument as mm_bmp_palette: identical
+           -- Rec.601 double on both engines, exact mean over a
+           -- power-of-two pixel count, >= ~1/510 from any rounding tie
+           FLOOR((0.299 * v + 0.587 * v + 0.114 * v) / 255 * 1e6 + 0.5)
+             / 1e6 AS mean_luma,
+           'webp' AS decoder
+    FROM img
+    """,
+)
+def mm_webp_pixels(spark, sf_dir):
+    """REAL-codec cross-engine check, lossless-WebP half (round 11 —
+    VP8L is pure prefix-code/LZ77/transform integer arithmetic per the
+    public lossless bitstream spec, so it moves OFF the declared codec
+    boundary; lossy VP8's DCT + bool-coder stays): synth_webp_pixel_media
+    encodes constant-gray images to REAL VP8L literal streams
+    (canonical prefix codes with code-length codes) and image_features
+    fully decodes each one (strict=True), through the same decoder that
+    tests/test_vp8l.py validates bit-exactly against the system libwebp
+    over transform-rich fuzz streams (predictor / cross-color /
+    subtract-green / palette transforms, color cache, meta prefix
+    groups, LZ77 with the empirically-pinned 120-entry distance
+    table)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+        synth_webp_pixel_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_webp_pixel_media(docs))
+    return image_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+        "decoder",
+    )

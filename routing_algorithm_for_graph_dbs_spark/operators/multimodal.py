@@ -17,9 +17,11 @@ RMS/zero-crossing features). **Video METADATA parsing is REAL**
 (``operators/mp4.py`` — ISO-BMFF box walk: ftyp brand, mvhd duration,
 tkhd dimensions, track count; frame decode stays the boundary), **GIF
 and TIFF pixel decode are REAL** (``operators/gif.py`` LZW,
-``operators/tiff.py`` raw/PackBits strips), and **FLAC sample decode
+``operators/tiff.py`` raw/PackBits strips), **FLAC sample decode
 is REAL** (``operators/flac.py`` — Rice/fixed/LPC frames with
-CRC-8/CRC-16/MD5 verification; round 11).
+CRC-8/CRC-16/MD5 verification; round 11), and **lossless-WebP (VP8L)
+pixel decode is REAL** (``operators/vp8l.py`` — full spec including
+all four transforms, validated bit-exactly against libwebp; round 11).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
 deployment would plug PIL/libvips/ffmpeg (video frames, perceptual
@@ -408,6 +410,10 @@ def image_features(
         PNG_SIGNATURE,
         decode_png,
     )
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8l import (
+        decode_webp_lossless,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import is_webp
 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
@@ -422,7 +428,7 @@ def image_features(
                 # signature guard + decode-error guard: a payload that is
                 # mislabeled, or that passes the cheap signature sniff but
                 # is not decodable by the real codecs (arithmetic/
-                # truncated JPEG, corrupt PNG), must
+                # truncated JPEG, corrupt PNG, lossy VP8), must
                 # fall to the fake path, not crash the stage — unless
                 # strict=True, where the codec's error propagates.
                 dec = None
@@ -436,6 +442,21 @@ def image_features(
                     elif mime == "image/png" and b.startswith(PNG_SIGNATURE):
                         w, h, _nc, luma = decode_png(b)
                         dec = "png"
+                    elif mime == "image/webp" and is_webp(b):
+                        # REAL VP8L decode (round 11): lossless WebP is
+                        # pure prefix-code/LZ77/transform arithmetic —
+                        # validated against libwebp itself in tests.
+                        # Lossy VP8 raises inside and stays the boundary.
+                        rgba = decode_webp_lossless(b)
+                        h, w = rgba.shape[:2]
+                        rr, gg, bb = (
+                            rgba[..., i].astype(np.float64) for i in range(3)
+                        )
+                        luma = round(float(
+                            (0.299 * rr + 0.587 * gg + 0.114 * bb).mean()
+                            / 255.0
+                        ), 6)
+                        dec = "webp"
                 except DECODE_ERRORS:
                     if strict:
                         raise
@@ -2297,6 +2318,50 @@ def synth_flac_pcm_media(docs: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "payload": payloads,
                     "mime": "audio/flac",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_webp_pixel_media(docs: DataFrame) -> DataFrame:
+    """Deterministic lossless WebPs with REAL VP8L pixel payloads
+    (round 11 — ``operators/vp8l.py encode_webp_lossless``): per doc, a
+    constant gray ``v = (doc_id * 53 + 60) % 216 + 20`` at power-of-two
+    dimensions ``w = 2^(3 + doc_id % 3)``, ``h = 2^(4 + doc_id % 2)``
+    (exact float mean, same argument as synth_bmp_palette_media), RGB
+    on even docs and RGBA on odd (the alpha plane exercises the
+    four-plane literal path). The decoded mean luma is the same closed
+    form as mm_bmp_palette — one pattern, two containers, two codecs
+    cross-checked against each other and the oracle."""
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8l import (
+        encode_webp_lossless,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                v = (mid * 53 + 60) % 216 + 20
+                w, h = 1 << (3 + mid % 3), 1 << (4 + mid % 2)
+                nc = 3 + mid % 2
+                img = np.full((h, w, nc), v, dtype=np.uint8)
+                if nc == 4:
+                    img[..., 3] = 255
+                payloads.append(encode_webp_lossless(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/webp",
                 }
             )
 

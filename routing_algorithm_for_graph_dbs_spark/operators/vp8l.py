@@ -1,0 +1,720 @@
+"""REAL WebP-lossless (VP8L) pixel codec — pure Python, no codec lib.
+
+WebP has displaced JPEG/PNG across much of the modern web, and its
+LOSSLESS flavor (VP8L) is — like GIF's LZW, FLAC's Rice frames, and
+palette BMP before it (rounds 10-11) — pure table-driven integer
+arithmetic, fully specified in the public "WebP Lossless Bitstream
+Specification" (RFC 9649 section 3 / Google's lossless spec): an
+LSB-first bitstream of DEFLATE-style canonical prefix codes driving a
+green+length+cache-index alphabet, LZ77 back-references whose 120
+shortest distance codes map to a 2-D pixel neighborhood, an optional
+color cache (multiplicative hash 0x1e35a7bd), optional meta prefix-code
+partitioning, and four invertible transforms (spatial predictor with 14
+modes, cross-color, subtract-green, palette indexing with sub-byte
+pixel packing). ``decode_vp8l``/``decode_webp_lossless`` implement the
+FULL decode side; ``encode_webp_lossless`` mints conformant
+literal-only streams (no transforms/cache/LZ77 — the simplest valid
+subset) for golden tests and cross-engine oracles.
+
+Validation: the test suite cross-checks BOTH directions against the
+system's libwebp when present (tests/test_vp8l.py — our encoder's
+streams decoded by libwebp, libwebp's transform-rich streams decoded
+by us, fuzzed over image families that force each transform), and the
+120-entry distance table below was derived empirically by decoding
+single-back-reference probe streams with libwebp, not copied from any
+source. Lossy VP8 (DCT + bool-coder) genuinely needs a codec library
+and stays the declared boundary.
+
+Scale shape: one payload decodes independently inside an Arrow batch
+(``multimodal`` mapInPandas); nothing here touches Spark.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# code-length-code symbol order (spec section "Decoding the Code Lengths")
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+_MAX_CODE_LENGTH = 15
+_GREEN_BASE = 256 + 24  # literals + LZ77 length prefix symbols
+_ALPHABETS = (None, 256, 256, 256, 40)  # green computed per cache size
+_HASH_MUL = 0x1E35A7BD
+
+
+class _LsbReader:
+    """LSB-first bit reader (VP8L packs bits little-endian within bytes,
+    unlike FLAC's MSB-first stream — hence a third reader flavor)."""
+
+    def __init__(self, data: bytes, byte_pos: int = 0):
+        self.data = data
+        self.bit = byte_pos * 8
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.bit + n > self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        at, off = divmod(self.bit, 8)
+        val = int.from_bytes(self.data[at:at + (off + n + 7) // 8 + 1],
+                             "little") >> off
+        self.bit += n
+        return val & ((1 << n) - 1)
+
+
+class _LsbWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, n: int) -> None:
+        self._acc |= (value & ((1 << n) - 1)) << self._n
+        self._n += n
+        while self._n >= 8:
+            self.buf.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Canonical prefix codes transmit their bits MSB-of-code first
+        (DEFLATE rule), even though the stream packs LSB-first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def getvalue(self) -> bytes:
+        out = bytes(self.buf)
+        if self._n:
+            out += bytes([self._acc & 0xFF])
+        return out
+
+
+def _canonical_codes(lengths):
+    """symbol -> (code, length) per DEFLATE canonical numbering."""
+    max_len = max(lengths, default=0)
+    bl_count = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            out[sym] = (next_code[ln], ln)
+            next_code[ln] += 1
+    return out
+
+
+class _PrefixDecoder:
+    """Bit-serial canonical prefix decoder; a single-symbol code (the
+    spec's 'simple' form with one symbol, or a normal code whose only
+    used length is 0) consumes no bits."""
+
+    def __init__(self, lengths=None, single=None):
+        if single is not None:
+            self.single = single
+            self.table = None
+            return
+        used = [(s, ln) for s, ln in enumerate(lengths) if ln]
+        if not used:
+            raise ValueError("VP8L prefix code with no symbols")
+        if len(used) == 1:
+            self.single = used[0][0]
+            self.table = None
+            return
+        if sum(1 << (_MAX_CODE_LENGTH - ln) for _, ln in used) != (
+            1 << _MAX_CODE_LENGTH
+        ):
+            raise ValueError("VP8L prefix code is not full (Kraft != 1)")
+        self.single = None
+        self.table = {
+            (ln, code): sym
+            for sym, (code, ln) in _canonical_codes(lengths).items()
+        }
+
+    def read(self, br: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, _MAX_CODE_LENGTH + 1):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code word")
+
+
+def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixDecoder:
+    if br.read(1):  # simple code: 1 or 2 symbols, lengths 0 / {1,1}
+        num_symbols = br.read(1) + 1
+        if br.read(1):
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read(1)
+        if num_symbols == 1:
+            if sym0 >= alphabet_size:
+                raise ValueError("VP8L simple code symbol out of range")
+            return _PrefixDecoder(single=sym0)
+        sym1 = br.read(8)
+        if max(sym0, sym1) >= alphabet_size:
+            raise ValueError("VP8L simple code symbol out of range")
+        lengths = [0] * alphabet_size
+        lengths[sym0] = lengths[sym1] = 1
+        return _PrefixDecoder(lengths)
+    # normal code: code-length code, then run-length-coded lengths
+    num_clc = 4 + br.read(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _PrefixDecoder(clc_lengths)
+    if br.read(1):  # limited symbol count
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        code_len = clc.read(br)
+        if code_len < 16:
+            lengths[symbol] = code_len
+            symbol += 1
+            if code_len:
+                prev_len = code_len
+        else:
+            if code_len == 16:
+                repeat, value = 3 + br.read(2), prev_len
+            elif code_len == 17:
+                repeat, value = 3 + br.read(3), 0
+            else:
+                repeat, value = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("VP8L code-length repeat overflows")
+            for _ in range(repeat):
+                lengths[symbol] = value
+                symbol += 1
+    return _PrefixDecoder(lengths)
+
+
+def _lz77_prefix_value(br: _LsbReader, prefix_sym: int) -> int:
+    """LZ77 length/distance prefix decoding: symbols 0-3 are the values
+    1-4; higher symbols carry (sym-2)>>1 extra bits."""
+    if prefix_sym < 4:
+        return prefix_sym + 1
+    extra = (prefix_sym - 2) >> 1
+    offset = (2 + (prefix_sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# The 120 shortest distance codes address a 2-D neighborhood of the
+# current pixel. This table was derived EMPIRICALLY: for each code c, a
+# probe stream with unique literals followed by one (length 1, code c)
+# back-reference was decoded with the system libwebp and the copied
+# pixel located (tests/test_vp8l.py re-derives it when libwebp is
+# present). (dx, dy) -> distance = dy * width + dx, clamped to >= 1.
+_DIST_TABLE = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+    (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+    (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+    (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4),
+    (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5),
+    (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3),
+    (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1),
+    (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5),
+    (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5),
+    (7, 1), (-7, 1), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+    (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1),
+    (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7),
+    (7, 5), (-7, 5), (8, 4), (6, 7), (-6, 7), (7, 6),
+    (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+
+def _plane_code_to_distance(width: int, code: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = _DIST_TABLE[code - 1]
+    return max(1, dy * width + dx)
+
+
+def _huffman_lengths(freqs, max_len: int = _MAX_CODE_LENGTH):
+    """Code lengths for the given frequencies, depth-limited to
+    ``max_len`` (heap Huffman + the classic overfull-leaf repair)."""
+    import heapq
+
+    used = [s for s, f in enumerate(freqs) if f]
+    if len(used) <= 1:
+        return {s: 1 for s in used}
+    heap = [(freqs[s], id([s]), [s]) for s in used]
+    heapq.heapify(heap)
+    lengths = {s: 0 for s in used}
+    while len(heap) > 1:
+        fa, _, a = heapq.heappop(heap)
+        fb, _, b = heapq.heappop(heap)
+        for s in a + b:
+            lengths[s] += 1
+        merged = a + b
+        heapq.heappush(heap, (fa + fb, id(merged), merged))
+    if max(lengths.values()) > max_len:
+        # clamp and repair the Kraft sum by deepening the shallowest
+        # repairable leaves (JPEG Annex K style adjustment)
+        for s in lengths:
+            lengths[s] = min(lengths[s], max_len)
+        kraft = sum(1 << (max_len - ln) for ln in lengths.values())
+        order = sorted(lengths, key=lambda s: (lengths[s], s))
+        while kraft > (1 << max_len):
+            for s in reversed(order):
+                if lengths[s] < max_len:
+                    kraft -= 1 << (max_len - lengths[s] - 1)
+                    lengths[s] += 1
+                    break
+            else:
+                raise ValueError("cannot repair code lengths")
+    return lengths
+
+
+def _write_prefix_code(w: _LsbWriter, lengths_by_sym, alphabet_size: int):
+    """Serialize one prefix code: the simple form when it fits, else a
+    normal code with a literal (repeat-free) code-length sequence."""
+    used = sorted(lengths_by_sym)
+    if 1 <= len(used) <= 2 and max(used) <= 255:
+        w.write(1, 1)                      # simple
+        w.write(len(used) - 1, 1)
+        if used[0] <= 1 and len(used) == 2 or (len(used) == 1 and used[0] <= 1):
+            w.write(0, 1)                  # first symbol in 1 bit
+            w.write(used[0], 1)
+        else:
+            w.write(1, 1)
+            w.write(used[0], 8)
+        if len(used) == 2:
+            w.write(used[1], 8)
+        return
+    w.write(0, 1)                          # normal
+    lengths = [lengths_by_sym.get(s, 0) for s in range(alphabet_size)]
+    # code-length code over the length symbols actually used (no 16/17/18)
+    clc_freq = [0] * 19
+    for ln in lengths:
+        clc_freq[ln] += 1
+    clc_lengths = _huffman_lengths(clc_freq, max_len=7)
+    w.write(15, 4)                         # num_code_lengths = 4 + 15 = 19
+    for i in range(19):
+        w.write(clc_lengths.get(_CLC_ORDER[i], 0), 3)
+    w.write(0, 1)                          # no max_symbol limit
+    clc_codes = _canonical_codes(
+        [clc_lengths.get(s, 0) for s in range(19)]
+    )
+    for ln in lengths:
+        code, bits = clc_codes[ln]
+        w.write_code(code, bits)
+
+
+def encode_webp_lossless(pixels) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as a REAL, spec-conformant
+    lossless WebP: RIFF/WEBP container around a VP8L stream of pure
+    literals under per-channel canonical prefix codes — no transforms,
+    color cache, or LZ77 (the simplest valid subset; any WebP decoder
+    reads it). ``decode_webp_lossless`` recovers the pixels bit-exactly.
+    """
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("expected an (H, W, 3|4) uint8 array")
+    h, ww, nc = arr.shape
+    if not (0 < ww <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError("VP8L dimensions exceed 14 bits")
+    if nc == 3:
+        a = np.full((h, ww), 255, dtype=np.uint8)
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    else:
+        r, g, b, a = (arr[..., i] for i in range(4))
+    w = _LsbWriter()
+    w.write(0x2F, 8)
+    w.write(ww - 1, 14)
+    w.write(h - 1, 14)
+    w.write(int((a != 255).any()), 1)      # alpha-used hint
+    w.write(0, 3)                          # version
+    w.write(0, 1)                          # no transforms
+    w.write(0, 1)                          # no color cache
+    w.write(0, 1)                          # no meta prefix image
+    green_alpha = _GREEN_BASE              # no cache -> 280 symbols
+    planes = [g.reshape(-1), r.reshape(-1), b.reshape(-1), a.reshape(-1)]
+    codes = []
+    for plane, size in zip(planes, (green_alpha, 256, 256, 256)):
+        freqs = np.bincount(plane, minlength=size)
+        lengths = _huffman_lengths(freqs.tolist())
+        _write_prefix_code(w, lengths, size)
+        if len(lengths) == 1:
+            # a single-symbol code transmits ZERO bits per pixel
+            codes.append({next(iter(lengths)): (0, 0)})
+        else:
+            codes.append(
+                _canonical_codes([lengths.get(s, 0) for s in range(size)])
+            )
+    _write_prefix_code(w, {0: 1}, 40)      # distance code: unused single
+    gcode, rcode, bcode, acode = codes
+    for i in range(h * ww):
+        cg, lg = gcode[int(planes[0][i])]
+        w.write_code(cg, lg)
+        cr, lr = rcode[int(planes[1][i])]
+        w.write_code(cr, lr)
+        cb, lb = bcode[int(planes[2][i])]
+        w.write_code(cb, lb)
+        ca, la = acode[int(planes[3][i])]
+        w.write_code(ca, la)
+    body = w.getvalue()
+    if len(body) & 1:
+        body += b"\x00"  # RIFF even padding
+    chunk = b"VP8L" + struct.pack("<I", len(w.getvalue())) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# Full decode side: entropy-coded images, color cache, meta prefix
+# groups, LZ77, and the four inverse transforms.
+# ---------------------------------------------------------------------------
+
+class _ColorCache:
+    def __init__(self, bits: int):
+        self.bits = bits
+        self.slots = [0] * (1 << bits)
+
+    def insert(self, argb: int) -> None:
+        self.slots[((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - self.bits)] = argb
+
+    def get(self, idx: int) -> int:
+        return self.slots[idx]
+
+
+def _decode_entropy_image(br: _LsbReader, w: int, h: int,
+                          allow_meta: bool):
+    """One entropy-coded ARGB image (spec 'decoding image data'):
+    optional color cache, optional meta prefix partitioning (top-level
+    only), then the green/red/blue/alpha/distance symbol loop with LZ77
+    and cache references. Returns a flat list of w*h uint32 ARGB."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"invalid VP8L color cache bits {cache_bits}")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta = _decode_entropy_image(br, mw, mh, allow_meta=False)
+        meta = [(px >> 8) & 0xFFFF for px in meta]
+        n_groups = max(meta) + 1
+    cache = _ColorCache(cache_bits) if cache_bits else None
+    green_size = _GREEN_BASE + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _read_prefix_code(br, green_size),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 40),
+        ))
+    n = w * h
+    out = [0] * n
+    pos = 0
+    mw = (w + (1 << meta_bits) - 1) >> meta_bits if meta else 0
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            grp = groups[meta[(y >> meta_bits) * mw + (x >> meta_bits)]]
+        else:
+            grp = groups[0]
+        gcode, rcode, bcode, acode, dcode = grp
+        s = gcode.read(br)
+        if s < 256:
+            r = rcode.read(br)
+            b = bcode.read(br)
+            a = acode.read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            pos += 1
+            if cache:
+                cache.insert(px)
+        elif s < _GREEN_BASE:
+            length = _lz77_prefix_value(br, s - 256)
+            dist_code = _lz77_prefix_value(br, dcode.read(br))
+            dist = _plane_code_to_distance(w, dist_code)
+            if dist > pos:
+                raise ValueError("VP8L back-reference before image start")
+            if pos + length > n:
+                raise ValueError("VP8L back-reference run past image end")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache:
+                    cache.insert(px)
+        else:
+            idx = s - _GREEN_BASE
+            if cache is None or idx >= (1 << cache_bits):
+                raise ValueError("VP8L cache reference without a cache")
+            out[pos] = cache.get(idx)
+            pos += 1
+    return out
+
+
+def _sub(a):  # split uint32 ARGB
+    return (a >> 24) & 0xFF, (a >> 16) & 0xFF, (a >> 8) & 0xFF, a & 0xFF
+
+
+def _avg2(a, b):
+    return tuple((x + y) >> 1 for x, y in zip(_sub(a), _sub(b)))
+
+
+def _pack(t):
+    return (t[0] << 24) | (t[1] << 16) | (t[2] << 8) | t[3]
+
+
+def _clamp(v):
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _pack(tuple((x + y) >> 1 for x, y in
+                           zip(_avg2(left, tr), _sub(top))))
+    if mode == 6:
+        return _pack(_avg2(left, tl))
+    if mode == 7:
+        return _pack(_avg2(left, top))
+    if mode == 8:
+        return _pack(_avg2(tl, top))
+    if mode == 9:
+        return _pack(_avg2(top, tr))
+    if mode == 10:
+        return _pack(tuple((x + y) >> 1 for x, y in
+                           zip(_avg2(left, tl), _avg2(top, tr))))
+    if mode == 11:  # Select
+        l4, t4, c4 = _sub(left), _sub(top), _sub(tl)
+        p = [lc + tc - cc for lc, tc, cc in zip(l4, t4, c4)]
+        p_top = sum(abs(pc - tc) for pc, tc in zip(p, t4))
+        p_left = sum(abs(pc - lc) for pc, lc in zip(p, l4))
+        return top if p_top <= p_left else left
+    if mode == 12:  # ClampAddSubtractFull
+        return _pack(tuple(
+            _clamp(lc + tc - cc)
+            for lc, tc, cc in zip(_sub(left), _sub(top), _sub(tl))
+        ))
+    if mode == 13:  # ClampAddSubtractHalf (C truncation on the /2)
+        ave = _avg2(left, top)
+        return _pack(tuple(
+            _clamp(ac + int((ac - cc) / 2))
+            for ac, cc in zip(ave, _sub(tl))
+        ))
+    raise ValueError(f"reserved VP8L predictor mode {mode}")
+
+
+def _inverse_predictor(pix, w, h, sub, bits):
+    bw = (w + (1 << bits) - 1) >> bits
+    out = pix
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = out[pos - 1]
+        elif x == 0:
+            pred = out[pos - w]
+        else:
+            mode = (sub[(y >> bits) * bw + (x >> bits)] >> 8) & 0xFF
+            left = out[pos - 1]
+            top = out[pos - w]
+            tl = out[pos - w - 1]
+            tr = out[pos + 1 - w] if x < w - 1 else out[y * w]
+            pred = _predict(mode, left, top, tl, tr)
+        out[pos] = (
+            ((out[pos] >> 24) + (pred >> 24) & 0xFF) << 24
+            | ((out[pos] >> 16) + (pred >> 16) & 0xFF) << 16
+            | ((out[pos] >> 8) + (pred >> 8) & 0xFF) << 8
+            | (out[pos] + pred) & 0xFF
+        )
+    return out
+
+
+def _ct_delta(t: int, c: int) -> int:
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _inverse_color_transform(pix, w, h, sub, bits):
+    bw = (w + (1 << bits) - 1) >> bits
+    for pos in range(w * h):
+        x, y = pos % w, pos // w
+        cte = sub[(y >> bits) * bw + (x >> bits)]
+        g2r, g2b, r2b = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
+        px = pix[pos]
+        a, r, g, b = _sub(px)
+        r = (r + _ct_delta(g2r, g)) & 0xFF
+        b = (b + _ct_delta(g2b, g)) & 0xFF
+        b = (b + _ct_delta(r2b, r)) & 0xFF
+        pix[pos] = _pack((a, r, g, b))
+    return pix
+
+
+def _inverse_subtract_green(pix, w, h):
+    for pos in range(w * h):
+        px = pix[pos]
+        g = (px >> 8) & 0xFF
+        r = ((px >> 16) + g) & 0xFF
+        b = (px + g) & 0xFF
+        pix[pos] = (px & 0xFF00FF00) | (r << 16) | b
+    return pix
+
+
+def _inverse_color_indexing(pix, w, h, palette, pack_bits):
+    cmap = [0] * 256
+    for i, v in enumerate(palette):
+        cmap[i] = v
+    if pack_bits == 0:
+        return [cmap[(px >> 8) & 0xFF] for px in pix]
+    per = 1 << pack_bits            # pixels per packed unit
+    field = 8 >> pack_bits          # bits per index
+    mask = (1 << field) - 1
+    packed_w = (w + per - 1) >> pack_bits
+    out = [0] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            g = (pix[y * packed_w + (x >> pack_bits)] >> 8) & 0xFF
+            idx = (g >> (field * (x & (per - 1)))) & mask
+            out[y * w + x] = cmap[idx]
+    return out
+
+
+def decode_vp8l(body: bytes):
+    """Decode a VP8L chunk body to ``(rgba, alpha_hint)`` with ``rgba``
+    an (H, W, 4) uint8 array. Implements the FULL spec decode side:
+    prefix codes (simple + normal with code-length codes), color cache,
+    meta prefix partitioning, LZ77 with the 2-D distance mapping, and
+    the predictor / cross-color / subtract-green / palette-indexing
+    inverse transforms. Raises ValueError on any malformed stream."""
+    br = _LsbReader(body)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    alpha_hint = br.read(1)
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms = []   # (type, params, w_in) in stream order
+    w_cur = w
+    seen = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype == 0:   # predictor
+            bits = br.read(3) + 2
+            bw = (w_cur + (1 << bits) - 1) >> bits
+            bh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_entropy_image(br, bw, bh, allow_meta=False)
+            transforms.append((0, (sub, bits), w_cur))
+        elif ttype == 1:  # cross-color
+            bits = br.read(3) + 2
+            bw = (w_cur + (1 << bits) - 1) >> bits
+            bh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_entropy_image(br, bw, bh, allow_meta=False)
+            transforms.append((1, (sub, bits), w_cur))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None, w_cur))
+        else:             # color indexing
+            n_colors = br.read(8) + 1
+            deltas = _decode_entropy_image(br, n_colors, 1, allow_meta=False)
+            palette = []
+            acc = 0
+            for d in deltas:
+                acc = (
+                    ((acc >> 24) + (d >> 24) & 0xFF) << 24
+                    | ((acc >> 16) + (d >> 16) & 0xFF) << 16
+                    | ((acc >> 8) + (d >> 8) & 0xFF) << 8
+                    | (acc + d) & 0xFF
+                )
+                palette.append(acc)
+            if n_colors <= 2:
+                pack_bits = 3
+            elif n_colors <= 4:
+                pack_bits = 2
+            elif n_colors <= 16:
+                pack_bits = 1
+            else:
+                pack_bits = 0
+            transforms.append((3, (palette, pack_bits), w_cur))
+            if pack_bits:
+                w_cur = (w_cur + (1 << pack_bits) - 1) >> pack_bits
+    pix = _decode_entropy_image(br, w_cur, h, allow_meta=True)
+    for ttype, params, w_in in reversed(transforms):
+        if ttype == 0:
+            pix = _inverse_predictor(pix, w_in, h, *params)
+        elif ttype == 1:
+            pix = _inverse_color_transform(pix, w_in, h, *params)
+        elif ttype == 2:
+            pix = _inverse_subtract_green(pix, w_in, h)
+        else:
+            pix = _inverse_color_indexing(pix, w_in, h, *params)
+    arr = np.asarray(pix, dtype=np.uint32).reshape(h, w)
+    rgba = np.zeros((h, w, 4), dtype=np.uint8)
+    rgba[..., 0] = (arr >> 16) & 0xFF
+    rgba[..., 1] = (arr >> 8) & 0xFF
+    rgba[..., 2] = arr & 0xFF
+    rgba[..., 3] = (arr >> 24) & 0xFF
+    return rgba, alpha_hint
+
+
+def decode_webp_lossless(payload: bytes):
+    """RIFF unwrap + VP8L decode: (H, W, 4) uint8 RGBA. Raises
+    ValueError on a malformed container and NotImplementedError for
+    lossy VP8 payloads (DCT + boolean arithmetic coder — the declared
+    boundary; a real deployment plugs libwebp there)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload (missing RIFF/WEBP magic)")
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    while pos + 8 <= end:
+        fourcc = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8L":
+            return decode_vp8l(body)[0]
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 decode (DCT + bool-coder) needs a real codec"
+                " library — only lossless VP8L decodes natively here"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP payload has no VP8L or VP8 bitstream chunk")

@@ -13,11 +13,13 @@ signature byte, then width-1/height-1 as 14-bit fields of a packed
 u32le plus the alpha bit); an extended file opens with ``VP8X``
 (feature flags, 24-bit canvas width-1/height-1) and, when animated,
 an ``ANIM`` chunk plus one 16-byte-headed ``ANMF`` chunk per frame
-(24-bit duration each). Entropy-coded PIXEL data after those
-structural prefixes is hopped by chunk size and never decoded — the
-boundary, exactly like JPEG arithmetic / audio samples
-(parse-not-decode split per ``operators/mp3.py``; reference boundary
-analog main.py:1 — the reference delegates media handling entirely).
+(24-bit duration each). This module hops PIXEL data by chunk size —
+it is the metadata half; since round 11 the LOSSLESS (VP8L) pixel
+stream decodes for real in ``operators/vp8l.py`` (validated against
+libwebp itself), while lossy VP8's DCT + boolean coder stays the
+declared boundary (parse-not-decode split per ``operators/mp3.py``;
+reference boundary analog main.py:1 — the reference delegates media
+handling entirely).
 
 ``parse_webp_metadata`` walks every chunk with RIFF even-padding,
 cross-checks the outer size, and raises loudly on truncation, a bad

@@ -23,6 +23,7 @@ import pytest
 NEVER_CHECKED = [
     "mm_flac_pcm",
     "mm_bmp_palette",
+    "mm_webp_pixels",
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",

@@ -1,0 +1,298 @@
+"""VP8L (lossless WebP) codec tests.
+
+Self-contained tests always run; the cross-codec checks against the
+system libwebp (both directions: libwebp decodes our streams, we decode
+libwebp's transform-rich streams) run whenever the shared library is
+loadable — which pins the bit conventions, the canonical prefix coding,
+and the empirically-derived 120-entry distance table against the
+reference implementation rather than against our own mirror image.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+import pytest
+
+from routing_algorithm_for_graph_dbs_spark.operators import vp8l
+
+
+def _libwebp():
+    for name in ("libwebp.so.7", ctypes.util.find_library("webp")):
+        if not name:
+            continue
+        try:
+            lw = ctypes.CDLL(name)
+        except OSError:
+            continue
+        lw.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+        lw.WebPEncodeLosslessRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lw.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lw.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        return lw
+    return None
+
+
+_LW = _libwebp()
+needs_libwebp = pytest.mark.skipif(
+    _LW is None, reason="system libwebp not available"
+)
+
+
+def _lw_encode(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    out = ctypes.c_void_p()
+    n = _LW.WebPEncodeLosslessRGBA(img.tobytes(), w, h, w * 4,
+                                   ctypes.byref(out))
+    assert n > 0
+    buf = ctypes.string_at(out, n)
+    _LW.WebPFree(out)
+    return buf
+
+
+def _lw_decode(buf: bytes) -> np.ndarray:
+    w, h = ctypes.c_int(), ctypes.c_int()
+    ptr = _LW.WebPDecodeRGBA(buf, len(buf), ctypes.byref(w), ctypes.byref(h))
+    assert ptr
+    dec = np.ctypeslib.as_array(ptr, shape=(h.value, w.value, 4)).copy()
+    _LW.WebPFree(ptr)
+    return dec
+
+
+def test_vp8l_self_roundtrip():
+    """Our encoder -> our decoder, across channel counts, shapes, and
+    the code-length corner cases (single-symbol zero-bit codes, simple
+    two-symbol codes, deep skewed Huffman trees)."""
+    rng = np.random.RandomState(5)
+    cases = [
+        rng.randint(0, 256, (7, 11, 4), dtype=np.uint8),
+        rng.randint(0, 256, (1, 1, 3), dtype=np.uint8),
+        np.full((4, 9, 3), 201, dtype=np.uint8),          # all single-symbol
+        rng.randint(0, 2, (6, 6, 4), dtype=np.uint8) * 200,  # simple codes
+        rng.randint(0, 256, (33, 17, 4), dtype=np.uint8),
+    ]
+    # pathological skew forces the length-limit repair path
+    skew = np.zeros((64, 64, 3), dtype=np.uint8)
+    flat = skew[..., 1].reshape(-1)
+    v, i, k = 0, 0, 1
+    while i < flat.size:
+        flat[i:i + k] = v % 256
+        i += k
+        v += 1
+        k *= 2
+    cases.append(skew)
+    for img in cases:
+        dec = vp8l.decode_webp_lossless(vp8l.encode_webp_lossless(img))
+        exp = (img if img.shape[2] == 4 else
+               np.dstack([img, np.full(img.shape[:2], 255, np.uint8)]))
+        assert (dec == exp).all()
+
+
+def test_vp8l_golden_bits():
+    """Hand-derivable golden: a 1x1 constant pixel stream is exactly the
+    header (8+14+14+1+3 bits) + 3 zero flag bits + five simple
+    prefix-code headers + zero per-pixel bits (single-symbol codes
+    transmit nothing)."""
+    img = np.zeros((1, 1, 4), dtype=np.uint8)
+    img[0, 0] = (7, 9, 11, 255)
+    p = vp8l.encode_webp_lossless(img)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WEBP" and p[12:16] == b"VP8L"
+    body = p[20:]
+    br = vp8l._LsbReader(body)
+    assert br.read(8) == 0x2F
+    assert br.read(14) + 1 == 1 and br.read(14) + 1 == 1
+    assert br.read(1) == 0 and br.read(3) == 0  # alpha hint, version
+    assert br.read(3) == 0  # no transform, no cache, no meta
+    for expected in (9, 7, 11, 255, 0):  # green, red, blue, alpha, dist
+        assert br.read(1) == 1  # simple
+        assert br.read(1) == 0  # one symbol
+        wide = br.read(1)
+        assert br.read(8 if wide else 1) == expected
+    assert (dec := vp8l.decode_webp_lossless(p)).shape == (1, 1, 4)
+    assert dec[0, 0].tolist() == [7, 9, 11, 255]
+
+
+def test_vp8l_reject_paths():
+    with pytest.raises(ValueError, match="RIFF"):
+        vp8l.decode_webp_lossless(b"not a webp at all")
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    p = bytearray(vp8l.encode_webp_lossless(img))
+    p[20] ^= 0xFF  # VP8L signature byte
+    with pytest.raises(ValueError, match="signature"):
+        vp8l.decode_webp_lossless(bytes(p))
+    # truncation inside the entropy stream
+    q = vp8l.encode_webp_lossless(
+        np.arange(2 * 300 * 4, dtype=np.uint8).reshape(2, 300, 4) % 251
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        vp8l.decode_vp8l(q[20:len(q) - 8])
+    # lossy VP8 stays the boundary
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import build_webp
+
+    with pytest.raises(NotImplementedError, match="lossy"):
+        vp8l.decode_webp_lossless(build_webp(16, 16, flavor="lossy"))
+
+
+def test_vp8l_distance_table_invariants():
+    """The embedded plane-code table: 120 unique in-scanline-order
+    offsets (dy > 0, or dy == 0 and dx > 0), |dx| <= 8, dy <= 7 except
+    the pure-left codes, first entries per the spec's near-neighbor
+    intent."""
+    t = vp8l._DIST_TABLE
+    assert len(t) == 120 and len(set(t)) == 120
+    for dx, dy in t:
+        assert (dy > 0 or dx > 0) and abs(dx) <= 8 and 0 <= dy <= 8
+    assert t[0] == (0, 1) and t[1] == (1, 0) and t[2] == (1, 1)
+    # mapping: code > 120 is a plain distance; near codes clamp to >= 1
+    assert vp8l._plane_code_to_distance(10, 121) == 1
+    assert vp8l._plane_code_to_distance(10, 1) == 10   # (0,1) -> one row
+    assert vp8l._plane_code_to_distance(10, 2) == 1    # (1,0) -> one px
+    assert vp8l._plane_code_to_distance(10, 4) == 9    # (-1,1) -> w-1
+
+
+@needs_libwebp
+def test_vp8l_libwebp_decodes_our_streams():
+    rng = np.random.RandomState(42)
+    for t in range(40):
+        h, w = rng.randint(1, 20), rng.randint(1, 20)
+        nvals = rng.randint(1, 50)
+        img = (rng.randint(0, nvals, (h, w, 4))
+               * max(1, 255 // max(1, nvals - 1))).astype(np.uint8)
+        if t % 3 == 0:
+            img[..., 3] = 255
+        dec = _lw_decode(_lw_encode(img))  # warm sanity for the ABI
+        assert dec.shape[:2] == (h, w)
+        ours = vp8l.encode_webp_lossless(img)
+        assert (_lw_decode(ours) == img).all(), (h, w, nvals)
+
+
+@needs_libwebp
+def test_vp8l_we_decode_libwebp_streams():
+    """The decisive direction: libwebp's default encoder output uses the
+    full spec — subtract-green, predictor blocks, cross-color, palette
+    indexing with sub-byte packing, color cache, meta prefix groups,
+    and LZ77 over the 2-D distance table. Our decode must match
+    libwebp's own decode bit-exactly on every family."""
+    rng = np.random.RandomState(9)
+    imgs = []
+    for _ in range(4):
+        h, w = rng.randint(1, 60), rng.randint(1, 60)
+        imgs.append(rng.randint(0, 256, (h, w, 4), dtype=np.uint8))
+    for t in range(3):
+        h, w = rng.randint(8, 70), rng.randint(8, 70)
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w, 4), np.uint8)
+        img[..., 0] = (xx * 3 + t) % 256
+        img[..., 1] = (yy * 5) % 256
+        img[..., 2] = (xx + yy) % 256
+        img[..., 3] = 255
+        imgs.append(img)
+    for npal in (2, 3, 4, 9, 16, 17, 200):  # every packing width
+        pal = rng.randint(0, 256, (npal, 4), dtype=np.uint8)
+        pal[:, 3] = 255
+        imgs.append(pal[rng.randint(0, npal, (30, 41))])
+    tile = rng.randint(0, 256, (4, 6, 4), dtype=np.uint8)
+    imgs.append(np.tile(tile, (8, 7, 1)))
+    h, w = 160, 200
+    yy, xx = np.mgrid[0:h, 0:w]
+    photo = np.zeros((h, w, 4), np.uint8)
+    photo[..., 0] = (128 + 60 * np.sin(xx / 17) + 40 * np.cos(yy / 11)
+                     ).astype(np.uint8)
+    photo[..., 1] = (128 + 50 * np.sin((xx + yy) / 23)).astype(np.uint8)
+    photo[..., 2] = (xx * yy % 251).astype(np.uint8)
+    photo[..., 3] = 255
+    imgs.append(photo)
+    base = rng.randint(80, 170, (40, 50, 1)).astype(np.int16)
+    smooth = np.clip(
+        np.concatenate(
+            [base + rng.randint(-20, 20, (40, 50, 1)) for _ in range(3)]
+            + [np.full((40, 50, 1), 255)], -1,
+        ), 0, 255,
+    ).astype(np.uint8)
+    imgs.append(smooth)
+    for img in imgs:
+        buf = _lw_encode(img)
+        ref = _lw_decode(buf)  # the encoder may zero RGB under alpha=0
+        assert (vp8l.decode_webp_lossless(buf) == ref).all(), img.shape
+
+
+@needs_libwebp
+def test_vp8l_distance_table_rederived():
+    """Re-derive every (dx, dy) entry with single-back-reference probe
+    streams decoded by libwebp — the embedded constant must match the
+    reference implementation exactly."""
+    import struct
+
+    W_, H_ = 17, 10
+    PRE = 9 * W_ + 9
+
+    def dist_sym(c):
+        if c <= 4:
+            return c - 1, 0, 0
+        for sym in range(4, 40):
+            extra = (sym - 2) >> 1
+            lo = ((2 + (sym & 1)) << extra) + 1
+            if lo <= c < lo + (1 << extra):
+                return sym, extra, c - lo
+        raise AssertionError
+
+    def probe(code):
+        w = vp8l._LsbWriter()
+        w.write(0x2F, 8)
+        w.write(W_ - 1, 14)
+        w.write(H_ - 1, 14)
+        w.write(0, 4)
+        w.write(0, 3)  # no transform/cache/meta
+        n = W_ * H_
+        greens = [i % 256 for i in range(n)]
+        reds = [i // 256 for i in range(n)]
+        gfreq = [0] * 280
+        for i in list(range(PRE)) + list(range(PRE + 1, n)):
+            gfreq[greens[i]] += 1
+        gfreq[256] += 1
+        glen = vp8l._huffman_lengths(gfreq)
+        vp8l._write_prefix_code(w, glen, 280)
+        gcodes = vp8l._canonical_codes([glen.get(s, 0) for s in range(280)])
+        rfreq = [0] * 256
+        for i in list(range(PRE)) + list(range(PRE + 1, n)):
+            rfreq[reds[i]] += 1
+        rlen = vp8l._huffman_lengths(rfreq)
+        vp8l._write_prefix_code(w, rlen, 256)
+        rcodes = ({next(iter(rlen)): (0, 0)} if len(rlen) == 1 else
+                  vp8l._canonical_codes([rlen.get(s, 0) for s in range(256)]))
+        for sym in (0, 255):
+            vp8l._write_prefix_code(w, {sym: 1}, 256)
+        dsym, dextra, dval = dist_sym(code)
+        vp8l._write_prefix_code(w, {dsym: 1}, 40)
+        for i in range(n):
+            if i == PRE:
+                c, ln = gcodes[256]
+                w.write_code(c, ln)
+                if dextra:
+                    w.write(dval, dextra)
+                continue
+            c, ln = gcodes[greens[i]]
+            w.write_code(c, ln)
+            c, ln = rcodes[reds[i]]
+            w.write_code(c, ln)
+        body = w.getvalue()
+        pad = b"\x00" if len(body) & 1 else b""
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body + pad
+        p = (b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+        dec = _lw_decode(p)
+        y, x = divmod(PRE, W_)
+        src = int(dec[y, x, 0]) * 256 + int(dec[y, x, 1])
+        dist = PRE - src
+        dy = (dist + 8) // W_
+        return dist - W_ * dy, dy
+
+    derived = [probe(c) for c in range(1, 121)]
+    assert derived == vp8l._DIST_TABLE
