@@ -203,14 +203,22 @@ def build_tiff_gray(
 ) -> bytes:
     """Mint a single-IFD 8-bit grayscale TIFF whose strip holds the REAL
     encoding of ``pixels`` (row-major, len == width*height): raw samples
-    (compression 1) or PackBits (32773). The decode twin is
-    :func:`decode_tiff_gray`."""
+    (compression 1) or PackBits (32773). PackBits packs EACH ROW
+    SEPARATELY per the TIFF6 spec section 9 rule "never cross row
+    boundaries when packing" (the round-11 libtiff cross-check caught a
+    whole-strip packing here: libtiff restarts its scanline decoder at
+    every row, so a literal run spanning rows shifted every subsequent
+    row by a byte). The decode twin is :func:`decode_tiff_gray` — the
+    concatenated per-row streams decode identically as one stream."""
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height samples")
     if compression == 1:
         strip = pixels
     elif compression == 32773:
-        strip = packbits_encode(pixels)
+        strip = b"".join(
+            packbits_encode(pixels[r * width:(r + 1) * width])
+            for r in range(height)
+        )
     else:
         raise ValueError("build_tiff_gray supports compression 1 and 32773")
     if len(strip) % 2:

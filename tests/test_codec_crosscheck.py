@@ -1,0 +1,263 @@
+"""Cross-validation of the pure-Python codecs against the system's
+reference C libraries (libpng16, libgif, libtiff), when present.
+
+The pure-Python decoders/encoders in ``operators/{png,gif,tiff}.py``
+are spec implementations tested against hand-derived goldens; these
+tests additionally pin them against the reference implementations via
+ctypes — the same method that validated ``operators/vp8l.py`` against
+libwebp (tests/test_vp8l.py). Each module is import-guarded: missing
+libraries skip, they never fail the suite.
+
+This harness already earned its keep: the round-11 libtiff check
+caught ``build_tiff_gray`` packing PackBits across row boundaries
+(TIFF6 section 9 forbids it), which every scanline-based reader
+mis-decodes from row 1 on.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+
+def _load(name):
+    try:
+        return ctypes.CDLL(name)
+    except OSError:
+        return None
+
+
+_PNG = _load("libpng16.so.16") or _load("libpng16.so")
+_GIF = _load("libgif.so.7")
+_TIFF = _load("libtiff.so.6")
+
+
+class _PngImage(ctypes.Structure):
+    # libpng simplified API (png.h, PNG_IMAGE_VERSION 1 — documented
+    # stable ABI, unlike the classic struct-pointer API)
+    _fields_ = [
+        ("opaque", ctypes.c_void_p), ("version", ctypes.c_uint32),
+        ("width", ctypes.c_uint32), ("height", ctypes.c_uint32),
+        ("format", ctypes.c_uint32), ("flags", ctypes.c_uint32),
+        ("colormap_entries", ctypes.c_uint32),
+        ("warning_or_error", ctypes.c_uint32),
+        ("message", ctypes.c_char * 64),
+    ]
+
+
+_PNG_FORMAT_RGBA = 3  # FLAG_ALPHA | FLAG_COLOR
+
+
+@pytest.mark.skipif(_PNG is None, reason="libpng16 not available")
+def test_libpng_decodes_our_pngs():
+    """Every 8-bit layout x filter mode x interlace our encoder emits
+    must decode bit-exactly in libpng. (16-bit is excluded only because
+    the simplified libpng API converts 16->8 through linear-light
+    scaling, not truncation — our 16-bit path keeps its own goldens.)"""
+    from routing_algorithm_for_graph_dbs_spark.operators.png import encode_png
+
+    _PNG.png_image_begin_read_from_memory.restype = ctypes.c_int
+    _PNG.png_image_begin_read_from_memory.argtypes = [
+        ctypes.POINTER(_PngImage), ctypes.c_char_p, ctypes.c_size_t]
+    _PNG.png_image_finish_read.restype = ctypes.c_int
+    _PNG.png_image_finish_read.argtypes = [
+        ctypes.POINTER(_PngImage), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p]
+
+    rng = np.random.RandomState(3)
+    for shape in [(9, 13), (6, 4, 2), (9, 13, 3), (7, 5, 4), (1, 1, 3)]:
+        for filter_mode in ("none", "cycle"):
+            for interlace in (False, True):
+                arr = rng.randint(0, 256, shape).astype(np.uint8)
+                p = encode_png(arr, filter_mode=filter_mode,
+                               interlace=interlace)
+                img = _PngImage()
+                img.version = 1
+                assert _PNG.png_image_begin_read_from_memory(
+                    ctypes.byref(img), p, len(p)), img.message
+                img.format = _PNG_FORMAT_RGBA
+                buf = (ctypes.c_ubyte * (img.width * img.height * 4))()
+                assert _PNG.png_image_finish_read(
+                    ctypes.byref(img), None, buf, 0, None), img.message
+                got = np.ctypeslib.as_array(buf).reshape(
+                    img.height, img.width, 4)
+                a = arr[..., None] if arr.ndim == 2 else arr
+                c = a.shape[2]
+                opaque = np.full(a.shape[:2], 255, np.uint8)
+                if c == 1:
+                    exp = np.dstack([a[..., 0]] * 3 + [opaque])
+                elif c == 2:
+                    exp = np.dstack([a[..., 0]] * 3 + [a[..., 1]])
+                elif c == 3:
+                    exp = np.dstack([a[..., 0], a[..., 1], a[..., 2], opaque])
+                else:
+                    exp = a
+                assert (got == exp).all(), (shape, filter_mode, interlace)
+
+
+@pytest.mark.skipif(_PNG is None, reason="libpng16 not available")
+def test_we_decode_libpng_pngs():
+    from routing_algorithm_for_graph_dbs_spark.operators.png import (
+        decode_png_pixels,
+    )
+
+    _PNG.png_image_write_to_memory.restype = ctypes.c_int
+    _PNG.png_image_write_to_memory.argtypes = [
+        ctypes.POINTER(_PngImage), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_void_p]
+
+    rng = np.random.RandomState(4)
+    for (h, w) in [(11, 17), (1, 1), (40, 3)]:
+        rgba = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+        img = _PngImage()
+        img.version, img.width, img.height = 1, w, h
+        img.format = _PNG_FORMAT_RGBA
+        n = ctypes.c_size_t(0)
+        assert _PNG.png_image_write_to_memory(
+            ctypes.byref(img), None, ctypes.byref(n), 0,
+            rgba.tobytes(), 0, None)
+        buf = (ctypes.c_ubyte * n.value)()
+        assert _PNG.png_image_write_to_memory(
+            ctypes.byref(img), buf, ctypes.byref(n), 0,
+            rgba.tobytes(), 0, None), img.message
+        got = decode_png_pixels(bytes(buf[:n.value]))
+        assert (got == rgba).all()
+
+
+class _GifColorType(ctypes.Structure):
+    _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                ("Blue", ctypes.c_ubyte)]
+
+
+class _ColorMapObject(ctypes.Structure):
+    _fields_ = [("ColorCount", ctypes.c_int), ("BitsPerPixel", ctypes.c_int),
+                ("SortFlag", ctypes.c_bool),
+                ("Colors", ctypes.POINTER(_GifColorType))]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [("Left", ctypes.c_int), ("Top", ctypes.c_int),
+                ("Width", ctypes.c_int), ("Height", ctypes.c_int),
+                ("Interlace", ctypes.c_bool),
+                ("ColorMap", ctypes.POINTER(_ColorMapObject))]
+
+
+class _SavedImage(ctypes.Structure):
+    _fields_ = [("ImageDesc", _GifImageDesc),
+                ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.c_void_p)]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [("SWidth", ctypes.c_int), ("SHeight", ctypes.c_int),
+                ("SColorResolution", ctypes.c_int),
+                ("SBackGroundColor", ctypes.c_int),
+                ("AspectByte", ctypes.c_ubyte),
+                ("SColorMap", ctypes.POINTER(_ColorMapObject)),
+                ("ImageCount", ctypes.c_int), ("Image", _GifImageDesc),
+                ("SavedImages", ctypes.POINTER(_SavedImage)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.c_void_p),
+                ("Error", ctypes.c_int), ("UserData", ctypes.c_void_p),
+                ("Private", ctypes.c_void_p)]
+
+
+@pytest.mark.skipif(_GIF is None, reason="giflib not available")
+def test_giflib_decodes_our_lzw():
+    """giflib must recover the exact index raster from our LZW encoder
+    (greedy longest-match, CLEAR/END, 4096-entry reset) across sizes
+    that force variable code widths and a table reset."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_pixels,
+    )
+
+    _GIF.DGifOpenFileName.restype = ctypes.POINTER(_GifFileType)
+    _GIF.DGifOpenFileName.argtypes = [ctypes.c_char_p,
+                                      ctypes.POINTER(ctypes.c_int)]
+    _GIF.DGifSlurp.argtypes = [ctypes.POINTER(_GifFileType)]
+    _GIF.DGifCloseFile.argtypes = [ctypes.POINTER(_GifFileType),
+                                   ctypes.POINTER(ctypes.c_int)]
+
+    rng = np.random.RandomState(6)
+    cases = [
+        (13, 9, bytes(rng.randint(0, 256, 13 * 9).astype(np.uint8))),
+        (1, 1, b"\x07"),
+        (64, 2, bytes([3] * 128)),  # long single run
+        # > 4096 distinct phrases force the LZW table reset path
+        (200, 40, bytes(rng.randint(0, 256, 8000).astype(np.uint8))),
+    ]
+    for w, h, px in cases:
+        payload = build_gif_pixels(w, h, px, gct_bits=8)
+        fn = tempfile.mktemp(suffix=".gif")
+        try:
+            with open(fn, "wb") as f:
+                f.write(payload)
+            err = ctypes.c_int(0)
+            gf = _GIF.DGifOpenFileName(fn.encode(), ctypes.byref(err))
+            assert gf, err.value
+            assert _GIF.DGifSlurp(gf) == 1, gf.contents.Error
+            g = gf.contents
+            assert (g.SWidth, g.SHeight, g.ImageCount) == (w, h, 1)
+            si = g.SavedImages[0]
+            assert (si.ImageDesc.Width, si.ImageDesc.Height) == (w, h)
+            raster = bytes(ctypes.cast(
+                si.RasterBits, ctypes.POINTER(ctypes.c_ubyte * (w * h))
+            ).contents)
+            _GIF.DGifCloseFile(gf, ctypes.byref(err))
+            assert raster == px, (w, h)
+        finally:
+            if os.path.exists(fn):
+                os.unlink(fn)
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not available")
+def test_libtiff_reads_our_strips():
+    """libtiff scanline reads must match our grayscale strips — raw and
+    per-row PackBits, both byte orders. (This is the check that caught
+    the cross-row PackBits packing bug.)"""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_gray,
+        decode_tiff_gray,
+    )
+
+    _TIFF.TIFFOpen.restype = ctypes.c_void_p
+    _TIFF.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    _TIFF.TIFFReadScanline.restype = ctypes.c_int
+    _TIFF.TIFFReadScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+    _TIFF.TIFFClose.argtypes = [ctypes.c_void_p]
+    _TIFF.TIFFSetWarningHandler.restype = ctypes.c_void_p
+    _TIFF.TIFFSetWarningHandler.argtypes = [ctypes.c_void_p]
+    _TIFF.TIFFSetWarningHandler(None)
+
+    rng = np.random.RandomState(8)
+    for byte_order in ("II", "MM"):
+        for comp in (1, 32773):
+            for (w, h) in [(13, 7), (1, 1), (30, 16), (5, 40)]:
+                px = bytes(rng.randint(0, 256, w * h).astype(np.uint8))
+                payload = build_tiff_gray(
+                    w, h, px, compression=comp, byte_order=byte_order)
+                assert decode_tiff_gray(payload)[:2] == (w, h)
+                fn = tempfile.mktemp(suffix=".tif")
+                try:
+                    with open(fn, "wb") as f:
+                        f.write(payload)
+                    tif = _TIFF.TIFFOpen(fn.encode(), b"r")
+                    assert tif, (byte_order, comp)
+                    buf = (ctypes.c_ubyte * w)()
+                    rows = []
+                    for r in range(h):
+                        assert _TIFF.TIFFReadScanline(
+                            ctypes.c_void_p(tif), buf, r, 0) == 1
+                        rows.append(bytes(buf))
+                    _TIFF.TIFFClose(ctypes.c_void_p(tif))
+                    assert b"".join(rows) == px, (byte_order, comp, w, h)
+                finally:
+                    if os.path.exists(fn):
+                        os.unlink(fn)
