@@ -1,17 +1,20 @@
-"""Multimodal decode/parse throughput at data volume (round 10).
+"""Multimodal decode/parse throughput at data volume (rounds 10-11).
 
 VERDICT r9 #2: the codec paths were correctness-proven at sf1.0 but the
 mapInPandas decode pipelines had no recorded MB/s-per-core run — the
 last major surface without a SCALE.md record. This driver mints a >=1 GB
-mixed REAL-media corpus with the repo's own encoders (all nine formats
-the extractors handle: JPEG/PNG images, PCM WAV + MPEG/ADTS/FLAC/Ogg-
-Opus audio, ISO-BMFF and Matroska/WebM video), writes it to parquet, and
-times the four production extractors end-to-end on local[32]:
+mixed REAL-media corpus with the repo's own encoders (twelve families
+across every format the extractors handle: JPEG/PNG/palette-RLE-BMP/
+lossless-WebP images, PCM WAV + REAL-frame FLAC + MPEG/ADTS/metadata-
+FLAC/Ogg-Opus audio, ISO-BMFF and Matroska/WebM video), writes it to
+parquet, and times the four production extractors end-to-end on
+local[32]:
 
 - ``image_features``  (REAL pixel decode: pure-Python Huffman JPEG,
-  zlib-unfilter PNG)
+  zlib-unfilter PNG, palette/RLE BMP, VP8L lossless WebP — round 11)
 - ``audio_features``  (REAL PCM decode + FFT centroid for WAV; REAL
-  header/CRC metadata walks for MP3/AAC/FLAC/Opus)
+  Rice/LPC sample decode for FLAC frames — round 11; REAL header/CRC
+  metadata walks for MP3/AAC/frame-less FLAC/Opus)
 - ``video_metadata``  (REAL ISO-BMFF box walk; mdat skipped by length)
 - ``webm_metadata``   (REAL RFC-8794 EBML walk; Clusters hopped by size)
 
@@ -45,10 +48,13 @@ from routing_algorithm_for_graph_dbs_spark.session import get_spark
 FAMILIES = [
     ("jpeg", 320),
     ("png", 1200),
+    ("bmppal", 600),    # round 11: palette/RLE BMP, REAL pixel decode
+    ("webp", 300),      # round 11: VP8L lossless, REAL pixel decode
     ("wav", 400),
     ("mp3", 300),
     ("aac", 300),
-    ("flac", 250),
+    ("flac", 250),      # metadata-only container (frames unparseable)
+    ("flacpcm", 64),    # round 11: REAL Rice/LPC frames, sample decode
     ("opus", 300),
     ("mp4", 250),
     ("webm", 250),
@@ -93,6 +99,40 @@ def _mint(family: str, mid: int) -> bytes:
             padding_bytes=64,
             frame_bytes=900_000 + (mid % 5) * 50_000,
         )
+    if family == "bmppal":
+        # striped pattern: RLE runs ~stripe-length, a realistic mix of
+        # encoded runs without degenerating to per-pixel escapes
+        from routing_algorithm_for_graph_dbs_spark.operators import (
+            multimodal as _mm,
+        )
+
+        h = w = 256
+        stripe = 4 + mid % 13
+        yy, xx = np.mgrid[0:h, 0:w]
+        idx = (((xx + yy) // stripe) % 256).astype(np.uint8)
+        bpp, rle = ((8, True), (8, False), (4, True), (1, False))[mid % 4]
+        pal = rng.integers(0, 256, (1 << bpp, 3)).astype(np.uint8)
+        if bpp < 8:
+            idx = (idx % (1 << bpp)).astype(np.uint8)
+        return _mm.encode_bmp_indexed(idx, pal, bpp=bpp, rle=rle)
+    if family == "webp":
+        from routing_algorithm_for_graph_dbs_spark.operators import vp8l
+
+        h = w = 128
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w, 3), np.uint8)
+        img[..., 0] = (xx * (2 + mid % 5)) % 256
+        img[..., 1] = (yy * (3 + mid % 7)) % 256
+        img[..., 2] = ((xx + yy + mid) % 256)
+        return vp8l.encode_webp_lossless(img)
+    if family == "flacpcm":
+        # 8 s of a bounded random walk (Rice-friendly residuals, like
+        # real audio) at 48 kHz, mono/stereo alternating
+        n = 48000 * 8
+        steps = rng.integers(-400, 401, n).astype(np.int64)
+        sig = np.clip(np.cumsum(steps), -30000, 30000)
+        x = np.stack([sig] * (1 + mid % 2), axis=1)
+        return flac.encode_flac_pcm(x, sample_rate=48000)
     if family == "opus":
         return opus.build_opus(450 + mid % 100, packet_bytes=400)
     if family == "mp4":
@@ -180,6 +220,9 @@ def main() -> None:
     mimes = {
         "jpeg": "image/jpeg",
         "png": "image/png",
+        "bmppal": "image/bmp",
+        "webp": "image/webp",
+        "flacpcm": "audio/flac",
         "wav": "audio/wav",
         "mp3": "audio/mpeg",
         "aac": "audio/aac",
@@ -239,8 +282,8 @@ def main() -> None:
         webm_metadata,
     )
 
-    image_fams = ("jpeg", "png")
-    audio_fams = ("wav", "mp3", "aac", "flac", "opus")
+    image_fams = ("jpeg", "png", "bmppal", "webp")
+    audio_fams = ("wav", "mp3", "aac", "flac", "flacpcm", "opus")
 
     def timed(tag, fams, fn, check_col, real_values):
         sub = media.filter(F.col("family").isin(*fams))
@@ -287,14 +330,15 @@ def main() -> None:
             image_fams,
             lambda df: image_features(df, strict=True, batch_size=64),
             "decoder",
-            {"jpeg", "png"},
+            {"jpeg", "png", "bmp", "webp"},
         ),
         "audio_features": timed(
             "audio",
             audio_fams,
             lambda df: audio_features(df, strict=True, batch_size=32),
             "decoder",
-            {"wav", "mp3-meta", "aac-meta", "flac-meta", "opus-meta"},
+            {"wav", "flac", "mp3-meta", "aac-meta", "flac-meta",
+             "opus-meta"},
         ),
         "video_metadata": timed(
             "video",
