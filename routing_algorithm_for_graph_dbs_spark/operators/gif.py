@@ -345,18 +345,13 @@ def build_gif_pixels(
     return bytes(out)
 
 
-def decode_gif_pixels(payload: bytes):
-    """REAL pixel decode of the FIRST frame: walk to its image
-    descriptor, LZW-decode the data sub-blocks, and map palette indices
-    through the active color table to gray lumas (ITU gray ramp tables
-    as built here store r=g=b, so luma == the stored r channel).
-
-    Returns ``(width, height, mean_luma)`` with ``mean_luma`` the exact
-    float mean of the first frame's palette lumas. Raises on any
-    structural or LZW error (strict path). The interlace flag only
-    permutes ROW ORDER (the spec's four-pass scheme); the mean is
-    order-invariant, so no reordering is needed for the features
-    computed here."""
+def decode_gif_frame(payload: bytes):
+    """Walk to the FIRST frame, LZW-decode it, and return
+    ``(indices, palette, width, height, interlaced)`` with ``indices``
+    the raw index bytes in STREAM order and ``palette`` the active
+    (local-else-global) color table bytes. The shared core of
+    :func:`decode_gif_pixels` (feature path) and :func:`decode_gif_rgb`
+    (pixel-array path)."""
     if not is_gif(payload):
         raise ValueError("not a GIF (missing 'GIF8' signature)")
     if len(payload) < 13:
@@ -409,6 +404,44 @@ def decode_gif_pixels(payload: bytes):
         idx = lzw_decode(mcs, b"".join(chunks), fw * fh)
         if max(idx, default=0) * 3 >= len(table):
             raise ValueError("GIF pixel index outside the palette")
-        # gray ramp palettes store r == g == b; honor the red channel
-        lumas = [table[3 * i] for i in idx]
-        return (fw, fh, sum(lumas) / len(lumas))
+        return idx, table, fw, fh, bool(ipacked & 0x40)
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL pixel decode of the FIRST frame: walk to its image
+    descriptor, LZW-decode the data sub-blocks, and map palette indices
+    through the active color table to gray lumas (ITU gray ramp tables
+    as built here store r=g=b, so luma == the stored r channel).
+
+    Returns ``(width, height, mean_luma)`` with ``mean_luma`` the exact
+    float mean of the first frame's palette lumas. Raises on any
+    structural or LZW error (strict path). The interlace flag only
+    permutes ROW ORDER (the spec's four-pass scheme); the mean is
+    order-invariant, so no reordering is needed for the features
+    computed here."""
+    idx, table, fw, fh, _interlaced = decode_gif_frame(payload)
+    # gray ramp palettes store r == g == b; honor the red channel
+    lumas = [table[3 * i] for i in idx]
+    return (fw, fh, sum(lumas) / len(lumas))
+
+
+def decode_gif_rgb(payload: bytes):
+    """Pixel-array decode of the FIRST frame: (H, W, 3) uint8 RGB in
+    display order — interlaced frames are reordered through the spec's
+    four-pass scheme (rows 0,8,.. then 4,12,.. then 2,6,.. then odd).
+    The entry the real pHash / resize operators build on."""
+    import numpy as np
+
+    idx, table, fw, fh, interlaced = decode_gif_frame(payload)
+    arr = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+    if interlaced:
+        order = (
+            list(range(0, fh, 8)) + list(range(4, fh, 8))
+            + list(range(2, fh, 4)) + list(range(1, fh, 2))
+        )
+        out = np.empty_like(arr)
+        out[order] = arr
+        arr = out
+    pal = np.frombuffer(table, dtype=np.uint8)
+    pal = pal.reshape(len(pal) // 3, 3)
+    return pal[arr]

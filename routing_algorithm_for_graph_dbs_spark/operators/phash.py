@@ -113,8 +113,9 @@ DECODE_ERRORS = (
 
 def sniff_decode(payload: bytes, strict: bool = False) -> "np.ndarray | None":
     """Signature-sniffed pixel decode through the repo's real codecs:
-    BMP / baseline+progressive JPEG / PNG (every legal
-    depth/color/interlace combination). Returns
+    BMP (24/32-bit, palette, RLE) / baseline+progressive JPEG / PNG
+    (every legal depth/color/interlace combination) / GIF (LZW, incl.
+    interlaced) / lossless WebP (full VP8L — round 11). Returns
     None for unrecognized payloads (the caller decides fake vs strict).
 
     A payload that passes the signature sniff but fails to decode (e.g.
@@ -147,6 +148,24 @@ def sniff_decode(payload: bytes, strict: bool = False) -> "np.ndarray | None":
         )
 
         decode = decode_jpeg_luma
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+            decode_gif_rgb,
+        )
+
+        decode = decode_gif_rgb
+    elif (
+        len(payload) >= 16
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        # lossless VP8L decodes for real; lossy VP8 raises inside
+        # (NotImplementedError -> fake path unless strict)
+        from routing_algorithm_for_graph_dbs_spark.operators.vp8l import (
+            decode_webp_lossless,
+        )
+
+        decode = decode_webp_lossless
     if decode is None:
         return None
     if strict:

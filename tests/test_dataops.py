@@ -4544,6 +4544,75 @@ def test_tiff_packbits_golden():
         packbits_decode(packbits_encode(bytes([1, 2])), 5)
 
 
+def test_sniff_decode_covers_gif_and_webp():
+    """Round 11: the pHash/resize sniff path decodes GIF (LZW, incl.
+    interlaced row reordering) and lossless WebP (VP8L) for real; lossy
+    VP8 falls to None (fake path) non-strict and raises strict."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_pixels,
+        decode_gif_rgb,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.phash import (
+        payload_phash,
+        sniff_decode,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8l import (
+        encode_webp_lossless,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import build_webp
+
+    rng = _np.random.RandomState(2)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=_np.uint8)
+    wp = encode_webp_lossless(img)
+    px = sniff_decode(wp, strict=True)
+    assert px.shape == (16, 16, 4) and (px[..., :3] == img).all()
+    assert payload_phash(wp, strict=True) is not None
+
+    idx = bytes(rng.randint(0, 256, 13 * 9).astype(_np.uint8))
+    gif = build_gif_pixels(13, 9, idx, gct_bits=8)
+    px = sniff_decode(gif, strict=True)
+    assert px.shape == (9, 13, 3)
+    # palette here is the gray ramp r=g=b=i, so pixels ARE the indices
+    assert bytes(px[..., 0].reshape(-1)) == idx
+
+    lossy = build_webp(16, 16, flavor="lossy")
+    assert sniff_decode(lossy) is None
+    with _pytest.raises(NotImplementedError):
+        sniff_decode(lossy, strict=True)
+
+
+def test_gif_interlaced_rows_reorder():
+    """decode_gif_rgb undoes the four-pass interlace: hand-build an
+    interlaced frame by storing rows in pass order and flipping the
+    descriptor's interlace bit; the decoded array must come back in
+    display order."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_pixels,
+        decode_gif_rgb,
+    )
+
+    h, w = 11, 5
+    display = _np.arange(h * w, dtype=_np.uint8).reshape(h, w) % 251
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    stream_rows = display[order]  # pass-ordered storage
+    payload = bytearray(
+        build_gif_pixels(w, h, bytes(stream_rows.reshape(-1)), gct_bits=8)
+    )
+    # image descriptor: 13 (header+LSD) + 768 (GCT) + 1 (',') + 8 bytes
+    # in; its packed byte is the 9th of the descriptor
+    at = 13 + 3 * 256 + 1 + 8
+    assert payload[at] == 0  # no local table, not interlaced yet
+    payload[at] = 0x40       # set the interlace flag
+    got = decode_gif_rgb(bytes(payload))
+    assert (got[..., 0] == display).all()
+
+
 def test_gif_tiff_pixel_extractors(spark):
     """The round-11 pixel extractors decode real payloads (strict) and
     route junk to the fake path; the closed-form mean holds end-to-end."""
