@@ -224,6 +224,92 @@ def test_vp8l_we_decode_libwebp_streams():
         assert (vp8l.decode_webp_lossless(buf) == ref).all(), img.shape
 
 
+def _single(w, sym):
+    w.write(1, 1)
+    w.write(0, 1)
+    if sym <= 1:
+        w.write(0, 1)
+        w.write(sym, 1)
+    else:
+        w.write(1, 1)
+        w.write(sym, 8)
+
+
+def _hand_stream_with_transform(ttype, cte_pixel, W_, H_, rng):
+    """Raw VP8L stream: one whole-image transform block whose element
+    pixel is ``cte_pixel`` (green = predictor mode for type 0; B/G/R =
+    the three cross-color deltas for type 1), then literal random
+    residuals — lets a test drive EVERY per-mode branch instead of the
+    subset libwebp's encoder happens to pick."""
+    import struct
+
+    w = vp8l._LsbWriter()
+    w.write(0x2F, 8)
+    w.write(W_ - 1, 14)
+    w.write(H_ - 1, 14)
+    w.write(0, 4)
+    w.write(1, 1)
+    w.write(ttype, 2)
+    w.write(7, 3)                    # size_bits 9 -> one 512-px block
+    w.write(0, 1)                    # sub-image: no color cache
+    a, r, g, b = ((cte_pixel >> s) & 0xFF for s in (24, 16, 8, 0))
+    _single(w, g)
+    _single(w, r)
+    _single(w, b)
+    _single(w, a)
+    _single(w, 0)                    # distance
+    w.write(0, 1)                    # end of transforms
+    w.write(0, 1)                    # no cache
+    w.write(0, 1)                    # no meta
+    planes = [rng.randint(0, 256, W_ * H_) for _ in range(4)]
+    codes = []
+    for plane, size in zip(planes, (280, 256, 256, 256)):
+        freqs = [0] * size
+        for v in plane:
+            freqs[v] += 1
+        lens = vp8l._huffman_lengths(freqs)
+        vp8l._write_prefix_code(w, lens, size)
+        if len(lens) == 1:
+            codes.append({next(iter(lens)): (0, 0)})
+        else:
+            codes.append(vp8l._canonical_codes(
+                [lens.get(i, 0) for i in range(size)]))
+    _single(w, 0)                    # distance code for the main image
+    for i in range(W_ * H_):
+        for plane, tbl in zip(planes, codes):
+            c, ln = tbl[int(plane[i])]
+            w.write_code(c, ln)
+    body = w.getvalue()
+    pad = b"\x00" if len(body) & 1 else b""
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body + pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+@needs_libwebp
+def test_vp8l_every_predictor_mode_vs_libwebp():
+    """libwebp's encoder only picks winning modes, so the roundtrip fuzz
+    cannot guarantee coverage of all 14 — drive each one explicitly
+    over random residuals and compare bit-exactly."""
+    rng = np.random.RandomState(77)
+    for mode in range(14):
+        p = _hand_stream_with_transform(0, mode << 8, 9, 7, rng)
+        assert (vp8l.decode_webp_lossless(p) == _lw_decode(p)).all(), mode
+
+
+@needs_libwebp
+def test_vp8l_cross_color_deltas_vs_libwebp():
+    """Random signed 3.5-fixed-point cross-color elements (green_to_red
+    in B, green_to_blue in G, red_to_blue in R) over random residuals —
+    pins the arithmetic-shift fixed-point semantics against libwebp."""
+    rng = np.random.RandomState(78)
+    for _ in range(12):
+        g2r, g2b, r2b = (int(v) for v in rng.randint(0, 256, 3))
+        cte = (0xFF << 24) | (r2b << 16) | (g2b << 8) | g2r
+        p = _hand_stream_with_transform(1, cte, 11, 5, rng)
+        assert (vp8l.decode_webp_lossless(p) == _lw_decode(p)).all(), (
+            g2r, g2b, r2b)
+
+
 @needs_libwebp
 def test_vp8l_distance_table_rederived():
     """Re-derive every (dx, dy) entry with single-back-reference probe
