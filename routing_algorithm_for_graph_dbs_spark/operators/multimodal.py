@@ -553,6 +553,7 @@ def audio_features(
         parse_flac_metadata,
     )
     from routing_algorithm_for_graph_dbs_spark.operators.mp3 import (
+        _post_id3_offset,
         is_adts,
         is_mp3,
         parse_adts_metadata,
@@ -609,19 +610,24 @@ def audio_features(
                     except DECODE_ERRORS:
                         if strict:
                             raise
-                elif is_flac(b):
+                elif is_flac(b) or (
+                    (_off := _post_id3_offset(b)) and is_flac(b[_off:])
+                ):
                     # REAL sample decode (round 11): Rice/fixed/LPC
                     # frames are pure integer arithmetic, so FLAC moved
-                    # OFF the perceptual-codec boundary. Frames that do
-                    # not decode fall back to the STREAMINFO walk —
-                    # still real metadata (the EXACT sample count; no
-                    # frame-walk estimate needed).
+                    # OFF the perceptual-codec boundary. A leading
+                    # ID3v2 tag (crawl FLACs carry them like MP3/AAC
+                    # do) is skipped before the sniff, same as the ADTS
+                    # route. Frames that do not decode fall back to the
+                    # STREAMINFO walk — still real metadata (the EXACT
+                    # sample count; no frame-walk estimate needed).
+                    bf = b if is_flac(b) else b[_off:]
                     try:
-                        decoded = decode_flac_samples(b)
+                        decoded = decode_flac_samples(bf)
                         decoded_tag = "flac"
                     except DECODE_ERRORS:
                         try:
-                            _p = parse_flac_metadata(b)
+                            _p = parse_flac_metadata(bf)
                             mp3_meta = (_p[0], _p[4], "flac-meta")
                         except DECODE_ERRORS:
                             if strict:
@@ -1418,6 +1424,9 @@ def flac_metadata(
         is_flac,
         parse_flac_metadata,
     )
+    from routing_algorithm_for_graph_dbs_spark.operators.mp3 import (
+        _post_id3_offset,
+    )
 
     spark = media.sparkSession
     spark.conf.set(
@@ -1433,6 +1442,12 @@ def flac_metadata(
                 try:
                     if is_flac(b):
                         parsed = parse_flac_metadata(b)
+                    else:
+                        # skip a leading ID3v2 tag before the sniff,
+                        # same as the ADTS route (round 11)
+                        off = _post_id3_offset(b)
+                        if off and is_flac(b[off:]):
+                            parsed = parse_flac_metadata(b[off:])
                 except (ValueError, IndexError, struct.error):
                     if strict:
                         raise

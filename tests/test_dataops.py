@@ -3586,6 +3586,41 @@ def test_flac_real_decode_in_audio_features(spark):
     assert got[2]["duration_ms"] == 3000 and got[2]["rms"] is None
 
 
+def test_id3_tagged_flac_routes_to_flac(spark):
+    """A leading ID3v2 tag must not hide a FLAC stream (round 11 —
+    same treatment the r10 fix gave ID3-tagged ADTS-AAC): both
+    audio_features (real sample decode) and flac_metadata (STREAMINFO
+    walk) skip the tag before sniffing."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        encode_flac_pcm,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+        flac_metadata,
+    )
+
+    sig = _np.full(64, 512, dtype=_np.int64)
+    sig[1::2] = -512
+    flac_bytes = encode_flac_pcm(sig[:, None], sample_rate=8000)
+    sz = 32
+    id3 = (b"ID3\x03\x00\x00"
+           + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+           + bytes(sz))
+    tagged = id3 + flac_bytes
+    media = spark.createDataFrame(
+        [(1, "audio", tagged, "audio/flac")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    af = audio_features(media, strict=True).collect()[0].asDict()
+    assert af["decoder"] == "flac" and af["duration_ms"] == 8
+    assert af["rms"] == round(512 / 32768, 6)
+    fm = flac_metadata(media, strict=True).collect()[0].asDict()
+    assert fm["parser"] == "flac" and fm["total_samples"] == 64
+
+
 def test_flac_opus_in_audio_features(spark):
     """FLAC and Ogg/Opus payloads in the audio pipeline get real
     duration/rate (decoder='flac-meta'/'opus-meta'); the strict

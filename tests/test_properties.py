@@ -567,3 +567,114 @@ def test_phash_deterministic_and_tolerant(spec):
     a, b = phash64(px), phash64(px.copy())
     assert a == b
     assert -(1 << 63) <= a < (1 << 63)
+
+
+flac_specs = st.tuples(
+    st.integers(min_value=1, max_value=400),        # frames
+    st.integers(min_value=1, max_value=3),          # channels
+    st.sampled_from([8, 16, 24]),                   # bits per sample
+    st.sampled_from([16, 192, 4096]),               # block size
+    st.sampled_from(["independent", "left_side", "right_side",
+                     "mid_side", "auto"]),
+    st.sampled_from([None, "verbatim", "lpc"]),
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+)
+
+
+@SET
+@given(spec=flac_specs)
+def test_flac_pcm_roundtrip_property(spec):
+    """Any signal shape, depth, blocking, stereo mode, and forced
+    subframe type must round-trip bit-exactly through the FLAC codec —
+    with the stream's own CRC-8/CRC-16/MD5 verification active."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        decode_flac_pcm,
+        encode_flac_pcm,
+    )
+
+    n, c, bps, bs, mode, force, seed = spec
+    if force == "lpc" and (n <= 2 or min(bs, n) <= 2 or n % bs in (1, 2)):
+        return  # LPC needs order-2 warmup in every frame
+    rng = np.random.RandomState(seed % 2**32)
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    kind = seed % 4
+    if kind == 0:
+        x = rng.randint(lo, hi + 1, (n, c))
+    elif kind == 1:
+        x = np.clip(rng.randint(-50, 51, (n, c)).cumsum(axis=0), lo, hi)
+    elif kind == 2:
+        x = np.full((n, c), rng.randint(lo, hi + 1))
+    else:  # spiky: drives Rice escape partitions
+        x = np.where(rng.randint(0, 30, (n, c)) == 0,
+                     rng.randint(lo, hi + 1, (n, c)), 1)
+    mode2 = mode if c == 2 else "auto"
+    p = encode_flac_pcm(x, bits_per_sample=bps, block_size=bs,
+                        stereo_mode=mode2, force_subframe=force)
+    got, rate, got_bps = decode_flac_pcm(p)
+    assert got_bps == bps and got.shape == (n, c)
+    assert (got == x).all()
+
+
+vp8l_specs = st.tuples(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([3, 4]),
+    st.integers(min_value=1, max_value=40),   # distinct-value richness
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+
+
+@SET
+@given(spec=vp8l_specs)
+def test_vp8l_roundtrip_property(spec):
+    """Any channel count, shape, and value richness must round-trip
+    bit-exactly through the VP8L literal encoder + full decoder."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8l import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    h, w, nc, nvals, seed = spec
+    rng = np.random.RandomState(seed % 2**32)
+    img = (rng.randint(0, nvals, (h, w, nc))
+           * max(1, 255 // max(1, nvals - 1))).astype(np.uint8)
+    got = decode_webp_lossless(encode_webp_lossless(img))
+    exp = (img if nc == 4 else
+           np.dstack([img, np.full((h, w), 255, np.uint8)]))
+    assert (got == exp).all()
+
+
+bmp_specs = st.tuples(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 4, 8]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+
+
+@SET
+@given(spec=bmp_specs)
+def test_bmp_indexed_roundtrip_property(spec):
+    """Any palette depth x RLE flag x shape must round-trip through the
+    indexed BMP codec (raw MSB/nibble packing, RLE escapes)."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_indexed,
+    )
+
+    h, w, bpp, rle, seed = spec
+    if rle and bpp == 1:
+        rle = False
+    rng = np.random.RandomState(seed % 2**32)
+    npal = 1 << bpp
+    pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+    idx = rng.randint(0, npal, (h, w))
+    p = encode_bmp_indexed(idx, pal, bpp=bpp, rle=rle)
+    assert (decode_bmp_pixels(p) == pal[idx]).all()
