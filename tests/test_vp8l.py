@@ -310,6 +310,134 @@ def test_vp8l_cross_color_deltas_vs_libwebp():
             g2r, g2b, r2b)
 
 
+def _write_entropy_literals(w, pixels):
+    """No-cache literal entropy image over uint32 ARGB pixels (the
+    sub-image body shared by the combo builder)."""
+    w.write(0, 1)  # no color cache
+    planes = [[(p >> 8) & 0xFF for p in pixels],
+              [(p >> 16) & 0xFF for p in pixels],
+              [p & 0xFF for p in pixels],
+              [(p >> 24) & 0xFF for p in pixels]]
+    codes = []
+    for plane, size in zip(planes, (280, 256, 256, 256)):
+        freqs = [0] * size
+        for v in plane:
+            freqs[v] += 1
+        lens = vp8l._huffman_lengths(freqs)
+        vp8l._write_prefix_code(w, lens, size)
+        if len(lens) == 1:
+            codes.append({next(iter(lens)): (0, 0)})
+        else:
+            codes.append(vp8l._canonical_codes(
+                [lens.get(i, 0) for i in range(size)]))
+    _single(w, 0)  # distance
+    for i in range(len(pixels)):
+        for plane, tbl in zip(planes, codes):
+            c, ln = tbl[plane[i]]
+            w.write_code(c, ln)
+
+
+def _hand_stream_with_combo(transform_specs, W_, H_, rng):
+    """Raw VP8L stream with an ARBITRARY transform list — spec-legal
+    combinations libwebp's encoder never emits (it picks at most
+    pred+xcolor or palette or subgreen), so only a hand build can pin
+    the decoder's inverse ORDERING and the packed-width bookkeeping."""
+    import struct
+
+    w = vp8l._LsbWriter()
+    w.write(0x2F, 8)
+    w.write(W_ - 1, 14)
+    w.write(H_ - 1, 14)
+    w.write(0, 4)
+    w_cur = W_
+    max_green = 256
+    for spec in transform_specs:
+        w.write(1, 1)
+        t = spec[0]
+        w.write(t, 2)
+        if t in (0, 1):
+            w.write(7, 3)  # 512-px blocks: one block per sub-image here
+            bw = (w_cur + 511) // 512
+            bh = (H_ + 511) // 512
+            _write_entropy_literals(w, [spec[1]] * (bw * bh))
+        elif t == 3:
+            n_colors = spec[1]
+            w.write(n_colors - 1, 8)
+            deltas = [int(x) for x in
+                      rng.randint(0, 2**32, n_colors, dtype=np.uint64)]
+            _write_entropy_literals(w, deltas)
+            if n_colors <= 2:
+                pb, max_green = 3, 256
+            elif n_colors <= 4:
+                pb, max_green = 2, 256
+            elif n_colors <= 16:
+                pb, max_green = 1, 256
+            else:
+                pb, max_green = 0, n_colors
+            if pb:
+                w_cur = (w_cur + (1 << pb) - 1) >> pb
+    w.write(0, 1)  # end of transforms
+    w.write(0, 1)  # no color cache (main image)
+    w.write(0, 1)  # no meta prefix image
+    n = w_cur * H_
+    pixels = [
+        (255 << 24)
+        | (int(rng.randint(0, 256)) << 16)
+        | (int(rng.randint(0, max_green)) << 8)
+        | int(rng.randint(0, 256))
+        for _ in range(n)
+    ]
+    planes = [[(p >> 8) & 0xFF for p in pixels],
+              [(p >> 16) & 0xFF for p in pixels],
+              [p & 0xFF for p in pixels],
+              [(p >> 24) & 0xFF for p in pixels]]
+    codes = []
+    for plane, size in zip(planes, (280, 256, 256, 256)):
+        freqs = [0] * size
+        for v in plane:
+            freqs[v] += 1
+        lens = vp8l._huffman_lengths(freqs)
+        vp8l._write_prefix_code(w, lens, size)
+        if len(lens) == 1:
+            codes.append({next(iter(lens)): (0, 0)})
+        else:
+            codes.append(vp8l._canonical_codes(
+                [lens.get(i, 0) for i in range(size)]))
+    _single(w, 0)
+    for i in range(n):
+        for plane, tbl in zip(planes, codes):
+            c, ln = tbl[plane[i]]
+            w.write_code(c, ln)
+    body = w.getvalue()
+    pad = b"\x00" if len(body) & 1 else b""
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body + pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+@needs_libwebp
+def test_vp8l_transform_combos_vs_libwebp():
+    """Spec-legal multi-transform combinations (incl. all-three chains
+    and palette packing under other transforms) decode bit-identically
+    to libwebp — pins inverse ordering and the per-transform effective
+    width, which the encoder-driven fuzz can never reach."""
+    rng = np.random.RandomState(99)
+    xcolor = (0xFF << 24) | (0x55 << 16) | (0xAA << 8) | 0x33
+    combos = [
+        [(2, None), (0, 11 << 8)],
+        [(0, 13 << 8), (2, None)],
+        [(2, None), (1, xcolor)],
+        [(0, 5 << 8), (1, (0xFF << 24) | (17 << 16) | (200 << 8) | 99),
+         (2, None)],
+        [(2, None), (3, 16)],
+        [(0, 7 << 8), (3, 4)],
+        [(1, (0xFF << 24) | (1 << 16) | (2 << 8) | 3), (3, 200)],
+        [(2, None), (0, 12 << 8), (3, 2)],
+    ]
+    for combo in combos:
+        p = _hand_stream_with_combo(combo, 21, 9, rng)
+        assert (vp8l.decode_webp_lossless(p) == _lw_decode(p)).all(), combo
+
+
 @needs_libwebp
 def test_vp8l_distance_table_rederived():
     """Re-derive every (dx, dy) entry with single-back-reference probe
