@@ -7503,3 +7503,43 @@ def mm_webp_pixels(spark, sf_dir):
         F.col("mean_luma").cast("double").alias("mean_luma"),
         "decoder",
     )
+
+
+@_register(
+    "mm_phash_crossformat",
+    """
+    SELECT doc_id AS media_id,
+           CAST(3 AS BIGINT) AS n_variants,
+           CAST(1 AS BIGINT) AS n_distinct_hashes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_phash_crossformat(spark, sf_dir):
+    """Cross-FORMAT perceptual dedup (round 11): the identical image is
+    minted into three different containers — palette BMP (raw/RLE8),
+    GIF (LZW), lossless WebP (VP8L) — and the REAL pHash computed
+    through three independent decode stacks must COLLIDE exactly
+    (count distinct = 1 per doc), which is precisely the property a
+    crawl dedup pipeline relies on: re-encoded copies of an image land
+    in the same bucket. A single wrong pixel in any of the three
+    decoders, or any drift in the gray/resize/DCT chain, splits the
+    hashes and breaks the oracle. Map-side hashing; the only shuffle
+    carries (media_id, 64-bit hash) — payload bytes never move."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        payload_phashes,
+        synth_crossformat_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_crossformat_media(docs))
+    return (
+        payload_phashes(media, strict=True)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("phash").alias("n_distinct_hashes"),
+        )
+    )

@@ -2439,6 +2439,92 @@ def synth_bmp_palette_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_crossformat_media(docs: DataFrame) -> DataFrame:
+    """THREE containers of the IDENTICAL image per doc — palette BMP
+    (raw or RLE8), GIF (LZW), and lossless WebP (VP8L) — carrying the
+    mm_gif_pixels row-gray pattern through gray-ramp palettes, so all
+    three decode to the same (H, W, 3) pixels and the REAL perceptual
+    hash must agree across formats (the cross-format dedup story: the
+    same crawl image stored under different containers lands in the
+    same pHash bucket). Three rows per doc: (media_id, fmt, payload)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_pixels,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8l import (
+        encode_webp_lossless,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (8 * (1 + F.col("doc_id") % 5)).cast("int").alias("w"),
+        (16 * (1 + F.col("doc_id") % 6)).cast("int").alias("h"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ramp = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in batches:
+            recs = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                mid, w, h = int(mid), int(w), int(h)
+                b = mid % 16
+                rows = np.array(
+                    [(b + 16 * (y % 16)) % 256 for y in range(h)],
+                    dtype=np.uint8,
+                )
+                idx = np.repeat(rows[:, None], w, axis=1)
+                gif = build_gif_pixels(w, h, bytes(idx.reshape(-1)),
+                                       gct_bits=8)
+                bmp = encode_bmp_indexed(idx, ramp, bpp=8, rle=mid % 2 == 0)
+                rgb = ramp[idx]
+                webp = encode_webp_lossless(rgb)
+                recs += [
+                    (mid, "gif", gif, "image/gif"),
+                    (mid, "bmp", bmp, "image/bmp"),
+                    (mid, "webp", webp, "image/webp"),
+                ]
+            yield pd.DataFrame(
+                recs, columns=["media_id", "fmt", "payload", "mime"]
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build,
+        schema="media_id long, fmt string, payload binary, mime string",
+    )
+
+
+def payload_phashes(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """(media_id, phash) over signature-sniffed REAL pixel decode
+    (BMP/JPEG/PNG/GIF/lossless-WebP — ``operators/phash.py
+    sniff_decode``); undecodable payloads hash to null (dropped by
+    filter downstream) or raise under ``strict=True``. The per-payload
+    building block ``phash_near_dup_pairs`` pairs on; exposed for
+    queries that aggregate hashes directly (cross-format dedup)."""
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from routing_algorithm_for_graph_dbs_spark.operators.phash import (
+            payload_phash,
+        )
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = payload_phash(bytes(payload), strict=strict)
+                recs.append((int(mid), h))
+            yield pd.DataFrame(recs, columns=["media_id", "phash"])
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return media.select("media_id", "payload").mapInPandas(
+        hashes, schema="media_id long, phash long"
+    )
+
+
 def synth_webp_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL WebP containers from the documents table: per
     doc, a lossy, lossless, or extended-animated file (selector
@@ -2697,7 +2783,8 @@ def phash_near_dup_pairs(
     """Perceptual-hash near-duplicate pairs over media payloads —
     multimodal dedup's analogue of text SimHash.
 
-    Payloads carrying a real image signature (BMP/baseline JPEG/PNG) get
+    Payloads carrying a real image signature (BMP / baseline JPEG /
+    PNG / GIF / WebP — the last two decode for real since round 11) get
     the REAL DCT perceptual hash over decoded pixels
     (``operators/phash.py``: gray -> bilinear 32x32 -> 2-D DCT-II ->
     8x8 low-frequency block thresholded at the non-DC median). Other
@@ -2727,6 +2814,12 @@ def phash_near_dup_pairs(
         )
         | (F.substring("payload", 1, 2) == F.lit(b"\xff\xd8"))
         | (F.substring("payload", 1, 8) == F.lit(bytes(PNG_SIGNATURE)))
+        | (F.substring("payload", 1, 6) == F.lit(b"GIF87a"))
+        | (F.substring("payload", 1, 6) == F.lit(b"GIF89a"))
+        | (
+            (F.substring("payload", 1, 4) == F.lit(b"RIFF"))
+            & (F.substring("payload", 9, 4) == F.lit(b"WEBP"))
+        )
     )
 
     def hash_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
