@@ -41,6 +41,7 @@ _DRIVER_WINDOW = [
     "mm_bmp_palette",
     "mm_webp_pixels",
     "mm_phash_crossformat",
+    "mm_gif_frames",
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",
@@ -99,13 +100,12 @@ _DRIVER_WINDOW = [
     "txt_sentence_dedup",
     "emb_quantize",
     "emb_random_proj",
-    "er_fuzzy_name_pairs",
     "apx_mergeable_sketches",
 ]
 # ROUND-12 ROTATION NOTE: lead with any query whose implementation
 # changes during r11 after its driver row, then finish the r7-stale
 # cycle (pack_shards_grouped, graph_random_walks, apx_top_k_types,
-# apx_join_overlap,
+# apx_join_overlap, er_fuzzy_name_pairs,
 # st_hopping_window, st_interval_join, st_interval_join_left,
 # st_enriched_counts, asof_next_view, dq_snapshot_diff, smp_replicate
 # — they ceded their r11 slots to the mm_*_pixels / mm_flac_pcm /

@@ -7543,3 +7543,73 @@ def mm_phash_crossformat(spark, sf_dir):
             F.countDistinct("phash").alias("n_distinct_hashes"),
         )
     )
+
+
+@_register(
+    "mm_gif_frames",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             doc_id % 16 + 120 AS m0,
+             40 + doc_id % 180 AS v1,
+             30 + doc_id % 200 AS v2,
+             doc_id % 256 AS bg,
+             doc_id % 2 = 1 AS disposed,
+             100 * (1 + doc_id % 9) AS delay_ms
+      FROM documents WHERE doc_id % 3 = 1
+    ), fr AS (
+      SELECT img.*, f.f AS frame_index,
+             -- composited gray per frame: quarters of the 32x32 canvas,
+             -- every covered 16-row band of the base pattern sums to a
+             -- full gray cycle, so each mean is an exact k/4
+             CASE f.f
+               WHEN 0 THEN 4.0 * m0
+               WHEN 1 THEN 3.0 * m0 + v1
+               ELSE CASE WHEN disposed THEN 2.0 * m0 + bg + v2
+                         ELSE 2.0 * m0 + v1 + v2 END
+             END / 4 AS gray
+      FROM img, (SELECT unnest(generate_series(0, 2)) AS f) AS f(f)
+    )
+    SELECT media_id,
+           CAST(frame_index AS INTEGER) AS frame_index,
+           CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           -- identical Rec.601 double on both engines; k/1020-scale
+           -- values sit >= ~1/102 of a 6th-decimal step from any tie
+           FLOOR((0.299 * gray + 0.587 * gray + 0.114 * gray) / 255
+                 * 1e6 + 0.5) / 1e6 AS mean_luma,
+           CAST(delay_ms AS BIGINT) AS delay_ms,
+           'gif' AS parser
+    FROM fr
+    """,
+)
+def mm_gif_frames(spark, sf_dir):
+    """REAL animated-GIF frame extraction (round 11): synth_gif_anim_media
+    mints three-frame animations — full-canvas row-gray base (interlaced
+    on odd docs), two constant sub-rectangle overlays, KEEP vs
+    RESTORE-TO-BACKGROUND disposal split by doc parity, per-frame GCE
+    delays — and gif_frame_samples LZW-decodes AND composites every
+    frame per the GIF89a spec (strict=True), the REAL execution half of
+    the frame-sampling story that frame_sample_plan plans metadata-only
+    for other containers. The oracle states each composited frame's
+    mean, size, and delay in closed form; an LZW, interlace-reorder,
+    sub-rectangle placement, disposal, or background-color bug shifts a
+    quarter-canvas term and breaks the hash."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        gif_frame_samples,
+        synth_gif_anim_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = spread_for_compute(synth_gif_anim_media(docs))
+    return gif_frame_samples(media, strict=True).select(
+        "media_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+        F.col("delay_ms").cast("long").alias("delay_ms"),
+        "parser",
+    )

@@ -11,11 +11,11 @@ then a block stream — ``0x21`` extensions (label + length-prefixed
 data sub-blocks), ``0x2C`` image descriptors (9-byte geometry +
 optional Local Color Table + LZW minimum code size + data sub-blocks),
 ``0x3B`` trailer. Every variable-length region is length-prefixed, so
-the walk hops image data by size and never inflates it: LZW pixel
-DECODE stays the honest boundary, exactly like the JPEG arithmetic /
-audio-sample boundaries (parse-not-decode split per ``operators/
-mp3.py``; reference boundary analog main.py:1 — the reference delegates
-media handling entirely).
+the METADATA walk hops image data by size without inflating it; pixel
+decode is ALSO real here (round 11, below): LZW is a pure table-driven
+algorithm, and :func:`decode_gif_frames` composites full animations
+(disposal methods, transparency, interlace). (Reference boundary
+analog main.py:1 — the reference delegates media handling entirely.)
 
 ``parse_gif_metadata`` walks EVERY block to the trailer, counting
 frames (image descriptors) and summing Graphic Control Extension
@@ -68,7 +68,8 @@ def parse_gif_metadata(payload: bytes):
     spec stores it unconditionally). ``duration_ms`` sums every Graphic
     Control Extension's centisecond delay times 10 — 0 for a still GIF
     with no GCE. Image data sub-blocks are hopped by length, never LZW-
-    decoded — the pixel-decode boundary."""
+    decoded — the metadata walk stays O(container); pixel decode lives
+    in :func:`decode_gif_rgb` / :func:`decode_gif_frames`."""
     if not is_gif(payload):
         raise ValueError("not a GIF (missing 'GIF8' signature)")
     version = payload[3:6].decode("ascii", "strict")
@@ -435,13 +436,194 @@ def decode_gif_rgb(payload: bytes):
     idx, table, fw, fh, interlaced = decode_gif_frame(payload)
     arr = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
     if interlaced:
-        order = (
-            list(range(0, fh, 8)) + list(range(4, fh, 8))
-            + list(range(2, fh, 4)) + list(range(1, fh, 2))
-        )
         out = np.empty_like(arr)
-        out[order] = arr
+        out[_interlace_order(fh)] = arr
         arr = out
     pal = np.frombuffer(table, dtype=np.uint8)
     pal = pal.reshape(len(pal) // 3, 3)
     return pal[arr]
+
+
+def _interlace_order(height: int):
+    """Row storage order of the spec's four interlace passes."""
+    return (list(range(0, height, 8)) + list(range(4, height, 8))
+            + list(range(2, height, 4)) + list(range(1, height, 2)))
+
+
+def build_gif_animation(
+    width: int,
+    height: int,
+    frames,
+    gct_bits: int = 8,
+    bg_index: int = 0,
+) -> bytes:
+    """Mint a REAL multi-frame GIF89a animation over the gray-ramp
+    global palette: each frame is a dict with ``indices`` (row-major
+    palette bytes), optional ``left/top/fw/fh`` sub-rectangle (defaults
+    full canvas), ``delay_cs``, ``disposal`` (0 none, 1 keep, 2
+    restore-to-background, 3 restore-to-previous), ``transparent`` (a
+    palette index or None), and ``interlace``. Every frame gets a
+    Graphic Control Extension carrying disposal/delay/transparency; the
+    image data is the real LZW encoding (interlaced frames store rows
+    in the four-pass order). The decode twin is
+    :func:`decode_gif_frames`."""
+    n = 1 << gct_bits
+    mcs = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", width, height, 0xF0 | (gct_bits - 1), bg_index, 0
+    )
+    out += bytes(v for i in range(n) for v in (i * 255 // (n - 1),) * 3)
+    for f in frames:
+        left, top = f.get("left", 0), f.get("top", 0)
+        fw, fh = f.get("fw", width), f.get("fh", height)
+        idx = f["indices"]
+        if len(idx) != fw * fh:
+            raise ValueError("frame indices must be fw*fh bytes")
+        if max(idx) >= n:
+            raise ValueError("frame index outside the palette")
+        if left + fw > width or top + fh > height:
+            raise ValueError("frame rectangle outside the canvas")
+        transparent = f.get("transparent")
+        packed = (f.get("disposal", 0) & 0x7) << 2
+        if transparent is not None:
+            packed |= 0x01
+        out += bytes([_EXTENSION, _GCE_LABEL, 4, packed])
+        out += struct.pack("<H", f.get("delay_cs", 0))
+        out += bytes([transparent or 0, 0])
+        interlace = bool(f.get("interlace"))
+        out += bytes([_IMAGE]) + struct.pack(
+            "<HHHHB", left, top, fw, fh, 0x40 if interlace else 0
+        )
+        if interlace:
+            import numpy as _np
+
+            arr = _np.frombuffer(bytes(idx), dtype=_np.uint8).reshape(fh, fw)
+            idx = bytes(arr[_interlace_order(fh)].reshape(-1))
+        out += bytes([mcs]) + _subblocks(lzw_encode(mcs, bytes(idx)))
+    out += bytes([_TRAILER])
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes, max_frames: int = None):
+    """REAL animated-GIF decode with spec composition: every frame's
+    sub-rectangle is LZW-decoded (interlaced rows reordered), palette-
+    mapped through its local-else-global table, composited onto the
+    canvas honoring the Graphic Control Extension's transparency index
+    and disposal method (1/0 keep, 2 restore region to the background
+    color, 3 restore region to the pre-frame canvas). The canvas starts
+    as the background palette color (black without a global table).
+
+    Returns ``(frames, delays_ms)``: a list of (H, W, 3) uint8 RGB
+    canvases in display order — the REAL execution half of the frame-
+    sampling story that ``frame_sample_plan`` plans metadata-only for
+    other containers — and each frame's GCE delay. Raises on structural
+    or LZW errors."""
+    import numpy as np
+
+    if not is_gif(payload):
+        raise ValueError("not a GIF (missing 'GIF8' signature)")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before Logical Screen Descriptor")
+    width, height, packed, bg_index, _aspect = struct.unpack_from(
+        "<HHBBB", payload, 6
+    )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+        if pos > len(payload):
+            raise ValueError("GIF Global Color Table runs past payload")
+    if gct is not None and 3 * bg_index + 3 <= len(gct):
+        bg_rgb = tuple(gct[3 * bg_index:3 * bg_index + 3])
+    else:
+        bg_rgb = (0, 0, 0)
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    frames = []
+    delays = []
+    gce = None  # (disposal, delay_cs, transparent_idx)
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF block stream truncated (no trailer)")
+        introducer = payload[pos]
+        pos += 1
+        if introducer == _TRAILER:
+            break
+        if introducer == _EXTENSION:
+            if pos >= len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            if label == _GCE_LABEL and pos + 5 <= len(payload) \
+                    and payload[pos] == 4:
+                flags = payload[pos + 1]
+                delay_cs = struct.unpack_from("<H", payload, pos + 2)[0]
+                tr = payload[pos + 4] if flags & 0x01 else None
+                gce = ((flags >> 2) & 0x7, delay_cs, tr)
+            pos = _skip_subblocks(payload, pos)
+            continue
+        if introducer != _IMAGE:
+            raise ValueError(
+                f"unknown GIF block introducer 0x{introducer:02X}"
+            )
+        if pos + 9 > len(payload):
+            raise ValueError("GIF Image Descriptor truncated")
+        left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if left + fw > width or top + fh > height:
+            raise ValueError("GIF frame rectangle outside the canvas")
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF frame has neither local nor global palette")
+        if pos >= len(payload):
+            raise ValueError("GIF image data truncated")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("GIF sub-block chain truncated")
+            nblk = payload[pos]
+            pos += 1
+            if nblk == 0:
+                break
+            chunks.append(payload[pos:pos + nblk])
+            pos += nblk
+        idx = lzw_decode(mcs, b"".join(chunks), fw * fh)
+        if max(idx, default=0) * 3 >= len(table):
+            raise ValueError("GIF pixel index outside the palette")
+        arr = np.frombuffer(idx, dtype=np.uint8).reshape(fh, fw)
+        if ipacked & 0x40:
+            out = np.empty_like(arr)
+            out[_interlace_order(fh)] = arr
+            arr = out
+        pal = np.frombuffer(table, dtype=np.uint8)
+        pal = pal.reshape(len(pal) // 3, 3)
+        disposal, delay_cs, transparent = gce if gce else (0, 0, None)
+        saved = canvas[top:top + fh, left:left + fw].copy() \
+            if disposal == 3 else None
+        region = canvas[top:top + fh, left:left + fw]
+        if transparent is None:
+            region[:] = pal[arr]
+        else:
+            opaque = arr != transparent
+            region[opaque] = pal[arr[opaque]]
+        frames.append(canvas.copy())
+        delays.append(delay_cs * 10)
+        if disposal == 2:
+            canvas[top:top + fh, left:left + fw] = bg_rgb
+        elif disposal == 3:
+            canvas[top:top + fh, left:left + fw] = saved
+        gce = None
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("GIF carries no image frame")
+    return frames, delays

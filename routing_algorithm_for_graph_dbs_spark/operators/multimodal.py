@@ -2439,6 +2439,173 @@ def synth_bmp_palette_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
+    """Deterministic animated GIFs with REAL multi-frame LZW payloads
+    (round 11): per doc, a 32x32 canvas and three frames whose
+    COMPOSITED means are closed-form —
+
+    - frame 0: the full-canvas row-gray pattern (interlaced on odd
+      docs), mean exactly ``b + 120`` with ``b = doc_id % 16``;
+    - frame 1: a 16x16 rectangle at (0, 0) of constant ``v1 = 40 +
+      doc_id % 180`` — composited mean ``(3*(b+120) + v1) / 4`` (any 16
+      consecutive base rows sum to a full gray cycle); disposal is KEEP
+      on even docs and RESTORE-TO-BACKGROUND on odd docs;
+    - frame 2: a 16x16 rectangle at (16, 16) of constant ``v2 = 30 +
+      doc_id % 200``: kept frame-1 gives mean ``(2*(b+120)+v1+v2)/4``;
+      disposed frame-1 reverts its quarter to the background gray
+      ``bg = doc_id % 256`` first, giving ``(2*(b+120)+bg+v2)/4``.
+
+    All denominators are powers of two and all numerators integers, so
+    every mean is an exact double and the oracle states it in closed
+    form without running LZW or the compositor. Per-frame delays are
+    ``10 * (1 + doc_id % 9)`` cs."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_animation,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                b = mid % 16
+                rows = np.array(
+                    [(b + 16 * (y % 16)) % 256 for y in range(32)],
+                    dtype=np.uint8,
+                )
+                base_idx = np.repeat(rows[:, None], 32, axis=1)
+                v1 = 40 + mid % 180
+                v2 = 30 + mid % 200
+                disposal1 = 2 if mid % 2 == 1 else 1
+                frames = [
+                    {
+                        "indices": bytes(base_idx.reshape(-1)),
+                        "delay_cs": 10 * (1 + mid % 9),
+                        "disposal": 1,
+                        "interlace": mid % 2 == 1,
+                    },
+                    {
+                        "left": 0, "top": 0, "fw": 16, "fh": 16,
+                        "indices": bytes([v1] * 256),
+                        "delay_cs": 10 * (1 + mid % 9),
+                        "disposal": disposal1,
+                    },
+                    {
+                        "left": 16, "top": 16, "fw": 16, "fh": 16,
+                        "indices": bytes([v2] * 256),
+                        "delay_cs": 10 * (1 + mid % 9),
+                        "disposal": 0,
+                    },
+                ]
+                payloads.append(
+                    build_gif_animation(
+                        32, 32, frames, gct_bits=8, bg_index=mid % 256
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/gif",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def gif_frame_samples(
+    media: DataFrame, strict: bool = False, batch_size: int = 64,
+    max_frames: int = None,
+) -> DataFrame:
+    """REAL animated-GIF frame extraction (round 11): each payload's
+    frames are LZW-decoded AND composited per the GIF89a spec
+    (disposal methods, transparency, interlace, sub-rectangles —
+    ``operators/gif.py decode_gif_frames``), yielding one row per
+    frame with the composited canvas's mean luma and the GCE delay —
+    the REAL execution half of the frame-sampling story that
+    ``frame_sample_plan`` plans metadata-only for other containers.
+    Non-GIF payloads take the deterministic sha256 fake (3 frames), or
+    raise under ``strict=True``. Map-side; only per-frame scalars leave
+    the stage."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        decode_gif_frames,
+        is_gif,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                decoded = None
+                try:
+                    if is_gif(b):
+                        decoded = decode_gif_frames(b, max_frames=max_frames)
+                except DECODE_ERRORS:
+                    if strict:
+                        raise
+                    decoded = None
+                if decoded is not None:
+                    frames, delays = decoded
+                    for fi, (canvas, delay) in enumerate(
+                        zip(frames, delays)
+                    ):
+                        h, w = canvas.shape[:2]
+                        rr, gg, bb = (
+                            canvas[..., i].astype(np.float64)
+                            for i in range(3)
+                        )
+                        luma = round(float(
+                            (0.299 * rr + 0.587 * gg + 0.114 * bb).mean()
+                            / 255.0
+                        ), 6)
+                        rows.append(
+                            (int(mid), fi, int(w), int(h), luma,
+                             int(delay), "gif")
+                        )
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "real frame extraction needs a GIF89a stream"
+                            " — other video containers need a codec"
+                            " library, not in this container"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    for fi in range(3):
+                        rows.append(
+                            (int(mid), fi, 16 * (1 + d[0] % 40),
+                             16 * (1 + d[1] % 30),
+                             round(d[2 + fi] / 255.0, 6),
+                             10 * d[5], "fake")
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_index", "width", "height",
+                         "mean_luma", "delay_ms", "parser"],
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=(
+            "media_id long, frame_index int, width int, height int,"
+            " mean_luma double, delay_ms long, parser string"
+        ),
+    )
+
+
 def synth_crossformat_media(docs: DataFrame) -> DataFrame:
     """THREE containers of the IDENTICAL image per doc — palette BMP
     (raw or RLE8), GIF (LZW), and lossless WebP (VP8L) — carrying the

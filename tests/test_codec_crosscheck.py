@@ -216,6 +216,65 @@ def test_giflib_decodes_our_lzw():
                 os.unlink(fn)
 
 
+@pytest.mark.skipif(_GIF is None, reason="giflib not available")
+def test_giflib_decodes_our_animations():
+    """giflib must recover every frame's raster and geometry from our
+    animation builder, including sub-rectangles and an interlaced frame
+    — DGifSlurp DEINTERLACES (returns display order), so an interlaced
+    frame coming back equal to the original pixels confirms our
+    four-pass storage order against the reference implementation."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_animation,
+    )
+
+    _GIF.DGifOpenFileName.restype = ctypes.POINTER(_GifFileType)
+    _GIF.DGifOpenFileName.argtypes = [ctypes.c_char_p,
+                                      ctypes.POINTER(ctypes.c_int)]
+    _GIF.DGifSlurp.argtypes = [ctypes.POINTER(_GifFileType)]
+    _GIF.DGifCloseFile.argtypes = [ctypes.POINTER(_GifFileType),
+                                   ctypes.POINTER(ctypes.c_int)]
+
+    rng = np.random.RandomState(13)
+    base = rng.randint(0, 256, (10, 8)).astype(np.uint8)
+    inter = rng.randint(0, 256, (10, 8)).astype(np.uint8)
+    rect = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    frames = [
+        {"indices": bytes(base.reshape(-1)), "delay_cs": 4, "disposal": 1},
+        {"indices": bytes(inter.reshape(-1)), "interlace": True},
+        {"left": 2, "top": 5, "fw": 3, "fh": 4,
+         "indices": bytes(rect.reshape(-1)), "disposal": 2},
+    ]
+    payload = build_gif_animation(8, 10, frames, bg_index=3)
+    fn = tempfile.mktemp(suffix=".gif")
+    try:
+        with open(fn, "wb") as f:
+            f.write(payload)
+        err = ctypes.c_int(0)
+        gf = _GIF.DGifOpenFileName(fn.encode(), ctypes.byref(err))
+        assert gf, err.value
+        assert _GIF.DGifSlurp(gf) == 1, gf.contents.Error
+        g = gf.contents
+        assert g.ImageCount == 3
+        expected = [
+            (0, 0, 8, 10, False, base),
+            (0, 0, 8, 10, True, inter),  # giflib hands back display order
+            (2, 5, 3, 4, False, rect),
+        ]
+        for i, (l, t, w, h, il, px) in enumerate(expected):
+            si = g.SavedImages[i]
+            d = si.ImageDesc
+            assert (d.Left, d.Top, d.Width, d.Height) == (l, t, w, h)
+            assert bool(d.Interlace) == il
+            raster = bytes(ctypes.cast(
+                si.RasterBits, ctypes.POINTER(ctypes.c_ubyte * (w * h))
+            ).contents)
+            assert raster == bytes(px.reshape(-1)), i
+        _GIF.DGifCloseFile(gf, ctypes.byref(err))
+    finally:
+        if os.path.exists(fn):
+            os.unlink(fn)
+
+
 @pytest.mark.skipif(_TIFF is None, reason="libtiff not available")
 def test_libtiff_reads_our_strips():
     """libtiff scanline reads must match our grayscale strips — raw and

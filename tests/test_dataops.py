@@ -4648,6 +4648,93 @@ def test_gif_interlaced_rows_reorder():
     assert (got[..., 0] == display).all()
 
 
+def test_gif_animation_composition():
+    """Hand-computed composition semantics on a 4x2 canvas: sub-
+    rectangle placement, transparency holes, and all three disposal
+    behaviors (keep / restore-to-background / restore-to-previous)."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_animation,
+        decode_gif_frames,
+    )
+
+    f0 = {"indices": bytes([10] * 8), "delay_cs": 5, "disposal": 1}
+    f1 = {"left": 2, "top": 0, "fw": 2, "fh": 2, "indices": bytes([20] * 4),
+          "delay_cs": 3, "disposal": 2}
+    f2 = {"indices": bytes([30, 7, 30, 7, 7, 30, 7, 30]), "transparent": 7,
+          "disposal": 0}
+    p = build_gif_animation(4, 2, [f0, f1, f2], bg_index=5)
+    frames, delays = decode_gif_frames(p)
+    g = [f[..., 0] for f in frames]  # identity gray ramp at 8 bits
+    assert delays == [50, 30, 0]
+    assert (g[0] == 10).all()
+    assert (g[1] == _np.array([[10, 10, 20, 20]] * 2)).all()
+    # disposal 2 restored f1's rect to bg=5 before the transparent
+    # checkerboard of f2 (7 is the hole)
+    assert (g[2] == _np.array([[30, 10, 30, 5], [10, 30, 5, 30]])).all()
+
+    # disposal 3: f1's rect restored to the PRE-f1 canvas (all 10s)
+    p3 = build_gif_animation(4, 2, [f0, dict(f1, disposal=3), f2],
+                             bg_index=5)
+    frames3, _ = decode_gif_frames(p3)
+    assert (frames3[2][..., 0]
+            == _np.array([[30, 10, 30, 10], [10, 30, 10, 30]])).all()
+
+    # max_frames stops early
+    assert len(decode_gif_frames(p, max_frames=2)[0]) == 2
+
+    # interlaced frame inside an animation comes back in display order
+    h, w = 9, 3
+    disp = (_np.arange(h * w, dtype=_np.uint8).reshape(h, w) * 7) % 251
+    pa = build_gif_animation(
+        w, h, [{"indices": bytes(disp.reshape(-1)), "interlace": True}]
+    )
+    fr, _ = decode_gif_frames(pa)
+    assert (fr[0][..., 0] == disp).all()
+
+    # structural guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside the canvas"):
+        build_gif_animation(4, 2, [dict(f1, left=3)])
+    with _pytest.raises(ValueError, match="no image frame"):
+        decode_gif_frames(b"GIF89a" + bytes([4, 0, 2, 0, 0, 0, 0, 0x3B]))
+
+
+def test_gif_frame_samples_extractor(spark):
+    """Spark-level: strict frame extraction over synth animations plus
+    the fake path for non-GIF payloads."""
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_animation,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        gif_frame_samples,
+    )
+
+    anim = build_gif_animation(
+        4, 2, [{"indices": bytes([10] * 8), "delay_cs": 2}], bg_index=0
+    )
+    media = spark.createDataFrame(
+        [(1, anim, "image/gif"), (2, b"not a gif", "image/gif")],
+        "media_id long, payload binary, mime string",
+    )
+    got = gif_frame_samples(media).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["media_id"], []).append(r.asDict())
+    assert len(by[1]) == 1 and by[1][0]["parser"] == "gif"
+    assert by[1][0]["delay_ms"] == 20
+    assert by[1][0]["mean_luma"] == round(
+        (0.299 * 10 + 0.587 * 10 + 0.114 * 10) / 255, 6
+    )
+    assert len(by[2]) == 3 and all(r["parser"] == "fake" for r in by[2])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        gif_frame_samples(media, strict=True).collect()
+
+
 def test_gif_tiff_pixel_extractors(spark):
     """The round-11 pixel extractors decode real payloads (strict) and
     route junk to the fake path; the closed-form mean holds end-to-end."""

@@ -25,6 +25,7 @@ NEVER_CHECKED = [
     "mm_bmp_palette",
     "mm_webp_pixels",
     "mm_phash_crossformat",
+    "mm_gif_frames",
     "mm_gif_metadata",
     "mm_tiff_metadata",
     "mm_webp_metadata",
