@@ -332,6 +332,19 @@ _BPS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
 _BPS_BY_CODE = {v: k for k, v in _BPS_CODES.items()}
 
 
+def _pcm_le_bytes(flat, bps: int) -> bytes:
+    """Interleaved samples -> little-endian two's-complement bytes, the
+    stream the STREAMINFO MD5 is defined over (RFC 9639 section 8.2) —
+    shared by encode (hashing the input) and decode (verifying the
+    output), so the two sides cannot drift."""
+    width = bps // 8
+    u = np.asarray(flat, dtype=np.int64) & ((1 << bps) - 1)
+    le = np.zeros((u.size, width), dtype=np.uint8)
+    for i in range(width):
+        le[:, i] = (u >> (8 * i)) & 0xFF
+    return le.tobytes()
+
+
 def _zigzag(v: int) -> int:
     return (v << 1) if v >= 0 else ((-v << 1) - 1)
 
@@ -379,6 +392,12 @@ def _write_residual(w: _BitWriter, residual, order: int, blocksize: int):
         folded = [_zigzag(int(v)) for v in vals]
         p, rice_cost = _best_rice_param(folded)
         raw_w = _signed_width(vals)
+        if raw_w > 31:
+            # the escape width field is 5 bits; residuals this wide
+            # (32-bit samples under a differencing predictor) must be
+            # caught upstream by the verbatim fallback (self-review)
+            raise ValueError("residual width exceeds the 5-bit escape"
+                             " field — use a verbatim subframe")
         if 5 + raw_w * count < rice_cost:
             w.write(0xF, 4)          # escape marker
             w.write(raw_w, 5)
@@ -475,6 +494,12 @@ def _encode_subframe(w: _BitWriter, samples, bps: int, force: str = None):
         cost = int(np.abs(res).sum())
         if cost < best_cost:
             best_order, best_res, best_cost = order, res, cost
+    if _signed_width(best_res.tolist()) > 31:
+        # 32-bit samples can difference past the 5-bit escape field's
+        # reach (and make Rice quotients explode) — real encoders fall
+        # back to verbatim here too (self-review round 11)
+        _encode_subframe(w, samples, bps, force="verbatim")
+        return
     w.write(0, 1)
     w.write(8 | best_order, 6)   # type 001xxx, fixed order xxx
     w.write(0, 1)
@@ -606,14 +631,8 @@ def encode_flac_pcm(samples, sample_rate: int = 48000,
         raise ValueError("sample rate must fit STREAMINFO's 20 bits")
 
     md5 = hashlib.md5()
-    width = bits_per_sample // 8
     if n_frames:
-        flat = arr.reshape(-1)
-        le = np.zeros((flat.size, width), dtype=np.uint8)
-        u = flat.astype(np.int64) & ((1 << bits_per_sample) - 1)
-        for i in range(width):
-            le[:, i] = (u >> (8 * i)) & 0xFF
-        md5.update(le.tobytes())
+        md5.update(_pcm_le_bytes(arr.reshape(-1), bits_per_sample))
 
     frames = bytearray()
     min_fs = max_fs = None
@@ -801,12 +820,9 @@ def decode_flac_pcm(payload: bytes):
         raise ValueError("trailing bytes after the final FLAC frame")
     samples = np.asarray(out, dtype=np.int64).T.reshape(n_done, n_channels)
     if md5_expect and md5_expect != b"\x00" * 16 and bps % 8 == 0:
-        width = bps // 8
-        u = samples.reshape(-1).astype(np.int64) & ((1 << bps) - 1)
-        le = np.zeros((u.size, width), dtype=np.uint8)
-        for i in range(width):
-            le[:, i] = (u >> (8 * i)) & 0xFF
-        if hashlib.md5(le.tobytes()).digest() != md5_expect:
+        if hashlib.md5(
+            _pcm_le_bytes(samples.reshape(-1), bps)
+        ).digest() != md5_expect:
             raise ValueError("FLAC MD5 mismatch: decoded PCM differs from"
                              " the encoded audio")
     return samples, sample_rate, bps

@@ -174,13 +174,7 @@ def _bmp_decode_rle(data: bytes, width: int, n_rows: int, bpp: int):
             if y >= n_rows or x + k > width:
                 raise ValueError("BMP RLE absolute run overflows the bitmap")
             raw = np.frombuffer(data, np.uint8, count=nbytes, offset=pos)
-            if bpp == 8:
-                idx[y, x:x + k] = raw[:k]
-            else:
-                nib = np.repeat(raw, 2)
-                nib[0::2] >>= 4
-                nib[1::2] &= 0x0F
-                idx[y, x:x + k] = nib[:k]
+            idx[y, x:x + k] = _bmp_unpack_indexed_row(raw.copy(), k, bpp)
             x += k
             pos += nbytes
     return idx[::-1]  # bottom-up -> top-down
@@ -199,10 +193,15 @@ def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
     clr_used = struct.unpack_from("<I", payload, 46)[0]
-    if info_size != 40:
+    if info_size not in (40, 52, 56, 64, 108, 124):
+        # BITMAPINFOHEADER and its supersets (V2/V3/V4/V5) share the
+        # first 40 bytes' field layout, so they all decode; only the
+        # 12-byte BITMAPCOREHEADER (different field widths) stays out.
+        # (The round-11 self-review caught a 40-only check regressing
+        # V4/V5 files the pre-palette code handled via data_off.)
         raise NotImplementedError(
-            f"BMP info header size {info_size} (core/V4/V5) needs a real"
-            " image lib — only BITMAPINFOHEADER is decoded here"
+            f"BMP info header size {info_size} (BITMAPCOREHEADER /"
+            " unknown) needs a real image lib"
         )
     ok = (
         (bpp in (24, 32) and compression == 0)

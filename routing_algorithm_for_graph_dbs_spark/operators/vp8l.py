@@ -272,17 +272,35 @@ def _huffman_lengths(freqs, max_len: int = _MAX_CODE_LENGTH):
         merged = a + b
         heapq.heappush(heap, (fa + fb, id(merged), merged))
     if max(lengths.values()) > max_len:
-        # clamp and repair the Kraft sum by deepening the shallowest
-        # repairable leaves (JPEG Annex K style adjustment)
+        # Clamp, then repair the Kraft sum to EXACTLY 2^max_len (a full
+        # canonical code). Phase 1 deepens the deepest repairable
+        # leaves (smallest step first); one step may overshoot below
+        # the target, so phase 2 promotes max-depth leaves back up —
+        # each promotion of an l=max leaf adds exactly 1 unit, so the
+        # deficit always closes. (The previous one-phase repair could
+        # stop with Kraft < 1 and emit streams every decoder rejects —
+        # caught by the round-11 self-review on Fibonacci-skewed
+        # frequencies.)
+        limit = 1 << max_len
         for s in lengths:
             lengths[s] = min(lengths[s], max_len)
         kraft = sum(1 << (max_len - ln) for ln in lengths.values())
-        order = sorted(lengths, key=lambda s: (lengths[s], s))
-        while kraft > (1 << max_len):
-            for s in reversed(order):
-                if lengths[s] < max_len:
-                    kraft -= 1 << (max_len - lengths[s] - 1)
-                    lengths[s] += 1
+        while kraft > limit:
+            deepest = max(
+                (s for s in lengths if lengths[s] < max_len),
+                key=lambda s: (lengths[s], -s),
+                default=None,
+            )
+            if deepest is None:
+                raise ValueError("cannot repair code lengths")
+            kraft -= 1 << (max_len - lengths[deepest] - 1)
+            lengths[deepest] += 1
+        while kraft < limit:
+            for s in sorted(lengths, key=lambda s: (-lengths[s], s)):
+                gain = 1 << (max_len - lengths[s])
+                if lengths[s] > 1 and kraft + gain <= limit:
+                    kraft += gain
+                    lengths[s] -= 1
                     break
             else:
                 raise ValueError("cannot repair code lengths")
@@ -316,6 +334,12 @@ def _write_prefix_code(w: _LsbWriter, lengths_by_sym, alphabet_size: int):
     for i in range(19):
         w.write(clc_lengths.get(_CLC_ORDER[i], 0), 3)
     w.write(0, 1)                          # no max_symbol limit
+    if len(clc_lengths) == 1:
+        # a single-symbol code-length code transmits ZERO bits per
+        # symbol (the decoder's single-symbol fast path never reads) —
+        # happens when every alphabet slot shares one length, e.g. a
+        # plane with all 256 values equally frequent (self-review)
+        return
     clc_codes = _canonical_codes(
         [clc_lengths.get(s, 0) for s in range(19)]
     )

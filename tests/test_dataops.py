@@ -3468,6 +3468,67 @@ def test_flac_pcm_roundtrip_matrix():
         assert meta[3] == arr.shape[0]
 
 
+def test_flac_pcm_32bit_roundtrip():
+    """Round-11 self-review regression: full-range 32-bit samples
+    difference past the 5-bit escape field's reach — the encoder must
+    fall back to verbatim subframes, not truncate the width."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        decode_flac_pcm,
+        encode_flac_pcm,
+    )
+
+    rng = _np.random.RandomState(3)
+    x = rng.randint(-2**31, 2**31 - 1, (64, 2)).astype(_np.int64)
+    p = encode_flac_pcm(x, bits_per_sample=32)
+    got, _, bps = decode_flac_pcm(p)
+    assert bps == 32 and (got == x).all()
+    # mid/side with a 33-bit side channel round-trips too
+    p2 = encode_flac_pcm(x, bits_per_sample=32, stereo_mode="mid_side")
+    assert (decode_flac_pcm(p2)[0] == x).all()
+    # the forced-LPC path cannot fall back: it must raise loudly
+    with _pytest.raises(ValueError, match="verbatim"):
+        encode_flac_pcm(x, bits_per_sample=32, force_subframe="lpc")
+
+
+def test_bmp_v4_v5_headers_decode():
+    """Round-11 self-review regression: V4/V5 (108/124-byte) info
+    headers share BITMAPINFOHEADER's first-40-byte layout and must keep
+    decoding (they did before the palette widening); only the 12-byte
+    core header stays on the boundary."""
+    import struct as _struct
+
+    import numpy as _np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        decode_bmp_pixels,
+    )
+
+    rng = _np.random.RandomState(4)
+    px = rng.randint(0, 256, (3, 2, 3)).astype(_np.uint8)
+    for info_size in (40, 108, 124):
+        h, w = px.shape[:2]
+        row_bytes = (w * 3 + 3) & ~3
+        body = _np.zeros((h, row_bytes), dtype=_np.uint8)
+        body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+        data = body.tobytes()
+        off = 14 + info_size
+        hdr = _struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+        info = _struct.pack(
+            "<IiiHHIIiiII", info_size, w, h, 1, 24, 0, len(data),
+            0, 0, 0, 0,
+        ) + b"\x00" * (info_size - 40)
+        assert (decode_bmp_pixels(hdr + info + data) == px).all(), info_size
+    # core header still raises
+    hdr = _struct.pack("<2sIHHI", b"BM", 26, 0, 0, 26)
+    with _pytest.raises(NotImplementedError, match="BITMAPCOREHEADER"):
+        decode_bmp_pixels(hdr + _struct.pack("<IHHHH", 12, 2, 2, 1, 24)
+                          + b"\x00" * 44)
+
+
 def test_flac_pcm_verification_is_loud():
     """Every integrity layer raises on tampering: header CRC-8, frame
     CRC-16, and — with the CRC repaired — the STREAMINFO MD5."""

@@ -572,7 +572,7 @@ def test_phash_deterministic_and_tolerant(spec):
 flac_specs = st.tuples(
     st.integers(min_value=1, max_value=400),        # frames
     st.integers(min_value=1, max_value=3),          # channels
-    st.sampled_from([8, 16, 24]),                   # bits per sample
+    st.sampled_from([8, 16, 24, 32]),               # bits per sample
     st.sampled_from([16, 192, 4096]),               # block size
     st.sampled_from(["independent", "left_side", "right_side",
                      "mid_side", "auto"]),
@@ -597,6 +597,8 @@ def test_flac_pcm_roundtrip_property(spec):
     n, c, bps, bs, mode, force, seed = spec
     if force == "lpc" and (n <= 2 or min(bs, n) <= 2 or n % bs in (1, 2)):
         return  # LPC needs order-2 warmup in every frame
+    if force == "lpc" and bps == 32:
+        return  # 32-bit residuals can exceed the escape field (raises)
     rng = np.random.RandomState(seed % 2**32)
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     kind = seed % 4

@@ -96,6 +96,60 @@ def test_vp8l_self_roundtrip():
         assert (dec == exp).all()
 
 
+def test_vp8l_encoder_pathological_alphabets():
+    """Round-11 self-review regressions: (a) depth-limited Huffman must
+    repair Kraft to EXACTLY 1 (Fibonacci-skewed frequencies drove the
+    old one-phase repair below 1 — undecodable streams); (b) a plane
+    whose 256 values are all equally frequent yields a single-symbol
+    code-length code, which transmits ZERO bits per symbol."""
+    vals = []
+    a, b, v = 1, 1, 0
+    while len(vals) < 3000:
+        vals.extend([v % 256] * a)
+        a, b = b, a + b
+        v += 1
+    img = np.zeros((50, 60, 4), np.uint8)
+    img[..., 3] = 255
+    img[..., 1].reshape(-1)[:3000] = vals[:3000]
+    p = vp8l.encode_webp_lossless(img)
+    assert (vp8l.decode_webp_lossless(p) == img).all()
+
+    img2 = np.zeros((16, 16, 4), np.uint8)
+    img2[..., 3] = 255
+    img2[..., 0].reshape(-1)[:] = np.arange(256)
+    p2 = vp8l.encode_webp_lossless(img2)
+    assert (vp8l.decode_webp_lossless(p2) == img2).all()
+
+    # Kraft exactness across random skew profiles
+    rng = np.random.RandomState(0)
+    for _ in range(100):
+        n = rng.randint(2, 300)
+        freqs = [0] * 300
+        for s in range(n):
+            freqs[s] = int(2 ** rng.uniform(0, 30))
+        lens = vp8l._huffman_lengths(freqs)
+        if len(lens) > 1:
+            assert sum(1 << (15 - ln) for ln in lens.values()) == 1 << 15
+
+
+@needs_libwebp
+def test_vp8l_pathological_alphabets_vs_libwebp():
+    vals = []
+    a, b, v = 1, 1, 0
+    while len(vals) < 3000:
+        vals.extend([v % 256] * a)
+        a, b = b, a + b
+        v += 1
+    img = np.zeros((50, 60, 4), np.uint8)
+    img[..., 3] = 255
+    img[..., 1].reshape(-1)[:3000] = vals[:3000]
+    assert (_lw_decode(vp8l.encode_webp_lossless(img)) == img).all()
+    img2 = np.zeros((16, 16, 4), np.uint8)
+    img2[..., 3] = 255
+    img2[..., 0].reshape(-1)[:] = np.arange(256)
+    assert (_lw_decode(vp8l.encode_webp_lossless(img2)) == img2).all()
+
+
 def test_vp8l_golden_bits():
     """Hand-derivable golden: a 1x1 constant pixel stream is exactly the
     header (8+14+14+1+3 bits) + 3 zero flag bits + five simple
