@@ -1826,8 +1826,9 @@ def gif_metadata(
     walk (``operators/gif.py``, parser='gif') — version, canvas
     dimensions, Global Color Table size, frame count, and the exact
     animation duration from summed Graphic Control Extension delays
-    (image data sub-blocks are hopped by length — LZW pixel decode
-    stays the honest boundary). Non-GIF payloads take the deterministic
+    (image data sub-blocks are hopped by length here; pixel decode is
+    REAL in gif_pixel_features / gif_frame_samples since round 11).
+    Non-GIF payloads take the deterministic
     sha256 fake, or raise under ``strict=True``. Map-side only."""
     from routing_algorithm_for_graph_dbs_spark.operators.gif import (
         is_gif,
@@ -1961,7 +1962,9 @@ def tiff_metadata(
     parser='tiff') in either byte order — dimensions, bit depth,
     compression and photometric tags from the first IFD, page count
     from the chain (strip PIXEL data is referenced by offset and never
-    read — raster decode stays the honest boundary). Non-TIFF payloads
+    read here; raw/PackBits raster decode is REAL in
+    tiff_pixel_features since round 11 — LZW/JPEG strips stay the
+    boundary). Non-TIFF payloads
     take the deterministic sha256 fake, or raise under ``strict=True``.
     Map-side only."""
     from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
@@ -2749,8 +2752,9 @@ def webp_metadata(
     parser='webp') — flavor from the VP8/VP8L/VP8X chunk, dimensions
     from the 14-bit frame fields or the 24-bit VP8X canvas, the alpha
     feature bit, ANMF frame count and the exact animation duration
-    (entropy-coded pixel regions are hopped by chunk size — decode
-    stays the honest boundary). Non-WebP payloads take the
+    (entropy-coded pixel regions are hopped by chunk size here;
+    LOSSLESS VP8L pixel decode is REAL via operators/vp8l.py since
+    round 11 — lossy VP8 stays the boundary). Non-WebP payloads take the
     deterministic sha256 fake, or raise under ``strict=True``.
     Map-side only."""
     from routing_algorithm_for_graph_dbs_spark.operators.webp import (
