@@ -7287,8 +7287,14 @@ def mm_gif_pixels(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_gif_pixel_media(docs))
+    # spread the INPUT docs: the per-doc codec ENCODE in the synth is
+    # the CPU-heavy half, and a small parquet arrives as one scan split
+    # (round-11 profile: minting ran serially while 31 cores idled);
+    # the synth and the extractor then inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_gif_pixel_media(docs)
     return gif_pixel_features(media, strict=True).select(
         "media_id",
         "width",
@@ -7326,8 +7332,14 @@ def mm_tiff_pixels(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_tiff_pixel_media(docs))
+    # spread the INPUT docs: the per-doc codec ENCODE in the synth is
+    # the CPU-heavy half, and a small parquet arrives as one scan split
+    # (round-11 profile: minting ran serially while 31 cores idled);
+    # the synth and the extractor then inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_tiff_pixel_media(docs)
     return tiff_pixel_features(media, strict=True).select(
         "media_id",
         "width",
@@ -7389,8 +7401,14 @@ def mm_flac_pcm(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_flac_pcm_media(docs))
+    # spread the INPUT docs: the per-doc codec ENCODE in the synth is
+    # the CPU-heavy half, and a small parquet arrives as one scan split
+    # (round-11 profile: minting ran serially while 31 cores idled);
+    # the synth and the extractor then inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_flac_pcm_media(docs)
     return audio_features(media, strict=True).select(
         "media_id",
         "rms",
@@ -7442,8 +7460,14 @@ def mm_bmp_palette(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_bmp_palette_media(docs))
+    # spread the INPUT docs: the per-doc codec ENCODE in the synth is
+    # the CPU-heavy half, and a small parquet arrives as one scan split
+    # (round-11 profile: minting ran serially while 31 cores idled);
+    # the synth and the extractor then inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_bmp_palette_media(docs)
     return image_features(media, strict=True).select(
         "media_id",
         F.col("width").cast("int").alias("width"),
@@ -7494,8 +7518,14 @@ def mm_webp_pixels(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_webp_pixel_media(docs))
+    # spread the INPUT docs: the per-doc codec ENCODE in the synth is
+    # the CPU-heavy half, and a small parquet arrives as one scan split
+    # (round-11 profile: minting ran serially while 31 cores idled);
+    # the synth and the extractor then inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_webp_pixel_media(docs)
     return image_features(media, strict=True).select(
         "media_id",
         F.col("width").cast("int").alias("width"),
@@ -7533,8 +7563,14 @@ def mm_phash_crossformat(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_crossformat_media(docs))
+    # spread the INPUT docs: the per-doc codec ENCODE in the synth is
+    # the CPU-heavy half, and a small parquet arrives as one scan split
+    # (round-11 profile: minting ran serially while 31 cores idled);
+    # the synth and the extractor then inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_crossformat_media(docs)
     return (
         payload_phashes(media, strict=True)
         .groupBy("media_id")
@@ -7602,8 +7638,14 @@ def mm_gif_frames(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_gif_anim_media(docs))
+    # spread the INPUT docs: the per-doc codec ENCODE in the synth is
+    # the CPU-heavy half, and a small parquet arrives as one scan split
+    # (round-11 profile: minting ran serially while 31 cores idled);
+    # the synth and the extractor then inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_gif_anim_media(docs)
     return gif_frame_samples(media, strict=True).select(
         "media_id",
         F.col("frame_index").cast("int").alias("frame_index"),
