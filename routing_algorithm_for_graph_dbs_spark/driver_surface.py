@@ -6353,8 +6353,13 @@ def mm_wav_roundtrip(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_wav_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_wav_media(docs)
     return audio_features(media).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -6403,8 +6408,13 @@ def mm_png_roundtrip(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = spread_for_compute(synth_png_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    media = synth_png_media(docs)
     return image_features(media, strict=True).select(
         "media_id",
         F.col("width").cast("long").alias("width"),
@@ -6467,8 +6477,13 @@ def mm_resize_roundtrip(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = spread_for_compute(synth_png_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    media = synth_png_media(docs)
     resized = resize_images(media, max_dim=4, strict=True).withColumn(
         "mime", F.lit("image/png")
     )
@@ -6520,8 +6535,13 @@ def mm_wav_spectral(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_wav_tones(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_wav_tones(docs)
     return audio_features(media).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -6580,8 +6600,13 @@ def mm_jpeg_roundtrip(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    media = spread_for_compute(synth_jpeg_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    media = synth_jpeg_media(docs)
     return image_features(media, strict=True).select(
         "media_id",
         F.col("width").cast("long").alias("width"),
@@ -6629,8 +6654,13 @@ def mm_mp4_metadata(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_mp4_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_mp4_media(docs)
     return video_metadata(media, strict=True).select(
         "media_id",
         "brand",
@@ -6703,8 +6733,13 @@ def mm_mp3_metadata(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_mp3_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_mp3_media(docs)
     return mp3_metadata(media, strict=True).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -6763,8 +6798,13 @@ def mm_g711_roundtrip(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_g711_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_g711_media(docs)
     return audio_features(media, strict=True).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -6823,8 +6863,13 @@ def mm_aac_metadata(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_aac_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_aac_media(docs)
     return aac_metadata(media, strict=True).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -6888,8 +6933,13 @@ def mm_flac_metadata(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_flac_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_flac_media(docs)
     return flac_metadata(media, strict=True).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -6949,8 +6999,13 @@ def mm_opus_metadata(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_opus_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_opus_media(docs)
     return opus_metadata(media, strict=True).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -7018,8 +7073,13 @@ def mm_webm_metadata(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_webm_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_webm_media(docs)
     return webm_metadata(media, strict=True).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -7094,8 +7154,13 @@ def mm_gif_metadata(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_gif_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_gif_media(docs)
     return gif_metadata(media, strict=True).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -7162,8 +7227,13 @@ def mm_tiff_metadata(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_tiff_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_tiff_media(docs)
     return tiff_metadata(media, strict=True).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
@@ -7238,8 +7308,13 @@ def mm_webp_metadata(spark, sf_dir):
         spread_for_compute,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    media = spread_for_compute(synth_webp_media(docs))
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    # (round 11); synth + extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_webp_media(docs)
     return webp_metadata(media, strict=True).select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),
