@@ -103,8 +103,13 @@ _DRIVER_WINDOW = [
     "apx_mergeable_sketches",
 ]
 # ROUND-12 ROTATION NOTE: lead with any query whose implementation
-# changes during r11 after its driver row, then finish the r7-stale
-# cycle (pack_shards_grouped, graph_random_walks, apx_top_k_types,
+# changes during r11 after its driver row — NOTE the late-r11
+# partitioning-only rewire (input-docs spread) touched all 22 media
+# queries; the ones with driver rows r10-or-older that are NOT in this
+# window (mm_png_roundtrip, mm_resize_roundtrip, mm_jpeg_roundtrip,
+# mm_mp3/mp4/aac/flac/opus metadata) are r12 re-run candidates even
+# though results are row-identical (both sf mirrors re-validated them
+# post-change) — then finish the r7-stale cycle (pack_shards_grouped, graph_random_walks, apx_top_k_types,
 # apx_join_overlap, er_fuzzy_name_pairs,
 # st_hopping_window, st_interval_join, st_interval_join_left,
 # st_enriched_counts, asof_next_view, dq_snapshot_diff, smp_replicate
