@@ -22,105 +22,91 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
-# order. The window ROTATES each round (round-5 verdict demand). Round 11
-# (VERDICT r10 item 4): lead with the queries NEW this round, re-run every
-# query whose implementation changed since its last driver row, then the
-# registry's genuinely stalest rows in last-checked order — recomputed
-# from the CORRECTNESS_r*.json artifacts themselves this round, which
-# surfaced rows even staler than the verdict's r7-cycle note:
-# mm_frame_plan (last row r1) and the r4/r5 similarity/text blocks.
+# order. The window ROTATES each round (round-5 verdict demand). Round 12
+# (VERDICT r11 item 1a): lead with the query NEW this round
+# (mm_bmp_bitfields — the masked-BMP widening), re-run every query whose
+# implementation changed since its last driver row, then the 8 media rows
+# rewired by the late-r11 input-docs spread whose driver rows are
+# r10-or-older, then the registry's genuinely stalest rows in
+# last-checked order — recomputed from the CORRECTNESS_r*.json artifacts
+# (the whole r7 block, the r8 remainder, and the two stalest r9 rows).
 # The remaining registry stays covered by tools/check_oracles.py
 # (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: NEW this round — GIF block walk, TIFF IFD
-    #    chains (both byte orders), WebP RIFF/VP8/VP8L/VP8X walk, the
-    #    REAL pixel decodes (GIF LZW inflate; TIFF raw/PackBits strips),
-    #    and the REAL FLAC sample decode (Rice/fixed/LPC frames,
-    #    CRC-8/16 + MD5 verified — RFC 9639)
-    "mm_flac_pcm",
-    "mm_bmp_palette",
-    "mm_webp_pixels",
-    "mm_phash_crossformat",
-    "mm_gif_frames",
-    "mm_gif_metadata",
-    "mm_tiff_metadata",
-    "mm_webp_metadata",
-    "mm_gif_pixels",
-    "mm_tiff_pixels",
+    # -- never-driver-checked: NEW this round — 16-bit RGB555 /
+    #    BI_BITFIELDS masked-BMP decode (round 12)
+    "mm_bmp_bitfields",
     # -- re-runs: implementation changed since their last driver row.
-    #    knn_ivf_join: r11 zero-norm filter in both kNN tiers (ADVICE).
-    #    mm_webm_metadata: r11 unknown-size non-Segment raise in the
-    #    EBML walk (ADVICE). The four audio_features rows: the r11 FLAC
-    #    real-decode routing touched the extractor's shared dispatch.
-    #    mm_phash_neardup: the r11 palette/RLE widening rewrote
-    #    decode_bmp_pixels, phash's image entry.
-    "knn_ivf_join",
-    "mm_webm_metadata",
+    #    mm_tiff_pixels: TIFF LZW strips (+ predictor 2) moved off the
+    #    boundary; the synth now cycles raw/PackBits/LZW/LZW+diff.
+    #    mm_audio_features: strict=True now PROPAGATES FLAC frame-decode
+    #    errors instead of downgrading to flac-meta (ADVICE r11).
+    #    mm_bmp_palette: decode_bmp grew the masked-mode branch and the
+    #    image_features strict message changed (ADVICE r11).
+    "mm_tiff_pixels",
     "mm_audio_features",
-    "mm_wav_roundtrip",
-    "mm_wav_spectral",
-    "mm_g711_roundtrip",
-    "mm_phash_neardup",
-    # -- stalest rows, last-checked order (artifact-derived):
-    #    mm_frame_plan's only driver row is r1
-    "mm_frame_plan",
-    # -- the r4 block (last rows r4, in their r4 order)
-    "p6_radius_batch",
-    "f4_haversine",
-    "jlo_left_outer",
-    "a4_argmax_ties",
-    "dd_minhash_sig",
-    "emb_norms",
-    "dd_jaccard_pairs",
-    "txt_winnow",
-    # -- the r5 block (last rows r5, in their r5 order)
-    "sim_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_pairs",
-    "txt_token_counts",
-    "txt_language_id",
-    "txt_quality",
-    "txt_fingerprint",
-    "txt_repetition",
-    # -- the r7-window stale cycle, continued where r10 left off
-    #    (ft_percent_rank ceded its r10 slot to mm_webm_metadata), in
-    #    CORRECTNESS_r07.json order
-    "ft_percent_rank",
-    "ft_winsorize",
-    "txt_tfidf_top3",
-    "txt_pmi_pairs",
-    "txt_top_ngrams",
-    "txt_corpus_stats",
-    "txt_url_domains",
-    "txt_source_kl",
-    "txt_unigram_logprob",
-    "txt_bigram_logprob",
-    "txt_chunks",
-    "txt_scrub",
-    "txt_sentence_dedup",
-    "emb_quantize",
-    "emb_random_proj",
-    "apx_mergeable_sketches",
+    "mm_bmp_palette",
+    # -- the 8 media rows rewired by the late-r11 input-docs spread
+    #    whose driver rows are r10-or-older (rotation note carried from
+    #    r11; both sf mirrors re-validated them post-change)
+    "mm_png_roundtrip",
+    "mm_resize_roundtrip",
+    "mm_jpeg_roundtrip",
+    "mm_mp3_metadata",
+    "mm_mp4_metadata",
+    "mm_aac_metadata",
+    "mm_flac_metadata",
+    "mm_opus_metadata",
+    # -- the whole r7-stale block (last driver rows r7), in
+    #    CORRECTNESS_r07 order
+    "er_fuzzy_name_pairs",
+    "apx_join_overlap",
+    "apx_top_k_types",
+    "st_hopping_window",
+    "st_interval_join",
+    "st_interval_join_left",
+    "st_enriched_counts",
+    "asof_next_view",
+    "dq_snapshot_diff",
+    "smp_replicate",
+    "pack_shards_grouped",
+    "graph_random_walks",
+    "idx_postings",
+    "hist_snapshot_asof",
+    "upd_apply_cdc",
+    "hist_scd2",
+    "ts_interpolate",
+    "ts_ewma",
+    "dd_simhash",
+    # -- the r8 remainder (last rows r8, not already above), in
+    #    CORRECTNESS_r08 order
+    "ev_mad_outliers",
+    "mm_image_features",
+    "mm_media_stats",
+    "mm_resize_plan",
+    "graph_components",
+    "graph_degree_metrics",
+    "graph_betweenness",
+    "st_tumbling_window",
+    "st_watermark_dedup",
+    "st_sessionization",
+    "asof_last_view",
+    "rng_followup_events",
+    "dd_exact_dedup",
+    "dd_lsh_candidates",
+    "dd_decontaminate",
+    "smp_mixture",
+    "pack_shards",
+    # -- the two stalest r9 rows (CORRECTNESS_r09 order) fill the window
+    "apx_sketches",
+    "graph_bfs_hops",
 ]
-# ROUND-12 ROTATION NOTE: lead with any query whose implementation
-# changes during r11 after its driver row — NOTE the late-r11
-# partitioning-only rewire (input-docs spread) touched all 22 media
-# queries; the ones with driver rows r10-or-older that are NOT in this
-# window (mm_png_roundtrip, mm_resize_roundtrip, mm_jpeg_roundtrip,
-# mm_mp3/mp4/aac/flac/opus metadata) are r12 re-run candidates even
-# though results are row-identical (both sf mirrors re-validated them
-# post-change) — then finish the r7-stale cycle (pack_shards_grouped, graph_random_walks, apx_top_k_types,
-# apx_join_overlap, er_fuzzy_name_pairs,
-# st_hopping_window, st_interval_join, st_interval_join_left,
-# st_enriched_counts, asof_next_view, dq_snapshot_diff, smp_replicate
-# — they ceded their r11 slots to the mm_*_pixels / mm_flac_pcm /
-# mm_bmp_palette / mm_webp_pixels / audio_features+phash re-run rows
-# — then
-# idx_postings, hist_snapshot_asof, upd_apply_cdc, hist_scd2,
-# ts_interpolate, ts_ewma, dd_simhash), then the r8-window rows not
-# re-checked since, then the r9 window (recompute staleness from the
-# CORRECTNESS_r*.json artifacts as r11 did — the note can go stale,
-# the artifacts cannot).
+# ROUND-13 ROTATION NOTE: lead with any query whose implementation
+# changes during r12 after its driver row, then continue the stale
+# cycle with the r9 rows not covered here (graph_pagerank, graph_ppr,
+# graph_triangles, ... in CORRECTNESS_r09 order) and the r10 block.
+# Recompute staleness from the CORRECTNESS_r*.json artifacts as r11/r12
+# did — the note can go stale, the artifacts cannot.
 
 
 def _ordered() -> list[str]:
@@ -137,7 +123,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
-    training-data-pipeline surface), §2-complete within the first 50."""
+    training-data-pipeline surface). The first 50 form the rotating
+    driver window (new + changed + stalest rows each round); §2
+    coverage is carried by prior driver rows and the full-registry
+    local mirrors (CORRECTNESS_local_r{N}.json at sf0.01 and sf1.0)."""
     return {k: QUERIES[k] for k in _ordered()}
 
 

@@ -21,6 +21,14 @@ default 300 s) before starting, and records the load gate outcome plus
 the full per-query run spread in the artifact, so a contaminated run is
 self-documenting instead of silently banked.
 
+Contamination forensics (round 12, VERDICT r11 #2): the start-of-run
+load gate proved insufficient — the official r11 record inflated
+uniformly ~1.2-4.4x with an idle gate pass, because the box got busy
+MID-run and nothing in the artifact could adjudicate it. Every record
+now carries load_at_end plus the average EXTERNAL cores (box busy
+jiffies minus our own process tree, from /proc/stat) over the whole run
+and per query, so a contaminated record convicts itself.
+
 Durable memory (round 11, VERDICT r10 #1): every invocation APPENDS its
 full record to BENCH_local_r{N}.json (committed alongside the
 CORRECTNESS_local mirrors), and the regression floor reads those records
@@ -311,6 +319,60 @@ def _persist_local(out: dict, here: str) -> str:
     return path
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """One contamination-forensics sample: (box_busy_jiffies,
+    our_tree_jiffies). Box busy comes from /proc/stat's first line
+    (everything but idle+iowait, summed over cores); "ours" sums
+    utime+stime of this process and every live descendant (the Spark
+    JVM and its Python workers). The difference between two samples,
+    divided by elapsed ticks, is the average number of cores EXTERNAL
+    processes burned during the window — the self-convicting number
+    the r11 official record lacked (VERDICT r11 #2: all three j1
+    passes ran 4.3s vs the 0.99s floor and nothing in the artifact
+    could say whether the box or the code was at fault). Caveat:
+    short-lived exited descendants' CPU is not reattributed (the JVM
+    holds ~all of it, so the error is small)."""
+    import glob
+
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    procs: dict[int, tuple[int, int]] = {}
+    for st in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            data = open(st).read()
+        except OSError:
+            continue  # raced a process exit
+        try:
+            rp = data.rindex(")")
+            pid_i = int(data[: data.index(" ")])
+            fields = data[rp + 2 :].split()
+            # after pid+comm+state: ppid is overall field 4, utime 14
+            procs[pid_i] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+        except (ValueError, IndexError):
+            continue
+    ours = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid_i, (ppid, _) in procs.items():
+            if ppid in ours and pid_i not in ours:
+                ours.add(pid_i)
+                grew = True
+    return busy, sum(cpu for pid_i, (_, cpu) in procs.items() if pid_i in ours)
+
+
+def _external_cores(before: tuple[int, int], after: tuple[int, int],
+                    wall_s: float) -> float:
+    """Average cores burned by processes OUTSIDE our tree between two
+    :func:`_cpu_sample` readings."""
+    if wall_s <= 0:
+        return 0.0
+    hz = os.sysconf("SC_CLK_TCK")
+    ext = max(0, (after[0] - before[0]) - (after[1] - before[1]))
+    return round(ext / (wall_s * hz), 2)
+
+
 def _settle_gate() -> dict:
     """Block until the box is idle enough to measure: 1-min load avg
     below $SPARK_GRAFT_MAX_LOAD (default 0.2), polling up to
@@ -346,6 +408,9 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     spread: dict[str, list[float]] = {}
+    ext_cores: dict[str, float] = {}
+    run_cpu0 = _cpu_sample()
+    run_t0 = time.perf_counter()
 
     def timed(name: str, fn) -> float:
         """Warmup once, then MIN of n_runs timed passes. Single-pass
@@ -354,13 +419,21 @@ def main() -> None:
         capability number and is what the per-round floor comparison
         needs (r4's six "regressions" were all single-pass noise,
         judge-confirmed). Every pass is recorded in the artifact's
-        ``spread`` field — a wide spread flags box contamination."""
+        ``spread`` field, and the avg EXTERNAL cores burned across the
+        query's timed window lands in ``external_cores`` (round 12 —
+        the r11 official record's uniform inflation had no in-artifact
+        arbiter; now a contaminated record convicts itself)."""
         _materialize(fn())  # warmup
+        cpu0 = _cpu_sample()
+        t0_all = time.perf_counter()
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             _materialize(fn())
             runs.append(round(time.perf_counter() - t0, 3))
+        ext_cores[name] = _external_cores(
+            cpu0, _cpu_sample(), time.perf_counter() - t0_all
+        )
         spread[name] = runs
         return min(runs)
 
@@ -395,6 +468,15 @@ def main() -> None:
         "sf_dir": sf_dir,
         "ts": int(time.time()),
         "load_gate": load_gate,
+        # contamination forensics (round 12, VERDICT r11 #2): load avg
+        # sampled again at run END, plus the avg external cores over the
+        # whole run and per query — a record inflated by a busy box now
+        # carries the conviction inside itself
+        "load_at_end": round(os.getloadavg()[0], 3),
+        "external_cores_run": _external_cores(
+            run_cpu0, _cpu_sample(), time.perf_counter() - run_t0
+        ),
+        "external_cores": ext_cores,
         "runs_per_query": n_runs,
         "spread": spread,
         "config_epochs": CONFIG_EPOCHS,
@@ -429,7 +511,11 @@ def main() -> None:
     # cut mid-line, parsed=null), so the printed line is the SLIM record —
     # per-run spread and per-query floor provenance live in the durable
     # local artifact above, which is also what _load_floor reads
-    slim = {k: v for k, v in out.items() if k not in ("spread", "floor_source")}
+    slim = {
+        k: v
+        for k, v in out.items()
+        if k not in ("spread", "floor_source", "external_cores")
+    }
     print(json.dumps(slim, separators=(",", ":")))
 
 

@@ -7391,14 +7391,16 @@ def mm_gif_pixels(spark, sf_dir):
     """,
 )
 def mm_tiff_pixels(spark, sf_dir):
-    """REAL-decoder cross-engine check, TIFF strip half (round 11): raw
-    (compression 1, even docs) and PackBits (32773, odd docs) grayscale
-    strips in BOTH byte orders inflate for real
-    (tiff_pixel_features strict=True) and the decoded mean luma must hit
-    the same closed form as mm_gif_pixels — one pattern, two container
-    codecs, cross-checked against each other and the oracle. LZW/JPEG-
-    in-TIFF strips remain the declared boundary (decode_tiff_gray
-    raises on them)."""
+    """REAL-decoder cross-engine check, TIFF strip half (rounds 11-12):
+    grayscale strips cycling all four strip codecs by doc — raw,
+    PackBits, LZW, LZW + horizontal-differencing predictor (TIFF 6.0
+    §13/§14, early-change rule pinned empirically against libtiff) —
+    in BOTH byte orders inflate for real (tiff_pixel_features
+    strict=True) and the decoded mean luma must hit the same closed
+    form as mm_gif_pixels — one pattern, two container codecs,
+    cross-checked against each other and the oracle. JPEG/Deflate-in-
+    TIFF strips remain the declared entropy-coded boundary
+    (decode_tiff_gray raises on them)."""
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
         synth_tiff_pixel_media,
         tiff_pixel_features,
@@ -7543,6 +7545,72 @@ def mm_bmp_palette(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     )
     media = synth_bmp_palette_media(docs)
+    return image_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+        "decoder",
+    )
+
+
+@_register(
+    "mm_bmp_bitfields",
+    """
+    WITH img AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 2 THEN 1023 ELSE 31 END AS top_r,
+             CASE WHEN doc_id % 4 = 1 THEN 63
+                  WHEN doc_id % 4 = 2 THEN 1023 ELSE 31 END AS top_g,
+             CASE WHEN doc_id % 4 = 2 THEN 1023 ELSE 31 END AS top_b
+      FROM documents WHERE doc_id % 3 = 2
+    ), chan AS (
+      -- the decoded 8-bit expansion of each mask-domain channel:
+      -- (q*255 + top//2) // top, stated without touching a bitmap
+      SELECT doc_id,
+             ((doc_id % (top_r + 1)) * 255 + top_r // 2) // top_r AS vr,
+             (((doc_id * 7) % (top_g + 1)) * 255 + top_g // 2) // top_g AS vg,
+             (((doc_id * 13) % (top_b + 1)) * 255 + top_b // 2) // top_b AS vb
+      FROM img
+    )
+    SELECT doc_id AS media_id,
+           CAST(2 ** (3 + doc_id % 3) AS INTEGER) AS width,
+           CAST(2 ** (4 + doc_id % 2) AS INTEGER) AS height,
+           -- same-literal IEEE ops on both engines; the mean over a
+           -- power-of-two count of identical pixels is exact, and
+           -- x*1e6 = M*200/51 (M = 299*vr+587*vg+114*vb) sits >= 1/102
+           -- from any half-integer, so FLOOR(+0.5) == Python round
+           FLOOR((0.299 * vr + 0.587 * vg + 0.114 * vb) / 255 * 1e6 + 0.5)
+             / 1e6 AS mean_luma,
+           'bmp' AS decoder
+    FROM chan
+    """,
+)
+def mm_bmp_bitfields(spark, sf_dir):
+    """REAL-codec cross-engine check, masked-BMP half (round 12 —
+    decode_bmp widened to 16-bit RGB555 and BI_BITFIELDS 16/32-bit):
+    synth_bmp_bitfields_media mints constant-color BMPs in MASK DOMAIN
+    cycling implicit-555, explicit 565, 32-bit 10-10-10, and explicit
+    555 layouts, and image_features decodes every payload for real
+    (strict=True) — the masked extraction, per-channel bit-width
+    expansion ((q*255 + top//2)//top), row padding, and bottom-up
+    ordering must all hit the oracle's closed form. Core-header and
+    JPEG/PNG-passthrough BMPs stay the declared boundary."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+        synth_bmp_bitfields_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # spread the INPUT docs: the per-doc mint is the CPU-heavy half and
+    # a small parquet arrives as one scan split; the synth and the
+    # extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_bmp_bitfields_media(docs)
     return image_features(media, strict=True).select(
         "media_id",
         F.col("width").cast("int").alias("width"),

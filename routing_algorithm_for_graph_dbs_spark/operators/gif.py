@@ -514,6 +514,16 @@ def decode_gif_frames(payload: bytes, max_frames: int = None):
     color, 3 restore region to the pre-frame canvas). The canvas starts
     as the background palette color (black without a global table).
 
+    Flattening convention (round-12 ADVICE note): the output is RGB,
+    so disposal-2 regions are restored to the OPAQUE background
+    palette color even when the frame's GCE carries a transparency
+    index. RGBA renderers (browsers, giflib/PIL RGBA stacks) instead
+    restore such regions to alpha=0 and show whatever sits behind the
+    GIF; there is no canonical RGB answer for that, and flattening the
+    transparent hole over the background color is exactly PIL's
+    RGB-mode rendering — the two conventions produce identical RGB
+    pixels. Pinned by test_gif_disposal2_transparency_flatten.
+
     Returns ``(frames, delays_ms)``: a list of (H, W, 3) uint8 RGB
     canvases in display order — the REAL execution half of the frame-
     sampling story that ``frame_sample_plan`` plans metadata-only for

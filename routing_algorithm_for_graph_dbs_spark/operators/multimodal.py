@@ -104,16 +104,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 
 def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     """REAL pure-Python decode of a Windows BMP — uncompressed 24/32-bit
-    BGR(X), palette-indexed 1/4/8-bit, and RLE8/RLE4-compressed (round
-    11 widened the support from 24-bit-only; the RLE modes are the spec's
-    run/absolute/EOL/EOD/delta escapes, MSDN BITMAPINFOHEADER docs).
+    BGR(X), palette-indexed 1/4/8-bit, RLE8/RLE4-compressed (round 11;
+    the RLE modes are the spec's run/absolute/EOL/EOD/delta escapes,
+    MSDN BITMAPINFOHEADER docs), and 16-bit RGB555 / BI_BITFIELDS
+    masked modes at 16 or 32 bpp (round 12 — pure bit-mask
+    arithmetic).
 
     Returns ``(width, height, n_channels, mean_luma)`` where mean_luma is
     the Rec.601 luma (0.299 R + 0.587 G + 0.114 B) averaged over all
     pixels, normalized to [0, 1] and rounded to 6. Raises ``ValueError``
     on malformed headers/streams and ``NotImplementedError`` for modes
-    outside that set (16-bit, BI_BITFIELDS, core/V4/V5 headers) — the
-    honest remaining boundary."""
+    outside that set (core-header, JPEG/PNG passthrough) — the honest
+    remaining boundary."""
     rows = decode_bmp_pixels(payload)
     h, w = rows.shape[:2]
     r, g, b = (rows[..., i].astype(np.float64) for i in range(3))
@@ -184,7 +186,8 @@ def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
     """Pixel-level BMP decode: (H, W, 3) uint8 RGB, top-down row order —
     the entry the real pHash / resize operators build on. Same format
     support and error contract as :func:`decode_bmp`: BI_RGB 24/32-bit,
-    palette 1/4/8-bit, RLE8/RLE4."""
+    palette 1/4/8-bit, RLE8/RLE4, 16-bit RGB555, and BI_BITFIELDS
+    16/32-bit with arbitrary contiguous non-overlapping masks."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic or header)")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -208,15 +211,64 @@ def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
         or (bpp in (1, 4, 8) and compression == 0)
         or (bpp == 8 and compression == 1)   # BI_RLE8
         or (bpp == 4 and compression == 2)   # BI_RLE4
+        or (bpp == 16 and compression in (0, 3))  # RGB555 / BI_BITFIELDS
+        or (bpp == 32 and compression == 3)       # BI_BITFIELDS
     )
     if not ok:
         raise NotImplementedError(
-            f"BMP mode bpp={bpp}, compression={compression} (16-bit /"
-            " BI_BITFIELDS / mismatched RLE) needs a real image lib"
+            f"BMP mode bpp={bpp}, compression={compression}"
+            " (mismatched RLE / JPEG-or-PNG passthrough) needs a real"
+            " image lib"
         )
     if width <= 0 or height == 0:
         raise ValueError(f"bad BMP dimensions {width}x{height}")
     top_down, n_rows = height < 0, abs(height)
+    if bpp == 16 or compression == 3:
+        # round-12 widening: masked pixel modes are pure bit arithmetic.
+        # BI_RGB 16-bit defaults to RGB555; BI_BITFIELDS carries explicit
+        # R/G/B DWORD masks which, for BITMAPINFOHEADER, follow the
+        # header, and for V2+/V4/V5 live in the header's first mask
+        # fields — both land at file offset 54.
+        if compression == 3:
+            if len(payload) < 66:
+                raise ValueError("BMP bitfields masks truncated")
+            masks = struct.unpack_from("<III", payload, 54)
+        else:
+            masks = (0x7C00, 0x03E0, 0x001F)
+        limit = (1 << bpp) - 1
+        taken = 0
+        for m in masks:
+            if m == 0 or m > limit:
+                raise ValueError(f"BMP bitfields mask {m:#x} invalid for bpp={bpp}")
+            if m & taken:
+                raise ValueError("BMP bitfields masks overlap")
+            lsb = (m & -m).bit_length() - 1
+            if (m >> lsb) & ((m >> lsb) + 1):
+                raise ValueError(f"BMP bitfields mask {m:#x} not contiguous")
+            taken |= m
+        row_bytes = (width * (bpp // 8) + 3) & ~3
+        if len(payload) < data_off + row_bytes * n_rows:
+            raise ValueError("BMP payload truncated")
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * n_rows,
+            offset=data_off,
+        ).reshape(n_rows, row_bytes)[:, : width * (bpp // 8)]
+        words = (
+            raw.reshape(n_rows, width, bpp // 8)
+            .astype(np.uint32)
+        )
+        vals = sum(words[:, :, i] << (8 * i) for i in range(bpp // 8))
+        chans = []
+        for m in masks:
+            lsb = (m & -m).bit_length() - 1
+            top = m >> lsb  # 2^n - 1 for an n-bit channel
+            v = (vals & m) >> lsb
+            # n-bit -> 8-bit by rounding (== bit replication at 5/6 bits)
+            chans.append(((v * 255 + top // 2) // top).astype(np.uint8))
+        rows = np.stack(chans, axis=-1)
+        if not top_down:
+            rows = rows[::-1]
+        return rows.copy()
     if bpp in (24, 32):
         px = bpp // 8
         row_bytes = (width * px + 3) & ~3
@@ -345,6 +397,59 @@ def encode_bmp_indexed(
     return header + info + pal_bytes + data
 
 
+def encode_bmp_bitfields(
+    raw_channels: "np.ndarray",
+    bpp: int = 16,
+    masks: tuple[int, int, int] | None = None,
+) -> bytes:
+    """Encode an (H, W, 3) array of RAW mask-domain channel values as a
+    16- or 32-bit masked BMP (bottom-up) — the write half
+    :func:`decode_bmp_pixels` round-trips for the round-12 bitfields
+    widening. ``masks=None`` emits BI_RGB 16-bit (implicit RGB555);
+    explicit masks emit BI_BITFIELDS with the three DWORD masks at
+    their spec position straight after BITMAPINFOHEADER. Each value
+    must already fit its mask's bit width (this encoder does NOT
+    quantize 8-bit input — mint in mask domain so oracles can state
+    the decoded expansion ``(v*255 + top//2) // top`` in closed
+    form)."""
+    arr = np.asarray(raw_channels, dtype=np.uint32)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected an (H, W, 3) raw-channel array")
+    if bpp not in (16, 32):
+        raise ValueError("bitfields BMPs are 16 or 32 bpp")
+    implicit = masks is None
+    use = (0x7C00, 0x03E0, 0x001F) if implicit else tuple(masks)
+    if implicit and bpp != 16:
+        raise ValueError("implicit RGB555 is 16-bpp only")
+    h, w = arr.shape[:2]
+    vals = np.zeros((h, w), dtype=np.uint32)
+    for i, m in enumerate(use):
+        lsb = (m & -m).bit_length() - 1
+        top = m >> lsb
+        chan = arr[:, :, i]
+        if int(chan.max(initial=0)) > top:
+            raise ValueError(f"channel {i} value exceeds mask {m:#x}")
+        vals |= chan << lsb
+    n_bytes = bpp // 8
+    row_bytes = (w * n_bytes + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    flipped = vals[::-1]  # bottom-up
+    for i in range(n_bytes):
+        body[:, i : w * n_bytes : n_bytes] = (flipped >> (8 * i)).astype(
+            np.uint8
+        )
+    data = body.tobytes()
+    compression = 0 if implicit else 3
+    mask_bytes = b"" if implicit else struct.pack("<III", *use)
+    data_off = 14 + 40 + len(mask_bytes)
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(data), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, len(data),
+        2835, 2835, 0, 0,
+    )
+    return header + info + mask_bytes + data
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from the documents table.
 
@@ -464,8 +569,9 @@ def image_features(
                     if strict:
                         raise NotImplementedError(
                             f"real decode of {mime!r} requires PIL/libvips —"
-                            " not in this container (BMP/JPEG/PNG decode"
-                            " natively; this payload matched none)"
+                            " not in this container (BMP/JPEG/PNG/lossless-"
+                            "WebP decode natively; this payload matched"
+                            " none)"
                         )
                     w, h, luma = _fake_decode(b)
                     dec = "fake"
@@ -541,8 +647,9 @@ def audio_features(
     9639, ``operators/flac.py decode_flac_pcm``, with CRC-8/CRC-16/MD5
     verified): full sample-derived stats, decoder='flac'; a stream
     whose metadata chain is valid but whose frames do not decode falls
-    back to the STREAMINFO walk (decoder='flac-meta' — duration there
-    is exact, not estimated). Other payloads use the deterministic
+    back to the STREAMINFO walk NON-STRICT only (decoder='flac-meta' —
+    duration there is exact, not estimated), while ``strict=True``
+    propagates the codec error. Other payloads use the deterministic
     sha256 fake (nulls for duration/rate), and with ``strict=True``
     raise NotImplementedError instead (a real deployment plugs
     librosa/ffmpeg)."""
@@ -617,20 +724,25 @@ def audio_features(
                     # OFF the perceptual-codec boundary. A leading
                     # ID3v2 tag (crawl FLACs carry them like MP3/AAC
                     # do) is skipped before the sniff, same as the ADTS
-                    # route. Frames that do not decode fall back to the
-                    # STREAMINFO walk — still real metadata (the EXACT
-                    # sample count; no frame-walk estimate needed).
+                    # route. Frames that do not decode (CRC/MD5
+                    # mismatch, truncation) fall back to the STREAMINFO
+                    # walk NON-STRICT only — still real metadata (the
+                    # EXACT sample count); under strict=True the codec
+                    # error PROPAGATES like every other strict path
+                    # (round-12 ADVICE fix: a silent downgrade hid
+                    # decode failures from strict callers).
                     bf = b if is_flac(b) else b[_off:]
                     try:
                         decoded = decode_flac_samples(bf)
                         decoded_tag = "flac"
                     except DECODE_ERRORS:
+                        if strict:
+                            raise
                         try:
                             _p = parse_flac_metadata(bf)
                             mp3_meta = (_p[0], _p[4], "flac-meta")
                         except DECODE_ERRORS:
-                            if strict:
-                                raise
+                            pass
                 elif is_ogg_opus(b):
                     # granule arithmetic on the CRC-checked page walk;
                     # sample_rate reports OpusHead's input rate (granules
@@ -2156,9 +2268,11 @@ def gif_pixel_features(
 
 
 def synth_tiff_pixel_media(docs: DataFrame) -> DataFrame:
-    """Deterministic grayscale TIFFs with REAL sample strips (raw on
-    even docs, PackBits on odd; II/MM byte orders cycling) carrying the
-    same row-constant pattern as :func:`synth_gif_pixel_media` — the
+    """Deterministic grayscale TIFFs with REAL sample strips cycling
+    all four strip codecs by ``doc_id % 4`` — raw, PackBits, LZW, and
+    LZW + horizontal-differencing predictor (round 12) — with II/MM
+    byte orders cycling on ``doc_id // 4``, carrying the same
+    row-constant pattern as :func:`synth_gif_pixel_media` — the
     decoded mean is exactly ``(doc_id % 16) + 120``."""
     from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
         build_tiff_gray,
@@ -2181,11 +2295,13 @@ def synth_tiff_pixel_media(docs: DataFrame) -> DataFrame:
                     for y in range(h)
                     for v in [(b + 16 * (y % 16)) % 256] * w
                 )
+                comp, pred = [(1, 1), (32773, 1), (5, 1), (5, 2)][mid % 4]
                 payloads.append(
                     build_tiff_gray(
                         w, h, px,
-                        compression=1 if mid % 2 == 0 else 32773,
-                        byte_order="II" if (mid // 2) % 2 == 0 else "MM",
+                        compression=comp,
+                        byte_order="II" if (mid // 4) % 2 == 0 else "MM",
+                        predictor=pred,
                     )
                 )
             yield pd.DataFrame(
@@ -2205,13 +2321,14 @@ def synth_tiff_pixel_media(docs: DataFrame) -> DataFrame:
 def tiff_pixel_features(
     media: DataFrame, strict: bool = False, batch_size: int = 256
 ) -> DataFrame:
-    """REAL TIFF strip decode (round 11): raw (compression 1) and
-    PackBits (32773) grayscale strips inflate for real in either byte
-    order (``operators/tiff.py decode_tiff_gray``, parser='tiff');
-    LZW/JPEG-in-TIFF strips stay the declared boundary (the decoder
-    raises and strict surfaces it). Non-TIFF payloads take the
-    deterministic sha256 fake, or raise under ``strict=True``.
-    Map-side only."""
+    """REAL TIFF strip decode (rounds 11-12): raw (compression 1),
+    PackBits (32773), and LZW (5, with or without the predictor-2
+    horizontal differencing) grayscale strips inflate for real in
+    either byte order (``operators/tiff.py decode_tiff_gray``,
+    parser='tiff'); JPEG/Deflate-in-TIFF strips stay the declared
+    entropy-coded boundary (the decoder raises and strict surfaces
+    it). Non-TIFF payloads take the deterministic sha256 fake, or
+    raise under ``strict=True``. Map-side only."""
     from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
         decode_tiff_gray,
         is_tiff,
@@ -2241,9 +2358,9 @@ def tiff_pixel_features(
                 else:
                     if strict:
                         raise NotImplementedError(
-                            "real TIFF strip decode covers raw/PackBits"
-                            " 8-bit grayscale — other layouts (LZW/JPEG"
-                            " strips) stay the codec boundary"
+                            "real TIFF strip decode covers raw/PackBits/"
+                            "LZW 8-bit grayscale — other layouts (JPEG/"
+                            "Deflate strips) stay the codec boundary"
                         )
                     d = hashlib.sha256(b).digest()
                     w, h = 100 + d[0] * 4, 80 + d[1] * 3
@@ -2427,6 +2544,61 @@ def synth_bmp_palette_media(docs: DataFrame) -> DataFrame:
                         bpp=bpp, rle=rle,
                     )
                 )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/bmp",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_bmp_bitfields_media(docs: DataFrame) -> DataFrame:
+    """Deterministic masked-mode BMPs with REAL 16/32-bit payloads
+    (round 12 — ``decode_bmp`` widened to RGB555/BI_BITFIELDS): per
+    doc, a constant-color image minted in MASK DOMAIN, cycling four
+    mask layouts by ``doc_id % 4`` —
+
+    0. 16-bit BI_RGB (implicit RGB555, 5-5-5),
+    1. 16-bit BI_BITFIELDS RGB565 (5-6-5),
+    2. 32-bit BI_BITFIELDS 10-10-10,
+    3. 16-bit BI_BITFIELDS with explicit RGB555 masks
+
+    — at power-of-two dimensions ``w = 2^(3 + doc_id%3)``, ``h =
+    2^(4 + doc_id%2)`` (exact numpy means, as in
+    :func:`synth_bmp_palette_media`). Raw channel values are
+    ``qr = doc_id % (top_r+1)``, ``qg = (doc_id*7) % (top_g+1)``,
+    ``qb = (doc_id*13) % (top_b+1)`` so each channel exercises its own
+    mask width; the decoded 8-bit channels are the closed form
+    ``(q*255 + top//2) // top`` the oracle states without decoding."""
+    base = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+    )
+
+    _LAYOUTS = [
+        (16, None, (31, 31, 31)),
+        (16, (0xF800, 0x07E0, 0x001F), (31, 63, 31)),
+        (32, (0x3FF00000, 0x000FFC00, 0x000003FF), (1023, 1023, 1023)),
+        (16, (0x7C00, 0x03E0, 0x001F), (31, 31, 31)),
+    ]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                bpp, masks, tops = _LAYOUTS[mid % 4]
+                w, h = 1 << (3 + mid % 3), 1 << (4 + mid % 2)
+                q = (mid % (tops[0] + 1), (mid * 7) % (tops[1] + 1),
+                     (mid * 13) % (tops[2] + 1))
+                raw = np.empty((h, w, 3), dtype=np.uint32)
+                raw[..., 0], raw[..., 1], raw[..., 2] = q
+                payloads.append(encode_bmp_bitfields(raw, bpp=bpp, masks=masks))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

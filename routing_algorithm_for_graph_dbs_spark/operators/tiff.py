@@ -9,11 +9,12 @@ byte-order mark, the magic 42, offset of the first IFD), then a chain
 of IFDs — each a u16 entry count, that many 12-byte entries
 (u16 tag, u16 type, u32 count, 4-byte value-or-offset, the value
 LEFT-JUSTIFIED in its field when it fits), and a u32 next-IFD offset
-(0 terminates). Strip/tile PIXEL data is referenced by offset and
-never touched: raster decode (PackBits/LZW/JPEG-in-TIFF) stays the
-honest boundary (parse-not-decode split per ``operators/mp3.py``;
-reference boundary analog main.py:1 — the reference delegates media
-handling entirely).
+(0 terminates). The metadata walk never dereferences strip data;
+REAL raster decode lives below it for raw, PackBits (§9), and LZW
+(§13, incl. predictor 2) strips — JPEG/Deflate-in-TIFF stays the
+honest entropy-coded boundary (parse-not-decode split per
+``operators/mp3.py``; reference boundary analog main.py:1 — the
+reference delegates media handling entirely).
 
 ``parse_tiff_metadata`` honors BOTH byte orders, walks the whole IFD
 chain (counting pages), reads the classification tags from the FIRST
@@ -133,11 +134,11 @@ def parse_tiff_metadata(payload: bytes):
 
 
 # ---------------------------------------------------------------------------
-# REAL strip decode (round 11): TIFF's baseline grayscale payloads are
-# either UNCOMPRESSED samples (compression 1) or PackBits RLE
-# (compression 32773, spec §9) — both pure byte transforms, no codec
-# library, so neither belongs on the declared decode boundary. LZW/JPEG-
-# in-TIFF strips stay there.
+# REAL strip decode (rounds 11-12): TIFF's common grayscale payloads are
+# UNCOMPRESSED samples (compression 1), PackBits RLE (compression
+# 32773, spec §9), or LZW (compression 5, spec §13) — all pure byte/bit
+# transforms, no codec library, so none belongs on the declared decode
+# boundary. JPEG-in-TIFF strips stay there (entropy decode).
 # ---------------------------------------------------------------------------
 
 
@@ -194,24 +195,175 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """Decode a TIFF §13 LZW strip to exactly ``expected`` bytes.
+
+    TIFF's LZW differs from GIF's (``operators/gif.py lzw_decode``) in
+    three pinned-down ways: codes are packed MSB-FIRST; the alphabet is
+    fixed at 8 bits (Clear 256, EOI 257, first dynamic code 258); and
+    the "early change" — the code width widens one code EARLIER, when
+    the table reaches ``2^width - 1`` entries rather than ``2^width``.
+    Both rules were derived empirically against libtiff-minted streams
+    (widen-at-``2^w`` mis-decodes at code 513; see
+    tests/test_codec_crosscheck.py) and cross-checked bidirectionally.
+    Raises on truncation, a code beyond the table, or a stream that
+    ends before ``expected`` bytes arrive."""
+    clear, end = 256, 257
+    out = bytearray()
+    bitpos = 0
+    width = 9
+    nbits_total = len(data) * 8
+
+    def fresh_table() -> list[bytes]:
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh_table()
+    prev: bytes | None = None
+    while len(out) < expected:
+        if bitpos + width > nbits_total:
+            raise ValueError(
+                f"TIFF LZW stream truncated at {len(out)}/{expected} bytes"
+            )
+        v = 0
+        need = width
+        byte, bit = bitpos >> 3, bitpos & 7
+        while need:
+            take = min(8 - bit, need)
+            v = (v << take) | ((data[byte] >> (8 - bit - take)) & ((1 << take) - 1))
+            need -= take
+            bit += take
+            if bit == 8:
+                bit = 0
+                byte += 1
+        bitpos += width
+        if v == end:
+            break
+        if v == clear:
+            table = fresh_table()
+            width = 9
+            prev = None
+            continue
+        if v < len(table) and v not in (clear, end):
+            entry = table[v]
+        elif v == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"TIFF LZW code {v} beyond table size {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        # EARLY change: widen when the table holds 2^width - 1 entries
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError(
+            f"TIFF LZW stream ended at {len(out)}/{expected} bytes"
+        )
+    return bytes(out[:expected])
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """Real (greedy longest-match) TIFF §13 LZW encoder — the golden
+    twin for :func:`tiff_lzw_decode`. MSB-first packing; leads with
+    Clear; widens when ``next_code`` reaches ``2^width`` (one code
+    ahead of the decoder's lagged table, same early-change convention);
+    emits Clear at 4094 like libtiff, whose scanline reader verifies
+    this encoder bit-for-bit in the crosscheck suite."""
+    clear, end = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(clear)
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # libtiff's reset point (CODE_MAX-1)
+            emit(clear)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    emit(end)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def horizontal_diff(pixels: bytes, width: int) -> bytes:
+    """TIFF predictor 2 (tag 317, spec §14): per-row horizontal
+    differencing mod 256, applied BEFORE LZW on the encode side. Resets
+    at every row boundary like libtiff's scanline codec."""
+    out = bytearray()
+    for r in range(0, len(pixels), width):
+        row = pixels[r : r + width]
+        out.append(row[0])
+        out += bytes((row[i] - row[i - 1]) & 0xFF for i in range(1, len(row)))
+    return bytes(out)
+
+
+def horizontal_undiff(pixels: bytes, width: int) -> bytes:
+    """Inverse of :func:`horizontal_diff`: per-row prefix sum mod 256."""
+    out = bytearray()
+    for r in range(0, len(pixels), width):
+        row = pixels[r : r + width]
+        acc = 0
+        for v in row:
+            acc = (acc + v) & 0xFF
+            out.append(acc)
+    return bytes(out)
+
+
+_PREDICTOR = 317
+
+
 def build_tiff_gray(
     width: int,
     height: int,
     pixels: bytes,
     compression: int = 1,
     byte_order: str = "II",
+    predictor: int = 1,
 ) -> bytes:
     """Mint a single-IFD 8-bit grayscale TIFF whose strip holds the REAL
     encoding of ``pixels`` (row-major, len == width*height): raw samples
-    (compression 1) or PackBits (32773). PackBits packs EACH ROW
+    (compression 1), PackBits (32773), or LZW (5, optionally with the
+    horizontal-differencing predictor 2). PackBits packs EACH ROW
     SEPARATELY per the TIFF6 spec section 9 rule "never cross row
     boundaries when packing" (the round-11 libtiff cross-check caught a
     whole-strip packing here: libtiff restarts its scanline decoder at
     every row, so a literal run spanning rows shifted every subsequent
-    row by a byte). The decode twin is :func:`decode_tiff_gray` — the
-    concatenated per-row streams decode identically as one stream."""
+    row by a byte); LZW compresses the strip as ONE stream per §13 but
+    the predictor still differences per row. The decode twin is
+    :func:`decode_tiff_gray`."""
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height samples")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if predictor == 2 and compression != 5:
+        raise ValueError("predictor 2 is only minted with LZW strips")
     if compression == 1:
         strip = pixels
     elif compression == 32773:
@@ -219,8 +371,11 @@ def build_tiff_gray(
             packbits_encode(pixels[r * width:(r + 1) * width])
             for r in range(height)
         )
+    elif compression == 5:
+        plane = horizontal_diff(pixels, width) if predictor == 2 else pixels
+        strip = tiff_lzw_encode(plane)
     else:
-        raise ValueError("build_tiff_gray supports compression 1 and 32773")
+        raise ValueError("build_tiff_gray supports compression 1, 5, 32773")
     if len(strip) % 2:
         strip += b"\x00"  # keep the IFD word-aligned (decoders use counts)
     fmt = "<" if byte_order == "II" else ">"
@@ -236,7 +391,7 @@ def build_tiff_gray(
         return e + struct.pack(fmt + "I", value)
 
     out += strip
-    out += struct.pack(fmt + "H", _N_ENTRIES)
+    out += struct.pack(fmt + "H", _N_ENTRIES + (predictor == 2))
     out += entry(_WIDTH, _LONG, width)
     out += entry(_LENGTH, _LONG, height)
     out += entry(_BITS_PER_SAMPLE, _SHORT, 8)
@@ -246,17 +401,20 @@ def build_tiff_gray(
     out += entry(_SAMPLES_PER_PIXEL, _SHORT, 1)
     out += entry(_ROWS_PER_STRIP, _LONG, height)
     out += entry(_STRIP_BYTE_COUNTS, _LONG, len(strip))
+    if predictor == 2:
+        out += entry(_PREDICTOR, _SHORT, 2)  # tags stay ascending: 317 last
     out += struct.pack(fmt + "I", 0)
     return bytes(out)
 
 
 def decode_tiff_gray(payload: bytes):
     """REAL pixel decode of the first IFD's grayscale strips: dereference
-    StripOffsets/StripByteCounts, inflate raw or PackBits strips, and
-    return ``(width, height, mean_luma)`` — the exact float mean of the
-    8-bit samples. Raises on unsupported layouts (bits != 8, samples !=
-    1, LZW/JPEG strips — the remaining boundary) and on any structural
-    error."""
+    StripOffsets/StripByteCounts, inflate raw, PackBits, or LZW strips
+    (honoring the horizontal-differencing predictor), and return
+    ``(width, height, mean_luma)`` — the exact float mean of the 8-bit
+    samples. Raises on unsupported layouts (bits != 8, samples != 1,
+    JPEG/Deflate strips — the remaining entropy-coded boundary) and on
+    any structural error."""
     if not is_tiff(payload):
         raise ValueError("not a TIFF (bad byte-order mark / magic 42)")
     fmt = "<" if payload[:2] == b"II" else ">"
@@ -291,16 +449,28 @@ def decode_tiff_gray(payload: bytes):
     if val(_BITS_PER_SAMPLE, 1) != 8 or val(_SAMPLES_PER_PIXEL, 1) != 1:
         raise ValueError("decode_tiff_gray handles 8-bit single-sample only")
     comp = val(_COMPRESSION, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(
             f"TIFF compression {comp} needs a codec — the decode boundary"
         )
+    predictor = val(_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported")
+    if predictor == 2 and comp != 5:
+        raise ValueError("TIFF predictor 2 outside an LZW strip")
     off, cnt = val(_STRIP_OFFSETS), val(_STRIP_BYTE_COUNTS)
     if off + cnt > len(payload):
         raise ValueError("TIFF strip runs past payload")
     strip = payload[off : off + cnt]
     n_px = width * height
-    px = strip[:n_px] if comp == 1 else packbits_decode(strip, n_px)
+    if comp == 1:
+        px = strip[:n_px]
+    elif comp == 5:
+        px = tiff_lzw_decode(strip, n_px)
+        if predictor == 2:
+            px = horizontal_undiff(px, width)
+    else:
+        px = packbits_decode(strip, n_px)
     if len(px) < n_px:
         raise ValueError("TIFF strip shorter than width*height")
     return (width, height, sum(px[:n_px]) / n_px)

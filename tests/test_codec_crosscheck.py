@@ -34,6 +34,8 @@ def _load(name):
 _PNG = _load("libpng16.so.16") or _load("libpng16.so")
 _GIF = _load("libgif.so.7")
 _TIFF = _load("libtiff.so.6")
+_FLAC = (_load("libFLAC.so.12") or _load("libFLAC.so.8")
+         or _load("libFLAC.so"))
 
 
 class _PngImage(ctypes.Structure):
@@ -297,18 +299,25 @@ def test_libtiff_reads_our_strips():
 
     rng = np.random.RandomState(8)
     for byte_order in ("II", "MM"):
-        for comp in (1, 32773):
-            for (w, h) in [(13, 7), (1, 1), (30, 16), (5, 40)]:
+        # (compression, predictor): raw, per-row PackBits, LZW, LZW+diff
+        for comp, pred in ((1, 1), (32773, 1), (5, 1), (5, 2)):
+            # 200x40 random bytes push LZW through every code width and
+            # the 4094-entry table reset
+            sizes = [(13, 7), (1, 1), (30, 16), (5, 40)]
+            if comp == 5:
+                sizes.append((200, 40))
+            for (w, h) in sizes:
                 px = bytes(rng.randint(0, 256, w * h).astype(np.uint8))
                 payload = build_tiff_gray(
-                    w, h, px, compression=comp, byte_order=byte_order)
+                    w, h, px, compression=comp, byte_order=byte_order,
+                    predictor=pred)
                 assert decode_tiff_gray(payload)[:2] == (w, h)
                 fn = tempfile.mktemp(suffix=".tif")
                 try:
                     with open(fn, "wb") as f:
                         f.write(payload)
                     tif = _TIFF.TIFFOpen(fn.encode(), b"r")
-                    assert tif, (byte_order, comp)
+                    assert tif, (byte_order, comp, pred)
                     buf = (ctypes.c_ubyte * w)()
                     rows = []
                     for r in range(h):
@@ -316,7 +325,171 @@ def test_libtiff_reads_our_strips():
                             ctypes.c_void_p(tif), buf, r, 0) == 1
                         rows.append(bytes(buf))
                     _TIFF.TIFFClose(ctypes.c_void_p(tif))
-                    assert b"".join(rows) == px, (byte_order, comp, w, h)
+                    assert b"".join(rows) == px, (byte_order, comp, pred, w, h)
                 finally:
                     if os.path.exists(fn):
                         os.unlink(fn)
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not available")
+def test_we_decode_libtiff_lzw():
+    """The reverse direction: strips libtiff itself LZW-compresses
+    (TIFFWriteScanline, compression 5, predictors 1 and 2) must decode
+    bit-exactly in our pure-Python §13 codec. This is the check that
+    pinned the early-change rule: a widen-at-``2^w`` decoder (the GIF
+    convention) mis-reads libtiff streams from code 513 on."""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        decode_tiff_gray,
+    )
+
+    _TIFF.TIFFOpen.restype = ctypes.c_void_p
+    _TIFF.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    _TIFF.TIFFSetField.restype = ctypes.c_int
+    _TIFF.TIFFWriteScanline.restype = ctypes.c_int
+    _TIFF.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+    _TIFF.TIFFClose.argtypes = [ctypes.c_void_p]
+    _TIFF.TIFFSetWarningHandler.restype = ctypes.c_void_p
+    _TIFF.TIFFSetWarningHandler.argtypes = [ctypes.c_void_p]
+    _TIFF.TIFFSetWarningHandler(None)
+
+    tags = dict(width=256, length=257, bps=258, comp=259, photo=262,
+                spp=277, rps=278, planar=284, predictor=317)
+    rng = np.random.RandomState(9)
+    for pred in (1, 2):
+        for (w, h) in [(13, 7), (64, 2), (200, 40), (500, 30)]:
+            px = bytes(rng.randint(0, 256, w * h).astype(np.uint8))
+            fn = tempfile.mktemp(suffix=".tif")
+            try:
+                tif = _TIFF.TIFFOpen(fn.encode(), b"w")
+                assert tif
+
+                def sf(tag, val, typ=ctypes.c_uint16):
+                    assert _TIFF.TIFFSetField(
+                        ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                        typ(val)) == 1, tag
+
+                sf(tags["width"], w, ctypes.c_uint32)
+                sf(tags["length"], h, ctypes.c_uint32)
+                sf(tags["bps"], 8)
+                sf(tags["spp"], 1)
+                sf(tags["comp"], 5)
+                sf(tags["photo"], 1)
+                sf(tags["planar"], 1)
+                sf(tags["rps"], h, ctypes.c_uint32)
+                if pred != 1:
+                    sf(tags["predictor"], pred)
+                for r in range(h):
+                    row = (ctypes.c_ubyte * w).from_buffer_copy(
+                        px[r * w:(r + 1) * w])
+                    assert _TIFF.TIFFWriteScanline(
+                        ctypes.c_void_p(tif), row, r, 0) == 1, r
+                _TIFF.TIFFClose(ctypes.c_void_p(tif))
+                payload = open(fn, "rb").read()
+                got_w, got_h, mean = decode_tiff_gray(payload)
+                assert (got_w, got_h) == (w, h)
+                assert mean == sum(px) / len(px), (pred, w, h)
+            finally:
+                if os.path.exists(fn):
+                    os.unlink(fn)
+
+
+class _FlacFrameHeader(ctypes.Structure):
+    # FLAC/format.h FLAC__FrameHeader — documented stable ABI. The
+    # number union (u32 frame / u64 sample) is modeled as the wider
+    # member, which fixes the x86-64 layout (offset 24, align 8).
+    _fields_ = [
+        ("blocksize", ctypes.c_uint32),
+        ("sample_rate", ctypes.c_uint32),
+        ("channels", ctypes.c_uint32),
+        ("channel_assignment", ctypes.c_int),
+        ("bits_per_sample", ctypes.c_uint32),
+        ("number_type", ctypes.c_int),
+        ("number", ctypes.c_uint64),
+        ("crc", ctypes.c_uint8),
+    ]
+
+
+@pytest.mark.skipif(_FLAC is None, reason="libFLAC not available")
+def test_libflac_decodes_our_streams():
+    """libFLAC's stream decoder must recover the exact PCM from
+    encode_flac_pcm output (round-12 ADVICE: the FLAC codec was the
+    only one validated solely by self-round-trip + its own CRC/MD5 —
+    a shared spec misreading in encoder+decoder would pass those while
+    real decoders reject the stream). Skipped where libFLAC is absent
+    (this container ships none; the harness is real wherever one
+    exists)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.flac import (
+        encode_flac_pcm,
+    )
+
+    _FLAC.FLAC__stream_decoder_new.restype = ctypes.c_void_p
+    _FLAC.FLAC__stream_decoder_delete.argtypes = [ctypes.c_void_p]
+    _FLAC.FLAC__stream_decoder_process_until_end_of_stream.argtypes = [
+        ctypes.c_void_p]
+    _FLAC.FLAC__stream_decoder_finish.argtypes = [ctypes.c_void_p]
+
+    WRITE_CB = ctypes.CFUNCTYPE(
+        ctypes.c_int,  # FLAC__StreamDecoderWriteStatus
+        ctypes.c_void_p,  # decoder
+        ctypes.POINTER(_FlacFrameHeader),  # FLAC__Frame* (header leads)
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),  # buffer[]
+        ctypes.c_void_p,  # client_data
+    )
+    ERROR_CB = ctypes.CFUNCTYPE(
+        None, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p)
+    _FLAC.FLAC__stream_decoder_init_file.restype = ctypes.c_int
+    _FLAC.FLAC__stream_decoder_init_file.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, WRITE_CB, ctypes.c_void_p,
+        ERROR_CB, ctypes.c_void_p]
+
+    rng = np.random.RandomState(14)
+    sq = np.full(400, 900, dtype=np.int64)
+    sq[1::2] = -900
+    cases = [
+        (sq[:, None], 8000, 192, "independent"),
+        (np.stack([sq, (sq * 3) // 4], 1), 16000, 256, "mid_side"),
+        (rng.randint(-2000, 2000, (333, 2)).astype(np.int64), 44100,
+         4096, "left_side"),
+        (np.zeros((64, 1), dtype=np.int64), 48000, 64, "independent"),
+    ]
+    for samples, rate, bs, mode in cases:
+        payload = encode_flac_pcm(
+            samples, sample_rate=rate, block_size=bs, stereo_mode=mode)
+        got: list[np.ndarray] = []
+        errors: list[int] = []
+
+        @WRITE_CB
+        def on_write(dec, frame, buf, _cd, got=got):
+            hdr = frame.contents
+            chans = [
+                np.ctypeslib.as_array(
+                    buf[c], shape=(hdr.blocksize,)).copy()
+                for c in range(hdr.channels)
+            ]
+            got.append(np.stack(chans, axis=1))
+            return 0  # FLAC__STREAM_DECODER_WRITE_STATUS_CONTINUE
+
+        @ERROR_CB
+        def on_error(dec, status, _cd, errors=errors):
+            errors.append(status)
+
+        fn = tempfile.mktemp(suffix=".flac")
+        try:
+            with open(fn, "wb") as f:
+                f.write(payload)
+            dec = _FLAC.FLAC__stream_decoder_new()
+            assert dec
+            assert _FLAC.FLAC__stream_decoder_init_file(
+                ctypes.c_void_p(dec), fn.encode(), on_write, None,
+                on_error, None) == 0  # INIT_STATUS_OK
+            ok = _FLAC.FLAC__stream_decoder_process_until_end_of_stream(
+                ctypes.c_void_p(dec))
+            _FLAC.FLAC__stream_decoder_finish(ctypes.c_void_p(dec))
+            _FLAC.FLAC__stream_decoder_delete(ctypes.c_void_p(dec))
+            assert ok == 1 and not errors, (mode, errors)
+            pcm = np.concatenate(got, axis=0)
+            assert (pcm == samples).all(), (mode, rate, bs)
+        finally:
+            if os.path.exists(fn):
+                os.unlink(fn)

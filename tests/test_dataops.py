@@ -639,19 +639,12 @@ def test_bmp_decode_rejects_non_bmp():
 
     with _pytest.raises(ValueError):
         decode_bmp(b"\x89PNG not a bmp at all, just padding to 54+ bytes....")
-    # 16-bit BMP header: parses, hits the honest codec boundary (round
-    # 11 moved 1/4/8-bit palette + RLE decode OFF the boundary; 16-bit /
-    # BI_BITFIELDS / core headers stay on it)
+    # JPEG-passthrough BMP (compression 4): the honest codec boundary
+    # (round 12 moved 16-bit / BI_BITFIELDS decode OFF the boundary)
     import struct as _struct
 
     hdr = _struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + _struct.pack(
-        "<IiiHHIIiiII", 40, 2, 2, 1, 16, 0, 0, 0, 0, 0, 0
-    )
-    with _pytest.raises(NotImplementedError):
-        decode_bmp(hdr + b"\x00" * 16)
-    # BI_BITFIELDS (compression 3) on 32-bit: boundary
-    hdr = _struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + _struct.pack(
-        "<IiiHHIIiiII", 40, 2, 2, 1, 32, 3, 0, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 4, 0, 0, 0, 0, 0
     )
     with _pytest.raises(NotImplementedError):
         decode_bmp(hdr + b"\x00" * 16)
@@ -661,6 +654,71 @@ def test_bmp_decode_rejects_non_bmp():
     )
     with _pytest.raises(NotImplementedError):
         decode_bmp(hdr + b"\x00" * 44)
+    # malformed BI_BITFIELDS masks raise loudly rather than mis-decode
+    def _bf_hdr(bpp, masks):
+        return (
+            _struct.pack("<2sIHHI", b"BM", 66, 0, 0, 66)
+            + _struct.pack(
+                "<IiiHHIIiiII", 40, 2, 2, 1, bpp, 3, 0, 0, 0, 0, 0
+            )
+            + _struct.pack("<III", *masks)
+        )
+
+    for masks, why in [
+        ((0, 0x3E0, 0x1F), "zero mask"),
+        ((0x7C00, 0x7C00, 0x1F), "overlap"),
+        ((0x5400, 0x3E0, 0x1F), "non-contiguous"),
+        ((0x1F0000, 0x3E0, 0x1F), "beyond 16 bpp"),
+    ]:
+        with _pytest.raises(ValueError):
+            decode_bmp(_bf_hdr(16, masks) + b"\x00" * 16), why
+
+
+def test_bmp_bitfields_roundtrip():
+    """Round 12: masked BMP decode is REAL — implicit RGB555, explicit
+    RGB565, and 32-bit 10-10-10 layouts round-trip through
+    encode_bmp_bitfields with the closed-form (q*255 + top//2)//top
+    channel expansion, including odd widths (row padding) and a
+    top-down check via the negative-height path."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_bitfields,
+    )
+
+    rng = _np.random.RandomState(12)
+    layouts = [
+        (16, None, (31, 31, 31)),
+        (16, (0xF800, 0x07E0, 0x001F), (31, 63, 31)),
+        (16, (0x7C00, 0x03E0, 0x001F), (31, 31, 31)),
+        (32, (0x3FF00000, 0x000FFC00, 0x000003FF), (1023, 1023, 1023)),
+        # alpha-style layout: masks need not cover every bit
+        (32, (0x00FF0000, 0x0000FF00, 0x000000FF), (255, 255, 255)),
+    ]
+    for bpp, masks, tops in layouts:
+        for (h, w) in [(5, 7), (16, 32), (3, 1), (9, 13)]:
+            raw = _np.stack(
+                [rng.randint(0, t + 1, (h, w)) for t in tops], axis=-1
+            )
+            p = encode_bmp_bitfields(raw, bpp=bpp, masks=masks)
+            got = decode_bmp_pixels(p)
+            exp = _np.stack(
+                [
+                    (raw[..., i] * 255 + tops[i] // 2) // tops[i]
+                    for i in range(3)
+                ],
+                axis=-1,
+            ).astype(_np.uint8)
+            assert got.shape == (h, w, 3), (bpp, masks, h, w)
+            assert (got == exp).all(), (bpp, masks, h, w)
+    # asymmetric placement proves row order survives the masked path:
+    # red-ish only at TOP-LEFT, everything else black
+    raw = _np.zeros((2, 2, 3), _np.uint32)
+    raw[0, 0, 0] = 31
+    p = encode_bmp_bitfields(raw, bpp=16)
+    got = decode_bmp_pixels(p)
+    assert got[0, 0, 0] == 255 and got.sum() == 255
 
 
 def test_bmp_palette_rle_roundtrip():
@@ -3611,10 +3669,13 @@ def test_flac_pcm_wasted_bits_decode():
 
 def test_flac_real_decode_in_audio_features(spark):
     """audio_features routes decodable FLAC to the REAL sample decoder
-    (decoder='flac', full WAV-grade stats) and falls back to the
-    STREAMINFO walk for metadata-valid streams whose frames do not
-    decode (decoder='flac-meta'), strict or not."""
+    (decoder='flac', full WAV-grade stats); metadata-valid streams
+    whose frames do not decode fall back to the STREAMINFO walk
+    (decoder='flac-meta') NON-STRICT only — under strict=True the
+    codec error propagates like every other strict path (round-12
+    ADVICE fix)."""
     import numpy as _np
+    import pytest as _pytest
 
     from routing_algorithm_for_graph_dbs_spark.operators.flac import (
         build_flac,
@@ -3637,7 +3698,7 @@ def test_flac_real_decode_in_audio_features(spark):
         "media_id long, kind string, payload binary, mime string",
     )
     got = {r["media_id"]: r.asDict()
-           for r in audio_features(media, strict=True).collect()}
+           for r in audio_features(media).collect()}
     assert got[1]["decoder"] == "flac"
     assert got[1]["rms"] == round(1024 / 32768, 6)
     assert got[1]["zero_crossings"] == 199
@@ -3645,6 +3706,14 @@ def test_flac_real_decode_in_audio_features(spark):
     assert got[1]["sample_rate"] == 16000
     assert got[2]["decoder"] == "flac-meta"
     assert got[2]["duration_ms"] == 3000 and got[2]["rms"] is None
+    # strict: the decodable stream still yields full stats...
+    strict_ok = audio_features(
+        media.filter("media_id = 1"), strict=True
+    ).collect()[0].asDict()
+    assert strict_ok["decoder"] == "flac"
+    # ...but the frame-decode failure PROPAGATES instead of downgrading
+    with _pytest.raises(Exception, match="FLAC"):
+        audio_features(media.filter("media_id = 2"), strict=True).collect()
 
 
 def test_id3_tagged_flac_routes_to_flac(spark):
@@ -4632,12 +4701,71 @@ def test_tiff_packbits_golden():
             md = parse_tiff_metadata(p)
             assert md[:3] == (bo, 16, 32) and md[4] == comp
 
+    # JPEG-in-TIFF (compression 7) is the remaining entropy-coded boundary
     with _pytest.raises(ValueError, match="boundary"):
-        decode_tiff_gray(build_tiff(8, 8, compression=5, strip_pad=64))
+        decode_tiff_gray(build_tiff(8, 8, compression=7, strip_pad=64))
     with _pytest.raises(ValueError, match="truncated"):
         packbits_decode(bytes([5, 1, 2]), 6)
     with _pytest.raises(ValueError, match="expected"):
         packbits_decode(packbits_encode(bytes([1, 2])), 5)
+
+
+def test_tiff_lzw_golden():
+    """TIFF §13 LZW (round 12): hand-computed golden stream, the
+    early-change width boundaries, table reset past 4094 entries,
+    predictor-2 differencing, and the truncation raises."""
+    import random
+
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_gray,
+        decode_tiff_gray,
+        horizontal_diff,
+        horizontal_undiff,
+        parse_tiff_metadata,
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    # hand-packed golden: Clear(256), 'A'(0x41), EOI(257) at 9 bits each,
+    # MSB-first -> 100000000 001000001 100000001 + 5 pad zeros
+    assert tiff_lzw_encode(b"A") == bytes([0x80, 0x10, 0x60, 0x20])
+    assert tiff_lzw_decode(bytes([0x80, 0x10, 0x60, 0x20]), 1) == b"A"
+
+    rng = random.Random(12)
+    # 253/254-entry streams straddle the 9->10 bit early change; 8000+
+    # random bytes push through every width and the 4094 reset
+    for ln in (1, 253, 254, 255, 511, 1000, 8000, 20000):
+        for mk in (
+            lambda: bytes(rng.randrange(256) for _ in range(ln)),
+            lambda: bytes((i * 7) % 251 for i in range(ln)),
+            lambda: bytes([9]) * ln,
+        ):
+            d = mk()
+            assert tiff_lzw_decode(tiff_lzw_encode(d), ln) == d
+
+    # predictor 2 is an exact per-row involution
+    px = bytes((x * y) % 256 for y in range(16) for x in range(24))
+    assert horizontal_undiff(horizontal_diff(px, 24), 24) == px
+
+    for bo in ("II", "MM"):
+        for predictor in (1, 2):
+            p = build_tiff_gray(
+                24, 16, px, compression=5, byte_order=bo, predictor=predictor
+            )
+            assert decode_tiff_gray(p) == (24, 16, sum(px) / len(px))
+            md = parse_tiff_metadata(p)
+            assert md[:3] == (bo, 24, 16) and md[4] == 5
+
+    with _pytest.raises(ValueError, match="truncated"):
+        tiff_lzw_decode(bytes([0x80]), 4)
+    with _pytest.raises(ValueError, match="ended"):
+        tiff_lzw_decode(tiff_lzw_encode(b"xy"), 9)
+    with _pytest.raises(ValueError, match="beyond table"):
+        # Clear then code 300 (not yet assigned)
+        s = (256 << 9) | 300  # 18 bits
+        tiff_lzw_decode(bytes([(s >> 10) & 0xFF, (s >> 2) & 0xFF, (s & 3) << 6]), 2)
 
 
 def test_sniff_decode_covers_gif_and_webp():
@@ -4761,6 +4889,49 @@ def test_gif_animation_composition():
         build_gif_animation(4, 2, [dict(f1, left=3)])
     with _pytest.raises(ValueError, match="no image frame"):
         decode_gif_frames(b"GIF89a" + bytes([4, 0, 2, 0, 0, 0, 0, 0x3B]))
+
+
+def test_gif_disposal2_transparency_flatten():
+    """Round-12 ADVICE pin: a disposal-2 frame whose GCE carries an
+    ACTIVE transparency index still restores its region to the opaque
+    background palette color. RGBA renderers restore to alpha=0 there;
+    flattened over the background color (PIL RGB-mode rendering) that
+    is pixel-identical to what this RGB decoder emits — the documented
+    convention, asserted here so any future semantic change must
+    revisit the decode_gif_frames docstring and the mm_gif_frames
+    oracle together."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.gif import (
+        build_gif_animation,
+        decode_gif_frames,
+    )
+
+    # frame 0 paints the canvas 10; frame 1 is disposal-2 WITH
+    # transparency (index 7 holes) over the left half; frame 2 is a
+    # transparent no-op frame that exposes the cleared region
+    f0 = {"indices": bytes([10] * 8), "disposal": 1}
+    f1 = {"left": 0, "top": 0, "fw": 2, "fh": 2,
+          "indices": bytes([20, 7, 7, 20]), "transparent": 7,
+          "disposal": 2}
+    f2 = {"indices": bytes([7] * 8), "transparent": 7, "disposal": 0}
+    p = build_gif_animation(4, 2, [f0, f1, f2], bg_index=5)
+    frames, _ = decode_gif_frames(p)
+    g = [f[..., 0] for f in frames]
+    # frame 1 display: holes show the prior canvas (10), not bg
+    assert (g[1] == _np.array([[20, 10, 10, 10], [10, 20, 10, 10]])).all()
+    # frame 2: f1's whole rect (holes included) was restored to the
+    # OPAQUE background 5 — the flatten convention under test
+    assert (g[2] == _np.array([[5, 5, 10, 10], [5, 5, 10, 10]])).all()
+
+    # and when the background index is ITSELF the transparent index,
+    # the region still flattens to that palette color
+    p2 = build_gif_animation(4, 2, [f0, dict(f1, transparent=5,
+                                             indices=bytes([20, 5, 5, 20])),
+                                    f2], bg_index=5)
+    frames2, _ = decode_gif_frames(p2)
+    assert (frames2[2][..., 0]
+            == _np.array([[5, 5, 10, 10], [5, 5, 10, 10]])).all()
 
 
 def test_gif_frame_samples_extractor(spark):

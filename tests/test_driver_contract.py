@@ -8,64 +8,98 @@ renamed query.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re as _re
+
 import pytest
 
-# Round-11 window (VERDICT r10 item 4 + the builder's rotation note): the
-# queries NEW this round lead (GIF block walk, TIFF IFD chains, WebP
-# RIFF walk, the GIF/TIFF pixel decodes, the FLAC sample decode); then
-# re-runs of every query whose implementation changed since its last
-# driver row (the r11 zero-norm kNN filter, the EBML unknown-size
-# raise, and the four audio_features rows touched by the FLAC
-# real-decode dispatch); then the registry's genuinely stalest rows,
-# recomputed from the CORRECTNESS_r*.json artifacts (mm_frame_plan
-# last checked r1, the r4/r5 similarity/text blocks, then the r7 cycle
-# from ft_percent_rank onward).
+# Round-12 window (VERDICT r11 item 1a + the r11 rotation note): the
+# query NEW this round leads (mm_bmp_bitfields — the masked-BMP
+# widening); then re-runs of every query whose implementation changed
+# since its last driver row (TIFF LZW strips in mm_tiff_pixels' synth
+# and decoder, the strict-FLAC propagate in audio_features, the
+# decode_bmp masked branch + strict-message change under
+# mm_bmp_palette); then the 8 media rows rewired by the late-r11
+# input-docs spread with r10-or-older driver rows; then the registry's
+# genuinely stalest rows recomputed from the CORRECTNESS_r*.json
+# artifacts (all 19 r7 rows, the 17-row r8 remainder, the two stalest
+# r9 rows).
 NEVER_CHECKED = [
-    "mm_flac_pcm",
-    "mm_bmp_palette",
-    "mm_webp_pixels",
-    "mm_phash_crossformat",
-    "mm_gif_frames",
-    "mm_gif_metadata",
-    "mm_tiff_metadata",
-    "mm_webp_metadata",
-    "mm_gif_pixels",
-    "mm_tiff_pixels",
+    "mm_bmp_bitfields",
 ]
 
 CHANGED_SINCE_LAST_ROW = [
-    # r11 zero-norm vector filter in both kNN tiers (ADVICE r10)
-    "knn_ivf_join",
-    # r11 unknown-size non-Segment raise in the EBML walk (ADVICE r10)
-    "mm_webm_metadata",
-    # r11 FLAC real-sample-decode routing in audio_features' dispatch
+    # r12 TIFF §13 LZW strip decode (+ predictor 2) off the boundary
+    "mm_tiff_pixels",
+    # r12 strict=True propagates FLAC frame-decode errors (ADVICE r11)
     "mm_audio_features",
-    "mm_wav_roundtrip",
-    "mm_wav_spectral",
-    "mm_g711_roundtrip",
-    # r11 palette/RLE widening rewrote decode_bmp_pixels (phash's entry)
-    "mm_phash_neardup",
+    # r12 decode_bmp masked-mode branch + strict message (ADVICE r11)
+    "mm_bmp_palette",
 ]
 
-REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
-    # representatives of the artifact-derived stale blocks
-    "mm_frame_plan",
-    "p6_radius_batch",
-    "dd_minhash_sig",
-    "sim_cosine_topk",
-    "txt_language_id",
-    "ft_percent_rank",
-    "apx_mergeable_sketches",
+SPREAD_REWIRED = [
+    # late-r11 partitioning-only rewire; driver rows r10-or-older
+    "mm_png_roundtrip",
+    "mm_resize_roundtrip",
+    "mm_jpeg_roundtrip",
+    "mm_mp3_metadata",
+    "mm_mp4_metadata",
+    "mm_aac_metadata",
+    "mm_flac_metadata",
+    "mm_opus_metadata",
 ]
+
+REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + SPREAD_REWIRED + [
+    # representatives of the artifact-derived stale blocks
+    "er_fuzzy_name_pairs",
+    "dd_simhash",
+    "graph_betweenness",
+    "st_watermark_dedup",
+    "apx_sketches",
+    "graph_bfs_hops",
+]
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _last_driver_round(exclude_window: set[str] | None = None) -> dict[str, int]:
+    """Per-query newest CORRECTNESS_r*.json round. When
+    ``exclude_window`` is given, the single NEWEST artifact is ignored
+    iff its key set equals that window — i.e., staleness is computed
+    against the artifacts that existed when the window was AUTHORED,
+    so the driver landing the round's own record (whose rows are, by
+    definition, the freshest afterwards) cannot retroactively
+    invalidate the rotation (the r11 hand-off failure)."""
+    rounds: dict[int, set[str]] = {}
+    for p in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
+        n = int(_re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        try:
+            rec = json.load(open(p))
+        except ValueError:
+            continue
+        if isinstance(rec, dict):
+            rounds[n] = set(rec)
+    if exclude_window is not None and rounds:
+        newest = max(rounds)
+        if rounds[newest] == exclude_window:
+            del rounds[newest]
+    last: dict[str, int] = {}
+    for n, keys in rounds.items():
+        for k in keys:
+            last[k] = max(last.get(k, 0), n)
+    return last
 
 
 @pytest.fixture(scope="module")
 def entry_mod():
     import importlib
-    import os
     import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, _repo_root())
     return importlib.import_module("__spark_entry__")
 
 
@@ -90,51 +124,50 @@ def test_queries_are_callable_and_keys_stable(entry_mod):
     assert list(q)[: len(NEVER_CHECKED)] == NEVER_CHECKED
 
 
-def test_window_rotation_r11(entry_mod):
-    """Round-11 rotation: every window row must be (a) a query new this
+def test_window_rotation_r12(entry_mod):
+    """Round-12 rotation: every window row must be (a) a query new this
     round (never driver-checked), (b) a declared changed-since-last-row
-    re-run, or (c) STALE — not checked in the r10 window (its last
-    driver row is r9 or older). Anything else would waste the gate's 50
+    re-run, (c) a spread-rewired media row with an r10-or-older driver
+    row, or (d) STALE — not checked in the r11 window (its last driver
+    row is r10 or older). Anything else would waste the gate's 50
     slots on recently-checked queries."""
-    import json
-    import os
-
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r10 = set(json.load(open(os.path.join(here, "CORRECTNESS_r10.json"))))
+    here = _repo_root()
+    r11 = set(json.load(open(os.path.join(here, "CORRECTNESS_r11.json"))))
     window = set(list(entry_mod.queries())[:50])
     assert set(NEVER_CHECKED) <= window
-    fresh = r10 - set(NEVER_CHECKED) - set(CHANGED_SINCE_LAST_ROW)
+    fresh = r11 - set(NEVER_CHECKED) - set(CHANGED_SINCE_LAST_ROW)
     stray = window & fresh
-    assert not stray, f"window wastes rows on r10-checked queries: {sorted(stray)}"
+    assert not stray, f"window wastes rows on r11-checked queries: {sorted(stray)}"
 
 
 def test_window_is_stalest_first(entry_mod):
     """Beyond no-waste: the stale section must actually be the STALEST
-    rows available — no registered query may have an older last-driver-
-    row than the oldest row IN the window unless it is already slated
-    (the rotation-note tail). Recomputed from the artifacts, so this
-    cannot drift from reality the way a hand-written note can."""
-    import glob
-    import json
-    import os
-    import re as _re
-
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last: dict[str, int] = {}
-    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        n = int(_re.search(r"r(\d+)", os.path.basename(p)).group(1))
-        try:
-            rec = json.load(open(p))
-        except ValueError:
-            continue
-        if isinstance(rec, dict):
-            for k in rec:
-                last[k] = max(last.get(k, 0), n)
+    rows available — no registered query may have an older
+    last-driver-row than the oldest row IN the window. Recomputed from
+    the artifacts so it cannot drift from reality the way a
+    hand-written note can; the round's own post-snapshot artifact is
+    excluded (see _last_driver_round) so the check asserts the window
+    was stalest-first against the artifacts that existed when it was
+    authored, not against the record the window itself produced."""
     q = list(entry_mod.queries())
     window, rest = set(q[:50]), q[50:]
+    last = _last_driver_round(exclude_window=window)
     oldest_out = min(last.get(k, 0) for k in rest)
     oldest_in = min(last.get(k, 0) for k in window)
     assert oldest_in <= oldest_out, (
         "a staler query sits OUTSIDE the window: "
         f"in={oldest_in} out={oldest_out}"
     )
+
+
+def test_stale_blocks_fully_enrolled(entry_mod):
+    """Stronger than min-vs-min: with the round's own artifact
+    excluded, EVERY query whose last driver row is r8 or older must be
+    inside the r12 window (the window was sized to drain the r7 and r8
+    blocks completely)."""
+    q = list(entry_mod.queries())
+    window = set(q[:50])
+    last = _last_driver_round(exclude_window=window)
+    stale = {k for k in q if last.get(k, 0) <= 8 and k in last}
+    left_out = stale - window
+    assert not left_out, f"r8-or-older rows left outside the window: {sorted(left_out)}"
