@@ -7392,14 +7392,15 @@ def mm_gif_pixels(spark, sf_dir):
 )
 def mm_tiff_pixels(spark, sf_dir):
     """REAL-decoder cross-engine check, TIFF strip half (rounds 11-12):
-    grayscale strips cycling all four strip codecs by doc — raw,
+    grayscale strips cycling all six strip codecs by doc — raw,
     PackBits, LZW, LZW + horizontal-differencing predictor (TIFF 6.0
-    §13/§14, early-change rule pinned empirically against libtiff) —
-    in BOTH byte orders inflate for real (tiff_pixel_features
-    strict=True) and the decoded mean luma must hit the same closed
-    form as mm_gif_pixels — one pattern, two container codecs,
-    cross-checked against each other and the oracle. JPEG/Deflate-in-
-    TIFF strips remain the declared entropy-coded boundary
+    §13/§14, early-change rule pinned empirically against libtiff),
+    Deflate, Deflate + predictor — in BOTH byte orders and three strip
+    layouts (whole-image, 4-row, single-row strips) inflate for real
+    (tiff_pixel_features strict=True) and the decoded mean luma must
+    hit the same closed form as mm_gif_pixels — one pattern, two
+    container codecs, cross-checked against each other and the oracle.
+    JPEG-in-TIFF strips remain the declared entropy-coded boundary
     (decode_tiff_gray raises on them)."""
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
         synth_tiff_pixel_media,

@@ -2269,11 +2269,14 @@ def gif_pixel_features(
 
 def synth_tiff_pixel_media(docs: DataFrame) -> DataFrame:
     """Deterministic grayscale TIFFs with REAL sample strips cycling
-    all four strip codecs by ``doc_id % 4`` — raw, PackBits, LZW, and
-    LZW + horizontal-differencing predictor (round 12) — with II/MM
-    byte orders cycling on ``doc_id // 4``, carrying the same
-    row-constant pattern as :func:`synth_gif_pixel_media` — the
-    decoded mean is exactly ``(doc_id % 16) + 120``."""
+    all six strip codecs by ``doc_id % 6`` — raw, PackBits, LZW,
+    LZW + horizontal-differencing predictor, Deflate, Deflate +
+    predictor (round 12) — with II/MM byte orders cycling on
+    ``doc_id // 6`` and the strip LAYOUT cycling whole-image /
+    4-row / single-row strips on ``doc_id // 2`` (multi-strip is how
+    real scanned TIFFs arrive), carrying the same row-constant
+    pattern as :func:`synth_gif_pixel_media` — the decoded mean is
+    exactly ``(doc_id % 16) + 120``."""
     from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
         build_tiff_gray,
     )
@@ -2295,13 +2298,17 @@ def synth_tiff_pixel_media(docs: DataFrame) -> DataFrame:
                     for y in range(h)
                     for v in [(b + 16 * (y % 16)) % 256] * w
                 )
-                comp, pred = [(1, 1), (32773, 1), (5, 1), (5, 2)][mid % 4]
+                comp, pred = [
+                    (1, 1), (32773, 1), (5, 1), (5, 2), (8, 1), (8, 2),
+                ][mid % 6]
+                rps = (None, 4, 1)[(mid // 2) % 3]
                 payloads.append(
                     build_tiff_gray(
                         w, h, px,
                         compression=comp,
-                        byte_order="II" if (mid // 4) % 2 == 0 else "MM",
+                        byte_order="II" if (mid // 6) % 2 == 0 else "MM",
                         predictor=pred,
+                        rows_per_strip=rps,
                     )
                 )
             yield pd.DataFrame(
@@ -2322,13 +2329,14 @@ def tiff_pixel_features(
     media: DataFrame, strict: bool = False, batch_size: int = 256
 ) -> DataFrame:
     """REAL TIFF strip decode (rounds 11-12): raw (compression 1),
-    PackBits (32773), and LZW (5, with or without the predictor-2
-    horizontal differencing) grayscale strips inflate for real in
-    either byte order (``operators/tiff.py decode_tiff_gray``,
-    parser='tiff'); JPEG/Deflate-in-TIFF strips stay the declared
-    entropy-coded boundary (the decoder raises and strict surfaces
-    it). Non-TIFF payloads take the deterministic sha256 fake, or
-    raise under ``strict=True``. Map-side only."""
+    PackBits (32773), LZW (5), and Deflate (8/32946) grayscale strips
+    — with or without the predictor-2 horizontal differencing, single-
+    or multi-strip — inflate for real in either byte order
+    (``operators/tiff.py decode_tiff_gray``, parser='tiff');
+    JPEG-in-TIFF strips stay the declared entropy-coded boundary (the
+    decoder raises and strict surfaces it). Non-TIFF payloads take the
+    deterministic sha256 fake, or raise under ``strict=True``.
+    Map-side only."""
     from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
         decode_tiff_gray,
         is_tiff,
@@ -2359,8 +2367,8 @@ def tiff_pixel_features(
                     if strict:
                         raise NotImplementedError(
                             "real TIFF strip decode covers raw/PackBits/"
-                            "LZW 8-bit grayscale — other layouts (JPEG/"
-                            "Deflate strips) stay the codec boundary"
+                            "LZW/Deflate 8-bit grayscale — other layouts"
+                            " (JPEG strips) stay the codec boundary"
                         )
                     d = hashlib.sha256(b).digest()
                     w, h = 100 + d[0] * 4, 80 + d[1] * 3

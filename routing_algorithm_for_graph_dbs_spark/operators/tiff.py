@@ -136,9 +136,11 @@ def parse_tiff_metadata(payload: bytes):
 # ---------------------------------------------------------------------------
 # REAL strip decode (rounds 11-12): TIFF's common grayscale payloads are
 # UNCOMPRESSED samples (compression 1), PackBits RLE (compression
-# 32773, spec §9), or LZW (compression 5, spec §13) — all pure byte/bit
-# transforms, no codec library, so none belongs on the declared decode
-# boundary. JPEG-in-TIFF strips stay there (entropy decode).
+# 32773, spec §9), LZW (compression 5, spec §13), or Deflate
+# (compression 8 / legacy 32946, zlib streams per the Adobe TIFF
+# technotes — stdlib inflate) — all pure byte/bit transforms, no codec
+# library, so none belongs on the declared decode boundary. JPEG-in-
+# TIFF strips stay there (entropy decode).
 # ---------------------------------------------------------------------------
 
 
@@ -346,61 +348,92 @@ def build_tiff_gray(
     compression: int = 1,
     byte_order: str = "II",
     predictor: int = 1,
+    rows_per_strip: int | None = None,
 ) -> bytes:
-    """Mint a single-IFD 8-bit grayscale TIFF whose strip holds the REAL
-    encoding of ``pixels`` (row-major, len == width*height): raw samples
-    (compression 1), PackBits (32773), or LZW (5, optionally with the
-    horizontal-differencing predictor 2). PackBits packs EACH ROW
-    SEPARATELY per the TIFF6 spec section 9 rule "never cross row
-    boundaries when packing" (the round-11 libtiff cross-check caught a
-    whole-strip packing here: libtiff restarts its scanline decoder at
-    every row, so a literal run spanning rows shifted every subsequent
-    row by a byte); LZW compresses the strip as ONE stream per §13 but
-    the predictor still differences per row. The decode twin is
+    """Mint a single-IFD 8-bit grayscale TIFF whose strips hold the
+    REAL encoding of ``pixels`` (row-major, len == width*height): raw
+    samples (compression 1), PackBits (32773), LZW (5), or Deflate
+    (8), the latter two optionally with the horizontal-differencing
+    predictor 2. PackBits packs EACH ROW SEPARATELY per the TIFF6 spec
+    section 9 rule "never cross row boundaries when packing" (the
+    round-11 libtiff cross-check caught a whole-strip packing here:
+    libtiff restarts its scanline decoder at every row, so a literal
+    run spanning rows shifted every subsequent row by a byte); LZW and
+    Deflate compress each strip as ONE stream restarting per strip,
+    with the predictor still differencing per row. ``rows_per_strip``
+    defaults to one strip for the whole image; smaller values mint the
+    multi-strip layout real scanned TIFFs use (offset/count LONG
+    arrays stored out-of-line before the IFD). The decode twin is
     :func:`decode_tiff_gray`."""
+    import zlib
+
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height samples")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
-    if predictor == 2 and compression != 5:
-        raise ValueError("predictor 2 is only minted with LZW strips")
-    if compression == 1:
-        strip = pixels
-    elif compression == 32773:
-        strip = b"".join(
-            packbits_encode(pixels[r * width:(r + 1) * width])
-            for r in range(height)
-        )
-    elif compression == 5:
-        plane = horizontal_diff(pixels, width) if predictor == 2 else pixels
-        strip = tiff_lzw_encode(plane)
-    else:
-        raise ValueError("build_tiff_gray supports compression 1, 5, 32773")
-    if len(strip) % 2:
-        strip += b"\x00"  # keep the IFD word-aligned (decoders use counts)
+    if predictor == 2 and compression not in (5, 8):
+        raise ValueError("predictor 2 is only minted with LZW/Deflate strips")
+    rps = height if rows_per_strip is None else rows_per_strip
+    if not 1 <= rps <= height:
+        raise ValueError("rows_per_strip out of range")
+    strips: list[bytes] = []
+    for top in range(0, height, rps):
+        rows = pixels[top * width:(top + rps) * width]
+        if compression == 1:
+            strip = rows
+        elif compression == 32773:
+            strip = b"".join(
+                packbits_encode(rows[r * width:(r + 1) * width])
+                for r in range(len(rows) // width)
+            )
+        elif compression in (5, 8):
+            plane = horizontal_diff(rows, width) if predictor == 2 else rows
+            strip = (tiff_lzw_encode(plane) if compression == 5
+                     else zlib.compress(plane))
+        else:
+            raise ValueError(
+                "build_tiff_gray supports compression 1, 5, 8, 32773"
+            )
+        strips.append(strip)
     fmt = "<" if byte_order == "II" else ">"
     out = bytearray()
     out += byte_order.encode("ascii")
     out += struct.pack(fmt + "H", 42)
-    out += struct.pack(fmt + "I", 8 + len(strip))
+    out += struct.pack(fmt + "I", 0)  # first-IFD offset patched below
+    offsets: list[int] = []
+    counts: list[int] = []
+    for strip in strips:
+        offsets.append(len(out))
+        counts.append(len(strip))
+        out += strip
+        if len(out) % 2:
+            out += b"\x00"  # keep everything word-aligned
+    n = len(strips)
+    if n == 1:
+        off_val, cnt_val = offsets[0], counts[0]
+    else:
+        off_val = len(out)
+        out += struct.pack(fmt + f"{n}I", *offsets)
+        cnt_val = len(out)
+        out += struct.pack(fmt + f"{n}I", *counts)
 
-    def entry(tag: int, etype: int, value: int) -> bytes:
-        e = struct.pack(fmt + "HHI", tag, etype, 1)
+    def entry(tag: int, etype: int, value: int, count: int = 1) -> bytes:
+        e = struct.pack(fmt + "HHI", tag, etype, count)
         if etype == _SHORT:
             return e + struct.pack(fmt + "H", value) + b"\x00\x00"
         return e + struct.pack(fmt + "I", value)
 
-    out += strip
+    struct.pack_into(fmt + "I", out, 4, len(out))  # IFD starts here
     out += struct.pack(fmt + "H", _N_ENTRIES + (predictor == 2))
     out += entry(_WIDTH, _LONG, width)
     out += entry(_LENGTH, _LONG, height)
     out += entry(_BITS_PER_SAMPLE, _SHORT, 8)
     out += entry(_COMPRESSION, _SHORT, compression)
     out += entry(_PHOTOMETRIC, _SHORT, 1)  # BlackIsZero
-    out += entry(_STRIP_OFFSETS, _LONG, 8)
+    out += entry(_STRIP_OFFSETS, _LONG, off_val, n)
     out += entry(_SAMPLES_PER_PIXEL, _SHORT, 1)
-    out += entry(_ROWS_PER_STRIP, _LONG, height)
-    out += entry(_STRIP_BYTE_COUNTS, _LONG, len(strip))
+    out += entry(_ROWS_PER_STRIP, _LONG, rps)
+    out += entry(_STRIP_BYTE_COUNTS, _LONG, cnt_val, n)
     if predictor == 2:
         out += entry(_PREDICTOR, _SHORT, 2)  # tags stay ascending: 317 last
     out += struct.pack(fmt + "I", 0)
@@ -409,12 +442,16 @@ def build_tiff_gray(
 
 def decode_tiff_gray(payload: bytes):
     """REAL pixel decode of the first IFD's grayscale strips: dereference
-    StripOffsets/StripByteCounts, inflate raw, PackBits, or LZW strips
-    (honoring the horizontal-differencing predictor), and return
-    ``(width, height, mean_luma)`` — the exact float mean of the 8-bit
-    samples. Raises on unsupported layouts (bits != 8, samples != 1,
-    JPEG/Deflate strips — the remaining entropy-coded boundary) and on
-    any structural error."""
+    StripOffsets/StripByteCounts (inline scalars or out-of-line
+    SHORT/LONG arrays — the multi-strip layout real scanned TIFFs
+    use), inflate raw, PackBits, LZW, or Deflate strips (honoring the
+    horizontal-differencing predictor, which resets per row; LZW and
+    Deflate streams restart per strip), and return ``(width, height,
+    mean_luma)`` — the exact float mean of the 8-bit samples. Raises
+    on unsupported layouts (bits != 8, samples != 1, JPEG strips — the
+    remaining entropy-coded boundary) and on any structural error."""
+    import zlib
+
     if not is_tiff(payload):
         raise ValueError("not a TIFF (bad byte-order mark / magic 42)")
     fmt = "<" if payload[:2] == b"II" else ">"
@@ -440,40 +477,81 @@ def decode_tiff_gray(payload: bytes):
         etype, count, at = fields[tag]
         if count != 1 or etype not in (_SHORT, _LONG):
             raise ValueError(
-                f"TIFF tag {tag}: multi-count/offset values not supported"
+                f"TIFF tag {tag}: expected a single SHORT/LONG value"
             )
         f = "H" if etype == _SHORT else "I"
         return struct.unpack_from(fmt + f, payload, at)[0]
+
+    def vals(tag: int) -> list[int]:
+        """SHORT/LONG value list: inline when it fits the 4-byte field,
+        dereferenced otherwise (TIFF6 value/offset rule)."""
+        if tag not in fields:
+            raise ValueError(f"TIFF lacks required tag {tag}")
+        etype, count, at = fields[tag]
+        if etype not in (_SHORT, _LONG):
+            raise ValueError(f"TIFF tag {tag}: expected SHORT/LONG values")
+        f = "H" if etype == _SHORT else "I"
+        size = 2 if etype == _SHORT else 4
+        if count * size > 4:
+            (at,) = struct.unpack_from(fmt + "I", payload, at)
+        if at + count * size > len(payload):
+            raise ValueError(f"TIFF tag {tag} value array runs past payload")
+        return list(struct.unpack_from(fmt + f"{count}{f}", payload, at))
 
     width, height = val(_WIDTH), val(_LENGTH)
     if val(_BITS_PER_SAMPLE, 1) != 8 or val(_SAMPLES_PER_PIXEL, 1) != 1:
         raise ValueError("decode_tiff_gray handles 8-bit single-sample only")
     comp = val(_COMPRESSION, 1)
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(
             f"TIFF compression {comp} needs a codec — the decode boundary"
         )
     predictor = val(_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} not supported")
-    if predictor == 2 and comp != 5:
-        raise ValueError("TIFF predictor 2 outside an LZW strip")
-    off, cnt = val(_STRIP_OFFSETS), val(_STRIP_BYTE_COUNTS)
-    if off + cnt > len(payload):
-        raise ValueError("TIFF strip runs past payload")
-    strip = payload[off : off + cnt]
-    n_px = width * height
-    if comp == 1:
-        px = strip[:n_px]
-    elif comp == 5:
-        px = tiff_lzw_decode(strip, n_px)
+    if predictor == 2 and comp not in (5, 8, 32946):
+        raise ValueError("TIFF predictor 2 outside an LZW/Deflate strip")
+    offs, cnts = vals(_STRIP_OFFSETS), vals(_STRIP_BYTE_COUNTS)
+    if len(offs) != len(cnts):
+        raise ValueError("TIFF StripOffsets/StripByteCounts length mismatch")
+    rps = val(_ROWS_PER_STRIP, height)
+    if rps < 1 or (height + rps - 1) // rps != len(offs):
+        raise ValueError(
+            f"TIFF strip count {len(offs)} does not cover {height} rows"
+            f" at {rps} rows/strip"
+        )
+    out = bytearray()
+    for i, (off, cnt) in enumerate(zip(offs, cnts)):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip runs past payload")
+        strip = payload[off : off + cnt]
+        n_rows = min(rps, height - i * rps)
+        n_strip_px = n_rows * width
+        if comp == 1:
+            px = strip[:n_strip_px]
+        elif comp == 5:
+            px = tiff_lzw_decode(strip, n_strip_px)
+        elif comp in (8, 32946):
+            try:
+                px = zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF Deflate strip: {exc}") from exc
+            if len(px) != n_strip_px:
+                raise ValueError(
+                    f"TIFF Deflate strip inflated to {len(px)} bytes,"
+                    f" expected {n_strip_px}"
+                )
+        else:
+            px = packbits_decode(strip, n_strip_px)
+        if len(px) < n_strip_px:
+            raise ValueError("TIFF strip shorter than its row span")
         if predictor == 2:
-            px = horizontal_undiff(px, width)
-    else:
-        px = packbits_decode(strip, n_px)
-    if len(px) < n_px:
-        raise ValueError("TIFF strip shorter than width*height")
-    return (width, height, sum(px[:n_px]) / n_px)
+            px = horizontal_undiff(px[:n_strip_px], width)
+        out += px[:n_strip_px]
+    n_px = width * height
+    if len(out) < n_px:
+        raise ValueError("TIFF strips shorter than width*height")
+    return (width, height, sum(out[:n_px]) / n_px)
 
 
 _N_ENTRIES = 9

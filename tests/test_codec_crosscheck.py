@@ -299,25 +299,30 @@ def test_libtiff_reads_our_strips():
 
     rng = np.random.RandomState(8)
     for byte_order in ("II", "MM"):
-        # (compression, predictor): raw, per-row PackBits, LZW, LZW+diff
-        for comp, pred in ((1, 1), (32773, 1), (5, 1), (5, 2)):
+        # (compression, predictor, rows_per_strip): raw, per-row
+        # PackBits, LZW(+diff), Deflate(+diff), and multi-strip layouts
+        for comp, pred, rps in (
+            (1, 1, None), (32773, 1, None), (5, 1, None), (5, 2, None),
+            (8, 1, None), (8, 2, None),
+            (1, 1, 3), (32773, 1, 5), (5, 1, 4), (5, 2, 7), (8, 2, 1),
+        ):
             # 200x40 random bytes push LZW through every code width and
             # the 4094-entry table reset
             sizes = [(13, 7), (1, 1), (30, 16), (5, 40)]
-            if comp == 5:
+            if comp == 5 and rps is None:
                 sizes.append((200, 40))
             for (w, h) in sizes:
                 px = bytes(rng.randint(0, 256, w * h).astype(np.uint8))
                 payload = build_tiff_gray(
                     w, h, px, compression=comp, byte_order=byte_order,
-                    predictor=pred)
+                    predictor=pred, rows_per_strip=min(rps, h) if rps else None)
                 assert decode_tiff_gray(payload)[:2] == (w, h)
                 fn = tempfile.mktemp(suffix=".tif")
                 try:
                     with open(fn, "wb") as f:
                         f.write(payload)
                     tif = _TIFF.TIFFOpen(fn.encode(), b"r")
-                    assert tif, (byte_order, comp, pred)
+                    assert tif, (byte_order, comp, pred, rps)
                     buf = (ctypes.c_ubyte * w)()
                     rows = []
                     for r in range(h):
@@ -325,7 +330,7 @@ def test_libtiff_reads_our_strips():
                             ctypes.c_void_p(tif), buf, r, 0) == 1
                         rows.append(bytes(buf))
                     _TIFF.TIFFClose(ctypes.c_void_p(tif))
-                    assert b"".join(rows) == px, (byte_order, comp, pred, w, h)
+                    assert b"".join(rows) == px, (byte_order, comp, pred, rps, w, h)
                 finally:
                     if os.path.exists(fn):
                         os.unlink(fn)
@@ -333,11 +338,12 @@ def test_libtiff_reads_our_strips():
 
 @pytest.mark.skipif(_TIFF is None, reason="libtiff not available")
 def test_we_decode_libtiff_lzw():
-    """The reverse direction: strips libtiff itself LZW-compresses
-    (TIFFWriteScanline, compression 5, predictors 1 and 2) must decode
-    bit-exactly in our pure-Python §13 codec. This is the check that
-    pinned the early-change rule: a widen-at-``2^w`` decoder (the GIF
-    convention) mis-reads libtiff streams from code 513 on."""
+    """The reverse direction: strips libtiff itself compresses
+    (TIFFWriteScanline; LZW and Deflate, predictors 1 and 2, single-
+    and multi-strip) must decode bit-exactly in our pure-Python codec.
+    This is the check that pinned the LZW early-change rule: a
+    widen-at-``2^w`` decoder (the GIF convention) mis-reads libtiff
+    streams from code 513 on."""
     from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
         decode_tiff_gray,
     )
@@ -356,7 +362,13 @@ def test_we_decode_libtiff_lzw():
     tags = dict(width=256, length=257, bps=258, comp=259, photo=262,
                 spp=277, rps=278, planar=284, predictor=317)
     rng = np.random.RandomState(9)
-    for pred in (1, 2):
+    # (compression, predictor, rows_per_strip|None=whole): LZW and
+    # Deflate, plain and differenced, single- and libtiff-chosen
+    # multi-strip layouts
+    for comp, pred, rps in (
+        (5, 1, None), (5, 2, None), (8, 1, None), (8, 2, None),
+        (5, 1, 4), (5, 2, 8), (8, 1, 1), (8, 2, 16),
+    ):
         for (w, h) in [(13, 7), (64, 2), (200, 40), (500, 30)]:
             px = bytes(rng.randint(0, 256, w * h).astype(np.uint8))
             fn = tempfile.mktemp(suffix=".tif")
@@ -373,10 +385,10 @@ def test_we_decode_libtiff_lzw():
                 sf(tags["length"], h, ctypes.c_uint32)
                 sf(tags["bps"], 8)
                 sf(tags["spp"], 1)
-                sf(tags["comp"], 5)
+                sf(tags["comp"], comp)
                 sf(tags["photo"], 1)
                 sf(tags["planar"], 1)
-                sf(tags["rps"], h, ctypes.c_uint32)
+                sf(tags["rps"], min(rps, h) if rps else h, ctypes.c_uint32)
                 if pred != 1:
                     sf(tags["predictor"], pred)
                 for r in range(h):
@@ -388,7 +400,7 @@ def test_we_decode_libtiff_lzw():
                 payload = open(fn, "rb").read()
                 got_w, got_h, mean = decode_tiff_gray(payload)
                 assert (got_w, got_h) == (w, h)
-                assert mean == sum(px) / len(px), (pred, w, h)
+                assert mean == sum(px) / len(px), (comp, pred, rps, w, h)
             finally:
                 if os.path.exists(fn):
                     os.unlink(fn)

@@ -4768,6 +4768,60 @@ def test_tiff_lzw_golden():
         tiff_lzw_decode(bytes([(s >> 10) & 0xFF, (s >> 2) & 0xFF, (s & 3) << 6]), 2)
 
 
+def test_tiff_deflate_and_multistrip():
+    """Round 12: Deflate strips (compression 8, stdlib zlib) and the
+    multi-strip layout (out-of-line StripOffsets/ByteCounts LONG
+    arrays, per-strip codec restart, short last strip) round-trip for
+    every codec x predictor x rows_per_strip combination, both byte
+    orders; malformed zlib streams and strip-count mismatches raise."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_gray,
+        decode_tiff_gray,
+        parse_tiff_metadata,
+    )
+
+    rng = random.Random(13)
+    w, h = 13, 16
+    for bo in ("II", "MM"):
+        for comp, pred in [(1, 1), (32773, 1), (5, 1), (5, 2), (8, 1), (8, 2)]:
+            for rps in (None, 1, 3, 7, 16):
+                px = bytes(rng.randrange(256) for _ in range(w * h))
+                p = build_tiff_gray(
+                    w, h, px, compression=comp, byte_order=bo,
+                    predictor=pred, rows_per_strip=rps,
+                )
+                assert decode_tiff_gray(p) == (w, h, sum(px) / len(px)), (
+                    bo, comp, pred, rps)
+                md = parse_tiff_metadata(p)
+                assert md[:3] == (bo, w, h) and md[4] == comp
+
+    # corrupt zlib stream raises loudly
+    px = bytes(range(64)) * 2
+    p = bytearray(build_tiff_gray(8, 16, px, compression=8))
+    off = 8  # first strip starts right after the header
+    p[off:off + 2] = b"\x00\x00"  # clobber the zlib header
+    with _pytest.raises(ValueError, match="Deflate"):
+        decode_tiff_gray(bytes(p))
+    # strip count must cover height at rows_per_strip
+    p = bytearray(build_tiff_gray(8, 16, px, compression=1, rows_per_strip=4))
+    # rewrite RowsPerStrip (tag 278) to 8: 4 strips no longer match
+    fmt = "<"
+    (ifd,) = _struct.unpack_from(fmt + "I", p, 4)
+    (n,) = _struct.unpack_from(fmt + "H", p, ifd)
+    for i in range(n):
+        pos = ifd + 2 + 12 * i
+        tag, = _struct.unpack_from(fmt + "H", p, pos)
+        if tag == 278:
+            _struct.pack_into(fmt + "I", p, pos + 8, 8)
+    with _pytest.raises(ValueError, match="strip count"):
+        decode_tiff_gray(bytes(p))
+
+
 def test_sniff_decode_covers_gif_and_webp():
     """Round 11: the pHash/resize sniff path decodes GIF (LZW, incl.
     interlaced row reordering) and lossless WebP (VP8L) for real; lossy
