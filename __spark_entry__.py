@@ -23,18 +23,21 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
 # order. The window ROTATES each round (round-5 verdict demand). Round 12
-# (VERDICT r11 item 1a): lead with the query NEW this round
-# (mm_bmp_bitfields — the masked-BMP widening), re-run every query whose
+# (VERDICT r11 item 1a): lead with the queries NEW this round
+# (mm_tiff_jpeg, mm_bmp_bitfields — the JPEG-in-TIFF and masked-BMP
+# widenings), re-run every query whose
 # implementation changed since its last driver row, then the 8 media rows
 # rewired by the late-r11 input-docs spread whose driver rows are
 # r10-or-older, then the registry's genuinely stalest rows in
 # last-checked order — recomputed from the CORRECTNESS_r*.json artifacts
-# (the whole r7 block, the r8 remainder, and the two stalest r9 rows).
+# (the whole r7 block, the r8 remainder, and the stalest r9 row).
 # The remaining registry stays covered by tools/check_oracles.py
 # (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: NEW this round — 16-bit RGB555 /
+    # -- never-driver-checked: NEW this round — JPEG-in-TIFF strips
+    #    (compression 7, TechNote 2 JPEGTables) and 16-bit RGB555 /
     #    BI_BITFIELDS masked-BMP decode (round 12)
+    "mm_tiff_jpeg",
     "mm_bmp_bitfields",
     # -- re-runs: implementation changed since their last driver row.
     #    mm_tiff_pixels: TIFF LZW strips (+ predictor 2) moved off the
@@ -97,9 +100,10 @@ _DRIVER_WINDOW = [
     "dd_decontaminate",
     "smp_mixture",
     "pack_shards",
-    # -- the two stalest r9 rows (CORRECTNESS_r09 order) fill the window
+    # -- the stalest r9 row (CORRECTNESS_r09 order) fills the window
+    #    (graph_bfs_hops, next in that order, ceded its slot to
+    #    mm_tiff_jpeg; it stays covered by the bench + local mirrors)
     "apx_sketches",
-    "graph_bfs_hops",
 ]
 # ROUND-13 ROTATION NOTE: lead with any query whose implementation
 # changes during r12 after its driver row, then continue the stale

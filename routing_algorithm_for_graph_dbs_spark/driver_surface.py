@@ -7556,6 +7556,64 @@ def mm_bmp_palette(spark, sf_dir):
 
 
 @_register(
+    "mm_tiff_jpeg",
+    """
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             16 + (doc_id % 14) * 16 AS g,
+             CAST(8 + doc_id % 9 AS INTEGER) AS w,
+             CAST(8 + doc_id % 7 AS INTEGER) AS h
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, w AS width, h AS height,
+           -- flat-block JPEG reconstruction, then the decoder's uint8
+           -- sample rounding: DC 8(g-128) quantized by q0=3 (Annex K
+           -- luma, quality 90). Inner ratio's fractional part is 0 or
+           -- a third (never a tie); the outer value's eighths never hit
+           -- .5 for g = 16+16k (m mod 8 != 4 for all k in 0..13), so
+           -- ROUND here == np.rint there
+           ROUND(128.0 + ROUND(8.0 * (g - 128) / 3.0) * 3.0 / 8.0)
+             AS mean_luma,
+           'tiff' AS parser
+    FROM img
+    """,
+)
+def mm_tiff_jpeg(spark, sf_dir):
+    """REAL-codec cross-engine check, JPEG-in-TIFF half (round 12 —
+    compression 7 moved OFF the boundary; the Huffman/DCT machinery
+    already existed in operators/jpeg.py): synth_tiff_jpeg_media mints
+    flat-gray TIFFs whose strips are REAL baseline-JPEG streams —
+    abbreviated strips + shared JPEGTables tag (TIFF TechNote 2) on odd
+    docs, full interchange streams on even — across three strip
+    layouts and both byte orders, and tiff_pixel_features decodes every
+    payload for real (strict=True). The decoded mean must hit the
+    closed-form flat-block reconstruction exactly; libtiff+libjpeg
+    verify the same streams bidirectionally in the crosscheck suite."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        synth_tiff_jpeg_media,
+        tiff_pixel_features,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # spread the INPUT docs: the per-doc JPEG encode in the synth is
+    # the CPU-heavy half and a small parquet arrives as one scan split;
+    # the synth and the extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_tiff_jpeg_media(docs)
+    return tiff_pixel_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+        "parser",
+    )
+
+
+@_register(
     "mm_bmp_bitfields",
     """
     WITH img AS (

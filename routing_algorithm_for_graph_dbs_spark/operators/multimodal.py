@@ -2566,6 +2566,55 @@ def synth_bmp_palette_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_tiff_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic JPEG-in-TIFF payloads (round 12 — compression 7
+    moved off the boundary: the entropy machinery already lived in
+    ``operators/jpeg.py``): per doc, a FLAT gray ``g = 16 + 16 *
+    (doc_id % 14)`` image — flat blocks make the lossy roundtrip
+    closed-form (DC-only, Annex K luma q0=3 at quality 90; see
+    mm_jpeg_roundtrip) — cycling abbreviated-with-JPEGTables vs full
+    interchange strips on ``doc_id % 2``, strip layout whole/4-row/
+    8-row on ``doc_id // 2``, and byte order on ``doc_id // 6``."""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_gray,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (8 + F.col("doc_id") % 9).cast("int").alias("w"),
+        (8 + F.col("doc_id") % 7).cast("int").alias("h"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                mid, w, h = int(mid), int(w), int(h)
+                g = 16 + 16 * (mid % 14)
+                rps = (None, 4, 8)[(mid // 2) % 3]
+                payloads.append(
+                    build_tiff_gray(
+                        w, h, bytes([g]) * (w * h),
+                        compression=7,
+                        byte_order="II" if (mid // 6) % 2 == 0 else "MM",
+                        rows_per_strip=min(rps, h) if rps else None,
+                        jpeg_tables=mid % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/tiff",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
 def synth_bmp_bitfields_media(docs: DataFrame) -> DataFrame:
     """Deterministic masked-mode BMPs with REAL 16/32-bit payloads
     (round 12 — ``decode_bmp`` widened to RGB555/BI_BITFIELDS): per

@@ -339,6 +339,47 @@ def horizontal_undiff(pixels: bytes, width: int) -> bytes:
 
 
 _PREDICTOR = 317
+_JPEG_TABLES = 346 + 1  # tag 347, TIFF TechNote 2
+_UNDEFINED = 7
+
+
+def split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full JPEG interchange stream into the (JPEGTables tag
+    payload, abbreviated strip stream) pair of TIFF TechNote 2: DQT and
+    DHT segments move to a tables stream (SOI + tables + EOI); the
+    strip keeps SOI, the frame/scan segments, the entropy data, and
+    EOI. The inverse is :func:`join_jpeg_tables`."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    tables = bytearray(b"\xff\xd8")
+    strip = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG segment marker")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows to EOI
+            strip += stream[pos:]
+            tables += b"\xff\xd9"
+            return bytes(tables), bytes(strip)
+        (seglen,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            strip += seg
+        pos += 2 + seglen
+    raise ValueError("JPEG stream ended before SOS")
+
+
+def join_jpeg_tables(tables: bytes, strip: bytes) -> bytes:
+    """Rebuild a full interchange stream from a JPEGTables tag payload
+    and an abbreviated strip (both SOI...EOI per TechNote 2)."""
+    if tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+        raise ValueError("JPEGTables payload is not SOI...EOI framed")
+    if strip[:2] != b"\xff\xd8":
+        raise ValueError("JPEG strip missing SOI")
+    return tables[:-2] + strip[2:]
 
 
 def build_tiff_gray(
@@ -349,22 +390,26 @@ def build_tiff_gray(
     byte_order: str = "II",
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    jpeg_quality: int = 90,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Mint a single-IFD 8-bit grayscale TIFF whose strips hold the
     REAL encoding of ``pixels`` (row-major, len == width*height): raw
-    samples (compression 1), PackBits (32773), LZW (5), or Deflate
-    (8), the latter two optionally with the horizontal-differencing
-    predictor 2. PackBits packs EACH ROW SEPARATELY per the TIFF6 spec
-    section 9 rule "never cross row boundaries when packing" (the
-    round-11 libtiff cross-check caught a whole-strip packing here:
-    libtiff restarts its scanline decoder at every row, so a literal
-    run spanning rows shifted every subsequent row by a byte); LZW and
-    Deflate compress each strip as ONE stream restarting per strip,
-    with the predictor still differencing per row. ``rows_per_strip``
-    defaults to one strip for the whole image; smaller values mint the
-    multi-strip layout real scanned TIFFs use (offset/count LONG
-    arrays stored out-of-line before the IFD). The decode twin is
-    :func:`decode_tiff_gray`."""
+    samples (compression 1), PackBits (32773), LZW (5), Deflate (8) —
+    the latter two optionally with the horizontal-differencing
+    predictor 2 — or new-style JPEG (7, real baseline streams from
+    ``operators/jpeg.py``, optionally abbreviated with the shared
+    tables in a JPEGTables tag per TIFF TechNote 2). PackBits packs
+    EACH ROW SEPARATELY per the TIFF6 spec section 9 rule "never cross
+    row boundaries when packing" (the round-11 libtiff cross-check
+    caught a whole-strip packing here: libtiff restarts its scanline
+    decoder at every row, so a literal run spanning rows shifted every
+    subsequent row by a byte); LZW and Deflate compress each strip as
+    ONE stream restarting per strip, with the predictor still
+    differencing per row. ``rows_per_strip`` defaults to one strip for
+    the whole image; smaller values mint the multi-strip layout real
+    scanned TIFFs use (offset/count LONG arrays stored out-of-line
+    before the IFD). The decode twin is :func:`decode_tiff_gray`."""
     import zlib
 
     if len(pixels) != width * height:
@@ -377,6 +422,7 @@ def build_tiff_gray(
     if not 1 <= rps <= height:
         raise ValueError("rows_per_strip out of range")
     strips: list[bytes] = []
+    tables_payload: bytes | None = None
     for top in range(0, height, rps):
         rows = pixels[top * width:(top + rps) * width]
         if compression == 1:
@@ -390,9 +436,20 @@ def build_tiff_gray(
             plane = horizontal_diff(rows, width) if predictor == 2 else rows
             strip = (tiff_lzw_encode(plane) if compression == 5
                      else zlib.compress(plane))
+        elif compression == 7:
+            import numpy as _np
+
+            from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+                encode_jpeg_gray,
+            )
+
+            arr = _np.frombuffer(rows, dtype=_np.uint8).reshape(-1, width)
+            strip = encode_jpeg_gray(arr, quality=jpeg_quality)
+            if jpeg_tables:
+                tables_payload, strip = split_jpeg_tables(strip)
         else:
             raise ValueError(
-                "build_tiff_gray supports compression 1, 5, 8, 32773"
+                "build_tiff_gray supports compression 1, 5, 7, 8, 32773"
             )
         strips.append(strip)
     fmt = "<" if byte_order == "II" else ">"
@@ -416,6 +473,12 @@ def build_tiff_gray(
         out += struct.pack(fmt + f"{n}I", *offsets)
         cnt_val = len(out)
         out += struct.pack(fmt + f"{n}I", *counts)
+    tables_at = None
+    if tables_payload is not None:
+        tables_at = len(out)
+        out += tables_payload
+        if len(out) % 2:
+            out += b"\x00"
 
     def entry(tag: int, etype: int, value: int, count: int = 1) -> bytes:
         e = struct.pack(fmt + "HHI", tag, etype, count)
@@ -424,7 +487,8 @@ def build_tiff_gray(
         return e + struct.pack(fmt + "I", value)
 
     struct.pack_into(fmt + "I", out, 4, len(out))  # IFD starts here
-    out += struct.pack(fmt + "H", _N_ENTRIES + (predictor == 2))
+    n_entries = _N_ENTRIES + (predictor == 2) + (tables_at is not None)
+    out += struct.pack(fmt + "H", n_entries)
     out += entry(_WIDTH, _LONG, width)
     out += entry(_LENGTH, _LONG, height)
     out += entry(_BITS_PER_SAMPLE, _SHORT, 8)
@@ -435,7 +499,10 @@ def build_tiff_gray(
     out += entry(_ROWS_PER_STRIP, _LONG, rps)
     out += entry(_STRIP_BYTE_COUNTS, _LONG, cnt_val, n)
     if predictor == 2:
-        out += entry(_PREDICTOR, _SHORT, 2)  # tags stay ascending: 317 last
+        out += entry(_PREDICTOR, _SHORT, 2)  # ascending tag order: 317
+    if tables_at is not None:
+        out += entry(_JPEG_TABLES, _UNDEFINED, tables_at,
+                     len(tables_payload))  # ...then 347
     out += struct.pack(fmt + "I", 0)
     return bytes(out)
 
@@ -498,11 +565,22 @@ def decode_tiff_gray(payload: bytes):
             raise ValueError(f"TIFF tag {tag} value array runs past payload")
         return list(struct.unpack_from(fmt + f"{count}{f}", payload, at))
 
+    def raw(tag: int) -> bytes:
+        """Byte payload of an UNDEFINED/BYTE tag (inline or offset)."""
+        etype, count, at = fields[tag]
+        if etype not in (_UNDEFINED, 1):
+            raise ValueError(f"TIFF tag {tag}: expected BYTE/UNDEFINED data")
+        if count > 4:
+            (at,) = struct.unpack_from(fmt + "I", payload, at)
+        if at + count > len(payload):
+            raise ValueError(f"TIFF tag {tag} data runs past payload")
+        return payload[at : at + count]
+
     width, height = val(_WIDTH), val(_LENGTH)
     if val(_BITS_PER_SAMPLE, 1) != 8 or val(_SAMPLES_PER_PIXEL, 1) != 1:
         raise ValueError("decode_tiff_gray handles 8-bit single-sample only")
     comp = val(_COMPRESSION, 1)
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(
             f"TIFF compression {comp} needs a codec — the decode boundary"
         )
@@ -511,6 +589,9 @@ def decode_tiff_gray(payload: bytes):
         raise ValueError(f"TIFF predictor {predictor} not supported")
     if predictor == 2 and comp not in (5, 8, 32946):
         raise ValueError("TIFF predictor 2 outside an LZW/Deflate strip")
+    jpeg_tables = raw(_JPEG_TABLES) if _JPEG_TABLES in fields else None
+    if jpeg_tables is not None and comp != 7:
+        raise ValueError("TIFF JPEGTables outside a JPEG strip")
     offs, cnts = vals(_STRIP_OFFSETS), vals(_STRIP_BYTE_COUNTS)
     if len(offs) != len(cnts):
         raise ValueError("TIFF StripOffsets/StripByteCounts length mismatch")
@@ -531,6 +612,20 @@ def decode_tiff_gray(payload: bytes):
             px = strip[:n_strip_px]
         elif comp == 5:
             px = tiff_lzw_decode(strip, n_strip_px)
+        elif comp == 7:
+            from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+                decode_jpeg_luma,
+            )
+
+            stream = (join_jpeg_tables(jpeg_tables, strip)
+                      if jpeg_tables is not None else strip)
+            plane = decode_jpeg_luma(stream)
+            if plane.shape != (n_rows, width):
+                raise ValueError(
+                    f"TIFF JPEG strip decodes to {plane.shape}, expected"
+                    f" {(n_rows, width)}"
+                )
+            px = plane.tobytes()
         elif comp in (8, 32946):
             try:
                 px = zlib.decompress(strip)

@@ -505,3 +505,104 @@ def test_libflac_decodes_our_streams():
         finally:
             if os.path.exists(fn):
                 os.unlink(fn)
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not available")
+def test_libtiff_jpeg_strips_both_directions():
+    """JPEG-in-TIFF (compression 7): libtiff+libjpeg must read the
+    flat-gray strips we mint (full interchange AND abbreviated with a
+    JPEGTables tag), and we must decode what TIFFWriteScanline writes
+    (libtiff's default JPEGTABLESMODE emits abbreviated strips + the
+    tables tag). Flat gray survives the lossy roundtrip as the closed
+    form uint8(128 + round(8(g-128)/3)*3/8) in both stacks, which makes
+    the comparison exact. Skips (not fails) if this libtiff build lacks
+    the JPEG codec."""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_gray,
+        decode_tiff_gray,
+    )
+
+    _TIFF.TIFFOpen.restype = ctypes.c_void_p
+    _TIFF.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    _TIFF.TIFFReadScanline.restype = ctypes.c_int
+    _TIFF.TIFFReadScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+    _TIFF.TIFFWriteScanline.restype = ctypes.c_int
+    _TIFF.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+    _TIFF.TIFFSetField.restype = ctypes.c_int
+    _TIFF.TIFFClose.argtypes = [ctypes.c_void_p]
+    _TIFF.TIFFSetWarningHandler.restype = ctypes.c_void_p
+    _TIFF.TIFFSetWarningHandler.argtypes = [ctypes.c_void_p]
+    _TIFF.TIFFSetWarningHandler(None)
+
+    def expected(g: int) -> int:
+        m = round(8.0 * (g - 128) / 3.0)
+        return int(np.clip(np.rint(128.0 + m * 3.0 / 8.0), 0, 255))
+
+    # --- our files -> libtiff scanlines
+    for g in (48, 128, 208):
+        for jt in (False, True):
+            for rps in (None, 8):
+                w, h = 11, 15
+                px = bytes([g]) * (w * h)
+                payload = build_tiff_gray(
+                    w, h, px, compression=7, rows_per_strip=rps,
+                    jpeg_tables=jt)
+                fn = tempfile.mktemp(suffix=".tif")
+                try:
+                    with open(fn, "wb") as f:
+                        f.write(payload)
+                    tif = _TIFF.TIFFOpen(fn.encode(), b"r")
+                    if not tif:
+                        pytest.skip("libtiff built without JPEG codec")
+                    buf = (ctypes.c_ubyte * w)()
+                    for r in range(h):
+                        assert _TIFF.TIFFReadScanline(
+                            ctypes.c_void_p(tif), buf, r, 0) == 1, (g, jt, rps, r)
+                        assert bytes(buf) == bytes([expected(g)]) * w, (
+                            g, jt, rps, r)
+                    _TIFF.TIFFClose(ctypes.c_void_p(tif))
+                finally:
+                    if os.path.exists(fn):
+                        os.unlink(fn)
+
+    # --- libtiff-written comp-7 files -> our decoder
+    tags = dict(width=256, length=257, bps=258, comp=259, photo=262,
+                spp=277, rps=278, planar=284, jpegquality=65537)
+    for g in (48, 128, 208):
+        for rps in (16, 8):
+            w, h = 11, 16
+            fn = tempfile.mktemp(suffix=".tif")
+            try:
+                tif = _TIFF.TIFFOpen(fn.encode(), b"w")
+                assert tif
+
+                def sf(tag, val, typ=ctypes.c_uint16):
+                    return _TIFF.TIFFSetField(
+                        ctypes.c_void_p(tif), ctypes.c_uint32(tag), typ(val))
+
+                assert sf(tags["width"], w, ctypes.c_uint32) == 1
+                assert sf(tags["length"], h, ctypes.c_uint32) == 1
+                assert sf(tags["bps"], 8) == 1
+                assert sf(tags["spp"], 1) == 1
+                if sf(tags["comp"], 7) != 1:
+                    _TIFF.TIFFClose(ctypes.c_void_p(tif))
+                    pytest.skip("libtiff built without JPEG codec")
+                assert sf(tags["photo"], 1) == 1
+                assert sf(tags["planar"], 1) == 1
+                assert sf(tags["rps"], rps, ctypes.c_uint32) == 1
+                # pseudo-tag: quality 90 to match our Annex-K scaling
+                sf(tags["jpegquality"], 90, ctypes.c_int)
+                row = (ctypes.c_ubyte * w).from_buffer_copy(bytes([g]) * w)
+                for r in range(h):
+                    assert _TIFF.TIFFWriteScanline(
+                        ctypes.c_void_p(tif), row, r, 0) == 1, r
+                _TIFF.TIFFClose(ctypes.c_void_p(tif))
+                payload = open(fn, "rb").read()
+                got_w, got_h, mean = decode_tiff_gray(payload)
+                assert (got_w, got_h) == (w, h)
+                assert mean == float(expected(g)), (g, rps, mean)
+            finally:
+                if os.path.exists(fn):
+                    os.unlink(fn)

@@ -4701,9 +4701,10 @@ def test_tiff_packbits_golden():
             md = parse_tiff_metadata(p)
             assert md[:3] == (bo, 16, 32) and md[4] == comp
 
-    # JPEG-in-TIFF (compression 7) is the remaining entropy-coded boundary
+    # CCITT G4 fax (compression 4) is the remaining codec boundary
+    # (round 12 moved LZW, Deflate, AND JPEG strips off it)
     with _pytest.raises(ValueError, match="boundary"):
-        decode_tiff_gray(build_tiff(8, 8, compression=7, strip_pad=64))
+        decode_tiff_gray(build_tiff(8, 8, compression=4, strip_pad=64))
     with _pytest.raises(ValueError, match="truncated"):
         packbits_decode(bytes([5, 1, 2]), 6)
     with _pytest.raises(ValueError, match="expected"):
@@ -4766,6 +4767,60 @@ def test_tiff_lzw_golden():
         # Clear then code 300 (not yet assigned)
         s = (256 << 9) | 300  # 18 bits
         tiff_lzw_decode(bytes([(s >> 10) & 0xFF, (s >> 2) & 0xFF, (s & 3) << 6]), 2)
+
+
+def test_tiff_jpeg_strips():
+    """Round 12: JPEG-in-TIFF (compression 7, TIFF TechNote 2) decodes
+    for REAL through operators/jpeg.py — full interchange streams per
+    strip AND abbreviated strips with the shared tables in a JPEGTables
+    tag, single- and multi-strip. Flat-gray payloads make the lossy
+    roundtrip closed-form: every decoded sample is the uint8 rounding
+    of 128 + round(8(g-128)/3)*3/8 (DC-only blocks, Annex K luma q0=3
+    at quality 90)."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg_gray,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_gray,
+        decode_tiff_gray,
+        join_jpeg_tables,
+        parse_tiff_metadata,
+        split_jpeg_tables,
+    )
+
+    # split/join is lossless on the decoder's view of the stream
+    arr = _np.arange(64, dtype=_np.uint8).reshape(8, 8)
+    full = encode_jpeg_gray(arr)
+    t, s = split_jpeg_tables(full)
+    assert t[:2] == b"\xff\xd8" and t[-2:] == b"\xff\xd9"
+    assert (decode_jpeg_luma(join_jpeg_tables(t, s))
+            == decode_jpeg_luma(full)).all()
+
+    for k in (0, 3, 7, 13):
+        g = 16 + 16 * k
+        m = round(8.0 * (g - 128) / 3.0)
+        exp = float(_np.clip(_np.rint(128.0 + m * 3.0 / 8.0), 0, 255))
+        for bo in ("II", "MM"):
+            for jt in (False, True):
+                for rps in (None, 8, 5):
+                    w, h = 11, 15
+                    px = bytes([g]) * (w * h)
+                    p = build_tiff_gray(
+                        w, h, px, compression=7, byte_order=bo,
+                        rows_per_strip=rps, jpeg_tables=jt,
+                    )
+                    assert decode_tiff_gray(p) == (w, h, exp), (g, bo, jt, rps)
+                    assert parse_tiff_metadata(p)[4] == 7
+
+    # guards: tables tag without JPEG strips; truncated tables framing
+    with _pytest.raises(ValueError, match="SOI"):
+        join_jpeg_tables(b"\xff\xd8\xff", s)
+    with _pytest.raises(ValueError, match="SOS"):
+        split_jpeg_tables(b"\xff\xd8\xff\xdb\x00\x02")
 
 
 def test_tiff_deflate_and_multistrip():

@@ -16,17 +16,18 @@ import re as _re
 import pytest
 
 # Round-12 window (VERDICT r11 item 1a + the r11 rotation note): the
-# query NEW this round leads (mm_bmp_bitfields — the masked-BMP
-# widening); then re-runs of every query whose implementation changed
+# queries NEW this round lead (mm_tiff_jpeg, mm_bmp_bitfields — the
+# JPEG-in-TIFF and masked-BMP widenings); then re-runs of every query whose implementation changed
 # since its last driver row (TIFF LZW strips in mm_tiff_pixels' synth
 # and decoder, the strict-FLAC propagate in audio_features, the
 # decode_bmp masked branch + strict-message change under
 # mm_bmp_palette); then the 8 media rows rewired by the late-r11
 # input-docs spread with r10-or-older driver rows; then the registry's
 # genuinely stalest rows recomputed from the CORRECTNESS_r*.json
-# artifacts (all 19 r7 rows, the 17-row r8 remainder, the two stalest
-# r9 rows).
+# artifacts (all 19 r7 rows, the 17-row r8 remainder, the stalest r9
+# row).
 NEVER_CHECKED = [
+    "mm_tiff_jpeg",
     "mm_bmp_bitfields",
 ]
 
@@ -58,7 +59,6 @@ REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + SPREAD_REWIRED + [
     "graph_betweenness",
     "st_watermark_dedup",
     "apx_sketches",
-    "graph_bfs_hops",
 ]
 
 
