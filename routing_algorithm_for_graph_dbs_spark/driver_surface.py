@@ -7524,12 +7524,14 @@ def mm_bmp_palette(spark, sf_dir):
     """REAL-codec cross-engine check, palette-BMP half (round 11 —
     decode_bmp widened beyond 24-bit): synth_bmp_palette_media mints
     1/4/8-bpp palette BMPs — the target gray hidden at a doc-dependent
-    palette slot amid junk entries, raw rows on some docs and REAL
+    palette slot amid junk entries, raw rows on some docs (a seventh
+    of them in the OS/2 core-header container, round 12) and REAL
     RLE8/RLE4 escape streams (encoded runs + EOL + EOD) on others — and
     image_features decodes every payload for real (strict=True). A
-    palette-lookup, nibble/bit-unpack, RLE-walk, or bottom-up ordering
-    bug breaks the hash. 16-bit/BI_BITFIELDS/core-header BMPs remain
-    the declared boundary (decode raises NotImplementedError)."""
+    palette-lookup, nibble/bit-unpack, RLE-walk, triple-vs-quad
+    palette, or bottom-up ordering bug breaks the hash. Only JPEG/PNG
+    passthrough and unknown headers remain the declared boundary
+    (decode raises NotImplementedError)."""
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
         image_features,
         synth_bmp_palette_media,

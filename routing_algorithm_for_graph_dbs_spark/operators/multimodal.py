@@ -112,10 +112,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
 
     Returns ``(width, height, n_channels, mean_luma)`` where mean_luma is
     the Rec.601 luma (0.299 R + 0.587 G + 0.114 B) averaged over all
-    pixels, normalized to [0, 1] and rounded to 6. Raises ``ValueError``
-    on malformed headers/streams and ``NotImplementedError`` for modes
-    outside that set (core-header, JPEG/PNG passthrough) — the honest
-    remaining boundary."""
+    pixels, normalized to [0, 1] and rounded to 6. The 12-byte OS/2
+    BITMAPCOREHEADER decodes too (round 12: u16 dims, BGR palette
+    triples). Raises ``ValueError`` on malformed headers/streams and
+    ``NotImplementedError`` for modes outside that set (JPEG/PNG
+    passthrough, unknown headers) — the honest remaining boundary."""
     rows = decode_bmp_pixels(payload)
     h, w = rows.shape[:2]
     r, g, b = (rows[..., i].astype(np.float64) for i in range(3))
@@ -188,23 +189,68 @@ def decode_bmp_pixels(payload: bytes) -> "np.ndarray":
     support and error contract as :func:`decode_bmp`: BI_RGB 24/32-bit,
     palette 1/4/8-bit, RLE8/RLE4, 16-bit RGB555, and BI_BITFIELDS
     16/32-bit with arbitrary contiguous non-overlapping masks."""
-    if len(payload) < 54 or payload[:2] != b"BM":
+    if len(payload) < 26 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload (missing 'BM' magic or header)")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     info_size = struct.unpack_from("<I", payload, 14)[0]
+    if info_size == 12:
+        # 12-byte OS/2 BITMAPCOREHEADER (round 12): u16 dimensions,
+        # always BI_RGB bottom-up, 3-byte BGR palette TRIPLES instead
+        # of quads — pure field-width differences, no codec.
+        width, height, _planes, bpp = struct.unpack_from("<HHHH", payload, 18)
+        if width == 0 or height == 0:
+            raise ValueError(f"bad BMP core dimensions {width}x{height}")
+        if bpp == 24:
+            row_bytes = (width * 3 + 3) & ~3
+            if len(payload) < data_off + row_bytes * height:
+                raise ValueError("BMP payload truncated")
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=row_bytes * height,
+                offset=data_off,
+            ).reshape(height, row_bytes)[:, : width * 3]
+            rows = rows.reshape(height, width, 3)[::-1]
+            return rows[..., ::-1].copy()  # bottom-up BGR -> RGB
+        if bpp not in (1, 4, 8):
+            raise NotImplementedError(
+                f"BMP core header bpp={bpp} needs a real image lib"
+            )
+        n_pal = 1 << bpp
+        pal_at = 14 + 12
+        if pal_at + 3 * n_pal > data_off or data_off > len(payload):
+            raise ValueError("BMP core palette runs past the pixel data")
+        triples = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n_pal, offset=pal_at
+        ).reshape(n_pal, 3)
+        palette = triples[:, ::-1].copy()  # BGR triples -> RGB
+        row_bytes = ((width * bpp + 31) // 32) * 4
+        if len(payload) < data_off + row_bytes * height:
+            raise ValueError("BMP payload truncated")
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height,
+            offset=data_off,
+        ).reshape(height, row_bytes)
+        idx = np.stack(
+            [_bmp_unpack_indexed_row(raw[r].copy(), width, bpp)
+             for r in range(height)]
+        )[::-1]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP pixel index outside the palette")
+        return palette[idx]
+    if len(payload) < 54:
+        raise ValueError("BMP info header truncated")
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
     clr_used = struct.unpack_from("<I", payload, 46)[0]
     if info_size not in (40, 52, 56, 64, 108, 124):
         # BITMAPINFOHEADER and its supersets (V2/V3/V4/V5) share the
-        # first 40 bytes' field layout, so they all decode; only the
-        # 12-byte BITMAPCOREHEADER (different field widths) stays out.
-        # (The round-11 self-review caught a 40-only check regressing
-        # V4/V5 files the pre-palette code handled via data_off.)
+        # first 40 bytes' field layout, so they all decode; the 12-byte
+        # BITMAPCOREHEADER takes its own branch above. (The round-11
+        # self-review caught a 40-only check regressing V4/V5 files the
+        # pre-palette code handled via data_off.)
         raise NotImplementedError(
-            f"BMP info header size {info_size} (BITMAPCOREHEADER /"
-            " unknown) needs a real image lib"
+            f"BMP info header size {info_size} (unknown) needs a real"
+            " image lib"
         )
     ok = (
         (bpp in (24, 32) and compression == 0)
@@ -395,6 +441,54 @@ def encode_bmp_indexed(
         2835, 2835, len(pal), 0,
     )
     return header + info + pal_bytes + data
+
+
+def encode_bmp_core(
+    pixels: "np.ndarray", palette=None, bpp: int = 24
+) -> bytes:
+    """Encode an OS/2 BITMAPCOREHEADER BMP (round 12) — the write half
+    :func:`decode_bmp_pixels`'s core-header branch round-trips. 24-bit
+    takes an (H, W, 3) RGB array; palette modes take an (H, W) index
+    array plus an RGB palette written as the core format's 3-byte BGR
+    TRIPLES."""
+    if bpp == 24:
+        arr = np.asarray(pixels, dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("expected an (H, W, 3) RGB array")
+        h, w = arr.shape[:2]
+        row_bytes = (w * 3 + 3) & ~3
+        body = np.zeros((h, row_bytes), dtype=np.uint8)
+        body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+        data = body.tobytes()
+        pal_bytes = b""
+    elif bpp in (1, 4, 8):
+        idx = np.asarray(pixels, dtype=np.uint8)
+        pal = np.asarray(palette, dtype=np.uint8)
+        if idx.ndim != 2 or pal.shape != (1 << bpp, 3):
+            raise ValueError("expected (H, W) indices + full 2^bpp palette")
+        if idx.size and int(idx.max()) >= len(pal):
+            raise ValueError("index outside the palette")
+        h, w = idx.shape
+        row_bytes = ((w * bpp + 31) // 32) * 4
+        body = np.zeros((h, row_bytes), dtype=np.uint8)
+        for r in range(h):
+            row = idx[h - 1 - r]  # bottom-up
+            if bpp == 8:
+                body[r, :w] = row
+            elif bpp == 4:
+                padded = np.zeros((w + 1) // 2 * 2, dtype=np.uint8)
+                padded[:w] = row
+                body[r, : len(padded) // 2] = (padded[0::2] << 4) | padded[1::2]
+            else:
+                body[r, : (w + 7) // 8] = np.packbits(row)
+        data = body.tobytes()
+        pal_bytes = pal[:, ::-1].tobytes()  # RGB -> BGR triples
+    else:
+        raise ValueError("core BMPs are 1/4/8/24 bpp")
+    data_off = 14 + 12 + len(pal_bytes)
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(data), 0, 0, data_off)
+    core = struct.pack("<IHHHH", 12, w, h, 1, bpp)
+    return header + core + pal_bytes + data
 
 
 def encode_bmp_bitfields(
@@ -2523,7 +2617,10 @@ def synth_bmp_palette_media(docs: DataFrame) -> DataFrame:
     doc_id%2)`` (power-of-two pixel counts keep the numpy mean of
     identical per-pixel lumas EXACT — pairwise summation of equal
     doubles never rounds). bpp cycles 8/4/1 by ``(doc_id//3) % 3``;
-    8-bpp even docs use REAL RLE8 runs, 4-bpp odd docs REAL RLE4."""
+    8-bpp even docs use REAL RLE8 runs, 4-bpp odd docs REAL RLE4;
+    raw-row docs divisible by 7 arrive in the OS/2 BITMAPCOREHEADER
+    container (round 12 — u16 dims, BGR palette triples), same
+    decoded pixels through the second header dialect."""
     base = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").cast("long").alias("media_id"),
     )
@@ -2546,12 +2643,23 @@ def synth_bmp_palette_media(docs: DataFrame) -> DataFrame:
                 rle = (bpp == 8 and mid % 2 == 0) or (
                     bpp == 4 and mid % 2 == 1
                 )
-                payloads.append(
-                    encode_bmp_indexed(
-                        np.full((h, w), slot, dtype=np.uint8), pal,
-                        bpp=bpp, rle=rle,
+                if not rle and mid % 7 == 0:
+                    # round 12: some raw-row docs arrive in the OS/2
+                    # BITMAPCOREHEADER container (u16 dims, BGR palette
+                    # TRIPLES) — same pixels, second header dialect
+                    payloads.append(
+                        encode_bmp_core(
+                            np.full((h, w), slot, dtype=np.uint8), pal,
+                            bpp=bpp,
+                        )
                     )
-                )
+                else:
+                    payloads.append(
+                        encode_bmp_indexed(
+                            np.full((h, w), slot, dtype=np.uint8), pal,
+                            bpp=bpp, rle=rle,
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -648,9 +648,10 @@ def test_bmp_decode_rejects_non_bmp():
     )
     with _pytest.raises(NotImplementedError):
         decode_bmp(hdr + b"\x00" * 16)
-    # BITMAPCOREHEADER (info size 12): boundary
-    hdr = _struct.pack("<2sIHHI", b"BM", 54, 0, 0, 26) + _struct.pack(
-        "<IHHHH", 12, 2, 2, 1, 24
+    # unknown info-header size: boundary (BITMAPCOREHEADER itself
+    # decodes since round 12)
+    hdr = _struct.pack("<2sIHHI", b"BM", 54, 0, 0, 34) + _struct.pack(
+        "<IiiHHIIiiII", 20, 2, 2, 1, 24, 0, 0, 0, 0, 0, 0
     )
     with _pytest.raises(NotImplementedError):
         decode_bmp(hdr + b"\x00" * 44)
@@ -672,6 +673,43 @@ def test_bmp_decode_rejects_non_bmp():
     ]:
         with _pytest.raises(ValueError):
             decode_bmp(_bf_hdr(16, masks) + b"\x00" * 16), why
+
+
+def test_bmp_core_header_roundtrip():
+    """Round 12: the 12-byte OS/2 BITMAPCOREHEADER decodes for real —
+    u16 dimensions, bottom-up rows, and 3-byte BGR palette TRIPLES
+    (the field-width differences that kept it on the boundary) — for
+    24-bit and every palette depth, via the encode_bmp_core twin."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        decode_bmp,
+        decode_bmp_pixels,
+        encode_bmp_core,
+    )
+
+    rng = _np.random.RandomState(21)
+    # 24-bit with asymmetric placement (row order + channel order)
+    px = _np.zeros((2, 3, 3), _np.uint8)
+    px[0, 0] = (255, 0, 0)
+    enc = encode_bmp_core(px)
+    assert (decode_bmp_pixels(enc) == px).all()
+    # first stored row is the BOTTOM row; red pixel stored BGR
+    assert enc[14 + 12 : 14 + 12 + 9] == bytes(9)
+    w, h, nc, luma = decode_bmp(enc)
+    assert (w, h) == (3, 2) and luma == round(0.299 / 6, 6)
+
+    for bpp in (1, 4, 8):
+        npal = 1 << bpp
+        pal = rng.randint(0, 256, (npal, 3))
+        for (hh, ww) in [(5, 7), (3, 1), (9, 13)]:
+            idx = rng.randint(0, npal, (hh, ww))
+            p = encode_bmp_core(idx, pal, bpp=bpp)
+            got = decode_bmp_pixels(p)
+            assert (got == _np.asarray(pal, _np.uint8)[idx]).all(), (bpp, hh, ww)
+    for (hh, ww) in [(4, 5), (2, 2)]:
+        rgb = rng.randint(0, 256, (hh, ww, 3), dtype=_np.uint8)
+        assert (decode_bmp_pixels(encode_bmp_core(rgb)) == rgb).all()
 
 
 def test_bmp_bitfields_roundtrip():
@@ -3554,8 +3592,9 @@ def test_flac_pcm_32bit_roundtrip():
 def test_bmp_v4_v5_headers_decode():
     """Round-11 self-review regression: V4/V5 (108/124-byte) info
     headers share BITMAPINFOHEADER's first-40-byte layout and must keep
-    decoding (they did before the palette widening); only the 12-byte
-    core header stays on the boundary."""
+    decoding (they did before the palette widening). The 12-byte core
+    header decodes too since round 12 — asserted here on the same
+    pixels through its own field widths."""
     import struct as _struct
 
     import numpy as _np
@@ -3580,11 +3619,23 @@ def test_bmp_v4_v5_headers_decode():
             0, 0, 0, 0,
         ) + b"\x00" * (info_size - 40)
         assert (decode_bmp_pixels(hdr + info + data) == px).all(), info_size
-    # core header still raises
-    hdr = _struct.pack("<2sIHHI", b"BM", 26, 0, 0, 26)
-    with _pytest.raises(NotImplementedError, match="BITMAPCOREHEADER"):
-        decode_bmp_pixels(hdr + _struct.pack("<IHHHH", 12, 2, 2, 1, 24)
-                          + b"\x00" * 44)
+    # the 12-byte core header decodes the same pixels (round 12)
+    h, w = px.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = _np.zeros((h, row_bytes), dtype=_np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    hdr = _struct.pack("<2sIHHI", b"BM", 26 + len(data), 0, 0, 26)
+    core = hdr + _struct.pack("<IHHHH", 12, w, h, 1, 24) + data
+    assert (decode_bmp_pixels(core) == px).all()
+    # an unknown header size is the remaining raise
+    hdr = _struct.pack("<2sIHHI", b"BM", 34, 0, 0, 34)
+    with _pytest.raises(NotImplementedError, match="unknown"):
+        decode_bmp_pixels(
+            hdr
+            + _struct.pack("<IiiHHIIiiII", 20, 2, 2, 1, 24, 0, 0, 0, 0, 0, 0)
+            + b"\x00" * 44
+        )
 
 
 def test_flac_pcm_verification_is_loud():
