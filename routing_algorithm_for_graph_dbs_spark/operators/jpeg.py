@@ -19,7 +19,10 @@ Progressive chroma AC scans are skipped outright (their entropy data is
 self-delimiting). 12-bit precision decodes too (round 8: level shift
 and sample range follow the frame precision; the returned plane rescales
 to the uniform [0, 255] contract; ``encode_jpeg_gray12`` mints the
-golden bytes). Arithmetic coding, lossless and hierarchical modes raise
+golden bytes). SEQUENTIAL ARITHMETIC coding (SOF9) decodes too (round
+12: the T.81 Annex D QM-coder + Annex F conditioning, byte-exact
+against libjpeg both directions — see the arithmetic section below);
+arithmetic progressive, lossless and hierarchical modes raise
 ``NotImplementedError`` — the honest remaining boundary (a real
 deployment plugs libjpeg there).
 
@@ -217,6 +220,8 @@ def _decode_jpeg_plane(payload: bytes):
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    dac_dc: dict[int, tuple] = {}
+    dac_ac: dict[int, int] = {}
     frame = None
     progressive = False
     prog_state = None  # persistent Y coefficient grid across scans
@@ -243,7 +248,9 @@ def _decode_jpeg_plane(payload: bytes):
                     tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
                     i += 128
                 quant[tq] = tbl
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 Huffman sequential, SOF2 Huffman progressive,
+            # SOF9 ARITHMETIC sequential (round 12, T.81 Annex D/F)
             precision = seg[0]
             if precision not in (8, 12):
                 raise NotImplementedError(
@@ -255,14 +262,15 @@ def _decode_jpeg_plane(payload: bytes):
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps, "prec": precision}
+            frame = {"w": w, "h": h, "comps": comps, "prec": precision,
+                     "arith": marker == 0xC9}
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only Huffman sequential (SOF0/1) and progressive (SOF2) "
-                f"JPEG are decoded here (got SOF marker 0x{marker:02X}) — "
-                "arithmetic-coded, lossless and hierarchical modes need a "
-                "real image lib"
+                f"only Huffman sequential (SOF0/1) / progressive (SOF2) "
+                f"and arithmetic sequential (SOF9) JPEG are decoded here "
+                f"(got SOF marker 0x{marker:02X}) — arithmetic progressive, "
+                "lossless and hierarchical modes need a real image lib"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -275,6 +283,15 @@ def _decode_jpeg_plane(payload: bytes):
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (T.81 B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc_tb, val = seg[i], seg[i + 1]
+                if tc_tb >> 4 == 0:
+                    dac_dc[tc_tb & 15] = (val & 15, val >> 4)  # (L, U)
+                else:
+                    dac_ac[tc_tb & 15] = val  # Kx
+                i += 2
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -284,6 +301,11 @@ def _decode_jpeg_plane(payload: bytes):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 15))
+            if frame.get("arith"):
+                return _decode_scan_arith(
+                    d, pos + 2 + seg_len, frame, scan, quant, dac_dc,
+                    dac_ac, restart_interval,
+                )
             if not progressive:
                 return _decode_scan(
                     d, pos + 2 + seg_len, frame, scan, quant, huff_dc,
@@ -1040,6 +1062,542 @@ AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
 AC12_VALS = sorted(
     [(r << 4) | s for r in range(16) for s in range(1, 15)] + [0x00, 0xF0]
 )
+
+
+# ---------------------------------------------------------------------------
+# arithmetic entropy coding (round 12): ITU T.81 Annex D QM-coder +
+# Annex F conditioning, moving SOF9 (sequential arithmetic) OFF the
+# declared boundary. The probability state machine is T.81 Table D.3
+# (113 adaptive states + the fixed ~0.5 bin), packed per entry as
+# (Qe << 16) | (NMPS << 8) | (Switch << 7) | NLPS. The packing and
+# every coder detail below are pinned BYTE-EXACTLY against libjpeg:
+# tests/test_codec_crosscheck.py compiles a libjpeg driver and asserts
+# our encoder reproduces libjpeg's arithmetic entropy segment to the
+# byte, our decoder recovers the exact coefficients, and this table
+# equals the library's exported jpeg_aritab. Two details were derived
+# empirically there: the code fraction aligns at bit 15 of the initial
+# 17-bit interval (the encoder's 3 spacer bits), and a marker in the
+# entropy stream feeds zero bytes from then on (byte stuffing FF 00 ->
+# data FF, exactly like the Huffman segments).
+# ---------------------------------------------------------------------------
+
+_ARITH_TAB = (
+    0x5A1D0181, 0x2586020E, 0x11140310, 0x080B0412, 0x03D80514, 0x01DA0617,
+    0x00E50719, 0x006F081C, 0x0036091E, 0x001A0A21, 0x000D0B23, 0x00060C09,
+    0x00030D0A, 0x00010D0C, 0x5A7F0F8F, 0x3F251024, 0x2CF21126, 0x207C1227,
+    0x17B91328, 0x1182142A, 0x0CEF152B, 0x09A1162D, 0x072F172E, 0x055C1830,
+    0x04061931, 0x03031A33, 0x02401B34, 0x01B11C36, 0x01441D38, 0x00F51E39,
+    0x00B71F3B, 0x008A203C, 0x0068213E, 0x004E223F, 0x003B2320, 0x002C0921,
+    0x5AE125A5, 0x484C2640, 0x3A0D2741, 0x2EF12843, 0x261F2944, 0x1F332A45,
+    0x19A82B46, 0x15182C48, 0x11772D49, 0x0E742E4A, 0x0BFB2F4B, 0x09F8304D,
+    0x0861314E, 0x0706324F, 0x05CD3330, 0x04DE3432, 0x040F3532, 0x03633633,
+    0x02D43734, 0x025C3835, 0x01F83936, 0x01A43A37, 0x01603B38, 0x01253C39,
+    0x00F63D3A, 0x00CB3E3B, 0x00AB3F3D, 0x008F203D, 0x5B1241C1, 0x4D044250,
+    0x412C4351, 0x37D84452, 0x2FE84553, 0x293C4654, 0x23794756, 0x1EDF4857,
+    0x1AA94957, 0x174E4A48, 0x14244B48, 0x119C4C4A, 0x0F6B4D4A, 0x0D514E4B,
+    0x0BB64F4D, 0x0A40304D, 0x583251D0, 0x4D1C5258, 0x438E5359, 0x3BDD545A,
+    0x34EE555B, 0x2EAE565C, 0x299A575D, 0x25164756, 0x557059D8, 0x4CA95A5F,
+    0x44D95B60, 0x3E225C61, 0x38245D63, 0x32B45E63, 0x2E17565D, 0x56A860DF,
+    0x4F466165, 0x47E56266, 0x41CF6367, 0x3C3D6468, 0x375E5D63, 0x52316669,
+    0x4C0F676A, 0x4639686B, 0x415E6367, 0x56276AE9, 0x50E76B6C, 0x4B85676D,
+    0x55976D6E, 0x504F6B6F, 0x5A106FEE, 0x55226D70, 0x59EB6FF0, 0x5A1D7171,
+)
+
+
+class _ArithDecoder:
+    """T.81 Annex D arithmetic decoder over one entropy segment.
+
+    Bit-lazy software shape: ``a``/``c`` are plain ints over the
+    current 16-bit-normalized interval; one stream bit feeds per
+    renormalization shift. Input honors JPEG byte stuffing (FF 00 is a
+    literal FF data byte) and feeds zero bytes once a real marker is
+    reached (legal in arithmetic scans — the tail decisions resolve
+    from the flushed interval)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.n = len(data)
+        self.marker = False
+        self.cur = 0
+        self.nbits = 0
+        self.a = 0x10000
+        self.c = 0
+        for _ in range(16):
+            self.c = (self.c << 1) | self._bit()
+
+    def _byte(self) -> int:
+        if self.marker or self.pos >= self.n:
+            self.marker = True
+            return 0
+        b = self.d[self.pos]
+        if b != 0xFF:
+            self.pos += 1
+            return b
+        p = self.pos + 1
+        while p < self.n and self.d[p] == 0xFF:
+            p += 1
+        if p < self.n and self.d[p] == 0x00:
+            self.pos = p + 1
+            return 0xFF
+        self.marker = True  # leave pos AT the marker's 0xFF
+        return 0
+
+    def _bit(self) -> int:
+        if self.nbits == 0:
+            self.cur = self._byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def decode(self, st: bytearray, i: int) -> int:
+        """Decode one binary decision in statistics bin ``st[i]`` (low 7
+        bits: Table D.3 state index; high bit: current MPS sense)."""
+        sv = st[i]
+        packed = _ARITH_TAB[sv & 0x7F]
+        qe = packed >> 16
+        nm = (packed >> 8) & 0xFF
+        nl = packed & 0xFF  # (Switch << 7) | NLPS — XOR flips MPS on switch
+        mps = sv >> 7
+        a = self.a - qe
+        if self.c < a:
+            if a & 0x8000:  # fast path: no renorm, no state update
+                self.a = a
+                return mps
+            # conditional exchange: the smaller subinterval is the LPS
+            if a < qe:
+                d = mps ^ 1
+                st[i] = (sv & 0x80) ^ nl
+            else:
+                d = mps
+                st[i] = (sv & 0x80) ^ nm
+            self.a = a
+        else:
+            self.c -= a
+            if a < qe:
+                d = mps
+                st[i] = (sv & 0x80) ^ nm
+            else:
+                d = mps ^ 1
+                st[i] = (sv & 0x80) ^ nl
+            self.a = qe
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c = (self.c << 1) | self._bit()
+        return d
+
+
+class _ArithEncoder:
+    """T.81 Annex D arithmetic encoder (the jcarith-equivalent software
+    shape: 3 spacer bits, pending-byte carry resolution over stacked
+    0xFF bytes, FF 00 byte stuffing). Byte-exact against libjpeg's own
+    arithmetic output in the crosscheck suite."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # pending output byte (carry may still bump it)
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.zc = 0  # pending zero bytes (trailing zeros elide at flush)
+        self.out = bytearray()
+
+    def _flush_pending(self) -> None:
+        if self.zc:
+            self.out += b"\x00" * self.zc
+            self.zc = 0
+
+    def _byteout(self) -> None:
+        temp = self.c >> 19
+        if temp > 0xFF:
+            # carry propagates through the pending byte and stacked FFs
+            if self.buffer >= 0:
+                self._flush_pending()
+                self.out.append((self.buffer + 1) & 0xFF)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc  # carry turns stacked FFs into 00s
+            self.sc = 0
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_pending()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._flush_pending()
+                for _ in range(self.sc):
+                    self.out += b"\xff\x00"
+                self.sc = 0
+            self.buffer = temp
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def encode(self, st: bytearray, i: int, val: int) -> None:
+        sv = st[i]
+        packed = _ARITH_TAB[sv & 0x7F]
+        qe = packed >> 16
+        nm = (packed >> 8) & 0xFF
+        nl = packed & 0xFF
+        self.a -= qe
+        if val != (sv >> 7):
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) ^ nl
+        else:
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            st[i] = (sv & 0x80) ^ nm
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a >= 0x8000:
+                break
+
+    def finish(self) -> bytes:
+        """D.1.8 termination: pick the code point with the most trailing
+        zeros inside the final interval, push the remaining bytes."""
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            if self.buffer >= 0:
+                self._flush_pending()
+                self.out.append((self.buffer + 1) & 0xFF)
+                if self.buffer + 1 == 0xFF:
+                    self.out.append(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._flush_pending()
+                self.out.append(self.buffer)
+            if self.sc:
+                self._flush_pending()
+                for _ in range(self.sc):
+                    self.out += b"\xff\x00"
+                self.sc = 0
+        if self.c & 0x7FFF800:
+            self._flush_pending()
+            b = (self.c >> 19) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+        return bytes(self.out)
+
+
+def _arith_decode_block(dec, dc_stats, ac_stats, fixed, dc_state, ci,
+                        dc_L, dc_U, ac_K):
+    """One 8x8 block's coefficients (zigzag order) per T.81 F.2.4 —
+    the decode-side twin of :func:`_arith_encode_block`. ``dc_state``
+    holds [last_dc, dc_context] for component slot ``ci``."""
+    blk = np.zeros(64, np.int64)
+    last_dc, dc_context = dc_state[ci]
+    si = dc_context
+    if dec.decode(dc_stats, si):
+        sign = dec.decode(dc_stats, si + 1)
+        si += 2 + sign
+        m = dec.decode(dc_stats, si)
+        if m:
+            si = 20  # Table F.4: X1
+            while dec.decode(dc_stats, si):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arithmetic DC magnitude overflow")
+                si += 1
+        if m < ((1 << dc_L) >> 1):
+            dc_context = 0
+        elif m > ((1 << dc_U) >> 1):
+            dc_context = 12 + sign * 4
+        else:
+            dc_context = 4 + sign * 4
+        v = m
+        si += 14  # magnitude bit-pattern bins
+        mm = m
+        while True:
+            mm >>= 1
+            if not mm:
+                break
+            if dec.decode(dc_stats, si):
+                v |= mm
+        v += 1
+        last_dc += -v if sign else v
+    else:
+        dc_context = 0
+    dc_state[ci] = (last_dc, dc_context)
+    blk[0] = last_dc
+    k = 1
+    while k <= 63:
+        si = 3 * (k - 1)
+        if dec.decode(ac_stats, si):
+            break  # EOB
+        while dec.decode(ac_stats, si + 1) == 0:
+            si += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic AC index overran block")
+        sign = dec.decode(fixed, 0)
+        si += 2
+        m = dec.decode(ac_stats, si)
+        if m:
+            if dec.decode(ac_stats, si):
+                m <<= 1
+                si = 189 if k <= ac_K else 217  # Table F.5: X2 / X3
+                while dec.decode(ac_stats, si):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    si += 1
+        v = m
+        si += 14
+        mm = m
+        while True:
+            mm >>= 1
+            if not mm:
+                break
+            if dec.decode(ac_stats, si):
+                v |= mm
+        v += 1
+        blk[k] = -v if sign else v
+        k += 1
+    return blk
+
+
+def _arith_encode_block(enc, blk, dc_stats, ac_stats, fixed, dc_state, ci,
+                        dc_L, dc_U, ac_K):
+    """One 8x8 block's coefficients (zigzag order) per T.81 F.1.4 —
+    kept structurally parallel to the decoder above so the context
+    walks cannot drift apart."""
+    last_dc, dc_context = dc_state[ci]
+    si = dc_context
+    v = int(blk[0]) - last_dc
+    if v == 0:
+        enc.encode(dc_stats, si, 0)
+        dc_context = 0
+    else:
+        last_dc = int(blk[0])
+        enc.encode(dc_stats, si, 1)
+        if v > 0:
+            enc.encode(dc_stats, si + 1, 0)
+            si += 2
+            sign = 0
+        else:
+            v = -v
+            enc.encode(dc_stats, si + 1, 1)
+            si += 3
+            sign = 1
+        m = 0
+        v1 = v - 1
+        if v1:
+            enc.encode(dc_stats, si, 1)
+            m = 1
+            si = 20
+            v2 = v1 >> 1
+            while v2:
+                enc.encode(dc_stats, si, 1)
+                m <<= 1
+                si += 1
+                v2 >>= 1
+        enc.encode(dc_stats, si, 0)
+        if m < ((1 << dc_L) >> 1):
+            dc_context = 0
+        elif m > ((1 << dc_U) >> 1):
+            dc_context = 12 + sign * 4
+        else:
+            dc_context = 4 + sign * 4
+        si += 14
+        mm = m
+        while True:
+            mm >>= 1
+            if not mm:
+                break
+            enc.encode(dc_stats, si, 1 if (mm & v1) else 0)
+    dc_state[ci] = (last_dc, dc_context)
+    ke = 63
+    while ke > 0 and blk[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        si = 3 * (k - 1)
+        enc.encode(ac_stats, si, 0)  # not EOB yet
+        while blk[k] == 0:
+            enc.encode(ac_stats, si + 1, 0)
+            si += 3
+            k += 1
+        enc.encode(ac_stats, si + 1, 1)
+        v = int(blk[k])
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+            sign = 0
+        else:
+            v = -v
+            enc.encode(fixed, 0, 1)
+            sign = 1
+        si += 2
+        m = 0
+        v1 = v - 1
+        if v1:
+            enc.encode(ac_stats, si, 1)
+            m = 1
+            v2 = v1 >> 1
+            if v2:
+                enc.encode(ac_stats, si, 1)
+                m <<= 1
+                si = 189 if k <= ac_K else 217
+                v2 >>= 1
+                while v2:
+                    enc.encode(ac_stats, si, 1)
+                    m <<= 1
+                    si += 1
+                    v2 >>= 1
+        enc.encode(ac_stats, si, 0)
+        si += 14
+        mm = m
+        while True:
+            mm >>= 1
+            if not mm:
+                break
+            enc.encode(ac_stats, si, 1 if (mm & v1) else 0)
+        k += 1
+    if k <= 63:
+        si = 3 * (k - 1)
+        enc.encode(ac_stats, si, 1)  # EOB
+
+
+def _decode_scan_arith(d, data_pos, frame, scan, quant, dc_cond, ac_cond,
+                       restart_interval):
+    """Sequential arithmetic scan (SOF9): same MCU walk as
+    :func:`_decode_scan`, with the QM-coder entropy stage. DAC
+    conditioning defaults are T.81's (L=0, U=1, Kx=5). Restart markers
+    reset the coder, the statistics areas, and the DC predictors."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    y_comp = scan[0][0]
+    y_bw = mcus_x * y_comp["h"]
+    y_bh = mcus_y * y_comp["v"]
+    y_coeffs = np.zeros((y_bh * y_bw, 64), dtype=np.float64)
+
+    def fresh_stats():
+        return ({t: bytearray(64) for _, t, _ in scan},
+                {t: bytearray(256) for _, _, t in scan},
+                bytearray([113]),
+                {c["id"]: (0, 0) for c, _, _ in scan})
+
+    dec = _ArithDecoder(d, data_pos)
+    dc_stats, ac_stats, fixed, dc_state = fresh_stats()
+    rst = 0
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            # locate the RSTn marker at/after the coder's byte position
+            p = dec.pos
+            while p + 1 < len(d) and not (
+                d[p] == 0xFF and d[p + 1] != 0x00
+            ):
+                p += 1
+            while p + 1 < len(d) and d[p + 1] == 0xFF:
+                p += 1  # FF fill bytes before the marker
+            if p + 1 >= len(d) or d[p + 1] != 0xD0 + rst:
+                raise ValueError("expected restart marker in arithmetic scan")
+            rst = (rst + 1) & 7
+            dec = _ArithDecoder(d, p + 2)
+            dc_stats, ac_stats, fixed, dc_state = fresh_stats()
+        my, mx = divmod(mcu, mcus_x)
+        for comp, td, ta in scan:
+            dc_L, dc_U = dc_cond.get(td, (0, 1))
+            ac_K = ac_cond.get(ta, 5)
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    blk = _arith_decode_block(
+                        dec, dc_stats[td], ac_stats[ta], fixed, dc_state,
+                        comp["id"], dc_L, dc_U, ac_K,
+                    )
+                    if comp is y_comp:
+                        q = quant[comp["tq"]]
+                        deq = np.zeros(64)
+                        deq[ZIGZAG] = blk * q
+                        row = my * comp["v"] + by
+                        col = mx * comp["h"] + bx
+                        y_coeffs[row * y_bw + col] = deq
+
+    prec = frame.get("prec", 8)
+    level, maxval = float(1 << (prec - 1)), float((1 << prec) - 1)
+    blocks = y_coeffs.reshape(-1, 8, 8)
+    pix = np.einsum("ki,nkl,lj->nij", _T, blocks, _T) + level
+    pix = np.clip(pix, 0.0, maxval) * (255.0 / maxval)
+    plane = (
+        pix.reshape(y_bh, y_bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(y_bh * 8, y_bw * 8)
+    )
+    y_w = -(-w * y_comp["h"] // hmax)
+    y_h = -(-h * y_comp["v"] // vmax)
+    return w, h, len(comps), plane[:y_h, :y_w]
+
+
+def encode_jpeg_gray_arith(pixels: np.ndarray, quality: int = 90,
+                           restart_interval: int = 0) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as a SEQUENTIAL
+    ARITHMETIC JPEG (SOF9, T.81 Annexes D/F, default conditioning
+    spelled out in a DAC marker like libjpeg does). Entropy coding is
+    lossless over the same quantized coefficients as
+    :func:`encode_jpeg_gray`, so the two variants decode to identical
+    pixels — the property the crosscheck and driver oracles lean on."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("expected an (H, W) grayscale array")
+    h, w = arr.shape
+    if quality < 1 or quality > 100:
+        raise ValueError("quality in [1, 100]")
+    blocks, q, _bw = _quantize_zigzag(arr, quality)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in q)
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    # DAC: DC table 0 -> (U=1)<<4 | (L=0); AC table 0 -> Kx=5
+    out += b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x10, 0x05])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    def fresh():
+        return (_ArithEncoder(), bytearray(64), bytearray(256),
+                bytearray([113]), {1: (0, 0)})
+
+    enc, dc_stats, ac_stats, fixed, dc_state = fresh()
+    rst = 0
+    for n, blk in enumerate(blocks):
+        if restart_interval and n and n % restart_interval == 0:
+            out += enc.finish()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            enc, dc_stats, ac_stats, fixed, dc_state = fresh()
+        _arith_encode_block(enc, blk, dc_stats, ac_stats, fixed, dc_state,
+                            1, 0, 1, 5)
+    out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg_gray12(pixels: np.ndarray, quality: int = 90) -> bytes:

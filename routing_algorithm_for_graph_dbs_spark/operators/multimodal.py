@@ -25,7 +25,7 @@ all four transforms, validated bit-exactly against libwebp; round 11).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
 deployment would plug PIL/libvips/ffmpeg (video frames, perceptual
-compressed audio — MP3/AAC/Opus, arithmetic-coded JPEG).
+compressed audio — MP3/AAC/Opus; arithmetic-PROGRESSIVE JPEG).
 
 Scale notes: binary payloads dominate row size, so these pipelines must
 (a) never shuffle the binary column (all derivation is map-side),
@@ -593,7 +593,8 @@ def image_features(
     (:func:`decode_bmp`), ``image/jpeg`` the REAL baseline-JPEG decoder
     (``operators/jpeg.py decode_jpeg`` — full Huffman entropy decode,
     baseline, extended-sequential 12-bit, and progressive, exact IDCT of
-    the Y channel; arithmetic-coded/lossless/hierarchical modes raise
+    the Y channel, plus sequential ARITHMETIC (SOF9) streams via the
+    round-12 QM-coder; arithmetic-progressive/lossless/hierarchical raise
     there), and ``image/png`` payloads carrying a real PNG signature the
     REAL PNG decoder (``operators/png.py decode_png`` — stdlib-zlib
     inflate + scanline unfiltering, every legal depth/color/interlace
@@ -625,7 +626,7 @@ def image_features(
                 b = bytes(payload) if payload is not None else b""
                 # signature guard + decode-error guard: a payload that is
                 # mislabeled, or that passes the cheap signature sniff but
-                # is not decodable by the real codecs (arithmetic/
+                # is not decodable by the real codecs (arith-progressive/
                 # truncated JPEG, corrupt PNG, lossy VP8), must
                 # fall to the fake path, not crash the stage — unless
                 # strict=True, where the codec's error propagates.
@@ -1095,16 +1096,20 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 
     Each image-kind doc becomes a FLAT gray image (g = 16 + (doc_id % 14)
     * 16, dims (8 + doc_id % 9) x (8 + doc_id % 7)) encoded at quality 90
-    through one of THREE real encoder variants chosen by (doc_id // 3) %
-    3: baseline grayscale, progressive grayscale (the full successive-
+    through one of FOUR real encoder variants chosen by (doc_id // 3) %
+    4: baseline grayscale, progressive grayscale (the full successive-
     approximation scan script), progressive YCbCr 4:2:0 (interleaved DC
-    scans; chroma AC scans the decoder skips). Flat images make the
+    scans; chroma AC scans the decoder skips), and — round 12 —
+    sequential ARITHMETIC grayscale (SOF9, the T.81 QM-coder; its
+    entropy stage is lossless over the same quantized coefficients, so
+    the closed form is unchanged). Flat images make the
     decoded mean closed-form — the only nonzero coefficient is the block
     DC, so every decoded pixel is 128 + round(8*(g-128)/q0) * q0/8 with
     q0 = 3 (Annex K luma table at quality 90) — reproducible in SQL
     (see mm_jpeg_roundtrip's oracle)."""
     from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
         encode_jpeg_gray,
+        encode_jpeg_gray_arith,
         encode_jpeg_gray_progressive,
         encode_jpeg_ycbcr420_progressive,
     )
@@ -1115,7 +1120,7 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
         (8 + F.col("doc_id") % 9).cast("int").alias("w"),
         (8 + F.col("doc_id") % 7).cast("int").alias("h"),
         # image docs all have doc_id % 3 == 0, so cycle on doc_id // 3
-        ((F.col("doc_id") / 3).cast("long") % 3).cast("int").alias("variant"),
+        ((F.col("doc_id") / 3).cast("long") % 4).cast("int").alias("variant"),
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1129,8 +1134,10 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                     payloads.append(encode_jpeg_gray(img, 90))
                 elif v == 1:
                     payloads.append(encode_jpeg_gray_progressive(img, 90))
-                else:
+                elif v == 2:
                     payloads.append(encode_jpeg_ycbcr420_progressive(img, 90))
+                else:
+                    payloads.append(encode_jpeg_gray_arith(img, 90))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

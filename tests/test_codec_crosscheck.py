@@ -606,3 +606,160 @@ def test_libtiff_jpeg_strips_both_directions():
             finally:
                 if os.path.exists(fn):
                     os.unlink(fn)
+
+
+_JPEG_LIB = _load("libjpeg.so.62") or _load("libjpeg.so.8") or _load("libjpeg.so")
+
+
+def _build_jpeg_helper(tmpdir):
+    """Compile a tiny libjpeg driver (public API only) used to mint and
+    read JPEG files from the reference implementation. Returns the
+    binary path or None when the toolchain/headers are absent."""
+    import shutil
+    import subprocess
+
+    if shutil.which("gcc") is None or not os.path.exists("/usr/include/jpeglib.h"):
+        return None
+    src = os.path.join(tmpdir, "jhelper.c")
+    binp = os.path.join(tmpdir, "jhelper")
+    with open(src, "w") as f:
+        f.write(r'''
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <jpeglib.h>
+static void die(const char *m) { fprintf(stderr, "%s\n", m); exit(2); }
+int main(int argc, char **argv) {
+  if (argc < 3) die("usage");
+  if (!strcmp(argv[1], "enc")) {
+    int w, h, quality = atoi(argv[5]), arith = atoi(argv[6]);
+    if (sscanf(argv[3], "%dx%d", &w, &h) != 2) die("bad WxH");
+    FILE *fi = fopen(argv[2], "rb"); if (!fi) die("in");
+    unsigned char *buf = malloc((size_t)w * h);
+    if (fread(buf, 1, (size_t)w * h, fi) != (size_t)w * h) die("short");
+    fclose(fi);
+    struct jpeg_compress_struct c; struct jpeg_error_mgr err;
+    c.err = jpeg_std_error(&err);
+    jpeg_create_compress(&c);
+    FILE *fo = fopen(argv[4], "wb"); if (!fo) die("out");
+    jpeg_stdio_dest(&c, fo);
+    c.image_width = w; c.image_height = h;
+    c.input_components = 1; c.in_color_space = JCS_GRAYSCALE;
+    jpeg_set_defaults(&c);
+    jpeg_set_quality(&c, quality, TRUE);
+    c.arith_code = arith ? TRUE : FALSE;
+    if (argc > 7) c.restart_interval = atoi(argv[7]);
+    jpeg_start_compress(&c, TRUE);
+    while (c.next_scanline < c.image_height) {
+      JSAMPROW row = buf + (size_t)c.next_scanline * w;
+      jpeg_write_scanlines(&c, &row, 1);
+    }
+    jpeg_finish_compress(&c);
+    jpeg_destroy_compress(&c);
+    fclose(fo);
+  } else if (!strcmp(argv[1], "dec")) {
+    FILE *fi = fopen(argv[2], "rb"); if (!fi) die("in");
+    struct jpeg_decompress_struct d; struct jpeg_error_mgr err;
+    d.err = jpeg_std_error(&err);
+    jpeg_create_decompress(&d);
+    jpeg_stdio_src(&d, fi);
+    jpeg_read_header(&d, TRUE);
+    jpeg_start_decompress(&d);
+    int w = d.output_width, h = d.output_height, nc = d.output_components;
+    unsigned char *buf = malloc((size_t)w * h * nc);
+    while ((int)d.output_scanline < h) {
+      JSAMPROW row = buf + (size_t)d.output_scanline * w * nc;
+      jpeg_read_scanlines(&d, &row, 1);
+    }
+    jpeg_finish_decompress(&d); jpeg_destroy_decompress(&d); fclose(fi);
+    FILE *fo = fopen(argv[3], "wb"); if (!fo) die("out");
+    fwrite(buf, 1, (size_t)w * h * nc, fo); fclose(fo);
+  } else die("mode");
+  return 0;
+}
+''')
+    r = subprocess.run(["gcc", "-O2", src, "-o", binp, "-ljpeg"],
+                       capture_output=True)
+    return binp if r.returncode == 0 else None
+
+
+@pytest.mark.skipif(_JPEG_LIB is None, reason="libjpeg not available")
+def test_libjpeg_arithmetic_table_matches():
+    """Our hardcoded T.81 Table D.3 packing must equal libjpeg's
+    exported jpeg_aritab (the table was extracted from that export and
+    spot-verified against the spec; this pins it forever)."""
+    import struct as _struct
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import _ARITH_TAB
+
+    sym = getattr(_JPEG_LIB, "jpeg_aritab", None)
+    if sym is None:
+        pytest.skip("jpeg_aritab not exported by this libjpeg build")
+    addr = ctypes.cast(sym, ctypes.c_void_p).value
+    raw = bytes((ctypes.c_uint8 * (114 * 8)).from_address(addr))
+    live = _struct.unpack("<114q", raw)
+    assert tuple(live) == tuple(_ARITH_TAB)
+
+
+@pytest.mark.skipif(_JPEG_LIB is None, reason="libjpeg not available")
+def test_libjpeg_arithmetic_both_directions(tmp_path):
+    """Sequential arithmetic JPEG (round 12): (a) libjpeg must decode
+    our SOF9 files to the SAME bytes as our Huffman twins of the same
+    pixels (the entropy stage is lossless over identical quantized
+    coefficients); (b) our decoder must read libjpeg's own arithmetic
+    files to the same plane as libjpeg's Huffman files (isolating the
+    QM-coder from IDCT differences). Exercises carry/0xFF-stack paths
+    via random and structured images, several qualities, and a restart
+    interval."""
+    import subprocess
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg_gray,
+        encode_jpeg_gray_arith,
+    )
+
+    helper = _build_jpeg_helper(str(tmp_path))
+    if helper is None:
+        pytest.skip("gcc or jpeglib.h unavailable — cannot build helper")
+
+    def lib_dec(path):
+        out = str(tmp_path / "dec.raw")
+        subprocess.run([helper, "dec", path, out], check=True,
+                       capture_output=True)
+        return open(out, "rb").read()
+
+    def lib_enc(px, q, arith, restart=0):
+        raw = str(tmp_path / "in.raw")
+        out = str(tmp_path / f"enc{arith}.jpg")
+        with open(raw, "wb") as f:
+            f.write(px.tobytes())
+        subprocess.run(
+            [helper, "enc", raw, f"{px.shape[1]}x{px.shape[0]}", out,
+             str(q), str(arith), str(restart)],
+            check=True, capture_output=True)
+        return open(out, "rb").read()
+
+    rng = np.random.RandomState(17)
+    cases = [
+        rng.randint(0, 256, (16, 24)).astype(np.uint8),
+        np.full((9, 13), 200, np.uint8),
+        (np.add.outer(np.arange(40), np.arange(33)) % 256).astype(np.uint8),
+        (rng.randint(0, 2, (64, 64)) * 255).astype(np.uint8),
+        rng.randint(0, 256, (1, 1)).astype(np.uint8),
+    ]
+    for px in cases:
+        for q in (50, 90):
+            for restart in (0, 3):
+                # (a) libjpeg reads ours: arithmetic == huffman pixels
+                ours_a = encode_jpeg_gray_arith(px, q, restart_interval=restart)
+                ours_h = encode_jpeg_gray(px, q)
+                fa, fh = str(tmp_path / "a.jpg"), str(tmp_path / "h.jpg")
+                open(fa, "wb").write(ours_a)
+                open(fh, "wb").write(ours_h)
+                assert lib_dec(fa) == lib_dec(fh), (px.shape, q, restart)
+                # (b) we read libjpeg's: arithmetic == huffman planes
+                lib_a = lib_enc(px, q, 1, restart)
+                lib_h = lib_enc(px, q, 0, restart)
+                pa, ph = decode_jpeg_luma(lib_a), decode_jpeg_luma(lib_h)
+                assert (pa == ph).all(), (px.shape, q, restart)

@@ -2453,8 +2453,9 @@ def test_jpeg_decode_golden():
 
 def test_jpeg_decode_rejects_unsupported():
     """The honest codec boundary: non-JPEG bytes -> ValueError;
-    arithmetic-coded (SOF9) -> NotImplementedError (progressive SOF2
-    decodes for real since round 8)."""
+    arithmetic-PROGRESSIVE (SOF10) -> NotImplementedError (progressive
+    SOF2 decodes since round 8; sequential arithmetic SOF9 since
+    round 12)."""
     import struct as _struct
 
     import pytest as _pytest
@@ -2463,15 +2464,63 @@ def test_jpeg_decode_rejects_unsupported():
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"BMnot a jpeg")
-    arithmetic = (
+    arith_progressive = (
         b"\xff\xd8"
-        + b"\xff\xc9"
+        + b"\xff\xca"
         + _struct.pack(">HBHHB", 11, 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
         + b"\xff\xd9"
     )
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(arithmetic)
+        decode_jpeg(arith_progressive)
+
+
+def test_arithmetic_jpeg_matches_huffman_exactly():
+    """SOF9 sequential arithmetic decode (round 12, T.81 Annex D
+    QM-coder + Annex F conditioning): the arithmetic and Huffman
+    encoders share the exact same quantization stage, so the decoded
+    planes must match BIT-FOR-BIT — any error in the probability state
+    machine, conditioning contexts, byte stuffing, carry resolution, or
+    flush shows up as a coefficient mismatch. Restart intervals reset
+    the coder + statistics and are exercised explicitly. (The same
+    streams are pinned byte-exactly against libjpeg in
+    tests/test_codec_crosscheck.py when the toolchain is present.)"""
+    import numpy as np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg,
+        decode_jpeg_luma,
+        encode_jpeg_gray,
+        encode_jpeg_gray_arith,
+    )
+
+    rng = np.random.default_rng(12)
+    for shape in [(8, 8), (16, 24), (23, 37), (64, 64), (1, 1)]:
+        for q in (50, 90, 95):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = decode_jpeg_luma(encode_jpeg_gray(img, q))
+            arith = decode_jpeg_luma(encode_jpeg_gray_arith(img, q))
+            assert np.array_equal(base, arith), (shape, q)
+    # restart intervals: coder + stats + DC predictors reset per RSTn
+    img = rng.integers(0, 256, (40, 33), dtype=np.uint8)
+    base = decode_jpeg_luma(encode_jpeg_gray(img, 90))
+    for ri in (1, 2, 5):
+        got = decode_jpeg_luma(
+            encode_jpeg_gray_arith(img, 90, restart_interval=ri))
+        assert np.array_equal(base, got), ri
+    # flat image: the mm_jpeg_roundtrip closed form holds for SOF9 too
+    flat = np.full((9, 13), 112, np.uint8)
+    w, h, nc, luma = decode_jpeg(encode_jpeg_gray_arith(flat, 90))
+    exp = 128.0 + round(8.0 * (112 - 128) / 3.0) * 3.0 / 8.0
+    assert (w, h, nc) == (13, 9, 1) and luma == round(exp / 255.0, 6)
+    # a truncated arithmetic stream must not crash (zero-byte feed is
+    # the spec behavior after a marker); garbage decisions still bound
+    p = bytearray(encode_jpeg_gray_arith(img, 90))
+    try:
+        decode_jpeg(bytes(p[: len(p) // 2]) + b"\xff\xd9")
+    except (ValueError, NotImplementedError):
+        pass  # structural raise is fine; an unbounded loop/crash is not
 
 
 def test_progressive_jpeg_matches_baseline_exactly():
