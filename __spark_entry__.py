@@ -49,6 +49,10 @@ _DRIVER_WINDOW = [
     "mm_tiff_pixels",
     "mm_audio_features",
     "mm_bmp_palette",
+    #    mm_phash_neardup: round-12 decoder widenings rewrote its image
+    #    entries (decode_bmp_pixels masked/core branches, decode_jpeg
+    #    SOF9 dispatch) — same precedent as its r11 re-run.
+    "mm_phash_neardup",
     # -- the 8 media rows rewired by the late-r11 input-docs spread
     #    whose driver rows are r10-or-older (rotation note carried from
     #    r11; both sf mirrors re-validated them post-change)
@@ -100,15 +104,13 @@ _DRIVER_WINDOW = [
     "dd_decontaminate",
     "smp_mixture",
     "pack_shards",
-    # -- the stalest r9 row (CORRECTNESS_r09 order) fills the window
-    #    (graph_bfs_hops, next in that order, ceded its slot to
-    #    mm_tiff_jpeg; it stays covered by the bench + local mirrors)
-    "apx_sketches",
 ]
 # ROUND-13 ROTATION NOTE: lead with any query whose implementation
 # changes during r12 after its driver row, then continue the stale
-# cycle with the r9 rows not covered here (graph_pagerank, graph_ppr,
-# graph_triangles, ... in CORRECTNESS_r09 order) and the r10 block.
+# cycle with the r9 rows (apx_sketches, graph_bfs_hops, graph_pagerank,
+# graph_ppr, graph_triangles, ... in CORRECTNESS_r09 order — the first
+# two ceded their r12 slots to mm_tiff_jpeg / mm_phash_neardup) and the
+# r10 block.
 # Recompute staleness from the CORRECTNESS_r*.json artifacts as r11/r12
 # did — the note can go stale, the artifacts cannot.
 

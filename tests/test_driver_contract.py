@@ -38,6 +38,9 @@ CHANGED_SINCE_LAST_ROW = [
     "mm_audio_features",
     # r12 decode_bmp masked-mode branch + strict message (ADVICE r11)
     "mm_bmp_palette",
+    # r12 decoder widenings rewrote phash's image entries (decode_bmp
+    # masked/core branches, decode_jpeg SOF9 dispatch)
+    "mm_phash_neardup",
 ]
 
 SPREAD_REWIRED = [
@@ -58,7 +61,6 @@ REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + SPREAD_REWIRED + [
     "dd_simhash",
     "graph_betweenness",
     "st_watermark_dedup",
-    "apx_sketches",
 ]
 
 
