@@ -631,12 +631,14 @@ def _build_jpeg_helper(tmpdir):
 static void die(const char *m) { fprintf(stderr, "%s\n", m); exit(2); }
 int main(int argc, char **argv) {
   if (argc < 3) die("usage");
-  if (!strcmp(argv[1], "enc")) {
+  if (!strcmp(argv[1], "enc") || !strcmp(argv[1], "encc")) {
+    int color = !strcmp(argv[1], "encc");
+    int nc = color ? 3 : 1;
     int w, h, quality = atoi(argv[5]), arith = atoi(argv[6]);
     if (sscanf(argv[3], "%dx%d", &w, &h) != 2) die("bad WxH");
     FILE *fi = fopen(argv[2], "rb"); if (!fi) die("in");
-    unsigned char *buf = malloc((size_t)w * h);
-    if (fread(buf, 1, (size_t)w * h, fi) != (size_t)w * h) die("short");
+    unsigned char *buf = malloc((size_t)w * h * nc);
+    if (fread(buf, 1, (size_t)w * h * nc, fi) != (size_t)w * h * nc) die("short");
     fclose(fi);
     struct jpeg_compress_struct c; struct jpeg_error_mgr err;
     c.err = jpeg_std_error(&err);
@@ -644,14 +646,15 @@ int main(int argc, char **argv) {
     FILE *fo = fopen(argv[4], "wb"); if (!fo) die("out");
     jpeg_stdio_dest(&c, fo);
     c.image_width = w; c.image_height = h;
-    c.input_components = 1; c.in_color_space = JCS_GRAYSCALE;
+    c.input_components = nc;
+    c.in_color_space = color ? JCS_RGB : JCS_GRAYSCALE;
     jpeg_set_defaults(&c);
     jpeg_set_quality(&c, quality, TRUE);
     c.arith_code = arith ? TRUE : FALSE;
     if (argc > 7) c.restart_interval = atoi(argv[7]);
     jpeg_start_compress(&c, TRUE);
     while (c.next_scanline < c.image_height) {
-      JSAMPROW row = buf + (size_t)c.next_scanline * w;
+      JSAMPROW row = buf + (size_t)c.next_scanline * w * nc;
       jpeg_write_scanlines(&c, &row, 1);
     }
     jpeg_finish_compress(&c);
@@ -740,6 +743,17 @@ def test_libjpeg_arithmetic_both_directions(tmp_path):
             check=True, capture_output=True)
         return open(out, "rb").read()
 
+    def lib_enc_color(rgb, q, arith):
+        raw = str(tmp_path / "inc.raw")
+        out = str(tmp_path / f"encc{arith}.jpg")
+        with open(raw, "wb") as f:
+            f.write(rgb.tobytes())
+        subprocess.run(
+            [helper, "encc", raw, f"{rgb.shape[1]}x{rgb.shape[0]}", out,
+             str(q), str(arith), "0"],
+            check=True, capture_output=True)
+        return open(out, "rb").read()
+
     rng = np.random.RandomState(17)
     cases = [
         rng.randint(0, 256, (16, 24)).astype(np.uint8),
@@ -763,3 +777,11 @@ def test_libjpeg_arithmetic_both_directions(tmp_path):
                 lib_h = lib_enc(px, q, 0, restart)
                 pa, ph = decode_jpeg_luma(lib_a), decode_jpeg_luma(lib_h)
                 assert (pa == ph).all(), (px.shape, q, restart)
+    # interleaved COLOR arithmetic scans (YCbCr 4:2:0 MCUs): the
+    # per-component DC contexts and shared per-table statistics must
+    # track libjpeg through the interleave
+    for (h, w) in [(16, 24), (33, 31)]:
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        ca = lib_enc_color(rgb, 90, 1)
+        ch = lib_enc_color(rgb, 90, 0)
+        assert (decode_jpeg_luma(ca) == decode_jpeg_luma(ch)).all(), (h, w)
