@@ -18,10 +18,17 @@ local[32]:
 - ``video_metadata``  (REAL ISO-BMFF box walk; mdat skipped by length)
 - ``webm_metadata``   (REAL RFC-8794 EBML walk; Clusters hopped by size)
 
-Every extractor runs ``strict=True`` — a single fake-path fallback
-fails the run, so the measured throughput is the real decode path.
-A sampler thread records python-worker RSS (sum and max across
-``pyspark.daemon`` forks) during the timed section, proving the
+Every extractor runs ``strict=True`` except the audio lane (round 12:
+strict propagates FLAC frame-decode errors, and the 'flac' family
+deliberately mints undecodable frames to exercise the STREAMINFO walk)
+— there the decoder-tag allowlist provides the same guarantee: a
+single fake-path fallback fails the run, so the measured throughput is
+the real decode path everywhere.
+Round 12 adds the new decode families (sequential-arithmetic JPEG,
+masked-mode BMP, TIFF LZW/Deflate/JPEG strips) and a fifth timed lane
+(``tiff_pixel_features``). A sampler thread records python-worker RSS
+(sum and max across ``pyspark.daemon`` forks) during the timed
+section, proving the
 batch-bounded-memory claim (multimodal.py: Arrow batch size bounds
 decoded-payload residency, not corpus size) at data volume.
 
@@ -58,6 +65,12 @@ FAMILIES = [
     ("opus", 300),
     ("mp4", 250),
     ("webm", 250),
+    # round 12: the new REAL decode paths
+    ("jpegarith", 200),  # SOF9 sequential arithmetic (QM-coder)
+    ("bmpbf", 400),      # 16/32-bit masked BMP (RGB555/565/10-10-10)
+    ("tifflzw", 200),    # TIFF section-13 LZW strips (+ predictor)
+    ("tiffdef", 300),    # TIFF Deflate strips (stdlib zlib)
+    ("tiffjpg", 200),    # JPEG-in-TIFF (TechNote-2 JPEGTables)
 ]
 
 
@@ -115,6 +128,46 @@ def _mint(family: str, mid: int) -> bytes:
         if bpp < 8:
             idx = (idx % (1 << bpp)).astype(np.uint8)
         return _mm.encode_bmp_indexed(idx, pal, bpp=bpp, rle=rle)
+    if family == "jpegarith":
+        px = rng.integers(0, 256, (256, 256)).astype(np.uint8)
+        return jpeg.encode_jpeg_gray_arith(px, quality=75 + mid % 20)
+    if family == "bmpbf":
+        from routing_algorithm_for_graph_dbs_spark.operators import (
+            multimodal as _mm,
+        )
+
+        bpp, masks, tops = (
+            (16, None, (31, 31, 31)),
+            (16, (0xF800, 0x07E0, 0x001F), (31, 63, 31)),
+            (32, (0x3FF00000, 0x000FFC00, 0x000003FF), (1023, 1023, 1023)),
+        )[mid % 3]
+        raw = np.stack(
+            [rng.integers(0, t + 1, (256, 256)) for t in tops], axis=-1
+        )
+        return _mm.encode_bmp_bitfields(raw, bpp=bpp, masks=masks)
+    if family in ("tifflzw", "tiffdef", "tiffjpg"):
+        from routing_algorithm_for_graph_dbs_spark.operators import (
+            tiff as _tiff,
+        )
+
+        if family == "tiffjpg":
+            px = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+            return _tiff.build_tiff_gray(
+                128, 128, px.tobytes(), compression=7,
+                rows_per_strip=(None, 32)[mid % 2],
+                jpeg_tables=mid % 2 == 1,
+            )
+        # stripe pattern: LZW/Deflate-friendly runs like scanned docs
+        h = w = 256
+        stripe = 4 + mid % 13
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = (((xx + yy) // stripe) % 256).astype(np.uint8)
+        comp = 5 if family == "tifflzw" else 8
+        return _tiff.build_tiff_gray(
+            w, h, px.tobytes(), compression=comp,
+            predictor=(1, 2)[mid % 2],
+            rows_per_strip=(None, 64, 16)[mid % 3],
+        )
     if family == "webp":
         from routing_algorithm_for_graph_dbs_spark.operators import vp8l
 
@@ -230,6 +283,11 @@ def main() -> None:
         "opus": "audio/ogg",
         "mp4": "video/mp4",
         "webm": "video/webm",
+        "jpegarith": "image/jpeg",
+        "bmpbf": "image/bmp",
+        "tifflzw": "image/tiff",
+        "tiffdef": "image/tiff",
+        "tiffjpg": "image/tiff",
     }
 
     def mint_part(it):
@@ -278,11 +336,13 @@ def main() -> None:
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
         audio_features,
         image_features,
+        tiff_pixel_features,
         video_metadata,
         webm_metadata,
     )
 
-    image_fams = ("jpeg", "png", "bmppal", "webp")
+    image_fams = ("jpeg", "png", "bmppal", "webp", "jpegarith", "bmpbf")
+    tiff_fams = ("tifflzw", "tiffdef", "tiffjpg")
     audio_fams = ("wav", "mp3", "aac", "flac", "flacpcm", "opus")
 
     def timed(tag, fams, fn, check_col, real_values):
@@ -332,10 +392,16 @@ def main() -> None:
             "decoder",
             {"jpeg", "png", "bmp", "webp"},
         ),
+        # the audio lane runs NON-strict since round 12: strict now
+        # PROPAGATES frame-decode failures (ADVICE r11), and the 'flac'
+        # family deliberately mints metadata-only containers whose
+        # frames do not decode (the flac-meta walk is the path under
+        # test). The fake-path guarantee is preserved by the decoder
+        # allowlist below — a single sha256-fake row fails the run.
         "audio_features": timed(
             "audio",
             audio_fams,
-            lambda df: audio_features(df, strict=True, batch_size=32),
+            lambda df: audio_features(df, batch_size=32),
             "decoder",
             {"wav", "flac", "mp3-meta", "aac-meta", "flac-meta",
              "opus-meta"},
@@ -353,6 +419,13 @@ def main() -> None:
             lambda df: webm_metadata(df, strict=True, batch_size=64),
             "parser",
             {"webm"},
+        ),
+        "tiff_pixel_features": timed(
+            "tiff",
+            tiff_fams,
+            lambda df: tiff_pixel_features(df, strict=True, batch_size=64),
+            "parser",
+            {"tiff"},
         ),
     }
 
