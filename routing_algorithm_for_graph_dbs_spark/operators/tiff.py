@@ -577,6 +577,8 @@ def decode_tiff_gray(payload: bytes):
         return payload[at : at + count]
 
     width, height = val(_WIDTH), val(_LENGTH)
+    if width < 1 or height < 1:
+        raise ValueError(f"bad TIFF dimensions {width}x{height}")
     if val(_BITS_PER_SAMPLE, 1) != 8 or val(_SAMPLES_PER_PIXEL, 1) != 1:
         raise ValueError("decode_tiff_gray handles 8-bit single-sample only")
     comp = val(_COMPRESSION, 1)
@@ -628,13 +630,17 @@ def decode_tiff_gray(payload: bytes):
             px = plane.tobytes()
         elif comp in (8, 32946):
             try:
-                px = zlib.decompress(strip)
+                # bounded inflate: a crafted strip claiming a huge
+                # output must not balloon worker memory past the
+                # declared raster size (+1 byte to detect overrun)
+                dec = zlib.decompressobj()
+                px = dec.decompress(strip, n_strip_px + 1)
             except zlib.error as exc:
                 raise ValueError(f"TIFF Deflate strip: {exc}") from exc
-            if len(px) != n_strip_px:
+            if len(px) != n_strip_px or not dec.eof:
                 raise ValueError(
-                    f"TIFF Deflate strip inflated to {len(px)} bytes,"
-                    f" expected {n_strip_px}"
+                    f"TIFF Deflate strip inflated to {len(px)}+ bytes,"
+                    f" expected exactly {n_strip_px}"
                 )
         else:
             px = packbits_decode(strip, n_strip_px)
