@@ -34,9 +34,11 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # The remaining registry stays covered by tools/check_oracles.py
 # (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: NEW this round — JPEG-in-TIFF strips
-    #    (compression 7, TechNote 2 JPEGTables) and 16-bit RGB555 /
-    #    BI_BITFIELDS masked-BMP decode (round 12)
+    # -- never-driver-checked: NEW this round — CCITT fax strips (T.4
+    #    MH-RLE + T.6 G4, tables derived from libtiff), JPEG-in-TIFF
+    #    strips (compression 7, TechNote 2 JPEGTables), and 16-bit
+    #    RGB555 / BI_BITFIELDS masked-BMP decode (round 12)
+    "mm_tiff_fax",
     "mm_tiff_jpeg",
     "mm_bmp_bitfields",
     # -- re-runs: implementation changed since their last driver row.
@@ -59,11 +61,12 @@ _DRIVER_WINDOW = [
     "mm_png_roundtrip",
     "mm_resize_roundtrip",
     "mm_jpeg_roundtrip",
+    #    (mm_opus_metadata, the freshest of the rewired 8, ceded its
+    #    slot to mm_tiff_fax — r13 candidate)
     "mm_mp3_metadata",
     "mm_mp4_metadata",
     "mm_aac_metadata",
     "mm_flac_metadata",
-    "mm_opus_metadata",
     # -- the whole r7-stale block (last driver rows r7), in
     #    CORRECTNESS_r07 order
     "er_fuzzy_name_pairs",

@@ -7558,6 +7558,56 @@ def mm_bmp_palette(spark, sf_dir):
 
 
 @_register(
+    "mm_tiff_fax",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 * (2 + doc_id % 5) AS INTEGER) AS width,
+           CAST(4 * (1 + doc_id % 6) AS INTEGER) AS height,
+           -- k black columns per complete 8-column period, MinIsWhite:
+           -- mean = 255*(8-k)/8, a dyadic rational -> exact double on
+           -- both engines
+           255.0 * (8 - (1 + doc_id % 7)) / 8 AS mean_luma,
+           'tiff' AS parser
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_tiff_fax(spark, sf_dir):
+    """REAL-codec cross-engine check, CCITT fax half (round 12 — T.4
+    Modified Huffman and T.6 Group 4 moved OFF the boundary; the run
+    tables were derived empirically from libtiff streams by
+    common-prefix isolation, the same method that pinned the VP8L
+    distance table): synth_tiff_fax_media mints bilevel stripe TIFFs —
+    MH-RLE and G4, shifting rows that exercise pass/vertical/horizontal
+    modes, single- and multi-strip, both byte orders — and
+    tiff_pixel_features decodes every payload for real (strict=True).
+    The decoded MinIsWhite mean luma must hit the closed form
+    255*(8-k)/8 exactly; libtiff verifies the same streams
+    bidirectionally in the crosscheck suite."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        synth_tiff_fax_media,
+        tiff_pixel_features,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # spread the INPUT docs: the per-doc fax encode in the synth is the
+    # CPU-heavy half and a small parquet arrives as one scan split; the
+    # synth and the extractor inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
+    media = synth_tiff_fax_media(docs)
+    return tiff_pixel_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_luma").cast("double").alias("mean_luma"),
+        "parser",
+    )
+
+
+@_register(
     "mm_tiff_jpeg",
     """
     WITH img AS (

@@ -2430,14 +2430,14 @@ def tiff_pixel_features(
     media: DataFrame, strict: bool = False, batch_size: int = 256
 ) -> DataFrame:
     """REAL TIFF strip decode (rounds 11-12): raw (compression 1),
-    PackBits (32773), LZW (5), and Deflate (8/32946) grayscale strips
-    — with or without the predictor-2 horizontal differencing, single-
-    or multi-strip — inflate for real in either byte order
-    (``operators/tiff.py decode_tiff_gray``, parser='tiff');
-    JPEG-in-TIFF strips stay the declared entropy-coded boundary (the
-    decoder raises and strict surfaces it). Non-TIFF payloads take the
-    deterministic sha256 fake, or raise under ``strict=True``.
-    Map-side only."""
+    PackBits (32773), LZW (5), Deflate (8/32946), JPEG (7, TechNote-2
+    JPEGTables honored), and CCITT bilevel fax (2 = T.4 MH-RLE, 4 =
+    T.6 G4) strips — with or without the predictor-2 horizontal
+    differencing where it applies, single- or multi-strip — inflate
+    for real in either byte order (``operators/tiff.py
+    decode_tiff_gray``, parser='tiff'); remaining layouts raise and
+    strict surfaces it. Non-TIFF payloads take the deterministic
+    sha256 fake, or raise under ``strict=True``. Map-side only."""
     from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
         decode_tiff_gray,
         is_tiff,
@@ -2714,6 +2714,62 @@ def synth_tiff_jpeg_media(docs: DataFrame) -> DataFrame:
                         byte_order="II" if (mid // 6) % 2 == 0 else "MM",
                         rows_per_strip=min(rps, h) if rps else None,
                         jpeg_tables=mid % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/tiff",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_tiff_fax_media(docs: DataFrame) -> DataFrame:
+    """Deterministic CCITT bilevel TIFFs (round 12 — T.4 MH-RLE and
+    T.6 G4 moved off the boundary): per doc, a stripe raster with
+    ``k = 1 + doc_id % 7`` black columns per 8-column period at
+    ``w = 8*(2 + doc_id % 5)``, ``h = 4*(1 + doc_id % 6)`` — every
+    period complete, so the black fraction is exactly ``k/8`` and the
+    decoded MinIsWhite mean luma is the closed form ``255*(8-k)/8``.
+    Rows shift by ``doc_id % 3`` columns per row (0 exercises
+    V0/pass-heavy coding, 1/2 the VL/VR vertical modes; np.roll keeps
+    the per-row count). Compression cycles MH/G4 on ``doc_id % 2``,
+    strip layout whole/4-row on ``doc_id // 2``, byte order on
+    ``doc_id // 4``."""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_fax,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                k = 1 + mid % 7
+                w, h = 8 * (2 + mid % 5), 4 * (1 + mid % 6)
+                period = np.zeros(8, np.uint8)
+                period[:k] = 1
+                row = np.tile(period, w // 8)
+                shift = mid % 3
+                img = np.stack(
+                    [np.roll(row, r * shift) for r in range(h)]
+                )
+                payloads.append(
+                    build_tiff_fax(
+                        img,
+                        compression=2 if mid % 2 == 0 else 4,
+                        byte_order="II" if (mid // 4) % 2 == 0 else "MM",
+                        rows_per_strip=(None, 4)[(mid // 2) % 2],
                     )
                 )
             yield pd.DataFrame(

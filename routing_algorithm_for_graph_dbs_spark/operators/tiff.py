@@ -579,9 +579,46 @@ def decode_tiff_gray(payload: bytes):
     width, height = val(_WIDTH), val(_LENGTH)
     if width < 1 or height < 1:
         raise ValueError(f"bad TIFF dimensions {width}x{height}")
-    if val(_BITS_PER_SAMPLE, 1) != 8 or val(_SAMPLES_PER_PIXEL, 1) != 1:
-        raise ValueError("decode_tiff_gray handles 8-bit single-sample only")
+    bits_ps = val(_BITS_PER_SAMPLE, 1)
     comp = val(_COMPRESSION, 1)
+    if bits_ps == 1 and val(_SAMPLES_PER_PIXEL, 1) == 1 and comp in (2, 4):
+        # round 12: CCITT bilevel fax — T.4 MH-RLE (2) / T.6 G4 (4) —
+        # decodes for real (operators/fax.py; tables derived from
+        # libtiff streams, crosschecked bidirectionally)
+        from routing_algorithm_for_graph_dbs_spark.operators.fax import (
+            decode_g4,
+            decode_mh,
+        )
+
+        photometric = val(_PHOTOMETRIC, 0)
+        offs, cnts = vals(_STRIP_OFFSETS), vals(_STRIP_BYTE_COUNTS)
+        if len(offs) != len(cnts):
+            raise ValueError(
+                "TIFF StripOffsets/StripByteCounts length mismatch"
+            )
+        rps = val(_ROWS_PER_STRIP, height)
+        if rps < 1 or (height + rps - 1) // rps != len(offs):
+            raise ValueError(
+                f"TIFF strip count {len(offs)} does not cover {height}"
+                f" rows at {rps} rows/strip"
+            )
+        black = 0
+        for i, (off, cnt) in enumerate(zip(offs, cnts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF strip runs past payload")
+            n_rows = min(rps, height - i * rps)
+            dec = decode_mh if comp == 2 else decode_g4
+            img = dec(payload[off : off + cnt], width, n_rows)
+            black += int(img.sum())
+        n_px = width * height
+        # photometric 0 (MinIsWhite, the fax default): bit 1 = black;
+        # photometric 1 flips the sense
+        lit = (n_px - black) if photometric == 0 else black
+        return (width, height, 255.0 * lit / n_px)
+    if bits_ps != 8 or val(_SAMPLES_PER_PIXEL, 1) != 1:
+        raise ValueError(
+            "decode_tiff_gray handles 8-bit grayscale and 1-bit fax only"
+        )
     if comp not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(
             f"TIFF compression {comp} needs a codec — the decode boundary"
@@ -653,6 +690,81 @@ def decode_tiff_gray(payload: bytes):
     if len(out) < n_px:
         raise ValueError("TIFF strips shorter than width*height")
     return (width, height, sum(out[:n_px]) / n_px)
+
+
+def build_tiff_fax(
+    img,
+    compression: int = 4,
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Mint a single-IFD 1-bit bilevel TIFF whose strips hold the REAL
+    CCITT encoding of ``img`` ((H, W) of 0=white / 1=black): T.4 MH-RLE
+    (compression 2) or T.6 G4 (compression 4), photometric MinIsWhite
+    (the fax default). Strips restart the coder (G4's reference line
+    resets to all-white per strip). The decode twin is the fax path of
+    :func:`decode_tiff_gray`."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.fax import (
+        encode_g4,
+        encode_mh,
+    )
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim != 2 or arr.size == 0:
+        raise ValueError("expected a nonempty (H, W) bilevel array")
+    if int(arr.max(initial=0)) > 1:
+        raise ValueError("bilevel pixels must be 0 or 1")
+    if compression not in (2, 4):
+        raise ValueError("build_tiff_fax supports compression 2 and 4")
+    height, width = arr.shape
+    rps = height if rows_per_strip is None else rows_per_strip
+    if not 1 <= rps <= height:
+        raise ValueError("rows_per_strip out of range")
+    enc = encode_mh if compression == 2 else encode_g4
+    strips = [enc(arr[top:top + rps]) for top in range(0, height, rps)]
+    fmt = "<" if byte_order == "II" else ">"
+    out = bytearray()
+    out += byte_order.encode("ascii")
+    out += struct.pack(fmt + "H", 42)
+    out += struct.pack(fmt + "I", 0)
+    offsets: list[int] = []
+    counts: list[int] = []
+    for strip in strips:
+        offsets.append(len(out))
+        counts.append(len(strip))
+        out += strip
+        if len(out) % 2:
+            out += b"\x00"
+    n = len(strips)
+    if n == 1:
+        off_val, cnt_val = offsets[0], counts[0]
+    else:
+        off_val = len(out)
+        out += struct.pack(fmt + f"{n}I", *offsets)
+        cnt_val = len(out)
+        out += struct.pack(fmt + f"{n}I", *counts)
+
+    def entry(tag: int, etype: int, value: int, count: int = 1) -> bytes:
+        e = struct.pack(fmt + "HHI", tag, etype, count)
+        if etype == _SHORT:
+            return e + struct.pack(fmt + "H", value) + b"\x00\x00"
+        return e + struct.pack(fmt + "I", value)
+
+    struct.pack_into(fmt + "I", out, 4, len(out))
+    out += struct.pack(fmt + "H", _N_ENTRIES)
+    out += entry(_WIDTH, _LONG, width)
+    out += entry(_LENGTH, _LONG, height)
+    out += entry(_BITS_PER_SAMPLE, _SHORT, 1)
+    out += entry(_COMPRESSION, _SHORT, compression)
+    out += entry(_PHOTOMETRIC, _SHORT, 0)  # MinIsWhite (fax default)
+    out += entry(_STRIP_OFFSETS, _LONG, off_val, n)
+    out += entry(_SAMPLES_PER_PIXEL, _SHORT, 1)
+    out += entry(_ROWS_PER_STRIP, _LONG, rps)
+    out += entry(_STRIP_BYTE_COUNTS, _LONG, cnt_val, n)
+    out += struct.pack(fmt + "I", 0)
+    return bytes(out)
 
 
 _N_ENTRIES = 9

@@ -785,3 +785,119 @@ def test_libjpeg_arithmetic_both_directions(tmp_path):
         ca = lib_enc_color(rgb, 90, 1)
         ch = lib_enc_color(rgb, 90, 0)
         assert (decode_jpeg_luma(ca) == decode_jpeg_luma(ch)).all(), (h, w)
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not available")
+def test_libtiff_ccitt_fax_both_directions():
+    """CCITT bilevel fax (round 12): libtiff must recover the exact
+    raster from our MH-RLE (compression 2) and G4 (compression 4)
+    files — single- and multi-strip, both byte orders — and our
+    decoders must read what TIFFWriteScanline's fax codecs produce.
+    The T.4 run tables themselves were DERIVED from libtiff streams by
+    common-prefix isolation; this test re-pins them plus the T.6 mode
+    coding end to end. Skips if this libtiff build lacks the CCITT
+    codecs."""
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_fax,
+        decode_tiff_gray,
+    )
+
+    _TIFF.TIFFOpen.restype = ctypes.c_void_p
+    _TIFF.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    _TIFF.TIFFReadScanline.restype = ctypes.c_int
+    _TIFF.TIFFReadScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+    _TIFF.TIFFWriteScanline.restype = ctypes.c_int
+    _TIFF.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+    _TIFF.TIFFSetField.restype = ctypes.c_int
+    _TIFF.TIFFClose.argtypes = [ctypes.c_void_p]
+    _TIFF.TIFFSetWarningHandler.restype = ctypes.c_void_p
+    _TIFF.TIFFSetWarningHandler.argtypes = [ctypes.c_void_p]
+    _TIFF.TIFFSetErrorHandler.restype = ctypes.c_void_p
+    _TIFF.TIFFSetErrorHandler.argtypes = [ctypes.c_void_p]
+    _TIFF.TIFFSetWarningHandler(None)
+
+    def pack_rows(img):
+        h, w = img.shape
+        rb = (w + 7) // 8
+        out = np.zeros((h, rb), np.uint8)
+        for x in range(w):
+            out[:, x >> 3] |= img[:, x] << (7 - (x & 7))
+        return out
+
+    rng = np.random.RandomState(23)
+    cases = [
+        (rng.rand(13, 61) < 0.3).astype(np.uint8),
+        np.ones((5, 40), np.uint8),
+        np.zeros((5, 40), np.uint8),
+        np.kron((rng.rand(6, 10) < 0.5).astype(np.uint8),
+                np.ones((4, 8), np.uint8)),
+        (rng.rand(9, 2700) < 0.05).astype(np.uint8),  # >2560 make-ups
+    ]
+    for img in cases:
+        h, w = img.shape
+        for comp in (2, 4):
+            for bo in ("II", "MM"):
+                for rps in (None, 4):
+                    payload = build_tiff_fax(
+                        img, compression=comp, byte_order=bo,
+                        rows_per_strip=min(rps, h) if rps else None)
+                    fn = tempfile.mktemp(suffix=".tif")
+                    try:
+                        with open(fn, "wb") as f:
+                            f.write(payload)
+                        tif = _TIFF.TIFFOpen(fn.encode(), b"r")
+                        if not tif:
+                            pytest.skip("libtiff built without CCITT codecs")
+                        rb = (w + 7) // 8
+                        buf = (ctypes.c_ubyte * rb)()
+                        got = np.zeros((h, w), np.uint8)
+                        for r in range(h):
+                            assert _TIFF.TIFFReadScanline(
+                                ctypes.c_void_p(tif), buf, r, 0) == 1, (
+                                comp, bo, rps, r)
+                            row = bytes(buf)
+                            for x in range(w):
+                                got[r, x] = (row[x >> 3] >> (7 - (x & 7))) & 1
+                        _TIFF.TIFFClose(ctypes.c_void_p(tif))
+                        assert (got == img).all(), (comp, bo, rps, h, w)
+                    finally:
+                        if os.path.exists(fn):
+                            os.unlink(fn)
+        # reverse: libtiff writes, we decode
+        packed = pack_rows(img)
+        for comp in (2, 4):
+            fn = tempfile.mktemp(suffix=".tif")
+            try:
+                tif = _TIFF.TIFFOpen(fn.encode(), b"w")
+                assert tif
+
+                def sf(tag, val, typ=ctypes.c_uint16):
+                    return _TIFF.TIFFSetField(
+                        ctypes.c_void_p(tif), ctypes.c_uint32(tag), typ(val))
+
+                assert sf(256, w, ctypes.c_uint32) == 1
+                assert sf(257, h, ctypes.c_uint32) == 1
+                assert sf(258, 1) == 1
+                assert sf(277, 1) == 1
+                if sf(259, comp) != 1:
+                    _TIFF.TIFFClose(ctypes.c_void_p(tif))
+                    pytest.skip("libtiff built without CCITT codecs")
+                assert sf(262, 0) == 1  # MinIsWhite
+                assert sf(284, 1) == 1
+                assert sf(278, h, ctypes.c_uint32) == 1
+                rb = (w + 7) // 8
+                for r in range(h):
+                    row = (ctypes.c_ubyte * rb).from_buffer_copy(
+                        packed[r].tobytes())
+                    assert _TIFF.TIFFWriteScanline(
+                        ctypes.c_void_p(tif), row, r, 0) == 1, r
+                _TIFF.TIFFClose(ctypes.c_void_p(tif))
+                payload = open(fn, "rb").read()
+                gw, gh, mean = decode_tiff_gray(payload)
+                exp = 255.0 * (w * h - int(img.sum())) / (w * h)
+                assert (gw, gh, mean) == (w, h, exp), (comp, h, w)
+            finally:
+                if os.path.exists(fn):
+                    os.unlink(fn)

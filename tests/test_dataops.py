@@ -4923,7 +4923,72 @@ def test_tiff_jpeg_strips():
         split_jpeg_tables(b"\xff\xd8\xff\xdb\x00\x02")
 
 
-def test_tiff_deflate_and_multistrip():
+def test_tiff_ccitt_fax():
+    """Round 12: CCITT bilevel fax decode is REAL — T.4 Modified
+    Huffman (compression 2, byte-aligned rows) and T.6 Group 4 (MMR:
+    pass/vertical/horizontal modes against the reference line). The
+    run tables were derived empirically from libtiff streams; the
+    published spot values pin them here, and roundtrips cover run
+    lengths through the shared extended make-ups (>2560 px rows)."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.fax import (
+        _T4_BLACK_MAKEUP,
+        _T4_BLACK_TERM,
+        _T4_WHITE_MAKEUP,
+        _T4_WHITE_TERM,
+        decode_g4,
+        decode_mh,
+        encode_g4,
+        encode_mh,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_fax,
+        decode_tiff_gray,
+        parse_tiff_metadata,
+    )
+
+    # published T.4 table spot values (Table 2/3): any derivation slip
+    # would break these
+    assert _T4_WHITE_TERM[0] == "00110101"
+    assert _T4_WHITE_TERM[1] == "000111"
+    assert _T4_BLACK_TERM[0] == "0000110111"
+    assert _T4_BLACK_TERM[1] == "010"
+    assert _T4_WHITE_MAKEUP[64] == "11011"
+    assert _T4_BLACK_MAKEUP[64] == "0000001111"
+    # extended make-ups are color-shared
+    assert _T4_WHITE_MAKEUP[2560] == _T4_BLACK_MAKEUP[2560]
+
+    rng = _np.random.RandomState(24)
+    shapes = [(1, 1), (3, 7), (12, 64), (5, 2700), (20, 133)]
+    for (h, w) in shapes:
+        for img in (
+            (rng.rand(h, w) < 0.3).astype(_np.uint8),
+            _np.ones((h, w), _np.uint8),
+            _np.zeros((h, w), _np.uint8),
+        ):
+            assert (decode_mh(encode_mh(img), w, h) == img).all(), (h, w)
+            assert (decode_g4(encode_g4(img), w, h) == img).all(), (h, w)
+
+    # container path: closed-form mean, both compressions and layouts
+    img = (rng.rand(12, 40) < 0.4).astype(_np.uint8)
+    exp = 255.0 * (12 * 40 - int(img.sum())) / (12 * 40)
+    for comp in (2, 4):
+        for rps in (None, 4):
+            p = build_tiff_fax(img, compression=comp, rows_per_strip=rps)
+            assert decode_tiff_gray(p) == (40, 12, exp), (comp, rps)
+            md = parse_tiff_metadata(p)
+            assert md[3] == 1 and md[4] == comp
+
+    # loud failures: truncation, garbage codes, run overflow
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_mh(b"", 8, 1)
+    with _pytest.raises(ValueError, match="run code|truncated"):
+        decode_mh(b"\x00\x00", 8, 1)  # 16 zero bits match no code
+    good = encode_mh(_np.ones((1, 32), _np.uint8))
+    with _pytest.raises(ValueError, match="overflow|truncated|run code"):
+        decode_mh(good, 16, 1)  # narrower row than the stream encodes
     """Round 12: Deflate strips (compression 8, stdlib zlib) and the
     multi-strip layout (out-of-line StripOffsets/ByteCounts LONG
     arrays, per-strip codec restart, short last strip) round-trip for
