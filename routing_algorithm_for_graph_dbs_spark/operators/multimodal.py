@@ -2468,8 +2468,9 @@ def tiff_pixel_features(
                     if strict:
                         raise NotImplementedError(
                             "real TIFF strip decode covers raw/PackBits/"
-                            "LZW/Deflate 8-bit grayscale — other layouts"
-                            " (JPEG strips) stay the codec boundary"
+                            "LZW/Deflate/JPEG 8-bit grayscale and CCITT"
+                            " MH/G4 bilevel — exotic layouts (JBIG,"
+                            " old-style JPEG) stay the codec boundary"
                         )
                     d = hashlib.sha256(b).digest()
                     w, h = 100 + d[0] * 4, 80 + d[1] * 3
