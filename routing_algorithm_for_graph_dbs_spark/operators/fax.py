@@ -186,16 +186,7 @@ def decode_mh(data: bytes, width: int, height: int) -> np.ndarray:
     rows = np.zeros((height, width), np.uint8)
     for r in range(height):
         bits.align()
-        x = 0
-        white = True
-        while x < width:
-            run = _read_run(bits, white)
-            if x + run > width:
-                raise ValueError("MH run overflows the row")
-            if not white:
-                rows[r, x:x + run] = 1
-            x += run
-            white = not white
+        rows[r] = _decode_1d_row(bits, width)
     return rows
 
 
@@ -221,18 +212,14 @@ def encode_mh(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
-    """TIFF compression 4 (T.6 Group 4 / MMR) -> (H, W) uint8 of
-    0 (white) / 1 (black). The reference line starts all-white."""
-    bits = _FaxBits(data)
-    rows = np.zeros((height, width), np.uint8)
-    ref = np.zeros(width, np.uint8)
-    for r in range(height):
-        cur = np.zeros(width, np.uint8)
-        ref_tr = _transitions(ref)
-        a0 = -1
-        color = 0
-        while a0 < width:
+def _decode_2d_row(bits: _FaxBits, ref: np.ndarray, width: int) -> np.ndarray:
+    """One 2D-coded line against ``ref`` (T.4 §4.2.1 / T.6 §2.2) —
+    shared by G4 and the 2D lines of G3."""
+    cur = np.zeros(width, np.uint8)
+    ref_tr = _transitions(ref)
+    a0 = -1
+    color = 0
+    while a0 < width:
             b1 = width
             for t in ref_tr:
                 if t > a0 and ref[t] != color:
@@ -293,9 +280,93 @@ def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
                 cur[start:min(a1, width)] = 1
             a0 = a1
             color ^= 1
+    return cur
+
+
+def _decode_1d_row(bits: _FaxBits, width: int) -> np.ndarray:
+    """One MH-coded line (alternating runs starting white)."""
+    row = np.zeros(width, np.uint8)
+    x = 0
+    white = True
+    while x < width:
+        run = _read_run(bits, white)
+        if x + run > width:
+            raise ValueError("MH run overflows the row")
+        if not white:
+            row[x:x + run] = 1
+        x += run
+        white = not white
+    return row
+
+
+def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
+    """TIFF compression 4 (T.6 Group 4 / MMR) -> (H, W) uint8 of
+    0 (white) / 1 (black). The reference line starts all-white."""
+    bits = _FaxBits(data)
+    rows = np.zeros((height, width), np.uint8)
+    ref = np.zeros(width, np.uint8)
+    for r in range(height):
+        cur = _decode_2d_row(bits, ref, width)
         rows[r] = cur
         ref = cur
     return rows
+
+
+def _expect_eol(bits: _FaxBits) -> None:
+    """Consume an EOL (>=11 zero bits then a 1 — any extra zeros are
+    T.4 fill bits, accepted unconditionally)."""
+    zeros = 0
+    while True:
+        b = bits.bit()
+        if b == 0:
+            zeros += 1
+            continue
+        if zeros < 11:
+            raise ValueError(f"expected T.4 EOL, got 1 after {zeros} zeros")
+        return
+
+
+def decode_g3(data: bytes, width: int, height: int,
+              two_d: bool = False) -> np.ndarray:
+    """TIFF compression 3 (T.4 Group 3): an EOL precedes every line
+    (fill bits tolerated); with ``two_d`` (T4Options bit 0) each EOL
+    carries a tag bit selecting a 1D (MH) or 2D (against the previous
+    line) coding for the next row. -> (H, W) uint8 of 0/1."""
+    bits = _FaxBits(data)
+    rows = np.zeros((height, width), np.uint8)
+    ref = np.zeros(width, np.uint8)
+    for r in range(height):
+        _expect_eol(bits)
+        one_d = True
+        if two_d:
+            one_d = bits.bit() == 1
+        cur = (_decode_1d_row(bits, width) if one_d
+               else _decode_2d_row(bits, ref, width))
+        rows[r] = cur
+        ref = cur
+    return rows
+
+
+def encode_g3(img: np.ndarray) -> bytes:
+    """The write twin of :func:`decode_g3` (1D lines only — the form
+    libtiff writes by default for compression 3): EOL + MH runs per
+    row, no fill."""
+    h, w = img.shape
+    bits: list = []
+    for r in range(h):
+        bits.append("000000000001")  # EOL
+        row = img[r]
+        x = 0
+        white = True
+        while x < w:
+            want = 0 if white else 1
+            run = 0
+            while x + run < w and row[x + run] == want:
+                run += 1
+            _emit_run(bits, run, white)
+            x += run
+            white = not white
+    return _pack_bits(bits)
 
 
 def encode_g4(img: np.ndarray) -> bytes:

@@ -2740,9 +2740,9 @@ def synth_tiff_fax_media(docs: DataFrame) -> DataFrame:
     decoded MinIsWhite mean luma is the closed form ``255*(8-k)/8``.
     Rows shift by ``doc_id % 3`` columns per row (0 exercises
     V0/pass-heavy coding, 1/2 the VL/VR vertical modes; np.roll keeps
-    the per-row count). Compression cycles MH/G4 on ``doc_id % 2``,
-    strip layout whole/4-row on ``doc_id // 2``, byte order on
-    ``doc_id // 4``."""
+    the per-row count). Compression cycles MH-RLE / G3-with-EOLs / G4
+    on ``(doc_id // 3) % 3``, strip layout whole/4-row on
+    ``doc_id // 2``, byte order on ``doc_id // 4``."""
     from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
         build_tiff_fax,
     )
@@ -2768,7 +2768,7 @@ def synth_tiff_fax_media(docs: DataFrame) -> DataFrame:
                 payloads.append(
                     build_tiff_fax(
                         img,
-                        compression=2 if mid % 2 == 0 else 4,
+                        compression=(2, 3, 4)[(mid // 3) % 3],
                         byte_order="II" if (mid // 4) % 2 == 0 else "MM",
                         rows_per_strip=(None, 4)[(mid // 2) % 2],
                     )

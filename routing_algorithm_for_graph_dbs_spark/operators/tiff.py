@@ -10,11 +10,12 @@ of IFDs — each a u16 entry count, that many 12-byte entries
 (u16 tag, u16 type, u32 count, 4-byte value-or-offset, the value
 LEFT-JUSTIFIED in its field when it fits), and a u32 next-IFD offset
 (0 terminates). The metadata walk never dereferences strip data;
-REAL raster decode lives below it for raw, PackBits (§9), and LZW
-(§13, incl. predictor 2) strips — JPEG/Deflate-in-TIFF stays the
-honest entropy-coded boundary (parse-not-decode split per
-``operators/mp3.py``; reference boundary analog main.py:1 — the
-reference delegates media handling entirely).
+REAL raster decode lives below it for raw, PackBits (§9), LZW (§13,
+incl. predictor 2), Deflate, JPEG (TechNote-2 JPEGTables), and CCITT
+fax (T.4 MH/G3 + T.6 G4 via ``operators/fax.py``) strips — only
+exotic codecs (JBIG, old-style JPEG) remain the declared boundary
+(reference boundary analog main.py:1 — the reference delegates media
+handling entirely).
 
 ``parse_tiff_metadata`` honors BOTH byte orders, walks the whole IFD
 chain (counting pages), reads the classification tags from the FIRST
@@ -134,13 +135,13 @@ def parse_tiff_metadata(payload: bytes):
 
 
 # ---------------------------------------------------------------------------
-# REAL strip decode (rounds 11-12): TIFF's common grayscale payloads are
-# UNCOMPRESSED samples (compression 1), PackBits RLE (compression
-# 32773, spec §9), LZW (compression 5, spec §13), or Deflate
-# (compression 8 / legacy 32946, zlib streams per the Adobe TIFF
-# technotes — stdlib inflate) — all pure byte/bit transforms, no codec
-# library, so none belongs on the declared decode boundary. JPEG-in-
-# TIFF strips stay there (entropy decode).
+# REAL strip decode (rounds 11-12): TIFF's common payloads are
+# UNCOMPRESSED samples (compression 1), PackBits RLE (32773, spec §9),
+# LZW (5, spec §13), Deflate (8 / legacy 32946, zlib streams per the
+# Adobe technotes), new-style JPEG (7, via operators/jpeg.py incl. the
+# round-12 arithmetic decoder), and CCITT bilevel fax (2/3/4, via
+# operators/fax.py) — none belongs on the declared decode boundary.
+# Exotic codecs (JBIG, old-style JPEG 6) stay there.
 # ---------------------------------------------------------------------------
 
 
@@ -339,6 +340,7 @@ def horizontal_undiff(pixels: bytes, width: int) -> bytes:
 
 
 _PREDICTOR = 317
+_T4_OPTIONS = 292
 _JPEG_TABLES = 346 + 1  # tag 347, TIFF TechNote 2
 _UNDEFINED = 7
 
@@ -581,15 +583,18 @@ def decode_tiff_gray(payload: bytes):
         raise ValueError(f"bad TIFF dimensions {width}x{height}")
     bits_ps = val(_BITS_PER_SAMPLE, 1)
     comp = val(_COMPRESSION, 1)
-    if bits_ps == 1 and val(_SAMPLES_PER_PIXEL, 1) == 1 and comp in (2, 4):
-        # round 12: CCITT bilevel fax — T.4 MH-RLE (2) / T.6 G4 (4) —
-        # decodes for real (operators/fax.py; tables derived from
-        # libtiff streams, crosschecked bidirectionally)
+    if bits_ps == 1 and val(_SAMPLES_PER_PIXEL, 1) == 1 and comp in (2, 3, 4):
+        # round 12: CCITT bilevel fax — T.4 MH-RLE (2) / G3 with EOLs
+        # incl. the 2D T4Options variant (3) / T.6 G4 (4) — decodes
+        # for real (operators/fax.py; tables derived from libtiff
+        # streams, crosschecked bidirectionally)
         from routing_algorithm_for_graph_dbs_spark.operators.fax import (
+            decode_g3,
             decode_g4,
             decode_mh,
         )
 
+        t4_opts = val(_T4_OPTIONS, 0)  # T4Options (default 0 = 1D)
         photometric = val(_PHOTOMETRIC, 0)
         offs, cnts = vals(_STRIP_OFFSETS), vals(_STRIP_BYTE_COUNTS)
         if len(offs) != len(cnts):
@@ -607,8 +612,14 @@ def decode_tiff_gray(payload: bytes):
             if off + cnt > len(payload):
                 raise ValueError("TIFF strip runs past payload")
             n_rows = min(rps, height - i * rps)
-            dec = decode_mh if comp == 2 else decode_g4
-            img = dec(payload[off : off + cnt], width, n_rows)
+            strip_b = payload[off : off + cnt]
+            if comp == 2:
+                img = decode_mh(strip_b, width, n_rows)
+            elif comp == 3:
+                img = decode_g3(strip_b, width, n_rows,
+                                two_d=bool(t4_opts & 1))
+            else:
+                img = decode_g4(strip_b, width, n_rows)
             black += int(img.sum())
         n_px = width * height
         # photometric 0 (MinIsWhite, the fax default): bit 1 = black;
@@ -700,13 +711,14 @@ def build_tiff_fax(
 ) -> bytes:
     """Mint a single-IFD 1-bit bilevel TIFF whose strips hold the REAL
     CCITT encoding of ``img`` ((H, W) of 0=white / 1=black): T.4 MH-RLE
-    (compression 2) or T.6 G4 (compression 4), photometric MinIsWhite
-    (the fax default). Strips restart the coder (G4's reference line
+    (compression 2), G3 1D with per-row EOLs (compression 3), or T.6
+    G4 (compression 4), photometric MinIsWhite (the fax default). Strips restart the coder (G4's reference line
     resets to all-white per strip). The decode twin is the fax path of
     :func:`decode_tiff_gray`."""
     import numpy as np
 
     from routing_algorithm_for_graph_dbs_spark.operators.fax import (
+        encode_g3,
         encode_g4,
         encode_mh,
     )
@@ -716,13 +728,13 @@ def build_tiff_fax(
         raise ValueError("expected a nonempty (H, W) bilevel array")
     if int(arr.max(initial=0)) > 1:
         raise ValueError("bilevel pixels must be 0 or 1")
-    if compression not in (2, 4):
-        raise ValueError("build_tiff_fax supports compression 2 and 4")
+    if compression not in (2, 3, 4):
+        raise ValueError("build_tiff_fax supports compression 2, 3, 4")
     height, width = arr.shape
     rps = height if rows_per_strip is None else rows_per_strip
     if not 1 <= rps <= height:
         raise ValueError("rows_per_strip out of range")
-    enc = encode_mh if compression == 2 else encode_g4
+    enc = {2: encode_mh, 3: encode_g3, 4: encode_g4}[compression]
     strips = [enc(arr[top:top + rps]) for top in range(0, height, rps)]
     fmt = "<" if byte_order == "II" else ">"
     out = bytearray()

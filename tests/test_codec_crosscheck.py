@@ -790,8 +790,9 @@ def test_libjpeg_arithmetic_both_directions(tmp_path):
 @pytest.mark.skipif(_TIFF is None, reason="libtiff not available")
 def test_libtiff_ccitt_fax_both_directions():
     """CCITT bilevel fax (round 12): libtiff must recover the exact
-    raster from our MH-RLE (compression 2) and G4 (compression 4)
-    files — single- and multi-strip, both byte orders — and our
+    raster from our MH-RLE (compression 2), G3 (compression 3, 1D
+    with per-row EOLs), and G4 (compression 4) files — single- and
+    multi-strip, both byte orders — and our
     decoders must read what TIFFWriteScanline's fax codecs produce.
     The T.4 run tables themselves were DERIVED from libtiff streams by
     common-prefix isolation; this test re-pins them plus the T.6 mode
@@ -837,7 +838,7 @@ def test_libtiff_ccitt_fax_both_directions():
     ]
     for img in cases:
         h, w = img.shape
-        for comp in (2, 4):
+        for comp in (2, 3, 4):
             for bo in ("II", "MM"):
                 for rps in (None, 4):
                     payload = build_tiff_fax(
@@ -867,7 +868,7 @@ def test_libtiff_ccitt_fax_both_directions():
                             os.unlink(fn)
         # reverse: libtiff writes, we decode
         packed = pack_rows(img)
-        for comp in (2, 4):
+        for comp in (2, 3, 4):
             fn = tempfile.mktemp(suffix=".tif")
             try:
                 tif = _TIFF.TIFFOpen(fn.encode(), b"w")

@@ -4971,10 +4971,22 @@ def test_tiff_ccitt_fax():
             assert (decode_mh(encode_mh(img), w, h) == img).all(), (h, w)
             assert (decode_g4(encode_g4(img), w, h) == img).all(), (h, w)
 
-    # container path: closed-form mean, both compressions and layouts
+    # G3 with EOLs: self roundtrip + the fill/tag-bit tolerant EOL walk
+    from routing_algorithm_for_graph_dbs_spark.operators.fax import (
+        decode_g3,
+        encode_g3,
+    )
+
+    for (h, w) in shapes[:3]:
+        img = (rng.rand(h, w) < 0.3).astype(_np.uint8)
+        assert (decode_g3(encode_g3(img), w, h) == img).all(), (h, w)
+    with _pytest.raises(ValueError, match="EOL"):
+        decode_g3(b"\xff\xff", 8, 1)
+
+    # container path: closed-form mean, all three compressions, layouts
     img = (rng.rand(12, 40) < 0.4).astype(_np.uint8)
     exp = 255.0 * (12 * 40 - int(img.sum())) / (12 * 40)
-    for comp in (2, 4):
+    for comp in (2, 3, 4):
         for rps in (None, 4):
             p = build_tiff_fax(img, compression=comp, rows_per_strip=rps)
             assert decode_tiff_gray(p) == (40, 12, exp), (comp, rps)
