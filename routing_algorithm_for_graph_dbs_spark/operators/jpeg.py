@@ -19,12 +19,12 @@ Progressive chroma AC scans are skipped outright (their entropy data is
 self-delimiting). 12-bit precision decodes too (round 8: level shift
 and sample range follow the frame precision; the returned plane rescales
 to the uniform [0, 255] contract; ``encode_jpeg_gray12`` mints the
-golden bytes). SEQUENTIAL ARITHMETIC coding (SOF9) decodes too (round
-12: the T.81 Annex D QM-coder + Annex F conditioning, byte-exact
-against libjpeg both directions — see the arithmetic section below);
-arithmetic progressive, lossless and hierarchical modes raise
-``NotImplementedError`` — the honest remaining boundary (a real
-deployment plugs libjpeg there).
+golden bytes). ARITHMETIC coding decodes too — both
+SEQUENTIAL (SOF9) and PROGRESSIVE (SOF10) — via the round-12 T.81
+Annex D QM-coder + Annex F/G conditioning, byte-exact against libjpeg
+(see the arithmetic section below); only lossless and hierarchical
+modes raise ``NotImplementedError`` — the honest remaining boundary
+(a real deployment plugs libjpeg there).
 
 ``encode_jpeg_gray``: minimal single-component baseline encoder (Annex K
 tables) — the write half used to generate REAL jpeg bytes for golden
@@ -248,9 +248,10 @@ def _decode_jpeg_plane(payload: bytes):
                     tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
                     i += 128
                 quant[tq] = tbl
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 Huffman sequential, SOF2 Huffman progressive,
-            # SOF9 ARITHMETIC sequential (round 12, T.81 Annex D/F)
+            # SOF9/SOF10 ARITHMETIC sequential/progressive (round 12,
+            # T.81 Annexes D/F/G)
             precision = seg[0]
             if precision not in (8, 12):
                 raise NotImplementedError(
@@ -263,14 +264,14 @@ def _decode_jpeg_plane(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": precision,
-                     "arith": marker == 0xC9}
-            progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                     "arith": marker in (0xC9, 0xCA)}
+            progressive = marker in (0xC2, 0xCA)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only Huffman sequential (SOF0/1) / progressive (SOF2) "
-                f"and arithmetic sequential (SOF9) JPEG are decoded here "
-                f"(got SOF marker 0x{marker:02X}) — arithmetic progressive, "
-                "lossless and hierarchical modes need a real image lib"
+                f"only sequential (SOF0/1/9) and progressive (SOF2/10) "
+                f"DCT JPEG are decoded here (got SOF marker "
+                f"0x{marker:02X}) — lossless and hierarchical modes need "
+                "a real image lib"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -301,11 +302,27 @@ def _decode_jpeg_plane(payload: bytes):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 15))
-            if frame.get("arith"):
+            if frame.get("arith") and not progressive:
                 return _decode_scan_arith(
                     d, pos + 2 + seg_len, frame, scan, quant, dac_dc,
                     dac_ac, restart_interval,
                 )
+            if frame.get("arith"):
+                # SOF10: arithmetic progressive — same multi-scan grid
+                # accumulation as the Huffman path, QM-coder entropy
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah_al = seg[3 + 2 * ns]
+                if prog_state is None:
+                    prog_state = _init_prog_state(frame)
+                data_pos = pos + 2 + seg_len
+                if any(c is frame["comps"][0] for c, _, _ in scan):
+                    _decode_prog_scan_arith(
+                        d, data_pos, frame, scan, ss, se, ah_al >> 4,
+                        ah_al & 15, dac_dc, dac_ac, restart_interval,
+                        prog_state,
+                    )
+                pos = _entropy_end(d, data_pos)
+                continue
             if not progressive:
                 return _decode_scan(
                     d, pos + 2 + seg_len, frame, scan, quant, huff_dc,
@@ -1553,6 +1570,205 @@ def _decode_scan_arith(d, data_pos, frame, scan, quant, dc_cond, ac_cond,
     y_w = -(-w * y_comp["h"] // hmax)
     y_h = -(-h * y_comp["v"] // vmax)
     return w, h, len(comps), plane[:y_h, :y_w]
+
+
+def _decode_prog_scan_arith(d, data_pos, frame, scan, ss, se, ah, al,
+                            dc_cond, ac_cond, restart_interval, state):
+    """Decode ONE arithmetic progressive scan (SOF10, T.81 G.2) into
+    the persistent coefficient grid. Mirrors :func:`_decode_prog_scan`'s
+    control flow with the QM-coder entropy stage: DC first scans are
+    diff-coded in the point-transformed domain with the sequential
+    conditioning contexts; DC refinements are one fixed-bin decision
+    per block; AC first scans reuse the sequential AC procedure over
+    [Ss, Se]; AC refinements walk previously-nonzero coefficients with
+    the st+2 correction bin and code new coefficients via st+1 + the
+    fixed sign bin (there is no Huffman-style EOB run — EOB is a
+    per-block decision for k past the previous stage's end). Statistics
+    reset per scan and at restarts, like libjpeg's jdarith."""
+    zz = state["zz"]
+    y_comp = frame["comps"][0]
+    p1 = 1 << al
+    m1 = -p1
+
+    def fresh(comps):
+        return (_ArithDecoder(d, data_pos),
+                {t: bytearray(64) for _, t, _ in comps},
+                {t: bytearray(256) for _, _, t in comps},
+                bytearray([113]),
+                {c["id"]: (0, 0) for c, _, _ in comps})
+
+    dec, dc_stats, ac_stats, fixed, dc_state = fresh(scan)
+    rst = 0
+
+    def restart(mark_pos_from: int):
+        nonlocal dec, dc_stats, ac_stats, fixed, dc_state, rst
+        p = dec.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+            p += 1
+        while p + 1 < len(d) and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= len(d) or d[p + 1] != 0xD0 + rst:
+            raise ValueError("expected restart marker in arithmetic scan")
+        rst = (rst + 1) & 7
+        dec = _ArithDecoder(d, p + 2)
+        dc_stats = {t: bytearray(64) for _, t, _ in scan}
+        ac_stats = {t: bytearray(256) for _, _, t in scan}
+        dc_state = {c["id"]: (0, 0) for c, _, _ in scan}
+
+    if ss == 0:  # ---- DC scan (first or refinement); may interleave
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+
+        def dc_block(comp, td, idx):
+            if ah == 0:  # G.2: first scan — the sequential DC procedure
+                dc_L, dc_U = dc_cond.get(td, (0, 1))
+                st = dc_stats[td]
+                last_dc, ctx = dc_state[comp["id"]]
+                si = ctx
+                if dec.decode(st, si):
+                    sign = dec.decode(st, si + 1)
+                    si += 2 + sign
+                    m = dec.decode(st, si)
+                    if m:
+                        si = 20
+                        while dec.decode(st, si):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise ValueError(
+                                    "arithmetic DC magnitude overflow"
+                                )
+                            si += 1
+                    if m < ((1 << dc_L) >> 1):
+                        ctx = 0
+                    elif m > ((1 << dc_U) >> 1):
+                        ctx = 12 + sign * 4
+                    else:
+                        ctx = 4 + sign * 4
+                    v = m
+                    si += 14
+                    mm = m
+                    while True:
+                        mm >>= 1
+                        if not mm:
+                            break
+                        if dec.decode(st, si):
+                            v |= mm
+                    v += 1
+                    last_dc += -v if sign else v
+                else:
+                    ctx = 0
+                dc_state[comp["id"]] = (last_dc, ctx)
+                if idx is not None:
+                    zz[idx, 0] = last_dc << al
+            else:  # refinement — one fixed-bin decision per block
+                if dec.decode(fixed, 0) and idx is not None:
+                    zz[idx, 0] |= p1
+
+        interleaved = len(scan) > 1
+        if interleaved:
+            mcus_x = state["mcus_x"]
+            n_units = mcus_x * state["mcus_y"]
+        else:
+            bw_n, bh_n = _comp_block_dims(frame, scan[0][0], state)
+            n_units = bw_n * bh_n
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                restart(unit)
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for comp, td, _ta in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            idx = None
+                            if comp is y_comp:
+                                row = my * comp["v"] + by
+                                col = mx * comp["h"] + bx
+                                idx = row * state["bw"] + col
+                            dc_block(comp, td, idx)
+            else:
+                comp, td, _ta = scan[0]
+                by, bx = divmod(unit, bw_n)
+                idx = by * state["bw"] + bx if comp is y_comp else None
+                dc_block(comp, td, idx)
+        return
+
+    # ---- AC scan: single component by spec
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    comp, _td, ta = scan[0]
+    ac_K = ac_cond.get(ta, 5)
+    bw_n, bh_n = _comp_block_dims(frame, comp, state)
+    store_bw = state["bw"]
+    st_all = ac_stats[ta]
+    for unit in range(bw_n * bh_n):
+        if restart_interval and unit and unit % restart_interval == 0:
+            restart(unit)
+            st_all = ac_stats[ta]
+        by, bx = divmod(unit, bw_n)
+        blk = zz[by * store_bw + bx]
+        if ah == 0:  # -- first scan of this band: sequential AC over it
+            k = ss
+            while k <= se:
+                si = 3 * (k - 1)
+                if dec.decode(st_all, si):
+                    break  # EOB
+                while dec.decode(st_all, si + 1) == 0:
+                    si += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError("AC index overran spectral band")
+                sign = dec.decode(fixed, 0)
+                si += 2
+                m = dec.decode(st_all, si)
+                if m:
+                    if dec.decode(st_all, si):
+                        m <<= 1
+                        si = 189 if k <= ac_K else 217
+                        while dec.decode(st_all, si):
+                            m <<= 1
+                            if m == 0x8000:
+                                raise ValueError(
+                                    "arithmetic AC magnitude overflow"
+                                )
+                            si += 1
+                v = m
+                si += 14
+                mm = m
+                while True:
+                    mm >>= 1
+                    if not mm:
+                        break
+                    if dec.decode(st_all, si):
+                        v |= mm
+                v += 1
+                blk[k] = (-v if sign else v) << al
+                k += 1
+        else:  # -- refinement (G.2.3 / jdarith decode_mcu_AC_refine)
+            kex = se
+            while kex > 0 and blk[kex] == 0:
+                kex -= 1
+            k = ss
+            while k <= se:
+                si = 3 * (k - 1)
+                if k > kex:
+                    if dec.decode(st_all, si):
+                        break  # EOB
+                while True:
+                    c = int(blk[k])
+                    if c:  # previously nonzero: one correction decision
+                        if dec.decode(st_all, si + 2):
+                            blk[k] = c + (p1 if c > 0 else m1)
+                        break
+                    if dec.decode(st_all, si + 1):  # newly nonzero
+                        blk[k] = m1 if dec.decode(fixed, 0) else p1
+                        break
+                    si += 3
+                    k += 1
+                    if k > se:
+                        raise ValueError(
+                            "AC refinement overran spectral band"
+                        )
+                k += 1
 
 
 def encode_jpeg_gray_arith(pixels: np.ndarray, quality: int = 90,

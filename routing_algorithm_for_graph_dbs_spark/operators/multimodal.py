@@ -25,7 +25,7 @@ all four transforms, validated bit-exactly against libwebp; round 11).
 Everything else is a deterministic sha256-derived fake, clearly marked,
 with ``strict=True`` raising ``NotImplementedError`` where a real
 deployment would plug PIL/libvips/ffmpeg (video frames, perceptual
-compressed audio — MP3/AAC/Opus; arithmetic-PROGRESSIVE JPEG).
+compressed audio — MP3/AAC/Opus).
 
 Scale notes: binary payloads dominate row size, so these pipelines must
 (a) never shuffle the binary column (all derivation is map-side),
@@ -593,8 +593,8 @@ def image_features(
     (:func:`decode_bmp`), ``image/jpeg`` the REAL baseline-JPEG decoder
     (``operators/jpeg.py decode_jpeg`` — full Huffman entropy decode,
     baseline, extended-sequential 12-bit, and progressive, exact IDCT of
-    the Y channel, plus sequential ARITHMETIC (SOF9) streams via the
-    round-12 QM-coder; arithmetic-progressive/lossless/hierarchical raise
+    the Y channel, plus ARITHMETIC streams — sequential SOF9 AND
+    progressive SOF10 — via the round-12 QM-coder; lossless/hierarchical raise
     there), and ``image/png`` payloads carrying a real PNG signature the
     REAL PNG decoder (``operators/png.py decode_png`` — stdlib-zlib
     inflate + scanline unfiltering, every legal depth/color/interlace
@@ -626,7 +626,7 @@ def image_features(
                 b = bytes(payload) if payload is not None else b""
                 # signature guard + decode-error guard: a payload that is
                 # mislabeled, or that passes the cheap signature sniff but
-                # is not decodable by the real codecs (arith-progressive/
+                # is not decodable by the real codecs (lossless-mode/
                 # truncated JPEG, corrupt PNG, lossy VP8), must
                 # fall to the fake path, not crash the stage — unless
                 # strict=True, where the codec's error propagates.

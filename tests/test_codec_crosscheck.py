@@ -652,6 +652,7 @@ int main(int argc, char **argv) {
     jpeg_set_quality(&c, quality, TRUE);
     c.arith_code = arith ? TRUE : FALSE;
     if (argc > 7) c.restart_interval = atoi(argv[7]);
+    if (argc > 8 && atoi(argv[8])) jpeg_simple_progression(&c);
     jpeg_start_compress(&c, TRUE);
     while (c.next_scanline < c.image_height) {
       JSAMPROW row = buf + (size_t)c.next_scanline * w * nc;
@@ -732,14 +733,14 @@ def test_libjpeg_arithmetic_both_directions(tmp_path):
                        capture_output=True)
         return open(out, "rb").read()
 
-    def lib_enc(px, q, arith, restart=0):
+    def lib_enc(px, q, arith, restart=0, prog=0):
         raw = str(tmp_path / "in.raw")
-        out = str(tmp_path / f"enc{arith}.jpg")
+        out = str(tmp_path / f"enc{arith}{prog}.jpg")
         with open(raw, "wb") as f:
             f.write(px.tobytes())
         subprocess.run(
             [helper, "enc", raw, f"{px.shape[1]}x{px.shape[0]}", out,
-             str(q), str(arith), str(restart)],
+             str(q), str(arith), str(restart), str(prog)],
             check=True, capture_output=True)
         return open(out, "rb").read()
 
@@ -777,6 +778,15 @@ def test_libjpeg_arithmetic_both_directions(tmp_path):
                 lib_h = lib_enc(px, q, 0, restart)
                 pa, ph = decode_jpeg_luma(lib_a), decode_jpeg_luma(lib_h)
                 assert (pa == ph).all(), (px.shape, q, restart)
+    # ARITHMETIC PROGRESSIVE (SOF10, round 12): libjpeg's scan script
+    # through the QM-coder must decode to the same plane as its
+    # Huffman-progressive twin (DC first/refine, AC bands, refinements)
+    for px in cases[:3]:
+        for q in (50, 90):
+            pa = lib_enc(px, q, 1, 0, prog=1)
+            ph = lib_enc(px, q, 0, 0, prog=1)
+            assert (decode_jpeg_luma(pa) == decode_jpeg_luma(ph)).all(), (
+                px.shape, q)
     # interleaved COLOR arithmetic scans (YCbCr 4:2:0 MCUs): the
     # per-component DC contexts and shared per-table statistics must
     # track libjpeg through the interleave

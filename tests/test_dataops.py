@@ -2464,15 +2464,57 @@ def test_jpeg_decode_rejects_unsupported():
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"BMnot a jpeg")
-    arith_progressive = (
+    lossless = (
         b"\xff\xd8"
-        + b"\xff\xca"
+        + b"\xff\xcb"
         + _struct.pack(">HBHHB", 11, 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
         + b"\xff\xd9"
     )
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(arith_progressive)
+        decode_jpeg(lossless)
+
+
+def test_arithmetic_progressive_jpeg_golden():
+    """SOF10 arithmetic progressive (round 12): a libjpeg-minted 16x8
+    gradient at quality 90 (the full jpeg_simple_progression scan
+    script — interleaved-ish DC first, DC refinements, AC bands, AC
+    refinements — through the QM-coder) must decode to the exact plane
+    the crosscheck harness recorded. Keeps the SOF10 path pinned in
+    the always-on suite without the gcc/libjpeg toolchain."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg_gray,
+    )
+
+    golden = bytes.fromhex(
+        "ffd8ffe000104a46494600010100000100010000ffdb00430003020203020203"
+        "03030304030304050805050404050a070706080c0a0c0c0b0a0b0b0d0e12100d"
+        "0e110e0b0b1016101113141515150c0f171816141812141514ffca000b080008"
+        "001001011100ffcc00040010ffda0008010100000001fef0a7ffcc00041005ff"
+        "da000801010001050216705385f859a3dcffcc00041005ffda0008010100063f"
+        "021da70fd599cc8eef19609c11dab3089b2edd781090dba0ffcc00041005ffda"
+        "0008010100013f21d61c8f2de8ac8918f5ccb8ffda0008010100000010c0ffcc"
+        "00041005ffda0008010100013f104bca3eff0007dc5d096ef9bcffd9"
+    )
+    plane = decode_jpeg_luma(golden)
+    assert plane.shape == (8, 16)
+    # the source gradient: px[y, x] = (y + x) * 16 % 256 at quality 90
+    # — the decoded plane must equal OUR decode of OUR OWN baseline
+    # encoding only in the entropy-lossless sense, so pin the libjpeg
+    # coefficients via exact spot values + checksum instead
+    assert int(plane.sum()) == 15355
+    assert plane[0, :4].tolist() == [0, 15, 32, 48]
+    # and the same pixels through our own Huffman baseline must land
+    # within quantization distance (sanity that the plane is the right
+    # image, not just a stable wrong answer)
+    px = (_np.add.outer(_np.arange(8), _np.arange(16)) * 16 % 256).astype(
+        _np.uint8
+    )
+    ours = decode_jpeg_luma(encode_jpeg_gray(px, 90))
+    assert int(_np.abs(ours.astype(int) - plane.astype(int)).max()) <= 24
 
 
 def test_arithmetic_jpeg_matches_huffman_exactly():
