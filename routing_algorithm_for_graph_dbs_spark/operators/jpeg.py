@@ -1083,8 +1083,8 @@ AC12_VALS = sorted(
 
 # ---------------------------------------------------------------------------
 # arithmetic entropy coding (round 12): ITU T.81 Annex D QM-coder +
-# Annex F conditioning, moving SOF9 (sequential arithmetic) OFF the
-# declared boundary. The probability state machine is T.81 Table D.3
+# Annex F/G conditioning, moving SOF9 (sequential) AND SOF10
+# (progressive) arithmetic JPEG OFF the declared boundary. The probability state machine is T.81 Table D.3
 # (113 adaptive states + the fixed ~0.5 bin), packed per entry as
 # (Qe << 16) | (NMPS << 8) | (Switch << 7) | NLPS. The packing and
 # every coder detail below are pinned BYTE-EXACTLY against libjpeg:
@@ -1812,6 +1812,174 @@ def encode_jpeg_gray_arith(pixels: np.ndarray, quality: int = 90,
         _arith_encode_block(enc, blk, dc_stats, ac_stats, fixed, dc_state,
                             1, 0, 1, 5)
     out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray_arith_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    scans: tuple = DEFAULT_PROG_SCANS,
+) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as an ARITHMETIC
+    PROGRESSIVE (SOF10) JPEG — the QM-coder twin of
+    :func:`encode_jpeg_gray_progressive`, written as the exact inverse
+    of :func:`_decode_prog_scan_arith` (per-scan coder + statistics,
+    T.81 G.2 procedures; AC point transform truncates the MAGNITUDE
+    toward zero, DC uses the arithmetic shift). Coefficients equal the
+    baseline encoder's, so every variant decodes to identical pixels."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("expected an (H, W) grayscale array")
+    h, w = arr.shape
+    if quality < 1 or quality > 100:
+        raise ValueError("quality in [1, 100]")
+    zzq, q, _bw = _quantize_zigzag(arr, quality)
+    blocks = list(zzq)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in q)
+    out += b"\xff\xca" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x10, 0x05])
+
+    for ss, se, ah, al in scans:
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes(
+            [1, 1, 0x00, ss, se, (ah << 4) | al]
+        )
+        enc = _ArithEncoder()
+        dc_stats = bytearray(64)
+        ac_stats = bytearray(256)
+        fixed = bytearray([113])
+        if ss == 0:
+            if ah == 0:  # DC first: sequential DC over block0 >> Al
+                last_dc = 0
+                ctx = 0
+                for blk in blocks:
+                    cur = int(blk[0]) >> al  # arithmetic shift per G.1.2.1
+                    si = ctx
+                    v = cur - last_dc
+                    if v == 0:
+                        enc.encode(dc_stats, si, 0)
+                        ctx = 0
+                    else:
+                        last_dc = cur
+                        enc.encode(dc_stats, si, 1)
+                        if v > 0:
+                            enc.encode(dc_stats, si + 1, 0)
+                            si += 2
+                            sign = 0
+                        else:
+                            v = -v
+                            enc.encode(dc_stats, si + 1, 1)
+                            si += 3
+                            sign = 1
+                        m = 0
+                        v1 = v - 1
+                        if v1:
+                            enc.encode(dc_stats, si, 1)
+                            m = 1
+                            si = 20
+                            v2 = v1 >> 1
+                            while v2:
+                                enc.encode(dc_stats, si, 1)
+                                m <<= 1
+                                si += 1
+                                v2 >>= 1
+                        enc.encode(dc_stats, si, 0)
+                        # default conditioning L=0, U=1
+                        if m < ((1 << 0) >> 1):
+                            ctx = 0
+                        elif m > ((1 << 1) >> 1):
+                            ctx = 12 + sign * 4
+                        else:
+                            ctx = 4 + sign * 4
+                        si += 14
+                        mm = m
+                        while True:
+                            mm >>= 1
+                            if not mm:
+                                break
+                            enc.encode(dc_stats, si, 1 if (mm & v1) else 0)
+            else:  # DC refinement: one fixed-bin decision per block
+                for blk in blocks:
+                    enc.encode(fixed, 0, (int(blk[0]) >> al) & 1)
+        else:
+            for blk in blocks:
+                def mag(k: int, shift: int) -> int:
+                    t = int(blk[k])
+                    return (t if t >= 0 else -t) >> shift
+                ke = se
+                while ke >= ss and mag(ke, al) == 0:
+                    ke -= 1
+                if ah == 0:  # AC first: sequential AC over the band
+                    k = ss
+                    while k <= ke:
+                        si = 3 * (k - 1)
+                        enc.encode(ac_stats, si, 0)  # not EOB
+                        while mag(k, al) == 0:
+                            enc.encode(ac_stats, si + 1, 0)
+                            si += 3
+                            k += 1
+                        enc.encode(ac_stats, si + 1, 1)
+                        enc.encode(fixed, 0, 0 if int(blk[k]) > 0 else 1)
+                        si += 2
+                        v = mag(k, al)
+                        m = 0
+                        v1 = v - 1
+                        if v1:
+                            enc.encode(ac_stats, si, 1)
+                            m = 1
+                            v2 = v1 >> 1
+                            if v2:
+                                enc.encode(ac_stats, si, 1)
+                                m <<= 1
+                                si = 189 if k <= 5 else 217
+                                v2 >>= 1
+                                while v2:
+                                    enc.encode(ac_stats, si, 1)
+                                    m <<= 1
+                                    si += 1
+                                    v2 >>= 1
+                        enc.encode(ac_stats, si, 0)
+                        si += 14
+                        mm = m
+                        while True:
+                            mm >>= 1
+                            if not mm:
+                                break
+                            enc.encode(ac_stats, si, 1 if (mm & v1) else 0)
+                        k += 1
+                    if k <= se:
+                        enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB
+                else:  # AC refinement (G.2.3, jcarith shape)
+                    kex = ke
+                    while kex >= ss and mag(kex, ah) == 0:
+                        kex -= 1
+                    k = ss
+                    while k <= ke:
+                        si = 3 * (k - 1)
+                        if k > kex:
+                            enc.encode(ac_stats, si, 0)  # not EOB yet
+                        while True:
+                            t = mag(k, al)
+                            if t:
+                                if t >> 1:  # previously nonzero
+                                    enc.encode(ac_stats, si + 2, t & 1)
+                                else:  # newly nonzero
+                                    enc.encode(ac_stats, si + 1, 1)
+                                    enc.encode(
+                                        fixed, 0,
+                                        0 if int(blk[k]) > 0 else 1,
+                                    )
+                                break
+                            enc.encode(ac_stats, si + 1, 0)
+                            si += 3
+                            k += 1
+                        k += 1
+                    if k <= se:
+                        enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB
+        out += enc.finish()
     out += b"\xff\xd9"
     return bytes(out)
 

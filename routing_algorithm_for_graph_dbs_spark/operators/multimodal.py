@@ -1096,13 +1096,13 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 
     Each image-kind doc becomes a FLAT gray image (g = 16 + (doc_id % 14)
     * 16, dims (8 + doc_id % 9) x (8 + doc_id % 7)) encoded at quality 90
-    through one of FOUR real encoder variants chosen by (doc_id // 3) %
-    4: baseline grayscale, progressive grayscale (the full successive-
+    through one of FIVE real encoder variants chosen by (doc_id // 3) %
+    5: baseline grayscale, progressive grayscale (the full successive-
     approximation scan script), progressive YCbCr 4:2:0 (interleaved DC
-    scans; chroma AC scans the decoder skips), and — round 12 —
-    sequential ARITHMETIC grayscale (SOF9, the T.81 QM-coder; its
-    entropy stage is lossless over the same quantized coefficients, so
-    the closed form is unchanged). Flat images make the
+    scans; chroma AC scans the decoder skips), and — round 12 — the two
+    ARITHMETIC modes (sequential SOF9 and progressive SOF10, the T.81
+    QM-coder; the entropy stage is lossless over the same quantized
+    coefficients, so the closed form is unchanged). Flat images make the
     decoded mean closed-form — the only nonzero coefficient is the block
     DC, so every decoded pixel is 128 + round(8*(g-128)/q0) * q0/8 with
     q0 = 3 (Annex K luma table at quality 90) — reproducible in SQL
@@ -1110,6 +1110,7 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
         encode_jpeg_gray,
         encode_jpeg_gray_arith,
+        encode_jpeg_gray_arith_progressive,
         encode_jpeg_gray_progressive,
         encode_jpeg_ycbcr420_progressive,
     )
@@ -1120,7 +1121,7 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
         (8 + F.col("doc_id") % 9).cast("int").alias("w"),
         (8 + F.col("doc_id") % 7).cast("int").alias("h"),
         # image docs all have doc_id % 3 == 0, so cycle on doc_id // 3
-        ((F.col("doc_id") / 3).cast("long") % 4).cast("int").alias("variant"),
+        ((F.col("doc_id") / 3).cast("long") % 5).cast("int").alias("variant"),
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1136,8 +1137,10 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                     payloads.append(encode_jpeg_gray_progressive(img, 90))
                 elif v == 2:
                     payloads.append(encode_jpeg_ycbcr420_progressive(img, 90))
-                else:
+                elif v == 3:
                     payloads.append(encode_jpeg_gray_arith(img, 90))
+                else:
+                    payloads.append(encode_jpeg_gray_arith_progressive(img, 90))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

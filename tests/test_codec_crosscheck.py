@@ -780,13 +780,24 @@ def test_libjpeg_arithmetic_both_directions(tmp_path):
                 assert (pa == ph).all(), (px.shape, q, restart)
     # ARITHMETIC PROGRESSIVE (SOF10, round 12): libjpeg's scan script
     # through the QM-coder must decode to the same plane as its
-    # Huffman-progressive twin (DC first/refine, AC bands, refinements)
+    # Huffman-progressive twin (DC first/refine, AC bands, refinements),
+    # and libjpeg must read OUR SOF10 encoder's files to the same bytes
+    # as our Huffman baseline of the same pixels
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        encode_jpeg_gray_arith_progressive,
+    )
+
     for px in cases[:3]:
         for q in (50, 90):
             pa = lib_enc(px, q, 1, 0, prog=1)
             ph = lib_enc(px, q, 0, 0, prog=1)
             assert (decode_jpeg_luma(pa) == decode_jpeg_luma(ph)).all(), (
                 px.shape, q)
+            f10 = str(tmp_path / "o10.jpg")
+            fh = str(tmp_path / "oh.jpg")
+            open(f10, "wb").write(encode_jpeg_gray_arith_progressive(px, q))
+            open(fh, "wb").write(encode_jpeg_gray(px, q))
+            assert lib_dec(f10) == lib_dec(fh), ("sof10", px.shape, q)
     # interleaved COLOR arithmetic scans (YCbCr 4:2:0 MCUs): the
     # per-component DC contexts and shared per-table statistics must
     # track libjpeg through the interleave

@@ -2537,6 +2537,10 @@ def test_arithmetic_jpeg_matches_huffman_exactly():
         encode_jpeg_gray_arith,
     )
 
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        encode_jpeg_gray_arith_progressive,
+    )
+
     rng = np.random.default_rng(12)
     for shape in [(8, 8), (16, 24), (23, 37), (64, 64), (1, 1)]:
         for q in (50, 90, 95):
@@ -2544,6 +2548,9 @@ def test_arithmetic_jpeg_matches_huffman_exactly():
             base = decode_jpeg_luma(encode_jpeg_gray(img, q))
             arith = decode_jpeg_luma(encode_jpeg_gray_arith(img, q))
             assert np.array_equal(base, arith), (shape, q)
+            # SOF10: the full progressive scan script through the coder
+            prog = decode_jpeg_luma(encode_jpeg_gray_arith_progressive(img, q))
+            assert np.array_equal(base, prog), ("sof10", shape, q)
     # restart intervals: coder + stats + DC predictors reset per RSTn
     img = rng.integers(0, 256, (40, 33), dtype=np.uint8)
     base = decode_jpeg_luma(encode_jpeg_gray(img, 90))
