@@ -35,9 +35,9 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
     # -- never-driver-checked: NEW this round — CCITT fax strips (T.4
-    #    MH-RLE + T.6 G4, tables derived from libtiff), JPEG-in-TIFF
-    #    strips (compression 7, TechNote 2 JPEGTables), and 16-bit
-    #    RGB555 / BI_BITFIELDS masked-BMP decode (round 12)
+    #    MH-RLE + G3 + T.6 G4, tables derived from libtiff),
+    #    JPEG-in-TIFF strips (compression 7, TechNote 2 JPEGTables),
+    #    and 16-bit RGB555 / BI_BITFIELDS masked-BMP decode (round 12)
     "mm_tiff_fax",
     "mm_tiff_jpeg",
     "mm_bmp_bitfields",
