@@ -258,10 +258,23 @@ def _decode_jpeg_plane(payload: bytes):
                     f"{precision}-bit JPEG not supported (8/12 only)"
                 )
             h, w = struct.unpack_from(">HH", seg, 1)
+            if w < 1 or h < 1:
+                raise ValueError(f"bad JPEG frame dimensions {w}x{h}")
+            if w * h > 100_000_000:
+                # a crafted SOF claiming ~4Gpx would allocate a ~34 GB
+                # coefficient grid before any entropy decode could fail
+                raise ValueError(
+                    f"JPEG frame {w}x{h} exceeds the 100MP cap"
+                )
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                    raise ValueError(
+                        f"bad JPEG sampling factors 0x{hv:02X} for"
+                        f" component {cid}"
+                    )
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": precision,
                      "arith": marker in (0xC9, 0xCA)}
@@ -300,7 +313,18 @@ def _decode_jpeg_plane(payload: bytes):
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                comp = next(
+                    (x for x in frame["comps"] if x["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"SOS references unknown component id {cs}"
+                    )
+                if comp["tq"] not in quant:
+                    raise ValueError(
+                        f"scan component {cs} references missing "
+                        f"quantization table {comp['tq']}"
+                    )
                 scan.append((comp, tdta >> 4, tdta & 15))
             if frame.get("arith") and not progressive:
                 return _decode_scan_arith(
@@ -384,11 +408,20 @@ def _decode_scan(
                 pred[c["id"]] = 0
         my, mx = divmod(mcu, mcus_x)
         for comp, td, ta in scan:
+            if td not in huff_dc or ta not in huff_ac:
+                raise ValueError(
+                    f"scan references missing Huffman table (DC {td} /"
+                    f" AC {ta})"
+                )
             dc_tbl, ac_tbl = huff_dc[td], huff_ac[ta]
             for by in range(comp["v"]):
                 for bx in range(comp["h"]):
                     # -- DC
                     t = reader.decode_symbol(dc_tbl)
+                    if t > 16:
+                        raise ValueError(
+                            f"DC magnitude category {t} out of range"
+                        )
                     diff = _extend(reader.receive(t), t)
                     pred[comp["id"]] += diff
                     block = None
@@ -525,7 +558,13 @@ def _decode_prog_scan(
 
         def dc_block(comp: dict, td: int, idx: int | None) -> None:
             if ah == 0:  # G.1.2.1: first scan — diff-coded, scaled by 2^Al
+                if td not in huff_dc:
+                    raise ValueError(f"missing Huffman DC table {td}")
                 t = reader.decode_symbol(huff_dc[td])
+                if t > 16:
+                    raise ValueError(
+                        f"DC magnitude category {t} out of range"
+                    )
                 pred[comp["id"]] += _extend(reader.receive(t), t)
                 if idx is not None:
                     zz[idx, 0] = pred[comp["id"]] << al
@@ -568,6 +607,8 @@ def _decode_prog_scan(
     if len(scan) != 1:
         raise ValueError("progressive AC scan must be single-component")
     comp, _td, ta = scan[0]
+    if ta not in huff_ac:
+        raise ValueError(f"missing Huffman AC table {ta}")
     ac_tbl = huff_ac[ta]
     bw_n, bh_n = _comp_block_dims(frame, comp, state)
     store_bw = state["bw"]

@@ -594,6 +594,12 @@ def decode_tiff_gray(payload: bytes):
             decode_mh,
         )
 
+        if width * height > 100_000_000:
+            # a crafted IFD claiming a gigapixel bilevel page must not
+            # balloon a worker (legit scans top out around A0@600dpi)
+            raise ValueError(
+                f"bilevel raster {width}x{height} exceeds the 100MP cap"
+            )
         t4_opts = val(_T4_OPTIONS, 0)  # T4Options (default 0 = 1D)
         photometric = val(_PHOTOMETRIC, 0)
         offs, cnts = vals(_STRIP_OFFSETS), vals(_STRIP_BYTE_COUNTS)

@@ -4918,6 +4918,69 @@ def test_tiff_lzw_golden():
         tiff_lzw_decode(bytes([(s >> 10) & 0xFF, (s >> 2) & 0xFF, (s & 3) << 6]), 2)
 
 
+def test_codec_corruption_robustness():
+    """Round-12 fuzz pin: truncations, byte smashes, and bit flips over
+    every new decode path must raise the documented decode-error types
+    (ValueError/NotImplementedError/IndexError/struct.error — what
+    DECODE_ERRORS catches) — never KeyError/StopIteration/
+    OverflowError/ZeroDivisionError, and never a hang or giant
+    allocation (the 100MP raster caps). An 18k-case sweep found and
+    fixed five such escapes (missing quant/Huffman-table ids, unknown
+    SOS component, zero sampling factors, unbounded DC magnitude
+    category, gigapixel IFD/SOF claims); this seeded subset keeps them
+    fixed."""
+    import struct as _struct
+
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_arith,
+        encode_jpeg_gray_arith_progressive,
+        encode_jpeg_gray_progressive,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.tiff import (
+        build_tiff_fax,
+        build_tiff_gray,
+        decode_tiff_gray,
+    )
+
+    rng = _np.random.RandomState(7)
+    img = (rng.rand(12, 40) < 0.4).astype(_np.uint8)
+    px8 = rng.randint(0, 256, (16, 24)).astype(_np.uint8)
+    bases = [
+        (build_tiff_fax(img, compression=2), decode_tiff_gray),
+        (build_tiff_fax(img, compression=3), decode_tiff_gray),
+        (build_tiff_fax(img, compression=4), decode_tiff_gray),
+        (build_tiff_gray(24, 16, px8.tobytes(), compression=5),
+         decode_tiff_gray),
+        (build_tiff_gray(24, 16, px8.tobytes(), compression=7),
+         decode_tiff_gray),
+        (encode_jpeg_gray_arith(px8, 90), decode_jpeg),
+        (encode_jpeg_gray_arith_progressive(px8, 90), decode_jpeg),
+        (encode_jpeg_gray(px8, 90), decode_jpeg),
+        (encode_jpeg_gray_progressive(px8, 90), decode_jpeg),
+    ]
+    for base, dec in bases:
+        for trial in range(250):
+            b = bytearray(base)
+            mode = trial % 3
+            if mode == 0 and len(b) > 4:
+                b = bytearray(b[: rng.randint(4, len(b))])
+            elif mode == 1:
+                for _ in range(rng.randint(1, 6)):
+                    b[rng.randint(len(b))] = rng.randint(256)
+            else:
+                i = rng.randint(len(b))
+                b[i] ^= 1 << rng.randint(8)
+            try:
+                dec(bytes(b))
+            except (ValueError, NotImplementedError, IndexError,
+                    _struct.error):
+                pass  # the documented decode-error contract
+
+
 def test_tiff_jpeg_strips():
     """Round 12: JPEG-in-TIFF (compression 7, TIFF TechNote 2) decodes
     for REAL through operators/jpeg.py — full interchange streams per
@@ -5050,6 +5113,9 @@ def test_tiff_ccitt_fax():
     good = encode_mh(_np.ones((1, 32), _np.uint8))
     with _pytest.raises(ValueError, match="overflow|truncated|run code"):
         decode_mh(good, 16, 1)  # narrower row than the stream encodes
+
+
+def test_tiff_deflate_and_multistrip():
     """Round 12: Deflate strips (compression 8, stdlib zlib) and the
     multi-strip layout (out-of-line StripOffsets/ByteCounts LONG
     arrays, per-strip codec restart, short last strip) round-trip for
