@@ -7705,8 +7705,9 @@ def mm_bmp_bitfields(spark, sf_dir):
     555 layouts, and image_features decodes every payload for real
     (strict=True) — the masked extraction, per-channel bit-width
     expansion ((q*255 + top//2)//top), row padding, and bottom-up
-    ordering must all hit the oracle's closed form. Core-header and
-    JPEG/PNG-passthrough BMPs stay the declared boundary."""
+    ordering must all hit the oracle's closed form. JPEG/PNG-passthrough
+    BMPs stay the declared boundary (OS/2 core-header decode landed in
+    the same round — mm_bmp_palette exercises it)."""
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
         image_features,
         synth_bmp_bitfields_media,

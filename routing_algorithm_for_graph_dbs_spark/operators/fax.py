@@ -212,6 +212,23 @@ def encode_mh(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _b1_b2(ref_tr: np.ndarray, a0: int, color: int, width: int) -> tuple:
+    """(b1, b2) via binary search: transitions alternate colors starting
+    black (the imaginary pixel before the line is white), so the first
+    opposite-color changing element right of a0 is the parity-adjusted
+    ``searchsorted`` hit — O(log n) per lookup instead of the O(n)
+    rescan flagged by ADVICE r12 (dense rows were O(width^2))."""
+    i = int(np.searchsorted(ref_tr, a0, side="right"))
+    # transition index parity == color it flips TO: even -> black(1),
+    # odd -> white(0). Want ref[t] != color.
+    if (i & 1) != (0 if color == 0 else 1):
+        i += 1
+    n = len(ref_tr)
+    b1 = int(ref_tr[i]) if i < n else width
+    b2 = int(ref_tr[i + 1]) if i + 1 < n else width
+    return b1, b2
+
+
 def _decode_2d_row(bits: _FaxBits, ref: np.ndarray, width: int) -> np.ndarray:
     """One 2D-coded line against ``ref`` (T.4 §4.2.1 / T.6 §2.2) —
     shared by G4 and the 2D lines of G3."""
@@ -220,16 +237,7 @@ def _decode_2d_row(bits: _FaxBits, ref: np.ndarray, width: int) -> np.ndarray:
     a0 = -1
     color = 0
     while a0 < width:
-            b1 = width
-            for t in ref_tr:
-                if t > a0 and ref[t] != color:
-                    b1 = int(t)
-                    break
-            b2 = width
-            for t in ref_tr:
-                if t > b1:
-                    b2 = int(t)
-                    break
+            b1, b2 = _b1_b2(ref_tr, a0, color, width)
             # mode code (prefix-free: 1 / 011 / 010 / 001 / 0001 /
             # 000011 / 000010 / 0000011 / 0000010)
             code = ""
@@ -382,22 +390,14 @@ def encode_g4(img: np.ndarray) -> bytes:
         ref_tr = _transitions(ref)
         a0 = -1
         color = 0
+        n_cur = len(cur_tr)
         while a0 < w:
-            a1 = w
-            for t in cur_tr:
-                if t > a0:
-                    a1 = int(t)
-                    break
-            b1 = w
-            for t in ref_tr:
-                if t > a0 and ref[t] != color:
-                    b1 = int(t)
-                    break
-            b2 = w
-            for t in ref_tr:
-                if t > b1:
-                    b2 = int(t)
-                    break
+            # a1 = next changing element right of a0 on the coding line;
+            # the run cur[a0..a1) is all `color`, so the first transition
+            # after a0 flips to !color — plain searchsorted suffices.
+            ia = int(np.searchsorted(cur_tr, a0, side="right"))
+            a1 = int(cur_tr[ia]) if ia < n_cur else w
+            b1, b2 = _b1_b2(ref_tr, a0, color, w)
             if b2 < a1:
                 bits.append("0001")
                 a0 = b2
@@ -408,11 +408,7 @@ def encode_g4(img: np.ndarray) -> bytes:
                 a0 = a1
                 color ^= 1
                 continue
-            a2 = w
-            for t in cur_tr:
-                if t > a1:
-                    a2 = int(t)
-                    break
+            a2 = int(cur_tr[ia + 1]) if ia + 1 < n_cur else w
             bits.append("001")
             start = a0 if a0 > 0 else 0
             _emit_run(bits, a1 - start, color == 0)

@@ -448,7 +448,17 @@ def build_tiff_gray(
             arr = _np.frombuffer(rows, dtype=_np.uint8).reshape(-1, width)
             strip = encode_jpeg_gray(arr, quality=jpeg_quality)
             if jpeg_tables:
-                tables_payload, strip = split_jpeg_tables(strip)
+                tables, strip = split_jpeg_tables(strip)
+                # every strip is decoded with the shared JPEGTables tag,
+                # so per-strip tables must be identical (they depend only
+                # on quality today — assert so a future divergence fails
+                # loudly instead of silently corrupting, ADVICE r12)
+                if tables_payload is not None and tables != tables_payload:
+                    raise AssertionError(
+                        "per-strip JPEG tables diverged; JPEGTables "
+                        "container requires identical DQT/DHT per strip"
+                    )
+                tables_payload = tables
         else:
             raise ValueError(
                 "build_tiff_gray supports compression 1, 5, 7, 8, 32773"
