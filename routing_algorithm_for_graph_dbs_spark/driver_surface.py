@@ -6617,6 +6617,60 @@ def mm_jpeg_roundtrip(spark, sf_dir):
 
 
 @_register(
+    "mm_jpeg_lossless",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + doc_id % 7 AS BIGINT) AS height,
+           -- lossless decode is exact: the diagonal ramp's mean is
+           -- g + (w-1)/2 + (h-1)/2 with g = 16 + (doc_id % 14) * 16;
+           -- x*1e6/255 has fractional parts k/51, never landing on a
+           -- rounding tie, so FLOOR(x + 0.5) == python round-half-even
+           FLOOR((16 + (doc_id % 14) * 16
+                  + (7 + doc_id % 9) / 2.0
+                  + (7 + doc_id % 7) / 2.0) / 255.0 * 1e6 + 0.5) / 1e6
+             AS mean_luma,
+           'jpeg' AS decoder
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_jpeg_lossless(spark, sf_dir):
+    """REAL-codec cross-engine check, LOSSLESS JPEG half (round 13 —
+    T.81 Annex H SOF3 moves off the declared boundary):
+    synth_jpeg_lossless_media mints diagonal-ramp images through the
+    DPCM encoder cycling all 7 Annex H predictors and a 4-row restart
+    interval on alternating docs, and image_features entropy-decodes
+    every payload for real (strict=True). Decode is EXACT — any
+    predictor, SSSS-category, restart-reset or modulo-reconstruction
+    bug shifts the mean and breaks the hash. Byte-stream truth is
+    pinned separately by the hand-derived Annex H goldens in
+    tests/test_codec_crosscheck.py (libjpeg .so.62 here predates the
+    lossless API). Reference parity: reshape.py's image handling is
+    Neo4j-side; this is the training-data-pipeline surface."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+        synth_jpeg_lossless_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    media = synth_jpeg_lossless_media(docs)
+    return image_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        "decoder",
+    )
+
+
+@_register(
     "mm_mp4_metadata",
     """
     SELECT doc_id AS media_id,

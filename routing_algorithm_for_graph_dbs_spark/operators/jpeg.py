@@ -22,9 +22,14 @@ to the uniform [0, 255] contract; ``encode_jpeg_gray12`` mints the
 golden bytes). ARITHMETIC coding decodes too — both
 SEQUENTIAL (SOF9) and PROGRESSIVE (SOF10) — via the round-12 T.81
 Annex D QM-coder + Annex F/G conditioning, byte-exact against libjpeg
-(see the arithmetic section below); only lossless and hierarchical
-modes raise ``NotImplementedError`` — the honest remaining boundary
-(a real deployment plugs libjpeg there).
+(see the arithmetic section below). LOSSLESS Huffman (SOF3) decodes
+too — the round-13 T.81 Annex H DPCM path (all 7 predictors, point
+transform, restart resets, mod-2^16 reconstruction, 2..16-bit), with
+``encode_jpeg_gray_lossless`` as its write twin and hand-derived
+Annex H byte goldens as the external truth (libjpeg .so.62 in this
+container predates the lossless API); only hierarchical (SOF5-7/13-15)
+and arithmetic-lossless (SOF11) raise ``NotImplementedError`` — the
+honest remaining boundary (a real deployment plugs libjpeg there).
 
 ``encode_jpeg_gray``: minimal single-component baseline encoder (Annex K
 tables) — the write half used to generate REAL jpeg bytes for golden
@@ -225,6 +230,7 @@ def _decode_jpeg_plane(payload: bytes):
     frame = None
     progressive = False
     prog_state = None  # persistent Y coefficient grid across scans
+    lossless_planes = None  # SOF3: comp id -> decoded uint16 plane
     restart_interval = 0
     pos = 2
     d = payload
@@ -279,12 +285,40 @@ def _decode_jpeg_plane(payload: bytes):
             frame = {"w": w, "h": h, "comps": comps, "prec": precision,
                      "arith": marker in (0xC9, 0xCA)}
             progressive = marker in (0xC2, 0xCA)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:
+            # SOF3 — LOSSLESS Huffman (T.81 Annex H, round 13): spatial
+            # DPCM, no DCT/quantization; precision 2..16
+            precision = seg[0]
+            if not 2 <= precision <= 16:
+                raise ValueError(
+                    f"lossless JPEG precision {precision} out of [2, 16]"
+                )
+            h, w = struct.unpack_from(">HH", seg, 1)
+            if w < 1 or h < 1:
+                raise ValueError(f"bad JPEG frame dimensions {w}x{h}")
+            if w * h > 100_000_000:
+                raise ValueError(
+                    f"JPEG frame {w}x{h} exceeds the 100MP cap"
+                )
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                if not (1 <= hv >> 4 <= 4 and 1 <= (hv & 15) <= 4):
+                    raise ValueError(
+                        f"bad JPEG sampling factors 0x{hv:02X} for"
+                        f" component {cid}"
+                    )
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps, "prec": precision,
+                     "arith": False, "lossless": True}
+            progressive = False
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only sequential (SOF0/1/9) and progressive (SOF2/10) "
-                f"DCT JPEG are decoded here (got SOF marker "
-                f"0x{marker:02X}) — lossless and hierarchical modes need "
-                "a real image lib"
+                f"only sequential (SOF0/1/9), progressive (SOF2/10) and "
+                f"lossless Huffman (SOF3) JPEG are decoded here (got SOF "
+                f"marker 0x{marker:02X}) — hierarchical and "
+                "arithmetic-lossless modes need a real image lib"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -310,6 +344,32 @@ def _decode_jpeg_plane(payload: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if frame.get("lossless"):
+                # SOF3 scan: Ss = predictor selector, Al = point
+                # transform; each non-interleaved scan is independent,
+                # planes accumulate until EOI
+                scan = []
+                for c in range(ns):
+                    cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                    comp = next(
+                        (x for x in frame["comps"] if x["id"] == cs), None
+                    )
+                    if comp is None:
+                        raise ValueError(
+                            f"SOS references unknown component id {cs}"
+                        )
+                    scan.append((comp, tdta >> 4))
+                sel = seg[1 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 15
+                if lossless_planes is None:
+                    lossless_planes = {}
+                data_pos = pos + 2 + seg_len
+                end = _decode_scan_lossless(
+                    d, data_pos, frame, scan, sel, pt, huff_dc,
+                    restart_interval, lossless_planes,
+                )
+                pos = end
+                continue
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -370,6 +430,8 @@ def _decode_jpeg_plane(payload: bytes):
             continue
         # APPn/COM/other: skip
         pos += 2 + seg_len
+    if lossless_planes is not None:
+        return _assemble_lossless(frame, lossless_planes)
     if prog_state is not None:
         return _assemble_y(frame, prog_state["zz"], quant)
     raise ValueError("no SOS segment found")
@@ -719,6 +781,264 @@ def _assemble_y(frame: dict, zz: np.ndarray, quant: dict) -> tuple:
     y_w = -(-frame["w"] * y_comp["h"] // hmax)
     y_h = -(-frame["h"] * y_comp["v"] // vmax)
     return frame["w"], frame["h"], len(comps), plane[:y_h, :y_w]
+
+
+# ---------------------------------------------------------------------------
+# LOSSLESS mode (SOF3), T.81 Annex H — spatial DPCM with 7 integer
+# predictors, Huffman-coded difference categories 0..16 (SSSS 16 codes
+# the difference 32768 with no appended bits, H.2 Table H.2), modulo
+# 2^16 reconstruction (H.1.2.1), point transform = Al low-order bits
+# dropped before prediction and re-appended on output (A.4.1).
+# libjpeg in this container (.so.62) predates the lossless API, so the
+# byte-stream truth is pinned by hand-derived Annex H goldens in
+# tests/test_codec_crosscheck.py — the fax.py empirical precedent.
+
+
+def _lossless_predict(plane: np.ndarray, x: int, y: int, sel: int,
+                      default: int, line0: int) -> int:
+    """Annex H.1.1 prediction for one sample. ``line0`` is the first
+    line of the current restart interval (that line is predicted 1-D
+    horizontally; later lines use ``sel``; first column uses Rb)."""
+    if y == line0:
+        return int(plane[y, x - 1])  # Ra (the interval's first sample
+        # is handled by the caller with the default prediction)
+    if x == 0:
+        return int(plane[y - 1, x])  # Rb
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    rc = int(plane[y - 1, x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor {sel} out of [1, 7]")
+
+
+def _read_lossless_diff(br: _BitReader, table: dict) -> int:
+    """One DPCM difference: SSSS category then appended bits; SSSS=16
+    means +32768 outright (T.81 H.2)."""
+    s = br.decode_symbol(table)
+    if s == 16:
+        return 32768
+    if s > 16:
+        raise ValueError(f"lossless SSSS category {s} out of range")
+    return _extend(br.receive(s), s) if s else 0
+
+
+def _decode_scan_lossless(d, data_pos, frame, scan, sel, pt, huff_dc,
+                          restart_interval, planes) -> int:
+    """Decode ONE lossless scan (interleaved or single-component) into
+    ``planes`` (comp id -> uint16 array, point-transformed domain);
+    returns the stream offset just past the scan's entropy data.
+
+    MCU walk per T.81 A.2: ns==1 -> one sample per MCU over the
+    component's own grid; interleaved -> v x h samples per component
+    per MCU over ceil-padded dimensions (padding columns/rows are
+    decoded then cropped by _assemble_lossless)."""
+    if not 1 <= sel <= 7:
+        raise ValueError(
+            f"lossless predictor selector {sel} out of [1, 7] "
+            "(0 is hierarchical-differential only)"
+        )
+    prec = frame["prec"]
+    if pt >= prec:
+        raise ValueError(f"point transform {pt} >= precision {prec}")
+    default = 1 << (prec - pt - 1)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    interleaved = len(scan) > 1
+    st = []  # per scan-component decode state
+    for comp, td in scan:
+        if td not in huff_dc:
+            raise ValueError(f"lossless scan references missing DC "
+                             f"table {td}")
+        cw = -(-frame["w"] * comp["h"] // hmax)
+        ch = -(-frame["h"] * comp["v"] // vmax)
+        if interleaved:
+            # pad to whole MCUs; crop happens at assembly
+            pw = comp["h"] * -(-cw // comp["h"])
+            ph = comp["v"] * -(-ch // comp["v"])
+        else:
+            pw, ph = cw, ch
+        plane = np.zeros((ph, pw), np.uint16)
+        st.append({
+            "comp": comp, "table": huff_dc[td], "plane": plane,
+            "cw": cw, "ch": ch, "x": 0, "y": 0,
+            "fresh": True, "line0": 0,
+        })
+    if interleaved:
+        mcus_x = -(-frame["w"] // hmax)
+        mcus_y = -(-frame["h"] // vmax)
+        n_mcus = mcus_x * mcus_y
+    else:
+        n_mcus = st[0]["plane"].size
+    br = _BitReader(d, data_pos)
+    rst_n = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_and_expect_restart(rst_n)
+            rst_n += 1
+            for s in st:
+                s["fresh"] = True
+                s["line0"] = s["y"]
+        for s in st:
+            comp, plane = s["comp"], s["plane"]
+            nh = comp["h"] if interleaved else 1
+            nv = comp["v"] if interleaved else 1
+            if interleaved:
+                mrow, mcol = divmod(m, mcus_x)
+                ys, xs = mrow * nv, mcol * nh
+            else:
+                ys, xs = s["y"], s["x"]
+            for dy in range(nv):
+                for dx in range(nh):
+                    y, x = ys + dy, xs + dx
+                    diff = _read_lossless_diff(br, s["table"])
+                    if s["fresh"]:
+                        px = default
+                        s["fresh"] = False
+                        s["line0"] = y
+                    else:
+                        px = _lossless_predict(
+                            plane, x, y, sel, default, s["line0"])
+                    plane[y, x] = (px + diff) & 0xFFFF
+            if not interleaved:
+                s["x"] += 1
+                if s["x"] == plane.shape[1]:
+                    s["x"] = 0
+                    s["y"] += 1
+    for s in st:
+        planes[s["comp"]["id"]] = (
+            s["plane"][:s["ch"], :s["cw"]], pt)
+    # skip any trailing fill bits, then hand back the marker offset
+    return _entropy_end(d, data_pos)
+
+
+def _assemble_lossless(frame, planes):
+    """(w, h, ncomp, y_plane) from accumulated SOF3 component planes —
+    the first component, inverse-point-transformed (<< Pt) and scaled
+    to the [0, 255] float contract shared with the DCT paths."""
+    comps = frame["comps"]
+    missing = [c["id"] for c in comps if c["id"] not in planes]
+    if missing:
+        raise ValueError(f"lossless scan(s) never covered "
+                         f"component(s) {missing}")
+    plane, pt = planes[comps[0]["id"]]
+    vals = plane.astype(np.float64) * float(1 << pt)
+    maxval = float((1 << frame["prec"]) - 1)
+    return (frame["w"], frame["h"], len(comps),
+            np.clip(vals, 0.0, maxval) * (255.0 / maxval))
+
+
+def encode_jpeg_gray_lossless(pixels: np.ndarray, predictor: int = 1,
+                              pt: int = 0, precision: int | None = None,
+                              restart_rows: int = 0) -> bytes:
+    """Encode an (H, W) integer array as a LOSSLESS (SOF3) JPEG — the
+    decode twin of the Annex H path above; standard-conformant output.
+    ``precision`` defaults to 8 for uint8 input / 16 for wider;
+    ``restart_rows`` > 0 emits DRI + RSTn every that many sample rows
+    (the per-interval predictor reset of H.1.1 applies)."""
+    arr = np.asarray(pixels)
+    if arr.ndim != 2:
+        raise ValueError("expected an (H, W) grayscale array")
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError("precision in [2, 16]")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor in [1, 7]")
+    if not 0 <= pt < precision:
+        raise ValueError("point transform in [0, precision)")
+    h, w = arr.shape
+    samples = (arr.astype(np.int64) >> pt)
+    if samples.min() < 0 or samples.max() >= (1 << (precision - pt)):
+        raise ValueError("samples exceed the declared precision")
+
+    codes = _encode_huffman_lengths(LOSSLESS_DC_BITS, LOSSLESS_DC_VALS)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (b"\xff\xc3" + struct.pack(">HBHHB", 11, precision, h, w, 1)
+            + bytes([1, 0x11, 0]))
+    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(LOSSLESS_DC_VALS))
+            + bytes([0x00] + LOSSLESS_DC_BITS + LOSSLESS_DC_VALS))
+    if restart_rows:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_rows * w)
+    out += (b"\xff\xda" + struct.pack(">H", 8)
+            + bytes([1, 1, 0x00, predictor, 0, pt & 15]))
+
+    body = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, length: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            byte = (bitbuf >> nbits) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)
+
+    def flush() -> None:
+        nonlocal bitbuf, nbits
+        while nbits:
+            emit(1, 1)
+
+    default = 1 << (precision - pt - 1)
+    plane = samples.astype(np.int64)
+    rst_n = 0
+    line0 = 0
+    fresh = True
+    for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            flush()
+            body += bytes([0xFF, 0xD0 + (rst_n & 7)])
+            rst_n += 1
+            fresh = True
+            line0 = y
+        for x in range(w):
+            if fresh:
+                px = default
+                fresh = False
+            else:
+                px = _lossless_predict(plane, x, y, predictor,
+                                       default, line0)
+            diff = ((int(plane[y, x]) - px + 32768) & 0xFFFF) - 32768
+            if diff == -32768:
+                ln, code = codes[16]
+                emit(code, ln)
+                continue
+            t = int(diff).bit_length() if diff > 0 else int(-diff).bit_length()
+            mv = diff if diff >= 0 else diff + (1 << t) - 1
+            ln, code = codes[t]
+            emit(code, ln)
+            if t:
+                emit(mv, t)
+    flush()
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# canonical Huffman for SSSS 0..16 — the standard DC luminance lengths
+# (T.81 Table K.3) extended with one code per length 10..14 for
+# categories 12..16; Kraft sum 0.99994 < 1 so the all-ones code of the
+# longest length stays reserved (Annex C convention)
+LOSSLESS_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+LOSSLESS_DC_VALS = list(range(17))
+assert sum(LOSSLESS_DC_BITS) == len(LOSSLESS_DC_VALS)
 
 
 # ---------------------------------------------------------------------------

@@ -593,8 +593,9 @@ def image_features(
     (:func:`decode_bmp`), ``image/jpeg`` the REAL baseline-JPEG decoder
     (``operators/jpeg.py decode_jpeg`` — full Huffman entropy decode,
     baseline, extended-sequential 12-bit, and progressive, exact IDCT of
-    the Y channel, plus ARITHMETIC streams — sequential SOF9 AND
-    progressive SOF10 — via the round-12 QM-coder; lossless/hierarchical raise
+    the Y channel, ARITHMETIC streams — sequential SOF9 AND progressive
+    SOF10 — via the round-12 QM-coder, plus LOSSLESS SOF3 — the round-13
+    Annex H DPCM path; only hierarchical and arithmetic-lossless raise
     there), and ``image/png`` payloads carrying a real PNG signature the
     REAL PNG decoder (``operators/png.py decode_png`` — stdlib-zlib
     inflate + scanline unfiltering, every legal depth/color/interlace
@@ -1150,6 +1151,58 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
             )
 
     # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_jpeg_lossless_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL LOSSLESS (SOF3) JPEG payloads (round 13).
+
+    Each image-kind doc becomes a diagonal RAMP image (pixel[y, x] =
+    g + x + y, never clipping: g <= 224, x + y <= 28) encoded through
+    the T.81 Annex H DPCM encoder with the predictor cycling 1..7 on
+    doc_id // 3 and a 4-row restart interval on every other doc (the
+    H.1.1 per-interval predictor reset — restarts change the stream,
+    never the pixels). Lossless decode is EXACT, so the oracle states
+    the decoded mean in closed form: g + (w-1)/2 + (h-1)/2 (see
+    mm_jpeg_lossless). A ramp, unlike the flat DCT images, exercises
+    every predictor's Ra/Rb/Rc arithmetic on every sample."""
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        encode_jpeg_gray_lossless,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (16 + (F.col("doc_id") % 14) * 16).cast("int").alias("g"),
+        (8 + F.col("doc_id") % 9).cast("int").alias("w"),
+        (8 + F.col("doc_id") % 7).cast("int").alias("h"),
+        (1 + (F.col("doc_id") / 3).cast("long") % 7).cast("int").alias("pred"),
+        (F.when((F.col("doc_id") / 3).cast("long") % 2 == 0, 4)
+         .otherwise(0)).cast("int").alias("rst"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for g, w, h, pred, rst in zip(
+                pdf["g"], pdf["w"], pdf["h"], pdf["pred"], pdf["rst"]
+            ):
+                img = (
+                    int(g)
+                    + np.add.outer(np.arange(int(h)), np.arange(int(w)))
+                ).astype(np.uint8)
+                payloads.append(encode_jpeg_gray_lossless(
+                    img, predictor=int(pred), restart_rows=int(rst)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle
     return base.mapInPandas(
         build, schema="media_id long, payload binary, mime string"
     )

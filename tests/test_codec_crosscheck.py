@@ -923,3 +923,88 @@ def test_libtiff_ccitt_fax_both_directions():
             finally:
                 if os.path.exists(fn):
                     os.unlink(fn)
+
+
+def test_jpeg_lossless_annexh_golden_bytes():
+    """SOF3 byte-stream truth, hand-derived from T.81 Annex H (libjpeg
+    in this container is .so.62, which predates the lossless API — the
+    fax.py empirical-golden precedent applies): a 2x2 predictor-1
+    image's every marker segment AND entropy byte is pinned from the
+    spec by hand, then the decoder must invert it exactly."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        LOSSLESS_DC_BITS,
+        LOSSLESS_DC_VALS,
+        _decode_jpeg_plane,
+        encode_jpeg_gray_lossless,
+    )
+
+    img = np.array([[100, 101], [97, 97]], np.uint8)
+    # hand derivation (P=8, Pt=0, predictor 1):
+    #   (0,0) fresh: Px=128, diff=-28 -> SSSS5 (code 110) + 00011
+    #   (0,1) first-line Ra=100, diff=+1 -> SSSS1 (010) + 1
+    #   (1,0) x=0 Rb=100, diff=-3 -> SSSS2 (011) + 00
+    #   (1,1) Ra=97, diff=0 -> SSSS0 (00)
+    # bits: 110 00011 010 1 011 00 00 + 11111 pad = C3 56 1F
+    expected = (
+        b"\xff\xd8"
+        + b"\xff\xc3\x00\x0b\x08\x00\x02\x00\x02\x01\x01\x11\x00"
+        + b"\xff\xc4\x00\x24\x00"
+        + bytes(LOSSLESS_DC_BITS)
+        + bytes(LOSSLESS_DC_VALS)
+        + b"\xff\xda\x00\x08\x01\x01\x00\x01\x00\x00"
+        + b"\xc3\x56\x1f"
+        + b"\xff\xd9"
+    )
+    got = encode_jpeg_gray_lossless(img, predictor=1)
+    assert got == expected, got.hex()
+    w, h, nc, plane = _decode_jpeg_plane(expected)
+    assert (w, h, nc) == (2, 2, 1)
+    assert (np.rint(plane).astype(np.uint8) == img).all()
+
+
+def test_jpeg_lossless_ssss16_and_modulo():
+    """The SSSS=16 escape (diff 32768, no appended bits, H.2 Table
+    H.2) and mod-2^16 reconstruction: a 16-bit sample of 0 under the
+    32768 default prediction is exactly that code point."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        _decode_jpeg_plane,
+        encode_jpeg_gray_lossless,
+    )
+
+    img = np.array([[0, 65535], [32768, 1]], np.uint16)
+    data = encode_jpeg_gray_lossless(img, predictor=1, precision=16)
+    w, h, nc, plane = _decode_jpeg_plane(data)
+    rec = np.rint(plane * (65535.0 / 255.0)).astype(np.uint16)
+    assert (rec == img).all()
+
+
+def test_jpeg_lossless_all_predictors_roundtrip():
+    """Every Annex H predictor (1..7), with and without restart
+    intervals and point transform, over adversarial gradients and
+    noise — byte-exact reconstruction is the lossless contract."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        _decode_jpeg_plane,
+        encode_jpeg_gray_lossless,
+    )
+
+    rng = np.random.default_rng(1313)
+    grad = (np.add.outer(np.arange(24) * 7, np.arange(19) * 3) % 256
+            ).astype(np.uint8)
+    noise = rng.integers(0, 256, (24, 19)).astype(np.uint8)
+    for img in (grad, noise):
+        for pred in range(1, 8):
+            for rst in (0, 5):
+                data = encode_jpeg_gray_lossless(
+                    img, predictor=pred, restart_rows=rst)
+                rec = np.rint(_decode_jpeg_plane(data)[3]).astype(np.uint8)
+                assert (rec == img).all(), (pred, rst)
+    # point transform drops Pt low bits, reconstruction re-appends zeros
+    data = encode_jpeg_gray_lossless(noise, predictor=4, pt=3)
+    rec = np.rint(_decode_jpeg_plane(data)[3]).astype(np.int64)
+    assert (rec == (noise.astype(np.int64) >> 3) << 3).all()
