@@ -6671,6 +6671,56 @@ def mm_jpeg_lossless(spark, sf_dir):
 
 
 @_register(
+    "mm_webp_lossy",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + doc_id % 7 AS BIGINT) AS height,
+           -- the flat VP8 key frame reconstructs exactly g, so the
+           -- decoded Y mean is g/255; g*1e6/255 has fractional parts
+           -- k/51, never a rounding tie
+           FLOOR((16 + (doc_id % 14) * 16) / 255.0 * 1e6 + 0.5) / 1e6
+             AS mean_luma,
+           'webp' AS decoder
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_webp_lossy(spark, sf_dir):
+    """REAL-codec cross-engine check, LOSSY VP8 half (round 13 — lossy
+    WebP moves off the declared boundary): synth_webp_lossy_media
+    mints flat-gray VP8 key frames through the RFC 6386 write twin
+    (bool-encoder headers, Y2-carried DC token, skip MBs) and
+    image_features really entropy-decodes every payload
+    (strict=True) through the FULL key-frame pipeline — bool decoder,
+    header/mode parse, token decode, dequant, IWHT+IDCT, DC
+    prediction propagation. The oracle states the decoded mean in
+    closed form. Sample-exactness against libwebp (both directions,
+    all intra modes + loop filter on libwebp-minted frames) is pinned
+    by tests/test_codec_crosscheck.py."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+        synth_webp_lossy_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    media = synth_webp_lossy_media(docs)
+    return image_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        "decoder",
+    )
+
+
+@_register(
     "mm_mp4_metadata",
     """
     SELECT doc_id AS media_id,

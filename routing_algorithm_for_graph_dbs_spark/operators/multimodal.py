@@ -600,10 +600,14 @@ def image_features(
     REAL PNG decoder (``operators/png.py decode_png`` — stdlib-zlib
     inflate + scanline unfiltering, every legal depth/color/interlace
     combination). The
-    signature sniff matters: synthetic media tables label text payloads
-    ``image/png``, and those must keep taking the deterministic sha256
-    fake (or, with ``strict=True``, NotImplementedError) — the remaining
-    codec boundary.
+    ``image/webp`` payloads decode for real in BOTH flavors: lossless
+    VP8L (``operators/vp8l.py``, round 11) and — round 13 — lossy VP8
+    key frames (``operators/vp8.py``, the full RFC 6386 pipeline,
+    sample-exact against WebPDecodeYUV; luma comes straight off the Y
+    plane). The signature sniff matters: synthetic media tables label
+    text payloads ``image/png``, and those must keep taking the
+    deterministic sha256 fake (or, with ``strict=True``,
+    NotImplementedError) — the remaining codec boundary.
     """
     from routing_algorithm_for_graph_dbs_spark.operators.jpeg import decode_jpeg
     from routing_algorithm_for_graph_dbs_spark.operators.png import (
@@ -613,7 +617,10 @@ def image_features(
     from routing_algorithm_for_graph_dbs_spark.operators.vp8l import (
         decode_webp_lossless,
     )
-    from routing_algorithm_for_graph_dbs_spark.operators.webp import is_webp
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import (
+        decode_webp_lossy,
+        is_webp,
+    )
 
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
@@ -627,8 +634,8 @@ def image_features(
                 b = bytes(payload) if payload is not None else b""
                 # signature guard + decode-error guard: a payload that is
                 # mislabeled, or that passes the cheap signature sniff but
-                # is not decodable by the real codecs (lossless-mode/
-                # truncated JPEG, corrupt PNG, lossy VP8), must
+                # is not decodable by the real codecs (hierarchical-mode/
+                # truncated JPEG, corrupt PNG), must
                 # fall to the fake path, not crash the stage — unless
                 # strict=True, where the codec's error propagates.
                 dec = None
@@ -646,17 +653,28 @@ def image_features(
                         # REAL VP8L decode (round 11): lossless WebP is
                         # pure prefix-code/LZ77/transform arithmetic —
                         # validated against libwebp itself in tests.
-                        # Lossy VP8 raises inside and stays the boundary.
-                        rgba = decode_webp_lossless(b)
-                        h, w = rgba.shape[:2]
-                        rr, gg, bb = (
-                            rgba[..., i].astype(np.float64) for i in range(3)
-                        )
-                        luma = round(float(
-                            (0.299 * rr + 0.587 * gg + 0.114 * bb).mean()
-                            / 255.0
-                        ), 6)
-                        dec = "webp"
+                        # REAL lossy VP8 decode (round 13): the full
+                        # RFC 6386 key-frame pipeline, sample-exact
+                        # against WebPDecodeYUV; its Y plane IS the
+                        # Rec.601 luma (same contract as the JPEG path).
+                        try:
+                            rgba = decode_webp_lossless(b)
+                        except NotImplementedError:
+                            yp, _u, _v = decode_webp_lossy(b)
+                            h, w = yp.shape
+                            luma = round(float(yp.mean() / 255.0), 6)
+                            dec = "webp"
+                        else:
+                            h, w = rgba.shape[:2]
+                            rr, gg, bb = (
+                                rgba[..., i].astype(np.float64)
+                                for i in range(3)
+                            )
+                            luma = round(float(
+                                (0.299 * rr + 0.587 * gg + 0.114 * bb).mean()
+                                / 255.0
+                            ), 6)
+                            dec = "webp"
                 except DECODE_ERRORS:
                     if strict:
                         raise
@@ -665,8 +683,8 @@ def image_features(
                     if strict:
                         raise NotImplementedError(
                             f"real decode of {mime!r} requires PIL/libvips —"
-                            " not in this container (BMP/JPEG/PNG/lossless-"
-                            "WebP decode natively; this payload matched"
+                            " not in this container (BMP/JPEG/PNG/WebP"
+                            " decode natively; this payload matched"
                             " none)"
                         )
                     w, h, luma = _fake_decode(b)
@@ -1199,6 +1217,45 @@ def synth_jpeg_lossless_media(docs: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "payload": payloads,
                     "mime": "image/jpeg",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_webp_lossy_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL LOSSY-WebP payloads (round 13 — the VP8
+    key-frame codec). Each image-kind doc becomes a flat gray frame
+    (Y = g, chroma 128) through ``operators/vp8.py
+    encode_vp8_gray_flat``: with qindex 0 the minted Y2-carried DC
+    reconstructs EXACTLY g (the (8c+4)>>3 / (8L+3)>>3 ladder is
+    remainder-free), so the decoded mean is closed-form g/255 —
+    libwebp reads the same payloads bit-exact (crosschecked)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8 import (
+        build_webp_lossy_flat,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (16 + (F.col("doc_id") % 14) * 16).cast("int").alias("g"),
+        (8 + F.col("doc_id") % 9).cast("int").alias("w"),
+        (8 + F.col("doc_id") % 7).cast("int").alias("h"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                build_webp_lossy_flat(int(g), int(w), int(h))
+                for g, w, h in zip(pdf["g"], pdf["w"], pdf["h"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/webp",
                 }
             )
 

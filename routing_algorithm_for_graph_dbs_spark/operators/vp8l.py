@@ -22,8 +22,8 @@ streams decoded by libwebp, libwebp's transform-rich streams decoded
 by us, fuzzed over image families that force each transform), and the
 120-entry distance table below was derived empirically by decoding
 single-back-reference probe streams with libwebp, not copied from any
-source. Lossy VP8 (DCT + bool-coder) genuinely needs a codec library
-and stays the declared boundary.
+source. Lossy VP8 key frames decode for real too since round 13
+(``operators/vp8.py``); this module stays the lossless half.
 
 Scale shape: one payload decodes independently inside an Arrow batch
 (``multimodal`` mapInPandas); nothing here touches Spark.
@@ -739,8 +739,9 @@ def decode_vp8l(body: bytes):
 def decode_webp_lossless(payload: bytes):
     """RIFF unwrap + VP8L decode: (H, W, 4) uint8 RGBA. Raises
     ValueError on a malformed container and NotImplementedError for
-    lossy VP8 payloads (DCT + boolean arithmetic coder — the declared
-    boundary; a real deployment plugs libwebp there)."""
+    lossy VP8 payloads — those decode via the round-13
+    ``operators/webp.py decode_webp_lossy`` (Y/U/V planes), which
+    callers dispatch to on this exception."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload (missing RIFF/WEBP magic)")
     pos = 12
@@ -753,8 +754,9 @@ def decode_webp_lossless(payload: bytes):
             return decode_vp8l(body)[0]
         if fourcc == b"VP8 ":
             raise NotImplementedError(
-                "lossy VP8 decode (DCT + bool-coder) needs a real codec"
-                " library — only lossless VP8L decodes natively here"
+                "lossy VP8 carries YUV planes, not RGBA — decode it via"
+                " operators/webp.py decode_webp_lossy (real RFC 6386"
+                " key-frame decode since round 13)"
             )
         pos += 8 + size + (size & 1)
     raise ValueError("WebP payload has no VP8L or VP8 bitstream chunk")

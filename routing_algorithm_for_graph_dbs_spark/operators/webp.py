@@ -16,10 +16,12 @@ an ``ANIM`` chunk plus one 16-byte-headed ``ANMF`` chunk per frame
 (24-bit duration each). This module hops PIXEL data by chunk size —
 it is the metadata half; since round 11 the LOSSLESS (VP8L) pixel
 stream decodes for real in ``operators/vp8l.py`` (validated against
-libwebp itself), while lossy VP8's DCT + boolean coder stays the
-declared boundary (parse-not-decode split per ``operators/mp3.py``;
-reference boundary analog main.py:1 — the reference delegates media
-handling entirely).
+libwebp itself), and since round 13 LOSSY VP8 key frames decode for
+real too (``operators/vp8.py`` — the full RFC 6386 keyframe pipeline,
+sample-exact against WebPDecodeYUV; ``decode_webp_lossy`` below is
+the container-level entry). Only VP8 interframes (never present in
+still WebP) remain out of scope (reference boundary analog main.py:1
+— the reference delegates media handling entirely).
 
 ``parse_webp_metadata`` walks every chunk with RIFF even-padding,
 cross-checks the outer size, and raises loudly on truncation, a bad
@@ -212,3 +214,25 @@ def build_webp(
     else:
         raise ValueError(f"unknown WebP flavor {flavor!r}")
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def decode_webp_lossy(payload: bytes):
+    """REAL lossy-WebP pixel decode (round 13): find the ``VP8 `` chunk
+    and run the full RFC 6386 key-frame pipeline
+    (``operators/vp8.py``). Returns (Y, U, V) uint8 planes — Y at
+    frame resolution, chroma at the 4:2:0 half resolution. Y IS the
+    Rec.601 luma the feature extractors want (same contract as
+    ``decode_jpeg_luma``); chroma upsampling/RGB conversion stays
+    outside the codec, like the JPEG path. Raises ValueError on a
+    malformed container and NotImplementedError only for VP8
+    interframes (impossible in still WebP)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8 import (
+        decode_vp8_keyframe,
+    )
+
+    if not is_webp(payload):
+        raise ValueError("not a WebP payload")
+    for fourcc, body, size in _chunks(payload):
+        if fourcc == b"VP8 ":
+            return decode_vp8_keyframe(payload[body : body + size])
+    raise ValueError("WebP payload has no lossy VP8 chunk")

@@ -1008,3 +1008,82 @@ def test_jpeg_lossless_all_predictors_roundtrip():
     data = encode_jpeg_gray_lossless(noise, predictor=4, pt=3)
     rec = np.rint(_decode_jpeg_plane(data)[3]).astype(np.int64)
     assert (rec == (noise.astype(np.int64) >> 3) << 3).all()
+
+
+_WEBP = _load("libwebp.so.7") or _load("libwebp.so")
+
+
+def _webp_decode_yuv(data):
+    _WEBP.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    _WEBP.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    st = ctypes.c_int()
+    uvst = ctypes.c_int()
+    yp = _WEBP.WebPDecodeYUV(
+        data, len(data), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(up), ctypes.byref(vp),
+        ctypes.byref(st), ctypes.byref(uvst))
+    assert yp, "libwebp refused the stream"
+    W, H, S, US = w.value, h.value, st.value, uvst.value
+    uh, uw = (H + 1) // 2, (W + 1) // 2
+    y = np.ctypeslib.as_array(yp, shape=(H, S))[:, :W].copy()
+    u = np.ctypeslib.as_array(up, shape=(uh, US))[:, :uw].copy()
+    v = np.ctypeslib.as_array(vp, shape=(uh, US))[:, :uw].copy()
+    _WEBP.WebPFree(yp)
+    return y, u, v
+
+
+@pytest.mark.skipif(_WEBP is None, reason="libwebp not available")
+def test_libwebp_lossy_vp8_both_directions():
+    """Round-13 lossy VP8: (a) libwebp must read our minted flat key
+    frames back to the exact planes; (b) our decoder must reproduce
+    libwebp's OWN encodings (segmentation, all intra modes, loop
+    filter, multiple qualities/dims) Y/U/V sample-exact against
+    WebPDecodeYUV — a single wrong table byte or filter formula
+    derails this within a few macroblocks."""
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8 import (
+        build_webp_lossy_flat,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import (
+        decode_webp_lossy,
+    )
+
+    # (a) ours -> libwebp
+    for g, w, h in [(100, 32, 32), (16, 24, 17), (224, 50, 30)]:
+        y, u, v = _webp_decode_yuv(build_webp_lossy_flat(g, w, h))
+        assert y.shape == (h, w) and (y == g).all()
+        assert (u == 128).all() and (v == 128).all()
+
+    # (b) libwebp -> ours, sample-exact
+    _WEBP.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _WEBP.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    rng = np.random.default_rng(1306)
+    for w, h, q in [(64, 48, 75), (80, 56, 30), (33, 17, 60),
+                    (16, 16, 95), (49, 64, 10)]:
+        yy = (np.add.outer(np.arange(h) * 2, np.arange(w) * 3) % 256)
+        if q < 50:
+            yy = rng.integers(0, 256, (h, w))
+        rgba = np.stack(
+            [yy, 255 - yy, (yy * 3) % 256,
+             np.full((h, w), 255, int)], -1).astype(np.uint8)
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = _WEBP.WebPEncodeRGBA(
+            rgba.tobytes(), w, h, w * 4, float(q), ctypes.byref(out))
+        assert n
+        data = bytes(np.ctypeslib.as_array(out, shape=(n,)))
+        _WEBP.WebPFree(out)
+        ref = _webp_decode_yuv(data)
+        got = decode_webp_lossy(data)
+        for mine, theirs in zip(got, ref):
+            assert mine.shape == theirs.shape
+            assert (mine == theirs).all(), (w, h, q)
