@@ -22,100 +22,92 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
-# order. The window ROTATES each round (round-5 verdict demand). Round 12
-# (VERDICT r11 item 1a): lead with the queries NEW this round
-# (mm_tiff_jpeg, mm_bmp_bitfields — the JPEG-in-TIFF and masked-BMP
-# widenings), re-run every query whose
-# implementation changed since its last driver row, then the 8 media rows
-# rewired by the late-r11 input-docs spread whose driver rows are
-# r10-or-older, then the registry's genuinely stalest rows in
-# last-checked order — recomputed from the CORRECTNESS_r*.json artifacts
-# (the whole r7 block, the r8 remainder, and the stalest r9 row).
-# The remaining registry stays covered by tools/check_oracles.py
-# (CORRECTNESS_local_r{N}.json).
+# order. The window ROTATES each round (round-5 verdict demand). Round 13:
+# lead with the queries NEW this round (mm_jpeg_lossless — T.81 Annex H
+# SOF3; mm_webp_lossy — the RFC 6386 lossy VP8 key-frame decoder), then
+# re-run every query whose implementation changed since its r11/r12
+# driver row (the fax searchsorted rewrite, the TIFF strip-table guard,
+# and every row flowing through the SOF3-extended decode_jpeg dispatch
+# or the two-flavor image_features WebP branch), then the entire
+# r9-stale block in CORRECTNESS_r09 order, then the stalest r10 row —
+# staleness recomputed from the CORRECTNESS_r*.json artifacts as
+# r11/r12 did. The remaining registry stays covered by
+# tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: NEW this round — CCITT fax strips (T.4
-    #    MH-RLE + G3 + T.6 G4, tables derived from libtiff),
-    #    JPEG-in-TIFF strips (compression 7, TechNote 2 JPEGTables),
-    #    and 16-bit RGB555 / BI_BITFIELDS masked-BMP decode (round 12)
+    # -- never-driver-checked: NEW this round — lossless JPEG (T.81
+    #    Annex H SOF3, all 7 predictors + restart resets, hand-derived
+    #    byte goldens) and lossy VP8 key frames (full RFC 6386
+    #    pipeline, sample-exact vs WebPDecodeYUV) (round 13)
+    "mm_jpeg_lossless",
+    "mm_webp_lossy",
+    # -- re-runs: implementation changed since their last driver row.
+    #    mm_tiff_fax: the O(width^2) transition rescans became
+    #    parity-adjusted searchsorted lookups (ADVICE r12).
+    #    mm_tiff_jpeg: per-strip JPEGTables divergence guard
+    #    (ADVICE r12).
     "mm_tiff_fax",
     "mm_tiff_jpeg",
-    "mm_bmp_bitfields",
-    # -- re-runs: implementation changed since their last driver row.
-    #    mm_tiff_pixels: TIFF LZW strips (+ predictor 2) moved off the
-    #    boundary; the synth now cycles raw/PackBits/LZW/LZW+diff.
-    #    mm_audio_features: strict=True now PROPAGATES FLAC frame-decode
-    #    errors instead of downgrading to flac-meta (ADVICE r11).
-    #    mm_bmp_palette: decode_bmp grew the masked-mode branch and the
-    #    image_features strict message changed (ADVICE r11).
-    "mm_tiff_pixels",
-    "mm_audio_features",
-    "mm_bmp_palette",
-    #    mm_phash_neardup: round-12 decoder widenings rewrote its image
-    #    entries (decode_bmp_pixels masked/core branches, decode_jpeg
-    #    SOF9 dispatch) — same precedent as its r11 re-run.
-    "mm_phash_neardup",
-    # -- the 8 media rows rewired by the late-r11 input-docs spread
-    #    whose driver rows are r10-or-older (rotation note carried from
-    #    r11; both sf mirrors re-validated them post-change)
-    "mm_png_roundtrip",
-    "mm_resize_roundtrip",
+    #    the SOF3 branch extended the shared decode_jpeg marker walk
+    #    these rows flow through:
     "mm_jpeg_roundtrip",
-    #    (mm_opus_metadata, the freshest of the rewired 8, ceded its
-    #    slot to mm_tiff_fax — r13 candidate)
-    "mm_mp3_metadata",
-    "mm_mp4_metadata",
-    "mm_aac_metadata",
-    "mm_flac_metadata",
-    # -- the whole r7-stale block (last driver rows r7), in
-    #    CORRECTNESS_r07 order
-    "er_fuzzy_name_pairs",
-    "apx_join_overlap",
-    "apx_top_k_types",
-    "st_hopping_window",
-    "st_interval_join",
-    "st_interval_join_left",
-    "st_enriched_counts",
-    "asof_next_view",
-    "dq_snapshot_diff",
-    "smp_replicate",
-    "pack_shards_grouped",
-    "graph_random_walks",
-    "idx_postings",
-    "hist_snapshot_asof",
-    "upd_apply_cdc",
-    "hist_scd2",
-    "ts_interpolate",
-    "ts_ewma",
-    "dd_simhash",
-    # -- the r8 remainder (last rows r8, not already above), in
-    #    CORRECTNESS_r08 order
-    "ev_mad_outliers",
+    "mm_tiff_pixels",
+    "mm_phash_neardup",
+    #    the image_features WebP branch now dispatches BOTH flavors
+    #    (lossless VP8L -> NotImplementedError -> lossy VP8):
     "mm_image_features",
-    "mm_media_stats",
-    "mm_resize_plan",
-    "graph_components",
-    "graph_degree_metrics",
-    "graph_betweenness",
-    "st_tumbling_window",
-    "st_watermark_dedup",
-    "st_sessionization",
-    "asof_last_view",
-    "rng_followup_events",
-    "dd_exact_dedup",
-    "dd_lsh_candidates",
-    "dd_decontaminate",
-    "smp_mixture",
-    "pack_shards",
+    "mm_webp_pixels",
+    # -- the whole r9-stale block (last driver rows r9), in
+    #    CORRECTNESS_r09 order
+    "apx_sketches",
+    "graph_bfs_hops",
+    "graph_pagerank",
+    "graph_ppr",
+    "graph_triangles",
+    "graph_kcore",
+    "graph_scc",
+    "graph_labelprop",
+    "graph_closeness",
+    "graph_harmonic",
+    "graph_node_similarity",
+    "graph_lcc",
+    "graph_betweenness_directed",
+    "smp_stratified",
+    "smp_ntile",
+    "smp_negatives",
+    "smp_cap_per_source",
+    "smp_budget_mixture",
+    "smp_weighted_k",
+    "smp_train_val_test",
+    "smp_temperature_mixture",
+    "ts_resample_ffill",
+    "ev_zscore_outliers",
+    "ev_conversion_funnel",
+    "ev_cohort_retention",
+    "ev_markov_transitions",
+    "upd_merge_upsert",
+    "dq_constraint_checks",
+    "dq_column_profile",
+    "dq_dataset_fingerprint",
+    "dq_referential_integrity",
+    "lay_zorder_key",
+    "skw_count_distinct",
+    "skw_bloom_join",
+    "apx_hll_rollup",
+    "apx_theta_setops",
+    "idx_conjunctive_search",
+    "pipe_corpus_prep",
+    "pipe_training_mix",
+    "pipe_entity_resolution",
+    # -- the stalest r10 row fills the last slot (first in
+    #    CORRECTNESS_r10 order; it ceded its r12 slot to mm_tiff_fax)
+    "mm_opus_metadata",
 ]
-# ROUND-13 ROTATION NOTE: lead with any query whose implementation
-# changes during r12 after its driver row, then continue the stale
-# cycle with the r9 rows (apx_sketches, graph_bfs_hops, graph_pagerank,
-# graph_ppr, graph_triangles, ... in CORRECTNESS_r09 order — the first
-# two ceded their r12 slots to mm_tiff_jpeg / mm_phash_neardup) and the
-# r10 block.
-# Recompute staleness from the CORRECTNESS_r*.json artifacts as r11/r12
-# did — the note can go stale, the artifacts cannot.
+# ROUND-14 ROTATION NOTE: lead with any query whose implementation
+# changes during r13 after its driver row, then continue the stale
+# cycle with the r10 block (sem_dedup, f1_casts, u1_union_all,
+# t1_t2_topk, ... in CORRECTNESS_r10 order) and the oldest r11 rows.
+# Recompute staleness from the CORRECTNESS_r*.json artifacts as
+# r11/r12/r13 did — the note can go stale, the artifacts cannot.
 
 
 def _ordered() -> list[str]:

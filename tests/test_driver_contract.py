@@ -15,54 +15,40 @@ import re as _re
 
 import pytest
 
-# Round-12 window (VERDICT r11 item 1a + the r11 rotation note): the
-# queries NEW this round lead (mm_tiff_jpeg, mm_bmp_bitfields — the
-# JPEG-in-TIFF and masked-BMP widenings); then re-runs of every query whose implementation changed
-# since its last driver row (TIFF LZW strips in mm_tiff_pixels' synth
-# and decoder, the strict-FLAC propagate in audio_features, the
-# decode_bmp masked branch + strict-message change under
-# mm_bmp_palette); then the 8 media rows rewired by the late-r11
-# input-docs spread with r10-or-older driver rows; then the registry's
-# genuinely stalest rows recomputed from the CORRECTNESS_r*.json
-# artifacts (all 19 r7 rows, the 17-row r8 remainder, the stalest r9
-# row).
+# Round-13 window: the queries NEW this round lead (mm_jpeg_lossless —
+# T.81 Annex H SOF3; mm_webp_lossy — the RFC 6386 lossy VP8 key-frame
+# decoder); then re-runs of every query whose implementation changed
+# since its last driver row (the fax searchsorted rewrite and the TIFF
+# strip-table guard under their r12 rows, every row flowing through
+# the SOF3-extended decode_jpeg dispatch, and the two rows through the
+# two-flavor image_features WebP branch); then the ENTIRE r9-stale
+# block in CORRECTNESS_r09 order; then the stalest r10 row
+# (mm_opus_metadata, which ceded its r12 slot).
 NEVER_CHECKED = [
-    "mm_tiff_fax",
-    "mm_tiff_jpeg",
-    "mm_bmp_bitfields",
+    "mm_jpeg_lossless",
+    "mm_webp_lossy",
 ]
 
 CHANGED_SINCE_LAST_ROW = [
-    # r12 TIFF §13 LZW strip decode (+ predictor 2) off the boundary
-    "mm_tiff_pixels",
-    # r12 strict=True propagates FLAC frame-decode errors (ADVICE r11)
-    "mm_audio_features",
-    # r12 decode_bmp masked-mode branch + strict message (ADVICE r11)
-    "mm_bmp_palette",
-    # r12 decoder widenings rewrote phash's image entries (decode_bmp
-    # masked/core branches, decode_jpeg SOF9 dispatch)
-    "mm_phash_neardup",
-]
-
-SPREAD_REWIRED = [
-    # late-r11 partitioning-only rewire; driver rows r10-or-older
-    # (mm_opus_metadata, the freshest of the rewired 8, ceded its slot
-    # to mm_tiff_fax and carries to r13)
-    "mm_png_roundtrip",
-    "mm_resize_roundtrip",
+    # r13 fax transition lookups became parity-adjusted searchsorted
+    "mm_tiff_fax",
+    # r13 per-strip JPEGTables divergence guard (ADVICE r12)
+    "mm_tiff_jpeg",
+    # r13 SOF3 branch extended the shared decode_jpeg marker walk
     "mm_jpeg_roundtrip",
-    "mm_mp3_metadata",
-    "mm_mp4_metadata",
-    "mm_aac_metadata",
-    "mm_flac_metadata",
+    "mm_tiff_pixels",
+    "mm_phash_neardup",
+    # r13 image_features WebP branch dispatches both flavors
+    "mm_image_features",
+    "mm_webp_pixels",
 ]
 
-REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + SPREAD_REWIRED + [
-    # representatives of the artifact-derived stale blocks
-    "er_fuzzy_name_pairs",
-    "dd_simhash",
-    "graph_betweenness",
-    "st_watermark_dedup",
+REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
+    # representatives of the artifact-derived r9-stale block
+    "apx_sketches",
+    "graph_pagerank",
+    "smp_stratified",
+    "pipe_entity_resolution",
 ]
 
 
@@ -128,20 +114,19 @@ def test_queries_are_callable_and_keys_stable(entry_mod):
     assert list(q)[: len(NEVER_CHECKED)] == NEVER_CHECKED
 
 
-def test_window_rotation_r12(entry_mod):
-    """Round-12 rotation: every window row must be (a) a query new this
+def test_window_rotation_r13(entry_mod):
+    """Round-13 rotation: every window row must be (a) a query new this
     round (never driver-checked), (b) a declared changed-since-last-row
-    re-run, (c) a spread-rewired media row with an r10-or-older driver
-    row, or (d) STALE — not checked in the r11 window (its last driver
-    row is r10 or older). Anything else would waste the gate's 50
-    slots on recently-checked queries."""
+    re-run, or (c) STALE — not checked in the r12 window (its last
+    driver row is r11 or older). Anything else would waste the gate's
+    50 slots on recently-checked queries."""
     here = _repo_root()
-    r11 = set(json.load(open(os.path.join(here, "CORRECTNESS_r11.json"))))
+    r12 = set(json.load(open(os.path.join(here, "CORRECTNESS_r12.json"))))
     window = set(list(entry_mod.queries())[:50])
     assert set(NEVER_CHECKED) <= window
-    fresh = r11 - set(NEVER_CHECKED) - set(CHANGED_SINCE_LAST_ROW)
+    fresh = r12 - set(NEVER_CHECKED) - set(CHANGED_SINCE_LAST_ROW)
     stray = window & fresh
-    assert not stray, f"window wastes rows on r11-checked queries: {sorted(stray)}"
+    assert not stray, f"window wastes rows on r12-checked queries: {sorted(stray)}"
 
 
 def test_window_is_stalest_first(entry_mod):
@@ -166,12 +151,12 @@ def test_window_is_stalest_first(entry_mod):
 
 def test_stale_blocks_fully_enrolled(entry_mod):
     """Stronger than min-vs-min: with the round's own artifact
-    excluded, EVERY query whose last driver row is r8 or older must be
-    inside the r12 window (the window was sized to drain the r7 and r8
-    blocks completely)."""
+    excluded, EVERY query whose last driver row is r9 or older must be
+    inside the r13 window (the window was sized to drain the r9 block
+    completely)."""
     q = list(entry_mod.queries())
     window = set(q[:50])
     last = _last_driver_round(exclude_window=window)
-    stale = {k for k in q if last.get(k, 0) <= 8 and k in last}
+    stale = {k for k in q if last.get(k, 0) <= 9 and k in last}
     left_out = stale - window
-    assert not left_out, f"r8-or-older rows left outside the window: {sorted(left_out)}"
+    assert not left_out, f"r9-or-older rows left outside the window: {sorted(left_out)}"
