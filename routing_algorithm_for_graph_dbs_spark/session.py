@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the broadcast-Dijkstra tier collects the (pruned) edge list to
+        # the driver by design; past ~20M edges that exceeds Spark's 1g
+        # default cap long before the heap is at risk (r13: 45M-edge
+        # scale run). Local-mode driver == executor, so a larger cap
+        # costs nothing when unused.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
         # Catalyst's constraint propagation hits a rewrite bug

@@ -5404,3 +5404,46 @@ def test_gif_tiff_pixel_extractors(spark):
         assert got[2]["parser"] == "fake"
         with _pytest.raises(Exception):
             extractor(media, strict=True).collect()
+
+
+def test_vp8_corrupt_payloads_raise_decode_errors():
+    """Lossy-WebP hardening: random byte corruption and truncation of a
+    valid key frame must land in DECODE_ERRORS (image_features'
+    strict=False fake-fallback contract), never an unexpected
+    exception; dimensions stay behind the 100MP allocation cap."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.phash import (
+        DECODE_ERRORS,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8 import (
+        build_webp_lossy_flat,
+        decode_vp8_keyframe,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.webp import (
+        decode_webp_lossy,
+    )
+
+    good = build_webp_lossy_flat(100, 32, 32)
+    rng = _np.random.default_rng(1313)
+    for _ in range(60):
+        b = bytearray(good)
+        for _k in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(12, len(b)))] = int(rng.integers(0, 256))
+        try:
+            decode_webp_lossy(bytes(b))
+        except DECODE_ERRORS:
+            pass
+    for cut in range(0, len(good), 11):
+        try:
+            decode_webp_lossy(good[:cut])
+        except DECODE_ERRORS:
+            pass
+    # the 100MP cap: a crafted header claiming a huge frame must raise
+    # before any macroblock work
+    big = bytearray(build_webp_lossy_flat(100, 16, 16))
+    off = big.index(b"\x9d\x01\x2a") + 3
+    big[off:off + 4] = (0x3FFF).to_bytes(2, "little") * 2
+    with _pytest.raises(ValueError, match="100MP"):
+        decode_vp8_keyframe(bytes(big[big.index(b"VP8 ") + 8:]))
