@@ -38,6 +38,14 @@ from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
 # supersteps used / convergence of the most recent multi_source_dijkstra
 # run — read by the scale tools to report the batch-regime cost honestly
 LAST_ITERATIVE_SUPERSTEPS = 0
+
+# opt-in per-superstep progress line on stderr (scale-run forensics:
+# the r13 25x probe needed to distinguish "superstep count exploded"
+# from "per-superstep wall exploded" without waiting for the final
+# JSON) — zero cost unless SPARK_GRAFT_SSSP_LOG=1
+import os as _os  # noqa: E402
+
+_SSSP_LOG = _os.environ.get("SPARK_GRAFT_SSSP_LOG", "") == "1"
 LAST_ITERATIVE_CONVERGED = True
 # lanes retired before global convergence (targets settled early) — the
 # per-lane retirement optimization's observable effect
@@ -234,6 +242,54 @@ def multi_source_dijkstra(
                     return False
         return True
 
+    def _lane_ubs() -> dict:
+        """Per-lane UPPER-BOUND for frontier pruning (round 13): once
+        every target the consumer can actually use has SOME cost, any
+        frontier row with cost >= the worst of those costs can never
+        improve a consumed target (non-negative weights) — prune it.
+        Without this, the label-correcting walk keeps draining the
+        whole reachable ball long after the answers are bounded: the
+        r13 25x routing probe (45M edges, 25x trip density) sat at
+        1.8M frontier rows and 119+ supersteps where 10x needed 47,
+        because denser feeds have a much deeper improvement cascade
+        past the winners' cost radius. In rank-pruned mode the bound
+        covers only NON-DOMINATED members (rank <= the best rank that
+        already has a cost) — dominated members may stay non-final,
+        which the target contract already allows. Costs only ever
+        decrease, so a stale bound (refreshed at checkpoints) is
+        conservative, never unsound."""
+        out: dict = {}
+        for lane in {p[0] for p in tgt_pairs}:
+            if tgt_groups is None:
+                costs = [tgt_cost.get(p) for p in tgt_pairs if p[0] == lane]
+                if costs and all(c is not None for c in costs):
+                    out[lane] = max(costs)
+                continue
+            worst, ok = 0.0, True
+            for (l, _g), members in tgt_groups.items():
+                if l != lane:
+                    continue
+                known = [
+                    r for n, r in members.items() if (lane, n) in tgt_cost
+                ]
+                if not known:
+                    ok = False
+                    break
+                thresh = min(known)
+                for n, r in members.items():
+                    if r > thresh:
+                        continue  # dominated: consumer ranks it out
+                    c = tgt_cost.get((lane, n))
+                    if c is None:
+                        ok = False
+                        break
+                    worst = max(worst, c)
+                if not ok:
+                    break
+            if ok:
+                out[lane] = worst
+        return out
+
     def _targets_done(fmin: dict) -> bool:
         """All requested targets provably final for every lane that still
         has a frontier (absent lanes are exhausted — nothing can improve;
@@ -245,6 +301,7 @@ def multi_source_dijkstra(
     retired_lanes: set = set()
     with superstep_confs(edges.sparkSession, n_parts):
         it, n_frontier = -1, 0  # max_iterations=0: zero supersteps, converged
+        lane_ub: dict = {}  # per-lane frontier upper bound (see _lane_ubs)
         for it in range(max_iterations):
             done_now: set = set()  # lanes retiring THIS superstep (filter once)
             # relax: candidate distances through the current frontier. String
@@ -371,6 +428,7 @@ def multi_source_dijkstra(
                     for r in stats:
                         for hit in r["hits"]:
                             tgt_cost[(r["lane"], hit["node"])] = hit["cost"]
+                    lane_ub = _lane_ubs()
                     if n_frontier:
                         fmin = {r["lane"]: r["fmin"] for r in stats}
                         # settled = cost can no longer improve: any future
@@ -399,6 +457,16 @@ def multi_source_dijkstra(
                             }
                             if done_now:
                                 retired_lanes |= done_now
+            if n_frontier is not None and _SSSP_LOG:
+                import sys as _sys
+                import time as _time
+
+                print(
+                    f"sssp superstep {it + 1}: frontier={n_frontier} "
+                    f"retired={len(retired_lanes)} bounded={len(lane_ub)} "
+                    f"t={_time.monotonic():.0f}",
+                    file=_sys.stderr,
+                )
             best = merged.drop("is_frontier")
             frontier = merged.filter("is_frontier").select(*frontier_cols)
             if done_now:
@@ -410,6 +478,18 @@ def multi_source_dijkstra(
                 # lane counts).
                 frontier = frontier.filter(
                     ~F.col("lane").isin(sorted(done_now))
+                )
+            if lane_ub:
+                # upper-bound prune (see _lane_ubs): rows at or past a
+                # lane's bound can never improve a consumed target. A
+                # tiny literal map per superstep (|lanes| entries);
+                # lanes without a bound pass through (NULL lookup).
+                kv: list = []
+                for lane, u in sorted(lane_ub.items()):
+                    kv += [F.lit(lane), F.lit(float(u))]
+                ubm = F.create_map(*kv)[F.col("lane")]
+                frontier = frontier.filter(
+                    ubm.isNull() | (F.col("cost") < ubm)
                 )
             # between checkpoints (checkpoint_every>1) convergence goes
             # unchecked; the extra relaxation on an empty frontier is a no-op.

@@ -96,8 +96,22 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-routing")
 
+    # Two scaling axes (round 13): SCALE_AXIS=density multiplies
+    # trips_per_route — rows AND temporal hop-depth grow together (the
+    # r13 25x probe showed supersteps explode with density, because
+    # reaching early-arrival target stoptimes takes bounce chains whose
+    # depth tracks headway count). SCALE_AXIS=breadth multiplies
+    # n_routes at the 4x density — more data over the same grid, the
+    # axis a 100 TB deployment actually grows along (more cities /
+    # lines / days, not 25x-denser single-corridor schedules).
+    axis = os.environ.get("SCALE_AXIS", "density")
     t0 = time.perf_counter()
-    tables = synth_gtfs(spark, trips_per_route=int(140 * mult))
+    if axis == "breadth":
+        tables = synth_gtfs(
+            spark, trips_per_route=560, n_routes=int(60 * mult)
+        )
+    else:
+        tables = synth_gtfs(spark, trips_per_route=int(140 * mult))
     g = project_graph(tables, "2024-01-18", speed=1.0, name="scale_routing")
     n_edges = g.edges.count()
     t_projection = round(time.perf_counter() - t0, 1)
@@ -149,6 +163,7 @@ def main() -> None:
             {
                 "metric": "scale_routing",
                 "scale_mult": mult,
+                "scale_axis": axis,
                 "edges": n_edges,
                 "t_projection_s": t_projection,
                 "checkpoint_every": ck,
