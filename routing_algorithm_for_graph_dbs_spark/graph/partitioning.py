@@ -15,6 +15,7 @@ from __future__ import annotations
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 EDGES_PER_PARTITION = 500_000
 
@@ -57,6 +58,47 @@ def superstep_confs(spark: SparkSession, n_parts: int):
     finally:
         conf.set("spark.sql.adaptive.enabled", old_aqe)
         conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def spatial_node_parts(vertices: DataFrame, cells: int = 16) -> DataFrame:
+    """(node, part) mapping for the SSSP partition-local relaxation mode:
+    a ``cells x cells`` lat/lon grid over the projected vertices.
+
+    Rationale (round 14, SCALE.md density axis): the time-expanded day
+    graph's depth wall is headway-bounce chains, which are SAME-STOP
+    (the WALK_TO distance-0 self loop lets an arrival chain through
+    alternating lines' next departures without moving) — so any
+    partitioner that keeps a stop's stoptimes together collapses them;
+    a spatial grid additionally keeps walk-neighbor stops together, so
+    only genuine travel crosses parts. Part count is bounded (<=
+    cells^2), cells are data-bounded (min/max over the cached vertex
+    relation — one tiny agg), and the mapping is a pure column
+    expression: at 100 TB this is a map-side derivation, no shuffle.
+
+    Zero-extent axes (single stop / degenerate fixtures) collapse to
+    cell 0 on that axis.
+    """
+    b = vertices.agg(
+        F.min("lat").alias("lat0"),
+        F.max("lat").alias("lat1"),
+        F.min("lon").alias("lon0"),
+        F.max("lon").alias("lon1"),
+    ).first()
+    dlat = (b["lat1"] - b["lat0"]) or 1.0
+    dlon = (b["lon1"] - b["lon0"]) or 1.0
+
+    def cell(col, lo, span):
+        return F.least(
+            F.lit(cells - 1),
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(span) * cells),
+        )
+
+    return vertices.select(
+        F.col("id").alias("node"),
+        (
+            cell("lat", b["lat0"], dlat) * cells + cell("lon", b["lon0"], dlon)
+        ).cast("int").alias("part"),
+    )
 
 
 def pin_if_uncached(df):

@@ -52,6 +52,127 @@ LAST_ITERATIVE_CONVERGED = True
 LAST_ITERATIVE_RETIRED = 0
 
 
+def _make_local_relax(out_cols, node_mode, lane_ub, max_cost):
+    """Build the per-superstep cogrouped partition-local relaxation kernel
+    (round 14 — the density-axis depth-wall fix, SCALE.md round-13).
+
+    Each invocation receives ONE graph partition's frontier rows and its
+    out-edge set (edges grouped by the part of ``src``) and runs a local
+    Dijkstra per lane over the intra-partition subgraph, emitting the full
+    improved closure in ONE superstep instead of one hop per superstep.
+    On a time-expanded transit graph partitioned by spatial cell, the
+    headway-bounce chains that made superstep depth track trip density
+    (r13: 25x density = 167+ supersteps, non-converged) are same-stop —
+    hence same-cell — so they collapse into a single superstep; global
+    supersteps shrink to ~the winner path's cell-boundary crossings.
+
+    ``node_mode``: "full" (accumulate path arrays), "pred" (immediate
+    predecessor pointer) or "cost" (costs only). ``lane_ub`` / ``max_cost``
+    are captured per-superstep: the in-kernel expansion prune mirrors the
+    frontier-level prune exactly (strict `<` for the lane upper bound,
+    inclusive `<=` for the horizon), so it is sound for the same reason.
+    """
+    inf = float("inf")
+
+    def relax(key, fr, ed):
+        import heapq
+
+        import pandas as pd
+
+        part = int(key[0])
+        if fr.empty or ed.empty:
+            # empty columns need explicit dtypes: a default float64 empty
+            # column cannot Arrow-cast to a list/string schema slot
+            dtypes = ["object", "object", "float64", "int32", "bool"] + (
+                ["object"] * (len(out_cols) - 5)
+            )
+            return pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=t)
+                    for c, t in zip(out_cols, dtypes)
+                }
+            )
+        adj_idx = ed.groupby("src", sort=False).indices
+        dsts = ed["dst"].to_numpy()
+        ws = ed["w"].to_numpy()
+        dps = ed["dp"].to_numpy()
+        o_lane: list = []
+        o_node: list = []
+        o_cost: list = []
+        o_part: list = []
+        o_intra: list = []
+        o_extra: list = []
+        seed_cols = ["node", "cost"] + (["path"] if node_mode == "full" else [])
+        for lane, g in fr.groupby("lane", sort=False):
+            ub = lane_ub.get(lane, inf)
+            seeds: dict = {}
+            spath: dict = {}
+            for row in g[seed_cols].itertuples(index=False, name=None):
+                node, cost = row[0], row[1]
+                if cost < seeds.get(node, inf):
+                    seeds[node] = cost
+                    if node_mode == "full":
+                        spath[node] = row[2]
+            dist = dict(seeds)
+            pred: dict = {}
+            partof: dict = {}
+            heap = [(c, n) for n, c in seeds.items()]
+            heapq.heapify(heap)
+            while heap:
+                d, n = heapq.heappop(heap)
+                if d >= ub:
+                    break  # heap pops nondecreasing: nothing below ub left
+                if d != dist.get(n, inf):
+                    continue  # stale entry
+                if partof.get(n, part) != part:
+                    continue  # export sink: its out-edges live in its own part
+                idx = adj_idx.get(n)
+                if idx is None:
+                    continue
+                for i in idx:
+                    m = dsts[i]
+                    nd = d + ws[i]
+                    if (
+                        nd < dist.get(m, inf)
+                        and nd < ub
+                        and (max_cost is None or nd <= max_cost)
+                    ):
+                        dist[m] = nd
+                        pred[m] = n
+                        partof[m] = dps[i]
+                        heapq.heappush(heap, (nd, m))
+            for n, d in dist.items():
+                if d >= seeds.get(n, inf):
+                    continue  # the seed itself (or an unimproved seed)
+                p = int(partof.get(n, part))
+                o_lane.append(lane)
+                o_node.append(n)
+                o_cost.append(float(d))
+                o_part.append(p)
+                o_intra.append(p == part)
+                if node_mode == "full":
+                    chain = []
+                    cur = n
+                    while cur in pred:
+                        chain.append(cur)
+                        cur = pred[cur]
+                    o_extra.append(list(spath[cur]) + chain[::-1])
+                elif node_mode == "pred":
+                    o_extra.append(pred[n])
+        data = {
+            out_cols[0]: o_lane,
+            out_cols[1]: o_node,
+            out_cols[2]: o_cost,
+            out_cols[3]: pd.Series(o_part, dtype="int32"),
+            out_cols[4]: pd.Series(o_intra, dtype="bool"),
+        }
+        if node_mode != "cost":
+            data[out_cols[5]] = o_extra
+        return pd.DataFrame(data)
+
+    return relax
+
+
 def multi_source_dijkstra(
     edges: DataFrame,
     sources: DataFrame,
@@ -64,6 +185,7 @@ def multi_source_dijkstra(
     shuffle_parts: int | None = None,
     targets: list | dict | None = None,
     target_ranks: dict | None = None,
+    node_parts: DataFrame | None = None,
 ) -> DataFrame:
     """Shortest path costs (and paths) from every source to every reachable node.
 
@@ -98,6 +220,25 @@ def multi_source_dijkstra(
         termination (they may hold non-final costs in the output; the
         consumer's rank discards them). Cuts the superstep count to the
         winner's cost radius instead of the farthest target's.
+    node_parts : optional (node, part:int) DataFrame switching the kernel
+        to PARTITION-LOCAL RELAXATION (round 14): edges are grouped by the
+        part of ``src`` and each superstep runs a cogrouped local Dijkstra
+        per part (one Arrow task per active part), emitting the whole
+        improved intra-part closure plus one-hop exports — so superstep
+        count tracks the shortest paths' PART-BOUNDARY CROSSINGS, not
+        their hop count. This is the density depth-wall fix: on a
+        time-expanded transit graph partitioned by spatial cell
+        (:func:`routing_algorithm_for_graph_dbs_spark.graph.partitioning.spatial_node_parts`),
+        same-stop headway-bounce chains are intra-cell and collapse into
+        one superstep. EXACT for the same reason one-hop relaxation is:
+        whenever a state cost improves, its full intra-part closure and
+        export relaxations at that cost are applied the same superstep
+        (local Dijkstra is transitive within the part), so only
+        cross-part improvements need to re-seed — intra-improved rows
+        are excluded from the next frontier and the fixpoint is
+        unchanged. Nodes absent from the mapping fall back to a hash
+        part; costs/winners are identical either way, only locality
+        (superstep count) varies.
     checkpoint_every : supersteps per localCheckpoint. Between checkpoints
         each superstep's plan references the previous merged state twice
         (as ``best`` and via the frontier), so planning cost grows
@@ -130,7 +271,39 @@ def multi_source_dijkstra(
     n_parts = edge_partition_count(e, n_edges)
     if shuffle_parts is not None:
         n_parts = max(n_parts, shuffle_parts)
-    e = e.repartition(n_parts, "src")
+    parts_mode = node_parts is not None
+    if parts_mode:
+        # hash fallback for unmapped nodes: any CONSISTENT node->part
+        # function preserves exactness (see docstring); 1024 keeps the
+        # fallback parts disjoint-ish from typical cell ids without a
+        # second pass over the mapping
+        def _part_of(col):
+            return F.coalesce(
+                F.col("_p"), F.pmod(F.xxhash64(col), F.lit(1024)).cast("int")
+            )
+
+        np_df = node_parts.select(
+            F.col("node"), F.col("part").cast("int").alias("_p")
+        )
+        e = (
+            e.join(
+                np_df.select(F.col("node").alias("src"), F.col("_p")),
+                "src",
+                "left",
+            )
+            .select("src", "dst", "w", _part_of(F.col("src")).alias("part"))
+            .join(
+                np_df.select(F.col("node").alias("dst"), F.col("_p")),
+                "dst",
+                "left",
+            )
+            .select(
+                "part", "src", "dst", "w", _part_of(F.col("dst")).alias("dp")
+            )
+        )
+        e = e.repartition(n_parts, "part")
+    else:
+        e = e.repartition(n_parts, "src")
     e = e.persist()
 
     full_paths = track_paths is True
@@ -157,6 +330,14 @@ def multi_source_dijkstra(
         )
     else:
         best = sources.select("lane", F.col("node"), F.lit(0.0).alias("cost"))
+    if parts_mode:
+        # state rows carry their node's part so the frontier can group
+        # straight into the cogroup without a per-superstep mapping join
+        best = (
+            best.join(np_df, "node", "left")
+            .withColumn("part", _part_of(F.col("node")))
+            .drop("_p")
+        )
     # generic callers may seed duplicate (lane, node) rows; the merge join
     # below relies on per-key uniqueness of the state (all dups carry the
     # identical cost-0 seed row, so dropping is exact)
@@ -299,6 +480,31 @@ def multi_source_dijkstra(
 
     early_stop = False
     retired_lanes: set = set()
+    if parts_mode:
+        from pyspark.sql.types import (
+            ArrayType,
+            BooleanType,
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        node_t = sources.schema["node"].dataType
+        cand_fields = [
+            StructField("lane", sources.schema["lane"].dataType),
+            StructField("node2", node_t),
+            StructField("cost2", DoubleType()),
+            StructField("part2", IntegerType()),
+            StructField("intra2", BooleanType()),
+        ]
+        relax_mode = "full" if full_paths else ("pred" if pred_mode else "cost")
+        if full_paths:
+            cand_fields.append(StructField("path2", ArrayType(node_t)))
+        elif pred_mode:
+            cand_fields.append(StructField("pred2", node_t))
+        cand_schema = StructType(cand_fields)
+        cand_cols = [f.name for f in cand_fields]
     with superstep_confs(edges.sparkSession, n_parts):
         it, n_frontier = -1, 0  # max_iterations=0: zero supersteps, converged
         lane_ub: dict = {}  # per-lane frontier upper bound (see _lane_ubs)
@@ -308,31 +514,86 @@ def multi_source_dijkstra(
             # aliases (not DataFrame column refs) keep the join unambiguous when
             # a non-checkpointed frontier still carries e's attribute ids from
             # the previous superstep.
-            proj = [
-                F.col("f.lane").alias("lane"),
-                F.col("g.dst").alias("node2"),
-                (F.col("f.cost") + F.col("g.w")).alias("cost2"),
-            ]
-            if full_paths:
-                proj.append(
-                    F.concat(F.col("f.path"), F.array(F.col("g.dst"))).alias("path2")
+            if parts_mode:
+                # partition-local relaxation: only parts holding frontier
+                # rows do work — the broadcast semi-join keeps the Arrow
+                # traffic proportional to the active cells, and the
+                # persisted hash-partitioning on ``part`` satisfies the
+                # cogroup's clustering requirement without a re-exchange
+                active = frontier.select("part").distinct()
+                ep = e.join(F.broadcast(active), "part")
+                cand = (
+                    frontier.groupBy("part")
+                    .cogroup(ep.groupBy("part"))
+                    .applyInPandas(
+                        _make_local_relax(
+                            cand_cols, relax_mode, lane_ub, max_cost
+                        ),
+                        cand_schema,
+                    )
                 )
-            elif pred_mode:
-                proj.append(F.col("f.node").alias("pred2"))
-            cand = (
-                frontier.alias("f")
-                .join(e.alias("g"), F.col("f.node") == F.col("g.src"), "inner")
-                .select(*proj)
-            )
+                # several parts can emit the same (lane, node): its own
+                # part's closure and exports from neighbors — keep the
+                # min; the winning row's intra flag / path travel together
+                # (struct min_by) so a tie never mixes rows
+                win = [F.col("intra2")] + (
+                    [F.col("path2")]
+                    if full_paths
+                    else ([F.col("pred2")] if pred_mode else [])
+                )
+                cand = (
+                    cand.groupBy("lane", "node2")
+                    .agg(
+                        F.min("cost2").alias("cost2"),
+                        F.first("part2").alias("part2"),
+                        F.min_by(F.struct(*win), "cost2").alias("_w"),
+                    )
+                    .select(
+                        "lane",
+                        "node2",
+                        "cost2",
+                        "part2",
+                        F.col("_w.intra2").alias("intra2"),
+                        *(
+                            [F.col("_w.path2").alias("path2")]
+                            if full_paths
+                            else (
+                                [F.col("_w.pred2").alias("pred2")]
+                                if pred_mode
+                                else []
+                            )
+                        ),
+                    )
+                )
+            else:
+                proj = [
+                    F.col("f.lane").alias("lane"),
+                    F.col("g.dst").alias("node2"),
+                    (F.col("f.cost") + F.col("g.w")).alias("cost2"),
+                ]
+                if full_paths:
+                    proj.append(
+                        F.concat(
+                            F.col("f.path"), F.array(F.col("g.dst"))
+                        ).alias("path2")
+                    )
+                elif pred_mode:
+                    proj.append(F.col("f.node").alias("pred2"))
+                cand = (
+                    frontier.alias("f")
+                    .join(e.alias("g"), F.col("f.node") == F.col("g.src"), "inner")
+                    .select(*proj)
+                )
 
-            # keep the per-(lane,node) minimum among candidates (min_by keeps one
-            # arbitrary path among exact ties, matching GDS tie behavior)
-            aggs = [F.min("cost2").alias("cost2")]
-            if full_paths:
-                aggs.append(F.min_by("path2", "cost2").alias("path2"))
-            elif pred_mode:
-                aggs.append(F.min_by("pred2", "cost2").alias("pred2"))
-            cand = cand.groupBy("lane", "node2").agg(*aggs)
+                # keep the per-(lane,node) minimum among candidates (min_by
+                # keeps one arbitrary path among exact ties, matching GDS
+                # tie behavior)
+                aggs = [F.min("cost2").alias("cost2")]
+                if full_paths:
+                    aggs.append(F.min_by("path2", "cost2").alias("path2"))
+                elif pred_mode:
+                    aggs.append(F.min_by("pred2", "cost2").alias("pred2"))
+                cand = cand.groupBy("lane", "node2").agg(*aggs)
 
             # improvement detection + state merge in ONE full-outer join:
             # both sides are unique per (lane, node), so a CASE picks the
@@ -357,6 +618,19 @@ def multi_source_dijkstra(
                 ),
                 better.alias("is_frontier"),
             ]
+            if parts_mode:
+                sel.append(
+                    F.coalesce(F.col("b.part"), F.col("c.part2")).alias("part")
+                )
+                # an intra-improved row's full intra-part closure and export
+                # relaxations were applied THIS superstep (local Dijkstra is
+                # transitive within the part) — only cross-part improvements
+                # still owe relaxations and must seed the next superstep
+                sel.append(
+                    (better & ~F.coalesce(F.col("c.intra2"), F.lit(False))).alias(
+                        "is_seed"
+                    )
+                )
             if full_paths:
                 sel.append(
                     F.when(better, F.col("c.path2")).otherwise(F.col("b.path")).alias(
@@ -382,9 +656,17 @@ def multi_source_dijkstra(
                 # NULL-cost state — they never entered the state before
                 .filter(F.col("cost").isNotNull())
             )
-            frontier_cols = ["lane", "node", "cost"] + (
-                ["path"] if full_paths else (["pred"] if pred_mode else [])
+            frontier_cols = (
+                ["lane", "node", "cost"]
+                + (["part"] if parts_mode else [])
+                + (["path"] if full_paths else (["pred"] if pred_mode else []))
             )
+            # parts mode: the next frontier is the SEED rows (cross-part
+            # improvements); intra-improved rows' relaxations are already
+            # fully applied, so they neither re-seed nor block settlement
+            # (fmin over seeds only is sound: all future improvements
+            # originate from seed rows), but their target hits still count
+            seed_col = F.col("is_seed") if parts_mode else F.col("is_frontier")
             n_frontier = None
             if (it + 1) % checkpoint_every == 0:
                 # LAZY checkpoint + count = ONE job per superstep: the count
@@ -395,7 +677,7 @@ def multi_source_dijkstra(
                 # supersteps in the 100x-scale batch routing regime).
                 merged = merged.localCheckpoint(eager=False)
                 if tgt_df is None:
-                    n_frontier = merged.filter(F.col("is_frontier")).count()
+                    n_frontier = merged.filter(seed_col).count()
                 else:
                     # settlement probe fused into the materializing scan:
                     # a target's cost only ever changes by appearing in a
@@ -413,8 +695,8 @@ def multi_source_dijkstra(
                         )
                         .groupBy("lane")
                         .agg(
-                            F.count(F.lit(1)).alias("n"),
-                            F.min("cost").alias("fmin"),
+                            F.count(F.when(seed_col, F.lit(1))).alias("n"),
+                            F.min(F.when(seed_col, F.col("cost"))).alias("fmin"),
                             F.collect_list(
                                 F.when(
                                     F.col("_t").isNotNull(),
@@ -430,7 +712,13 @@ def multi_source_dijkstra(
                             tgt_cost[(r["lane"], hit["node"])] = hit["cost"]
                     lane_ub = _lane_ubs()
                     if n_frontier:
-                        fmin = {r["lane"]: r["fmin"] for r in stats}
+                        # a lane with hits but no seed rows (parts mode) is
+                        # exhausted — same as absent from the frontier
+                        fmin = {
+                            r["lane"]: r["fmin"]
+                            for r in stats
+                            if r["fmin"] is not None
+                        }
                         # settled = cost can no longer improve: any future
                         # relaxation passes through a frontier row of cost
                         # >= fmin and adds a non-negative weight. (With
@@ -467,8 +755,8 @@ def multi_source_dijkstra(
                     f"t={_time.monotonic():.0f}",
                     file=_sys.stderr,
                 )
-            best = merged.drop("is_frontier")
-            frontier = merged.filter("is_frontier").select(*frontier_cols)
+            best = merged.drop("is_frontier", "is_seed")
+            frontier = merged.filter(seed_col).select(*frontier_cols)
             if done_now:
                 # Drop a retired lane's rows ONCE, the superstep it retires:
                 # a lane's frontier derives only from its own previous
@@ -524,6 +812,8 @@ def multi_source_dijkstra(
         # improvements were pruned) — the horizon contract only returns
         # settled rows
         best = best.filter(F.col("cost") <= max_cost)
+    if parts_mode:
+        best = best.drop("part")  # internal locality column, not contract
     return best
 
 
@@ -607,8 +897,15 @@ def sssp(
     shuffle_parts: int | None = None,
     n_edges: int | None = None,
     target_ranks: dict | None = None,
+    node_parts=None,
 ) -> DataFrame:
     """Two-tier SSSP dispatcher (same (lane, node, cost[, path]) contract).
+
+    ``node_parts``: optional (node, part:int) DataFrame — or a zero-arg
+    callable returning one, resolved only if the iterative tier actually
+    runs — switching that tier to partition-local relaxation (see
+    :func:`multi_source_dijkstra`). The broadcast tier ignores it (the
+    whole graph is already local there).
 
     ``n_edges``: caller-known edge cardinality (ProjectedGraph.edge_count
     memoizes it) — skips the dispatch count job, which is pure overhead on
@@ -665,11 +962,13 @@ def sssp(
                 edges, sources, weight_col, bool(track_paths), targets,
                 max_cost=max_cost, target_ranks=target_ranks,
             )
+        if callable(node_parts):
+            node_parts = node_parts()
         return multi_source_dijkstra(
             edges, sources, weight_col, max_iterations, track_paths,
             n_edges=n_edges, max_cost=max_cost, checkpoint_every=checkpoint_every,
             shuffle_parts=shuffle_parts, targets=targets,
-            target_ranks=target_ranks,
+            target_ranks=target_ranks, node_parts=node_parts,
         )
     finally:
         release()

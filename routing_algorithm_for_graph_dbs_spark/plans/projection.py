@@ -68,6 +68,22 @@ class ProjectedGraph:
             object.__setattr__(self, "_edge_count", n)
         return n
 
+    def node_parts(self) -> DataFrame:
+        """Spatial-cell (node, part) mapping for the SSSP iterative
+        tier's partition-local relaxation (graph/partitioning.py
+        spatial_node_parts) — memoized: the vertex relation is immutable
+        after projection and the bounds agg should run once per graph,
+        not once per kernel run."""
+        np_df = getattr(self, "_node_parts", None)
+        if np_df is None:
+            from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+                spatial_node_parts,
+            )
+
+            np_df = spatial_node_parts(self.vertices)
+            object.__setattr__(self, "_node_parts", np_df)
+        return np_df
+
 
 # driver-side graph catalog, parity with the GDS catalog
 _CATALOG: dict[str, ProjectedGraph] = {}

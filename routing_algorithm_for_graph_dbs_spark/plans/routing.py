@@ -218,6 +218,10 @@ def _run_pairs(
         # iterative tier: the kernel RAISES if targets don't settle within
         # this budget (silent non-final costs would corrupt the ranking)
         max_iterations=max_iterations,
+        # iterative tier: spatial-cell partition-local relaxation — the
+        # density depth-wall fix (supersteps track cell crossings, not
+        # headway bounces); resolved lazily, broadcast tier never pays
+        node_parts=graph.node_parts,
     )
     t = targets.select(
         F.col("stoptime_id").alias("t_id"),
@@ -297,6 +301,7 @@ def routing_batch(
     checkpoint_every: int = 1,
     max_cost: float | None = None,
     stop_bound: bool = True,
+    local_relax: bool = True,
 ) -> DataFrame:
     """Every OD pair's itinerary in ONE multi-lane SSSP run.
 
@@ -435,6 +440,12 @@ def routing_batch(
         strategy=strategy, n_edges=graph.edge_count(),
         max_iterations=max_iterations, checkpoint_every=checkpoint_every,
         track_paths=("pred" if pred_mode else True),
+        # iterative tier: spatial-cell partition-local relaxation — the
+        # density depth-wall fix (supersteps track cell crossings, not
+        # headway bounces); resolved lazily, broadcast tier never pays.
+        # ``local_relax=False`` pins the legacy one-hop kernel (the scale
+        # harness A/Bs the two shapes on the same probe).
+        node_parts=(graph.node_parts if local_relax else None),
         # iterative tier: spread the (lane x horizon-ball) state across
         # the cluster — the edge-sized default leaves most cores idle
         # (no-op for the broadcast tier)

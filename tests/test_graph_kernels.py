@@ -658,3 +658,193 @@ def test_iterative_per_lane_retirement(spark):
     assert rows[("B", f"n{n}")] == float(n)
     assert sssp_mod.LAST_ITERATIVE_RETIRED == 1
     assert sssp_mod.LAST_ITERATIVE_CONVERGED
+
+
+# ---------------------------------------------------------------------------
+# round 14: partition-local relaxation (the density depth-wall fix)
+
+
+def _hash_parts(spark, n_nodes, k=4, prefix="n"):
+    """Adversarial node->part mapping: round-robin over k parts, so almost
+    every edge is cross-part (the worst locality the mode can see)."""
+    return spark.createDataFrame(
+        [(f"{prefix}{i}", i % k) for i in range(n_nodes)], ["node", "part"]
+    )
+
+
+def _random_graph(seed=7, n=60, m=300):
+    import random
+
+    random.seed(seed)
+    return [
+        (
+            f"n{random.randrange(n)}",
+            f"n{random.randrange(n)}",
+            float(random.randint(1, 9)),
+        )
+        for _ in range(m)
+    ]
+
+
+def test_local_relax_matches_onehop_all_modes(spark):
+    """node_parts switches candidate generation to cogrouped per-part
+    Dijkstra; results must be identical to the one-hop kernel in every
+    track_paths mode — costs exactly, paths/preds as valid optimal
+    witnesses (tie class members)."""
+    import importlib
+
+    S = importlib.import_module("routing_algorithm_for_graph_dbs_spark.graph.sssp")
+
+    triples = _random_graph()
+    e = _edges_df(spark, triples)
+    src = spark.createDataFrame([("L1", "n0"), ("L2", "n5")], ["lane", "node"])
+    np_df = _hash_parts(spark, 60)
+
+    base = {
+        (r["lane"], r["node"]): r["cost"]
+        for r in S.multi_source_dijkstra(e, src, track_paths=False).collect()
+    }
+    got = {
+        (r["lane"], r["node"]): r["cost"]
+        for r in S.multi_source_dijkstra(
+            e, src, track_paths=False, node_parts=np_df
+        ).collect()
+    }
+    assert got == base and len(base) > 10
+
+    wmap: dict = {}
+    for s, d, w in triples:
+        wmap[(s, d)] = min(w, wmap.get((s, d), float("inf")))
+
+    # pred mode: every pred row must be cost-consistent at the fixpoint
+    st = {
+        (r["lane"], r["node"]): (r["cost"], r["pred"])
+        for r in S.multi_source_dijkstra(
+            e, src, track_paths="pred", node_parts=np_df
+        ).collect()
+    }
+    assert {k: v[0] for k, v in st.items()} == base
+    for (lane, node), (cost, pred) in st.items():
+        if pred is not None:
+            assert st[(lane, pred)][0] + wmap[(pred, node)] == pytest.approx(cost)
+
+    # full-path mode: each path is a real walk of total weight == cost
+    for r in S.multi_source_dijkstra(e, src, node_parts=np_df).collect():
+        p = r["path"]
+        assert p[-1] == r["node"]
+        assert sum(wmap[(a, b)] for a, b in zip(p, p[1:])) == pytest.approx(
+            r["cost"]
+        )
+
+
+def test_local_relax_targets_and_ranks(spark):
+    """Target settlement, per-lane retirement and rank pruning must hold
+    under partition-local relaxation (the settlement fmin is computed
+    over SEED rows only — intra-improved rows cannot cause future
+    improvements, so excluding them is sound, and the early stop must
+    still deliver exact target costs)."""
+    import importlib
+
+    S = importlib.import_module("routing_algorithm_for_graph_dbs_spark.graph.sssp")
+
+    triples = _random_graph(seed=11)
+    e = _edges_df(spark, triples)
+    src = spark.createDataFrame([("L1", "n0"), ("L2", "n5")], ["lane", "node"])
+    np_df = _hash_parts(spark, 60)
+    base = {
+        (r["lane"], r["node"]): r["cost"]
+        for r in S.multi_source_dijkstra(e, src, track_paths=False).collect()
+    }
+
+    tgts = {"L1": ["n17", "n33"], "L2": ["n17"]}
+    got = {
+        (r["lane"], r["node"]): r["cost"]
+        for r in S.multi_source_dijkstra(
+            e, src, track_paths=False, node_parts=np_df, targets=tgts
+        ).collect()
+    }
+    assert S.LAST_ITERATIVE_CONVERGED
+    for lane, nodes in tgts.items():
+        for n in nodes:
+            assert got.get((lane, n)) == base.get((lane, n))
+
+    # rank-pruned settlement on a 2-part unit chain: the kernel must stop
+    # at the winner's radius, and the chain collapses to ~1 superstep per
+    # part crossing instead of one per hop
+    chain = [(f"c{i}", f"c{i+1}", 1.0) for i in range(60)]
+    e2 = _edges_df(spark, chain)
+    src2 = spark.createDataFrame([("c0", "c0")], ["lane", "node"])
+    np2 = spark.createDataFrame(
+        [(f"c{i}", 0 if i < 30 else 1) for i in range(61)], ["node", "part"]
+    )
+    ranks = {"c0": [(0, "c3", 5.0), (0, "c50", 9.0)]}
+    got2 = {
+        r["node"]: r["cost"]
+        for r in S.multi_source_dijkstra(
+            e2, src2, target_ranks=ranks, node_parts=np2
+        ).collect()
+    }
+    assert got2["c3"] == 3.0
+    # depth collapse: 60-hop chain over 2 parts needs ~2 supersteps, not 60
+    assert S.LAST_ITERATIVE_SUPERSTEPS <= 4
+
+
+def test_local_relax_horizon_and_unsettled_raise(spark):
+    """max_cost horizon semantics and the unsettled-targets raise are
+    mode-independent."""
+    import importlib
+
+    S = importlib.import_module("routing_algorithm_for_graph_dbs_spark.graph.sssp")
+
+    e = _edges_df(spark, [(f"n{i}", f"n{i+1}", 1.0) for i in range(20)])
+    src = spark.createDataFrame([("n0", "n0")], ["lane", "node"])
+    np_df = _hash_parts(spark, 21, k=7)
+    got = {
+        r["node"]: r["cost"]
+        for r in S.multi_source_dijkstra(
+            e, src, track_paths=False, node_parts=np_df, max_cost=5.0
+        ).collect()
+    }
+    assert got == {f"n{i}": float(i) for i in range(6)}
+
+    # round-robin parts make every chain hop cross-part, so the budget
+    # still binds one superstep per hop: unsettled targets must RAISE
+    with pytest.raises(RuntimeError, match="max_iterations"):
+        S.multi_source_dijkstra(
+            e, src, targets={"n0": ["n20"]}, node_parts=np_df,
+            max_iterations=3,
+        )
+    # an EMPTY mapping falls back to hash parts for every node — results
+    # must still be exact
+    empty_map = spark.createDataFrame([], "node string, part int")
+    got_f = {
+        r["node"]: r["cost"]
+        for r in S.multi_source_dijkstra(
+            e, src, track_paths=False, node_parts=empty_map
+        ).collect()
+    }
+    assert got_f == {f"n{i}": float(i) for i in range(21)}
+
+
+def test_spatial_node_parts_grid(spark):
+    """The spatial partitioner: bounded part ids, co-located nearby
+    vertices, degenerate (single-point) extents collapse to part 0."""
+    from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+        spatial_node_parts,
+    )
+
+    rows = [
+        (f"v{i}", 1, 11.0 + (i % 10) * 0.01, 44.0 + (i // 10) * 0.01)
+        for i in range(100)
+    ]
+    v = spark.createDataFrame(rows, ["id", "stop_sequence", "lon", "lat"])
+    parts = {r["node"]: r["part"] for r in spatial_node_parts(v, cells=4).collect()}
+    assert set(parts) == {f"v{i}" for i in range(100)}
+    assert all(0 <= p < 16 for p in parts.values())
+    # neighbors in the same quadrant share a part
+    assert parts["v0"] == parts["v1"]
+    # far corners do not
+    assert parts["v0"] != parts["v99"]
+
+    v1 = spark.createDataFrame([("a", 1, 5.0, 5.0)], ["id", "stop_sequence", "lon", "lat"])
+    assert spatial_node_parts(v1).collect()[0]["part"] == 0

@@ -126,6 +126,10 @@ def main() -> None:
     t_broadcast = round(time.perf_counter() - t0, 1)
 
     ck = int(os.environ.get("SCALE_CHECKPOINT_EVERY", "1"))
+    # round 14: partition-local relaxation (the density depth-wall fix)
+    # is the iterative tier's DEFAULT; SCALE_LOCAL_RELAX=0 pins the
+    # legacy one-hop kernel for A/B on the same probe
+    local_relax = os.environ.get("SCALE_LOCAL_RELAX", "1") == "1"
     # Legacy bounded-horizon opt-in (hours; 0 = exact/off — the DEFAULT
     # since the stop-bound certificate landed). A nonzero horizon is NOT
     # provably winner-preserving (walking inflates cost past elapsed
@@ -137,6 +141,7 @@ def main() -> None:
         g, od_pairs_9(), time_s=14 * 3600, strategy="iterative",
         max_iterations=3000, checkpoint_every=ck,
         max_cost=(horizon_h * 3600 if horizon_h > 0 else None),
+        local_relax=local_relax,
     ).collect()
     t_iterative = round(time.perf_counter() - t0, 1)
     supersteps = sssp_mod.LAST_ITERATIVE_SUPERSTEPS
@@ -168,6 +173,7 @@ def main() -> None:
                 "t_projection_s": t_projection,
                 "checkpoint_every": ck,
                 "horizon_h": horizon_h,
+                "local_relax": local_relax,
                 "t_routing_batch_broadcast_s": t_broadcast,
                 "t_routing_batch_iterative_s": t_iterative,
                 "iterative_supersteps": supersteps,
