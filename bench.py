@@ -435,12 +435,13 @@ def _settle_gate() -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    load_gate = _settle_gate()
-    spark = get_spark(app_name="bench")
+def _suite_run(spark, sf_dir: str, sf: float, load_gate: dict) -> dict:
+    """One full suite measurement: every headline query with warmup,
+    min-of-n timing, per-query contamination forensics and per-query
+    requeue. Returns the full record dict (also appended to the durable
+    local artifact). Factored out of main() in round 14 so the RUN-LEVEL
+    requeue (VERDICT r13 #4) can re-measure the whole suite when the
+    run-wide forensics come back dirty."""
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # contamination gates (round 13, VERDICT r12 #3): a query whose
     # timed window shows external cores above this, or whose CPU-speed
@@ -456,6 +457,7 @@ def main() -> None:
     ext_cores: dict[str, float] = {}
     canary: dict[str, float] = {}
     requeues: dict[str, int] = {}
+    attempts: dict[str, int] = {}
     run_cpu0 = _cpu_sample()
     run_t0 = time.perf_counter()
 
@@ -484,6 +486,10 @@ def main() -> None:
         )
         canary[name] = round(_canary_probe() / canary_base, 3)
         spread.setdefault(name, []).extend(runs)
+        # ADVICE r13: spread accumulates across requeue attempts — the
+        # per-query attempt count lets consumers partition it back into
+        # n_runs-sized passes unambiguously
+        attempts[name] = attempts.get(name, 0) + 1
         return min(runs)
 
     floor0, _floor0_src = _load_floor(sf)
@@ -564,6 +570,7 @@ def main() -> None:
         "canary_baseline_s": round(canary_base, 4),
         "canary_drift": canary,
         "requeued": requeues,
+        "attempts": attempts,
         "runs_per_query": n_runs,
         "spread": spread,
         "config_epochs": CONFIG_EPOCHS,
@@ -594,6 +601,54 @@ def main() -> None:
                 )
     local_path = _persist_local(out, os.path.dirname(os.path.abspath(__file__)))
     print(f"bench: full record appended to {local_path}", file=sys.stderr)
+    return out
+
+
+def _run_clean(rec: dict, max_ext: float, canary_tol: float) -> bool:
+    """Run-level settledness: the whole-run external-cores average is
+    under the gate AND no query's canary drifted past tolerance."""
+    worst_canary = max(rec.get("canary_drift", {}).values(), default=1.0)
+    return rec["external_cores_run"] <= max_ext and worst_canary <= canary_tol
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    load_gate = _settle_gate()
+    spark = get_spark(app_name="bench")
+    # WHOLE-RUN requeue (round 14, VERDICT r13 #4): per-query requeue
+    # fixed individual windows, but r11-r13 officials were still the
+    # round's warmest run because nothing re-measured the SUITE when the
+    # run-wide forensics (external_cores_run / end-of-run canary) came
+    # back dirty. If the run isn't settled, re-run the full suite (fresh
+    # settle gate + canary baseline) up to $SPARK_GRAFT_RUN_REQUEUES
+    # times and ship the best record: a settled one if any attempt
+    # settled, else the lowest-total attempt — every attempt is appended
+    # to the durable local artifact either way, so the floor still
+    # learns from all of them.
+    max_ext = float(os.environ.get("SPARK_GRAFT_MAX_EXT_CORES", "0.25"))
+    canary_tol = float(os.environ.get("SPARK_GRAFT_CANARY_TOL", "1.15"))
+    run_requeues = int(os.environ.get("SPARK_GRAFT_RUN_REQUEUES", "1"))
+    records = [_suite_run(spark, sf_dir, sf, load_gate)]
+    while (
+        not _run_clean(records[-1], max_ext, canary_tol)
+        and len(records) - 1 < run_requeues
+    ):
+        rec = records[-1]
+        print(
+            f"bench: run-level requeue (attempt {len(records)}: "
+            f"external_cores_run {rec['external_cores_run']}, worst canary "
+            f"{max(rec.get('canary_drift', {}).values(), default=1.0)})",
+            file=sys.stderr,
+        )
+        load_gate = _settle_gate()
+        records.append(_suite_run(spark, sf_dir, sf, load_gate))
+    settled = [r for r in records if _run_clean(r, max_ext, canary_tol)]
+    out = min(settled or records, key=lambda r: r["value"])
+    out["run_attempts"] = len(records)
+    out["run_requeued"] = len(records) - 1
+    out["run_settled"] = bool(settled)
     # the driver keeps only the last ~2 KB of stdout (BENCH_r09/r10 were
     # cut mid-line, parsed=null), so the printed line is the SLIM record —
     # per-run spread and per-query floor provenance live in the durable
