@@ -6671,6 +6671,62 @@ def mm_jpeg_lossless(spark, sf_dir):
 
 
 @_register(
+    "mm_jpeg_hierarchical",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           CAST(8 + doc_id % 7 AS BIGINT) AS height,
+           -- the lossless DHP/EXP/SOF7 pyramid decodes exactly, so the
+           -- diagonal ramp's mean is the same closed form as the SOF3
+           -- row: g + (w-1)/2 + (h-1)/2 with g = 16 + (doc_id % 14)*16;
+           -- x*1e6/255 has fractional parts k/51, never a rounding tie
+           FLOOR((16 + (doc_id % 14) * 16
+                  + (7 + doc_id % 9) / 2.0
+                  + (7 + doc_id % 7) / 2.0) / 255.0 * 1e6 + 0.5) / 1e6
+             AS mean_luma,
+           'jpeg' AS decoder
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm_jpeg_hierarchical(spark, sf_dir):
+    """REAL-codec cross-engine check, HIERARCHICAL JPEG (round 14 —
+    T.81 Annex J DHP/EXP/SOF5-7 moves off the declared boundary):
+    synth_jpeg_hierarchical_media mints diagonal-ramp images as
+    DHP pyramids (SOF3 initial + EXP expansion + SOF7 mod-2^16
+    differential frames, level count cycling 1..3) and image_features
+    entropy-decodes every payload for real (strict=True). The lossless
+    pyramid decode is EXACT — any EXP interpolation, predictor-0
+    differential, or reference-composition bug shifts the mean and
+    breaks the hash. No external validator exists (libjpeg never
+    implemented Annex J); byte-stream truth is pinned by the
+    hand-derived golden in tests/test_codec_crosscheck.py plus the
+    exact encode/decode twin round-trip. Reference parity: reshape.py's
+    image handling is Neo4j-side; this is the training-data-pipeline
+    surface."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        image_features,
+        synth_jpeg_hierarchical_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # spread the INPUT docs: per-doc payload ENCODE is the synth's
+    # CPU-heavy half and small parquet arrives as one scan split
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    media = synth_jpeg_hierarchical_media(docs)
+    return image_features(media, strict=True).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma",
+        "decoder",
+    )
+
+
+@_register(
     "mm_webp_lossy",
     """
     SELECT doc_id AS media_id,

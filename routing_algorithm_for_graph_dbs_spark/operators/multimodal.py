@@ -595,7 +595,8 @@ def image_features(
     baseline, extended-sequential 12-bit, and progressive, exact IDCT of
     the Y channel, ARITHMETIC streams — sequential SOF9 AND progressive
     SOF10 — via the round-12 QM-coder, plus LOSSLESS SOF3 — the round-13
-    Annex H DPCM path; only hierarchical and arithmetic-lossless raise
+    Annex H DPCM path, plus HIERARCHICAL DHP/EXP/SOF5-7 — the round-14
+    Annex J path; only the arithmetic-lossless/-differential modes raise
     there), and ``image/png`` payloads carrying a real PNG signature the
     REAL PNG decoder (``operators/png.py decode_png`` — stdlib-zlib
     inflate + scanline unfiltering, every legal depth/color/interlace
@@ -634,7 +635,7 @@ def image_features(
                 b = bytes(payload) if payload is not None else b""
                 # signature guard + decode-error guard: a payload that is
                 # mislabeled, or that passes the cheap signature sniff but
-                # is not decodable by the real codecs (hierarchical-mode/
+                # is not decodable by the real codecs (arithmetic-lossless/
                 # truncated JPEG, corrupt PNG), must
                 # fall to the fake path, not crash the stage — unless
                 # strict=True, where the codec's error propagates.
@@ -1212,6 +1213,53 @@ def synth_jpeg_lossless_media(docs: DataFrame) -> DataFrame:
                 ).astype(np.uint8)
                 payloads.append(encode_jpeg_gray_lossless(
                     img, predictor=int(pred), restart_rows=int(rst)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def synth_jpeg_hierarchical_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL HIERARCHICAL (Annex J) JPEG payloads (round
+    14). Each image-kind doc becomes the same diagonal RAMP image as the
+    SOF3 row (pixel[y, x] = g + x + y), encoded as a DHP/EXP pyramid —
+    SOF3 initial frame + SOF7 lossless differential frames — with the
+    level count cycling 1..3 on doc_id // 3 (level 1 degenerates to a
+    single non-differential frame; 2 and 3 exercise EXP expansion and
+    mod-2^16 differential reconstruction on every sample). The lossless
+    pyramid decodes EXACTLY, so the oracle states the decoded mean in the
+    same closed form as mm_jpeg_lossless: g + (w-1)/2 + (h-1)/2."""
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        encode_jpeg_gray_hierarchical,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (16 + (F.col("doc_id") % 14) * 16).cast("int").alias("g"),
+        (8 + F.col("doc_id") % 9).cast("int").alias("w"),
+        (8 + F.col("doc_id") % 7).cast("int").alias("h"),
+        (1 + (F.col("doc_id") / 3).cast("long") % 3).cast("int").alias("lv"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for g, w, h, lv in zip(pdf["g"], pdf["w"], pdf["h"], pdf["lv"]):
+                img = (
+                    int(g)
+                    + np.add.outer(np.arange(int(h)), np.arange(int(w)))
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_jpeg_gray_hierarchical(img, levels=int(lv))
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1301,3 +1301,130 @@ def test_independent_c_decoder_recovers_flac_pcm(tmp_path):
         got = np.fromfile(out, "<i4").reshape(samples.shape)
         assert (got == samples).all(), (
             i, mode, force, np.argwhere(got != samples)[:3].tolist())
+
+
+def test_jpeg_hierarchical_golden_bytes():
+    """Hierarchical (Annex J) byte-stream truth, hand-derived (libjpeg
+    has NEVER implemented hierarchical mode, so the SOF3/fax empirical-
+    golden precedent applies): a 2x2 image as a 2-level pyramid — DHP,
+    1x1 SOF3 initial frame, EXP(h+v), 2x2 SOF7 differential frame —
+    every marker segment AND entropy byte pinned from the spec by hand;
+    the decoder must invert it exactly.
+
+    Derivation: level0 = decimation [[100]]; frame1 sample 100, fresh
+    Px=128, diff=-28 -> SSSS5 ('110') + 00011 = 0xC3 (exactly 8 bits).
+    EXP doubles [[100]] -> [[100,100],[100,100]] (J.1.1.2 replication).
+    diff = img - ref mod 2^16 = [[0,2],[65534,0]] -> predictor-0 codes
+    SSSS0('00'), SSSS2('011')+'10', SSSS2('011')+'01' (diff -2), SSSS0
+    ('00') -> 00 011 10 011 01 00 + '11' pad = 0x1C 0xD3."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        LOSSLESS_DC_BITS,
+        LOSSLESS_DC_VALS,
+        _decode_jpeg_plane,
+        encode_jpeg_gray_hierarchical,
+    )
+
+    img = np.array([[100, 102], [98, 100]], np.uint8)
+    dht = b"\xff\xc4\x00\x24\x00" + bytes(LOSSLESS_DC_BITS) + bytes(
+        LOSSLESS_DC_VALS
+    )
+    expected = (
+        b"\xff\xd8"
+        + b"\xff\xde\x00\x0b\x08\x00\x02\x00\x02\x01\x01\x11\x00"
+        + b"\xff\xc3\x00\x0b\x08\x00\x01\x00\x01\x01\x01\x11\x00"
+        + dht
+        + b"\xff\xda\x00\x08\x01\x01\x00\x01\x00\x00"
+        + b"\xc3"
+        + b"\xff\xdf\x00\x03\x11"
+        + b"\xff\xc7\x00\x0b\x08\x00\x02\x00\x02\x01\x01\x11\x00"
+        + dht
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x00\x00"
+        + b"\x1c\xd3"
+        + b"\xff\xd9"
+    )
+    got = encode_jpeg_gray_hierarchical(img, levels=2)
+    assert got == expected, got.hex()
+    w, h, nc, plane = _decode_jpeg_plane(expected)
+    assert (w, h, nc) == (2, 2, 1)
+    assert (np.rint(plane).astype(np.uint8) == img).all()
+
+
+def test_jpeg_hierarchical_lossless_roundtrip():
+    """The all-lossless pyramid (SOF3 + EXP + SOF7 chain) round-trips
+    EXACTLY at every level count, including odd dims (EXP's 2w-1 crop)
+    and degenerate 1-pixel axes."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg_gray_hierarchical,
+    )
+
+    rng = np.random.default_rng(1414)
+    for shape in [(8, 8), (17, 23), (33, 41), (1, 1), (5, 64), (1, 9)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for levels in (1, 2, 3, 4):
+            data = encode_jpeg_gray_hierarchical(img, levels=levels)
+            got = decode_jpeg_luma(data)
+            assert got.shape == img.shape, (shape, levels)
+            assert np.array_equal(got, img), (shape, levels)
+
+
+def test_jpeg_hierarchical_dct_differential():
+    """SOF5 (sequential) and SOF6 (progressive) DCT differential final
+    frames: the stream carries the right markers, decodes through the
+    no-level-shift differential path, and reconstructs the gradient to
+    within the q95 quantization envelope."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        decode_jpeg_luma,
+        encode_jpeg_gray_hierarchical,
+    )
+
+    yy, xx = np.mgrid[0:48, 0:40]
+    img = ((xx + yy) * 2 % 256).astype(np.uint8)
+    for final, marker in (("dct", b"\xff\xc5"), ("dct_progressive", b"\xff\xc6")):
+        data = encode_jpeg_gray_hierarchical(
+            img, levels=3, final=final, quality=95
+        )
+        assert marker in data and b"\xff\xde" in data and b"\xff\xdf" in data
+        got = decode_jpeg_luma(data).astype(np.float64)
+        rmse = float(np.sqrt(((got - img) ** 2).mean()))
+        assert rmse < 4.0, (final, rmse)
+
+
+def test_jpeg_boundary_raises_narrowed():
+    """Round 14 boundary narrowing: differential SOFs OUTSIDE a DHP
+    stream are a ValueError (illegal stream, not a missing feature);
+    arithmetic-lossless (SOF11) keeps the honest NotImplementedError;
+    arithmetic frames INSIDE a hierarchical stream raise too."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        _decode_jpeg_plane,
+        encode_jpeg_gray_hierarchical,
+    )
+
+    sof = struct.pack(">HBHHB", 11, 8, 2, 2, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="hierarchical"):
+        _decode_jpeg_plane(b"\xff\xd8\xff\xc5" + sof + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        _decode_jpeg_plane(b"\xff\xd8\xff\xcb" + sof + b"\xff\xd9")
+    # inside a DHP stream, an arithmetic differential frame still raises
+    with pytest.raises(NotImplementedError, match="arithmetic|real image lib"):
+        _decode_jpeg_plane(
+            b"\xff\xd8\xff\xde" + sof + b"\xff\xcd" + sof + b"\xff\xd9"
+        )
+    # multi-component hierarchical is a declared boundary
+    img = np.zeros((4, 4), np.uint8)
+    data = bytearray(encode_jpeg_gray_hierarchical(img, levels=1))
+    i = data.index(b"\xff\xde") + 9  # ncomp byte of the DHP segment
+    data[i] = 3
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        _decode_jpeg_plane(bytes(data))
