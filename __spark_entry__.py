@@ -22,92 +22,93 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIES  # noqa: E402
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
-# order. The window ROTATES each round (round-5 verdict demand). Round 13:
-# lead with the queries NEW this round (mm_jpeg_lossless — T.81 Annex H
-# SOF3; mm_webp_lossy — the RFC 6386 lossy VP8 key-frame decoder), then
-# re-run every query whose implementation changed since its r11/r12
-# driver row (the fax searchsorted rewrite, the TIFF strip-table guard,
-# and every row flowing through the SOF3-extended decode_jpeg dispatch
-# or the two-flavor image_features WebP branch), then the entire
-# r9-stale block in CORRECTNESS_r09 order, then the stalest r10 row —
-# staleness recomputed from the CORRECTNESS_r*.json artifacts as
-# r11/r12 did. The remaining registry stays covered by
-# tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
+# order. The window ROTATES each round (round-5 verdict demand). Round 14:
+# lead with the query NEW this round (mm_jpeg_hierarchical — T.81
+# Annex J DHP/EXP/SOF5-7 pyramids), then re-run every query whose
+# implementation changed since its r13 driver row (the hierarchical
+# branch extended the shared decode_jpeg marker walk and the
+# _decode_scan/_decode_scan_lossless internals every JPEG row flows
+# through; the sssp.py superstep loop was restructured for the
+# partition-local relaxation mode the graph_* BFS/closeness/harmonic
+# rows run through), then the r10-stale block in CORRECTNESS_r10
+# order (40 of 43 fit; f10_json_extract, f11_maps, ft_minmax_norm
+# slip to r15 with the r11 block) — staleness recomputed from the
+# CORRECTNESS_r*.json artifacts as r11-r13 did. The remaining
+# registry stays covered by tools/check_oracles.py
+# (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
-    # -- never-driver-checked: NEW this round — lossless JPEG (T.81
-    #    Annex H SOF3, all 7 predictors + restart resets, hand-derived
-    #    byte goldens) and lossy VP8 key frames (full RFC 6386
-    #    pipeline, sample-exact vs WebPDecodeYUV) (round 13)
+    # -- never-driver-checked: NEW this round — hierarchical JPEG
+    #    (T.81 Annex J: SOF3 initial + EXP expansion + SOF7 mod-2^16
+    #    differential frames, exact lossless pyramid) (round 14)
+    "mm_jpeg_hierarchical",
+    # -- re-runs: implementation changed since their r13 driver row.
+    #    The Annex J branch extended the shared decode_jpeg frame walk
+    #    (DHP/EXP markers, differential-frame dispatch) and threaded
+    #    sel==0/differential through _decode_scan_lossless — every row
+    #    decoding JPEG flows through it:
     "mm_jpeg_lossless",
-    "mm_webp_lossy",
-    # -- re-runs: implementation changed since their last driver row.
-    #    mm_tiff_fax: the O(width^2) transition rescans became
-    #    parity-adjusted searchsorted lookups (ADVICE r12).
-    #    mm_tiff_jpeg: per-strip JPEGTables divergence guard
-    #    (ADVICE r12).
-    "mm_tiff_fax",
-    "mm_tiff_jpeg",
-    #    the SOF3 branch extended the shared decode_jpeg marker walk
-    #    these rows flow through:
     "mm_jpeg_roundtrip",
+    "mm_tiff_jpeg",
     "mm_tiff_pixels",
     "mm_phash_neardup",
-    #    the image_features WebP branch now dispatches BOTH flavors
-    #    (lossless VP8L -> NotImplementedError -> lossy VP8):
     "mm_image_features",
-    "mm_webp_pixels",
-    # -- the whole r9-stale block (last driver rows r9), in
-    #    CORRECTNESS_r09 order
-    "apx_sketches",
+    #    the sssp.py superstep loop was restructured this round
+    #    (partition-local relaxation mode; hoisted candidate schemas);
+    #    these rows run the iterative kernel:
     "graph_bfs_hops",
-    "graph_pagerank",
-    "graph_ppr",
-    "graph_triangles",
-    "graph_kcore",
-    "graph_scc",
-    "graph_labelprop",
     "graph_closeness",
     "graph_harmonic",
-    "graph_node_similarity",
-    "graph_lcc",
-    "graph_betweenness_directed",
-    "smp_stratified",
-    "smp_ntile",
-    "smp_negatives",
-    "smp_cap_per_source",
-    "smp_budget_mixture",
-    "smp_weighted_k",
-    "smp_train_val_test",
-    "smp_temperature_mixture",
-    "ts_resample_ffill",
-    "ev_zscore_outliers",
-    "ev_conversion_funnel",
-    "ev_cohort_retention",
-    "ev_markov_transitions",
-    "upd_merge_upsert",
-    "dq_constraint_checks",
-    "dq_column_profile",
-    "dq_dataset_fingerprint",
-    "dq_referential_integrity",
-    "lay_zorder_key",
-    "skw_count_distinct",
-    "skw_bloom_join",
-    "apx_hll_rollup",
-    "apx_theta_setops",
-    "idx_conjunctive_search",
-    "pipe_corpus_prep",
-    "pipe_training_mix",
-    "pipe_entity_resolution",
-    # -- the stalest r10 row fills the last slot (first in
-    #    CORRECTNESS_r10 order; it ceded its r12 slot to mm_tiff_fax)
-    "mm_opus_metadata",
+    # -- the r10-stale block (last driver rows r10), in
+    #    CORRECTNESS_r10 order; first 40 of 43 fit this window
+    "sem_dedup",
+    "f1_casts",
+    "u1_union_all",
+    "t1_t2_topk",
+    "j5_earliest_transfer",
+    "p1_project_rename",
+    "p3_p4_filters",
+    "p5_computed_theta",
+    "p6_radius_filter",
+    "p8_p9_p10_membership",
+    "j1_join_chain",
+    "j2_fk_dims",
+    "w1_lead_consecutive",
+    "j4_band_selfjoin",
+    "j6_explode_rejoin",
+    "j7_nn_top1",
+    "j8_semi_join",
+    "j9_anti_join",
+    "a1_a2_aggregates",
+    "a3_argmin_ties",
+    "a5_collect_sorted",
+    "w3_running_sum",
+    "f2_temporal",
+    "f3_durations",
+    "f7_arrays",
+    "f8_strings",
+    "dd_canonical",
+    "dd_keep_best",
+    "txt_bpe_learn2",
+    "a8_rollup",
+    "a9_pivot",
+    "a10_histogram",
+    "a11_corr_cov",
+    "a12_cube",
+    "a13_unpivot",
+    "u2_intersect_except",
+    "w4_rank_distributions",
+    "w5_moving_avg",
+    "w6_inactivity_gaps",
+    "w7_rolling_distinct",
 ]
-# ROUND-14 ROTATION NOTE: lead with any query whose implementation
-# changes during r13 after its driver row, then continue the stale
-# cycle with the r10 block (sem_dedup, f1_casts, u1_union_all,
-# t1_t2_topk, ... in CORRECTNESS_r10 order) and the oldest r11 rows.
-# Recompute staleness from the CORRECTNESS_r*.json artifacts as
-# r11/r12/r13 did — the note can go stale, the artifacts cannot.
+# ROUND-15 ROTATION NOTE: lead with any query whose implementation
+# changes during r14 after its driver row, then continue the stale
+# cycle with the 3 r10 rows that did not fit this window
+# (f10_json_extract, f11_maps, ft_minmax_norm in CORRECTNESS_r10
+# order) and the oldest r11 rows (mm_flac_pcm, mm_phash_crossformat,
+# mm_gif_frames, ... in CORRECTNESS_r11 order). Recompute staleness
+# from the CORRECTNESS_r*.json artifacts as r11-r14 did — the note
+# can go stale, the artifacts cannot.
 
 
 def _ordered() -> list[str]:
