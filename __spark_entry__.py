@@ -23,24 +23,31 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 
 # The driver's correctness gate checks the FIRST 50 queries in registration
 # order. The window ROTATES each round (round-5 verdict demand). Round 14:
-# lead with the query NEW this round (mm_jpeg_hierarchical — T.81
-# Annex J DHP/EXP/SOF5-7 pyramids), then re-run every query whose
-# implementation changed since its r13 driver row (the hierarchical
-# branch extended the shared decode_jpeg marker walk and the
-# _decode_scan/_decode_scan_lossless internals every JPEG row flows
-# through; the sssp.py superstep loop was restructured for the
-# partition-local relaxation mode the graph_* BFS/closeness/harmonic
-# rows run through), then the r10-stale block in CORRECTNESS_r10
-# order (40 of 43 fit; f10_json_extract, f11_maps, ft_minmax_norm
-# slip to r15 with the r11 block) — staleness recomputed from the
-# CORRECTNESS_r*.json artifacts as r11-r13 did. The remaining
-# registry stays covered by tools/check_oracles.py
-# (CORRECTNESS_local_r{N}.json).
+# lead with the queries NEW this round (mm_jpeg_hierarchical — T.81
+# Annex J DHP/EXP/SOF5-7 pyramids; mm_gsm_pcm — ETSI GSM 06.10
+# full-rate RPE-LTP, the first compressed-audio SAMPLE decode), then
+# re-run every query whose implementation changed since its last
+# driver row (the hierarchical branch extended the shared decode_jpeg
+# marker walk and the _decode_scan/_decode_scan_lossless internals
+# every JPEG row flows through; the sssp.py superstep loop was
+# restructured for the partition-local relaxation mode the graph_*
+# BFS/closeness/harmonic rows run through; the GSM branch extended
+# decode_wav_samples' fmt dispatch + fact-chunk parse and
+# audio_features' is_wav route, which every audio_features row flows
+# through), then the r10-stale block in CORRECTNESS_r10 order (34 of
+# 43 fit; a13_unpivot, u2_intersect_except, w4_rank_distributions,
+# w5_moving_avg, w6_inactivity_gaps, w7_rolling_distinct join
+# f10_json_extract, f11_maps, ft_minmax_norm in slipping to r15) —
+# staleness recomputed from the CORRECTNESS_r*.json artifacts as
+# r11-r13 did. The remaining registry stays covered by
+# tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
     # -- never-driver-checked: NEW this round — hierarchical JPEG
     #    (T.81 Annex J: SOF3 initial + EXP expansion + SOF7 mod-2^16
-    #    differential frames, exact lossless pyramid) (round 14)
+    #    differential frames, exact lossless pyramid) and GSM 06.10
+    #    sample decode (round 14)
     "mm_jpeg_hierarchical",
+    "mm_gsm_pcm",
     # -- re-runs: implementation changed since their r13 driver row.
     #    The Annex J branch extended the shared decode_jpeg frame walk
     #    (DHP/EXP markers, differential-frame dispatch) and threaded
@@ -58,6 +65,15 @@ _DRIVER_WINDOW = [
     "graph_bfs_hops",
     "graph_closeness",
     "graph_harmonic",
+    #    the GSM 06.10 branch changed decode_wav_samples (fact-chunk
+    #    parse now runs for every WAV; 0x31 dispatch) and
+    #    audio_features' is_wav route (wav_audio_format provenance
+    #    sniff) — every row decoding through audio_features re-runs:
+    "mm_audio_features",
+    "mm_wav_roundtrip",
+    "mm_wav_spectral",
+    "mm_g711_roundtrip",
+    "mm_flac_pcm",
     # -- the r10-stale block (last driver rows r10), in
     #    CORRECTNESS_r10 order; first 40 of 43 fit this window
     "sem_dedup",
@@ -94,18 +110,14 @@ _DRIVER_WINDOW = [
     "a10_histogram",
     "a11_corr_cov",
     "a12_cube",
-    "a13_unpivot",
-    "u2_intersect_except",
-    "w4_rank_distributions",
-    "w5_moving_avg",
-    "w6_inactivity_gaps",
-    "w7_rolling_distinct",
 ]
 # ROUND-15 ROTATION NOTE: lead with any query whose implementation
-# changes during r14 after its driver row, then continue the stale
-# cycle with the 3 r10 rows that did not fit this window
-# (f10_json_extract, f11_maps, ft_minmax_norm in CORRECTNESS_r10
-# order) and the oldest r11 rows (mm_flac_pcm, mm_phash_crossformat,
+# changes during r15 after its driver row, then continue the stale
+# cycle with the 9 r10 rows that did not fit this window
+# (a13_unpivot, u2_intersect_except, w4_rank_distributions,
+# w5_moving_avg, w6_inactivity_gaps, w7_rolling_distinct,
+# f10_json_extract, f11_maps, ft_minmax_norm in CORRECTNESS_r10
+# order) and the oldest r11 rows (mm_phash_crossformat,
 # mm_gif_frames, ... in CORRECTNESS_r11 order). Recompute staleness
 # from the CORRECTNESS_r*.json artifacts as r11-r14 did — the note
 # can go stale, the artifacts cannot.

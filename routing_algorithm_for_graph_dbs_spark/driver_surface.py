@@ -7659,6 +7659,83 @@ def mm_flac_pcm(spark, sf_dir):
 
 
 @_register(
+    "mm_gsm_pcm",
+    """
+    WITH fam(f, rms, mean_amplitude, zero_crossings) AS (VALUES
+      (0, 0.084604, -0.060578, 0),
+      (1, 0.11506, -0.030181, 2),
+      (2, 0.156093, 0.012776, 8),
+      (3, 0.186063, -0.016919, 3),
+      (4, 0.082725, 0.003928, 6),
+      (5, 0.099134, 0.009564, 12),
+      (6, 0.128554, 0.013887, 8),
+      (7, 0.192151, 0.004179, 10),
+      (8, 0.069994, -0.000437, 17),
+      (9, 0.102151, -0.007352, 6)
+    ),
+    aud AS (
+      SELECT doc_id AS media_id, doc_id % 10 AS f,
+             320 * (1 + (doc_id % 10) % 3) AS n
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT a.media_id,
+           -- RIFF(12) + fmt(8+20) + fact(8+4) + data hdr(8) + 65/block
+           CAST(60 + 65 * (a.n // 320) AS BIGINT) AS n_bytes,
+           CAST(fam.rms AS DOUBLE) AS rms,
+           CAST(fam.mean_amplitude AS DOUBLE) AS mean_amplitude,
+           CAST(fam.zero_crossings AS BIGINT) AS zero_crossings,
+           CAST(a.n // 8 AS BIGINT) AS duration_ms,
+           8000 AS sample_rate,
+           'gsm' AS decoder
+    FROM aud a JOIN fam ON a.f = fam.f
+    """,
+)
+def mm_gsm_pcm(spark, sf_dir):
+    """REAL-codec cross-engine check, COMPRESSED-audio sample half
+    (round 14 — the first codec off the perceptual boundary:
+    ``operators/gsm610.py`` implements ETSI GSM 06.10 full-rate
+    RPE-LTP in the spec's own bit-exact saturated integer arithmetic,
+    both directions). synth_gsm_wav_media encodes the ten family
+    sawtooths to REAL wav49 GSM blocks in a RIFF container (format tag
+    0x31) and audio_features sample-decodes every payload
+    (decoder='gsm', strict=True — a decode error fails the query). The
+    oracle joins the family id to rms / mean / zero-crossing literals
+    derived from the INDEPENDENT from-scratch C decoder
+    (tests/test_codec_crosscheck.py compiles it at test time, decodes
+    the same ten payloads, and pins these exact constants — the FLAC
+    validation precedent), with byte count and duration in closed
+    form. A bit-unpack, LAR/LTP/RPE table, lattice, or de-emphasis bug
+    anywhere breaks the hash. (Reference boundary analog main.py:1 —
+    the engine delegates media handling entirely.)"""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        audio_features,
+        synth_gsm_wav_media,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # spread the INPUT docs: the per-doc DECODE in the extractor is the
+    # CPU-heavy half here (the ten encodes are memoized per family) and
+    # small parquet arrives as one scan split; the synth and extractor
+    # inherit the spread partitioning
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    media = synth_gsm_wav_media(docs)
+    return audio_features(media, strict=True).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "rms",
+        F.col("mean_amplitude").cast("double").alias("mean_amplitude"),
+        F.col("zero_crossings").cast("long").alias("zero_crossings"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        "decoder",
+    )
+
+
+@_register(
     "mm_bmp_palette",
     """
     WITH img AS (

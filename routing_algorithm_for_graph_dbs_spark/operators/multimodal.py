@@ -788,6 +788,7 @@ def audio_features(
         decode_wav_samples,
         is_wav,
         spectral_centroid,
+        wav_audio_format,
     )
 
     spark = media.sparkSession
@@ -810,6 +811,8 @@ def audio_features(
                     # that payload falls to the fake path below.
                     try:
                         decoded = decode_wav_samples(b)
+                        if wav_audio_format(b) == 0x31:
+                            decoded_tag = "gsm"  # REAL 06.10 decode (r14)
                     except DECODE_ERRORS:
                         if strict:
                             raise
@@ -2723,6 +2726,81 @@ def synth_flac_pcm_media(docs: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "payload": payloads,
                     "mime": "audio/flac",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle (scan splits scale)
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+# GSM 6.10 family parameters and their decoded-feature constants
+# (round 14). The synth mints ten distinct payloads (f = doc_id % 10);
+# each is the REAL 06.10 encode of an integer sawtooth
+#   x[k] = (((k*q + 17*f) % 2048) - 1024) * s,
+#   n = 320*(1 + f%3), q = 3 + 2*f, s = 4 + 2*(f%4),
+# so decode features are per-family constants. The literals below are
+# derived from the INDEPENDENT from-scratch C decoder
+# (tests/test_codec_crosscheck.py pins them against it, sample-exact
+# vs the Python decoder both ways) — the oracle SQL embeds the same
+# literals, closing the cross-engine loop without a SQL GSM decoder.
+GSM_FAMILY_FEATURES: dict[int, tuple[float, float, int]] = {
+    # f: (rms, mean_amplitude, zero_crossings)
+    0: (0.084604, -0.060578, 0),
+    1: (0.11506, -0.030181, 2),
+    2: (0.156093, 0.012776, 8),
+    3: (0.186063, -0.016919, 3),
+    4: (0.082725, 0.003928, 6),
+    5: (0.099134, 0.009564, 12),
+    6: (0.128554, 0.013887, 8),
+    7: (0.192151, 0.004179, 10),
+    8: (0.069994, -0.000437, 17),
+    9: (0.102151, -0.007352, 6),
+}
+
+
+def gsm_family_signal(f: int) -> np.ndarray:
+    """The family-f test signal (int16 sawtooth) the GSM synth encodes."""
+    n = 320 * (1 + f % 3)
+    q = 3 + 2 * f
+    s = 4 + 2 * (f % 4)
+    k = np.arange(n, dtype=np.int64)
+    return ((((k * q + 17 * f) % 2048) - 1024) * s).astype(np.int16)
+
+
+def synth_gsm_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic GSM 6.10 WAV payloads (round 14 —
+    ``operators/gsm610.py``): per doc, the REAL full-rate RPE-LTP
+    encode of the family sawtooth ``gsm_family_signal(doc_id % 10)``
+    wrapped in a RIFF container (format tag 0x31, 65-byte wav49
+    blocks, ``fact`` chunk). Only ten distinct payloads exist, so the
+    encode is memoized per family; the DECODE side
+    (``audio_features``) still runs per payload — that is the codec
+    under test. Payload sizes are closed-form: 60 header bytes + 65
+    per block, n/320 blocks."""
+    base = docs.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from routing_algorithm_for_graph_dbs_spark.operators.gsm610 import (
+            encode_wav_gsm,
+        )
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                f = int(mid) % 10
+                if f not in cache:
+                    cache[f] = encode_wav_gsm(gsm_family_signal(f))
+                payloads.append(cache[f])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "audio/x-gsm-wav",
                 }
             )
 

@@ -4,16 +4,17 @@ The audio half of the multimodal codec boundary: RIFF/WAVE framing and
 integer-PCM sample decode are fully specified public formats, so the
 features a training-data pipeline filters on (duration, sample rate,
 RMS level, zero-crossing rate) are computable here without
-librosa/ffmpeg. Genuinely compressed codecs (MP3/AAC/GSM... in WAV)
-are the marked ``NotImplementedError`` boundary.
+librosa/ffmpeg. Genuinely compressed codecs still on the boundary
+(MP3/AAC... in WAV) are the marked ``NotImplementedError`` sites.
 
 Supported: RIFF little-endian WAVE, ``fmt `` audio format 1 (integer
 PCM: 8-bit unsigned / 16-bit / 24-bit / 32-bit signed), format 3 (IEEE
 float, 32/64-bit), format 2 (MS ADPCM), format 0x11 (IMA/DVI ADPCM),
-formats 6/7 (G.711 A-law / mu-law), or 0xFFFE (WAVE_FORMAT_EXTENSIBLE
-wrapping the PCM/float subformats), any channel count — every
-PCM/ADPCM/companded dialect, all added rounds 7-8. Malformed framing
-raises ``ValueError``.
+formats 6/7 (G.711 A-law / mu-law), format 0x31 (GSM 6.10 full-rate
+RPE-LTP — REAL sample decode via ``operators/gsm610.py``, round 14),
+or 0xFFFE (WAVE_FORMAT_EXTENSIBLE wrapping the PCM/float subformats),
+any channel count — every PCM/ADPCM/companded dialect, rounds 7-8.
+Malformed framing raises ``ValueError``.
 
 Scale shape: one payload decodes independently inside an Arrow batch
 (``multimodal.audio_features`` mapInPandas); nothing here touches Spark.
@@ -281,6 +282,21 @@ def _iter_chunks(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
 
 
+def wav_audio_format(payload: bytes) -> int | None:
+    """The fmt chunk's audio-format tag (1=PCM, 0x31=GSM 6.10, ...), or
+    None when the payload has no parseable fmt chunk — a cheap sniff
+    for callers that label decode provenance."""
+    if not is_wav(payload):
+        return None
+    try:
+        for cid, chunk in _iter_chunks(payload):
+            if cid == b"fmt " and len(chunk) >= 2:
+                return struct.unpack_from("<H", chunk, 0)[0]
+    except ValueError:
+        return None
+    return None
+
+
 def decode_wav_samples(payload: bytes):
     """Sample-level decode: ``(x, sample_rate)`` with ``x`` a float64
     (frames, channels) array normalized to [-1, 1] — the entry the DSP
@@ -289,7 +305,10 @@ def decode_wav_samples(payload: bytes):
         raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
     fmt = None
     data = None
+    fact_frames = None
     for cid, chunk in _iter_chunks(payload):
+        if cid == b"fact" and len(chunk) >= 4 and fact_frames is None:
+            (fact_frames,) = struct.unpack_from("<I", chunk, 0)
         if cid == b"fmt " and fmt is None:
             if len(chunk) < 16:
                 raise ValueError("WAV fmt chunk too short")
@@ -309,11 +328,29 @@ def decode_wav_samples(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, n_channels, sample_rate, _brate, balign, bits = fmt
-    if audio_format not in (1, 2, 3, 6, 7, 0x11):
+    if audio_format not in (1, 2, 3, 6, 7, 0x11, 0x31):
         raise NotImplementedError(
             f"WAV audio format {audio_format} (compressed codec) needs a"
             " real audio lib"
         )
+    if audio_format == 0x31:  # GSM 6.10 full-rate (round 14)
+        from routing_algorithm_for_graph_dbs_spark.operators.gsm610 import (
+            decode_gsm_frames,
+            decode_gsm_wav49,
+        )
+
+        if n_channels != 1:
+            raise ValueError("GSM 6.10 WAV must be mono")
+        if balign == 65:
+            pcm = decode_gsm_wav49(data[: len(data) // 65 * 65])
+        elif balign == 33:
+            pcm = decode_gsm_frames(data[: len(data) // 33 * 33])
+        else:
+            raise ValueError(f"bad GSM 6.10 block align {balign}")
+        if fact_frames is not None:  # trim the encoder's pad-to-block tail
+            pcm = pcm[:fact_frames]
+        x = pcm.astype(np.float64) / 32768.0
+        return x.reshape(-1, 1), sample_rate
     if n_channels < 1 or sample_rate < 1:
         raise ValueError(f"bad WAV fmt: channels={n_channels}, rate={sample_rate}")
     if audio_format == 2:  # MS ADPCM (round 8)

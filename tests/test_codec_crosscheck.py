@@ -1428,3 +1428,233 @@ def test_jpeg_boundary_raises_narrowed():
     data[i] = 3
     with pytest.raises(NotImplementedError, match="grayscale"):
         _decode_jpeg_plane(bytes(data))
+
+
+def _build_gsm_helper(tmpdir):
+    """Compile an INDEPENDENT GSM 06.10 full-rate decoder (plain C, no
+    codec library — the container ships no libgsm). A from-scratch C
+    implementation re-derives the whole 5.3 decode chain (field
+    unpacking, LAR decode + interpolation + reflection transform, LTP
+    synthesis, APCM inverse with the RPE grid, the short-term lattice
+    and de-emphasis) in a second language from the same public spec,
+    so a shared transcription slip between the Python encoder/decoder
+    pair can no longer hide: the C path must recover the exact PCM
+    from Python-minted frames. Reads raw 33-byte .gsm frames, writes
+    little-endian int16 PCM."""
+    import shutil
+    import subprocess
+
+    if shutil.which("gcc") is None:
+        return None
+    src = os.path.join(tmpdir, "gdec.c")
+    binp = os.path.join(tmpdir, "gdec")
+    with open(src, "w") as f:
+        f.write(r"""
+/* Independent GSM 06.10 (full-rate RPE-LTP) decoder, written from the
+ * public ETSI spec's 5.3 clauses. Saturated 16/32-bit arithmetic. */
+#include <stdio.h>
+#include <stdint.h>
+#include <stdlib.h>
+
+typedef int32_t lw;
+
+static int sat(lw x){ return x>32767?32767:(x<-32768?-32768:(int)x); }
+static int ADD(int a,int b){ return sat((lw)a+(lw)b); }
+static int SUB(int a,int b){ return sat((lw)a-(lw)b); }
+static int MULTR(int a,int b){
+  if(a==-32768&&b==-32768) return 32767;
+  return (int)((((lw)a*(lw)b)+16384)>>15);
+}
+static int ABSW(int a){ return a==-32768?32767:(a<0?-a:a); }
+
+static const int INVA[8]={13107,13107,13107,13107,19223,17476,31454,29708};
+static const int MICt[8]={-32,-32,-16,-16,-8,-8,-4,-4};
+static const int Bt[8]={0,0,2048,-2560,94,-1792,-341,-1144};
+static const int QLB[4]={3277,11469,21299,32767};
+static const int FACt[8]={18431,20479,22527,24575,26623,28671,30719,32767};
+static const int WID[76]={6,6,5,5,4,4,3,3,
+  7,2,2,6,3,3,3,3,3,3,3,3,3,3,3,3,3,
+  7,2,2,6,3,3,3,3,3,3,3,3,3,3,3,3,3,
+  7,2,2,6,3,3,3,3,3,3,3,3,3,3,3,3,3,
+  7,2,2,6,3,3,3,3,3,3,3,3,3,3,3,3,3};
+
+/* persistent decoder state */
+static int drp[160];      /* 0..119 history, 120..159 current */
+static int nrp=40, msr=0;
+static int v[9];
+static int larpp_prev[8];
+
+/* 5.3.2 input step: coded LARs -> LARpp */
+static void lar_decode(const int *larc, int *larpp){
+  for(int i=0;i<8;i++){
+    int t1 = SUB(ADD(larc[i],MICt[i])<<10, Bt[i]<<1);
+    t1 = MULTR(INVA[i], t1);
+    larpp[i] = ADD(t1,t1);
+  }
+}
+/* 5.2.9.2 LARp -> reflection coefficient */
+static int larp_to_r(int larp){
+  int t = ABSW(larp);
+  if(t < 11059) t <<= 1;
+  else if(t < 20070) t = ADD(t, 11059);
+  else t = ADD(t>>2, 26112);
+  return larp < 0 ? SUB(0,t) : t;
+}
+/* 5.2.9.1 interpolation recipes per segment */
+static void interp(const int *po,const int *pn,int seg,int *rr){
+  for(int i=0;i<8;i++){
+    int x;
+    if(seg==0)      x = ADD(ADD(po[i]>>2, pn[i]>>2), po[i]>>1);
+    else if(seg==1) x = ADD(po[i]>>1, pn[i]>>1);
+    else if(seg==2) x = ADD(ADD(po[i]>>2, pn[i]>>2), pn[i]>>1);
+    else            x = pn[i];
+    rr[i] = larp_to_r(x);
+  }
+}
+/* 5.3.1 xmaxc -> exponent/mantissa */
+static void expmant(int xmaxc,int *e,int *m){
+  int exp=0, mant;
+  if(xmaxc > 15) exp = (xmaxc>>3) - 1;
+  mant = xmaxc - (exp<<3);
+  if(mant == 0){ exp=-4; mant=7; }
+  else { while(mant <= 7){ mant = (mant<<1)|1; exp--; } mant -= 8; }
+  *e=exp; *m=mant;
+}
+
+int main(int argc,char **argv){
+  if(argc!=3){fprintf(stderr,"usage: gdec in.gsm out.pcm\n");return 2;}
+  FILE *fi=fopen(argv[1],"rb"), *fo=fopen(argv[2],"wb");
+  if(!fi||!fo){perror("open");return 1;}
+  unsigned char fr[33];
+  while(fread(fr,1,33,fi)==33){
+    if((fr[0]>>4)!=0xD){fprintf(stderr,"bad magic\n");return 1;}
+    /* unpack the 76 fields, MSB-first after the 4-bit magic */
+    int fld[76]; int bitpos=4;
+    for(int i=0;i<76;i++){
+      int vfd=0;
+      for(int b=0;b<WID[i];b++){
+        vfd=(vfd<<1)|((fr[bitpos>>3]>>(7-(bitpos&7)))&1);
+        bitpos++;
+      }
+      fld[i]=vfd;
+    }
+    int *larc=fld;
+    int erp_all[160];
+    for(int j=0;j<4;j++){
+      int *sf = fld + 8 + 17*j;
+      int ncr=sf[0], bcr=sf[1], mcr=sf[2], xmaxc=sf[3], *xmc=sf+4;
+      int exp,mant; expmant(xmaxc,&exp,&mant);
+      /* 5.3.1 APCM inverse + RPE grid */
+      int ep[40]; for(int k=0;k<40;k++) ep[k]=0;
+      int t2 = 6-exp;
+      int t3 = (t2-1)>=0 ? (1<<(t2-1)) : 0;
+      for(int i=0;i<13;i++){
+        lw t = ((lw)((xmc[i]<<1)-7))<<12;
+        int q = MULTR(FACt[mant], (int)sat(t));
+        q = ADD(q, t3);
+        ep[mcr+3*i] = q>>t2;
+      }
+      /* 5.3.2 long-term synthesis */
+      int nr = (ncr>=40 && ncr<=120) ? ncr : nrp;
+      nrp = nr;
+      int brp = QLB[bcr];
+      for(int k=0;k<40;k++){
+        int d = MULTR(brp, drp[120+k-nr]);
+        drp[120+k] = ADD(ep[k], d);
+      }
+      for(int k=0;k<40;k++) erp_all[40*j+k]=drp[120+k];
+      for(int k=0;k<120;k++) drp[k]=drp[k+40];
+    }
+    /* 5.3.4 short-term synthesis + 5.3.3 postprocessing */
+    int larpp_new[8]; lar_decode(larc, larpp_new);
+    static const int seglo[4]={0,13,27,40}, seghi[4]={13,27,40,160};
+    for(int seg=0;seg<4;seg++){
+      int rr[8]; interp(larpp_prev, larpp_new, seg, rr);
+      for(int k=seglo[seg];k<seghi[seg];k++){
+        int sri = erp_all[k];
+        for(int i=0;i<8;i++){
+          sri = SUB(sri, MULTR(rr[7-i], v[7-i]));
+          v[8-i] = ADD(v[7-i], MULTR(rr[7-i], sri));
+        }
+        v[0] = sri;
+        msr = ADD(sri, MULTR(msr, 28180));
+        int out = ADD(msr,msr) & ~7;
+        unsigned char b2[2]={(unsigned char)(out&0xFF),
+                             (unsigned char)((out>>8)&0xFF)};
+        fwrite(b2,1,2,fo);
+      }
+    }
+    for(int i=0;i<8;i++) larpp_prev[i]=larpp_new[i];
+  }
+  fclose(fi); fclose(fo); return 0;
+}
+""")
+    r = subprocess.run(["gcc", "-O2", src, "-o", binp],
+                       capture_output=True)
+    if r.returncode != 0:
+        raise AssertionError(r.stderr.decode()[:2000])
+    return binp
+
+
+def test_independent_c_decoder_recovers_gsm_pcm(tmp_path):
+    """Round 14 (VERDICT r13 #7 audio-sample pilot): a from-scratch C
+    GSM 06.10 decoder must produce sample-EXACT PCM from Python-minted
+    frames — the ten mm_gsm_pcm oracle families plus tonal, noise and
+    full-scale stress signals — and the family feature constants the
+    driver oracle embeds (multimodal.GSM_FAMILY_FEATURES) must
+    re-derive from the C decoder's output, not just the Python one."""
+    import subprocess
+
+    from routing_algorithm_for_graph_dbs_spark.operators.gsm610 import (
+        decode_gsm_frames,
+        encode_gsm_frames,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        GSM_FAMILY_FEATURES,
+        gsm_family_signal,
+    )
+
+    helper = _build_gsm_helper(str(tmp_path))
+    if helper is None:
+        pytest.skip("gcc unavailable — cannot build the C decoder")
+
+    def c_decode(frames: bytes) -> np.ndarray:
+        fn = os.path.join(str(tmp_path), "in.gsm")
+        out = os.path.join(str(tmp_path), "out.pcm")
+        with open(fn, "wb") as f:
+            f.write(frames)
+        r = subprocess.run([helper, fn, out], capture_output=True)
+        assert r.returncode == 0, r.stderr.decode()[:500]
+        with open(out, "rb") as f:
+            return np.frombuffer(f.read(), dtype="<i2")
+
+    rng = np.random.default_rng(610)
+    t = np.arange(2400)
+    cases = [(f"family{f}", gsm_family_signal(f)) for f in range(10)]
+    cases += [
+        ("tone", (9000 * np.sin(2 * np.pi * 347 * t / 8000)).astype(np.int16)),
+        ("noise", rng.integers(-20000, 20000, 1600).astype(np.int16)),
+        ("fullscale",
+         np.tile(np.array([32767, -32768], np.int16), 800)),
+        ("silence", np.zeros(640, np.int16)),
+        ("dc", np.full(800, 12000, np.int16)),
+    ]
+    for name, sig in cases:
+        frames = encode_gsm_frames(sig)
+        py = decode_gsm_frames(frames)
+        cc = c_decode(frames)
+        assert np.array_equal(py, cc), (
+            name,
+            int(np.argmax(py != cc[: len(py)])) if len(py) == len(cc) else
+            (len(py), len(cc)),
+        )
+
+    # the oracle's family literals re-derive from the C decoder's PCM
+    for f, (rms_e, mean_e, zc_e) in GSM_FAMILY_FEATURES.items():
+        cc = c_decode(encode_gsm_frames(gsm_family_signal(f)))
+        x = cc.astype(np.float64)[:, None] / 32768.0
+        rms = round(float(np.sqrt(np.mean(np.square(x)))), 6)
+        mean = round(float(np.mean(x)), 6)
+        mono = x.mean(axis=1)
+        zc = int(np.count_nonzero(mono[1:] * mono[:-1] < 0))
+        assert (rms, mean, zc) == (rms_e, mean_e, zc_e), f
