@@ -922,6 +922,15 @@ def _decode_scan_lossless(d, data_pos, frame, scan, sel, pt, huff_dc,
             rst_n += 1
             for s in st:
                 s["fresh"] = True
+                # Mid-row restarts (DRI counts MCUs, not rows — possible
+                # in foreign SOF3 streams): T.81 H.1.1 is ambiguous about
+                # the "first line" after such a restart. This decoder
+                # treats the REMAINDER of the current row as the
+                # interval's first line (Ra prediction from pre-restart
+                # pixels via line0); other decoders may differ there.
+                # The in-repo encoder only emits row-aligned restarts,
+                # so round-trips and goldens never hit the ambiguity
+                # (r13 ADVICE: documented interpretation).
                 s["line0"] = s["y"]
         for s in st:
             comp, plane = s["comp"], s["plane"]

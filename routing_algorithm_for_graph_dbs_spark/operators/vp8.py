@@ -128,8 +128,16 @@ class BoolEncoder:
                 while i >= 0 and self.out[i] == 0xFF:
                     self.out[i] = 0
                     i -= 1
-                if i >= 0:
-                    self.out[i] += 1
+                if i < 0:
+                    # A carry off the front of the buffer would corrupt
+                    # the stream silently (r13 ADVICE). Unreachable for
+                    # streams this encoder mints (the first emitted byte
+                    # is never 0xFF-saturated), so fail loudly rather
+                    # than emit garbage.
+                    raise AssertionError(
+                        "BoolEncoder carry ran off the buffer front"
+                    )
+                self.out[i] += 1
             self.low = (self.low << 1) & 0xFFFFFFFF
             self.bitcnt -= 1
             if self.bitcnt == 0:
