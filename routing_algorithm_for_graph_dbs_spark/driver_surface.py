@@ -6636,17 +6636,20 @@ def mm_jpeg_roundtrip(spark, sf_dir):
 )
 def mm_jpeg_lossless(spark, sf_dir):
     """REAL-codec cross-engine check, LOSSLESS JPEG half (round 13 —
-    T.81 Annex H SOF3 moves off the declared boundary):
-    synth_jpeg_lossless_media mints diagonal-ramp images through the
-    DPCM encoder cycling all 7 Annex H predictors and a 4-row restart
-    interval on alternating docs, and image_features entropy-decodes
-    every payload for real (strict=True). Decode is EXACT — any
-    predictor, SSSS-category, restart-reset or modulo-reconstruction
+    T.81 Annex H SOF3 moves off the declared boundary; round 14 adds
+    the SOF11 ARITHMETIC flavor): synth_jpeg_lossless_media mints
+    diagonal-ramp images through the DPCM encoder cycling all 7 Annex
+    H predictors and a 4-row restart interval on alternating docs —
+    every third image doc QM-coded as SOF11 (H.1.2 conditioning) —
+    and image_features entropy-decodes every payload for real
+    (strict=True). Decode is EXACT for both flavors — any predictor,
+    SSSS-category, QM-context, restart-reset or modulo-reconstruction
     bug shifts the mean and breaks the hash. Byte-stream truth is
-    pinned separately by the hand-derived Annex H goldens in
-    tests/test_codec_crosscheck.py (libjpeg .so.62 here predates the
-    lossless API). Reference parity: reshape.py's image handling is
-    Neo4j-side; this is the training-data-pipeline surface."""
+    pinned separately by the hand-derived Annex H goldens and the
+    independent C SOF11 decoder in tests/test_codec_crosscheck.py
+    (libjpeg .so.62 here predates the lossless API). Reference parity:
+    reshape.py's image handling is Neo4j-side; this is the
+    training-data-pipeline surface."""
     from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
         image_features,
         synth_jpeg_lossless_media,

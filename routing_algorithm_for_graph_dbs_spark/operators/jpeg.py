@@ -32,9 +32,12 @@ Annex J) decodes too: DHP/EXP pyramid walks with SOF0/1/3 initial and
 SOF5/6/7 Huffman differential frames, ``encode_jpeg_gray_hierarchical``
 as the write twin (the all-lossless pyramid round-trips exactly; no
 external validator exists — libjpeg has never implemented hierarchical
-mode). Only arithmetic-lossless (SOF11) and arithmetic-differential
-(SOF13-15) raise ``NotImplementedError`` — the honest remaining
-boundary (a real deployment plugs a full codec library there).
+mode). ARITHMETIC LOSSLESS (SOF11, round 14) decodes too — the H.1.2
+conditioning over the validated QM coder, ``arith=True`` on the
+lossless encoder as its twin, an independent from-scratch C decoder as
+the crosscheck. Only arithmetic-differential (SOF13-15) still raises
+``NotImplementedError`` — the honest remaining boundary (a real
+deployment plugs a full codec library there).
 
 ``encode_jpeg_gray``: minimal single-component baseline encoder (Annex K
 tables) — the write half used to generate REAL jpeg bytes for golden
@@ -294,8 +297,9 @@ def _decode_jpeg_plane(payload: bytes):
             frame = {"w": w, "h": h, "comps": comps, "prec": precision,
                      "arith": marker in (0xC9, 0xCA)}
             progressive = marker in (0xC2, 0xCA)
-        elif marker == 0xC3:
-            # SOF3 — LOSSLESS Huffman (T.81 Annex H, round 13): spatial
+        elif marker in (0xC3, 0xCB):
+            # SOF3 — LOSSLESS Huffman (T.81 Annex H, round 13) and
+            # SOF11 — LOSSLESS ARITHMETIC (H.1.2, round 14): spatial
             # DPCM, no DCT/quantization; precision 2..16
             precision = seg[0]
             if not 2 <= precision <= 16:
@@ -320,7 +324,7 @@ def _decode_jpeg_plane(payload: bytes):
                     )
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps, "prec": precision,
-                     "arith": False, "lossless": True}
+                     "arith": marker == 0xCB, "lossless": True}
             progressive = False
         elif marker in (0xC5, 0xC6, 0xC7):
             # differential frames are only legal after DHP (B.2.1); the
@@ -329,11 +333,11 @@ def _decode_jpeg_plane(payload: bytes):
                 f"differential frame (SOF marker 0x{marker:02X}) outside a "
                 "hierarchical (DHP) stream"
             )
-        elif marker in (0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"arithmetic-lossless (SOF11) and arithmetic-differential "
-                f"(SOF13-15) JPEG are not decoded here (got SOF marker "
-                f"0x{marker:02X}) — they need a real image lib"
+                f"arithmetic-differential (SOF13-15) JPEG frames are not "
+                f"decoded here (got SOF marker 0x{marker:02X}) — they "
+                f"need a real image lib"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -379,10 +383,16 @@ def _decode_jpeg_plane(payload: bytes):
                 if lossless_planes is None:
                     lossless_planes = {}
                 data_pos = pos + 2 + seg_len
-                end = _decode_scan_lossless(
-                    d, data_pos, frame, scan, sel, pt, huff_dc,
-                    restart_interval, lossless_planes,
-                )
+                if frame.get("arith"):
+                    end = _decode_scan_lossless_arith(
+                        d, data_pos, frame, scan, sel, pt, dac_dc,
+                        restart_interval, lossless_planes,
+                    )
+                else:
+                    end = _decode_scan_lossless(
+                        d, data_pos, frame, scan, sel, pt, huff_dc,
+                        restart_interval, lossless_planes,
+                    )
                 pos = end
                 continue
             scan = []
@@ -1260,14 +1270,63 @@ def _decode_jpeg_hierarchical(d: bytes) -> tuple:
     return dhp["w"], dhp["h"], 1, plane
 
 
+def _encode_lossless_arith_body(samples, precision, pt, predictor,
+                                restart_rows, w, h) -> bytes:
+    """SOF11 entropy body (single component): the structural mirror of
+    :func:`_decode_scan_lossless_arith` — same prediction, conditioning
+    classifications, restart resets and mod-2^16 difference domain, so
+    the context walks cannot drift apart. Bit-level primitives are
+    declared next to the decode twin (see the H.1.2 section comment)."""
+    default = 1 << (precision - pt - 1)
+    plane = samples.astype(np.int64)
+    cats = np.zeros((h, w), np.int8)
+    L, U = 0, 1  # default conditioning; no DAC emitted
+    enc = _ArithEncoder()
+    stats = bytearray(158)
+    body = bytearray()
+    rst_n = 0
+    line0 = 0
+    fresh = True
+    for y in range(h):
+        if restart_rows and y and y % restart_rows == 0:
+            body += enc.finish()
+            body += bytes([0xFF, 0xD0 + (rst_n & 7)])
+            rst_n += 1
+            enc = _ArithEncoder()
+            stats = bytearray(158)
+            cats[:] = 0
+            fresh = True
+            line0 = y
+        for x in range(w):
+            ca = int(cats[y, x - 1]) if x > 0 else 0
+            cb = int(cats[y - 1, x]) if y > 0 else 0
+            if fresh:
+                px = default
+                fresh = False
+            else:
+                px = _lossless_predict(plane, x, y, predictor,
+                                       default, line0)
+            diff = ((int(plane[y, x]) - px + 32768) & 0xFFFF) - 32768
+            sign, mcat, zero = _arith_ll_encode_diff(
+                enc, stats, ca, cb, diff
+            )
+            cats[y, x] = _arith_ll_cat(zero, mcat, sign, L, U)
+    body += enc.finish()
+    return bytes(body)
+
+
 def encode_jpeg_gray_lossless(pixels: np.ndarray, predictor: int = 1,
                               pt: int = 0, precision: int | None = None,
-                              restart_rows: int = 0) -> bytes:
-    """Encode an (H, W) integer array as a LOSSLESS (SOF3) JPEG — the
-    decode twin of the Annex H path above; standard-conformant output.
+                              restart_rows: int = 0,
+                              arith: bool = False) -> bytes:
+    """Encode an (H, W) integer array as a LOSSLESS JPEG — the decode
+    twin of the Annex H path above; standard-conformant output.
     ``precision`` defaults to 8 for uint8 input / 16 for wider;
     ``restart_rows`` > 0 emits DRI + RSTn every that many sample rows
-    (the per-interval predictor reset of H.1.1 applies)."""
+    (the per-interval predictor reset of H.1.1 applies). ``arith=True``
+    emits SOF11 with the H.1.2 QM-coded statistical model (round 14)
+    instead of SOF3 Huffman; default conditioning (L=0, U=1), so no
+    DAC segment is needed."""
     arr = np.asarray(pixels)
     if arr.ndim != 2:
         raise ValueError("expected an (H, W) grayscale array")
@@ -1284,18 +1343,28 @@ def encode_jpeg_gray_lossless(pixels: np.ndarray, predictor: int = 1,
     if samples.min() < 0 or samples.max() >= (1 << (precision - pt)):
         raise ValueError("samples exceed the declared precision")
 
-    codes = _encode_huffman_lengths(LOSSLESS_DC_BITS, LOSSLESS_DC_VALS)
     out = bytearray()
     out += b"\xff\xd8"
-    out += (b"\xff\xc3" + struct.pack(">HBHHB", 11, precision, h, w, 1)
+    out += (bytes([0xFF, 0xCB if arith else 0xC3])
+            + struct.pack(">HBHHB", 11, precision, h, w, 1)
             + bytes([1, 0x11, 0]))
-    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(LOSSLESS_DC_VALS))
-            + bytes([0x00] + LOSSLESS_DC_BITS + LOSSLESS_DC_VALS))
+    if not arith:
+        out += (b"\xff\xc4"
+                + struct.pack(">H", 3 + 16 + len(LOSSLESS_DC_VALS))
+                + bytes([0x00] + LOSSLESS_DC_BITS + LOSSLESS_DC_VALS))
     if restart_rows:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_rows * w)
     out += (b"\xff\xda" + struct.pack(">H", 8)
             + bytes([1, 1, 0x00, predictor, 0, pt & 15]))
 
+    if arith:
+        out += _encode_lossless_arith_body(
+            samples, precision, pt, predictor, restart_rows, w, h
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    codes = _encode_huffman_lengths(LOSSLESS_DC_BITS, LOSSLESS_DC_VALS)
     body = bytearray()
     bitbuf = 0
     nbits = 0
@@ -2625,6 +2694,216 @@ def _decode_prog_scan_arith(d, data_pos, frame, scan, ss, se, ah, al,
                             "AC refinement overran spectral band"
                         )
                 k += 1
+
+
+# ---------------------------------------------------------------------------
+# ARITHMETIC LOSSLESS (SOF11), T.81 Annex H.1.2 (round 14 — the last
+# non-differential JPEG mode off the boundary). The entropy stage is the
+# already-validated Annex D QM coder; the statistical model is the DC
+# difference model of F.1.4.4.1 with the conditioning of H.1.2.2: each
+# difference is coded in a context selected by the CLASSIFICATIONS of
+# the neighbouring differences Da (left) and Db (above) — five classes
+# each (zero, ±small, ±large per the DAC table's L/U exactly as in the
+# DC model's context update) — giving 25 four-bin contexts, plus two
+# X/M magnitude ladders selected by whether Db's class is large
+# (H.1.2.3), for a 158-bin statistics area per conditioning table.
+# Layout note (documented interpretation): no implementation of SOF11
+# ships in this container (libjpeg never implemented it), so the bin
+# ORDERING below — context base = 4*(5*ca + cb) over (Da class ca,
+# Db class cb in {0:zero, 1:+S, 2:-S, 3:+L, 4:-L}), ladders at bins
+# 100/129 — is this codec's self-consistent realization of H.1.2; the
+# encoder and decoder are kept structurally parallel, and an
+# independent from-scratch C decoder crosschecks the full stream in
+# tests/test_codec_crosscheck.py (the FLAC/GSM validation precedent).
+
+
+def _arith_ll_cat(zero: bool, m: int, sign: int, L: int, U: int) -> int:
+    """Classify a coded difference for Da/Db conditioning — the exact
+    expressions of the DC model's context update (F.1.4.4.1.1), on the
+    magnitude-category base ``m`` (v-1's leading power of two)."""
+    if zero or m < ((1 << L) >> 1):
+        return 0
+    if m > ((1 << U) >> 1):
+        return 3 + sign  # large +/-
+    return 1 + sign  # small +/-
+
+
+def _arith_ll_decode_diff(dec, st, ca: int, cb: int) -> tuple[int, int, int, bool]:
+    """Decode one difference: returns (diff, sign, m, zero)."""
+    base = 4 * (5 * ca + cb)
+    if not dec.decode(st, base):
+        return 0, 0, 0, True
+    sign = dec.decode(st, base + 1)
+    si = base + 2 + sign
+    m = dec.decode(st, si)
+    if m:
+        si = 129 if cb >= 3 else 100  # X1 of the Db-conditioned ladder
+        while dec.decode(st, si):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic lossless magnitude overflow")
+            si += 1
+    v = m
+    si += 14
+    mm = m
+    while True:
+        mm >>= 1
+        if not mm:
+            break
+        if dec.decode(st, si):
+            v |= mm
+    v += 1
+    return (-v if sign else v), sign, m, False
+
+
+def _arith_ll_encode_diff(enc, st, ca: int, cb: int, diff: int) -> tuple[int, int, bool]:
+    """Encode one difference (the structural mirror of the decoder
+    above): returns (sign, m, zero) for the caller's classification."""
+    base = 4 * (5 * ca + cb)
+    if diff == 0:
+        enc.encode(st, base, 0)
+        return 0, 0, True
+    enc.encode(st, base, 1)
+    if diff > 0:
+        enc.encode(st, base + 1, 0)
+        sign = 0
+        v = diff
+    else:
+        enc.encode(st, base + 1, 1)
+        sign = 1
+        v = -diff
+    si = base + 2 + sign
+    m = 0
+    v1 = v - 1
+    if v1:
+        enc.encode(st, si, 1)
+        m = 1
+        si = 129 if cb >= 3 else 100
+        v2 = v1 >> 1
+        while v2:
+            enc.encode(st, si, 1)
+            m <<= 1
+            si += 1
+            v2 >>= 1
+    enc.encode(st, si, 0)
+    si += 14
+    mm = m
+    while True:
+        mm >>= 1
+        if not mm:
+            break
+        enc.encode(st, si, 1 if (mm & v1) else 0)
+    return sign, m, False
+
+
+def _decode_scan_lossless_arith(d, data_pos, frame, scan, sel, pt,
+                                dc_cond, restart_interval, planes) -> int:
+    """Decode ONE arithmetic lossless scan (SOF11) into ``planes`` —
+    the QM-coder twin of :func:`_decode_scan_lossless`: identical MCU
+    walk, prediction, restart and mod-2^16 reconstruction; only the
+    entropy stage and its H.1.2 conditioning differ. Per-sample
+    classifications live in a per-component plane so Da/Db lookups are
+    O(1); restarts reset the coder, the statistics and the
+    classification plane (fresh intervals condition on zero
+    neighbours, mirrored by the encoder)."""
+    if sel == 0 and not frame.get("diff"):
+        raise ValueError(
+            "lossless predictor selector 0 is only valid in hierarchical"
+            " differential frames (T.81 J.1.1.3)"
+        )
+    if not 0 <= sel <= 7:
+        raise ValueError(f"lossless predictor selector {sel} out of [0, 7]")
+    prec = frame["prec"]
+    if pt >= prec:
+        raise ValueError(f"point transform {pt} >= precision {prec}")
+    default = 1 << (prec - pt - 1)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    interleaved = len(scan) > 1
+    st = []
+    for comp, td in scan:
+        L, U = dc_cond.get(td, (0, 1))
+        cw = -(-frame["w"] * comp["h"] // hmax)
+        ch = -(-frame["h"] * comp["v"] // vmax)
+        if interleaved:
+            pw = comp["h"] * -(-cw // comp["h"])
+            ph = comp["v"] * -(-ch // comp["v"])
+        else:
+            pw, ph = cw, ch
+        st.append({
+            "comp": comp, "td": td, "L": L, "U": U,
+            "plane": np.zeros((ph, pw), np.uint16),
+            "cats": np.zeros((ph, pw), np.int8),
+            "cw": cw, "ch": ch, "x": 0, "y": 0,
+            "fresh": True, "line0": 0,
+        })
+    if interleaved:
+        mcus_x = -(-frame["w"] // hmax)
+        mcus_y = -(-frame["h"] // vmax)
+        n_mcus = mcus_x * mcus_y
+    else:
+        n_mcus = st[0]["plane"].size
+    stats = {s["td"]: bytearray(158) for s in st}
+    dec = _ArithDecoder(d, data_pos)
+    rst = 0
+    for m_i in range(n_mcus):
+        if restart_interval and m_i and m_i % restart_interval == 0:
+            p = dec.pos
+            while p + 1 < len(d) and not (
+                d[p] == 0xFF and d[p + 1] != 0x00
+            ):
+                p += 1
+            while p + 1 < len(d) and d[p + 1] == 0xFF:
+                p += 1
+            if p + 1 >= len(d) or d[p + 1] != 0xD0 + rst:
+                raise ValueError("expected restart marker in arithmetic scan")
+            rst = (rst + 1) & 7
+            dec = _ArithDecoder(d, p + 2)
+            stats = {s["td"]: bytearray(158) for s in st}
+            for s in st:
+                s["fresh"] = True
+                s["line0"] = s["y"]
+                s["cats"][:] = 0  # fresh interval: zero-class neighbours
+        for s in st:
+            comp, plane, cats = s["comp"], s["plane"], s["cats"]
+            tstats = stats[s["td"]]
+            nh = comp["h"] if interleaved else 1
+            nv = comp["v"] if interleaved else 1
+            if interleaved:
+                mrow, mcol = divmod(m_i, mcus_x)
+                ys, xs = mrow * nv, mcol * nh
+            else:
+                ys, xs = s["y"], s["x"]
+            for dy in range(nv):
+                for dx in range(nh):
+                    y, x = ys + dy, xs + dx
+                    ca = int(cats[y, x - 1]) if x > 0 else 0
+                    cb = int(cats[y - 1, x]) if y > 0 else 0
+                    diff, sign, mcat, zero = _arith_ll_decode_diff(
+                        dec, tstats, ca, cb
+                    )
+                    cats[y, x] = _arith_ll_cat(
+                        zero, mcat, sign, s["L"], s["U"]
+                    )
+                    if sel == 0:
+                        px = 0
+                    elif s["fresh"]:
+                        px = default
+                        s["fresh"] = False
+                        s["line0"] = y
+                    else:
+                        px = _lossless_predict(
+                            plane, x, y, sel, default, s["line0"])
+                    plane[y, x] = (px + diff) & 0xFFFF
+            if not interleaved:
+                s["x"] += 1
+                if s["x"] == plane.shape[1]:
+                    s["x"] = 0
+                    s["y"] += 1
+    for s in st:
+        planes[s["comp"]["id"]] = (
+            s["plane"][:s["ch"], :s["cw"]], pt)
+    return _entropy_end(d, dec.pos)
 
 
 def encode_jpeg_gray_arith(pixels: np.ndarray, quality: int = 90,

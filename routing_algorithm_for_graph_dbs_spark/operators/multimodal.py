@@ -1179,17 +1179,22 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
 
 
 def synth_jpeg_lossless_media(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL LOSSLESS (SOF3) JPEG payloads (round 13).
+    """Deterministic REAL LOSSLESS (SOF3 + SOF11) JPEG payloads (round
+    13; arithmetic flavor round 14).
 
     Each image-kind doc becomes a diagonal RAMP image (pixel[y, x] =
     g + x + y, never clipping: g <= 224, x + y <= 28) encoded through
     the T.81 Annex H DPCM encoder with the predictor cycling 1..7 on
     doc_id // 3 and a 4-row restart interval on every other doc (the
     H.1.1 per-interval predictor reset — restarts change the stream,
-    never the pixels). Lossless decode is EXACT, so the oracle states
-    the decoded mean in closed form: g + (w-1)/2 + (h-1)/2 (see
-    mm_jpeg_lossless). A ramp, unlike the flat DCT images, exercises
-    every predictor's Ra/Rb/Rc arithmetic on every sample."""
+    never the pixels). Every third image doc encodes ARITHMETIC
+    lossless (SOF11, the H.1.2 QM-coded statistical model) instead of
+    Huffman — the entropy stage changes, the pixels do not, so the
+    closed-form oracle covers both flavors. Lossless decode is EXACT,
+    so the oracle states the decoded mean in closed form:
+    g + (w-1)/2 + (h-1)/2 (see mm_jpeg_lossless). A ramp, unlike the
+    flat DCT images, exercises every predictor's Ra/Rb/Rc arithmetic
+    on every sample."""
     from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
         encode_jpeg_gray_lossless,
     )
@@ -1202,20 +1207,23 @@ def synth_jpeg_lossless_media(docs: DataFrame) -> DataFrame:
         (1 + (F.col("doc_id") / 3).cast("long") % 7).cast("int").alias("pred"),
         (F.when((F.col("doc_id") / 3).cast("long") % 2 == 0, 4)
          .otherwise(0)).cast("int").alias("rst"),
+        ((F.col("doc_id") / 3).cast("long") % 3 == 1).alias("ar"),
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for g, w, h, pred, rst in zip(
-                pdf["g"], pdf["w"], pdf["h"], pdf["pred"], pdf["rst"]
+            for g, w, h, pred, rst, ar in zip(
+                pdf["g"], pdf["w"], pdf["h"], pdf["pred"], pdf["rst"],
+                pdf["ar"],
             ):
                 img = (
                     int(g)
                     + np.add.outer(np.arange(int(h)), np.arange(int(w)))
                 ).astype(np.uint8)
                 payloads.append(encode_jpeg_gray_lossless(
-                    img, predictor=int(pred), restart_rows=int(rst)))
+                    img, predictor=int(pred), restart_rows=int(rst),
+                    arith=bool(ar)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1399,7 +1399,8 @@ def test_jpeg_hierarchical_dct_differential():
 def test_jpeg_boundary_raises_narrowed():
     """Round 14 boundary narrowing: differential SOFs OUTSIDE a DHP
     stream are a ValueError (illegal stream, not a missing feature);
-    arithmetic-lossless (SOF11) keeps the honest NotImplementedError;
+    arithmetic-lossless (SOF11) now DECODES, so only the
+    arithmetic-differential SOFs keep the honest NotImplementedError;
     arithmetic frames INSIDE a hierarchical stream raise too."""
     import struct
 
@@ -1414,8 +1415,11 @@ def test_jpeg_boundary_raises_narrowed():
     sof = struct.pack(">HBHHB", 11, 8, 2, 2, 1) + bytes([1, 0x11, 0])
     with pytest.raises(ValueError, match="hierarchical"):
         _decode_jpeg_plane(b"\xff\xd8\xff\xc5" + sof + b"\xff\xd9")
-    with pytest.raises(NotImplementedError, match="arithmetic"):
+    # a scanless SOF11 frame is an illegal STREAM now, not a boundary
+    with pytest.raises(ValueError, match="no SOS"):
         _decode_jpeg_plane(b"\xff\xd8\xff\xcb" + sof + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        _decode_jpeg_plane(b"\xff\xd8\xff\xcd" + sof + b"\xff\xd9")
     # inside a DHP stream, an arithmetic differential frame still raises
     with pytest.raises(NotImplementedError, match="arithmetic|real image lib"):
         _decode_jpeg_plane(
@@ -1658,3 +1662,307 @@ def test_independent_c_decoder_recovers_gsm_pcm(tmp_path):
         mono = x.mean(axis=1)
         zc = int(np.count_nonzero(mono[1:] * mono[:-1] < 0))
         assert (rms, mean, zc) == (rms_e, mean_e, zc_e), f
+
+
+def _build_jpeg_ll_arith_helper(tmpdir):
+    """Compile an INDEPENDENT SOF11 (arithmetic lossless JPEG) decoder
+    (plain C, no codec library — no implementation of SOF11 ships
+    anywhere in this container; libjpeg never implemented it). The C
+    path re-derives the Annex D QM decoder (bit-lazy interval form,
+    byte stuffing, marker zero-feed), the H.1.2 conditioning layout
+    this codec documents (25 four-bin contexts over the Da/Db
+    classifications, two Db-conditioned X/M ladders at bins 100/129)
+    and the Annex H predictors in a second language, so a
+    transcription slip between the Python encoder/decoder pair cannot
+    hide. Reads a single-component SOF11 stream, writes uint16 LE
+    samples (point-transformed domain, as stored)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("gcc") is None:
+        return None
+    src = os.path.join(tmpdir, "jlldec.c")
+    binp = os.path.join(tmpdir, "jlldec")
+    with open(src, "w") as f:
+        f.write(r"""
+/* Independent arithmetic-lossless JPEG (SOF11) decoder: T.81 Annex D
+ * QM coder + Annex H.1.2 statistical model + H.1.1 predictors. */
+#include <stdio.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* T.81 Table D.3, packed (Qe<<16)|(NMPS<<8)|(Switch<<7)|NLPS —
+ * normative data, same packing the repo pins against jpeg_aritab. */
+static const uint32_t TAB[113]={
+0x5A1D0181,0x2586020E,0x11140310,0x080B0412,0x03D80514,0x01DA0617,
+0x00E50719,0x006F081C,0x0036091E,0x001A0A21,0x000D0B23,0x00060C09,
+0x00030D0A,0x00010D0C,0x5A7F0F8F,0x3F251024,0x2CF21126,0x207C1227,
+0x17B91328,0x1182142A,0x0CEF152B,0x09A1162D,0x072F172E,0x055C1830,
+0x04061931,0x03031A33,0x02401B34,0x01B11C36,0x01441D38,0x00F51E39,
+0x00B71F3B,0x008A203C,0x0068213E,0x004E223F,0x003B2320,0x002C0921,
+0x5AE125A5,0x484C2640,0x3A0D2741,0x2EF12843,0x261F2944,0x1F332A45,
+0x19A82B46,0x15182C48,0x11772D49,0x0E742E4A,0x0BFB2F4B,0x09F8304D,
+0x0861314E,0x0706324F,0x05CD3330,0x04DE3432,0x040F3532,0x03633633,
+0x02D43734,0x025C3835,0x01F83936,0x01A43A37,0x01603B38,0x01253C39,
+0x00F63D3A,0x00CB3E3B,0x00AB3F3D,0x008F203D,0x5B1241C1,0x4D044250,
+0x412C4351,0x37D84452,0x2FE84553,0x293C4654,0x23794756,0x1EDF4857,
+0x1AA94957,0x174E4A48,0x14244B48,0x119C4C4A,0x0F6B4D4A,0x0D514E4B,
+0x0BB64F4D,0x0A40304D,0x583251D0,0x4D1C5258,0x438E5359,0x3BDD545A,
+0x34EE555B,0x2EAE565C,0x299A575D,0x25164756,0x557059D8,0x4CA95A5F,
+0x44D95B60,0x3E225C61,0x38245D63,0x32B45E63,0x2E17565D,0x56A860DF,
+0x4F466165,0x47E56266,0x41CF6367,0x3C3D6468,0x375E5D63,0x52316669,
+0x4C0F676A,0x4639686B,0x415E6367,0x56276AE9,0x50E76B6C,0x4B85676D,
+0x55976D6E,0x504F6B6F,0x5A106FEE,0x55226D70,0x59EB6FF0,0x5A1D7171};
+
+static const uint8_t *D; static size_t N;
+static size_t BPOS; static int MARKER, CUR, NB;
+static uint32_t A, C;
+
+static int nextbyte(void){
+  if(MARKER || BPOS >= N){ MARKER=1; return 0; }
+  int b = D[BPOS];
+  if(b != 0xFF){ BPOS++; return b; }
+  size_t p = BPOS+1;
+  while(p < N && D[p]==0xFF) p++;
+  if(p < N && D[p]==0x00){ BPOS = p+1; return 0xFF; }
+  MARKER = 1; return 0;
+}
+static int nextbit(void){
+  if(NB==0){ CUR = nextbyte(); NB = 8; }
+  NB--; return (CUR >> NB) & 1;
+}
+static void initdec(size_t pos){
+  BPOS=pos; MARKER=0; CUR=0; NB=0; A=0x10000; C=0;
+  for(int i=0;i<16;i++) C = (C<<1) | nextbit();
+}
+static int qdecode(uint8_t *st, int i){
+  int sv = st[i];
+  uint32_t packed = TAB[sv & 0x7F];
+  uint32_t qe = packed >> 16;
+  int nm = (packed >> 8) & 0xFF, nl = packed & 0xFF;
+  int mps = sv >> 7, d;
+  uint32_t a = A - qe;
+  if(C < a){
+    if(a & 0x8000){ A = a; return mps; }
+    if(a < qe){ d = mps ^ 1; st[i] = (sv & 0x80) ^ nl; }
+    else      { d = mps;     st[i] = (sv & 0x80) ^ nm; }
+    A = a;
+  } else {
+    C -= a;
+    if(a < qe){ d = mps;     st[i] = (sv & 0x80) ^ nm; }
+    else      { d = mps ^ 1; st[i] = (sv & 0x80) ^ nl; }
+    A = qe;
+  }
+  while(A < 0x8000){ A <<= 1; C = (C<<1) | nextbit(); }
+  return d;
+}
+
+/* H.1.2 value decode in context (ca, cb); returns diff, sets cat. */
+static int lldiff(uint8_t *st, int ca, int cb, int *cat){
+  int base = 4*(5*ca + cb);
+  if(!qdecode(st, base)){ *cat = 0; return 0; }
+  int sign = qdecode(st, base+1);
+  int si = base + 2 + sign;
+  int m = qdecode(st, si);
+  if(m){
+    si = (cb >= 3) ? 129 : 100;
+    while(qdecode(st, si)){
+      m <<= 1;
+      if(m == 0x8000){ fprintf(stderr,"overflow\n"); exit(1); }
+      si++;
+    }
+  }
+  int v = m; si += 14;
+  for(int mm = m >> 1; mm; mm >>= 1) if(qdecode(st, si)) v |= mm;
+  v += 1;
+  /* classification (L=0, U=1 defaults) */
+  if(m < 0) *cat = 0;
+  else if(m > ((1<<1)>>1)) *cat = 3 + sign;
+  else *cat = 1 + sign;
+  return sign ? -v : v;
+}
+
+static int predict(uint16_t *pl, int w, int x, int y, int sel,
+                   int dflt, int line0){
+  if(y == line0) return pl[y*w + x - 1];
+  if(x == 0) return pl[(y-1)*w + x];
+  int ra = pl[y*w + x - 1], rb = pl[(y-1)*w + x], rc = pl[(y-1)*w + x - 1];
+  switch(sel){
+    case 1: return ra;
+    case 2: return rb;
+    case 3: return rc;
+    case 4: return ra + rb - rc;
+    case 5: return ra + ((rb - rc) >> 1);
+    case 6: return rb + ((ra - rc) >> 1);
+    default: return (ra + rb) >> 1;  /* sel 7 */
+  }
+}
+
+int main(int argc, char **argv){
+  if(argc != 3){ fprintf(stderr,"usage: jlldec in.jpg out.raw\n"); return 2; }
+  FILE *fi = fopen(argv[1],"rb"); if(!fi){ perror("open"); return 1; }
+  static uint8_t buf[1<<22];
+  N = fread(buf, 1, sizeof buf, fi); fclose(fi); D = buf;
+  if(N < 4 || D[0]!=0xFF || D[1]!=0xD8){ fprintf(stderr,"not jpeg\n"); return 1; }
+  size_t pos = 2; int prec=0, w=0, h=0, sel=1, pt=0, dri=0;
+  size_t scan_pos = 0;
+  while(pos + 3 < N){
+    if(D[pos] != 0xFF){ fprintf(stderr,"marker sync\n"); return 1; }
+    int mk = D[pos+1];
+    if(mk == 0xD9) break;
+    int len = (D[pos+2]<<8) | D[pos+3];
+    const uint8_t *seg = D + pos + 4;
+    if(mk == 0xCB){
+      prec = seg[0]; h = (seg[1]<<8)|seg[2]; w = (seg[3]<<8)|seg[4];
+      if(seg[5] != 1){ fprintf(stderr,"1 component only\n"); return 1; }
+    } else if(mk == 0xDD){
+      dri = (seg[0]<<8)|seg[1];
+    } else if(mk == 0xDA){
+      sel = seg[1 + 2*seg[0]];
+      pt = seg[3 + 2*seg[0]] & 15;
+      scan_pos = pos + 2 + len;
+      break;
+    }
+    pos += 2 + len;
+  }
+  if(!scan_pos || !w || !h){ fprintf(stderr,"no scan\n"); return 1; }
+  uint16_t *pl = calloc((size_t)w*h, 2);
+  int8_t *cats = calloc((size_t)w*h, 1);
+  uint8_t st[158]; memset(st, 0, 158);
+  initdec(scan_pos);
+  int dflt = 1 << (prec - pt - 1);
+  int rst = 0, line0 = 0, fresh = 1;
+  long nmcu = 0;
+  for(int y = 0; y < h; y++) for(int x = 0; x < w; x++, nmcu++){
+    if(dri && nmcu && nmcu % dri == 0){
+      size_t p = BPOS;
+      while(p + 1 < N && !(D[p]==0xFF && D[p+1]!=0x00)) p++;
+      while(p + 1 < N && D[p+1]==0xFF) p++;
+      if(p + 1 >= N || D[p+1] != 0xD0 + rst){ fprintf(stderr,"rst\n"); return 1; }
+      rst = (rst + 1) & 7;
+      initdec(p + 2);
+      memset(st, 0, 158);
+      memset(cats, 0, (size_t)w*h);
+      fresh = 1; line0 = y;
+    }
+    int ca = x > 0 ? cats[y*w + x - 1] : 0;
+    int cb = y > 0 ? cats[(y-1)*w + x] : 0;
+    int cat, diff = lldiff(st, ca, cb, &cat);
+    if(diff == 0) cat = 0;
+    cats[y*w + x] = (int8_t)cat;
+    int px;
+    if(fresh){ px = dflt; fresh = 0; line0 = y; }
+    else px = predict(pl, w, x, y, sel, dflt, line0);
+    pl[y*w + x] = (uint16_t)((px + diff) & 0xFFFF);
+  }
+  FILE *fo = fopen(argv[2],"wb");
+  for(long i = 0; i < (long)w*h; i++){
+    fputc(pl[i] & 0xFF, fo); fputc(pl[i] >> 8, fo);
+  }
+  fclose(fo); return 0;
+}
+""")
+    r = subprocess.run(["gcc", "-O2", src, "-o", binp],
+                       capture_output=True)
+    if r.returncode != 0:
+        raise AssertionError(r.stderr.decode()[:2000])
+    return binp
+
+
+def test_independent_c_decoder_recovers_sof11(tmp_path):
+    """Round 14 SOF11: the from-scratch C decoder must recover the
+    EXACT point-transformed samples from Python-minted arithmetic
+    lossless streams across predictors, restarts, precisions and point
+    transforms (the FLAC/GSM validation precedent — nothing else in
+    this container can decode SOF11)."""
+    import subprocess
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        encode_jpeg_gray_lossless,
+    )
+
+    helper = _build_jpeg_ll_arith_helper(str(tmp_path))
+    if helper is None:
+        pytest.skip("gcc unavailable — cannot build the C decoder")
+
+    rng = np.random.default_rng(0xC811)
+    ramp = (np.add.outer(np.arange(20), np.arange(30)) * 5 % 256).astype(
+        np.uint8
+    )
+    cases = [
+        ("ramp_p1", ramp, {}),
+        ("noise", rng.integers(0, 256, (17, 23)).astype(np.uint8), {}),
+        ("flat", np.full((9, 9), 131, np.uint8), {}),
+        ("p4", rng.integers(0, 256, (12, 12)).astype(np.uint8),
+         {"predictor": 4}),
+        ("p7_rst", rng.integers(0, 256, (24, 10)).astype(np.uint8),
+         {"predictor": 7, "restart_rows": 5}),
+        ("prec16", rng.integers(0, 1 << 16, (11, 13)).astype(np.uint16),
+         {"precision": 16}),
+        ("prec12_pt3", (rng.integers(0, 1 << 12, (10, 14)) & ~7).astype(
+            np.uint16), {"precision": 12, "pt": 3}),
+    ]
+    for name, img, kw in cases:
+        data = encode_jpeg_gray_lossless(img, arith=True, **kw)
+        fn = os.path.join(str(tmp_path), f"{name}.jpg")
+        out = os.path.join(str(tmp_path), f"{name}.raw")
+        with open(fn, "wb") as f:
+            f.write(data)
+        r = subprocess.run([helper, fn, out], capture_output=True)
+        assert r.returncode == 0, (name, r.stderr.decode()[:300])
+        with open(out, "rb") as f:
+            got = np.frombuffer(f.read(), "<u2").reshape(img.shape)
+        pt = kw.get("pt", 0)
+        expect = (np.asarray(img).astype(np.int64) >> pt).astype(np.uint16)
+        assert np.array_equal(got, expect), (
+            name, int(np.count_nonzero(got != expect)))
+
+
+def test_jpeg_arith_lossless_roundtrip_matrix():
+    """SOF11 (round 14) end-to-end through the public decode contract:
+    every predictor, 8/12/16-bit, point transform and restart rows
+    round-trip exactly; the arithmetic stream is smaller than Huffman
+    on smooth content (the QM coder adapts — a structural sanity check
+    that the model actually conditions)."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        _decode_jpeg_plane,
+        encode_jpeg_gray_lossless,
+    )
+
+    rng = np.random.default_rng(11)
+    ramp = (np.add.outer(np.arange(16), np.arange(24)) * 3 % 256).astype(
+        np.uint8
+    )
+    cases = [
+        (ramp, {}),
+        (rng.integers(0, 256, (13, 17)).astype(np.uint8), {}),
+        (np.full((8, 9), 200, np.uint8), {}),
+        (rng.integers(0, 256, (10, 10)).astype(np.uint8), {"predictor": 7}),
+        (rng.integers(0, 65536, (9, 11)).astype(np.uint16),
+         {"precision": 16}),
+        (rng.integers(0, 256, (20, 12)).astype(np.uint8),
+         {"restart_rows": 4}),
+        ((rng.integers(0, 256, (7, 7)) & 0xFC).astype(np.uint8), {"pt": 2}),
+    ]
+    for pred in range(1, 8):
+        cases.append(
+            (rng.integers(0, 256, (9, 9)).astype(np.uint8),
+             {"predictor": pred})
+        )
+    for img, kw in cases:
+        data = encode_jpeg_gray_lossless(img, arith=True, **kw)
+        assert data[3] == 0xCB  # SOF11 frame
+        w, h, _nc, plane = _decode_jpeg_plane(data)
+        pt = kw.get("pt", 0)
+        prec = kw.get("precision", 8 if img.dtype == np.uint8 else 16)
+        maxval = (1 << prec) - 1
+        expect = ((img.astype(np.int64) >> pt) << pt).astype(np.float64)
+        got = plane * maxval / 255.0
+        assert np.allclose(got, expect, atol=1e-9), kw
+    # adaptation sanity: smooth ramp codes far below Huffman-lossless
+    a = len(encode_jpeg_gray_lossless(ramp, arith=True))
+    hf = len(encode_jpeg_gray_lossless(ramp))
+    assert a < hf, (a, hf)

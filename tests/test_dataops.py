@@ -2453,9 +2453,9 @@ def test_jpeg_decode_golden():
 
 def test_jpeg_decode_rejects_unsupported():
     """The honest codec boundary: non-JPEG bytes -> ValueError;
-    arithmetic-PROGRESSIVE (SOF10) -> NotImplementedError (progressive
-    SOF2 decodes since round 8; sequential arithmetic SOF9 since
-    round 12)."""
+    arithmetic-DIFFERENTIAL (SOF13) -> NotImplementedError (SOF11
+    arithmetic lossless decodes since round 14; a scanless SOF11 is an
+    illegal stream, not a boundary)."""
     import struct as _struct
 
     import pytest as _pytest
@@ -2464,15 +2464,11 @@ def test_jpeg_decode_rejects_unsupported():
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"BMnot a jpeg")
-    lossless = (
-        b"\xff\xd8"
-        + b"\xff\xcb"
-        + _struct.pack(">HBHHB", 11, 8, 8, 8, 1)
-        + bytes([1, 0x11, 0])
-        + b"\xff\xd9"
-    )
+    sof = _struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xcb" + sof + b"\xff\xd9")  # no SOS
     with _pytest.raises(NotImplementedError):
-        decode_jpeg(lossless)
+        decode_jpeg(b"\xff\xd8\xff\xcd" + sof + b"\xff\xd9")
 
 
 def test_arithmetic_progressive_jpeg_golden():
