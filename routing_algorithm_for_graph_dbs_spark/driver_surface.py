@@ -6696,11 +6696,13 @@ def mm_jpeg_hierarchical(spark, sf_dir):
     T.81 Annex J DHP/EXP/SOF5-7 moves off the declared boundary):
     synth_jpeg_hierarchical_media mints diagonal-ramp images as
     DHP pyramids (SOF3 initial + EXP expansion + SOF7 mod-2^16
-    differential frames, level count cycling 1..3) and image_features
+    differential frames, level count cycling 1..3; every third image
+    doc the QM-coded SOF11+SOF15 twins — identical pixels, arithmetic
+    entropy) and image_features
     entropy-decodes every payload for real (strict=True). The lossless
     pyramid decode is EXACT — any EXP interpolation, predictor-0
-    differential, or reference-composition bug shifts the mean and
-    breaks the hash. No external validator exists (libjpeg never
+    differential, QM-context, or reference-composition bug shifts the
+    mean and breaks the hash. No external validator exists (libjpeg never
     implemented Annex J); byte-stream truth is pinned by the
     hand-derived golden in tests/test_codec_crosscheck.py plus the
     exact encode/decode twin round-trip. Reference parity: reshape.py's

@@ -35,9 +35,13 @@ external validator exists — libjpeg has never implemented hierarchical
 mode). ARITHMETIC LOSSLESS (SOF11, round 14) decodes too — the H.1.2
 conditioning over the validated QM coder, ``arith=True`` on the
 lossless encoder as its twin, an independent from-scratch C decoder as
-the crosscheck. Only arithmetic-differential (SOF13-15) still raises
-``NotImplementedError`` — the honest remaining boundary (a real
-deployment plugs a full codec library there).
+the crosscheck — and so do the ARITHMETIC frames inside hierarchical
+streams (SOF9/11 initial, SOF13/14/15 differential; ``arith=True`` on
+the hierarchical encoder). EVERY SOF the standard defines now decodes;
+the only remaining ``NotImplementedError`` sites are structural
+narrowings (progressive-INITIAL hierarchical frames, multi-component
+hierarchical streams, non-8-bit hierarchical DCT) rather than codec
+families.
 
 ``encode_jpeg_gray``: minimal single-component baseline encoder (Annex K
 tables) — the write half used to generate REAL jpeg bytes for golden
@@ -326,18 +330,12 @@ def _decode_jpeg_plane(payload: bytes):
             frame = {"w": w, "h": h, "comps": comps, "prec": precision,
                      "arith": marker == 0xCB, "lossless": True}
             progressive = False
-        elif marker in (0xC5, 0xC6, 0xC7):
-            # differential frames are only legal after DHP (B.2.1); the
-            # hierarchical walk above handles that case
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            # differential frames (Huffman or arithmetic) are only legal
+            # after DHP (B.2.1); the hierarchical walk above handles them
             raise ValueError(
                 f"differential frame (SOF marker 0x{marker:02X}) outside a "
                 "hierarchical (DHP) stream"
-            )
-        elif marker in (0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"arithmetic-differential (SOF13-15) JPEG frames are not "
-                f"decoded here (got SOF marker 0x{marker:02X}) — they "
-                f"need a real image lib"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -1061,12 +1059,14 @@ def _decode_jpeg_hierarchical(d: bytes) -> tuple:
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    dac_dc: dict[int, tuple] = {}
+    dac_ac: dict[int, int] = {}
     restart_interval = 0
     dhp = None
     ref = None  # int64 full-precision sample plane
     pending_exp = None
     frame = None
-    prog_state = None  # SOF6 scans accumulate; committed at frame end
+    prog_state = None  # SOF6/14 scans accumulate; committed at frame end
     prog_frame = None
 
     def parse_frame_header(seg, lossless):
@@ -1144,6 +1144,15 @@ def _decode_jpeg_hierarchical(d: bytes) -> tuple:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            i = 0
+            while i + 1 < len(seg):
+                tc_tb, val = seg[i], seg[i + 1]
+                if tc_tb >> 4 == 0:
+                    dac_dc[tc_tb & 15] = (val & 15, val >> 4)  # (L, U)
+                else:
+                    dac_ac[tc_tb & 15] = val  # Kx
+                i += 2
         elif marker == 0xDE:  # DHP
             if dhp is not None:
                 raise ValueError("multiple DHP segments")
@@ -1151,15 +1160,22 @@ def _decode_jpeg_hierarchical(d: bytes) -> tuple:
         elif marker == 0xDF:  # EXP
             commit_prog()
             pending_exp = (seg[0] >> 4, seg[0] & 15)
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCB, 0xCD, 0xCE, 0xCF):
+            # Huffman: SOF0/1 + SOF3 initial, SOF5/6/7 differential.
+            # Arithmetic (round 14): SOF9 sequential + SOF11 lossless
+            # initial, SOF13 sequential / SOF14 progressive / SOF15
+            # lossless differential — the QM-coded twins over the same
+            # pyramid walk.
             commit_prog()
             if dhp is None:
                 raise ValueError("hierarchical frame before DHP")
-            lossless = marker in (0xC3, 0xC7)
+            lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
             frame = parse_frame_header(seg, lossless)
-            frame["diff"] = marker in (0xC5, 0xC6, 0xC7)
+            frame["diff"] = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
             frame["lossless"] = lossless
-            frame["progressive"] = marker == 0xC6
+            frame["progressive"] = marker in (0xC6, 0xCE)
+            frame["arith"] = marker in (0xC9, 0xCB, 0xCD, 0xCE, 0xCF)
             if frame["diff"]:
                 if ref is None:
                     raise ValueError("differential frame before any reference")
@@ -1173,12 +1189,11 @@ def _decode_jpeg_hierarchical(d: bytes) -> tuple:
             if frame["progressive"]:
                 prog_state = _init_prog_state(frame)
                 prog_frame = frame
-        elif marker in (0xC2, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC2, 0xCA):
             raise NotImplementedError(
-                "hierarchical JPEG decodes SOF0/1/3 initial and SOF5/6/7 "
-                f"differential frames (got SOF marker 0x{marker:02X}) — "
-                "progressive-initial and arithmetic hierarchical frames "
-                "need a real image lib"
+                "hierarchical JPEG decodes sequential/lossless initial "
+                f"frames only (got SOF marker 0x{marker:02X}) — a "
+                "progressive-INITIAL frame needs a real image lib"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -1204,10 +1219,16 @@ def _decode_jpeg_hierarchical(d: bytes) -> tuple:
                         "differential lossless scan requires predictor 0"
                     )
                 planes: dict = {}
-                pos = _decode_scan_lossless(
-                    d, data_pos, frame, scan, sel, pt, huff_dc,
-                    restart_interval, planes,
-                )
+                if frame["arith"]:
+                    pos = _decode_scan_lossless_arith(
+                        d, data_pos, frame, scan, sel, pt, dac_dc,
+                        restart_interval, planes,
+                    )
+                else:
+                    pos = _decode_scan_lossless(
+                        d, data_pos, frame, scan, sel, pt, huff_dc,
+                        restart_interval, planes,
+                    )
                 plane, pt_out = planes[frame["comps"][0]["id"]]
                 vals = plane.astype(np.int64) << pt_out
                 if frame["diff"]:
@@ -1234,17 +1255,30 @@ def _decode_jpeg_hierarchical(d: bytes) -> tuple:
             if frame["progressive"]:
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 ah_al = seg[3 + 2 * ns]
-                _decode_prog_scan(
-                    d, data_pos, frame, scan, ss, se, ah_al >> 4,
-                    ah_al & 15, huff_dc, huff_ac, restart_interval,
-                    prog_state,
-                )
+                if frame["arith"]:  # SOF14 (round 14)
+                    _decode_prog_scan_arith(
+                        d, data_pos, frame, scan, ss, se, ah_al >> 4,
+                        ah_al & 15, dac_dc, dac_ac, restart_interval,
+                        prog_state,
+                    )
+                else:
+                    _decode_prog_scan(
+                        d, data_pos, frame, scan, ss, se, ah_al >> 4,
+                        ah_al & 15, huff_dc, huff_ac, restart_interval,
+                        prog_state,
+                    )
                 pos = _entropy_end(d, data_pos)
                 continue
-            _, _, _, out = _decode_scan(
-                d, data_pos, frame, scan, quant, huff_dc, huff_ac,
-                restart_interval, differential=frame["diff"],
-            )
+            if frame["arith"]:  # SOF9 initial / SOF13 differential (r14)
+                _, _, _, out = _decode_scan_arith(
+                    d, data_pos, frame, scan, quant, dac_dc, dac_ac,
+                    restart_interval, differential=frame["diff"],
+                )
+            else:
+                _, _, _, out = _decode_scan(
+                    d, data_pos, frame, scan, quant, huff_dc, huff_ac,
+                    restart_interval, differential=frame["diff"],
+                )
             pos = _entropy_end(d, data_pos)
             maxval = (1 << frame["prec"]) - 1
             if frame["diff"]:
@@ -1435,6 +1469,7 @@ def encode_jpeg_gray_hierarchical(
     levels: int = 3,
     final: str = "lossless",
     quality: int = 90,
+    arith: bool = False,
 ) -> bytes:
     """Encode an (H, W) uint8 array as a HIERARCHICAL (Annex J) JPEG —
     the write twin of ``_decode_jpeg_hierarchical``.
@@ -1446,10 +1481,14 @@ def encode_jpeg_gray_hierarchical(
     picks the full-resolution frame's coding: ``"lossless"`` (SOF7 —
     the whole pyramid round-trips EXACTLY), ``"dct"`` (SOF5 sequential
     DCT at ``quality``) or ``"dct_progressive"`` (SOF6, DC scan then AC
-    scan). Interpretation note (no external hierarchical decoder exists
-    to crosscheck — libjpeg never implemented Annex J): differential DCT
-    frames keep the F.1.1.5.1 DC prediction chain, and reconstruction
-    clamps ref+diff to [0, 2^P-1]; both twins agree.
+    scan). ``arith=True`` (round 14) swaps every frame's entropy stage
+    for the QM coder: SOF11 initial + SOF15 lossless differentials,
+    SOF13/SOF14 for the DCT finals — coefficients and pixels are
+    IDENTICAL to the Huffman pyramid by construction. Interpretation
+    note (no external hierarchical decoder exists to crosscheck —
+    libjpeg never implemented Annex J): differential DCT frames keep
+    the F.1.1.5.1 DC prediction chain, and reconstruction clamps
+    ref+diff to [0, 2^P-1]; both twins agree.
     """
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim != 2:
@@ -1472,15 +1511,39 @@ def encode_jpeg_gray_hierarchical(
 
     def lossless_frame(marker: int, samples: np.ndarray, sel: int) -> bytes:
         """SOFn + DHT + SOS + entropy for one lossless frame; ``sel`` 0 =
-        differential (prediction 0, samples are mod-2^16 differences)."""
+        differential (prediction 0, samples are mod-2^16 differences).
+        ``arith`` swaps Huffman SSSS codes for the SOF11/15 QM model."""
         fh, fw = samples.shape
         seg = bytearray()
         seg += (bytes([0xFF, marker]) + struct.pack(">HBHHB", 11, 8, fh, fw, 1)
                 + bytes([1, 0x11, 0]))
-        seg += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(LOSSLESS_DC_VALS))
-                + bytes([0x00] + LOSSLESS_DC_BITS + LOSSLESS_DC_VALS))
+        if not arith:
+            seg += (b"\xff\xc4"
+                    + struct.pack(">H", 3 + 16 + len(LOSSLESS_DC_VALS))
+                    + bytes([0x00] + LOSSLESS_DC_BITS + LOSSLESS_DC_VALS))
         seg += (b"\xff\xda" + struct.pack(">H", 8)
                 + bytes([1, 1, 0x00, sel, 0, 0]))
+        if arith:
+            enc = _ArithEncoder()
+            st = bytearray(158)
+            cats = np.zeros((fh, fw), np.int8)
+            dflt = 1 << 7
+            for y in range(fh):
+                for x in range(fw):
+                    ca = int(cats[y, x - 1]) if x > 0 else 0
+                    cb = int(cats[y - 1, x]) if y > 0 else 0
+                    if sel == 0:
+                        px = 0
+                    elif y == 0 and x == 0:
+                        px = dflt
+                    else:
+                        px = _lossless_predict(samples, x, y, sel, dflt, 0)
+                    diff = ((int(samples[y, x]) - px + 32768) & 0xFFFF) - 32768
+                    sign, mcat, zero = _arith_ll_encode_diff(
+                        enc, st, ca, cb, diff
+                    )
+                    cats[y, x] = _arith_ll_cat(zero, mcat, sign, 0, 1)
+            return bytes(seg) + enc.finish()
         wtr = _BitWriter()
         default = 1 << 7
         for y in range(fh):
@@ -1507,13 +1570,135 @@ def encode_jpeg_gray_hierarchical(
         return bytes(seg) + bytes(wtr.body)
 
     def dct_diff_frame(diff: np.ndarray, progressive: bool) -> bytes:
-        """DQT + SOF5/6 + DHT + scan(s) for one DCT differential frame."""
+        """DQT + SOF + scan(s) for one DCT differential frame —
+        Huffman SOF5/6 or (``arith``) QM-coded SOF13/14."""
         fh, fw = diff.shape
         zzq, q, _bw = _quantize_zigzag(diff, quality, level=0.0, pad="zero")
-        dc_codes = _encode_huffman_lengths(DC_LUMA_BITS, DC_LUMA_VALS)
         seg = bytearray()
         seg += (b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
                 + bytes(int(x) for x in q))
+        if arith:
+            seg += (bytes([0xFF, 0xCE if progressive else 0xCD])
+                    + struct.pack(">HBHHB", 11, 8, fh, fw, 1)
+                    + bytes([1, 0x11, 0]))
+            blocks = list(zzq)
+            scans = [(0, 0), (1, 63)] if progressive else [(0, 63)]
+            for ss, se in scans:
+                seg += (b"\xff\xda" + struct.pack(">H", 8)
+                        + bytes([1, 1, 0x00, ss, se, 0]))
+                enc = _ArithEncoder()
+                dc_stats = bytearray(64)
+                ac_stats = bytearray(256)
+                fixed = bytearray([113])
+                if not progressive:
+                    # sequential SOF13: whole blocks through the F.1.4
+                    # procedures (default conditioning L=0, U=1, Kx=5)
+                    dc_state = {1: (0, 0)}
+                    for blk in blocks:
+                        _arith_encode_block(
+                            enc, blk, dc_stats, ac_stats, fixed,
+                            dc_state, 1, 0, 1, 5,
+                        )
+                elif ss == 0:
+                    # SOF14 DC-first scan (G.1.2.1 arith, al=0)
+                    last_dc = 0
+                    ctx = 0
+                    for blk in blocks:
+                        cur = int(blk[0])
+                        si = ctx
+                        v = cur - last_dc
+                        if v == 0:
+                            enc.encode(dc_stats, si, 0)
+                            ctx = 0
+                            continue
+                        last_dc = cur
+                        enc.encode(dc_stats, si, 1)
+                        if v > 0:
+                            enc.encode(dc_stats, si + 1, 0)
+                            si += 2
+                            sign = 0
+                        else:
+                            v = -v
+                            enc.encode(dc_stats, si + 1, 1)
+                            si += 3
+                            sign = 1
+                        m = 0
+                        v1 = v - 1
+                        if v1:
+                            enc.encode(dc_stats, si, 1)
+                            m = 1
+                            si = 20
+                            v2 = v1 >> 1
+                            while v2:
+                                enc.encode(dc_stats, si, 1)
+                                m <<= 1
+                                si += 1
+                                v2 >>= 1
+                        enc.encode(dc_stats, si, 0)
+                        ctx = (0 if m < ((1 << 0) >> 1) else
+                               12 + sign * 4 if m > ((1 << 1) >> 1) else
+                               4 + sign * 4)
+                        si += 14
+                        mm = m
+                        while True:
+                            mm >>= 1
+                            if not mm:
+                                break
+                            enc.encode(dc_stats, si, 1 if (mm & v1) else 0)
+                else:
+                    # SOF14 AC-first scan over [1, 63] (G.2 arith, al=0)
+                    for blk in blocks:
+                        ke = se
+                        while ke >= ss and int(blk[ke]) == 0:
+                            ke -= 1
+                        k = ss
+                        while k <= ke:
+                            si = 3 * (k - 1)
+                            enc.encode(ac_stats, si, 0)  # not EOB
+                            while int(blk[k]) == 0:
+                                enc.encode(ac_stats, si + 1, 0)
+                                si += 3
+                                k += 1
+                            enc.encode(ac_stats, si + 1, 1)
+                            v = int(blk[k])
+                            if v > 0:
+                                enc.encode(fixed, 0, 0)
+                            else:
+                                v = -v
+                                enc.encode(fixed, 0, 1)
+                            si += 2
+                            m = 0
+                            v1 = v - 1
+                            if v1:
+                                enc.encode(ac_stats, si, 1)
+                                m = 1
+                                v2 = v1 >> 1
+                                if v2:
+                                    enc.encode(ac_stats, si, 1)
+                                    m <<= 1
+                                    si = 189 if k <= 5 else 217
+                                    v2 >>= 1
+                                    while v2:
+                                        enc.encode(ac_stats, si, 1)
+                                        m <<= 1
+                                        si += 1
+                                        v2 >>= 1
+                            enc.encode(ac_stats, si, 0)
+                            si += 14
+                            mm = m
+                            while True:
+                                mm >>= 1
+                                if not mm:
+                                    break
+                                enc.encode(
+                                    ac_stats, si, 1 if (mm & v1) else 0
+                                )
+                            k += 1
+                        if k <= se:
+                            enc.encode(ac_stats, 3 * (k - 1), 1)  # EOB
+                seg += enc.finish()
+            return bytes(seg)
+        dc_codes = _encode_huffman_lengths(DC_LUMA_BITS, DC_LUMA_VALS)
         seg += (bytes([0xFF, 0xC6 if progressive else 0xC5])
                 + struct.pack(">HBHHB", 11, 8, fh, fw, 1)
                 + bytes([1, 0x11, 0]))
@@ -1578,14 +1763,16 @@ def encode_jpeg_gray_hierarchical(
     ref = None
     for li, img in enumerate(pyr):
         if li == 0:
-            out += lossless_frame(0xC3, img, sel=1)
+            out += lossless_frame(0xCB if arith else 0xC3, img, sel=1)
             ref = img.copy()
             continue
         th_, tw_ = img.shape
         out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP h+v
         ref = _exp_reference(ref, 1, 1, tw_, th_)
         if final == "lossless" or li < levels - 1:
-            out += lossless_frame(0xC7, (img - ref) & 0xFFFF, sel=0)
+            out += lossless_frame(
+                0xCF if arith else 0xC7, (img - ref) & 0xFFFF, sel=0
+            )
             ref = img.copy()
         else:
             out += dct_diff_frame(img - ref, final == "dct_progressive")
@@ -2424,11 +2611,14 @@ def _arith_encode_block(enc, blk, dc_stats, ac_stats, fixed, dc_state, ci,
 
 
 def _decode_scan_arith(d, data_pos, frame, scan, quant, dc_cond, ac_cond,
-                       restart_interval):
-    """Sequential arithmetic scan (SOF9): same MCU walk as
+                       restart_interval, differential=False):
+    """Sequential arithmetic scan (SOF9; SOF13 differential with
+    ``differential=True`` — round 14): same MCU walk as
     :func:`_decode_scan`, with the QM-coder entropy stage. DAC
     conditioning defaults are T.81's (L=0, U=1, Kx=5). Restart markers
-    reset the coder, the statistics areas, and the DC predictors."""
+    reset the coder, the statistics areas, and the DC predictors.
+    Differential frames skip the level shift and return the raw signed
+    difference plane (the hierarchical walk clamps ref+diff)."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -2485,8 +2675,13 @@ def _decode_scan_arith(d, data_pos, frame, scan, quant, dc_cond, ac_cond,
     prec = frame.get("prec", 8)
     level, maxval = float(1 << (prec - 1)), float((1 << prec) - 1)
     blocks = y_coeffs.reshape(-1, 8, 8)
-    pix = np.einsum("ki,nkl,lj->nij", _T, blocks, _T) + level
-    pix = np.clip(pix, 0.0, maxval) * (255.0 / maxval)
+    if differential:
+        # SOF13 (Annex J): IDCT output IS the signed difference image —
+        # no level shift/clamp; the hierarchical walk adds and clamps
+        pix = np.einsum("ki,nkl,lj->nij", _T, blocks, _T)
+    else:
+        pix = np.einsum("ki,nkl,lj->nij", _T, blocks, _T) + level
+        pix = np.clip(pix, 0.0, maxval) * (255.0 / maxval)
     plane = (
         pix.reshape(y_bh, y_bw, 8, 8)
         .transpose(0, 2, 1, 3)

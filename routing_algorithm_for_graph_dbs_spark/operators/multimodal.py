@@ -1242,12 +1242,15 @@ def synth_jpeg_hierarchical_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL HIERARCHICAL (Annex J) JPEG payloads (round
     14). Each image-kind doc becomes the same diagonal RAMP image as the
     SOF3 row (pixel[y, x] = g + x + y), encoded as a DHP/EXP pyramid —
-    SOF3 initial frame + SOF7 lossless differential frames — with the
-    level count cycling 1..3 on doc_id // 3 (level 1 degenerates to a
-    single non-differential frame; 2 and 3 exercise EXP expansion and
-    mod-2^16 differential reconstruction on every sample). The lossless
-    pyramid decodes EXACTLY, so the oracle states the decoded mean in the
-    same closed form as mm_jpeg_lossless: g + (w-1)/2 + (h-1)/2."""
+    SOF3 initial frame + SOF7 lossless differential frames, or on every
+    third image doc the QM-coded twins (SOF11 initial + SOF15
+    differentials — the pixels are identical, only the entropy stage
+    changes) — with the level count cycling 1..3 on doc_id // 3 (level
+    1 degenerates to a single non-differential frame; 2 and 3 exercise
+    EXP expansion and mod-2^16 differential reconstruction on every
+    sample). The lossless pyramid decodes EXACTLY, so the oracle states
+    the decoded mean in the same closed form as mm_jpeg_lossless:
+    g + (w-1)/2 + (h-1)/2."""
     from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
         encode_jpeg_gray_hierarchical,
     )
@@ -1258,18 +1261,22 @@ def synth_jpeg_hierarchical_media(docs: DataFrame) -> DataFrame:
         (8 + F.col("doc_id") % 9).cast("int").alias("w"),
         (8 + F.col("doc_id") % 7).cast("int").alias("h"),
         (1 + (F.col("doc_id") / 3).cast("long") % 3).cast("int").alias("lv"),
+        ((F.col("doc_id") / 3).cast("long") % 3 == 2).alias("ar"),
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for g, w, h, lv in zip(pdf["g"], pdf["w"], pdf["h"], pdf["lv"]):
+            for g, w, h, lv, ar in zip(
+                pdf["g"], pdf["w"], pdf["h"], pdf["lv"], pdf["ar"]
+            ):
                 img = (
                     int(g)
                     + np.add.outer(np.arange(int(h)), np.arange(int(w)))
                 ).astype(np.uint8)
                 payloads.append(
-                    encode_jpeg_gray_hierarchical(img, levels=int(lv))
+                    encode_jpeg_gray_hierarchical(
+                        img, levels=int(lv), arith=bool(ar))
                 )
             yield pd.DataFrame(
                 {

@@ -1397,11 +1397,13 @@ def test_jpeg_hierarchical_dct_differential():
 
 
 def test_jpeg_boundary_raises_narrowed():
-    """Round 14 boundary narrowing: differential SOFs OUTSIDE a DHP
-    stream are a ValueError (illegal stream, not a missing feature);
-    arithmetic-lossless (SOF11) now DECODES, so only the
-    arithmetic-differential SOFs keep the honest NotImplementedError;
-    arithmetic frames INSIDE a hierarchical stream raise too."""
+    """Round 14 boundary narrowing (final state: EVERY SOF decodes):
+    differential SOFs — Huffman OR arithmetic — outside a DHP stream
+    are a ValueError (illegal stream, not a missing feature); a
+    scanless SOF11 is an illegal stream too; inside a DHP stream an
+    arithmetic differential frame is accepted but must follow a
+    reference; a progressive-INITIAL hierarchical frame remains the
+    one honest NotImplementedError."""
     import struct
 
     import numpy as np
@@ -1418,12 +1420,18 @@ def test_jpeg_boundary_raises_narrowed():
     # a scanless SOF11 frame is an illegal STREAM now, not a boundary
     with pytest.raises(ValueError, match="no SOS"):
         _decode_jpeg_plane(b"\xff\xd8\xff\xcb" + sof + b"\xff\xd9")
-    with pytest.raises(NotImplementedError, match="arithmetic"):
+    with pytest.raises(ValueError, match="hierarchical"):
         _decode_jpeg_plane(b"\xff\xd8\xff\xcd" + sof + b"\xff\xd9")
-    # inside a DHP stream, an arithmetic differential frame still raises
-    with pytest.raises(NotImplementedError, match="arithmetic|real image lib"):
+    # inside a DHP stream, an arithmetic differential frame is ACCEPTED
+    # as a frame — the failure is the missing reference, not the codec
+    with pytest.raises(ValueError, match="before any reference"):
         _decode_jpeg_plane(
             b"\xff\xd8\xff\xde" + sof + b"\xff\xcd" + sof + b"\xff\xd9"
+        )
+    # progressive-INITIAL hierarchical frames stay the declared boundary
+    with pytest.raises(NotImplementedError, match="progressive-INITIAL"):
+        _decode_jpeg_plane(
+            b"\xff\xd8\xff\xde" + sof + b"\xff\xca" + sof + b"\xff\xd9"
         )
     # multi-component hierarchical is a declared boundary
     img = np.zeros((4, 4), np.uint8)
@@ -1966,3 +1974,47 @@ def test_jpeg_arith_lossless_roundtrip_matrix():
     a = len(encode_jpeg_gray_lossless(ramp, arith=True))
     hf = len(encode_jpeg_gray_lossless(ramp))
     assert a < hf, (a, hf)
+
+
+def test_jpeg_hierarchical_arith_matrix():
+    """Arithmetic hierarchical frames (round 14 — SOF11 initial +
+    SOF15 lossless differentials; SOF13/SOF14 DCT finals): lossless
+    pyramids round-trip EXACTLY at every level count, and the DCT
+    finals decode to pixels IDENTICAL to the Huffman pyramid's (the
+    coefficients are the same by construction, only the entropy stage
+    differs — any QM-context slip in the differential paths breaks the
+    equality)."""
+    import numpy as np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.jpeg import (
+        _decode_jpeg_plane,
+        encode_jpeg_gray_hierarchical,
+    )
+
+    rng = np.random.default_rng(0xD14)
+    imgs = [
+        (np.add.outer(np.arange(21), np.arange(33)) * 4 % 256).astype(
+            np.uint8),
+        rng.integers(0, 256, (16, 16)).astype(np.uint8),
+        (128 + 100 * np.sin(
+            np.add.outer(np.arange(24) / 3.0, np.arange(40) / 5.0)
+        )).astype(np.uint8),
+    ]
+    for img in imgs:
+        for levels in (1, 2, 3):
+            data = encode_jpeg_gray_hierarchical(img, levels=levels,
+                                                 arith=True)
+            assert b"\xff\xcb" in data  # SOF11 initial frame
+            _w, _h, _nc, plane = _decode_jpeg_plane(data)
+            assert np.array_equal(
+                np.rint(plane).astype(np.int64), img), levels
+        for final in ("dct", "dct_progressive"):
+            da = encode_jpeg_gray_hierarchical(
+                img, levels=2, final=final, arith=True, quality=85)
+            dh = encode_jpeg_gray_hierarchical(
+                img, levels=2, final=final, quality=85)
+            assert (b"\xff\xce" if final == "dct_progressive"
+                    else b"\xff\xcd") in da
+            _, _, _, pa = _decode_jpeg_plane(da)
+            _, _, _, ph = _decode_jpeg_plane(dh)
+            assert np.array_equal(pa, ph), final

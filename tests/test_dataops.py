@@ -2452,10 +2452,10 @@ def test_jpeg_decode_golden():
 
 
 def test_jpeg_decode_rejects_unsupported():
-    """The honest codec boundary: non-JPEG bytes -> ValueError;
-    arithmetic-DIFFERENTIAL (SOF13) -> NotImplementedError (SOF11
-    arithmetic lossless decodes since round 14; a scanless SOF11 is an
-    illegal stream, not a boundary)."""
+    """The honest codec boundary after round 14 (every SOF decodes):
+    non-JPEG bytes -> ValueError; scanless SOF11 -> ValueError (illegal
+    stream); a differential SOF13 OUTSIDE a DHP stream -> ValueError
+    (illegal placement, not a missing codec)."""
     import struct as _struct
 
     import pytest as _pytest
@@ -2467,8 +2467,8 @@ def test_jpeg_decode_rejects_unsupported():
     sof = _struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
     with _pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xcb" + sof + b"\xff\xd9")  # no SOS
-    with _pytest.raises(NotImplementedError):
-        decode_jpeg(b"\xff\xd8\xff\xcd" + sof + b"\xff\xd9")
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xcd" + sof + b"\xff\xd9")  # no DHP
 
 
 def test_arithmetic_progressive_jpeg_golden():
