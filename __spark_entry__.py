@@ -25,7 +25,9 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # order. The window ROTATES each round (round-5 verdict demand). Round 14:
 # lead with the queries NEW this round (mm_jpeg_hierarchical — T.81
 # Annex J DHP/EXP/SOF5-7 pyramids; mm_gsm_pcm — ETSI GSM 06.10
-# full-rate RPE-LTP, the first compressed-audio SAMPLE decode), then
+# full-rate RPE-LTP, the first compressed-audio SAMPLE decode;
+# mm_webm_vp8 — WebM VIDEO frame decode by composition, EBML
+# SimpleBlock walk + the RFC 6386 key-frame pipeline), then
 # re-run every query whose implementation changed since its last
 # driver row (the hierarchical branch extended the shared decode_jpeg
 # marker walk and the _decode_scan/_decode_scan_lossless internals
@@ -34,20 +36,22 @@ from routing_algorithm_for_graph_dbs_spark.driver_surface import ORACLES, QUERIE
 # BFS/closeness/harmonic rows run through; the GSM branch extended
 # decode_wav_samples' fmt dispatch + fact-chunk parse and
 # audio_features' is_wav route, which every audio_features row flows
-# through), then the r10-stale block in CORRECTNESS_r10 order (34 of
-# 43 fit; a13_unpivot, u2_intersect_except, w4_rank_distributions,
-# w5_moving_avg, w6_inactivity_gaps, w7_rolling_distinct join
-# f10_json_extract, f11_maps, ft_minmax_norm in slipping to r15) —
+# through), then the r10-stale block in CORRECTNESS_r10 order (33 of
+# 43 fit; a12_cube, a13_unpivot, u2_intersect_except,
+# w4_rank_distributions, w5_moving_avg, w6_inactivity_gaps,
+# w7_rolling_distinct join f10_json_extract, f11_maps,
+# ft_minmax_norm in slipping to r15) —
 # staleness recomputed from the CORRECTNESS_r*.json artifacts as
 # r11-r13 did. The remaining registry stays covered by
 # tools/check_oracles.py (CORRECTNESS_local_r{N}.json).
 _DRIVER_WINDOW = [
     # -- never-driver-checked: NEW this round — hierarchical JPEG
     #    (T.81 Annex J: SOF3 initial + EXP expansion + SOF7 mod-2^16
-    #    differential frames, exact lossless pyramid) and GSM 06.10
-    #    sample decode (round 14)
+    #    differential frames, exact lossless pyramid), GSM 06.10
+    #    sample decode, and WebM VP8 key-frame decode (round 14)
     "mm_jpeg_hierarchical",
     "mm_gsm_pcm",
+    "mm_webm_vp8",
     # -- re-runs: implementation changed since their r13 driver row.
     #    The Annex J branch extended the shared decode_jpeg frame walk
     #    (DHP/EXP markers, differential-frame dispatch) and threaded
@@ -109,12 +113,11 @@ _DRIVER_WINDOW = [
     "a9_pivot",
     "a10_histogram",
     "a11_corr_cov",
-    "a12_cube",
 ]
 # ROUND-15 ROTATION NOTE: lead with any query whose implementation
 # changes during r15 after its driver row, then continue the stale
-# cycle with the 9 r10 rows that did not fit this window
-# (a13_unpivot, u2_intersect_except, w4_rank_distributions,
+# cycle with the 10 r10 rows that did not fit this window (a12_cube,
+# a13_unpivot, u2_intersect_except, w4_rank_distributions,
 # w5_moving_avg, w6_inactivity_gaps, w7_rolling_distinct,
 # f10_json_extract, f11_maps, ft_minmax_norm in CORRECTNESS_r10
 # order) and the oldest r11 rows (mm_phash_crossformat,

@@ -6782,6 +6782,76 @@ def mm_webp_lossy(spark, sf_dir):
 
 
 @_register(
+    "mm_webm_vp8",
+    """
+    WITH vid AS (
+      SELECT doc_id AS media_id,
+             16 + (doc_id % 14) * 16 AS g,
+             8 + doc_id % 9 AS w,
+             8 + doc_id % 7 AS h,
+             1 + doc_id % 3 AS nf
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id,
+           CAST(nf AS INTEGER) AS n_keyframes,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           -- flat VP8 key frames reconstruct exactly g, g+7, g+14;
+           -- luma terms are the identical doubles on both engines
+           -- (same literals, same IEEE ops, left-associated); the
+           -- 6-decimal rounding never ties (fractions are k/51 or
+           -- (2g+7)-odd multiples of 1e6/510)
+           FLOOR(g / 255.0 * 1e6 + 0.5) / 1e6 AS first_luma,
+           FLOOR((CASE nf
+              WHEN 1 THEN g / 255.0
+              WHEN 2 THEN (g / 255.0 + (g + 7) / 255.0) / 2
+              ELSE (g / 255.0 + (g + 7) / 255.0 + (g + 14) / 255.0) / 3
+            END) * 1e6 + 0.5) / 1e6 AS mean_luma,
+           'webm-vp8' AS decoder
+    FROM vid
+    """,
+)
+def mm_webm_vp8(spark, sf_dir):
+    """REAL-codec cross-engine check, VIDEO-FRAME half (round 14 —
+    WebM frame decode comes off the boundary by composition):
+    synth_webm_vp8_media packs 1-3 REAL flat-gray VP8 key frames per
+    video doc into SimpleBlocks on a V_VP8 track, and
+    webm_frame_features walks the EBML clusters
+    (extract_vp8_keyframes) and REALLY decodes every key frame through
+    the RFC 6386 pipeline (strict=True). Successive frames step the
+    gray by 7, so their Y2 DC levels ride different token-tree
+    branches — including the small-level DCT_4/cat1/cat2 paths whose
+    encoder bug this round's fix closed (libwebp now validates those
+    branches bit-exact in the crosscheck suite). The oracle states the
+    key-frame count, dimensions, and per-frame/mean lumas in closed
+    form. Reference boundary analog main.py:1 — the engine delegates
+    media handling entirely."""
+    from routing_algorithm_for_graph_dbs_spark.operators.multimodal import (
+        synth_webm_vp8_media,
+        webm_frame_features,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.skew import (
+        spread_for_compute,
+    )
+
+    # spread the INPUT docs: per-doc VP8 encode + decode are the
+    # CPU-heavy halves and small parquet arrives as one scan split
+    docs = spread_for_compute(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    media = synth_webm_vp8_media(docs)
+    return webm_frame_features(media, strict=True).select(
+        "media_id",
+        F.col("n_keyframes").cast("int").alias("n_keyframes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "first_luma",
+        "mean_luma",
+        "decoder",
+    )
+
+
+@_register(
     "mm_mp4_metadata",
     """
     SELECT doc_id AS media_id,

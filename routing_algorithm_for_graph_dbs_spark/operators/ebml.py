@@ -201,6 +201,68 @@ def parse_webm_metadata(payload: bytes):
     )
 
 
+def extract_vp8_keyframes(payload: bytes, limit: int | None = None):
+    """Pull the VP8 KEY frames out of a WebM container (round 14 —
+    video frame decode comes off the boundary by composition: the RFC
+    6386 key-frame decoder already exists in ``operators/vp8.py``;
+    this walk hands it the cluster payloads the metadata parser used
+    to hop over).
+
+    Walks Tracks for the first video TrackEntry whose CodecID is
+    "V_VP8" (or, when no CodecID is present, the first video track —
+    legacy self-minted containers), then every Cluster's SimpleBlocks
+    (0xA3): frames on that track with the keyframe flag (bit 7 of the
+    flags byte) are returned as ``[(timecode_units, bytes), ...]`` in
+    stream order, up to ``limit``. Lacing is not parsed (flags lacing
+    bits must be 0 — raises otherwise); BlockGroups are skipped (VP8
+    keyframes in WebM are SimpleBlocks in practice). Returns [] for a
+    VP8-less file; malformed EBML raises ValueError like the metadata
+    parser."""
+    if not is_webm(payload):
+        raise ValueError("not an EBML stream (missing 0x1A45DFA3 magic)")
+    video_track = None
+    codec_ok = False
+    frames: list = []
+    for eid, s, e in _walk(payload, 0, len(payload)):
+        if eid != _SEGMENT:
+            continue
+        for sid, ss, se in _walk(payload, s, e):
+            if sid == _TRACKS and video_track is None:
+                for tid, ts, te in _walk(payload, ss, se):
+                    if tid != _TRACKENTRY:
+                        continue
+                    num, ttype, codec = None, None, None
+                    for fid, fs, fe in _walk(payload, ts, te):
+                        if fid == 0xD7:
+                            num = _uint(payload, fs, fe)
+                        elif fid == _TRACKTYPE:
+                            ttype = _uint(payload, fs, fe)
+                        elif fid == 0x86:
+                            codec = payload[fs:fe]
+                    if ttype == 1 and (codec in (None, b"V_VP8")):
+                        video_track = num
+                        codec_ok = codec == b"V_VP8"
+                        break
+            elif sid == _CLUSTER and video_track is not None and codec_ok:
+                for cid, cs, ce in _walk(payload, ss, se):
+                    if cid != 0xA3:  # SimpleBlock
+                        continue
+                    tnum, p, _ = _read_vint(payload, cs, keep_marker=False)
+                    if p + 3 > ce:
+                        raise ValueError("SimpleBlock header truncated")
+                    tcode = struct.unpack(">h", payload[p : p + 2])[0]
+                    flags = payload[p + 2]
+                    if flags & 0x06:
+                        raise ValueError(
+                            "laced SimpleBlocks are not supported"
+                        )
+                    if tnum == video_track and flags & 0x80:
+                        frames.append((tcode, payload[p + 3 : ce]))
+                        if limit is not None and len(frames) >= limit:
+                            return frames
+    return frames
+
+
 def _vint_size8(n: int) -> bytes:
     """A FIXED 8-byte size VINT (marker 0x01 lead) — spec-legal
     non-minimal encoding that makes builder layouts closed-form."""
@@ -227,6 +289,7 @@ def build_webm(
     n_clusters: int = 1,
     cluster_pad: int = 4096,
     doctype: str = "webm",
+    vp8_frames: list | None = None,
 ) -> bytes:
     """Mint a conformant WebM/Matroska container: EBML header (DocType)
     + Segment{Info{TimecodeScale=1e6, Duration f32}, Tracks{one video +
@@ -234,7 +297,14 @@ def build_webm(
     Timecode and a Void of ``cluster_pad`` bytes}. Segment, Cluster and
     Void sizes use fixed 8-byte VINTs, so the total is closed-form:
     ``106 + len(doctype) + n_clusters * (cluster_pad + 24)`` bytes.
-    ``duration_ms`` must be f32-exact (an integer < 2**24)."""
+    ``duration_ms`` must be f32-exact (an integer < 2**24).
+
+    ``vp8_frames`` (round 14): REAL VP8 key-frame payloads — the video
+    TrackEntry gains CodecID "V_VP8" and the FIRST cluster carries one
+    SimpleBlock per frame (track 1, timecode i*33 ms, keyframe flag)
+    instead of Void padding; later clusters keep the padded shape. The
+    default (None) emits the historical layout, so the metadata
+    oracle's byte closed-form is unchanged."""
     if not 0 <= duration_ms < (1 << 24):
         raise ValueError("duration_ms must be f32-exact (< 2**24)")
     header = _el(
@@ -258,6 +328,7 @@ def build_webm(
         _TRACKENTRY,
         _el(0xD7, b"\x01", 1)
         + _el(_TRACKTYPE, b"\x01", 1)
+        + (_el(0x86, b"V_VP8", 1) if vp8_frames else b"")
         + _el(
             _VIDEO,
             _el(_PIXELW, width.to_bytes(2, "big"), 1)
@@ -283,9 +354,21 @@ def build_webm(
         _el(0xE7, b"\x00", 1)
         + b"\xec" + _vint_size8(cluster_pad) + b"\x00" * cluster_pad
     )
+    bodies = [cluster_body] * n_clusters
+    if vp8_frames:
+        blocks = b"".join(
+            b"\xa3"
+            + _vint_size8(4 + len(fr))  # track VINT + i16 + flags + frame
+            + b"\x81"  # track 1 VINT
+            + struct.pack(">h", i * 33)
+            + b"\x80"  # keyframe flag
+            + bytes(fr)
+            for i, fr in enumerate(vp8_frames)
+        )
+        bodies[0] = _el(0xE7, b"\x00", 1) + blocks
     clusters = b"".join(
-        _CLUSTER.to_bytes(4, "big") + _vint_size8(len(cluster_body)) + cluster_body
-        for _ in range(n_clusters)
+        _CLUSTER.to_bytes(4, "big") + _vint_size8(len(body)) + body
+        for body in bodies
     )
     segment_body = info + tracks + clusters
     return (

@@ -2069,6 +2069,140 @@ def synth_webm_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_webm_vp8_media(docs: DataFrame) -> DataFrame:
+    """Deterministic WebM containers with REAL VP8 video frames (round
+    14 — video FRAME decode off the boundary by composition): per
+    video-kind doc, ``1 + doc_id % 3`` flat-gray key frames at
+    ``g = 16 + (doc_id % 14) * 16 + 7 * k`` for frame k (the +7 walks
+    successive frames through different token-tree branches, including
+    the small-level DCT_4/cat1/cat2 paths), width/height on the same
+    cycles as the WebP lossy row, packed as SimpleBlocks on a V_VP8
+    track (``operators/ebml.py build_webm``)."""
+    from routing_algorithm_for_graph_dbs_spark.operators.ebml import (
+        build_webm,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8 import (
+        encode_vp8_gray_flat,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (16 + (F.col("doc_id") % 14) * 16).cast("int").alias("g"),
+        (8 + F.col("doc_id") % 9).cast("int").alias("w"),
+        (8 + F.col("doc_id") % 7).cast("int").alias("h"),
+        (1 + F.col("doc_id") % 3).cast("int").alias("nf"),
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for g, w, h, nf in zip(
+                pdf["g"], pdf["w"], pdf["h"], pdf["nf"]
+            ):
+                frames = [
+                    encode_vp8_gray_flat(int(g) + 7 * k, int(w), int(h))
+                    for k in range(int(nf))
+                ]
+                payloads.append(build_webm(
+                    33 * int(nf), width=int(w), height=int(h),
+                    vp8_frames=frames,
+                ))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": "video/webm",
+                }
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle
+    return base.mapInPandas(
+        build, schema="media_id long, payload binary, mime string"
+    )
+
+
+def webm_frame_features(
+    media: DataFrame, strict: bool = False, batch_size: int = 256
+) -> DataFrame:
+    """Arrow-batched WebM VIDEO-FRAME feature extraction (round 14):
+    payloads that sniff as EBML get the SimpleBlock walk
+    (``operators/ebml.py extract_vp8_keyframes``) and every VP8 key
+    frame REALLY decodes through the RFC 6386 pipeline
+    (``operators/vp8.py``, the codec libwebp validates sample-exact in
+    the crosscheck suite). Emits the key-frame count, the first key
+    frame's dimensions and mean luma (floor-rounded to 6, the decoded-Y
+    contract shared with image_features), and the mean luma over ALL
+    key frames — the frame-sampling signal a video curation pipeline
+    filters on. A VP8-less or frameless WebM yields n_keyframes=0 with
+    null frame stats; non-EBML payloads raise under ``strict=True`` and
+    take the sha256 fake otherwise. Map-side only; payloads never
+    shuffle."""
+    from routing_algorithm_for_graph_dbs_spark.operators.ebml import (
+        extract_vp8_keyframes,
+        is_webm,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8 import (
+        decode_vp8_keyframe,
+    )
+
+    spark = media.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                frames = None
+                try:
+                    if is_webm(b):
+                        frames = extract_vp8_keyframes(b)
+                except (ValueError, IndexError, struct.error):
+                    if strict:
+                        raise
+                if frames is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "real WebM frame decode needs EBML framing —"
+                            " this payload has none"
+                        )
+                    d = hashlib.sha256(b).digest()
+                    rows.append((int(mid), len(b), int(d[0]), None, None,
+                                 None, None, "fake"))
+                    continue
+                if not frames:
+                    rows.append((int(mid), len(b), 0, None, None, None,
+                                 None, "webm-vp8"))
+                    continue
+                lumas = []
+                w0 = h0 = None
+                for _tc, fr in frames:
+                    y, _u, _v = decode_vp8_keyframe(bytes(fr))
+                    if w0 is None:
+                        h0, w0 = y.shape
+                    lumas.append(float(y.mean()) / 255.0)
+                first = float(np.floor(lumas[0] * 1e6 + 0.5) / 1e6)
+                allm = float(np.floor(
+                    (sum(lumas) / len(lumas)) * 1e6 + 0.5) / 1e6)
+                rows.append((int(mid), len(b), len(frames), int(w0),
+                             int(h0), first, allm, "webm-vp8"))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "n_keyframes", "width",
+                         "height", "first_luma", "mean_luma", "decoder"],
+            )
+
+    # arrow-stage: map-side by design; payloads never shuffle
+    return media.select("media_id", "payload").mapInPandas(
+        extract,
+        schema=("media_id long, n_bytes long, n_keyframes int, "
+                "width int, height int, first_luma double, "
+                "mean_luma double, decoder string"),
+    )
+
+
 def webm_metadata(
     media: DataFrame, strict: bool = False, batch_size: int = 256
 ) -> DataFrame:

@@ -998,6 +998,53 @@ def _loop_filter(hd, seg_ids, ymodes, mb_has_coeffs, ybuf, ubuf, vbuf):
 # minimal write twin: flat-gray key frame (driver-row golden source)
 
 
+def _put_coeff_value(te: "BoolEncoder", probs, p: int, v: int) -> None:
+    """Encode a nonzero coefficient magnitude ``v`` (1..2114) through
+    the RFC 6386 13.2 token tree at prob base ``p`` — the write twin of
+    the magnitude branch in :func:`_get_coeffs` (round 14: the flat
+    encoder previously hardcoded the cat6 path, corrupting |level| <
+    67, i.e. flat grays within 8 of 128)."""
+    te.put(probs[p + 1], 1)  # not zero
+    if v == 1:
+        te.put(probs[p + 2], 0)
+        return
+    te.put(probs[p + 2], 1)
+    if v <= 4:
+        te.put(probs[p + 3], 0)
+        if v == 2:
+            te.put(probs[p + 4], 0)
+        else:
+            te.put(probs[p + 4], 1)
+            te.put(probs[p + 5], v - 3)
+        return
+    te.put(probs[p + 3], 1)
+    if v <= 10:
+        te.put(probs[p + 6], 0)
+        if v <= 6:
+            te.put(probs[p + 7], 0)
+            te.put(159, v - 5)
+        else:
+            te.put(probs[p + 7], 1)
+            e = v - 7
+            te.put(165, e >> 1)
+            te.put(145, e & 1)
+        return
+    te.put(probs[p + 6], 1)
+    for cat in range(4):
+        base = 3 + (8 << cat)  # 11, 19, 35, 67
+        hi = (3 + (8 << (cat + 1)) - 1) if cat < 3 else base + (1 << 11) - 1
+        if v <= hi:
+            bit1, bit0 = cat >> 1, cat & 1
+            te.put(probs[p + 8], bit1)
+            te.put(probs[p + 9 + bit1], bit0)
+            extra = v - base
+            cp = _CAT3456[cat]
+            for i, c in enumerate(cp):
+                te.put(c, (extra >> (len(cp) - 1 - i)) & 1)
+            return
+    raise ValueError(f"coefficient magnitude {v} exceeds cat6 range")
+
+
 def encode_vp8_gray_flat(g: int, w: int, h: int) -> bytes:
     """Encode a flat gray (Y = g, chroma = 128) key frame: single
     segment, loop filter 0, one token partition, qindex 0, all-DC_PRED.
@@ -1043,21 +1090,13 @@ def encode_vp8_gray_flat(g: int, w: int, h: int) -> bytes:
     if c != 0:
         lvl = 8 * c
         v = abs(lvl)
-        # Y2 block (type 1, band 0, ctx 0): one DC token then EOB
+        # Y2 block (type 1, band 0, ctx 0): one DC token then EOB.
+        # v = 8|c| spans 8..1016 — the full token tree, not just cat6
+        # (r14 fix: grays within 8 of 128 land in the DCT_4/cat1/cat2
+        # branches the old hardcoded cat6 path corrupted)
         p = 1 * 264 + 0 * 33 + 0 * 11
         te.put(COEFF_PROBS[p + 0], 1)  # not EOB
-        te.put(COEFF_PROBS[p + 1], 1)  # not zero
-        te.put(COEFF_PROBS[p + 2], 1)  # not one (|v| >= 16 always here)
-        te.put(COEFF_PROBS[p + 3], 1)
-        te.put(COEFF_PROBS[p + 6], 1)
-        bit1 = 1
-        te.put(COEFF_PROBS[p + 8], bit1)
-        bit0 = 1  # cat6: v in [67, 2114]
-        te.put(COEFF_PROBS[p + 9 + bit1], bit0)
-        extra = v - 67
-        cat6 = _CAT3456[3]
-        for i, cp in enumerate(cat6):
-            te.put(cp, (extra >> (len(cat6) - 1 - i)) & 1)
+        _put_coeff_value(te, COEFF_PROBS, p, v)
         te.put(128, 1 if lvl < 0 else 0)  # sign
         # EOB at coeff 1 (band 1, nonzero-ctx 2 after a big value)
         p = 1 * 264 + COEFF_BANDS[1] * 33 + 2 * 11

@@ -1056,10 +1056,14 @@ def test_libwebp_lossy_vp8_both_directions():
         decode_webp_lossy,
     )
 
-    # (a) ours -> libwebp
-    for g, w, h in [(100, 32, 32), (16, 24, 17), (224, 50, 30)]:
+    # (a) ours -> libwebp — including grays NEAR 128 whose small Y2
+    # levels ride the DCT_4/cat1/cat2 token branches (r14 fix: the old
+    # hardcoded cat6 path corrupted |g-128| <= 8) and g=128 (pure skip)
+    for g, w, h in [(100, 32, 32), (16, 24, 17), (224, 50, 30),
+                    (120, 16, 12), (127, 16, 16), (128, 16, 16),
+                    (129, 24, 10), (136, 8, 8), (133, 33, 17)]:
         y, u, v = _webp_decode_yuv(build_webp_lossy_flat(g, w, h))
-        assert y.shape == (h, w) and (y == g).all()
+        assert y.shape == (h, w) and (y == g).all(), g
         assert (u == 128).all() and (v == 128).all()
 
     # (b) libwebp -> ours, sample-exact

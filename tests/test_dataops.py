@@ -5443,3 +5443,60 @@ def test_vp8_corrupt_payloads_raise_decode_errors():
     big[off:off + 4] = (0x3FFF).to_bytes(2, "little") * 2
     with _pytest.raises(ValueError, match="100MP"):
         decode_vp8_keyframe(bytes(big[big.index(b"VP8 ") + 8:]))
+
+
+def test_webm_vp8_keyframe_extraction_and_decode():
+    """Round 14: VP8 key frames embedded as SimpleBlocks round-trip the
+    container byte-exact and decode through the RFC 6386 pipeline; the
+    legacy (frameless) layout extracts empty; lacing and truncated
+    blocks raise."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from routing_algorithm_for_graph_dbs_spark.operators.ebml import (
+        build_webm,
+        extract_vp8_keyframes,
+        parse_webm_metadata,
+    )
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8 import (
+        decode_vp8_keyframe,
+        encode_vp8_gray_flat,
+    )
+
+    grays = (40, 120, 200)  # 120 rides the small-level token branches
+    frames = [encode_vp8_gray_flat(g, 16, 12) for g in grays]
+    webm = build_webm(99, width=16, height=12, vp8_frames=frames,
+                      n_clusters=2)
+    # metadata walk still parses the same container
+    assert parse_webm_metadata(webm)[:6] == ("webm", 99, 1, 1, 16, 12)
+    out = extract_vp8_keyframes(webm)
+    assert [t for t, _ in out] == [0, 33, 66]
+    for (_t, fr), g in zip(out, grays):
+        y, u, v = decode_vp8_keyframe(bytes(fr))
+        assert y.shape == (12, 16) and bool(_np.all(y == g))
+        assert bool(_np.all(u == 128)) and bool(_np.all(v == 128))
+    assert len(extract_vp8_keyframes(webm, limit=2)) == 2
+    # legacy container: video track has no CodecID -> no VP8 frames
+    assert extract_vp8_keyframes(build_webm(99)) == []
+    # a laced SimpleBlock raises rather than mis-slicing frames
+    laced = bytearray(webm)
+    i = laced.index(b"\xa3\x01\x00\x00\x00\x00\x00")  # id + 8B size vint
+    laced[i + 1 + 8 + 1 + 2] |= 0x06  # flags byte: lacing bits
+    with _pytest.raises(ValueError, match="laced"):
+        extract_vp8_keyframes(bytes(laced))
+
+
+def test_vp8_flat_all_grays_roundtrip():
+    """Round 14 regression: every gray 0..255 encodes/decodes exactly —
+    the old flat encoder hardcoded the cat6 token path and corrupted
+    |g-128| <= 8 (small Y2 DC levels ride DCT_4/cat1/cat2)."""
+    import numpy as _np
+
+    from routing_algorithm_for_graph_dbs_spark.operators.vp8 import (
+        decode_vp8_keyframe,
+        encode_vp8_gray_flat,
+    )
+
+    for g in range(256):
+        y, _u, _v = decode_vp8_keyframe(encode_vp8_gray_flat(g, 16, 8))
+        assert y.shape == (8, 16) and bool(_np.all(y == g)), g
