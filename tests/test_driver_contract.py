@@ -15,40 +15,49 @@ import re as _re
 
 import pytest
 
-# Round-13 window: the queries NEW this round lead (mm_jpeg_lossless —
-# T.81 Annex H SOF3; mm_webp_lossy — the RFC 6386 lossy VP8 key-frame
-# decoder); then re-runs of every query whose implementation changed
-# since its last driver row (the fax searchsorted rewrite and the TIFF
-# strip-table guard under their r12 rows, every row flowing through
-# the SOF3-extended decode_jpeg dispatch, and the two rows through the
-# two-flavor image_features WebP branch); then the ENTIRE r9-stale
-# block in CORRECTNESS_r09 order; then the stalest r10 row
-# (mm_opus_metadata, which ceded its r12 slot).
+# Round-14 window: the queries NEW this round lead
+# (mm_jpeg_hierarchical — T.81 Annex J pyramids; mm_gsm_pcm — ETSI GSM
+# 06.10 full-rate sample decode; mm_webm_vp8 — WebM VP8 key-frame
+# decode by composition); then re-runs of every query whose
+# implementation changed since its last driver row (the Annex J +
+# SOF11/13-15 branches extended the shared decode_jpeg walk every JPEG
+# row flows through; the sssp.py superstep loop gained the
+# partition-local relaxation mode the graph BFS/closeness/harmonic
+# rows run through; the GSM branch extended decode_wav_samples and
+# audio_features' is_wav route every audio_features row flows
+# through); then the r10-stale block in CORRECTNESS_r10 order.
 NEVER_CHECKED = [
-    "mm_jpeg_lossless",
-    "mm_webp_lossy",
+    "mm_jpeg_hierarchical",
+    "mm_gsm_pcm",
+    "mm_webm_vp8",
 ]
 
 CHANGED_SINCE_LAST_ROW = [
-    # r13 fax transition lookups became parity-adjusted searchsorted
-    "mm_tiff_fax",
-    # r13 per-strip JPEGTables divergence guard (ADVICE r12)
-    "mm_tiff_jpeg",
-    # r13 SOF3 branch extended the shared decode_jpeg marker walk
+    # r14 Annex J/H.1.2 branches extended the decode_jpeg marker walk
+    "mm_jpeg_lossless",
     "mm_jpeg_roundtrip",
+    "mm_tiff_jpeg",
     "mm_tiff_pixels",
     "mm_phash_neardup",
-    # r13 image_features WebP branch dispatches both flavors
     "mm_image_features",
-    "mm_webp_pixels",
+    # r14 partition-local relaxation restructured the sssp superstep loop
+    "graph_bfs_hops",
+    "graph_closeness",
+    "graph_harmonic",
+    # r14 GSM branch changed decode_wav_samples + audio_features
+    "mm_audio_features",
+    "mm_wav_roundtrip",
+    "mm_wav_spectral",
+    "mm_g711_roundtrip",
+    "mm_flac_pcm",
 ]
 
 REQUIRED_IN_WINDOW = NEVER_CHECKED + CHANGED_SINCE_LAST_ROW + [
-    # representatives of the artifact-derived r9-stale block
-    "apx_sketches",
-    "graph_pagerank",
-    "smp_stratified",
-    "pipe_entity_resolution",
+    # representatives of the artifact-derived r10-stale block
+    "sem_dedup",
+    "j1_join_chain",
+    "dd_canonical",
+    "a8_rollup",
 ]
 
 
@@ -114,19 +123,19 @@ def test_queries_are_callable_and_keys_stable(entry_mod):
     assert list(q)[: len(NEVER_CHECKED)] == NEVER_CHECKED
 
 
-def test_window_rotation_r13(entry_mod):
-    """Round-13 rotation: every window row must be (a) a query new this
+def test_window_rotation_r14(entry_mod):
+    """Round-14 rotation: every window row must be (a) a query new this
     round (never driver-checked), (b) a declared changed-since-last-row
-    re-run, or (c) STALE — not checked in the r12 window (its last
-    driver row is r11 or older). Anything else would waste the gate's
+    re-run, or (c) STALE — not checked in the r13 window (its last
+    driver row is r12 or older). Anything else would waste the gate's
     50 slots on recently-checked queries."""
     here = _repo_root()
-    r12 = set(json.load(open(os.path.join(here, "CORRECTNESS_r12.json"))))
+    r13 = set(json.load(open(os.path.join(here, "CORRECTNESS_r13.json"))))
     window = set(list(entry_mod.queries())[:50])
     assert set(NEVER_CHECKED) <= window
-    fresh = r12 - set(NEVER_CHECKED) - set(CHANGED_SINCE_LAST_ROW)
+    fresh = r13 - set(NEVER_CHECKED) - set(CHANGED_SINCE_LAST_ROW)
     stray = window & fresh
-    assert not stray, f"window wastes rows on r12-checked queries: {sorted(stray)}"
+    assert not stray, f"window wastes rows on r13-checked queries: {sorted(stray)}"
 
 
 def test_window_is_stalest_first(entry_mod):
@@ -152,8 +161,8 @@ def test_window_is_stalest_first(entry_mod):
 def test_stale_blocks_fully_enrolled(entry_mod):
     """Stronger than min-vs-min: with the round's own artifact
     excluded, EVERY query whose last driver row is r9 or older must be
-    inside the r13 window (the window was sized to drain the r9 block
-    completely)."""
+    inside the r14 window (the r13 window drained the r9 block; any
+    r9-or-older leftover must take a slot before newer rows)."""
     q = list(entry_mod.queries())
     window = set(q[:50])
     last = _last_driver_round(exclude_window=window)
