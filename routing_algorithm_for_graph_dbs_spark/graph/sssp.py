@@ -52,6 +52,25 @@ LAST_ITERATIVE_CONVERGED = True
 LAST_ITERATIVE_RETIRED = 0
 
 
+def _release_local_checkpoint(df) -> None:
+    """Unpersist a ``localCheckpoint``'ed DataFrame's storage blocks.
+
+    ``Dataset.unpersist`` only serves ``cache()``-managed plans; a local
+    checkpoint's blocks belong to the internal RDD inside its LogicalRDD
+    node, reachable only through the JVM plan (round 14 — superseded
+    superstep states otherwise accumulate for the whole run, because
+    checkpoint blocks are non-recomputable and the block store never
+    evicts them). Best-effort by design: any py4j or plan-shape surprise
+    leaves the blocks to end-of-application cleanup, which is exactly
+    the pre-round-14 behavior."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — release is advisory, never fatal
+        pass
+
+
 def _make_local_relax(out_cols, node_mode, lane_ub, max_cost):
     """Build the per-superstep cogrouped partition-local relaxation kernel
     (round 14 — the density-axis depth-wall fix, SCALE.md round-13).
@@ -343,6 +362,7 @@ def multi_source_dijkstra(
     # identical cost-0 seed row, so dropping is exact)
     best = best.dropDuplicates(["lane", "node"]).localCheckpoint(eager=True)
     frontier = best
+    prev_ck = best  # superseded-checkpoint handle (released per superstep)
 
     # settlement targets: normalized to explicit (lane, node) pairs. A
     # global list means every lane must settle every target; a dict gives
@@ -745,6 +765,19 @@ def multi_source_dijkstra(
                             }
                             if done_now:
                                 retired_lanes |= done_now
+            if n_frontier is not None and prev_ck is not None:
+                # Release the SUPERSEDED checkpoint's blocks: once the
+                # new checkpoint materialized (the count/stats job
+                # above), each superstep's state is self-contained and
+                # the previous one only occupies storage memory.
+                # localCheckpoint blocks are non-recomputable, so the
+                # store never evicts them on its own — without this,
+                # long runs accumulate every superstep's state and GC
+                # churn grows the superstep wall time super-linearly
+                # (round-14 density-25x probe: 112 s -> 283 s -> 557 s
+                # per superstep by ss23 under a 48 GiB heap).
+                _release_local_checkpoint(prev_ck)
+                prev_ck = merged
             if n_frontier is not None and _SSSP_LOG:
                 import sys as _sys
                 import time as _time
