@@ -26,8 +26,18 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Per-superstep checkpoint storage: SERIALIZED memory+disk. The default
+# deserialized level holds the whole settled state as Java objects —
+# several times the Tungsten size — so at 100x-scale states (tens of
+# millions of (lane, node) rows) two live checkpoints alone filled the
+# heap and GC churn grew the superstep wall time (round 14; see also
+# _release_local_checkpoint). Serialized blocks cost one extra
+# deserialization per superstep read — noise next to the relax join.
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
     pin_if_uncached,
@@ -360,7 +370,9 @@ def multi_source_dijkstra(
     # generic callers may seed duplicate (lane, node) rows; the merge join
     # below relies on per-key uniqueness of the state (all dups carry the
     # identical cost-0 seed row, so dropping is exact)
-    best = best.dropDuplicates(["lane", "node"]).localCheckpoint(eager=True)
+    best = best.dropDuplicates(["lane", "node"]).localCheckpoint(
+        eager=True, storageLevel=_CKPT_LEVEL
+    )
     frontier = best
     prev_ck = best  # superseded-checkpoint handle (released per superstep)
 
@@ -695,7 +707,9 @@ def multi_source_dijkstra(
                 # isEmpty() was TWO jobs, and per-superstep job launch overhead
                 # dominates wall time once frontiers are small (hundreds of
                 # supersteps in the 100x-scale batch routing regime).
-                merged = merged.localCheckpoint(eager=False)
+                merged = merged.localCheckpoint(
+                    eager=False, storageLevel=_CKPT_LEVEL
+                )
                 if tgt_df is None:
                     n_frontier = merged.filter(seed_col).count()
                 else:
