@@ -1,0 +1,66 @@
+"""JVM-side local relations for small driver-known row sets.
+
+``spark.createDataFrame(rows, ...)`` routes tiny driver lists through a
+pickled Python RDD (``applySchemaToPythonRDD``): every materialization of
+the plan pays a Python-worker task — measured ~0.3 s per noop
+materialization on the gate box at 32 local threads, and the routing
+pipelines materialize such relations inside every query (the SSSP lane
+seeds, the batch OD-pair table, per-pair candidate join sides). A SQL
+``VALUES`` list instead parses to a ``LocalRelation``: the rows live in
+the JVM plan, joins against them broadcast without any Python stage, and
+the optimizer sees exact sizes (guide §4 — eliminate the Python boundary;
+measured 362 ms -> 54 ms for a 9-row noop write).
+
+Only the types the routing pipelines need are supported (string / integral
+/ double / boolean); anything else falls back to ``createDataFrame``
+(correct, just slower), as does the empty list (``VALUES`` cannot be
+empty).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        # repr() round-trips doubles exactly; force DOUBLE typing so an
+        # integral-valued float does not parse as an int literal
+        return f"CAST({v!r} AS DOUBLE)"
+    raise TypeError(type(v))
+
+
+def local_rows_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """A DataFrame over driver-local ``rows`` with DDL ``schema``
+    (``"name type, ..."``), built as a JVM ``LocalRelation`` when possible.
+
+    The SELECT casts every column to its declared type, so literal typing
+    quirks (int-sized longs, NULL columns) land on the exact schema
+    ``createDataFrame`` would produce.
+    """
+    cols = [c.strip().split(None, 1) for c in schema.split(",")]
+    if not rows:
+        return spark.createDataFrame([], schema)
+    try:
+        values = ",".join(
+            "(" + ",".join(_lit(v) for v in row) + ")" for row in rows
+        )
+    except TypeError:
+        return spark.createDataFrame(rows, schema)
+    names = ",".join(name for name, _ in cols)
+    sel = ",".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in cols)
+    return spark.sql(f"SELECT {sel} FROM (VALUES {values}) AS t({names})")

@@ -197,6 +197,7 @@ def broadcast_dijkstra(
     targets: list | dict | None = None,
     max_cost: float | None = None,
     target_ranks: dict | None = None,
+    n_lanes: int | None = None,
 ) -> DataFrame:
     """Same contract as ``multi_source_dijkstra``: (lane, node, cost[, path]).
 
@@ -306,7 +307,14 @@ def broadcast_dijkstra(
     # and serialize every lane's Dijkstra into a single task (measured 5.8x
     # slower on the 9-OD batch) — explicit counts are exempt from coalescing,
     # and a lane-partitioned input satisfies the groupBy's distribution so
-    # no second exchange is planned.
-    n_part = max(sources.sparkSession.sparkContext.defaultParallelism, 8)
+    # no second exchange is planned. With a caller-known lane count the
+    # stage is sized to the lanes themselves (round 14): a 2-lane
+    # interactive query otherwise launched defaultParallelism mostly-empty
+    # Arrow tasks of pure per-task overhead.
+    default_par = sources.sparkSession.sparkContext.defaultParallelism
+    if n_lanes is not None and n_lanes > 0:
+        n_part = max(1, min(default_par, n_lanes))
+    else:
+        n_part = max(default_par, 8)
     srcs = sources.repartition(n_part, "lane")
     return srcs.groupBy("lane").applyInPandas(run, schema=out_schema)

@@ -945,8 +945,14 @@ def sssp(
     n_edges: int | None = None,
     target_ranks: dict | None = None,
     node_parts=None,
+    n_lanes: int | None = None,
 ) -> DataFrame:
     """Two-tier SSSP dispatcher (same (lane, node, cost[, path]) contract).
+
+    ``n_lanes``: caller-known lane cardinality — sizes the broadcast
+    tier's lane partitioning to the actual lane count instead of the
+    cluster default (a 2-lane interactive query otherwise launches a
+    defaultParallelism-sized Arrow stage of mostly empty tasks).
 
     ``node_parts``: optional (node, part:int) DataFrame — or a zero-arg
     callable returning one, resolved only if the iterative tier actually
@@ -1008,6 +1014,7 @@ def sssp(
                 # pointer walk is already cheap, and its contract is (path)
                 edges, sources, weight_col, bool(track_paths), targets,
                 max_cost=max_cost, target_ranks=target_ranks,
+                n_lanes=n_lanes,
             )
         if callable(node_parts):
             node_parts = node_parts()

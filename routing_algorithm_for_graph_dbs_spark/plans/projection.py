@@ -50,9 +50,12 @@ class ProjectedGraph:
     edges: DataFrame  # (src, dst, type, waiting_time, walking_time)
     # enrichment relation for leg decomposition (J6): stoptime attributes
     stoptimes: DataFrame = None
+    # the PERSISTED day relation when ``stoptimes`` is a (narrow) coalesce
+    # over it — unpersist() must release the cache itself, not the view
+    day_cache: DataFrame = None
 
     def unpersist(self) -> None:
-        for df in (self.vertices, self.edges, self.stoptimes):
+        for df in (self.vertices, self.edges, self.stoptimes, self.day_cache):
             if df is not None:
                 df.unpersist()
 
@@ -333,6 +336,24 @@ def project_graph(
     if cache:
         vertices = vertices.persist()
         edges = edges.persist()
+        # Size the catalog-facing stoptimes relation's SCAN parallelism to
+        # the data (round 14, guide §2/§6): the cached day relation arrives
+        # with the session's shuffle-partition count, so every interactive
+        # read — routing candidate filters, leg-decomposition joins, radius
+        # probes — launched that many tasks for a few hundred KB of rows
+        # (~90 ms of pure task overhead per scan on the gate box). A
+        # narrow coalesce OVER the cache keeps the projection build itself
+        # (which reads ``day_st`` directly) at full parallelism and adds no
+        # second copy; large days keep one task per ~500k rows. The count
+        # also materializes the cache before the CHANGE build re-reads it.
+        n_st = day_st.count()
+        from routing_algorithm_for_graph_dbs_spark.graph.partitioning import (
+            EDGES_PER_PARTITION,
+        )
+
+        parts = max(1, (n_st + EDGES_PER_PARTITION - 1) // EDGES_PER_PARTITION)
+        if parts < day_st.rdd.getNumPartitions():
+            stoptimes = day_st.coalesce(parts)
 
     g = ProjectedGraph(
         name=name,
@@ -341,6 +362,7 @@ def project_graph(
         vertices=vertices,
         edges=edges,
         stoptimes=stoptimes,
+        day_cache=(day_st if cache and stoptimes is not day_st else None),
     )
     # re-projection under the same name must release the old graph's cached
     # DataFrames, or repeated day/speed changes pin orphaned storage

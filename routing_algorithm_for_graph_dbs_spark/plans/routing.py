@@ -38,6 +38,7 @@ import datetime as dt
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from routing_algorithm_for_graph_dbs_spark.functions.localrel import local_rows_df
 from routing_algorithm_for_graph_dbs_spark.functions.spatial import haversine_meters
 from routing_algorithm_for_graph_dbs_spark.graph.sssp import sssp
 from routing_algorithm_for_graph_dbs_spark.plans.projection import ProjectedGraph
@@ -208,13 +209,27 @@ def _run_pairs(
     # from the seed set entirely rather than letting it expand idly
     lane_ranks = {lane: ts for lane, ts in lane_ranks.items() if ts}
     spark = sources.sparkSession
-    lanes = spark.createDataFrame(
-        [(lane, lane) for lane in sorted(lane_ranks)], "lane string, node string"
+    # the lane seeds and the ranking join sides are built as JVM
+    # LocalRelations from the rows collected above (functions/localrel.py):
+    # createDataFrame would route them through a pickled Python RDD whose
+    # every materialization pays a Python-worker task (~0.3 s each on the
+    # gate box), and deriving t/s from the day relation re-ran the source
+    # window + filters inside the final job. Same rows either way — they
+    # ARE the collected candidates (guide §4: eliminate the Python
+    # boundary; §2.4: remove repeated subtrees).
+    id_t = sources.schema["stoptime_id"].dataType.simpleString()
+    dep_t = sources.schema["departure_s"].dataType.simpleString()
+    arr_t = sources.schema["arrival_s"].dataType.simpleString()
+    lanes = local_rows_df(
+        spark,
+        [(lane, lane) for lane in sorted(lane_ranks)],
+        f"lane {id_t}, node {id_t}",
     )
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time",
         target_ranks=lane_ranks,
         strategy=strategy, n_edges=graph.edge_count(),
+        n_lanes=len(lane_ranks),
         # iterative tier: the kernel RAISES if targets don't settle within
         # this budget (silent non-final costs would corrupt the ranking)
         max_iterations=max_iterations,
@@ -223,14 +238,21 @@ def _run_pairs(
         # headway bounces); resolved lazily, broadcast tier never pays
         node_parts=graph.node_parts,
     )
-    t = targets.select(
-        F.col("stoptime_id").alias("t_id"),
-        F.col("arrival_s").alias("dst_arrival_s"),
-        F.col("departure_s").alias("dst_departure_s"),
-    ).distinct()
-    s = sources.select(
-        F.col("stoptime_id").alias("s_id"), F.col("departure_s").alias("src_departure_s")
-    ).distinct()
+    t = local_rows_df(
+        spark,
+        sorted(
+            {
+                (r["stoptime_id"], r["arrival_s"], r["departure_s"])
+                for r in tgt_rows
+            }
+        ),
+        f"t_id {id_t}, dst_arrival_s {arr_t}, dst_departure_s {dep_t}",
+    )
+    s = local_rows_df(
+        spark,
+        sorted({(r["stoptime_id"], r["departure_s"]) for r in src_rows}),
+        f"s_id {id_t}, src_departure_s {dep_t}",
+    )
     return (
         res.join(t, res["node"] == t["t_id"])
         .join(s, res["lane"] == s["s_id"])
@@ -336,7 +358,11 @@ def routing_batch(
     spark = graph.stoptimes.sparkSession
     day_st = graph.stoptimes
     end_s = time_s + max_duration_h * 3600
-    pairs_df = spark.createDataFrame(
+    # JVM LocalRelation, not createDataFrame: the pair table is joined
+    # (broadcast) into BOTH candidate derivations, and a Python-RDD-backed
+    # relation pays a Python-worker task per materialization (localrel.py)
+    pairs_df = local_rows_df(
+        spark,
         [(i, s, t) for i, (s, t) in enumerate(od_pairs)],
         "pair_id int, src_name string, dst_name string",
     )
@@ -379,18 +405,24 @@ def routing_batch(
     # certificate PROVES unreachable (graph/stop_bound.py — sound:
     # a pruned target could never produce a result row, but waiting for
     # it to settle forces full-component exploration).
-    src_rows = (
-        sources.select("pair_id", "stoptime_id", "stop_id", "departure_s")
-        .distinct()
-        .collect()
-    )
-    tgt_rows = (
-        targets.select(
-            "pair_id", "stoptime_id", "stop_id", "departure_s", "arrival_s"
+    # ONE driver job collects both candidate lists (the separate collects
+    # each paid a full job of fixed overhead; the union is still tiny)
+    both = (
+        sources.select(
+            F.lit("s").alias("side"), "pair_id", "stoptime_id", "stop_id",
+            "departure_s", "arrival_s",
+        )
+        .unionByName(
+            targets.select(
+                F.lit("t").alias("side"), "pair_id", "stoptime_id",
+                "stop_id", "departure_s", "arrival_s",
+            )
         )
         .distinct()
         .collect()
     )
+    src_rows = [r for r in both if r["side"] == "s"]
+    tgt_rows = [r for r in both if r["side"] == "t"]
     bounds = None
     if stop_bound and src_rows:
         from routing_algorithm_for_graph_dbs_spark.graph.stop_bound import (
@@ -423,8 +455,13 @@ def routing_batch(
                 grp[(r["pair_id"], t)] = float(arr)
     # lanes pruned to zero targets cannot produce a result row — drop them
     lane_ranks = {lane: grp for lane, grp in lane_ranks.items() if grp}
-    lanes = spark.createDataFrame(
-        [(lane, lane) for lane in sorted(lane_ranks)], "lane string, node string"
+    id_t = day_st.schema["stoptime_id"].dataType.simpleString()
+    dep_t = day_st.schema["departure_s"].dataType.simpleString()
+    arr_t = day_st.schema["arrival_s"].dataType.simpleString()
+    lanes = local_rows_df(
+        spark,
+        [(lane, lane) for lane in sorted(lane_ranks)],
+        f"lane {id_t}, node {id_t}",
     )
     res = sssp(
         graph.edges, lanes, weight_col="waiting_time",
@@ -438,6 +475,7 @@ def routing_batch(
             for lane, grp in lane_ranks.items()
         },
         strategy=strategy, n_edges=graph.edge_count(),
+        n_lanes=len(lane_ranks),
         max_iterations=max_iterations, checkpoint_every=checkpoint_every,
         track_paths=("pred" if pred_mode else True),
         # iterative tier: spatial-cell partition-local relaxation — the
@@ -455,17 +493,29 @@ def routing_batch(
         # the narrow state feeds both the rank and the winner-path walk
         res = res.persist()
 
-    t = targets.select(
-        F.col("pair_id").alias("t_pair"),
-        F.col("stoptime_id").alias("t_id"),
-        F.col("arrival_s").alias("dst_arrival_s"),
-        F.col("departure_s").alias("dst_departure_s"),
-    ).distinct()
-    s = sources.select(
-        F.col("pair_id").alias("s_pair"),
-        F.col("stoptime_id").alias("s_id"),
-        F.col("departure_s").alias("src_departure_s"),
-    ).distinct()
+    # ranking join sides as JVM LocalRelations over the rows collected
+    # above — identical rows, no re-run of the candidate filters/window
+    # inside the final job, no Python-RDD materialization (localrel.py)
+    t = local_rows_df(
+        spark,
+        sorted(
+            {
+                (r["pair_id"], r["stoptime_id"], r["arrival_s"], r["departure_s"])
+                for r in tgt_rows
+            }
+        ),
+        f"t_pair int, t_id {id_t}, dst_arrival_s {arr_t}, dst_departure_s {dep_t}",
+    )
+    s = local_rows_df(
+        spark,
+        sorted(
+            {
+                (r["pair_id"], r["stoptime_id"], r["departure_s"])
+                for r in src_rows
+            }
+        ),
+        f"s_pair int, s_id {id_t}, src_departure_s {dep_t}",
+    )
     ranked = (
         res.join(F.broadcast(t), res["node"] == t["t_id"])
         .join(
