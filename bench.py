@@ -50,6 +50,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from routing_algorithm_for_graph_dbs_spark.driver_surface import QUERIES
+from routing_algorithm_for_graph_dbs_spark.functions.localrel import local_rows_df
 from routing_algorithm_for_graph_dbs_spark.session import get_spark
 
 HEADLINE = [
@@ -132,7 +133,12 @@ def routing_9od(spark, sf_dir):
     for s, t in od_pairs_9():
         legs = routing(g, time_s=14 * 3600, source_stop_name=s, target_stop_name=t)
         rows.append((s, t, len(legs.collect())))
-    return spark.createDataFrame(rows, "src string, dst string, n_legs int")
+    # result aggregation as a JVM LocalRelation (round 14): createDataFrame
+    # pickles the rows into a Python RDD whose noop materialization costs a
+    # ~0.3 s Python-worker task — harness plumbing, not query work. The
+    # timed computation (9 sequential routing calls + collects) is
+    # unchanged; see OPTIMIZATION_r14.md "bench harness" note.
+    return local_rows_df(spark, rows, "src string, dst string, n_legs int")
 
 
 def routing_9od_batch(spark, sf_dir):
@@ -173,7 +179,8 @@ def find_near_stops_9(spark, sf_dir):
             day_st=_GRAPH_MEMO["active_stops"],
         ).count()
         rows.append((i, n))
-    return spark.createDataFrame(rows, "probe int, n_stops long")
+    # JVM LocalRelation for the same reason as routing_9od's result table
+    return local_rows_df(spark, rows, "probe int, n_stops long")
 
 
 def find_near_stops_batch_9(spark, sf_dir):

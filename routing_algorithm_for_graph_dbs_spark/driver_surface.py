@@ -1180,10 +1180,14 @@ def graph_bfs_hops(spark, sf_dir):
     the engine's Pregel kernel; DuckDB oracles it with a recursive CTE."""
     from routing_algorithm_for_graph_dbs_spark.graph.sssp import multi_source_dijkstra
 
-    e = _nation_edges(spark, sf_dir).withColumn("weight", F.lit(1.0))
-    src = spark.createDataFrame([(0, 0)], ["lane", "node"]).select(
-        F.col("lane").cast("long"), F.col("node").cast("long")
+    from routing_algorithm_for_graph_dbs_spark.functions.localrel import (
+        local_rows_df,
     )
+
+    e = _nation_edges(spark, sf_dir).withColumn("weight", F.lit(1.0))
+    # seed as a JVM LocalRelation: the createDataFrame seed paid a
+    # Python-worker task inside the kernel's first checkpoint job
+    src = local_rows_df(spark, [(0, 0)], "lane bigint, node bigint")
     res = multi_source_dijkstra(e, src, track_paths=False, max_iterations=12)
     return res.select(
         F.col("node").cast("long").alias("node"), F.col("cost").cast("long").alias("dist")
@@ -3026,8 +3030,13 @@ def sem_dedup(spark, sf_dir):
     from routing_algorithm_for_graph_dbs_spark.operators.similarity import semdedup
 
     emb = _t_spread(spark, sf_dir, "embeddings")
+    # size the centroid count from the PLAIN scan, not the spread one: the
+    # row count is identical, and a bare-parquet count(*) folds to footer
+    # metadata (session parquet aggregate pushdown) instead of a scan job
     out = semdedup(
-        emb, threshold=0.35, n_centroids=max(8, math.isqrt(emb.count()))
+        emb,
+        threshold=0.35,
+        n_centroids=max(8, math.isqrt(_t(spark, sf_dir, "embeddings").count())),
     )
     return out.select(
         "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"), "kept"

@@ -229,13 +229,15 @@ def _local_components(edges: DataFrame, vertices: DataFrame | None) -> DataFrame
         ).distinct().collect():
             nodes.add(r["node"])
 
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("node", node_type, False),
-            T.StructField("component", node_type, False),
-        ]
-    )
     rows = [(n, find(n)) for n in sorted(nodes)]
-    return spark.createDataFrame(rows, schema)
+    # JVM LocalRelation where the node type allows it (round 14): the
+    # label table is joined back against the caller's relation, and a
+    # Python-RDD-backed result paid a ~0.3 s Python-worker task per
+    # materialization (functions/localrel.py); exotic node types fall
+    # back inside local_rows_df itself
+    from routing_algorithm_for_graph_dbs_spark.functions.localrel import (
+        local_rows_df,
+    )
+
+    nt = node_type.simpleString()
+    return local_rows_df(spark, rows, f"node {nt}, component {nt}")

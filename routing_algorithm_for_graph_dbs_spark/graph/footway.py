@@ -82,9 +82,28 @@ def walking_distances(
     materialization (cost-only consumers like tools/scale_footway.py —
     path arrays over every reachable node dominate the output width)."""
     spark = foot_edges.sparkSession
-    sources = spark.createDataFrame(
-        [(s, s) for s in start_ids], ["lane", "node"]
+    # JVM LocalRelation when the id type allows it (functions/localrel.py)
+    from routing_algorithm_for_graph_dbs_spark.functions.localrel import (
+        local_rows_df,
     )
+
+    start_ids = list(start_ids)
+    if start_ids and all(isinstance(s, str) for s in start_ids):
+        id_ddl = "string"
+    elif start_ids and all(
+        isinstance(s, int) and not isinstance(s, bool) for s in start_ids
+    ):
+        id_ddl = "bigint"
+    else:
+        id_ddl = None
+    if id_ddl is None:
+        sources = spark.createDataFrame(
+            [(s, s) for s in start_ids], ["lane", "node"]
+        )
+    else:
+        sources = local_rows_df(
+            spark, [(s, s) for s in start_ids], f"lane {id_ddl}, node {id_ddl}"
+        )
     edges = foot_edge_union(foot_edges).withColumnRenamed("length", "weight")
     return sssp(
         edges, sources, weight_col="weight", targets=targets,

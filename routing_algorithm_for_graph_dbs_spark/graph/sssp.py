@@ -414,16 +414,18 @@ def multi_source_dijkstra(
         # frontier rows (inflating n_frontier and the collected hits)
         pair_rows = sorted(tgt_pairs)
         if pair_rows:
-            from pyspark.sql.types import StructField, StructType
+            # JVM LocalRelation: the settlement probe broadcast-joins this
+            # table EVERY checkpoint, and a Python-RDD-backed one paid a
+            # Python-worker task per superstep (functions/localrel.py)
+            from routing_algorithm_for_graph_dbs_spark.functions.localrel import (
+                local_rows_df,
+            )
 
-            tgt_df = edges.sparkSession.createDataFrame(
+            tgt_df = local_rows_df(
+                edges.sparkSession,
                 pair_rows,
-                StructType(
-                    [
-                        StructField("lane", sources.schema["lane"].dataType),
-                        StructField("node", sources.schema["node"].dataType),
-                    ]
-                ),
+                f"lane {sources.schema['lane'].dataType.simpleString()},"
+                f" node {sources.schema['node'].dataType.simpleString()}",
             )
 
     def _lane_done(lane, fm: float) -> bool:

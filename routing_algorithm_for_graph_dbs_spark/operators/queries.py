@@ -74,7 +74,15 @@ def find_near_stops_batch(
         else service_day_stoptimes(tables, day, with_route=False)
     )
     spark = active.sparkSession
-    probes = spark.createDataFrame(
+    # JVM LocalRelation (round 14): the probe table is broadcast into the
+    # scan; a Python-RDD-backed one pays a Python-worker task per
+    # materialization (functions/localrel.py)
+    from routing_algorithm_for_graph_dbs_spark.functions.localrel import (
+        local_rows_df,
+    )
+
+    probes = local_rows_df(
+        spark,
         [(i, float(la), float(lo)) for i, (la, lo) in enumerate(points)],
         "probe_id int, p_lat double, p_lon double",
     )

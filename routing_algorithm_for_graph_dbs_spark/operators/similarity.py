@@ -922,10 +922,13 @@ def semdedup(
     """
     # the assignment argmin (n_centroids interpreted dot products per
     # vector) feeds BOTH self-join sides and the kept-flag join-back —
-    # checkpoint it so it computes once, not three times per action
+    # checkpoint it so it computes once, not three times per action.
+    # LAZY: the hot-cell stats collect below scans every partition and
+    # materializes the checkpoint as a side effect — eager was a second,
+    # redundant job (round 14; same one-job fusion the SSSP loop uses)
     assigned = ivf_assign(
         embeddings, n_centroids, vec_col, key_col, cents=cents
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # hot-cell guardrail: blocks-per-side for each cell, 1 unless the
     # cell's pair count exceeds the budget. Tiny relation (one row per
     # centroid) — broadcast onto both join sides.

@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # push COUNT/MIN/MAX without filters down to parquet footer
+        # statistics (exact, off by default): several pipelines size
+        # themselves with a bare count(*) over a raw table — sqrt(n)
+        # centroid counts, DQ profiles — and each such count was a full
+        # scan job (guide §6: make the scan do the skipping)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # the broadcast-Dijkstra tier collects the (pruned) edge list to
         # the driver by design; past ~20M edges that exceeds Spark's 1g
