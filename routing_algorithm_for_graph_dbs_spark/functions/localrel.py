@@ -41,6 +41,10 @@ def _lit(v) -> str:
         # repr() round-trips doubles exactly; force DOUBLE typing so an
         # integral-valued float does not parse as an int literal
         return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(v, (list, tuple)):
+        # flat arrays of supported scalars (leg coordinates, path ids);
+        # the SELECT's outer CAST normalizes the element type
+        return "array(" + ",".join(_lit(x) for x in v) + ")"
     raise TypeError(type(v))
 
 

@@ -79,47 +79,79 @@ def _decompose_path(
     ``keys``: pass-through grouping columns (``routing_batch`` sends
     ``pair_id`` so each OD pair's legs stay attributable).
     """
-    pairs = winner.select(
-        *keys,
-        F.posexplode(F.expr("arrays_zip(slice(path, 1, size(path)-1), slice(path, 2, size(path)-1))")).alias(
-            "pos", "pair"
-        ),
-    ).select(*keys, "pos", F.col("pair.0").alias("s1_id"), F.col("pair.1").alias("s2_id"))
+    # ONE streaming pass over the stoptime relation, ONE job (round 14;
+    # was two passes across three jobs): explode the path to (pos, id)
+    # elements, broadcast THEM (winner legs: tens of rows, bounded by
+    # |paths| x path length — never the stoptime relation, which at 100 TB
+    # isn't broadcastable), enrich every element in a single join, collect
+    # the handful of enriched rows, and pair consecutive positions
+    # driver-side — the reference's own client does this pairing in the
+    # driver too (main.py:103-114). The returned leg table is a JVM
+    # LocalRelation (functions/localrel.py), so downstream collects and
+    # sinks cost no further jobs. Rows, types and (keys, pos) order are
+    # identical to the former join formulation (pytest: fixture goldens +
+    # batch==sequential identity).
+    spark = winner.sparkSession
+    elems = winner.select(*keys, F.posexplode("path").alias("pos", "sid"))
+    st = stoptimes.select(
+        F.col("stoptime_id").alias("sid"),
+        "trip_id",
+        "route_id",
+        "stop_name",
+        "stop_id",
+        "stop_lat",
+        "stop_lon",
+        "departure_s",
+        "arrival_s",
+    )
+    rows = F.broadcast(elems).join(st, "sid").collect()
 
-    s1 = stoptimes.select(
-        F.col("stoptime_id").alias("s1_id"),
-        F.col("trip_id").alias("trip"),
-        F.col("departure_s").alias("departure"),
-        F.col("route_id").alias("line"),
-        F.col("stop_name").alias("starting_stop_name"),
-        F.col("stop_id").alias("starting_stop_id"),
-        F.array("stop_lat", "stop_lon").alias("starting_stop_coordinates"),
+    by_key: dict[tuple, dict[int, object]] = {}
+    for r in rows:
+        by_key.setdefault(tuple(r[k] for k in keys), {})[r["pos"]] = r
+    leg_rows: list[tuple] = []
+    for kt in sorted(by_key):
+        seq = by_key[kt]
+        for pos in sorted(seq):
+            a, b = seq[pos], seq.get(pos + 1)
+            if b is None:
+                continue  # path end (or an id missing from the relation)
+            leg_rows.append(
+                kt
+                + (
+                    a["trip_id"],
+                    a["departure_s"],
+                    a["route_id"],
+                    a["stop_name"],
+                    a["stop_id"],
+                    [a["stop_lat"], a["stop_lon"]],
+                    b["trip_id"],
+                    b["stop_name"],
+                    b["stop_id"],
+                    [b["stop_lat"], b["stop_lon"]],
+                    b["route_id"],
+                    b["arrival_s"],
+                )
+            )
+    sch = {f.name: f.dataType.simpleString() for f in st.schema.fields}
+    ddl = ", ".join(
+        [f"{k} {winner.schema[k].dataType.simpleString()}" for k in keys]
+        + [
+            f"trip {sch['trip_id']}",
+            f"departure {sch['departure_s']}",
+            f"line {sch['route_id']}",
+            f"starting_stop_name {sch['stop_name']}",
+            f"starting_stop_id {sch['stop_id']}",
+            f"starting_stop_coordinates array<{sch['stop_lat']}>",
+            f"next_trip {sch['trip_id']}",
+            f"next_stop {sch['stop_name']}",
+            f"next_stop_id {sch['stop_id']}",
+            f"next_stop_coordinates array<{sch['stop_lat']}>",
+            f"next_line {sch['route_id']}",
+            f"arrival {sch['arrival_s']}",
+        ]
     )
-    s2 = stoptimes.select(
-        F.col("stoptime_id").alias("s2_id"),
-        F.col("trip_id").alias("next_trip"),
-        F.col("stop_name").alias("next_stop"),
-        F.col("stop_id").alias("next_stop_id"),
-        F.array("stop_lat", "stop_lon").alias("next_stop_coordinates"),
-        F.col("route_id").alias("next_line"),
-        F.col("arrival_s").alias("arrival"),
-    )
-    # broadcast the PAIRS side (winner legs: tens of rows, bounded by
-    # |pairs| x path length), never the stoptime relation: at city scale
-    # the two s1/s2 projections are ~252k rows EACH, and broadcasting them
-    # rebuilt two quarter-million-row broadcast variables per interactive
-    # query (~0.4 s/call measured); at 100 TB the stoptime relation isn't
-    # broadcastable at all. With pairs broadcast, each join is one
-    # streaming pass over the cached stoptimes.
-    legs = F.broadcast(pairs).join(s1, "s1_id")
-    return (
-        # re-hint: the first join's output is pairs-sized but Catalyst
-        # won't propagate the hint through it
-        F.broadcast(legs)
-        .join(s2, "s2_id")
-        .orderBy(*keys, "pos")
-        .select(*keys, *LEG_COLUMNS)
-    )
+    return local_rows_df(spark, leg_rows, ddl)
 
 
 def _run_pairs(

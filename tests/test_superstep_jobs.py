@@ -40,11 +40,16 @@ def test_superstep_confs_restores_session(spark):
     conf = spark.conf
     aqe0 = conf.get("spark.sql.adaptive.enabled")
     sp0 = conf.get("spark.sql.shuffle.partitions")
+    smj0 = conf.get("spark.sql.join.preferSortMergeJoin")
     with superstep_confs(spark, 3):
         assert conf.get("spark.sql.adaptive.enabled") == "false"
         assert conf.get("spark.sql.shuffle.partitions") == "3"
+        # round 14: the kernel span prefers shuffled-hash joins (the relax
+        # join's build side is one ~20 MB edge partition by construction)
+        assert conf.get("spark.sql.join.preferSortMergeJoin") == "false"
     assert conf.get("spark.sql.adaptive.enabled") == aqe0
     assert conf.get("spark.sql.shuffle.partitions") == sp0
+    assert conf.get("spark.sql.join.preferSortMergeJoin") == smj0
 
     # restored even when the kernel body raises
     try:
@@ -54,6 +59,7 @@ def test_superstep_confs_restores_session(spark):
         pass
     assert conf.get("spark.sql.adaptive.enabled") == aqe0
     assert conf.get("spark.sql.shuffle.partitions") == sp0
+    assert conf.get("spark.sql.join.preferSortMergeJoin") == smj0
 
 
 def test_components_converges_with_lazy_checkpoint(spark):
