@@ -875,6 +875,13 @@ def knn_join(
 # semdedup docstring).
 SEMDEDUP_PAIR_BUDGET = 25_000_000
 
+# pair volume (Σ cell m²) at which semdedup's quadratic stage switches
+# from the pure-JVM join to the vectorized Arrow kernel: below it the
+# extra Python stage costs more than the interpreted fold it replaces
+# (measured a wash at ~9e4 pairs, arrow 25%+ faster at ~2.8e6 and the
+# gap is the quadratic term itself — see semdedup docstring)
+SEMDEDUP_ARROW_MIN_PAIRS = 500_000
+
 
 def semdedup(
     embeddings: DataFrame,
@@ -884,6 +891,7 @@ def semdedup(
     key_col: str = "vec_id",
     cents: list | None = None,
     pair_budget: int = SEMDEDUP_PAIR_BUDGET,
+    pair_method: str = "auto",
 ) -> DataFrame:
     """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, then within each cluster drop
@@ -919,7 +927,23 @@ def semdedup(
     ``n_centroids=8`` is a small-corpus setting only. Returns
     ``(key, centroid_id, kept)`` for every input vector; filter ``kept``
     to materialize the deduped corpus.
+
+    ``pair_method``: ``"arrow"`` (round 14) evaluates each
+    (cell, block, block) pair matrix in a vectorized numpy kernel that
+    replays the JVM fold's exact IEEE accumulation order and Spark's
+    HALF-UP rounding (bit-identical kept set, pytest-asserted across
+    methods); ``"join"`` is the pure-Catalyst formulation — the
+    interpreted per-pair ``aggregate`` fold is its dominant cost at real
+    cell sizes (guide §4.2). ``"auto"`` (default) picks by the measured
+    pair volume (Σ cell²), from the same per-cell stats the hot-cell
+    guard already collects: below ``SEMDEDUP_ARROW_MIN_PAIRS`` the pure-
+    JVM join avoids an extra Python stage (measured a wash at 90k pairs);
+    above it the vectorized kernel wins and keeps winning with scale
+    (measured 2.9 s -> 2.3 s at 2.8M pairs, and the gap is the quadratic
+    term).
     """
+    if pair_method not in ("auto", "arrow", "join"):
+        raise ValueError(f"semdedup: unknown pair_method {pair_method!r}")
     # the assignment argmin (n_centroids interpreted dot products per
     # vector) feeds BOTH self-join sides and the kept-flag join-back —
     # checkpoint it so it computes once, not three times per action.
@@ -944,9 +968,17 @@ def semdedup(
             "m",
         )
     )
-    hot_rows = (
-        cell_s.filter(F.col("s") > 1).orderBy(F.col("m").desc()).collect()
+    # one row per centroid (bounded by n_centroids): feeds the hot-cell
+    # warning AND the auto pair-method sizing without a second job
+    cell_rows = cell_s.collect()
+    hot_rows = sorted(
+        (r for r in cell_rows if r["s"] > 1), key=lambda r: -r["m"]
     )
+    if pair_method == "auto":
+        total_pairs = sum(r["m"] * r["m"] for r in cell_rows)
+        pair_method = (
+            "arrow" if total_pairs >= SEMDEDUP_ARROW_MIN_PAIRS else "join"
+        )
     if hot_rows:
         import warnings
 
@@ -979,35 +1011,92 @@ def semdedup(
     # the dropped-candidate side iterates the PARTNER's block index, the
     # smaller-key side iterates its OWN position among left blocks; pair
     # (k, k2) therefore meets exactly once, on reducer (c, b_k, b_k2)
-    left = slim.select(
-        "k", "c", "v", "nv", F.col("b").alias("bi"),
-        F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("bj"),
-    )
-    right = slim.select(
-        F.col("k").alias("k2"),
-        F.col("c").alias("c2"),
-        F.col("v").alias("v2"),
-        F.col("nv").alias("nv2"),
-        F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("bi2"),
-        F.col("b").alias("bj2"),
-    )
-    dropped = (
-        left.join(
-            right,
-            (F.col("c") == F.col("c2"))
-            & (F.col("bi") == F.col("bi2"))
-            & (F.col("bj") == F.col("bj2"))
-            & (F.col("k2") < F.col("k")),
+    if pair_method == "join":
+        left = slim.select(
+            "k", "c", "v", "nv", F.col("b").alias("bi"),
+            F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("bj"),
         )
-        .filter(
-            F.round(
-                dot(F.col("v"), F.col("v2")) / (F.col("nv") * F.col("nv2")), 6
+        right = slim.select(
+            F.col("k").alias("k2"),
+            F.col("c").alias("c2"),
+            F.col("v").alias("v2"),
+            F.col("nv").alias("nv2"),
+            F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("bi2"),
+            F.col("b").alias("bj2"),
+        )
+        dropped = (
+            left.join(
+                right,
+                (F.col("c") == F.col("c2"))
+                & (F.col("bi") == F.col("bi2"))
+                & (F.col("bj") == F.col("bj2"))
+                & (F.col("k2") < F.col("k")),
             )
-            >= threshold
+            .filter(
+                F.round(
+                    dot(F.col("v"), F.col("v2")) / (F.col("nv") * F.col("nv2")), 6
+                )
+                >= threshold
+            )
+            .select(F.col("k").alias(key_col))
+            .distinct()
         )
-        .select(F.col("k").alias(key_col))
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
+    else:
+        # "arrow" (round 14, guide §4.2): same reducer keys — the two
+        # explode-sides union into ONE relation with a side marker and the
+        # within-cell pair matrix is evaluated by a vectorized numpy
+        # kernel per (cell, block, block) group. BIT-IDENTICAL to the
+        # join: the dot replays ``dot``'s left-to-right fold (one
+        # multiply-add per dimension, same IEEE sequence — the
+        # _assign_sims_np precedent), norms arrive precomputed from the
+        # SAME staged ``nv`` column, rounding is _round_half_up_spark,
+        # and key order uses the same lexicographic/int comparison
+        # (UTF-8 byte order == code-point order). The interpreted
+        # Catalyst fold was the dominant cost of the quadratic stage
+        # (~D fold steps per pair, interpreted); the kernel is one
+        # vectorized op per dimension per (cell, block) PAIR MATRIX.
+        both = slim.select(
+            F.lit(0).alias("side"), "k", "c", "v", "nv",
+            F.col("b").alias("bi"),
+            F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("bj"),
+        ).unionByName(
+            slim.select(
+                F.lit(1).alias("side"), "k", "c", "v", "nv",
+                F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("bi"),
+                F.col("b").alias("bj"),
+            )
+        )
+        key_ddl = assigned.schema[key_col].dataType.simpleString()
+
+        def pair_kernel(pdf):
+            import numpy as np
+            import pandas as pd
+
+            L = pdf[pdf["side"] == 0]
+            R = pdf[pdf["side"] == 1]
+            empty = pd.DataFrame({"k": L["k"].iloc[:0]})
+            if L.empty or R.empty:
+                return empty
+            X = np.array([np.asarray(v, dtype=np.float64) for v in L["v"]])
+            Y = np.array([np.asarray(v, dtype=np.float64) for v in R["v"]])
+            acc = np.zeros((len(L), len(R)))
+            for d in range(X.shape[1]):
+                acc += X[:, d][:, None] * Y[:, d][None, :]
+            nvL = L["nv"].to_numpy(dtype=np.float64)
+            nvR = R["nv"].to_numpy(dtype=np.float64)
+            sims = _round_half_up_spark(acc / (nvL[:, None] * nvR[None, :]))
+            kL = L["k"].to_numpy()
+            kR = R["k"].to_numpy()
+            hit = (sims >= threshold) & (kR[None, :] < kL[:, None])
+            return pd.DataFrame({"k": L["k"][hit.any(axis=1)]})
+
+        dropped = (
+            both.groupBy("c", "bi", "bj")
+            .applyInPandas(pair_kernel, schema=f"k {key_ddl}")
+            .distinct()
+        )
+    dropped = dropped.withColumnRenamed("k", key_col).withColumn(
+        "_dropped", F.lit(True)
     )
     return (
         assigned.join(dropped, key_col, "left")

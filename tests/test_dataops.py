@@ -1432,6 +1432,55 @@ def test_semdedup_hot_cell_split_warns_and_is_exact(spark):
     assert 0 < len(split_kept) < 60  # non-trivial: some dropped, some kept
 
 
+def test_semdedup_pair_methods_identical(spark):
+    """The round-14 Arrow pair kernel must reproduce the Catalyst join
+    formulation's verdicts BIT-IDENTICALLY — including near the rounded
+    cosine boundary and under hot-cell block splitting (the kernel replays
+    the fold's IEEE accumulation order and Spark's HALF-UP rounding)."""
+    import math
+    import random
+    import warnings
+
+    from routing_algorithm_for_graph_dbs_spark.operators.similarity import semdedup
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(120):
+        # clusters of jittered directions, jitter spanning the 0.999
+        # threshold so some pairs land right at the rounding boundary
+        base = [math.cos(i // 4), math.sin(i // 4), 0.1 * (i % 4)]
+        rows.append(
+            (i, [x + rng.uniform(-2e-3, 2e-3) for x in base])
+        )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def verdicts(pair_method, **kw):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = semdedup(
+                emb, threshold=0.999, n_centroids=4,
+                pair_method=pair_method, **kw,
+            )
+            return sorted(map(tuple, out.collect()))
+
+    assert verdicts("arrow") == verdicts("join")
+    # and under forced hot-cell splitting
+    assert verdicts("arrow", pair_budget=200) == verdicts("join", pair_budget=200)
+    # string key space exercises the lexicographic comparison path
+    semb = spark.createDataFrame(
+        [(f"id{i:03d}", v) for i, v in rows], ["vec_id", "embedding"]
+    )
+
+    def sverd(pm):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return sorted(
+                map(tuple, semdedup(semb, 0.999, 4, pair_method=pm).collect())
+            )
+
+    assert sverd("arrow") == sverd("join")
+
+
 def test_sentence_dedup_stats(spark):
     from routing_algorithm_for_graph_dbs_spark.operators.text import (
         sentence_dedup_stats,
