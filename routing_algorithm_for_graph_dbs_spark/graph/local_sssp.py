@@ -35,6 +35,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
 from pyspark.sql import types as T
 
+# lanes at or below this run IN-DRIVER (one process — the regime the
+# reference's per-pair GDS calls run in anyway): the CSR is already on
+# the driver, each pruned per-lane Dijkstra is milliseconds, and the
+# Arrow stage's job + Python-task round-trip dwarfs the compute. Above
+# it, lanes parallelize across the cluster as before.
+DRIVER_LANE_LIMIT = 8
+
 # driver-side prep cache: (id(edges), weight_col) -> (edges_ref, broadcast).
 # The DataFrame reference is held ON PURPOSE: the key uses id(), and CPython
 # recycles ids after GC — without the ref, a new DataFrame landing at a
@@ -246,14 +253,15 @@ def broadcast_dijkstra(
         else None
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        g = _decoded(bc.value)
+    def _run_lane(g: dict, lane, nodes) -> list[tuple]:
+        """One lane's Dijkstra over the decoded CSR — the single source of
+        truth for BOTH execution paths (Arrow tasks and the in-driver
+        tier), so their rows are identical by construction."""
         index, ids = g["index"], g["ids"]
         # the CSR is factorized over stringified ids; convert back on emit
         conv = (lambda x: int(x)) if integral else (lambda x: x)
-        lane = pdf["lane"].iloc[0]
         seeds = [
-            index[str(s)] for s in dict.fromkeys(pdf["node"]) if str(s) in index
+            index[str(s)] for s in dict.fromkeys(nodes) if str(s) in index
         ]
         tl = target_map.get(str(lane)) if target_map is not None else target_list
         t_idx = (
@@ -271,7 +279,7 @@ def broadcast_dijkstra(
                     by_group.setdefault(grp_id, {})[i] = rank
             t_groups = list(by_group.values())
         if not seeds:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return []
         dist, prev, settled = _dijkstra_csr(g, seeds, t_idx, t_groups)
         if t_groups is not None:
             emit = sorted(settled)  # pruned targets hold live overestimates
@@ -298,6 +306,48 @@ def broadcast_dijkstra(
                 )
             else:
                 recs.append((lane, conv(ids[u]), float(dist[u])))
+        return recs
+
+    # IN-DRIVER tier (round 14): with a handful of lanes there is nothing
+    # to parallelize — the CSR payload already lives on the driver
+    # (_prepare built it there before broadcasting), each lane's pruned
+    # Dijkstra is milliseconds, and the Arrow stage's one job + Python
+    # task round-trip (~0.3-0.4 s on the gate box) dwarfs the compute.
+    # The result returns as a JVM LocalRelation, so the consumer's joins
+    # fold it into their own job. Identical rows by construction
+    # (_run_lane is shared); tests assert the cross-path identity.
+    if (
+        n_lanes is not None
+        and 0 < n_lanes <= DRIVER_LANE_LIMIT
+        # target-bounded emission only: a full-expansion lane emits every
+        # reachable node, which must stream as Arrow batches, not sit in
+        # a driver-built local relation
+        and (target_list is not None or target_map is not None
+             or rank_map is not None)
+        and isinstance(node_t, (T.StringType, T.LongType, T.IntegerType))
+    ):
+        from routing_algorithm_for_graph_dbs_spark.functions.localrel import (
+            local_rows_df,
+        )
+
+        g = _decoded(bc.value)
+        by_lane: dict = {}
+        for r in sources.select("lane", "node").collect():
+            by_lane.setdefault(r["lane"], []).append(r["node"])
+        recs = []
+        for lane in sorted(by_lane):
+            recs.extend(_run_lane(g, lane, by_lane[lane]))
+        nt = node_t.simpleString()
+        lane_ddl = sources.schema["lane"].dataType.simpleString()
+        ddl = f"lane {lane_ddl}, node {nt}, cost double" + (
+            f", path array<{nt}>" if track_paths else ""
+        )
+        return local_rows_df(edges.sparkSession, recs, ddl)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = _decoded(bc.value)
+        lane = pdf["lane"].iloc[0]
+        recs = _run_lane(g, lane, list(pdf["node"]))
         return pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
 
     # one group per lane -> one (multi-seed) Dijkstra per task; concurrent

@@ -286,9 +286,14 @@ def multi_source_dijkstra(
     e = edges.select(
         F.col("src"), F.col("dst"), F.col(weight_col).cast("double").alias("w")
     )
+    release_sizing = lambda: None  # noqa: E731
     if n_edges is None:
-        # one cheap job on the pruned projection; pass n_edges from the
-        # dispatcher (which already counted) to skip it
+        # the sizing count used to run the (uncached) edge pipeline once
+        # and the repartition+persist below then recomputed it from
+        # scratch — pin across both so direct callers pay ONE pass
+        # (round 14; the dispatcher passes n_edges at scale, so the
+        # transient second cache here only exists for small direct calls)
+        e, release_sizing = pin_if_uncached(e)
         n_edges = e.count()
     # see graph/partitioning.py: edge partition count is a per-superstep
     # task-launch multiplier — size it to the graph, not the session default.
@@ -845,6 +850,7 @@ def multi_source_dijkstra(
     LAST_ITERATIVE_SUPERSTEPS = it + 1
     LAST_ITERATIVE_CONVERGED = early_stop or n_frontier == 0
     e.unpersist()
+    release_sizing()
     if (targets or target_ranks) and not LAST_ITERATIVE_CONVERGED:
         # target callers consume ONLY target rows and assume them final;
         # returning non-settled costs here would hand a ranking consumer a

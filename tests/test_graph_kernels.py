@@ -65,6 +65,49 @@ def test_broadcast_kernel_lanes_fan_out(spark):
     assert got[("n19", "n40")] == 21.0
 
 
+def test_broadcast_kernel_driver_tier_identity(spark):
+    """Round 14: with few lanes AND target-bounded emission, the broadcast
+    tier runs the (shared) lane kernel in-driver and returns a JVM
+    LocalRelation — rows must be identical to the Arrow-stage path, and
+    the tier must NOT engage without targets (unbounded emission) or when
+    the lane count exceeds the limit."""
+    from routing_algorithm_for_graph_dbs_spark.graph.local_sssp import (
+        DRIVER_LANE_LIMIT,
+        broadcast_dijkstra,
+    )
+
+    e = _edges_df(spark, [(f"n{i}", f"n{i + 1}", float(i % 3 + 1)) for i in range(30)])
+    lanes = spark.createDataFrame(
+        [(f"n{i}", f"n{i}") for i in range(3)], ["lane", "node"]
+    )
+    tgt = {f"n{i}": [f"n{i + 5}", "n29"] for i in range(3)}
+
+    drv = broadcast_dijkstra(e, lanes, targets=tgt, n_lanes=3)
+    arrow = broadcast_dijkstra(e, lanes, targets=tgt)
+    assert "LocalRelation" in drv._jdf.queryExecution().optimizedPlan().toString()
+    key = lambda rows: sorted((r["lane"], r["node"], r["cost"], tuple(r["path"])) for r in rows)
+    assert key(drv.collect()) == key(arrow.collect())
+
+    # rank-pruned mode too
+    ranks = {f"n{i}": [(0, f"n{i + 5}", 1.0), (0, "n29", 2.0)] for i in range(3)}
+    drv_r = broadcast_dijkstra(e, lanes, target_ranks=ranks, n_lanes=3)
+    arrow_r = broadcast_dijkstra(e, lanes, target_ranks=ranks)
+    assert key(drv_r.collect()) == key(arrow_r.collect())
+
+    # no targets -> unbounded emission -> the driver tier must not engage
+    full = broadcast_dijkstra(e, lanes, n_lanes=3)
+    assert "LocalRelation" not in full._jdf.queryExecution().optimizedPlan().toString()
+    # lane count over the limit -> Arrow path
+    many = spark.createDataFrame(
+        [(f"n{i}", f"n{i}") for i in range(DRIVER_LANE_LIMIT + 1)],
+        ["lane", "node"],
+    )
+    over = broadcast_dijkstra(
+        e, many, targets=["n29"], n_lanes=DRIVER_LANE_LIMIT + 1
+    )
+    assert "LocalRelation" not in over._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_sssp_iterative_target_settlement_early_stop(spark):
     """With targets, the iterative kernel stops once every requested
     target's cost is provably final (cost <= lane frontier minimum) —
