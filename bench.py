@@ -93,6 +93,17 @@ CONFIG_EPOCHS = {
 
 _GRAPH_MEMO: dict[str, object] = {}
 
+# Queries whose timed function MATERIALIZES its own workload internally —
+# routing_9od runs nine sequential routing calls each ending in a collect,
+# find_near_stops_9 runs nine radius-probe counts — and returns a small
+# REPORTING WRAPPER DataFrame over the already-computed driver rows. The
+# wrapper's noop write is harness plumbing, not query work, so it runs
+# OUTSIDE the timed window (round 15, VERDICT r14 #3 — this replaces the
+# round-14 approach of making the wrapper itself cheaper inside the
+# window). Every other query is a lazy DataFrame whose computation IS the
+# noop materialization, timed exactly as before.
+WRAPPER_RESULT = {"routing_9od", "find_near_stops_9"}
+
 
 def _reference_scale_graph(spark):
     """Memoized reference-scale feed + projection shared by the routing and
@@ -326,19 +337,29 @@ def _persist_local(out: dict, here: str) -> str:
     return path
 
 
-def _cpu_sample() -> tuple[int, int]:
+def _cpu_sample() -> tuple[int, int, int]:
     """One contamination-forensics sample: (box_busy_jiffies,
-    our_tree_jiffies). Box busy comes from /proc/stat's first line
-    (everything but idle+iowait, summed over cores); "ours" sums
-    utime+stime of this process and every live descendant (the Spark
-    JVM and its Python workers). The difference between two samples,
-    divided by elapsed ticks, is the average number of cores EXTERNAL
-    processes burned during the window — the self-convicting number
-    the r11 official record lacked (VERDICT r11 #2: all three j1
-    passes ran 4.3s vs the 0.99s floor and nothing in the artifact
-    could say whether the box or the code was at fault). Caveat:
-    short-lived exited descendants' CPU is not reattributed (the JVM
-    holds ~all of it, so the error is small)."""
+    our_tree_jiffies, kernel_thread_jiffies). Box busy comes from
+    /proc/stat's first line (everything but idle+iowait, summed over
+    cores); "ours" sums utime+stime of this process and every live
+    descendant (the Spark JVM and its Python workers). The difference
+    between two samples, divided by elapsed ticks, is the average number
+    of cores EXTERNAL processes burned during the window — the
+    self-convicting number the r11 official record lacked (VERDICT r11
+    #2: all three j1 passes ran 4.3s vs the 0.99s floor and nothing in
+    the artifact could say whether the box or the code was at fault).
+    Caveat: short-lived exited descendants' CPU is not reattributed (the
+    JVM holds ~all of it, so the error is small).
+
+    Kernel threads (the kthreadd subtree — kworkers doing writeback/IO
+    completion) are counted separately (round 15, VERDICT r14 #3): the
+    bench's own shuffle/checkpoint I/O surfaces as kworker CPU, which
+    the per-process attribution cannot tie to our tree, so I/O-heavy
+    queries self-convicted as EXTERNAL and burned requeue attempts on a
+    provably idle box (r14 observed ext_cores 1.26 during settled runs).
+    Kernel CPU is excluded from the external count; a real intruder's
+    USER CPU is still fully visible, and the idle load gate plus the
+    spin canary cover the remaining (kernel-only-intruder) corner."""
     import glob
 
     with open("/proc/stat") as f:
@@ -358,25 +379,40 @@ def _cpu_sample() -> tuple[int, int]:
             procs[pid_i] = (int(fields[1]), int(fields[11]) + int(fields[12]))
         except (ValueError, IndexError):
             continue
-    ours = {os.getpid()}
-    grew = True
-    while grew:
-        grew = False
-        for pid_i, (ppid, _) in procs.items():
-            if ppid in ours and pid_i not in ours:
-                ours.add(pid_i)
-                grew = True
-    return busy, sum(cpu for pid_i, (_, cpu) in procs.items() if pid_i in ours)
+
+    def _subtree(roots: set) -> set:
+        grew = True
+        while grew:
+            grew = False
+            for pid_i, (ppid, _) in procs.items():
+                if ppid in roots and pid_i not in roots:
+                    roots.add(pid_i)
+                    grew = True
+        return roots
+
+    ours = _subtree({os.getpid()})
+    kernel = _subtree({2}) if 2 in procs else set()
+    return (
+        busy,
+        sum(cpu for pid_i, (_, cpu) in procs.items() if pid_i in ours),
+        sum(cpu for pid_i, (_, cpu) in procs.items() if pid_i in kernel),
+    )
 
 
-def _external_cores(before: tuple[int, int], after: tuple[int, int],
+def _external_cores(before: tuple[int, int, int], after: tuple[int, int, int],
                     wall_s: float) -> float:
-    """Average cores burned by processes OUTSIDE our tree between two
-    :func:`_cpu_sample` readings."""
+    """Average cores burned by processes OUTSIDE our tree (and outside
+    the kernel's own threads — see :func:`_cpu_sample`) between two
+    readings."""
     if wall_s <= 0:
         return 0.0
     hz = os.sysconf("SC_CLK_TCK")
-    ext = max(0, (after[0] - before[0]) - (after[1] - before[1]))
+    ext = max(
+        0,
+        (after[0] - before[0])
+        - (after[1] - before[1])
+        - (after[2] - before[2]),
+    )
     return round(ext / (wall_s * hz), 2)
 
 
@@ -486,8 +522,16 @@ def _suite_run(spark, sf_dir: str, sf: float, load_gate: dict) -> dict:
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
-            _materialize(fn())
-            runs.append(round(time.perf_counter() - t0, 3))
+            df = fn()
+            if name in WRAPPER_RESULT:
+                # the fn call already did the timed work (see
+                # WRAPPER_RESULT); stop the clock before the reporting
+                # wrapper's noop write, which still runs for shape sanity
+                runs.append(round(time.perf_counter() - t0, 3))
+                _materialize(df)
+            else:
+                _materialize(df)
+                runs.append(round(time.perf_counter() - t0, 3))
         ext_cores[name] = _external_cores(
             cpu0, _cpu_sample(), time.perf_counter() - t0_all
         )

@@ -23,6 +23,33 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
+# rows above this fall back to createDataFrame (ADVICE r14): a LocalRelation
+# lives INSIDE the driver plan — it is copied on every plan transform and
+# shipped with every task binary — and the VALUES text goes through the SQL
+# parser, so a multi-million-row label table (the graph local tiers dispatch
+# up to ~5M edges) would trade one Python task for a tens-of-MB parse and a
+# plan the optimizer re-copies. 20k rows ≈ a few hundred KB of SQL — parse
+# time is milliseconds and the relation still broadcasts exactly.
+LOCALREL_MAX_ROWS = 20_000
+
+
+def _split_top(schema: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas only: types like
+    ``decimal(10,2)``, ``array<struct<a:int,b:int>>`` or ``map<string,int>``
+    carry commas of their own (ADVICE r14 — the naive split built malformed
+    casts from them)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(schema[start:i])
+            start = i + 1
+    out.append(schema[start:])
+    return out
+
 
 def _lit(v) -> str:
     if v is None:
@@ -56,9 +83,9 @@ def local_rows_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFr
     quirks (int-sized longs, NULL columns) land on the exact schema
     ``createDataFrame`` would produce.
     """
-    cols = [c.strip().split(None, 1) for c in schema.split(",")]
-    if not rows:
-        return spark.createDataFrame([], schema)
+    cols = [c.strip().split(None, 1) for c in _split_top(schema)]
+    if not rows or len(rows) > LOCALREL_MAX_ROWS:
+        return spark.createDataFrame(rows or [], schema)
     try:
         values = ",".join(
             "(" + ",".join(_lit(v) for v in row) + ")" for row in rows

@@ -363,7 +363,13 @@ def broadcast_dijkstra(
     # Arrow tasks of pure per-task overhead.
     default_par = sources.sparkSession.sparkContext.defaultParallelism
     if n_lanes is not None and n_lanes > 0:
-        n_part = max(1, min(default_par, n_lanes))
+        # 2x overprovision (ADVICE r14): hashing n lanes into exactly n
+        # partitions lands 2-3 lanes in one task with birthday-bound
+        # probability for the 9-16-lane counts just above the driver
+        # tier, serializing them; doubling the partition count keeps the
+        # expected per-partition lane load near 1 while still far below
+        # the old defaultParallelism fan-out of empty tasks.
+        n_part = max(1, min(default_par, 2 * n_lanes))
     else:
         n_part = max(default_par, 8)
     srcs = sources.repartition(n_part, "lane")

@@ -56,6 +56,26 @@ LAST_ITERATIVE_SUPERSTEPS = 0
 import os as _os  # noqa: E402
 
 _SSSP_LOG = _os.environ.get("SPARK_GRAFT_SSSP_LOG", "") == "1"
+# opt-in per-superstep physical-plan dump (round 15): the superstep plans
+# are runtime-internal (never surfaced by PLANS.md's declared-query sweep),
+# so the join-strategy claims (§3.1 SHJ relax/merge joins) need a hook to
+# produce committable evidence. Writes one file per superstep into the
+# given directory; zero cost unless SPARK_GRAFT_SSSP_EXPLAIN_DIR is set.
+_SSSP_EXPLAIN_DIR = _os.environ.get("SPARK_GRAFT_SSSP_EXPLAIN_DIR", "")
+
+
+def _dump_superstep_plan(df, it: int) -> None:
+    if not _SSSP_EXPLAIN_DIR:
+        return
+    try:
+        qe = df._jdf.queryExecution()
+        mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        text = qe.explainString(mode.fromString("formatted"))
+        path = _os.path.join(_SSSP_EXPLAIN_DIR, f"superstep_{it:03d}.txt")
+        with open(path, "w") as f:
+            f.write(text)
+    except Exception:  # noqa: BLE001 — forensics hook, never fatal
+        pass
 LAST_ITERATIVE_CONVERGED = True
 # lanes retired before global convergence (targets settled early) — the
 # per-lane retirement optimization's observable effect
@@ -682,6 +702,22 @@ def multi_source_dijkstra(
                         "pred"
                     )
                 )
+            if not full_paths:
+                # §3.1 (round 15): the state-merge full-outer join planned
+                # SHJ for the first ~3 supersteps and then fell back to
+                # SORT-MERGE for the rest of the run — localCheckpoint
+                # preserves the checkpointed plan's ESTIMATED stats, and
+                # join-size estimates compound multiplicatively per
+                # superstep until canBuildLocalHashMap's threshold fails
+                # (captured: plans/r15/superstep_merge_join). The candidate
+                # side is bounded by construction in the narrow modes
+                # (cost/pred rows are ~tens of bytes; cand rows <= state
+                # rows, spread over the same edge-sized partitioning the
+                # relax-join SHJ already builds from), so hint SHUFFLE_HASH
+                # on it and stop paying two full-state sorts per superstep.
+                # Full-path mode keeps the planner's choice: path arrays
+                # make the per-partition build unbounded in row width.
+                cand = cand.hint("shuffle_hash")
             merged = (
                 best.alias("b")
                 .join(
@@ -695,6 +731,7 @@ def multi_source_dijkstra(
                 # NULL-cost state — they never entered the state before
                 .filter(F.col("cost").isNotNull())
             )
+            _dump_superstep_plan(merged, it)
             frontier_cols = (
                 ["lane", "node", "cost"]
                 + (["part"] if parts_mode else [])

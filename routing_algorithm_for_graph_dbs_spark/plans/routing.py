@@ -43,6 +43,16 @@ from routing_algorithm_for_graph_dbs_spark.functions.spatial import haversine_me
 from routing_algorithm_for_graph_dbs_spark.graph.sssp import sssp
 from routing_algorithm_for_graph_dbs_spark.plans.projection import ProjectedGraph
 
+def _none_safe(rows) -> list:
+    """sorted() with NULL-tolerant keys: candidate stoptime columns are
+    non-null by construction today, but a NULL arrival/departure in the
+    collected tuples must not raise TypeError where the former DataFrame
+    ``.distinct()`` path tolerated it (ADVICE r14). NULLs order first,
+    matching nothing else in the pipeline (the sort only canonicalizes
+    the VALUES order)."""
+    return sorted(rows, key=lambda t: tuple((v is not None, v) for v in t))
+
+
 LEG_COLUMNS = [
     "trip",
     "departure",
@@ -272,7 +282,7 @@ def _run_pairs(
     )
     t = local_rows_df(
         spark,
-        sorted(
+        _none_safe(
             {
                 (r["stoptime_id"], r["arrival_s"], r["departure_s"])
                 for r in tgt_rows
@@ -282,7 +292,7 @@ def _run_pairs(
     )
     s = local_rows_df(
         spark,
-        sorted({(r["stoptime_id"], r["departure_s"]) for r in src_rows}),
+        _none_safe({(r["stoptime_id"], r["departure_s"]) for r in src_rows}),
         f"s_id {id_t}, src_departure_s {dep_t}",
     )
     return (
@@ -530,7 +540,7 @@ def routing_batch(
     # inside the final job, no Python-RDD materialization (localrel.py)
     t = local_rows_df(
         spark,
-        sorted(
+        _none_safe(
             {
                 (r["pair_id"], r["stoptime_id"], r["arrival_s"], r["departure_s"])
                 for r in tgt_rows
@@ -540,7 +550,7 @@ def routing_batch(
     )
     s = local_rows_df(
         spark,
-        sorted(
+        _none_safe(
             {
                 (r["pair_id"], r["stoptime_id"], r["departure_s"])
                 for r in src_rows
